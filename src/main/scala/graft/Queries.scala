@@ -16,28 +16,33 @@ final case class Q(
 /** Cross-engine determinism helpers.
   *
   * Floating-point SUM/AVG are order-dependent; Spark's partial
-  * aggregation over 32 partitions and DuckDB's single-threaded scan
-  * will not add doubles in the same order. Casting each addend to a
-  * DECIMAL first makes the sum exact (decimal addition is
-  * associative), and the final DECIMAL→DOUBLE cast is deterministic —
-  * so both engines produce bit-identical doubles. Per-row arithmetic
-  * (a*b, a-b) is already deterministic IEEE-754 and needs no such
-  * treatment.
+  * aggregation over 32 partitions and DuckDB's scan will not add
+  * doubles in the same order. Casting each addend to a DECIMAL first
+  * makes the sum a sum of scale-rounded addends — decimal addition is
+  * associative, so the result is order-independent and identical in
+  * both engines; the final DECIMAL→DOUBLE cast is deterministic.
+  *
+  * NOTE: this is NOT a drop-in replacement for `sum()` — each addend
+  * is rounded to `scale` decimal places first. It is an
+  * order-independent aggregate intended for cross-engine comparison.
+  * Addends/accumulator use DECIMAL(38, scale) so overflow needs
+  * ~1e33 · 10^-scale total magnitude — unreachable even at 100 TB.
   */
 object Det {
-  /** Exact sum of a double column: cast addends to DECIMAL(18,s), sum,
-    * cast back to double. Order-independent across engines. */
+  /** Order-independent sum of a double column (addends rounded to
+    * `scale` decimals). Matches [[sqlSum]] in DuckDB bit-for-bit. */
   def dsum(c: Column, scale: Int = 4): Column =
-    sum(c.cast(DecimalType(18, scale))).cast("double")
+    sum(c.cast(DecimalType(38, scale))).cast("double")
 
-  /** Exact average via exact sum / count. */
+  /** Order-independent average; null (not error) on zero count. */
   def davg(c: Column, scale: Int = 4): Column =
-    dsum(c, scale) / count(c)
+    when(count(c) === 0, lit(null)).otherwise(dsum(c, scale) / count(c))
 
   /** DuckDB SQL fragment mirroring [[dsum]]. */
   def sqlSum(expr: String, scale: Int = 4): String =
-    s"CAST(SUM(CAST(($expr) AS DECIMAL(18,$scale))) AS DOUBLE)"
+    s"CAST(SUM(CAST(($expr) AS DECIMAL(38,$scale))) AS DOUBLE)"
 
+  /** DuckDB SQL fragment mirroring [[davg]]. */
   def sqlAvg(expr: String, scale: Int = 4): String =
-    s"(${sqlSum(expr, scale)} / COUNT($expr))"
+    s"(${sqlSum(expr, scale)} / NULLIF(COUNT($expr), 0))"
 }

@@ -1,13 +1,43 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each registered query is a [[Q]]: a Spark plan builder over the
+  * testdata dir, an optional DuckDB oracle SQL, and a bench flag.
+  * Modules contribute their own maps; this object is pure wiring.
+  */
 object SparkEntry {
+
+  /** All registered queries, keyed by operator id. */
+  def registry: Map[String, Q] =
+    queries0.reduce(_ ++ _)
+
+  private def queries0: Seq[Map[String, Q]] = Seq(
+    graft.queries.Relational.all,
+    graft.queries.TextOps.all,
+    graft.queries.Dedup.all,
+    graft.queries.Similarity.all,
+    graft.queries.Multimodal.all,
+    graft.dwca.DwcaQueries.all,
+    graft.sinks.SinkQueries.all
+  )
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    registry("q02_star_join").fn(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { case (k, q) => k -> q.fn }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys → rows-only check. */
+  def oracleSql: Map[String, String] =
+    registry.collect { case (k, Q(_, Some(sql), _)) => k -> sql.linesIterator.map(_.trim).mkString(" ") }
+
+  /** Headline bench set (a representative slice, not every query). */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.collect { case (k, q) if q.bench => k -> q.fn }
 }

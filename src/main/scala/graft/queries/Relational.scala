@@ -1,0 +1,359 @@
+package graft.queries
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator tier over the driver testdata (SURVEY.md §2.2,
+  * §2.3, §2.5): filters, multi-way joins, semi/anti/outer joins,
+  * aggregations, rollup, window functions, top-k, set ops, event-time
+  * windows, and the scalar-function suite (coalesce, regex split,
+  * set-dedup join, JSON struct, bbox→WKT, date math).
+  *
+  * Every query has a DuckDB oracle; aggregates of doubles go through
+  * [[graft.Det]] so both engines produce bit-identical results.
+  *
+  * Scale notes: dimension joins carry explicit `broadcast()` hints
+  * (region/nation/customer/supplier are orders of magnitude smaller
+  * than lineitem at any SF); fact-fact joins (orders⋈lineitem) are
+  * left to sort-merge + AQE. Window queries partition by a key with
+  * bounded group size (nation, customer), so state stays per-executor.
+  */
+object Relational {
+
+  /** Events table with `ts` normalized to a Spark TIMESTAMP.
+    * The driver parquet stores timestamp[ns]; Spark reads nanos as
+    * LONG (spark.sql.legacy.parquet.nanosAsLong) or as timestamp
+    * depending on version — normalize either way to micros. */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val df = Tables(s, dir, "events")
+    df.schema("ts").dataType.typeName match {
+      case "long" => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _      => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
+
+  val all: Map[String, Q] = Map(
+    // ── P4: filter + pruned projection (pushes to the parquet scan) ──
+    "q01_filter_scan" -> Q(
+      (s, d) => Tables(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+          && col("l_returnflag") === "R" && col("l_quantity") < 10)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_returnflag = 'R' AND l_quantity < 10"""),
+      bench = true),
+
+    // ── J1/P1: 5-way star join, dims broadcast ──
+    "q02_star_join" -> Q(
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+        val o = Tables(s, d, "orders")
+        val c = broadcast(Tables(s, d, "customer"))
+        val n = broadcast(Tables(s, d, "nation"))
+        val r = broadcast(Tables(s, d, "region"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(n, col("c_nationkey") === col("n_nationkey"))
+          .join(r, col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA" && col("l_quantity") > 45)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("o_orderstatus"), col("c_name"), col("n_name"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, o_orderstatus, c_name, n_name
+              FROM lineitem
+              JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation   ON c_nationkey = n_nationkey
+              JOIN region   ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA' AND l_quantity > 45"""),
+      bench = true),
+
+    // ── P2: computed-column projection with alias (the `fid` shape) ──
+    "q03_computed_proj" -> Q(
+      (s, d) => Tables(s, d, "orders")
+        .select(col("o_orderkey").as("fid"),
+          concat_ws("#", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
+          (col("o_orderkey") % 7).as("bucket"),
+          upper(substring(col("o_orderpriority"), 1, 3)).as("pri")),
+      Some("""SELECT o_orderkey AS fid,
+                     concat_ws('#', o_orderstatus, o_orderpriority) AS tag,
+                     o_orderkey % 7 AS bucket,
+                     upper(substring(o_orderpriority, 1, 3)) AS pri
+              FROM orders""")),
+
+    // ── J3: left-semi ──
+    "q04_semi_join" -> Q(
+      (s, d) => {
+        val c = Tables(s, d, "customer")
+        val o = Tables(s, d, "orders").filter(col("o_totalprice") > 400)
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c_custkey AND o_totalprice > 400)""")),
+
+    // ── J3: left-anti ──
+    "q05_anti_join" -> Q(
+      (s, d) => {
+        val c = Tables(s, d, "customer")
+        val o = Tables(s, d, "orders")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_mktsegment")
+      },
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+              WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")),
+
+    // ── J3 + A1: left-outer join preserving unmatched, count with zeros ──
+    "q06_outer_join_agg" -> Q(
+      (s, d) => {
+        val o = Tables(s, d, "orders")
+        val li = Tables(s, d, "lineitem")
+        o.join(li, col("l_orderkey") === col("o_orderkey"), "left_outer")
+          .groupBy(col("o_orderkey"))
+          .agg(count(col("l_orderkey")).as("n_items"),
+            Det.dsum(col("l_quantity")).as("sum_qty"))
+      },
+      Some(s"""SELECT o_orderkey, count(l_orderkey) AS n_items,
+                      ${Det.sqlSum("l_quantity")} AS sum_qty
+               FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+               GROUP BY o_orderkey"""),
+      bench = true),
+
+    // ── F1: coalesce (null-injected via nullif for data without nulls) ──
+    "q07_coalesce" -> Q(
+      (s, d) => Tables(s, d, "customer")
+        .select(col("c_custkey"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(redacted)"))
+            .as("seg"),
+          coalesce(when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")),
+            lit(0.0)).as("bal_nonneg")),
+      Some("""SELECT c_custkey,
+                     coalesce(nullif(c_mktsegment, 'BUILDING'), '(redacted)') AS seg,
+                     coalesce(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0)
+                       AS bal_nonneg
+              FROM customer""")),
+
+    // ── A1: TPC-H Q1-shaped grouped aggregation (order-independent sums) ──
+    "q08_agg_pricing" -> Q(
+      (s, d) => Tables(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Det.dsum(col("l_quantity")).as("sum_qty"),
+          Det.dsum(col("l_extendedprice")).as("sum_base"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")
+            * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(4,2)")))
+            .cast("double").as("sum_disc_price"),
+          Det.davg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("n")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+                      ${Det.sqlSum("l_quantity")} AS sum_qty,
+                      ${Det.sqlSum("l_extendedprice")} AS sum_base,
+                      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                               * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                           AS DOUBLE) AS sum_disc_price,
+                      ${Det.sqlAvg("l_quantity")} AS avg_qty,
+                      count(*) AS n
+               FROM lineitem
+               WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+               GROUP BY l_returnflag, l_linestatus"""),
+      bench = true),
+
+    // ── A1: exact distinct counts per group ──
+    "q09_distinct_agg" -> Q(
+      (s, d) => Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("nd_part"),
+          countDistinct(col("l_suppkey")).as("nd_supp"),
+          count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part,
+                     count(DISTINCT l_suppkey) AS nd_supp, count(*) AS n
+              FROM lineitem GROUP BY l_returnflag""")),
+
+    // ── A1: rollup with null-key normalization ──
+    "q10_rollup" -> Q(
+      (s, d) => Tables(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+          col("n"), col("sum_qty")),
+      Some(s"""SELECT coalesce(l_returnflag, '(all)') AS rf,
+                      coalesce(l_linestatus, '(all)') AS ls,
+                      count(*) AS n, ${Det.sqlSum("l_quantity")} AS sum_qty
+               FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
+
+    // ── A2: ranking window, deterministic tiebreak, top-3 per nation ──
+    "q11_window_rank" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        Tables(s, d, "customer")
+          .withColumn("rnk", rank().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"), col("rnk"))
+      },
+      Some("""SELECT c_nationkey, c_custkey, c_acctbal, rnk FROM (
+                SELECT c_nationkey, c_custkey, c_acctbal,
+                       rank() OVER (PARTITION BY c_nationkey
+                                    ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+                FROM customer) WHERE rnk <= 3""")),
+
+    // ── A2: running (cumulative) sum per customer over time ──
+    "q12_window_running" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+              .cast("double").as("run_total"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                          OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate ASC, o_orderkey ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS DOUBLE) AS run_total
+              FROM orders""")),
+
+    // ── A3: global top-k with deterministic tiebreak ──
+    "q13_topk" -> Q(
+      (s, d) => Tables(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select("o_orderkey", "o_totalprice"),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""")),
+
+    // ── A4: union / intersect / except with set semantics ──
+    "q14_setops" -> Q(
+      (s, d) => {
+        val c = Tables(s, d, "customer")
+        val building = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val rich = c.filter(col("c_acctbal") > 5000).select("c_custkey")
+        val withOrders = Tables(s, d, "orders").select(col("o_custkey").as("c_custkey"))
+        building.union(rich).distinct()
+          .intersect(withOrders.distinct())
+          .except(c.filter(col("c_acctbal") < 0).select("c_custkey"))
+      },
+      Some("""(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+               UNION
+               SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+              INTERSECT
+              SELECT DISTINCT o_custkey AS c_custkey FROM orders
+              EXCEPT
+              SELECT c_custkey FROM customer WHERE c_acctbal < 0""")),
+
+    // ── A5: event-time tumbling window aggregation ──
+    "q15_event_tumbling" -> Q(
+      (s, d) => events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("val_sum"))
+        .select(unix_timestamp(col("window.start")).as("win_start"),
+          col("event_type"), col("n"), col("val_sum")),
+      Some(s"""SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS win_start,
+                      event_type, count(*) AS n, ${Det.sqlSum("value")} AS val_sum
+               FROM events GROUP BY 1, 2""")),
+
+    // ── A5: session windows (30-minute gap) per user ──
+    "q16_session_window" -> Q(
+      (s, d) => events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("val_sum"))
+        .select(col("user_id"),
+          unix_millis(col("session_window.start")).as("session_start_ms"),
+          col("n"), col("val_sum")),
+      Some(s"""WITH marks AS (
+                 SELECT user_id, ts, value,
+                        CASE WHEN lag(ts) OVER w IS NULL
+                                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                             THEN 1 ELSE 0 END AS new_s
+                 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+               ), sess AS (
+                 SELECT user_id, ts, value,
+                        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+                 FROM marks)
+               SELECT user_id, epoch_ms(min(ts))::BIGINT AS session_start_ms,
+                      count(*) AS n, ${Det.sqlSum("value")} AS val_sum
+               FROM sess GROUP BY user_id, sid""")),
+
+    // ── F4: regex string split ──
+    "q17_regex_split" -> Q(
+      (s, d) => Tables(s, d, "documents")
+        .select(col("doc_id"), size(split(col("text"), " +")).as("n_tokens"),
+          element_at(split(col("text"), " +"), 1).as("first_tok"),
+          element_at(split(col("text"), " +"), -1).as("last_tok")),
+      Some("""SELECT doc_id, len(regexp_split_to_array(text, ' +')) AS n_tokens,
+                     regexp_split_to_array(text, ' +')[1] AS first_tok,
+                     regexp_split_to_array(text, ' +')[-1] AS last_tok
+              FROM documents""")),
+
+    // ── F5: set-dedup + delimiter join (csw.py:91,98 shape) ──
+    "q18_set_dedup_join" -> Q(
+      (s, d) => Tables(s, d, "documents")
+        .select(col("doc_id"),
+          array_join(array_sort(array_distinct(split(col("text"), " "))), ", ")
+            .as("toks"),
+          size(array_distinct(split(col("text"), " "))).as("n_uniq")),
+      Some("""SELECT doc_id,
+                     array_to_string(list_sort(list_distinct(string_split(text, ' '))), ', ')
+                       AS toks,
+                     len(list_distinct(string_split(text, ' '))) AS n_uniq
+              FROM documents""")),
+
+    // ── F6: JSON serialization of a struct ──
+    "q19_json_struct" -> Q(
+      (s, d) => Tables(s, d, "orders")
+        .select(col("o_orderkey"),
+          to_json(struct(col("o_orderkey"), col("o_orderstatus"),
+            col("o_orderpriority"))).as("js")),
+      Some("""SELECT o_orderkey,
+                     to_json(struct_pack(o_orderkey := o_orderkey,
+                                         o_orderstatus := o_orderstatus,
+                                         o_orderpriority := o_orderpriority)) AS js
+              FROM orders""")),
+
+    // ── F8: bbox → WKT polygon (integer corners; csw.py:51,88 shape) ──
+    "q20_bbox_wkt" -> Q(
+      (s, d) => Tables(s, d, "part")
+        .select(col("p_partkey"),
+          format_string("POLYGON((%d %d, %d %d, %d %d, %d %d, %d %d))",
+            col("p_size"), col("p_size"),
+            (col("p_size") + 10), col("p_size"),
+            (col("p_size") + 10), (col("p_size") + 5),
+            col("p_size"), (col("p_size") + 5),
+            col("p_size"), col("p_size")).as("wkt")),
+      Some("""SELECT p_partkey,
+                     printf('POLYGON((%d %d, %d %d, %d %d, %d %d, %d %d))',
+                            p_size, p_size, p_size + 10, p_size,
+                            p_size + 10, p_size + 5, p_size, p_size + 5,
+                            p_size, p_size) AS wkt
+              FROM part""")),
+
+    // ── F9: date math suite ──
+    "q21_datemath" -> Q(
+      (s, d) => Tables(s, d, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          date_format(date_trunc("quarter", col("o_orderdate")), "yyyy-MM-dd")
+            .as("q_start"),
+          datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
+            .as("days_to_2002")),
+      Some("""SELECT o_orderkey,
+                     year(o_orderdate)::INT AS y, month(o_orderdate)::INT AS m,
+                     day(o_orderdate)::INT AS dom,
+                     strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS q_start,
+                     datediff('day', o_orderdate::DATE, DATE '2002-01-01')::INT
+                       AS days_to_2002
+              FROM orders"""))
+  )
+}

@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate.
+
+Runs after `sbt "runMain graft.Verify <sfDir> <outDir>"`:
+for each query parquet in <outDir>, run the matching oracle SQL in
+DuckDB over the same testdata tables, then compare row count, schema
+(column names), and a hash of the value matrix with columns sorted by
+name and rows sorted.
+
+Usage: python3 tools/check.py <sfDir> <outDir> [query ...]
+"""
+import sys, os, json, hashlib
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def frame_fingerprint(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    mat = sorted(tuple(norm(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for r in mat:
+        h.update(("\x1f".join(r) + "\x1e").encode())
+    return h.hexdigest()
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    results, n_ok = {}, 0
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    for name in names:
+        if only and name not in only:
+            continue
+        spark_rel = con.sql(
+            f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+        s_cols = [c for c in spark_rel.columns]
+        s_rows = spark_rel.fetchall()
+        if name not in oracle:
+            results[name] = {"rows": len(s_rows), "oracle": None}
+            continue
+        try:
+            o_rel = con.sql(oracle[name])
+            o_cols = [c for c in o_rel.columns]
+            o_rows = o_rel.fetchall()
+        except Exception as e:
+            results[name] = {"error": str(e)[:300]}
+            continue
+        rows_match = len(s_rows) == len(o_rows)
+        schema_match = sorted(s_cols) == sorted(o_cols)
+        hash_match = (frame_fingerprint(s_cols, s_rows)
+                      == frame_fingerprint(o_cols, o_rows)) if schema_match else False
+        ok = rows_match and schema_match and hash_match
+        n_ok += ok
+        results[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                         "hash_match": hash_match,
+                         "n_spark": len(s_rows), "n_oracle": len(o_rows)}
+        if not ok:
+            results[name]["spark_cols"] = s_cols
+            results[name]["oracle_cols"] = o_cols
+            if rows_match and schema_match:
+                # show first differing row for debugging
+                order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+                order_o = sorted(range(len(o_cols)), key=lambda i: o_cols[i])
+                ms = sorted(tuple(norm(r[i]) for i in order_s) for r in s_rows)
+                mo = sorted(tuple(norm(r[i]) for i in order_o) for r in o_rows)
+                for a, b in zip(ms, mo):
+                    if a != b:
+                        results[name]["first_diff"] = {"spark": a, "oracle": b}
+                        break
+    print(json.dumps(results, indent=1))
+    n_oracle = sum(1 for r in results.values() if "rows_match" in r or "error" in r)
+    print(f"== {n_ok}/{n_oracle} oracle-checked green; "
+          f"{len(results) - n_oracle} rows-only ==", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
