@@ -1,3 +1,129 @@
 package graft.queries
-import graft.Q
-object TextOps { val all: Map[String, Q] = Map() }
+
+import graft.{Q, Tables}
+import graft.functions.Hashing
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline tier: token counting, quality scoring,
+  * language ID (marker-word heuristic), and document fingerprinting
+  * (min/max rolling hash over word shingles).
+  *
+  * All per-document: narrow map-only plans, no shuffle, fully inside
+  * whole-stage codegen (builtin array/string expressions, no UDFs) —
+  * they scale linearly with input splits. Ratios are reported in
+  * integer basis points (value*10000 div base) so the DuckDB oracle
+  * compare is exact.
+  */
+object TextOps {
+
+  private val toks = "split(text, ' ')"
+
+  /** Stopword list shared by quality scoring and language ID. */
+  private val enStops = Seq("the", "a", "of", "and", "to", "in")
+
+  private def arr(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("array(", ",", ")")
+  private def duckArr(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ",", "]")
+
+  val all: Map[String, Q] = Map(
+    // ── token counting ──
+    "t01_token_stats" -> Q(
+      (s, d) => Tables(s, d, "documents").selectExpr(
+        "doc_id",
+        "length(text) as n_chars",
+        s"size($toks) as n_tokens",
+        s"size(array_distinct($toks)) as n_uniq",
+        s"(aggregate(transform($toks, t -> length(t)), 0, (a, x) -> a + x) * 10000) div size($toks) as avg_tok_len_bp"),
+      Some("""SELECT doc_id, length(text) AS n_chars,
+                     len(string_split(text,' ')) AS n_tokens,
+                     len(list_distinct(string_split(text,' '))) AS n_uniq,
+                     (list_sum(list_transform(string_split(text,' '), t -> len(t))) * 10000)
+                       // len(string_split(text,' ')) AS avg_tok_len_bp
+              FROM documents"""),
+      bench = true),
+
+    // ── quality scoring: stopword ratio, uniqueness, length band ──
+    "t02_quality" -> Q(
+      (s, d) => Tables(s, d, "documents")
+        .selectExpr(
+          "doc_id",
+          s"(size(filter($toks, t -> array_contains(${arr(enStops)}, t))) * 10000) div size($toks) as stop_bp",
+          s"(size(array_distinct($toks)) * 10000) div size($toks) as uniq_bp",
+          s"case when size($toks) < 15 then 1 else 0 end as too_short")
+        // quality = mean of three integer signals: uniqueness, capped
+        // stopword presence, and a not-too-short bonus.
+        .selectExpr("doc_id", "stop_bp", "uniq_bp", "too_short",
+          "(uniq_bp + least(stop_bp * 4, 10000) + (1 - too_short) * 10000) div 3 as quality_bp"),
+      Some(s"""WITH q AS (
+                 SELECT doc_id,
+                   (len(list_filter(string_split(text,' '), t -> list_contains(${duckArr(enStops)}, t))) * 10000)
+                     // len(string_split(text,' ')) AS stop_bp,
+                   (len(list_distinct(string_split(text,' '))) * 10000)
+                     // len(string_split(text,' ')) AS uniq_bp,
+                   CASE WHEN len(string_split(text,' ')) < 15 THEN 1 ELSE 0 END AS too_short
+                 FROM documents)
+               SELECT doc_id, stop_bp, uniq_bp, too_short,
+                      (uniq_bp + least(stop_bp * 4, 10000) + (1 - too_short) * 10000) // 3
+                        AS quality_bp
+               FROM q""")),
+
+    // ── language ID: marker-word votes, deterministic tie-break ──
+    "t03_langid" -> Q(
+      (s, d) => {
+        val langs = Seq(
+          "en" -> Seq("the", "a", "and", "of"),
+          "es" -> Seq("el", "la", "de", "y"),
+          "fr" -> Seq("le", "les", "de", "et"),
+          "de" -> Seq("der", "die", "und", "das"))
+        val votes = langs.map { case (l, ws) =>
+          s"size(filter($toks, t -> array_contains(${arr(ws)}, t))) as v_$l"
+        }
+        val pred =
+          """case when v_en >= greatest(v_es, v_fr, v_de) and v_en > 0 then 'en'
+                  when v_es >= greatest(v_fr, v_de) and v_es > 0 then 'es'
+                  when v_fr >= v_de and v_fr > 0 then 'fr'
+                  when v_de > 0 then 'de'
+                  else 'und' end as lang_pred"""
+        Tables(s, d, "documents")
+          .selectExpr(Seq("doc_id", "lang as lang_label") ++ votes :+ pred: _*)
+          .select("doc_id", "lang_label", "lang_pred", "v_en", "v_es", "v_fr", "v_de")
+      },
+      Some({
+        val langs = Seq(
+          "en" -> Seq("the", "a", "and", "of"),
+          "es" -> Seq("el", "la", "de", "y"),
+          "fr" -> Seq("le", "les", "de", "et"),
+          "de" -> Seq("der", "die", "und", "das"))
+        val votes = langs.map { case (l, ws) =>
+          s"len(list_filter(string_split(text,' '), t -> list_contains(${duckArr(ws)}, t))) AS v_$l"
+        }.mkString(", ")
+        s"""WITH v AS (SELECT doc_id, lang AS lang_label, $votes FROM documents)
+            SELECT doc_id, lang_label,
+                   CASE WHEN v_en >= greatest(v_es, v_fr, v_de) AND v_en > 0 THEN 'en'
+                        WHEN v_es >= greatest(v_fr, v_de) AND v_es > 0 THEN 'es'
+                        WHEN v_fr >= v_de AND v_fr > 0 THEN 'fr'
+                        WHEN v_de > 0 THEN 'de'
+                        ELSE 'und' END AS lang_pred,
+                   v_en, v_es, v_fr, v_de
+            FROM v"""
+      })),
+
+    // ── document fingerprint: min/max rolling hash over 5-gram shingles ──
+    "t04_fingerprint" -> Q(
+      (s, d) => Tables(s, d, "documents")
+        .selectExpr("doc_id", s"$toks as t")
+        .where("size(t) >= 5")
+        .selectExpr(
+          "doc_id",
+          "size(t) - 4 as n_shingles",
+          s"array_min(transform(sequence(1, size(t) - 4), i -> ${Hashing.h32Sql("concat_ws(' ', slice(t, i, 5))")})) as fp_min",
+          s"array_max(transform(sequence(1, size(t) - 4), i -> ${Hashing.h32Sql("concat_ws(' ', slice(t, i, 5))")})) as fp_max"),
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents)
+               SELECT doc_id, len(t) - 4 AS n_shingles,
+                      list_min(list_transform(generate_series(1, len(t) - 4),
+                        i -> ${Hashing.duck32("array_to_string(t[i:i+4], ' ')")})) AS fp_min,
+                      list_max(list_transform(generate_series(1, len(t) - 4),
+                        i -> ${Hashing.duck32("array_to_string(t[i:i+4], ' ')")})) AS fp_max
+               FROM t WHERE len(t) >= 5"""))
+  )
+}
