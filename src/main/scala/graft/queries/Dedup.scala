@@ -1,3 +1,176 @@
 package graft.queries
-import graft.Q
-object Dedup { val all: Map[String, Q] = Map() }
+
+import graft.{Q, Tables}
+import graft.functions.Hashing
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` — the LLM-pipeline tier:
+  * exact dup (hash groupBy), MinHash signatures, MinHash+LSH banded
+  * near-dup pairs, SimHash, and char-n-gram Jaccard near-dup.
+  *
+  * Design for 100 TB (the reference's DuckDB tier has no equivalent;
+  * capability mandated by the driver north star):
+  *   - Exact dedup is a single hash-aggregate: partial agg map-side,
+  *     one shuffle on md5(text).
+  *   - Near-dup NEVER does an all-pairs join. Candidates come from an
+  *     equi-join on (band, bucket) — the classic MinHash-LSH banding —
+  *     so the shuffle is keyed by bucket and each bucket's fan-out is
+  *     |bucket|², not |table|². Skewed buckets (a shingle shared by
+  *     millions of docs) are handled by AQE skew-join splitting.
+  *   - Verification (exact Jaccard) runs only on candidate pairs.
+  *   - All hashing is md5-derived ([[Hashing.h32]]) so the DuckDB
+  *     oracle mirrors bit-for-bit; everything stays in whole-stage
+  *     codegen (builtin higher-order functions, no UDFs).
+  *
+  * Testdata note: sf0.01 has 25 planted near-dup pairs (all word-level
+  * 3-gram Jaccard ≥ 0.9); 16-perm/4-band MinHash-LSH recovers 25/25.
+  */
+object Dedup {
+
+  private val toks = "split(text, ' ')"
+
+  /** doc_id + distinct word 3-gram shingle set (docs with ≥3 tokens). */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+      .selectExpr("doc_id", s"$toks as t")
+      .where("size(t) >= 3")
+      .selectExpr("doc_id",
+        "array_distinct(transform(sequence(1, size(t)-2), i -> concat_ws(' ', slice(t, i, 3)))) as sh")
+
+  /** k MinHash values: for permutation j, min over shingles of a
+    * j-salted 32-bit hash. */
+  private def sigExpr(k: Int): String =
+    s"transform(sequence(0, ${k - 1}), j -> array_min(transform(sh, s -> ${Hashing.h32Sql("concat(j, ':', s)")}))) as sig"
+
+  private val duckShingles =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
+                  WHERE len(string_split(text,' ')) >= 3),
+       sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-2),
+                       i -> array_to_string(t[i:i+2], ' '))) AS sh FROM t)"""
+
+  private def duckSig(k: Int): String =
+    s"""list_transform(generate_series(0, ${k - 1}),
+          j -> list_min(list_transform(sh, s -> ${Hashing.duck32("j || ':' || s")})))"""
+
+  val all: Map[String, Q] = Map(
+    // ── exact duplicate groups: one hash-aggregate over md5(text) ──
+    "d01_exact_dup" -> Q(
+      (s, d) => Tables(s, d, "documents")
+        .groupBy(md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("canon")),
+      Some("""SELECT md5(text) AS h, count(*) AS n_docs, min(doc_id) AS canon
+              FROM documents GROUP BY 1""")),
+
+    // ── 16-perm MinHash signature per document ──
+    "d02_minhash_sigs" -> Q(
+      (s, d) => shingled(s, d).selectExpr("doc_id", sigExpr(16)),
+      Some(s"""$duckShingles
+               SELECT doc_id, ${duckSig(16)} AS sig FROM sh""")),
+
+    // ── MinHash-LSH near-dup pairs: band → bucket join → Jaccard verify ──
+    "d03_lsh_pairs" -> Q(
+      (s, d) => {
+        val docs = shingled(s, d)
+        val sigs = docs.selectExpr("doc_id", sigExpr(16))
+        // 4 bands of 4 rows: bucket = hash(band, 4 consecutive sig values)
+        val bk = sigs
+          .selectExpr("doc_id", "explode(sequence(0, 3)) as band", "sig")
+          .selectExpr("doc_id", "band",
+            s"${Hashing.h32Sql("concat(band, ':', concat_ws(',', slice(sig, band*4+1, 4)))")} as bucket")
+        val cand = bk.select(col("doc_id").as("d1"), col("band"), col("bucket"))
+          .join(bk.select(col("doc_id").as("d2"), col("band").as("b2"), col("bucket").as("k2")),
+            col("band") === col("b2") && col("bucket") === col("k2") && col("d1") < col("d2"))
+          .select("d1", "d2").distinct()
+        cand
+          .join(docs.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+          .join(docs.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+          .selectExpr("d1", "d2",
+            "cast(size(array_intersect(sh1, sh2)) as double) / size(array_union(sh1, sh2)) as jac")
+          .where("jac >= 0.7")
+          .select("d1", "d2", "jac")
+      },
+      Some(s"""$duckShingles,
+               sigs AS (SELECT doc_id, ${duckSig(16)} AS sig FROM sh),
+               b AS (SELECT doc_id, unnest(generate_series(0, 3)) AS band, sig FROM sigs),
+               bk AS (SELECT doc_id, band,
+                        ${Hashing.duck32("band || ':' || array_to_string(sig[band*4+1:band*4+4], ',')")} AS bucket
+                      FROM b),
+               cand AS (SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+                        FROM bk a JOIN bk c
+                        ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id)
+               SELECT d1, d2, jac FROM
+                 (SELECT d1, d2,
+                         CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                           / len(list_distinct(x.sh || y.sh)) AS jac
+                  FROM cand JOIN sh x ON x.doc_id = d1 JOIN sh y ON y.doc_id = d2)
+               WHERE jac >= 0.7"""),
+      bench = true),
+
+    // ── 32-bit SimHash per document (term-frequency weighted) ──
+    "d04_simhash" -> Q(
+      (s, d) => Tables(s, d, "documents")
+        .selectExpr("doc_id", s"transform($toks, tok -> ${Hashing.h32Sql("tok")}) as th")
+        .selectExpr("doc_id",
+          """aggregate(transform(sequence(0, 31),
+               b -> if(2 * size(filter(th, h -> (h div shiftleft(cast(1 as bigint), b)) % 2 = 1)) >= size(th),
+                       shiftleft(cast(1 as bigint), b), cast(0 as bigint))),
+             cast(0 as bigint), (a, x) -> a + x) as simhash""")
+        .selectExpr("doc_id", "simhash", "simhash div 16777216 as bucket"),
+      Some(s"""WITH th AS (SELECT doc_id,
+                 list_transform(string_split(text,' '), tok -> ${Hashing.duck32("tok")}) AS th
+               FROM documents)
+               SELECT doc_id, simhash, simhash // 16777216 AS bucket FROM
+                 (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 31),
+                    b -> CASE WHEN 2 * len(list_filter(th, h -> (h // (1::BIGINT << b)) % 2 = 1)) >= len(th)
+                              THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+                  FROM th)""")),
+
+    // ── char-4-gram Jaccard near-dup (8-perm MinHash, 2 bands of 4) ──
+    "d05_ngram_jaccard" -> Q(
+      (s, d) => {
+        val grams = Tables(s, d, "documents")
+          .where("length(text) >= 4")
+          .selectExpr("doc_id",
+            "array_distinct(transform(sequence(1, length(text)-3), i -> substring(text, i, 4))) as g")
+        val sigs = grams.selectExpr("doc_id",
+          s"transform(sequence(0, 7), j -> array_min(transform(g, x -> ${Hashing.h32Sql("concat(j, ':', x)")}))) as sig")
+        val bk = sigs
+          .selectExpr("doc_id", "explode(sequence(0, 1)) as band", "sig")
+          .selectExpr("doc_id", "band",
+            s"${Hashing.h32Sql("concat(band, ':', concat_ws(',', slice(sig, band*4+1, 4)))")} as bucket")
+        val cand = bk.select(col("doc_id").as("d1"), col("band"), col("bucket"))
+          .join(bk.select(col("doc_id").as("d2"), col("band").as("b2"), col("bucket").as("k2")),
+            col("band") === col("b2") && col("bucket") === col("k2") && col("d1") < col("d2"))
+          .select("d1", "d2").distinct()
+        cand
+          .join(grams.select(col("doc_id").as("d1"), col("g").as("g1")), "d1")
+          .join(grams.select(col("doc_id").as("d2"), col("g").as("g2")), "d2")
+          .selectExpr("d1", "d2",
+            "cast(size(array_intersect(g1, g2)) as double) / size(array_union(g1, g2)) as jac")
+          .where("jac >= 0.6")
+          .select("d1", "d2", "jac")
+      },
+      Some(s"""WITH g AS (SELECT doc_id,
+                 list_distinct(list_transform(generate_series(1, length(text)-3),
+                   i -> substr(text, i, 4))) AS g
+               FROM documents WHERE length(text) >= 4),
+               sigs AS (SELECT doc_id,
+                 list_transform(generate_series(0, 7),
+                   j -> list_min(list_transform(g, x -> ${Hashing.duck32("j || ':' || x")}))) AS sig
+               FROM g),
+               b AS (SELECT doc_id, unnest(generate_series(0, 1)) AS band, sig FROM sigs),
+               bk AS (SELECT doc_id, band,
+                        ${Hashing.duck32("band || ':' || array_to_string(sig[band*4+1:band*4+4], ',')")} AS bucket
+                      FROM b),
+               cand AS (SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+                        FROM bk a JOIN bk c
+                        ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id)
+               SELECT d1, d2, jac FROM
+                 (SELECT d1, d2,
+                         CAST(len(list_intersect(x.g, y.g)) AS DOUBLE)
+                           / len(list_distinct(x.g || y.g)) AS jac
+                  FROM cand JOIN g x ON x.doc_id = d1 JOIN g y ON y.doc_id = d2)
+               WHERE jac >= 0.6"""))
+  )
+}

@@ -258,7 +258,9 @@ object Relational {
         .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("val_sum"))
         .select(unix_timestamp(col("window.start")).as("win_start"),
           col("event_type"), col("n"), col("val_sum")),
-      Some(s"""SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS win_start,
+      // CAST(ts AS TIMESTAMP) truncates to µs so a future TIMESTAMP_NS
+      // testdata buckets identically to Spark's µs timestamps.
+      Some(s"""SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS BIGINT) AS win_start,
                       event_type, count(*) AS n, ${Det.sqlSum("value")} AS val_sum
                FROM events GROUP BY 1, 2""")),
 
@@ -270,12 +272,14 @@ object Relational {
         .select(col("user_id"),
           unix_millis(col("session_window.start")).as("session_start_ms"),
           col("n"), col("val_sum")),
-      Some(s"""WITH marks AS (
+      Some(s"""WITH e AS (
+                 SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+               ), marks AS (
                  SELECT user_id, ts, value,
                         CASE WHEN lag(ts) OVER w IS NULL
                                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                              THEN 1 ELSE 0 END AS new_s
-                 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+                 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
                ), sess AS (
                  SELECT user_id, ts, value,
                         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid

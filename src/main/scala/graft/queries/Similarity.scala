@@ -1,3 +1,176 @@
 package graft.queries
-import graft.Q
-object Similarity { val all: Map[String, Q] = Map() }
+
+import graft.{Q, Tables}
+import graft.functions.Hashing
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `embeddings` (64-dim float vectors) — the
+  * LLM-pipeline ANN tier: brute-force cosine top-k as the exactness
+  * baseline, random-hyperplane LSH signatures, LSH-bucketed ANN top-k,
+  * and embedding-cosine near-dup pairs.
+  *
+  * Cross-engine determinism: dot products fold element products
+  * (float→double promotion is exact, 24-bit×24-bit products are exact
+  * in double) left-to-right in both engines — Spark `aggregate` and
+  * DuckDB `list_sum` are both sequential double sums, so cosines are
+  * bit-identical (verified empirically on 2000 pairs). Hyperplane
+  * coefficients are md5-derived rationals n/2^31 − 1 ([[Hashing]]),
+  * computed driver-side for Spark (literal matrix — no per-row
+  * hashing) and in-SQL for the DuckDB oracle; both are exact doubles.
+  *
+  * Design for 100 TB:
+  *   - Brute force (s01) broadcasts the probe set — a
+  *     BroadcastNestedLoopJoin that scans candidates once, linear in
+  *     input splits; the per-probe top-k window shuffles only
+  *     (probe × candidate) score rows, keyed by probe.
+  *   - The LSH path (s03/s04) joins on (band, bits) buckets, so the
+  *     candidate join is an equi-join with bounded fan-out — never a
+  *     cross join. Bucket skew → AQE skew-join splitting.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float-array columns (Spark
+    * SQL-lambda text). */
+  private def dot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * y), cast(0 as double), (acc, v) -> acc + v)"
+
+  private val normE = "sqrt(aggregate(transform(embedding, x -> cast(x as double) * x), cast(0 as double), (acc, v) -> acc + v))"
+
+  private def duckDot(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * p[2]))"
+
+  private val duckNorm = "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)))"
+
+  /** 16 random hyperplanes over 64 dims; coefficient (p,d) is
+    * h32("pl:p:d")/2^31 − 1 ∈ [−1, 1) — exactly reproducible in DuckDB
+    * SQL. Precomputed here so the Spark plan indexes a literal matrix
+    * instead of hashing 1024 values per row. */
+  private val planes: Seq[Seq[Double]] =
+    (0 until 16).map(p => (0 until 64).map(dd => Hashing.jvm32(s"pl:$p:$dd") / 2147483648.0 - 1.0))
+
+  /** vec_id, embedding, nrm, sig — the 16-bit hyperplane signature. */
+  private def signed(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "embeddings")
+      .withColumn("planes", typedLit(planes))
+      .selectExpr("vec_id", "embedding", s"$normE as nrm",
+        """cast(aggregate(sequence(0, 15), cast(0 as bigint),
+             (acc, p) -> acc + if(
+               aggregate(sequence(1, 64), cast(0 as double),
+                 (a, i) -> a + cast(element_at(embedding, i) as double) * element_at(element_at(planes, p+1), i)) >= 0,
+               shiftleft(cast(1 as bigint), p), cast(0 as bigint))) as bigint) as sig""")
+
+  private val duckSigned =
+    s"""SELECT vec_id, embedding, $duckNorm AS nrm,
+          CAST(list_sum(list_transform(generate_series(0, 15), p ->
+            CASE WHEN list_sum(list_transform(generate_series(0, 63), d ->
+                   CAST(embedding[d+1] AS DOUBLE) * (${Hashing.duck32("'pl:' || p || ':' || d")}/2147483648.0 - 1.0))) >= 0
+                 THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT) AS sig
+        FROM embeddings"""
+
+  /** Explode a signature frame into (vec_id, band, bits): 4 bands of
+    * 4 signature bits each. */
+  private def banded(sigs: DataFrame): DataFrame =
+    sigs.selectExpr("vec_id", "explode(sequence(0, 3)) as band", "sig")
+      .selectExpr("vec_id", "band", "shiftright(sig, band*4) & 15 as bits")
+
+  private val duckBanded =
+    """b AS (SELECT vec_id, unnest(generate_series(0, 3)) AS band, sig FROM sigs),
+       bk AS (SELECT vec_id, band, (sig >> (band*4)) & 15 AS bits FROM b)"""
+
+  val all: Map[String, Q] = Map(
+    // ── brute-force cosine top-5 per probe (probes = vec_id < 10) ──
+    "s01_topk_cosine" -> Q(
+      (s, d) => {
+        val e = Tables(s, d, "embeddings").selectExpr("vec_id", "embedding", s"$normE as nrm")
+        val p = e.where("vec_id < 10")
+          .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nrm").as("pn"))
+        val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+        c.join(broadcast(p), col("cand_id") =!= col("probe_id"))
+          .selectExpr("probe_id", "cand_id", s"${dot("pe", "ce")} / (pn * cn) as cosine")
+          .withColumn("rnk",
+            row_number().over(Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("cand_id"))))
+          .where("rnk <= 5")
+          .select("probe_id", "cand_id", "rnk", "cosine")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+               sc AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                             ${duckDot("p.embedding", "c.embedding")} / (p.nrm * c.nrm) AS cosine
+                      FROM e p JOIN e c ON c.vec_id != p.vec_id
+                      WHERE p.vec_id < 10)
+               SELECT probe_id, cand_id, rnk, cosine FROM
+                 (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS INTEGER) AS rnk
+                  FROM sc)
+               WHERE rnk <= 5"""),
+      bench = true),
+
+    // ── random-hyperplane LSH signature per vector ──
+    "s02_lsh_sig" -> Q(
+      (s, d) => signed(s, d).select("vec_id", "sig"),
+      Some(s"""WITH sigs AS ($duckSigned)
+               SELECT vec_id, sig FROM sigs""")),
+
+    // ── LSH-bucketed ANN top-3: candidates share ≥1 of 4 signature bands ──
+    "s03_ann_topk" -> Q(
+      (s, d) => {
+        val sigs = signed(s, d)
+        val bk = banded(sigs)
+        val cand = broadcast(bk.where("vec_id < 10")
+            .select(col("vec_id").as("probe_id"), col("band"), col("bits")))
+          .join(bk.select(col("vec_id").as("cand_id"), col("band").as("b2"), col("bits").as("k2")),
+            col("band") === col("b2") && col("bits") === col("k2") && col("probe_id") =!= col("cand_id"))
+          .select("probe_id", "cand_id").distinct()
+        val e = sigs.select("vec_id", "embedding", "nrm")
+        cand
+          .join(e.select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nrm").as("pn")), "probe_id")
+          .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("nrm").as("cn")), "cand_id")
+          .selectExpr("probe_id", "cand_id", s"${dot("pe", "ce")} / (pn * cn) as cosine")
+          .withColumn("rnk",
+            row_number().over(Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("cand_id"))))
+          .where("rnk <= 3")
+          .select("probe_id", "cand_id", "rnk", "cosine")
+      },
+      Some(s"""WITH sigs AS ($duckSigned),
+               $duckBanded,
+               cand AS (SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id
+                        FROM bk p JOIN bk c
+                        ON p.band = c.band AND p.bits = c.bits AND c.vec_id != p.vec_id
+                        WHERE p.vec_id < 10),
+               sc AS (SELECT probe_id, cand_id,
+                             ${duckDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cosine
+                      FROM cand JOIN sigs x ON x.vec_id = probe_id
+                                JOIN sigs y ON y.vec_id = cand_id)
+               SELECT probe_id, cand_id, rnk, cosine FROM
+                 (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS INTEGER) AS rnk
+                  FROM sc)
+               WHERE rnk <= 3""")),
+
+    // ── embedding-cosine near-dup pairs (LSH candidates, cos ≥ 0.45) ──
+    "s04_embed_dup" -> Q(
+      (s, d) => {
+        val sigs = signed(s, d)
+        val bk = banded(sigs)
+        val cand = bk.select(col("vec_id").as("v1"), col("band"), col("bits"))
+          .join(bk.select(col("vec_id").as("v2"), col("band").as("b2"), col("bits").as("k2")),
+            col("band") === col("b2") && col("bits") === col("k2") && col("v1") < col("v2"))
+          .select("v1", "v2").distinct()
+        val e = sigs.select("vec_id", "embedding", "nrm")
+        cand
+          .join(e.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("nrm").as("n1")), "v1")
+          .join(e.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("nrm").as("n2")), "v2")
+          .selectExpr("v1", "v2", s"${dot("e1", "e2")} / (n1 * n2) as cosine")
+          .where("cosine >= 0.45")
+          .select("v1", "v2", "cosine")
+      },
+      Some(s"""WITH sigs AS ($duckSigned),
+               $duckBanded,
+               cand AS (SELECT DISTINCT a.vec_id AS v1, c.vec_id AS v2
+                        FROM bk a JOIN bk c
+                        ON a.band = c.band AND a.bits = c.bits AND a.vec_id < c.vec_id)
+               SELECT v1, v2, cosine FROM
+                 (SELECT v1, v2, ${duckDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cosine
+                  FROM cand JOIN sigs x ON x.vec_id = v1 JOIN sigs y ON y.vec_id = v2)
+               WHERE cosine >= 0.45"""))
+  )
+}

@@ -37,8 +37,8 @@ object TextOps {
       Some("""SELECT doc_id, length(text) AS n_chars,
                      len(string_split(text,' ')) AS n_tokens,
                      len(list_distinct(string_split(text,' '))) AS n_uniq,
-                     (list_sum(list_transform(string_split(text,' '), t -> len(t))) * 10000)
-                       // len(string_split(text,' ')) AS avg_tok_len_bp
+                     CAST((list_sum(list_transform(string_split(text,' '), t -> len(t))) * 10000)
+                       // len(string_split(text,' ')) AS BIGINT) AS avg_tok_len_bp
               FROM documents"""),
       bench = true),
 

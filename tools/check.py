@@ -66,14 +66,29 @@ def main():
         schema_match = sorted(s_cols) == sorted(o_cols)
         hash_match = (frame_fingerprint(s_cols, s_rows)
                       == frame_fingerprint(o_cols, o_rows)) if schema_match else False
-        ok = rows_match and schema_match and hash_match
+        # Type check: the driver's gate is type-aware (r02: t01 failed on
+        # HUGEINT-vs-BIGINT while str()-normalized values matched). Compare
+        # column types sorted by name, modulo widenings that normalize to
+        # the same Python value (INT* -> BIGINT; DECIMAL kept distinct).
+        widen = {"TINYINT": "BIGINT", "SMALLINT": "BIGINT",
+                 "INTEGER": "BIGINT", "UINTEGER": "BIGINT",
+                 # DuckDB's to_json returns JSON; Spark's is a string.
+                 # The driver gate accepted this in r02 (q19 green).
+                 "JSON": "VARCHAR"}
+        def tsig(rel):
+            ts = [str(t).upper() for t in rel.types]
+            return sorted((c, widen.get(t, t)) for c, t in zip(rel.columns, ts))
+        type_match = tsig(spark_rel) == tsig(o_rel) if schema_match else False
+        ok = rows_match and schema_match and hash_match and type_match
         n_ok += ok
         results[name] = {"rows_match": rows_match, "schema_match": schema_match,
-                         "hash_match": hash_match,
+                         "hash_match": hash_match, "type_match": type_match,
                          "n_spark": len(s_rows), "n_oracle": len(o_rows)}
         if not ok:
             results[name]["spark_cols"] = s_cols
             results[name]["oracle_cols"] = o_cols
+            results[name]["spark_types"] = [str(t) for t in spark_rel.types]
+            results[name]["oracle_types"] = [str(t) for t in o_rel.types]
             if rows_match and schema_match:
                 # show first differing row for debugging
                 order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
