@@ -1,0 +1,122 @@
+package graft.dwca
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.zip.ZipFile
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GeoFunctions
+
+/** The DwC-A → DataFrame conversion — the reference's entire core
+  * capability (`/root/reference/src/dwca_parquet/libs/parquet.py:19-56`
+  * + `templates/query.sql:1-5`) re-expressed Spark-first:
+  *
+  *   1. extract the archive members to a scratch dir (the reference
+  *      downloads + reads via a local cache for the same reason:
+  *      "httpfs + zipfs does not work greatly together",
+  *      `parquet.py:35-42`; Spark's CSV reader equally wants plain
+  *      files — a DataSource V2 over zip entries is the 100 TB-tier
+  *      upgrade path, SURVEY §2.1 S1),
+  *   2. scan each member with schema inference (`query.sql:2,4`),
+  *   3. fold-join every extension onto the core on the positional id
+  *      (`query.sql:3-5`), star topology, inner semantics,
+  *   4. project `*`, `fid` = core id (`query.sql:1`), and the
+  *      conditional geometry `coalesce(ST_GeomFromText(footprintWKT),
+  *      ST_POINT(lat, lon))` — note the reference's (lat, lon) axis
+  *      order is preserved verbatim (SURVEY §2.4 F3).
+  *
+  * Duplicate-column policy (SURVEY §7.2): each extension's coreid
+  * column is dropped after its join — the minimal Spark-legal
+  * deviation from DuckDB's dup-tolerant `SELECT *`.
+  *
+  * Scale notes: extensions are typically far smaller than the core →
+  * broadcast-hash joins picked by AQE (hint not forced, a huge
+  * extension must be allowed to fall back to sort-merge). Inference
+  * reads each file once (Spark samples the full file by default,
+  * matching `sample_size=-1` on extensions).
+  */
+object DwcaConvert {
+
+  /** Geometry output mode: WKB via the native ST_* expressions
+    * (engine-faithful), or a WKT string (cross-engine oracle form —
+    * DuckDB spatial isn't available to the offline oracle). */
+  sealed trait GeomMode
+  case object GeomWkb extends GeomMode
+  case object GeomWktString extends GeomMode
+
+  /** Extract all members of `zipPath` into a scratch directory
+    * (idempotent per archive name; driver-side, mirrors
+    * `parquet.py:36-42`). Returns the directory. */
+  def extract(zipPath: String): Path = {
+    val stem = Paths.get(zipPath).getFileName.toString.stripSuffix(".zip")
+    val dest = Paths.get(System.getProperty("java.io.tmpdir"), s"graft-dwca-$stem")
+    Files.createDirectories(dest)
+    val zf = new ZipFile(zipPath)
+    try {
+      zf.entries().asIterator().forEachRemaining { e =>
+        if (!e.isDirectory) {
+          val target = dest.resolve(e.getName).normalize()
+          require(target.startsWith(dest), s"zip-slip entry: ${e.getName}")
+          Files.createDirectories(target.getParent)
+          val in = zf.getInputStream(e)
+          try Files.copy(in, target, StandardCopyOption.REPLACE_EXISTING)
+          finally in.close()
+        }
+      }
+    } finally zf.close()
+    dest
+  }
+
+  /** CSV scan of one member with the descriptor's separator/encoding
+    * and full schema inference (S1/S2). */
+  def readLayer(spark: SparkSession, dir: Path, layer: DwcaLayer): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("sep", layer.sepLiteral)
+      .option("encoding", layer.encoding)
+      .option("inferSchema", "true")
+      .csv(dir.resolve(layer.location).toString)
+
+  /** Full conversion: the reference's one generated query. */
+  def convert(spark: SparkSession, zipPath: String, mode: GeomMode): DataFrame = {
+    GeoFunctions.register(spark)
+    val meta = DwcaMeta.fromZip(zipPath)
+    val dir = extract(zipPath)
+
+    val core = readLayer(spark, dir, meta.core)
+    val joined = meta.extensions.foldLeft(core) { (acc, ext) =>
+      val key = s"__coreid_${ext.name}"
+      val e = readLayer(spark, dir, ext).withColumnRenamed(ext.idCol, key)
+      acc.join(e, acc(meta.core.idCol) === e(key), "inner").drop(key)
+    }
+
+    val cols = meta.columns
+    val lat = "decimalLatitude"
+    val lon = "decimalLongitude"
+
+    def pointGeom: Column = mode match {
+      case GeomWkb =>
+        // reference argument order: ST_POINT(lat, lon) — x = latitude
+        expr(s"st_point($lat, $lon)")
+      case GeomWktString =>
+        when(col(lat).isNull || col(lon).isNull, lit(null))
+          .otherwise(format_string("POINT (%.6f %.6f)", col(lat), col(lon)))
+    }
+
+    def wktGeom: Column = mode match {
+      case GeomWkb       => expr("st_geomfromtext(footprintWKT)")
+      case GeomWktString => col("footprintWKT")
+    }
+
+    val geom: Column =
+      if (cols.contains("footprintWKT") && cols.contains(lat))
+        coalesce(wktGeom, pointGeom)
+      else if (cols.contains(lat)) pointGeom
+      else lit(null)
+
+    joined
+      .withColumn("fid", col(meta.core.idCol))
+      .withColumn(if (mode == GeomWkb) "geom" else "geom_wkt", geom)
+  }
+}

@@ -1,0 +1,116 @@
+package graft.dwca
+
+import java.io.InputStreamReader
+import java.nio.charset.Charset
+import java.util.regex.Pattern
+import java.util.zip.ZipFile
+
+import scala.collection.mutable.ArrayBuffer
+
+import javax.xml.parsers.DocumentBuilderFactory
+import org.w3c.dom.Element
+
+/** One DwC-A member table: a delimited text file inside the archive
+  * plus the schema facts `meta.xml` declares about it.
+  *
+  * Mirrors the reference's `SourceLayer`
+  * (`/root/reference/src/dwca_parquet/libs/dwca.py:8-28`): `name` is
+  * the location stem, `headers` come from the FIRST LINE of the data
+  * file split by `fieldsTerminatedBy` compiled as a REGEX (not from
+  * the `<field term=…>` declarations), and the join key is the header
+  * at the `<id index>` / `<coreid index>` position.
+  */
+final case class DwcaLayer(
+    name: String,
+    location: String,
+    encoding: String,
+    sepRegex: String,
+    idIndex: Int,
+    isExtension: Boolean,
+    headers: Seq[String]) {
+
+  /** Positional join-key resolution (`dwca.py:24-25`). */
+  def idCol: String = headers(idIndex)
+
+  /** Literal separator for the CSV scan. The regex form is only ever
+    * an escaped single character in IPT archives ("\t", ",", ";");
+    * Spark's CSV `sep` takes the literal. A true multi-char regex
+    * would be a documented divergence (SURVEY §7.4). */
+  def sepLiteral: String = sepRegex match {
+    case "\\t" => "\t"
+    case s if s.length == 2 && s.charAt(0) == '\\' => s.substring(1)
+    case s if s.length == 1 => s
+    case s => throw new IllegalArgumentException(
+      s"fieldsTerminatedBy '$s' is not a single-character separator")
+  }
+}
+
+/** Parsed `meta.xml`: core + extensions + the all-columns set.
+  *
+  * `columns` is the union of ALL layers' headers. The reference has a
+  * bug here: `all_columns.union(ext.headers)` discards its result
+  * (`dwca.py:42`), so extension columns never join the set and an
+  * extension-only `footprintWKT` never triggers the geometry branch.
+  * We fix it (SURVEY §2.2 P3) — the divergence only widens coverage.
+  */
+final case class DwcaArchive(core: DwcaLayer, extensions: Seq[DwcaLayer]) {
+  def columns: Set[String] = (core.headers ++ extensions.flatMap(_.headers)).toSet
+  def layers: Seq[DwcaLayer] = core +: extensions
+}
+
+/** Driver-side `meta.xml` schema discovery (`dwca.py:31-44`). Pure JDK
+  * (DOM + java.util.zip) — no executor work, the archive descriptor is
+  * a few KB regardless of data scale. */
+object DwcaMeta {
+
+  def fromZip(zipPath: String): DwcaArchive = {
+    val zf = new ZipFile(zipPath)
+    try {
+      val dbf = DocumentBuilderFactory.newInstance()
+      dbf.setNamespaceAware(false)
+      val metaEntry = Option(zf.getEntry("meta.xml")).getOrElse(
+        throw new IllegalArgumentException(s"$zipPath has no meta.xml"))
+      val doc = dbf.newDocumentBuilder().parse(zf.getInputStream(metaEntry))
+
+      def layersOf(tag: String): Seq[Element] = {
+        val nl = doc.getElementsByTagName(tag)
+        (0 until nl.getLength).map(nl.item(_).asInstanceOf[Element])
+      }
+
+      def parseLayer(node: Element, isExtension: Boolean): DwcaLayer = {
+        val location = node.getElementsByTagName("location").item(0).getTextContent.trim
+        val encoding = node.getAttribute("encoding")
+        val sepRegex = node.getAttribute("fieldsTerminatedBy")
+        val idTag = if (isExtension) "coreid" else "id"
+        val idIndex = node.getElementsByTagName(idTag).item(0)
+          .asInstanceOf[Element].getAttribute("index").toInt
+        val headers = readHeaders(zf, location, encoding, sepRegex)
+        val name = location.lastIndexOf('.') match {
+          case -1 => location
+          case i  => location.substring(0, i)
+        }
+        DwcaLayer(name, location, encoding, sepRegex, idIndex, isExtension, headers)
+      }
+
+      val core = parseLayer(layersOf("core").head, isExtension = false)
+      val exts = layersOf("extension").map(parseLayer(_, isExtension = true))
+      DwcaArchive(core, exts)
+    } finally zf.close()
+  }
+
+  /** First line of a member, split by the terminator as a regex
+    * (`dwca.py:19-20`). */
+  private def readHeaders(zf: ZipFile, location: String, encoding: String,
+      sepRegex: String): Seq[String] = {
+    val entry = Option(zf.getEntry(location)).getOrElse(
+      throw new IllegalArgumentException(s"zip member $location missing"))
+    val in = new InputStreamReader(zf.getInputStream(entry), Charset.forName(encoding))
+    try {
+      val line = new ArrayBuffer[Char]()
+      var c = in.read()
+      while (c != -1 && c != '\n') { line += c.toChar; c = in.read() }
+      val first = new String(line.toArray).stripSuffix("\r")
+      Pattern.compile(sepRegex).split(first, -1).toSeq
+    } finally in.close()
+  }
+}
