@@ -19,7 +19,9 @@ object DwcaQueries {
     if (Files.exists(local)) local.toAbsolutePath.toString
     else s"/root/repo/src/test/resources/dwca/$rel"
   }
-  private def zipPath: String = fixture("sample.zip")
+  /** Path to the committed sample archive (also used by the sink tier). */
+  def fixtureZip: String = fixture("sample.zip")
+  private def zipPath: String = fixtureZip
   // the oracle runs in the driver's DuckDB with an unknown cwd
   private val oracleDir = "/root/repo/src/test/resources/dwca/extracted"
 

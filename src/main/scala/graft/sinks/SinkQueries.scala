@@ -1,3 +1,71 @@
 package graft.sinks
-import graft.Q
-object SinkQueries { val all: Map[String, Q] = Map() }
+
+import java.nio.file.{Files, Paths}
+
+import graft.{Q, Tables}
+import graft.dwca.DwcaConvert
+import org.apache.spark.sql.functions._
+
+/** Driver-gate queries for the sink tier. Each performs a real write
+  * to a scratch directory, then RETURNS the read-back relation so the
+  * DuckDB oracle validates the full write→read roundtrip, not just
+  * that a write happened.
+  */
+object SinkQueries {
+
+  private def scratch(name: String): String = {
+    val p = Paths.get(System.getProperty("java.io.tmpdir"), "graft-sinks", name)
+    // deterministic re-run: drop prior outputs so the idempotent-skip
+    // path is exercised explicitly, not accidentally
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(p.toFile)
+    Files.createDirectories(p.getParent)
+    p.toString
+  }
+
+  val all: Map[String, Q] = Map(
+    // ── S7+S11: zstd parquet, versioned+latest double-write, skip ──
+    "sink01_versioned_roundtrip" -> Q(
+      (s, d) => {
+        val base = scratch("versioned")
+        val df = DwcaConvert.convert(s, graft.dwca.DwcaQueries.fixtureZip, DwcaConvert.GeomWktString)
+        val wrote = Sinks.writeVersioned(s, df, base, "res1", "7")
+        val skipped = !Sinks.writeVersioned(s, df, base, "res1", "7")
+        require(wrote && skipped, s"idempotent-skip broken: wrote=$wrote skipped=$skipped")
+        s.read.parquet(s"$base/res1.parquet")
+      },
+      // the roundtrip must reproduce dwca01's oracle exactly
+      graft.dwca.DwcaQueries.all("dwca01_convert").oracle),
+
+    // ── S8: GeoParquet `geo` footer patch + readback ──
+    "sink02_geoparquet_footer" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val out = scratch("geoparquet")
+        val df = DwcaConvert.convert(s, graft.dwca.DwcaQueries.fixtureZip, DwcaConvert.GeomWkb)
+        Sinks.writeZstd(df.coalesce(1), out)
+        Sinks.patchGeoFooter(s, out, "geom")
+        Sinks.readFooterKey(s, out, "geo").zipWithIndex
+          .map { case ((_, json), ix) => (ix, json) }
+          .toDF("part_ix", "geo_json")
+      },
+      Some("""SELECT * FROM (VALUES (0,
+                '{"version":"1.0.0","primary_column":"geom","columns":{"geom":{"encoding":"WKB","geometry_types":[]}}}'))
+              AS t(part_ix, geo_json)""")),
+
+    // ── S9: JSON array file (ARRAY true semantics) + readback ──
+    "sink03_json_array" -> Q(
+      (s, d) => {
+        val out = scratch("docs.json")
+        val df = Tables(s, d, "documents").where("doc_id < 10")
+          .select("doc_id", "lang", "source", "text")
+        Sinks.writeJsonArray(s, df, out)
+        // multiLine: the file is ONE JSON array, not NDJSON
+        s.read.option("multiLine", "true").json(out)
+      },
+      Some("SELECT doc_id, lang, source, text FROM documents WHERE doc_id < 10"))
+  )
+}

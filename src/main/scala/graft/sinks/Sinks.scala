@@ -1,0 +1,151 @@
+package graft.sinks
+
+import java.io.{BufferedReader, BufferedWriter, InputStreamReader, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter}
+import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Sink tier — the reference's output surface re-expressed on Spark:
+  *
+  *   - zstd Parquet with the versioned + "latest" double-write and the
+  *     idempotent existence skip
+  *     (`/root/reference/src/dwca_parquet/libs/parquet.py:24-51`),
+  *   - GeoParquet `geo` footer metadata (`csw.py:65`, `geoapi.py:58-62`;
+  *     SURVEY §7.3 — Spark's writer has no per-write footer API, so the
+  *     footer is patched post-write by rewriting the file with
+  *     parquet-hadoop's `appendFile`, which copies row groups as raw
+  *     bytes — no decode/re-encode),
+  *   - a JSON **array** file (`COPY … (FORMAT json, ARRAY true)`,
+  *     `geoapi.py:73-75`) — one `[…]` array, not NDJSON.
+  *
+  * Paths go through the Hadoop FileSystem API, so the same code drives
+  * `file://` in tests and `s3a://` (with `fs.s3a.*` credentials — the
+  * reference's SECRET, `settings.py:65-80`) on a cluster.
+  *
+  * Scale note: the parity tier mirrors the reference's single-object
+  * output via `coalesce(1)` — correct for per-archive DwC-A outputs
+  * (one archive ≪ executor memory). The 100 TB tier calls the same
+  * sinks with `singleFile = false`, keeping the parallel multi-part
+  * write; the GeoParquet patch then rewrites each part.
+  */
+object Sinks {
+
+  private def fs(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Versioned + latest Parquet double-write with existence skip
+    * (`parquet.py:33-51`). Returns true if the conversion ran, false
+    * if the versioned object already existed (idempotent skip). */
+  def writeVersioned(spark: SparkSession, df: => DataFrame, baseDir: String,
+      resourceId: String, versionId: String, singleFile: Boolean = true): Boolean = {
+    val versioned = new Path(s"$baseDir/$resourceId/v$versionId.parquet")
+    val latest = new Path(s"$baseDir/$resourceId.parquet")
+    val hfs = fs(spark, versioned)
+    if (hfs.exists(versioned)) false
+    else {
+      val out = if (singleFile) df.coalesce(1) else df
+      // evaluate the plan once, write twice (the reference executes the
+      // query twice, parquet.py:48-51 — we keep one plan, two writes)
+      writeZstd(out, versioned.toString)
+      writeZstd(out, latest.toString)
+      true
+    }
+  }
+
+  def writeZstd(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(path)
+
+  /** GeoParquet 1.0.0 `geo` footer for a WKB geometry column; CRS
+    * omitted = OGC:CRS84 per spec (the reference's output CRS). */
+  def geoMetadataJson(geomColumn: String): String =
+    s"""{"version":"1.0.0","primary_column":"$geomColumn","columns":{"$geomColumn":{"encoding":"WKB","geometry_types":[]}}}"""
+
+  /** Add the `geo` key to every part file's footer under `dir`
+    * (post-write patch: row groups are byte-copied via `appendFile`,
+    * only the footer is rewritten). */
+  def patchGeoFooter(spark: SparkSession, dir: String, geomColumn: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val d = new Path(dir)
+    val hfs = fs(spark, d)
+    val parts = hfs.listStatus(d).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+    parts.foreach(patchOneFooter(conf, _, geomColumn))
+  }
+
+  private def patchOneFooter(conf: Configuration, file: Path, geomColumn: String): Unit = {
+    val in = HadoopInputFile.fromPath(file, conf)
+    val reader = ParquetFileReader.open(in)
+    val fileMeta =
+      try reader.getFooter.getFileMetaData
+      finally reader.close()
+    val extra = new java.util.HashMap[String, String](fileMeta.getKeyValueMetaData)
+    extra.put("geo", geoMetadataJson(geomColumn))
+
+    val tmp = new Path(file.getParent, file.getName + ".geo.tmp")
+    val writer = new ParquetFileWriter(
+      HadoopOutputFile.fromPath(tmp, conf), fileMeta.getSchema,
+      ParquetFileWriter.Mode.OVERWRITE, 128L * 1024 * 1024, 8 * 1024 * 1024)
+    writer.start()
+    writer.appendFile(in)
+    writer.end(extra)
+
+    val hfs = file.getFileSystem(conf)
+    hfs.delete(file, false)
+    hfs.rename(tmp, file)
+  }
+
+  /** Read back a footer key-value entry (verification surface). */
+  def readFooterKey(spark: SparkSession, dir: String, key: String): Seq[(String, String)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val d = new Path(dir)
+    val hfs = fs(spark, d)
+    hfs.listStatus(d).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+      .toSeq.sortBy(_.getName)
+      .map { p =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+        try p.getName -> r.getFooter.getFileMetaData.getKeyValueMetaData.get(key)
+        finally r.close()
+      }
+  }
+
+  /** Single JSON array file (`ARRAY true` semantics). The rows stream
+    * through a coalesced executor write, then the driver streams the
+    * NDJSON part into `[...]` — line-by-line, never materializing the
+    * relation in memory. Array-file output is inherently
+    * single-object; callers needing 100 TB output use NDJSON parquet
+    * instead. */
+  def writeJsonArray(spark: SparkSession, df: DataFrame, path: String): Unit = {
+    val target = new Path(path)
+    val hfs = fs(spark, target)
+    val staging = new Path(path + ".staging")
+    df.coalesce(1).write.mode(SaveMode.Overwrite).json(staging.toString)
+    val part = hfs.listStatus(staging).map(_.getPath)
+      .find(_.getName.startsWith("part-")).getOrElse(
+        throw new IllegalStateException(s"no part file under $staging"))
+    val reader = new BufferedReader(new InputStreamReader(hfs.open(part), StandardCharsets.UTF_8))
+    val writer = new BufferedWriter(new OutputStreamWriter(hfs.create(target, true), StandardCharsets.UTF_8))
+    try {
+      writer.write("[")
+      var line = reader.readLine()
+      var first = true
+      while (line != null) {
+        if (line.nonEmpty) {
+          if (!first) writer.write(",")
+          writer.write("\n")
+          writer.write(line)
+          first = false
+        }
+        line = reader.readLine()
+      }
+      writer.write("\n]\n")
+    } finally {
+      reader.close(); writer.close()
+    }
+    hfs.delete(staging, true)
+  }
+}
