@@ -28,7 +28,8 @@ object SparkEntry {
     graft.queries.Similarity.all,
     graft.queries.Multimodal.all,
     graft.dwca.DwcaQueries.all,
-    graft.sinks.SinkQueries.all
+    graft.sinks.SinkQueries.all,
+    graft.meta.MetaQueries.all
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,165 @@
+package graft.meta
+
+import graft.Q
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** EP2/EP3 metadata pipelines over the committed IPT fixtures
+  * (`src/test/resources/ipt/`): RSS catalog scan, EML → CSW catalogue
+  * records (incl. the `//text()` full-text bag and bbox→WKT), and
+  * EML → pygeoapi resource config (nested structs + JSON projection).
+  *
+  * All driver-side assembly of a handful of KB-sized rows — exactly
+  * like the reference (`csw.py:41-104`, `geoapi.py:21-68` build Python
+  * dict rows before handing them to the engine); the resulting
+  * Datasets then flow through the distributed engine and sinks.
+  */
+object MetaQueries {
+
+  // Placeholder deployment config (the reference reads these from its
+  // settings; values here only feed fixture-checked URL templates).
+  private val awsEndpoint = "https://s3.example"
+  private val bucket = "bucket"
+  private val resourcesPrefix = "/ipt/datasets/"
+  private val iptPublic = "https://ipt.example"
+  // csw.py:95-97 hardcodes the publishing institution
+  private val institution = "Norsk institutt for naturforskning (NINA)"
+
+  private def fixtureDatasets: Seq[(IptDataset, EmlMetadata)] =
+    Ipt.datasets(Ipt.readFixture("rss.xml"), baseUrl = "").map { ds =>
+      ds -> Eml.parse(Ipt.readFixture(s"eml_${ds.id}.xml"))
+    }
+
+  /** `json.dumps`-style links array (`csw.py:62-76,99`). */
+  private def linksJson(id: String): String = {
+    def link(name: String, desc: String, protocol: String, url: String) =
+      s"""{"name": "$name", "description": "$desc", "protocol": "$protocol", "url": "$url"}"""
+    "[" + Seq(
+      link("Parquet", "The resource as (geo)parquet file", "FILE:GEO",
+        s"$awsEndpoint/$bucket$resourcesPrefix$id.parquet"),
+      link("DWCA", "The resource as Darwin Core Archive", "file",
+        s"$iptPublic/archive.do?r=$id")).mkString(", ") + "]"
+  }
+
+  /** One CSW catalogue record (`csw.py:77-101`), 21 columns. */
+  private def cswRow(ds: IptDataset, m: EmlMetadata) = {
+    val xml = m.isoXml
+    (m.identifier, "gmd:MD_Metadata", "http://www.isotc211.org/2005/gmd", "local",
+      m.pubDate, ds.title, m.pubDate, "service", Option.empty[String],
+      m.bbox.wkt, xml, xml,
+      Eml.dedup(m.keywords).mkString(", "), "application/xml",
+      Eml.anytext(xml), m.abstractText, m.pubDate,
+      institution, institution,
+      Eml.dedup(m.contacts.map(_._2)).mkString("; "),
+      linksJson(ds.id))
+  }
+
+  private def cswDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    fixtureDatasets.map { case (ds, m) => cswRow(ds, m) }
+      .toDF("identifier", "typename", "schema", "mdsource", "insert_date", "title",
+        "date_modified", "type", "format", "wkt_geometry", "metadata", "xml",
+        "keywords", "metadata_type", "anytext", "abstract", "date",
+        "creator", "publisher", "contributor", "links")
+  }
+
+  /** pygeoapi resource config (geoapi.py:40-65), nested structs built
+    * with the DataFrame API ("default" is a Java keyword, so the
+    * struct fields are aliased rather than encoder-derived). */
+  private def geoapiDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val base = fixtureDatasets.map { case (ds, m) =>
+      (s"${iptPublic.replace("https://", "")}/${ds.id}", ds.title, m.bbox.seq,
+        Eml.dedup(m.keywords), m.abstractText,
+        s"/vsicurl/$awsEndpoint/$bucket$resourcesPrefix${ds.id}.parquet", ds.id)
+    }.toDF("id", "title", "bbox", "keywords", "description", "source", "layer")
+    base.select(
+      col("id"), lit("collection").as("type"), lit("default").as("visibility"),
+      col("title"),
+      struct(struct(col("bbox"), lit(4326).as("crs")).as("spatial")).as("extents"),
+      col("keywords"), col("description"),
+      array(struct(
+        lit("feature").as("type"), lit("OGR").as("name"), lit(true).as("default"),
+        lit("fid").as("id_field"), lit(false).as("editable"),
+        lit("http://www.opengis.net/def/crs/OGC/1.3/CRS84").as("storage_crs"),
+        struct(lit("Parquet").as("source_type"), col("source").as("source")).as("data"),
+        col("layer").as("layer"))).as("providers"))
+  }
+
+  val all: Map[String, Q] = Map(
+    // ── S12: RSS catalog scan, golden-checked ──
+    "meta01_rss" -> Q(
+      (s, _) => {
+        import s.implicits._
+        Ipt.datasets(Ipt.readFixture("rss.xml"), baseUrl = "")
+          .toDF("id", "title", "version", "guid", "url")
+      },
+      Some("""SELECT * FROM (VALUES
+                ('birds-norway', 'Bird observations Norway', '7', 'd0a1b2c3/v7', 'resources/birds-norway'),
+                ('mammals-svalbard', 'Mammal census Svalbard', '12', 'e4f5a6b7/v12', 'resources/mammals-svalbard'))
+              AS t(id, title, version, guid, url)""")),
+
+    // ── EP2: EML → CSW records (F7 anytext, F8 bbox WKT, F5 dedup-joins, F6 links JSON) ──
+    // Golden oracle: expected literals handwritten from csw.py:77-101
+    // semantics (dedup joins are first-occurrence order — the
+    // deterministic stand-in for Python set order, Eml.dedup).
+    "meta02_csw" -> Q(
+      (s, _) => cswDf(s),
+      Some {
+        val birdsXml = """<gmd:MD_Metadata xmlns:gmd="http://www.isotc211.org/2005/gmd"><gmd:fileIdentifier>d0a1b2c3</gmd:fileIdentifier><gmd:title>Bird observations Norway</gmd:title><gmd:abstract>Systematic bird counts along the Norwegian coast.</gmd:abstract><gmd:date>2024-05-01</gmd:date><gmd:keywords>Occurrence Birds Occurrence Coastal</gmd:keywords><gmd:contact>Ola Nordmann Kari Nordmann</gmd:contact><gmd:bbox>4.0 57.9 31.1 71.2</gmd:bbox></gmd:MD_Metadata>"""
+        val mammalsXml = """<gmd:MD_Metadata xmlns:gmd="http://www.isotc211.org/2005/gmd"><gmd:fileIdentifier>e4f5a6b7</gmd:fileIdentifier><gmd:title>Mammal census Svalbard</gmd:title><gmd:abstract>Annual census of marine and land mammals on Svalbard.</gmd:abstract><gmd:date>2024-06-11</gmd:date><gmd:keywords>Occurrence Mammals</gmd:keywords><gmd:contact>Nils Berg Nils Berg</gmd:contact><gmd:bbox>9.5 76.4 33.5 80.8</gmd:bbox></gmd:MD_Metadata>"""
+        val birdsLinks = """[{"name": "Parquet", "description": "The resource as (geo)parquet file", "protocol": "FILE:GEO", "url": "https://s3.example/bucket/ipt/datasets/birds-norway.parquet"}, {"name": "DWCA", "description": "The resource as Darwin Core Archive", "protocol": "file", "url": "https://ipt.example/archive.do?r=birds-norway"}]"""
+        val mammalsLinks = """[{"name": "Parquet", "description": "The resource as (geo)parquet file", "protocol": "FILE:GEO", "url": "https://s3.example/bucket/ipt/datasets/mammals-svalbard.parquet"}, {"name": "DWCA", "description": "The resource as Darwin Core Archive", "protocol": "file", "url": "https://ipt.example/archive.do?r=mammals-svalbard"}]"""
+        val nina = "Norsk institutt for naturforskning (NINA)"
+        s"""SELECT * FROM (VALUES
+              ('d0a1b2c3', 'gmd:MD_Metadata', 'http://www.isotc211.org/2005/gmd', 'local',
+               '2024-05-01', 'Bird observations Norway', '2024-05-01', 'service', CAST(NULL AS VARCHAR),
+               'POLYGON ((31.1 57.9, 31.1 71.2, 4 71.2, 4 57.9, 31.1 57.9))',
+               '$birdsXml', '$birdsXml',
+               'Occurrence, Birds, Coastal', 'application/xml',
+               'd0a1b2c3 Bird observations Norway Systematic bird counts along the Norwegian coast. 2024-05-01 Occurrence Birds Occurrence Coastal Ola Nordmann Kari Nordmann 4.0 57.9 31.1 71.2',
+               'Systematic bird counts along the Norwegian coast.', '2024-05-01',
+               '$nina', '$nina', 'Ola Nordmann; Kari Nordmann', '$birdsLinks'),
+              ('e4f5a6b7', 'gmd:MD_Metadata', 'http://www.isotc211.org/2005/gmd', 'local',
+               '2024-06-11', 'Mammal census Svalbard', '2024-06-11', 'service', CAST(NULL AS VARCHAR),
+               'POLYGON ((33.5 76.4, 33.5 80.8, 9.5 80.8, 9.5 76.4, 33.5 76.4))',
+               '$mammalsXml', '$mammalsXml',
+               'Occurrence, Mammals', 'application/xml',
+               'e4f5a6b7 Mammal census Svalbard Annual census of marine and land mammals on Svalbard. 2024-06-11 Occurrence Mammals Nils Berg Nils Berg 9.5 76.4 33.5 80.8',
+               'Annual census of marine and land mammals on Svalbard.', '2024-06-11',
+               '$nina', '$nina', 'Nils Berg', '$mammalsLinks'))
+            AS t(identifier, typename, "schema", mdsource, insert_date, title,
+                 date_modified, type, format, wkt_geometry, metadata, xml,
+                 keywords, metadata_type, anytext, abstract, date,
+                 creator, publisher, contributor, links)"""
+      }),
+
+    // ── EP3: EML → pygeoapi resources; nested struct build + JSON array sink + flat projection ──
+    "meta03_geoapi" -> Q(
+      (s, _) => {
+        val df = geoapiDf(s)
+        val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+          "graft-sinks", "geoapi-config.json").toString
+        graft.sinks.Sinks.writeJsonArray(s, df, out)
+        df.select(col("id"), col("type"), col("visibility"), col("title"),
+          to_json(col("extents")).as("extents_json"), col("keywords"),
+          col("description"), to_json(col("providers")).as("providers_json"))
+      },
+      Some {
+        def providers(id: String) =
+          s"""[{"type":"feature","name":"OGR","default":true,"id_field":"fid","editable":false,"storage_crs":"http://www.opengis.net/def/crs/OGC/1.3/CRS84","data":{"source_type":"Parquet","source":"/vsicurl/https://s3.example/bucket/ipt/datasets/$id.parquet"},"layer":"$id"}]"""
+        s"""SELECT * FROM (VALUES
+              ('ipt.example/birds-norway', 'collection', 'default', 'Bird observations Norway',
+               '{"spatial":{"bbox":[4.0,57.9,31.1,71.2],"crs":4326}}',
+               ['Occurrence', 'Birds', 'Coastal'],
+               'Systematic bird counts along the Norwegian coast.',
+               '${providers("birds-norway")}'),
+              ('ipt.example/mammals-svalbard', 'collection', 'default', 'Mammal census Svalbard',
+               '{"spatial":{"bbox":[9.5,76.4,33.5,80.8],"crs":4326}}',
+               ['Occurrence', 'Mammals'],
+               'Annual census of marine and land mammals on Svalbard.',
+               '${providers("mammals-svalbard")}'))
+            AS t(id, type, visibility, title, extents_json, keywords, description, providers_json)"""
+      })
+  )
+}
