@@ -1,3 +1,119 @@
 package graft.queries
-import graft.Q
-object Multimodal { val all: Map[String, Q] = Map() }
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column operators — the LLM-pipeline tier for opaque
+  * media payloads: a `binary` blob column with typed metadata,
+  * magic-byte format sniffing, fixed-stride frame sampling, per-
+  * modality statistics, and a partition-preserving decode pipeline.
+  *
+  * The container has no image/audio codecs, so the *payload* is a
+  * deterministic fake — each document's text bytes behind a 4-byte
+  * format tag — while the Spark-side plumbing is real: the blob is a
+  * genuine `BinaryType` column, sniffing reads its leading bytes,
+  * frame sampling slices byte ranges, and the decode stub runs as a
+  * typed `mapPartitions` over the binary payload (the Scala analogue
+  * of a `mapInPandas` batch UDF: per-partition batch iteration, no
+  * shuffle, schema declared up front). Swapping the fake for a real
+  * codec changes one function body, no plan shape.
+  *
+  * Payload bytes are ASCII, which lets the DuckDB oracle mirror every
+  * byte operation in string domain (DuckDB 1.x has no blob
+  * md5/substring) — byte position == char position by construction.
+  *
+  * Scale: m01/m02/m04 are map-only (linear in splits, no exchange);
+  * m03 is one partial-aggregated shuffle on the 3-value modality key.
+  */
+object Multimodal {
+
+  /** doc_id, modality (deterministic 3-way assignment), blob
+    * (BinaryType: 4-byte magic + text bytes). */
+  private def blobs(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents").selectExpr(
+      "doc_id",
+      "case doc_id % 3 when 0 then 'image' when 1 then 'audio' else 'video' end as modality",
+      """encode(concat(case doc_id % 3 when 0 then 'JPG0' when 1 then 'WAV0' else 'MP40' end,
+                       text), 'utf-8') as blob""")
+
+  private val duckBlobs =
+    """SELECT doc_id,
+              CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+              (CASE doc_id % 3 WHEN 0 THEN 'JPG0' WHEN 1 THEN 'WAV0' ELSE 'MP40' END || text) AS payload
+       FROM documents"""
+
+  val all: Map[String, Q] = Map(
+    // ── metadata extraction: magic-byte sniff, size, content hash ──
+    "m01_blob_meta" -> Q(
+      (s, d) => blobs(s, d).selectExpr(
+        "doc_id",
+        """case decode(substring(blob, 1, 4), 'utf-8')
+             when 'JPG0' then 'image' when 'WAV0' then 'audio'
+             when 'MP40' then 'video' else 'unknown' end as modality_sniffed""",
+        "octet_length(blob) as n_bytes",
+        "md5(blob) as content_md5"),
+      Some(s"""WITH b AS ($duckBlobs)
+               SELECT doc_id,
+                      CASE substr(payload, 1, 4)
+                        WHEN 'JPG0' THEN 'image' WHEN 'WAV0' THEN 'audio'
+                        WHEN 'MP40' THEN 'video' ELSE 'unknown' END AS modality_sniffed,
+                      length(payload) AS n_bytes,
+                      md5(payload) AS content_md5
+               FROM b""")),
+
+    // ── frame sampling: every 3rd 16-byte frame of the payload ──
+    "m02_frame_sample" -> Q(
+      (s, d) => blobs(s, d)
+        .selectExpr("doc_id", "blob",
+          "explode(sequence(0, (octet_length(blob) - 1) div 48)) as frame_ix")
+        .selectExpr("doc_id", "frame_ix",
+          "md5(substring(blob, 1 + frame_ix * 48, 16)) as frame_md5"),
+      Some(s"""WITH b AS ($duckBlobs),
+               f AS (SELECT doc_id, payload,
+                            unnest(generate_series(0, (length(payload) - 1) // 48)) AS frame_ix
+                     FROM b)
+               SELECT doc_id, frame_ix, md5(substr(payload, 1 + frame_ix * 48, 16)) AS frame_md5
+               FROM f""")),
+
+    // ── per-modality stats: one partial-agg shuffle on a 3-value key ──
+    "m03_modality_stats" -> Q(
+      (s, d) => blobs(s, d)
+        .groupBy("modality")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(octet_length(col("blob"))).as("total_bytes"),
+          min("doc_id").as("first_doc")),
+      Some(s"""WITH b AS ($duckBlobs)
+               SELECT modality, count(*) AS n_docs,
+                      CAST(sum(length(payload)) AS BIGINT) AS total_bytes, min(doc_id) AS first_doc
+               FROM b GROUP BY modality""")),
+
+    // ── decode pipeline: typed mapPartitions over the binary payload ──
+    // STUB decoder: dimensions derived from the first payload bytes —
+    // a real codec replaces `decodeStub` only; partitioning, schema,
+    // and batch shape stay identical.
+    "m04_decode_stub" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // payload starts after the 4-byte magic tag
+        def decodeStub(blob: Array[Byte]): (Int, Int) = {
+          val w = 1 + (blob(4) & 0xff) % 64
+          val h = 1 + (blob(5) & 0xff) % 64
+          (w, h)
+        }
+        blobs(s, d).select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, blob) =>
+            val (w, h) = decodeStub(blob)
+            (id, w, h, w * h)
+          })
+          .toDF("doc_id", "width", "height", "n_px")
+      },
+      Some(s"""WITH b AS ($duckBlobs)
+               SELECT doc_id,
+                      1 + ascii(substr(payload, 5, 1)) % 64 AS width,
+                      1 + ascii(substr(payload, 6, 1)) % 64 AS height,
+                      (1 + ascii(substr(payload, 5, 1)) % 64)
+                        * (1 + ascii(substr(payload, 6, 1)) % 64) AS n_px
+               FROM b"""))
+  )
+}
