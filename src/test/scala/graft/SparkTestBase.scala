@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.Suite
+
+/** Shared local session for suites that need Spark. */
+trait SparkTestBase extends BeforeAndAfterAll { self: Suite =>
+
+  lazy val spark: SparkSession = SparkTestBase.session
+
+  override protected def afterAll(): Unit = super.afterAll()
+}
+
+object SparkTestBase {
+  // one session per JVM — suites share it, sbt forks one test JVM
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

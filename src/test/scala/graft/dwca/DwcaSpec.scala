@@ -1,0 +1,69 @@
+package graft.dwca
+
+import graft.SparkTestBase
+import org.scalatest.funsuite.AnyFunSuite
+
+class DwcaSpec extends AnyFunSuite with SparkTestBase {
+
+  private val zip = DwcaQueries.fixtureZip
+
+  test("meta.xml discovery: layers, separators, positional ids") {
+    val meta = DwcaMeta.fromZip(zip)
+    assert(meta.core.name === "occurrence")
+    assert(meta.core.location === "occurrence.txt")
+    assert(meta.core.encoding === "UTF-8")
+    assert(meta.core.sepRegex === "\\t")
+    assert(meta.core.sepLiteral === "\t")
+    assert(meta.core.idIndex === 0)
+    assert(meta.core.idCol === "id") // header at <id index=0>
+    assert(meta.core.headers === Seq("id", "occurrenceID", "scientificName",
+      "decimalLatitude", "decimalLongitude", "footprintWKT", "individualCount"))
+
+    assert(meta.extensions.map(_.name) ===
+      Seq("measurementorfact", "multimedia"))
+    assert(meta.extensions.forall(_.idCol === "coreid")) // <coreid index=0>
+    assert(meta.extensions.forall(_.isExtension))
+  }
+
+  test("columns is the union over ALL layers (reference bug fixed)") {
+    val meta = DwcaMeta.fromZip(zip)
+    // dwca.py:42 discards the union result; ours must include
+    // extension-only columns like measurementType
+    assert(meta.columns.contains("measurementType"))
+    assert(meta.columns.contains("identifier"))
+    assert(meta.columns.contains("footprintWKT"))
+  }
+
+  test("conversion: inner-join fan-out, fid, conditional geom") {
+    val df = DwcaConvert.convert(spark, zip, DwcaConvert.GeomWktString)
+    val rows = df.collect()
+    // 7 core rows; occ6 has no extension rows -> dropped; occ1 2x1,
+    // occ5 2x2 -> 10 result rows
+    assert(rows.length === 10)
+    assert(!rows.exists(_.getAs[String]("id") == "occ6"))
+    assert(rows.count(_.getAs[String]("id") == "occ5") === 4)
+    // fid mirrors the core id
+    assert(rows.forall(r => r.getAs[String]("fid") == r.getAs[String]("id")))
+    // WKT branch wins over the point branch when footprintWKT present
+    val occ2 = rows.find(_.getAs[String]("id") == "occ2").get
+    assert(occ2.getAs[String]("geom_wkt").startsWith("POLYGON"))
+    // both coords null -> null geometry
+    val occ3 = rows.find(_.getAs[String]("id") == "occ3").get
+    assert(occ3.getAs[String]("geom_wkt") == null)
+    // point branch keeps the reference's (lat, lon) axis order
+    val occ1 = rows.find(_.getAs[String]("id") == "occ1").get
+    assert(occ1.getAs[String]("geom_wkt") === "POINT (59.910000 10.750000)")
+  }
+
+  test("WKB mode emits parseable geometry for every non-null row") {
+    val df = DwcaConvert.convert(spark, zip, DwcaConvert.GeomWkb)
+    val rows = df.collect()
+    rows.foreach { r =>
+      val g = r.getAs[Array[Byte]]("geom")
+      if (g != null) {
+        val wkt = graft.functions.Geo.wkbToWkt(g)
+        assert(wkt.startsWith("POINT") || wkt.startsWith("POLYGON"))
+      } else assert(r.getAs[String]("id") === "occ3")
+    }
+  }
+}
