@@ -1,0 +1,41 @@
+package graft.dwca
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.SparkSession
+
+import graft.sinks.Sinks
+import graft.sources.Fetch
+
+/** EP1 end-to-end: the worker body of `version_to_parquet`
+  * (`/root/reference/src/dwca_parquet/libs/parquet.py:19-56`) as plain
+  * driver orchestration — the reference's FastAPI/RQ tier is job
+  * plumbing, not engine surface (SURVEY §3).
+  *
+  * skip-if-exists → fetch archive to local cache → convert →
+  * versioned + latest zstd Parquet → GeoParquet footer → cache
+  * cleanup. Returns true when a conversion ran.
+  */
+object ConvertJob {
+
+  def run(spark: SparkSession, archiveUrl: String, outBase: String,
+      resourceId: String, versionId: String,
+      singleFile: Boolean = true): Boolean = {
+    val cache = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-cache-$resourceId-v$versionId.zip")
+    try {
+      val ran = Sinks.writeVersioned(spark, {
+        Fetch.toFile(archiveUrl, cache)
+        DwcaConvert.convert(spark, cache.toString, DwcaConvert.GeomWkb)
+      }, outBase, resourceId, versionId, singleFile)
+      if (ran) {
+        Sinks.patchGeoFooter(spark, s"$outBase/$resourceId/v$versionId.parquet", "geom")
+        Sinks.patchGeoFooter(spark, s"$outBase/$resourceId.parquet", "geom")
+      }
+      ran
+    } finally {
+      // cache unlink runs even on failure (parquet.py:52-54)
+      java.nio.file.Files.deleteIfExists(cache)
+    }
+  }
+}

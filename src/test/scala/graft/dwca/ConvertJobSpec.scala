@@ -1,0 +1,50 @@
+package graft.dwca
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkTestBase
+import graft.sinks.Sinks
+import org.scalatest.funsuite.AnyFunSuite
+
+/** EP1 end-to-end: fetch (file:// stands in for the IPT HTTP endpoint
+  * offline) → convert → versioned sinks → GeoParquet footer → skip. */
+class ConvertJobSpec extends AnyFunSuite with SparkTestBase {
+
+  test("full conversion pipeline, then idempotent skip") {
+    val out = Files.createTempDirectory("graft-convertjob").toString
+    val url = Paths.get(DwcaQueries.fixtureZip).toUri.toString // file://...
+
+    assert(ConvertJob.run(spark, url, out, "res1", "3"))
+    val versioned = s"$out/res1/v3.parquet"
+    val latest = s"$out/res1.parquet"
+    assert(spark.read.parquet(versioned).count() === 10)
+    assert(spark.read.parquet(latest).count() === 10)
+    // both outputs carry the GeoParquet footer
+    Seq(versioned, latest).foreach { p =>
+      val geo = Sinks.readFooterKey(spark, p, "geo")
+      assert(geo.nonEmpty && geo.forall(_._2 == Sinks.geoMetadataJson("geom")))
+    }
+    // the cache zip was cleaned up
+    assert(!Files.exists(Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft-cache-res1-v3.zip")))
+    // second run: versioned object exists -> skip
+    assert(!ConvertJob.run(spark, url, out, "res1", "3"))
+  }
+
+  test("fetch supports bare local paths and rejects unknown schemes") {
+    val dest = Files.createTempDirectory("graft-fetch").resolve("z.zip")
+    graft.sources.Fetch.toFile(DwcaQueries.fixtureZip, dest)
+    assert(Files.size(dest) > 0)
+    assertThrows[IllegalArgumentException](
+      graft.sources.Fetch.toFile("ftp://x/y.zip", dest))
+  }
+
+  test("s3a configuration maps the reference's SECRET fields") {
+    graft.sources.Fetch.configureS3a(spark, "http://minio.local:9000", "ak", "sk")
+    val c = spark.sparkContext.hadoopConfiguration
+    assert(c.get("fs.s3a.endpoint") === "http://minio.local:9000")
+    assert(c.get("fs.s3a.access.key") === "ak")
+    assert(c.get("fs.s3a.secret.key") === "sk")
+    assert(c.get("fs.s3a.path.style.access") === "true")
+  }
+}
