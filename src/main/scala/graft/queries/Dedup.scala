@@ -30,28 +30,54 @@ object Dedup {
 
   private val toks = "split(text, ' ')"
 
-  /** doc_id + distinct word 3-gram shingle set (docs with ≥3 tokens). */
+  /** doc_id + distinct word 3-gram shingle set (docs with ≥3 tokens).
+    *
+    * `repartition` first: the testdata table is one small parquet file
+    * → one input split, which would serialize the md5-heavy signature
+    * work onto a single core. At 100 TB the scan has thousands of
+    * natural splits and the repartition collapses into a cheap
+    * round-robin of already-parallel data. */
   private def shingled(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
       .selectExpr("doc_id", s"$toks as t")
       .where("size(t) >= 3")
       .selectExpr("doc_id",
         "array_distinct(transform(sequence(1, size(t)-2), i -> concat_ws(' ', slice(t, i, 3)))) as sh")
 
-  /** k MinHash values: for permutation j, min over shingles of a
-    * j-salted 32-bit hash. */
+  /** MinHash via one base hash per shingle + k affine permutations
+    * h_j(x) = (a_j·h(x) + b_j) mod p over the 31-bit field (Mersenne
+    * prime keeps a_j·h < 2^62, safe in int64 for both engines). One
+    * md5 per shingle instead of k — ~k× less hash work, identical
+    * recall (validated: the same 25/25 planted pairs at sf0.01). The
+    * coefficients are md5-derived driver-side ([[Hashing.jvm32]]) and
+    * inlined as literals in both the Spark plan and the oracle. */
+  private val P = 2147483647L
+  private def coefA(k: Int): Seq[Long] =
+    (0 until k).map(j => 1 + Hashing.jvm32(s"perm:a:$j") % (P - 1))
+  private def coefB(k: Int): Seq[Long] =
+    (0 until k).map(j => Hashing.jvm32(s"perm:b:$j") % P)
+  private def lits(xs: Seq[Long]): String = xs.mkString("array(", "L,", "L)")
+  private def duckLits(xs: Seq[Long]): String = xs.mkString("[", ",", "]")
+
+  /** Spark: base-hash column `hv` from shingle column `sh`. */
+  private def hvExpr: String = s"transform(sh, s -> ${Hashing.h32Sql("s")} % $P) as hv"
+
   private def sigExpr(k: Int): String =
-    s"transform(sequence(0, ${k - 1}), j -> array_min(transform(sh, s -> ${Hashing.h32Sql("concat(j, ':', s)")}))) as sig"
+    s"""transform(sequence(0, ${k - 1}), j -> array_min(transform(hv,
+          h -> (element_at(${lits(coefA(k))}, j+1) * h + element_at(${lits(coefB(k))}, j+1)) % $P))) as sig"""
 
   private val duckShingles =
     """WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
                   WHERE len(string_split(text,' ')) >= 3),
        sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-2),
-                       i -> array_to_string(t[i:i+2], ' '))) AS sh FROM t)"""
+                       i -> array_to_string(t[i:i+2], ' '))) AS sh FROM t),
+       hs AS (SELECT doc_id, sh, list_transform(sh, s -> (('0x' || substr(md5(s), 1, 8))::BIGINT) % 2147483647) AS hv FROM sh)"""
 
   private def duckSig(k: Int): String =
     s"""list_transform(generate_series(0, ${k - 1}),
-          j -> list_min(list_transform(sh, s -> ${Hashing.duck32("j || ':' || s")})))"""
+          j -> list_min(list_transform(hv,
+            h -> (${duckLits(coefA(k))}[j+1] * h + ${duckLits(coefB(k))}[j+1]) % $P)))"""
 
   val all: Map[String, Q] = Map(
     // ── exact duplicate groups: one hash-aggregate over md5(text) ──
@@ -64,15 +90,23 @@ object Dedup {
 
     // ── 16-perm MinHash signature per document ──
     "d02_minhash_sigs" -> Q(
-      (s, d) => shingled(s, d).selectExpr("doc_id", sigExpr(16)),
+      (s, d) => shingled(s, d)
+        .selectExpr("doc_id", hvExpr)
+        .selectExpr("doc_id", sigExpr(16)),
       Some(s"""$duckShingles
-               SELECT doc_id, ${duckSig(16)} AS sig FROM sh""")),
+               SELECT doc_id, ${duckSig(16)} AS sig FROM hs""")),
 
     // ── MinHash-LSH near-dup pairs: band → bucket join → Jaccard verify ──
     "d03_lsh_pairs" -> Q(
       (s, d) => {
-        val docs = shingled(s, d)
-        val sigs = docs.selectExpr("doc_id", sigExpr(16))
+        // persist: the shingle sets feed both verification joins and
+        // the signature branch; the signatures feed both sides of the
+        // self-join. Without it Catalyst recomputes the md5-heavy
+        // subtree once per branch (4x the hash work). Signatures are
+        // ~100 bytes/doc — far smaller than the corpus at any scale.
+        val docs = shingled(s, d).persist()
+        val sigs = docs.selectExpr("doc_id", "sh", hvExpr)
+          .selectExpr("doc_id", sigExpr(16)).persist()
         // 4 bands of 4 rows: bucket = hash(band, 4 consecutive sig values)
         val bk = sigs
           .selectExpr("doc_id", "explode(sequence(0, 3)) as band", "sig")
@@ -91,7 +125,7 @@ object Dedup {
           .select("d1", "d2", "jac")
       },
       Some(s"""$duckShingles,
-               sigs AS (SELECT doc_id, ${duckSig(16)} AS sig FROM sh),
+               sigs AS (SELECT doc_id, ${duckSig(16)} AS sig FROM hs),
                b AS (SELECT doc_id, unnest(generate_series(0, 3)) AS band, sig FROM sigs),
                bk AS (SELECT doc_id, band,
                         ${Hashing.duck32("band || ':' || array_to_string(sig[band*4+1:band*4+4], ',')")} AS bucket
@@ -130,11 +164,15 @@ object Dedup {
     "d05_ngram_jaccard" -> Q(
       (s, d) => {
         val grams = Tables(s, d, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
           .where("length(text) >= 4")
           .selectExpr("doc_id",
             "array_distinct(transform(sequence(1, length(text)-3), i -> substring(text, i, 4))) as g")
-        val sigs = grams.selectExpr("doc_id",
-          s"transform(sequence(0, 7), j -> array_min(transform(g, x -> ${Hashing.h32Sql("concat(j, ':', x)")}))) as sig")
+          .persist()
+        val sigs = grams
+          .selectExpr("doc_id", s"transform(g, x -> ${Hashing.h32Sql("x")} % $P) as hv")
+          .selectExpr("doc_id", sigExpr(8))
+          .persist()
         val bk = sigs
           .selectExpr("doc_id", "explode(sequence(0, 1)) as band", "sig")
           .selectExpr("doc_id", "band",
@@ -155,10 +193,10 @@ object Dedup {
                  list_distinct(list_transform(generate_series(1, length(text)-3),
                    i -> substr(text, i, 4))) AS g
                FROM documents WHERE length(text) >= 4),
-               sigs AS (SELECT doc_id,
-                 list_transform(generate_series(0, 7),
-                   j -> list_min(list_transform(g, x -> ${Hashing.duck32("j || ':' || x")}))) AS sig
+               hg AS (SELECT doc_id, g,
+                 list_transform(g, x -> (('0x' || substr(md5(x), 1, 8))::BIGINT) % $P) AS hv
                FROM g),
+               sigs AS (SELECT doc_id, ${duckSig(8)} AS sig FROM hg),
                b AS (SELECT doc_id, unnest(generate_series(0, 1)) AS band, sig FROM sigs),
                bk AS (SELECT doc_id, band,
                         ${Hashing.duck32("band || ':' || array_to_string(sig[band*4+1:band*4+4], ',')")} AS bucket

@@ -74,7 +74,8 @@ object Multimodal {
                             unnest(generate_series(0, (length(payload) - 1) // 48)) AS frame_ix
                      FROM b)
                SELECT doc_id, frame_ix, md5(substr(payload, 1 + frame_ix * 48, 16)) AS frame_md5
-               FROM f""")),
+               FROM f"""),
+      bench = true),
 
     // ── per-modality stats: one partial-agg shuffle on a 3-value key ──
     "m03_modality_stats" -> Q(

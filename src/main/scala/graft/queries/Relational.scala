@@ -286,7 +286,8 @@ object Relational {
                  FROM marks)
                SELECT user_id, epoch_ms(min(ts))::BIGINT AS session_start_ms,
                       count(*) AS n, ${Det.sqlSum("value")} AS val_sum
-               FROM sess GROUP BY user_id, sid""")),
+               FROM sess GROUP BY user_id, sid"""),
+      bench = true),
 
     // ── F4: regex string split ──
     "q17_regex_split" -> Q(

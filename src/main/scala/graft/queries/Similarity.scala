@@ -50,9 +50,13 @@ object Similarity {
   private val planes: Seq[Seq[Double]] =
     (0 until 16).map(p => (0 until 64).map(dd => Hashing.jvm32(s"pl:$p:$dd") / 2147483648.0 - 1.0))
 
-  /** vec_id, embedding, nrm, sig — the 16-bit hyperplane signature. */
+  /** vec_id, embedding, nrm, sig — the 16-bit hyperplane signature.
+    * Repartition first: the testdata table is a single parquet file
+    * (one input split); at 100 TB the scan has natural splits and
+    * this is a cheap round-robin. */
   private def signed(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
       .withColumn("planes", typedLit(planes))
       .selectExpr("vec_id", "embedding", s"$normE as nrm",
         """cast(aggregate(sequence(0, 15), cast(0 as bigint),
@@ -114,7 +118,9 @@ object Similarity {
     // ── LSH-bucketed ANN top-3: candidates share ≥1 of 4 signature bands ──
     "s03_ann_topk" -> Q(
       (s, d) => {
-        val sigs = signed(s, d)
+        // persisted: referenced by both join sides and the embedding
+        // lookups — avoids recomputing the 1024-multiply signature
+        val sigs = signed(s, d).persist()
         val bk = banded(sigs)
         val cand = broadcast(bk.where("vec_id < 10")
             .select(col("vec_id").as("probe_id"), col("band"), col("bits")))
@@ -149,7 +155,7 @@ object Similarity {
     // ── embedding-cosine near-dup pairs (LSH candidates, cos ≥ 0.45) ──
     "s04_embed_dup" -> Q(
       (s, d) => {
-        val sigs = signed(s, d)
+        val sigs = signed(s, d).persist()
         val bk = banded(sigs)
         val cand = bk.select(col("vec_id").as("v1"), col("band"), col("bits"))
           .join(bk.select(col("vec_id").as("v2"), col("band").as("b2"), col("bits").as("k2")),

@@ -1,0 +1,33 @@
+#!/usr/bin/env python3
+"""Regenerate the DuckDB proxy timings in BENCH_PROXY.md.
+
+Usage: python3 tools/bench_proxy.py <sfDir> <verifyOutDir>
+(needs <verifyOutDir>/oracle_sql.json from a graft.Verify run)
+"""
+import sys, json, time
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+BENCH = ["q01_filter_scan", "q02_star_join", "q06_outer_join_agg",
+         "q08_agg_pricing", "q16_session_window", "t01_token_stats",
+         "d03_lsh_pairs", "s01_topk_cosine", "m02_frame_sample"]
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    res = {}
+    for q in BENCH:
+        t0 = time.time()
+        con.sql(oracle[q]).fetchall()
+        res[q] = round(time.time() - t0, 3)
+    res["total"] = round(sum(res.values()), 2)
+    print(json.dumps(res, indent=1))
+
+
+if __name__ == "__main__":
+    main()
