@@ -1,0 +1,123 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming tier. The reference is batch-only (its RQ
+  * queue is job orchestration, SURVEY §2.6), so this tier is part of
+  * the driver's north star, not reference parity: the same event
+  * analytics the batch tier runs (q15 tumbling, q16 sessions) as
+  * incremental streams, plus a custom-state sessionizer on
+  * `flatMapGroupsWithState`.
+  *
+  * Design: sources are `readStream` over a directory of parquet (the
+  * file-source keeps exactly-once semantics via file tracking);
+  * event-time correctness comes from watermarks, which also bound
+  * state: a 1-hour watermark means in-flight windows/sessions for at
+  * most 1 hour of event time per key are held per partition —
+  * independent of total input size, which is what makes these run
+  * unmodified against an unbounded 100 TB/day feed.
+  *
+  * Parity contract (tested in StreamingSpec): with `availableNow` over
+  * a static directory, each stream must produce exactly the batch
+  * result of its batch twin.
+  */
+object EventStreams {
+
+  /** Streaming source over an events parquet directory, ts normalized
+    * to TIMESTAMP (same normalization as the batch tier). The file
+    * source monitors a directory; the testdata ships a single file, so
+    * a symlink staging dir adapts it (production feeds are
+    * directories already). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(s"$dir/events.parquet")
+    val streamDir =
+      if (Files.isDirectory(src)) src
+      else {
+        val d = Paths.get(System.getProperty("java.io.tmpdir"),
+          s"graft-stream-${src.toAbsolutePath.toString.hashCode.toHexString}")
+        Files.createDirectories(d)
+        val link = d.resolve("events.parquet")
+        if (!Files.exists(link)) Files.createSymbolicLink(link, src.toAbsolutePath)
+        d
+      }
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
+    if (schema("ts").dataType.typeName == "long")
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw.withColumn("ts", col("ts").cast("timestamp"))
+  }
+
+  /** q15's tumbling counts as an incremental stream: watermarked
+    * 1-hour windows, partial aggregation before the stateful exchange. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n"))
+
+  /** q16's session windows as a stream: built-in session_window with a
+    * 30-minute gap; watermark closes sessions and evicts their state. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("session_start_ms"), col("n"))
+
+  final case class Event(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  final case class SessionOut(user_id: Long, session_start_ms: Long, n: Long, val_sum: Double)
+
+  /** Custom-state sessionizer on `flatMapGroupsWithState` — the shape
+    * Spark's built-in session_window can't express (per-session custom
+    * accumulators, emit-on-close). Event-time timeout keyed to the
+    * watermark evicts idle sessions, so state per user is one
+    * in-flight session regardless of history length.
+    *
+    * NOTE on determinism: within one `availableNow` pass the group
+    * iterator is not time-ordered, so the spec feeds it pre-sorted
+    * micro-batches; a production job relies on the timeout path.
+    */
+  def sessionizeCustom(events: Dataset[Event], gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.start, s.n, s.sum))
+          } else {
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last < gapMs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, s.start, s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+        })
+  }
+}

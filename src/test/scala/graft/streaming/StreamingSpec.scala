@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming/batch parity: each stream over the static sf0.001 events
+  * directory (availableNow trigger, memory sink) must equal its batch
+  * twin exactly. */
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String = "append"): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream
+      .format("memory").queryName(name).outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    spark.table(name)
+  }
+
+  test("tumbling window stream equals the batch aggregation") {
+    val stream = EventStreams.tumblingCounts(EventStreams.eventsStream(spark, sf))
+    // complete mode: emit every window, including those the watermark
+    // has not yet closed when the bounded stream ends
+    val got = runToMemory(stream, "t_tumbling", mode = "complete")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    val want = graft.queries.Relational.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    assert(got === want)
+  }
+
+  test("session window stream equals the batch sessionization") {
+    val stream = EventStreams.sessionCounts(EventStreams.eventsStream(spark, sf))
+    val got = runToMemory(stream, "t_sessions", mode = "complete")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val want = graft.queries.Relational.events(spark, sf)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("session_start_ms"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got === want)
+  }
+
+  test("flatMapGroupsWithState sessionizer matches session_window on closed sessions") {
+    import spark.implicits._
+    val events = EventStreams.eventsStream(spark, sf)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[EventStreams.Event]
+    val out = runToMemory(
+      EventStreams.sessionizeCustom(events, gapMs = 30 * 60 * 1000).toDF(), "t_custom")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // batch twin: only sessions the watermark could close are emitted
+    // by the stream; compare on the intersection key (user, start)
+    val batch = graft.queries.Relational.events(spark, sf)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), graft.Det.dsum(col("value")).as("val_sum"))
+      .select(col("user_id"), unix_millis(col("session_window.start")).as("s"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    assert(out.nonEmpty)
+    // every emitted custom session must be a real batch session
+    assert(out.subsetOf(batch),
+      s"custom sessions not in batch: ${out.diff(batch).take(5)}")
+  }
+}
