@@ -78,16 +78,23 @@ object DwcaConvert {
       .option("inferSchema", "true")
       .csv(dir.resolve(layer.location).toString)
 
-  /** Full conversion: the reference's one generated query. */
-  def convert(spark: SparkSession, zipPath: String, mode: GeomMode): DataFrame = {
+  /** Full conversion: the reference's one generated query.
+    * `zipScan = true` streams members straight out of the archive
+    * ([[graft.sources.ZipSource]]) instead of staging to scratch —
+    * the 100 TB-tier scan path; plans downstream are identical. */
+  def convert(spark: SparkSession, zipPath: String, mode: GeomMode,
+      zipScan: Boolean = false): DataFrame = {
     GeoFunctions.register(spark)
     val meta = DwcaMeta.fromZip(zipPath)
-    val dir = extract(zipPath)
+    lazy val dir = extract(zipPath)
+    def scan(l: DwcaLayer): DataFrame =
+      if (zipScan) graft.sources.ZipSource.readLayer(spark, zipPath, l)
+      else readLayer(spark, dir, l)
 
-    val core = readLayer(spark, dir, meta.core)
+    val core = scan(meta.core)
     val joined = meta.extensions.foldLeft(core) { (acc, ext) =>
       val key = s"__coreid_${ext.name}"
-      val e = readLayer(spark, dir, ext).withColumnRenamed(ext.idCol, key)
+      val e = scan(ext).withColumnRenamed(ext.idCol, key)
       acc.join(e, acc(meta.core.idCol) === e(key), "inner").drop(key)
     }
 

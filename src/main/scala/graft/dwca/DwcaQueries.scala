@@ -25,21 +25,26 @@ object DwcaQueries {
   // the oracle runs in the driver's DuckDB with an unknown cwd
   private val oracleDir = "/root/repo/src/test/resources/dwca/extracted"
 
+  /** DuckDB twin of the generated conversion query, shared by the
+    * extracted-scan (dwca01) and zip-scan (dwca04) paths. */
+  private val convertOracle =
+    s"""SELECT occ.id AS id, occurrenceID, scientificName,
+               decimalLatitude, decimalLongitude, footprintWKT, individualCount,
+               measurementType, measurementValue, identifier, format,
+               occ.id AS fid,
+               coalesce(footprintWKT,
+                 CASE WHEN decimalLatitude IS NULL OR decimalLongitude IS NULL THEN NULL
+                      ELSE printf('POINT (%.6f %.6f)', decimalLatitude, decimalLongitude) END) AS geom_wkt
+        FROM read_csv('$oracleDir/occurrence.txt') occ
+        JOIN read_csv('$oracleDir/measurementorfact.txt', sample_size=-1) m ON m.coreid = occ.id
+        JOIN read_csv('$oracleDir/multimedia.txt', sample_size=-1) mm ON mm.coreid = occ.id"""
+
   val all: Map[String, Q] = Map(
     // ── the reference's entire generated query, WKT-string geometry ──
     // (S1-S4, P1-P3, J1/J2, F1 in one end-to-end slice)
     "dwca01_convert" -> Q(
       (s, _) => DwcaConvert.convert(s, zipPath, DwcaConvert.GeomWktString),
-      Some(s"""SELECT occ.id AS id, occurrenceID, scientificName,
-                      decimalLatitude, decimalLongitude, footprintWKT, individualCount,
-                      measurementType, measurementValue, identifier, format,
-                      occ.id AS fid,
-                      coalesce(footprintWKT,
-                        CASE WHEN decimalLatitude IS NULL OR decimalLongitude IS NULL THEN NULL
-                             ELSE printf('POINT (%.6f %.6f)', decimalLatitude, decimalLongitude) END) AS geom_wkt
-               FROM read_csv('$oracleDir/occurrence.txt') occ
-               JOIN read_csv('$oracleDir/measurementorfact.txt', sample_size=-1) m ON m.coreid = occ.id
-               JOIN read_csv('$oracleDir/multimedia.txt', sample_size=-1) mm ON mm.coreid = occ.id""")),
+      Some(convertOracle)),
 
     // ── meta.xml schema discovery, golden-checked (S3/S4/J2) ──
     "dwca02_meta" -> Q(
@@ -56,6 +61,12 @@ object DwcaQueries {
                 ('measurementorfact', 'measurementorfact.txt', 'UTF-8', '\t', 0, 'coreid', true, 3),
                 ('multimedia', 'multimedia.txt', 'UTF-8', '\t', 0, 'coreid', true, 3))
               AS t(layer, location, encoding, sep_regex, id_index, id_col, is_extension, n_cols)""")),
+
+    // ── same conversion through the distributed no-extraction zip
+    // scan (ZipSource) — must reproduce dwca01's oracle exactly ──
+    "dwca04_convert_zipscan" -> Q(
+      (s, _) => DwcaConvert.convert(s, zipPath, DwcaConvert.GeomWktString, zipScan = true),
+      Some(convertOracle)),
 
     // ── engine-faithful conversion: WKB geometry via native ST_* ──
     // No DuckDB oracle (spatial ext unavailable offline) → driver

@@ -55,6 +55,26 @@ class DwcaSpec extends AnyFunSuite with SparkTestBase {
     assert(occ1.getAs[String]("geom_wkt") === "POINT (59.910000 10.750000)")
   }
 
+  test("distributed zip scan is byte-equivalent to the extracted scan") {
+    val meta = DwcaMeta.fromZip(zip)
+    val dir = DwcaConvert.extract(zip)
+    meta.layers.foreach { l =>
+      val extracted = DwcaConvert.readLayer(spark, dir, l)
+      val streamed = graft.sources.ZipSource.readLayer(spark, zip, l)
+      assert(streamed.schema === extracted.schema, s"schema diverged for ${l.name}")
+      assert(streamed.collect().map(_.toString).sorted ===
+        extracted.collect().map(_.toString).sorted, s"rows diverged for ${l.name}")
+    }
+  }
+
+  test("zip scan of a missing member fails loudly") {
+    val bad = DwcaMeta.fromZip(zip).core.copy(location = "nope.txt")
+    val e = intercept[Exception] {
+      graft.sources.ZipSource.readLayer(spark, zip, bad).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("WKB mode emits parseable geometry for every non-null row") {
     val df = DwcaConvert.convert(spark, zip, DwcaConvert.GeomWkb)
     val rows = df.collect()
