@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.{StAsText, StGeomFromText, StPoint}
+
+/** Production registration path for the engine's extensions:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)       // or
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  *
+  * Injects the ST_* expressions into every session built from the
+  * configured builder — the counterpart of the reference loading the
+  * DuckDB spatial extension at connection setup
+  * (`/root/reference/src/dwca_parquet/settings.py:46-62`).
+  * `GeoFunctions.register` remains for sessions the engine does not
+  * construct (e.g. the driver-owned harness session).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def info(name: String, usage: String) =
+      new ExpressionInfo(classOf[StPoint].getName, null, name, usage, "")
+    ext.injectFunction((FunctionIdentifier("st_point"),
+      info("st_point", "st_point(x, y) - WKB point"),
+      exprs => StPoint(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("st_geomfromtext"),
+      info("st_geomfromtext", "st_geomfromtext(wkt) - WKT to WKB"),
+      exprs => StGeomFromText(exprs(0))))
+    ext.injectFunction((FunctionIdentifier("st_astext"),
+      info("st_astext", "st_astext(wkb) - WKB to WKT"),
+      exprs => StAsText(exprs(0))))
+  }
+}

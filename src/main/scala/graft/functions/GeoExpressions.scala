@@ -23,6 +23,9 @@ case class StPoint(left: Expression, right: Expression)
   override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
   override def dataType: DataType = BinaryType
   override def prettyName: String = "st_point"
+  // null in -> null out: lets Catalyst's NullPropagation fold
+  // st_point(null, y) to a null literal at plan time
+  override def nullIntolerant: Boolean = true
 
   override protected def nullSafeEval(x: Any, y: Any): Any =
     Geo.pointWkb(x.asInstanceOf[Double], y.asInstanceOf[Double])
@@ -41,6 +44,7 @@ case class StGeomFromText(child: Expression)
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = BinaryType
   override def prettyName: String = "st_geomfromtext"
+  override def nullIntolerant: Boolean = true
 
   override protected def nullSafeEval(s: Any): Any =
     Geo.wktToWkb(s.asInstanceOf[UTF8String].toString)
@@ -58,6 +62,7 @@ case class StAsText(child: Expression)
   override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def dataType: DataType = StringType
   override def prettyName: String = "st_astext"
+  override def nullIntolerant: Boolean = true
 
   override protected def nullSafeEval(b: Any): Any =
     UTF8String.fromString(Geo.wkbToWkt(b.asInstanceOf[Array[Byte]]))
