@@ -152,6 +152,80 @@ object Similarity {
                   FROM sc)
                WHERE rnk <= 3""")),
 
+    // ── IVF-style ANN: sampled coarse quantizer, nprobe=2 cells ──
+    // Centroids are the 16 vectors with the smallest md5-derived
+    // sample hash (deterministic sampling stands in for k-means —
+    // the cell-probe mechanics are identical). Selection compiles to
+    // TakeOrderedAndProject (no global sort); assignment is a
+    // broadcast nested-loop against 16 centroids (linear scan).
+    "s05_ivf_topk" -> Q(
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("vec_id", "embedding", s"$normE as nrm").persist()
+        val cent = broadcast(
+          e.withColumn("h", expr(Hashing.h32Sql("concat('ivf:', vec_id)")))
+            .orderBy(col("h"), col("vec_id")).limit(16)
+            .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn")))
+        def nearestCells(src: DataFrame, idCol: String, n: Int): DataFrame =
+          src.crossJoin(cent)
+            .selectExpr(idCol, "cid", s"${dot("embedding", "ce")} / (nrm * cn) as ccos")
+            .withColumn("rn", row_number().over(
+              Window.partitionBy(idCol).orderBy(col("ccos").desc, col("cid"))))
+            .where(s"rn <= $n").select(col(idCol), col("cid").as("cell"))
+        val asg = nearestCells(e, "vec_id", 1)
+        val pcells = nearestCells(e.where("vec_id < 10")
+          .select(col("vec_id").as("probe_id"), col("embedding"), col("nrm")), "probe_id", 2)
+        val cand = pcells.join(asg, pcells("cell") === asg("cell")
+            && col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id").as("cand_id")).distinct()
+        cand
+          .join(e.select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nrm").as("pn")), "probe_id")
+          .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("ce2"), col("nrm").as("cn2")), "cand_id")
+          .selectExpr("probe_id", "cand_id", s"${dot("pe", "ce2")} / (pn * cn2) as cosine")
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("cand_id"))))
+          .where("rnk <= 3")
+          .select("probe_id", "cand_id", "rnk", "cosine")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+               cent AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn
+                        FROM (SELECT *, row_number() OVER (ORDER BY ${Hashing.duck32("'ivf:' || vec_id")}, vec_id) AS rn FROM e)
+                        WHERE rn <= 16),
+               asg AS (SELECT vec_id, cid AS cell FROM (
+                         SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY ${duckDot("e.embedding", "c.ce")}/(e.nrm*c.cn) DESC, c.cid) AS rn
+                         FROM e CROSS JOIN cent c) WHERE rn = 1),
+               pcells AS (SELECT probe_id, cid AS cell FROM (
+                           SELECT e.vec_id AS probe_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+                                    ORDER BY ${duckDot("e.embedding", "c.ce")}/(e.nrm*c.cn) DESC, c.cid) AS rn
+                           FROM e CROSS JOIN cent c WHERE e.vec_id < 10) WHERE rn <= 2),
+               cand AS (SELECT DISTINCT probe_id, a.vec_id AS cand_id
+                        FROM pcells p JOIN asg a ON a.cell = p.cell AND a.vec_id != p.probe_id),
+               sc AS (SELECT probe_id, cand_id, ${duckDot("x.embedding", "y.embedding")}/(x.nrm*y.nrm) AS cosine
+                      FROM cand JOIN e x ON x.vec_id = probe_id JOIN e y ON y.vec_id = cand_id)
+               SELECT probe_id, cand_id, rnk, cosine FROM
+                 (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS INTEGER) AS rnk FROM sc)
+               WHERE rnk <= 3""")),
+
+    // ── int8 embedding quantization (training-pipeline compaction) ──
+    // floor(x·s + 0.5) instead of round(): identical half-up behavior
+    // in both engines, no rounding-mode ambiguity.
+    "s06_quantize" -> Q(
+      (s, d) => Tables(s, d, "embeddings").selectExpr(
+        "vec_id",
+        s"127.0 / array_max(transform(embedding, x -> abs(cast(x as double)))) as scale",
+        s"""transform(embedding, x ->
+              cast(greatest(-127.0, least(127.0,
+                floor(cast(x as double) * (127.0 / array_max(transform(embedding, x2 -> abs(cast(x2 as double))))) + 0.5))) as int)) as qvec"""),
+      Some("""WITH e AS (SELECT vec_id, embedding,
+                127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+              FROM embeddings)
+              SELECT vec_id, scale,
+                     list_transform(embedding, x ->
+                       CAST(greatest(-127.0, least(127.0, floor(CAST(x AS DOUBLE) * scale + 0.5))) AS INTEGER)) AS qvec
+              FROM e""")),
+
     // ── embedding-cosine near-dup pairs (LSH candidates, cos ≥ 0.45) ──
     "s04_embed_dup" -> Q(
       (s, d) => {

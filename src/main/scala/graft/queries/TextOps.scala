@@ -42,6 +42,30 @@ object TextOps {
               FROM documents"""),
       bench = true),
 
+    // ── BPE-ish tokenization: regex word classes + 4-char subword chunks ──
+    "t05_bpe_tokens" -> Q(
+      (s, d) => Tables(s, d, "documents")
+        .selectExpr("doc_id",
+          "regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0) as re_toks")
+        .selectExpr("doc_id",
+          "size(re_toks) as n_re_tokens",
+          """flatten(transform(re_toks, t ->
+               transform(sequence(0, (length(t)-1) div 4), i -> substring(t, i*4+1, 4)))) as subs""")
+        .selectExpr("doc_id", "n_re_tokens",
+          "size(subs) as n_subwords",
+          "size(array_distinct(subs)) as n_uniq_subwords"),
+      Some("""WITH r AS (SELECT doc_id,
+                regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') AS re_toks
+              FROM documents),
+              sw AS (SELECT doc_id, re_toks,
+                flatten(list_transform(re_toks, t ->
+                  list_transform(generate_series(0, (length(t)-1) // 4), i -> substr(t, i*4+1, 4)))) AS subs
+              FROM r)
+              SELECT doc_id, len(re_toks) AS n_re_tokens,
+                     len(subs) AS n_subwords,
+                     len(list_distinct(subs)) AS n_uniq_subwords
+              FROM sw""")),
+
     // ── quality scoring: stopword ratio, uniqueness, length band ──
     "t02_quality" -> Q(
       (s, d) => Tables(s, d, "documents")
