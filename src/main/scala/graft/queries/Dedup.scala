@@ -30,20 +30,22 @@ object Dedup {
 
   private val toks = "split(text, ' ')"
 
-  /** doc_id + distinct word 3-gram shingle set (docs with ≥3 tokens).
+  /** doc_id + distinct hashed word 3-gram shingle set (docs with ≥3
+    * tokens), via the native [[graft.functions.HashedShingles]] kernel
+    * — one incremental md5 per shingle in straight JVM code instead of
+    * an interpreted SQL-lambda per element (~10× on the LSH hot path).
     *
     * `repartition` first: the testdata table is one small parquet file
-    * → one input split, which would serialize the md5-heavy signature
-    * work onto a single core. At 100 TB the scan has thousands of
-    * natural splits and the repartition collapses into a cheap
-    * round-robin of already-parallel data. */
-  private def shingled(s: SparkSession, d: String): DataFrame =
+    * → one input split, which would serialize the hash work onto a
+    * single core. At 100 TB the scan has thousands of natural splits
+    * and the repartition collapses into a cheap round-robin. */
+  private def hashedDocs(s: SparkSession, d: String): DataFrame = {
+    Hashing.register(s)
     Tables(s, d, "documents")
       .repartition(s.sparkContext.defaultParallelism)
-      .selectExpr("doc_id", s"$toks as t")
-      .where("size(t) >= 3")
-      .selectExpr("doc_id",
-        "array_distinct(transform(sequence(1, size(t)-2), i -> concat_ws(' ', slice(t, i, 3)))) as sh")
+      .where(s"size($toks) >= 3")
+      .selectExpr("doc_id", s"hashed_shingles($toks, 3) as hv")
+  }
 
   /** MinHash via one base hash per shingle + k affine permutations
     * h_j(x) = (a_j·h(x) + b_j) mod p over the 31-bit field (Mersenne
@@ -52,20 +54,8 @@ object Dedup {
     * recall (validated: the same 25/25 planted pairs at sf0.01). The
     * coefficients are md5-derived driver-side ([[Hashing.jvm32]]) and
     * inlined as literals in both the Spark plan and the oracle. */
-  private val P = 2147483647L
-  private def coefA(k: Int): Seq[Long] =
-    (0 until k).map(j => 1 + Hashing.jvm32(s"perm:a:$j") % (P - 1))
-  private def coefB(k: Int): Seq[Long] =
-    (0 until k).map(j => Hashing.jvm32(s"perm:b:$j") % P)
-  private def lits(xs: Seq[Long]): String = xs.mkString("array(", "L,", "L)")
+  private val P = graft.functions.MinHash.P
   private def duckLits(xs: Seq[Long]): String = xs.mkString("[", ",", "]")
-
-  /** Spark: base-hash column `hv` from shingle column `sh`. */
-  private def hvExpr: String = s"transform(sh, s -> ${Hashing.h32Sql("s")} % $P) as hv"
-
-  private def sigExpr(k: Int): String =
-    s"""transform(sequence(0, ${k - 1}), j -> array_min(transform(hv,
-          h -> (element_at(${lits(coefA(k))}, j+1) * h + element_at(${lits(coefB(k))}, j+1)) % $P))) as sig"""
 
   private val duckShingles =
     """WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
@@ -74,10 +64,13 @@ object Dedup {
                        i -> array_to_string(t[i:i+2], ' '))) AS sh FROM t),
        hs AS (SELECT doc_id, sh, list_transform(sh, s -> (('0x' || substr(md5(s), 1, 8))::BIGINT) % 2147483647) AS hv FROM sh)"""
 
-  private def duckSig(k: Int): String =
+  private def duckSig(k: Int): String = {
+    val a = duckLits(graft.functions.MinHash.coefA(k).toSeq)
+    val b = duckLits(graft.functions.MinHash.coefB(k).toSeq)
     s"""list_transform(generate_series(0, ${k - 1}),
           j -> list_min(list_transform(hv,
-            h -> (${duckLits(coefA(k))}[j+1] * h + ${duckLits(coefB(k))}[j+1]) % $P)))"""
+            h -> ($a[j+1] * h + $b[j+1]) % $P)))"""
+  }
 
   val all: Map[String, Q] = Map(
     // ── exact duplicate groups: one hash-aggregate over md5(text) ──
@@ -90,37 +83,43 @@ object Dedup {
 
     // ── 16-perm MinHash signature per document ──
     "d02_minhash_sigs" -> Q(
-      (s, d) => shingled(s, d)
-        .selectExpr("doc_id", hvExpr)
-        .selectExpr("doc_id", sigExpr(16)),
+      (s, d) => hashedDocs(s, d)
+        .selectExpr("doc_id", "affine_minhash(hv, 16) as sig"),
       Some(s"""$duckShingles
                SELECT doc_id, ${duckSig(16)} AS sig FROM hs""")),
 
     // ── MinHash-LSH near-dup pairs: band → bucket join → Jaccard verify ──
     "d03_lsh_pairs" -> Q(
       (s, d) => {
-        // persist: the shingle sets feed both verification joins and
-        // the signature branch; the signatures feed both sides of the
-        // self-join. Without it Catalyst recomputes the md5-heavy
-        // subtree once per branch (4x the hash work). Signatures are
-        // ~100 bytes/doc — far smaller than the corpus at any scale.
-        val docs = shingled(s, d).persist()
-        val sigs = docs.selectExpr("doc_id", "sh", hvExpr)
-          .selectExpr("doc_id", sigExpr(16)).persist()
-        // 4 bands of 4 rows: bucket = hash(band, 4 consecutive sig values)
+        // Persist the HASHED shingle sets (array<long> — an order of
+        // magnitude cheaper to cache than the string arrays, measured:
+        // caching both string frames cost 7.6s at sf0.1). Every later
+        // stage — signatures, both self-join sides, both verification
+        // joins — reads this one cache. Jaccard over the hashed sets
+        // equals Jaccard over the shingle strings (the hash is a
+        // bijection up to md5 collisions, identical in the oracle).
+        val hs = hashedDocs(s, d).persist()
+        val sigs = hs.selectExpr("doc_id", "affine_minhash(hv, 16) as sig")
+        // 4 bands of 4 rows: bucket = hash(band, 4 consecutive sig values).
+        // Also persisted (3 scalar columns — near-free cache) so the
+        // self-join's two sides don't each recompute the signatures.
         val bk = sigs
           .selectExpr("doc_id", "explode(sequence(0, 3)) as band", "sig")
           .selectExpr("doc_id", "band",
             s"${Hashing.h32Sql("concat(band, ':', concat_ws(',', slice(sig, band*4+1, 4)))")} as bucket")
+          .persist()
         val cand = bk.select(col("doc_id").as("d1"), col("band"), col("bucket"))
           .join(bk.select(col("doc_id").as("d2"), col("band").as("b2"), col("bucket").as("k2")),
             col("band") === col("b2") && col("bucket") === col("k2") && col("d1") < col("d2"))
           .select("d1", "d2").distinct()
+        // broadcast the hashed-set lookup: candidates keep their
+        // partitioning and the (small) hash sets replicate, instead of
+        // shuffling |cand| x |set| array bytes through two joins
         cand
-          .join(docs.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
-          .join(docs.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+          .join(broadcast(hs.select(col("doc_id").as("d1"), col("hv").as("hv1"))), "d1")
+          .join(broadcast(hs.select(col("doc_id").as("d2"), col("hv").as("hv2"))), "d2")
           .selectExpr("d1", "d2",
-            "cast(size(array_intersect(sh1, sh2)) as double) / size(array_union(sh1, sh2)) as jac")
+            "cast(size(array_intersect(hv1, hv2)) as double) / size(array_union(hv1, hv2)) as jac")
           .where("jac >= 0.7")
           .select("d1", "d2", "jac")
       },
@@ -135,15 +134,15 @@ object Dedup {
                         ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id)
                SELECT d1, d2, jac FROM
                  (SELECT d1, d2,
-                         CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-                           / len(list_distinct(x.sh || y.sh)) AS jac
-                  FROM cand JOIN sh x ON x.doc_id = d1 JOIN sh y ON y.doc_id = d2)
+                         CAST(len(list_intersect(x.hv, y.hv)) AS DOUBLE)
+                           / len(list_distinct(x.hv || y.hv)) AS jac
+                  FROM cand JOIN hs x ON x.doc_id = d1 JOIN hs y ON y.doc_id = d2)
                WHERE jac >= 0.7"""),
       bench = true),
 
     // ── 32-bit SimHash per document (term-frequency weighted) ──
     "d04_simhash" -> Q(
-      (s, d) => Tables(s, d, "documents")
+      (s, d) => { Hashing.register(s); Tables(s, d, "documents") }
         .selectExpr("doc_id", s"transform($toks, tok -> ${Hashing.h32Sql("tok")}) as th")
         .selectExpr("doc_id",
           """aggregate(transform(sequence(0, 31),
@@ -163,29 +162,28 @@ object Dedup {
     // ── char-4-gram Jaccard near-dup (8-perm MinHash, 2 bands of 4) ──
     "d05_ngram_jaccard" -> Q(
       (s, d) => {
-        val grams = Tables(s, d, "documents")
+        Hashing.register(s)
+        // hashed char-4-gram sets, native kernel, cached once
+        val hg = Tables(s, d, "documents")
           .repartition(s.sparkContext.defaultParallelism)
           .where("length(text) >= 4")
-          .selectExpr("doc_id",
-            "array_distinct(transform(sequence(1, length(text)-3), i -> substring(text, i, 4))) as g")
+          .selectExpr("doc_id", "hashed_chargrams(text, 4) as hv")
           .persist()
-        val sigs = grams
-          .selectExpr("doc_id", s"transform(g, x -> ${Hashing.h32Sql("x")} % $P) as hv")
-          .selectExpr("doc_id", sigExpr(8))
-          .persist()
+        val sigs = hg.selectExpr("doc_id", "affine_minhash(hv, 8) as sig")
         val bk = sigs
           .selectExpr("doc_id", "explode(sequence(0, 1)) as band", "sig")
           .selectExpr("doc_id", "band",
             s"${Hashing.h32Sql("concat(band, ':', concat_ws(',', slice(sig, band*4+1, 4)))")} as bucket")
+          .persist()
         val cand = bk.select(col("doc_id").as("d1"), col("band"), col("bucket"))
           .join(bk.select(col("doc_id").as("d2"), col("band").as("b2"), col("bucket").as("k2")),
             col("band") === col("b2") && col("bucket") === col("k2") && col("d1") < col("d2"))
           .select("d1", "d2").distinct()
         cand
-          .join(grams.select(col("doc_id").as("d1"), col("g").as("g1")), "d1")
-          .join(grams.select(col("doc_id").as("d2"), col("g").as("g2")), "d2")
+          .join(broadcast(hg.select(col("doc_id").as("d1"), col("hv").as("hv1"))), "d1")
+          .join(broadcast(hg.select(col("doc_id").as("d2"), col("hv").as("hv2"))), "d2")
           .selectExpr("d1", "d2",
-            "cast(size(array_intersect(g1, g2)) as double) / size(array_union(g1, g2)) as jac")
+            "cast(size(array_intersect(hv1, hv2)) as double) / size(array_union(hv1, hv2)) as jac")
           .where("jac >= 0.6")
           .select("d1", "d2", "jac")
       },
@@ -206,9 +204,9 @@ object Dedup {
                         ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id)
                SELECT d1, d2, jac FROM
                  (SELECT d1, d2,
-                         CAST(len(list_intersect(x.g, y.g)) AS DOUBLE)
-                           / len(list_distinct(x.g || y.g)) AS jac
-                  FROM cand JOIN g x ON x.doc_id = d1 JOIN g y ON y.doc_id = d2)
+                         CAST(len(list_intersect(x.hv, y.hv)) AS DOUBLE)
+                           / len(list_distinct(x.hv || y.hv)) AS jac
+                  FROM cand JOIN hg x ON x.doc_id = d1 JOIN hg y ON y.doc_id = d2)
                WHERE jac >= 0.6"""))
   )
 }

@@ -160,6 +160,7 @@ object Similarity {
     // broadcast nested-loop against 16 centroids (linear scan).
     "s05_ivf_topk" -> Q(
       (s, d) => {
+        Hashing.register(s)
         val e = Tables(s, d, "embeddings")
           .repartition(s.sparkContext.defaultParallelism)
           .selectExpr("vec_id", "embedding", s"$normE as nrm").persist()

@@ -134,7 +134,7 @@ object TextOps {
 
     // ── document fingerprint: min/max rolling hash over 5-gram shingles ──
     "t04_fingerprint" -> Q(
-      (s, d) => Tables(s, d, "documents")
+      (s, d) => { Hashing.register(s); Tables(s, d, "documents") }
         .selectExpr("doc_id", s"$toks as t")
         .where("size(t) >= 5")
         .selectExpr(
