@@ -27,6 +27,7 @@ object SparkEntry {
     graft.queries.Dedup.all,
     graft.queries.Similarity.all,
     graft.queries.Multimodal.all,
+    graft.queries.Pipeline.all,
     graft.dwca.DwcaQueries.all,
     graft.sinks.SinkQueries.all,
     graft.meta.MetaQueries.all
