@@ -227,6 +227,29 @@ object Similarity {
                        CAST(greatest(-127.0, least(127.0, floor(CAST(x AS DOUBLE) * scale + 0.5))) AS INTEGER)) AS qvec
               FROM e""")),
 
+    // ── per-label centroids: distributed element-wise array mean ──
+    // posexplode → partial-aggregated shuffle on (label, pos) →
+    // reassemble by sorted collect. The shuffle key space is
+    // |labels| × dims regardless of row count — the scalable shape for
+    // element-wise vector aggregation. Sums go through the decimal
+    // cast (graft.Det rationale) so both engines add exactly.
+    "s07_label_centroids" -> Q(
+      (s, d) => {
+        import graft.Det
+        Tables(s, d, "embeddings")
+          .selectExpr("label", "posexplode(embedding) as (pos, val)")
+          .groupBy("label", "pos")
+          .agg(Det.davg(col("val").cast("double"), 8).as("v"))
+          .groupBy("label")
+          .agg(expr("transform(sort_array(collect_list(struct(pos, v))), x -> x.v)").as("centroid"))
+      },
+      Some(s"""WITH x AS (SELECT label, pos, CAST(embedding[pos+1] AS DOUBLE) AS val
+                          FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS pos) p),
+               m AS (SELECT label, pos, ${graft.Det.sqlAvg("val", 8)} AS v
+                     FROM x GROUP BY label, pos)
+               SELECT label, list(v ORDER BY pos) AS centroid
+               FROM m GROUP BY label""")),
+
     // ── embedding-cosine near-dup pairs (LSH candidates, cos ≥ 0.45) ──
     "s04_embed_dup" -> Q(
       (s, d) => {
