@@ -29,8 +29,11 @@ object ConvertJob {
         DwcaConvert.convert(spark, cache.toString, DwcaConvert.GeomWkb)
       }, outBase, resourceId, versionId, singleFile)
       if (ran) {
-        Sinks.patchGeoFooter(spark, s"$outBase/$resourceId/v$versionId.parquet", "geom")
-        Sinks.patchGeoFooter(spark, s"$outBase/$resourceId.parquet", "geom")
+        val versioned = s"$outBase/$resourceId/v$versionId.parquet"
+        // bbox from the written data, one distributed envelope pass
+        val bbox = Sinks.geomBbox(spark, spark.read.parquet(versioned), "geom")
+        Sinks.patchGeoFooter(spark, versioned, "geom", bbox)
+        Sinks.patchGeoFooter(spark, s"$outBase/$resourceId.parquet", "geom", bbox)
       }
       ran
     } finally {

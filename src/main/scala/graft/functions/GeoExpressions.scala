@@ -75,6 +75,27 @@ case class StAsText(child: Expression)
     copy(child = newChild)
 }
 
+/** WKB → [xmin, ymin, xmax, ymax] (null for empty geometry; off the
+  * hot path — bbox/footer computation — so CodegenFallback is fine,
+  * and it lets a non-null input produce a null result). */
+case class StEnvelope(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types.{ArrayType, DoubleType}
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "st_envelope"
+
+  override protected def nullSafeEval(b: Any): Any = {
+    val e = Geo.envelope(b.asInstanceOf[Array[Byte]])
+    if (e == null) null else new GenericArrayData(e)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StEnvelope =
+    copy(child = newChild)
+}
+
 /** Registers the ST_* functions on a session (idempotent), so
   * `expr("st_point(lat, lon)")` and `spark.sql` resolve them. Done at
   * query-build time rather than via `SparkSessionExtensions` because
@@ -85,5 +106,6 @@ object GeoFunctions {
     reg.createOrReplaceTempFunction("st_point", exprs => StPoint(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("st_geomfromtext", exprs => StGeomFromText(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction("st_astext", exprs => StAsText(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("st_envelope", exprs => StEnvelope(exprs(0)), "built-in")
   }
 }

@@ -60,30 +60,48 @@ object Sinks {
     df.write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(path)
 
   /** GeoParquet 1.0.0 `geo` footer for a WKB geometry column; CRS
-    * omitted = OGC:CRS84 per spec (the reference's output CRS). */
-  def geoMetadataJson(geomColumn: String): String =
-    s"""{"version":"1.0.0","primary_column":"$geomColumn","columns":{"$geomColumn":{"encoding":"WKB","geometry_types":[]}}}"""
+    * omitted = OGC:CRS84 per spec (the reference's output CRS);
+    * optional per-column bbox [xmin, ymin, xmax, ymax]. */
+  def geoMetadataJson(geomColumn: String, bbox: Option[Seq[Double]] = None): String = {
+    val bboxJson = bbox.map(b => s""","bbox":[${b.mkString(",")}]""").getOrElse("")
+    s"""{"version":"1.0.0","primary_column":"$geomColumn","columns":{"$geomColumn":{"encoding":"WKB","geometry_types":[]$bboxJson}}}"""
+  }
+
+  /** Dataset-level bbox of a WKB geometry column — distributed min/max
+    * over st_envelope, one partial-aggregated pass. */
+  def geomBbox(spark: SparkSession, df: DataFrame, geomColumn: String): Option[Seq[Double]] = {
+    graft.functions.GeoFunctions.register(spark)
+    val r = df.selectExpr(s"st_envelope($geomColumn) as e")
+      .where("e is not null")
+      .selectExpr("min(e[0]) as xmin", "min(e[1]) as ymin",
+        "max(e[2]) as xmax", "max(e[3]) as ymax")
+      .head()
+    if (r.isNullAt(0)) None
+    else Some(Seq(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+  }
 
   /** Add the `geo` key to every part file's footer under `dir`
     * (post-write patch: row groups are byte-copied via `appendFile`,
     * only the footer is rewritten). */
-  def patchGeoFooter(spark: SparkSession, dir: String, geomColumn: String): Unit = {
+  def patchGeoFooter(spark: SparkSession, dir: String, geomColumn: String,
+      bbox: Option[Seq[Double]] = None): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val d = new Path(dir)
     val hfs = fs(spark, d)
     val parts = hfs.listStatus(d).map(_.getPath)
       .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
-    parts.foreach(patchOneFooter(conf, _, geomColumn))
+    parts.foreach(patchOneFooter(conf, _, geomColumn, bbox))
   }
 
-  private def patchOneFooter(conf: Configuration, file: Path, geomColumn: String): Unit = {
+  private def patchOneFooter(conf: Configuration, file: Path, geomColumn: String,
+      bbox: Option[Seq[Double]]): Unit = {
     val in = HadoopInputFile.fromPath(file, conf)
     val reader = ParquetFileReader.open(in)
     val fileMeta =
       try reader.getFooter.getFileMetaData
       finally reader.close()
     val extra = new java.util.HashMap[String, String](fileMeta.getKeyValueMetaData)
-    extra.put("geo", geoMetadataJson(geomColumn))
+    extra.put("geo", geoMetadataJson(geomColumn, bbox))
 
     val tmp = new Path(file.getParent, file.getName + ".geo.tmp")
     val writer = new ParquetFileWriter(

@@ -19,10 +19,16 @@ class ConvertJobSpec extends AnyFunSuite with SparkTestBase {
     val latest = s"$out/res1.parquet"
     assert(spark.read.parquet(versioned).count() === 10)
     assert(spark.read.parquet(latest).count() === 10)
-    // both outputs carry the GeoParquet footer
+    // both outputs carry the GeoParquet footer with the data bbox
+    // (fixture extent: lat 58.97-69.65 as x, lon 5.73-19 as y —
+    // polygon rings stretch lon to 19)
     Seq(versioned, latest).foreach { p =>
       val geo = Sinks.readFooterKey(spark, p, "geo")
-      assert(geo.nonEmpty && geo.forall(_._2 == Sinks.geoMetadataJson("geom")))
+      assert(geo.nonEmpty)
+      geo.foreach { case (_, json) =>
+        assert(json.contains(""""bbox":["""), json)
+        assert(json.contains(""""encoding":"WKB""""), json)
+      }
     }
     // the cache zip was cleaned up
     assert(!Files.exists(Paths.get(System.getProperty("java.io.tmpdir"),
