@@ -54,6 +54,19 @@ object Dedup {
     * recall (validated: the same 25/25 planted pairs at sf0.01). The
     * coefficients are md5-derived driver-side ([[Hashing.jvm32]]) and
     * inlined as literals in both the Spark plan and the oracle. */
+  /** doc_id + 32-bit SimHash (term-frequency weighted). */
+  private def simhashed(s: SparkSession, d: String): DataFrame = {
+    Hashing.register(s)
+    Tables(s, d, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .selectExpr("doc_id", s"transform($toks, tok -> ${Hashing.h32Sql("tok")}) as th")
+      .selectExpr("doc_id",
+        """aggregate(transform(sequence(0, 31),
+             b -> if(2 * size(filter(th, h -> (h div shiftleft(cast(1 as bigint), b)) % 2 = 1)) >= size(th),
+                     shiftleft(cast(1 as bigint), b), cast(0 as bigint))),
+           cast(0 as bigint), (a, x) -> a + x) as simhash""")
+  }
+
   private val P = graft.functions.MinHash.P
   private def duckLits(xs: Seq[Long]): String = xs.mkString("[", ",", "]")
 
@@ -142,13 +155,7 @@ object Dedup {
 
     // ── 32-bit SimHash per document (term-frequency weighted) ──
     "d04_simhash" -> Q(
-      (s, d) => { Hashing.register(s); Tables(s, d, "documents") }
-        .selectExpr("doc_id", s"transform($toks, tok -> ${Hashing.h32Sql("tok")}) as th")
-        .selectExpr("doc_id",
-          """aggregate(transform(sequence(0, 31),
-               b -> if(2 * size(filter(th, h -> (h div shiftleft(cast(1 as bigint), b)) % 2 = 1)) >= size(th),
-                       shiftleft(cast(1 as bigint), b), cast(0 as bigint))),
-             cast(0 as bigint), (a, x) -> a + x) as simhash""")
+      (s, d) => simhashed(s, d)
         .selectExpr("doc_id", "simhash", "simhash div 16777216 as bucket"),
       Some(s"""WITH th AS (SELECT doc_id,
                  list_transform(string_split(text,' '), tok -> ${Hashing.duck32("tok")}) AS th
@@ -158,6 +165,37 @@ object Dedup {
                     b -> CASE WHEN 2 * len(list_filter(th, h -> (h // (1::BIGINT << b)) % 2 = 1)) >= len(th)
                               THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
                   FROM th)""")),
+
+    // ── SimHash near-dup pairs: 16-bit-half banding + hamming verify ──
+    // Pigeonhole: hamming <= 1 implies one 16-bit half matches exactly,
+    // so recall is exact for k <= 1 and partial for 2..3 (full k <= 3
+    // recall needs the C(32,k) multi-table expansion — documented
+    // tradeoff, same banding mirrored in the oracle).
+    "d06_simhash_pairs" -> Q(
+      (s, d) => {
+        val sh = simhashed(s, d).persist()
+        val bk = sh.selectExpr("doc_id", "simhash", "explode(sequence(0, 1)) as band")
+          .selectExpr("doc_id", "simhash", "band", "shiftright(simhash, band*16) & 65535 as bits")
+        bk.select(col("doc_id").as("d1"), col("simhash").as("s1"), col("band"), col("bits"))
+          .join(bk.select(col("doc_id").as("d2"), col("simhash").as("s2"),
+            col("band").as("b2"), col("bits").as("k2")),
+            col("band") === col("b2") && col("bits") === col("k2") && col("d1") < col("d2"))
+          .select("d1", "d2", "s1", "s2").distinct()
+          .selectExpr("d1", "d2", "cast(bit_count(s1 ^ s2) as int) as hamming")
+          .where("hamming <= 3")
+      },
+      Some("""WITH th AS (SELECT doc_id,
+                list_transform(string_split(text,' '), tok -> (('0x' || substr(md5(tok), 1, 8))::BIGINT)) AS th
+              FROM documents),
+              sh AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 31),
+                       b -> CASE WHEN 2 * len(list_filter(th, h -> (h // (1::BIGINT << b)) % 2 = 1)) >= len(th)
+                                 THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS simhash FROM th),
+              b AS (SELECT doc_id, simhash, unnest(generate_series(0, 1)) AS band FROM sh),
+              bk AS (SELECT doc_id, simhash, band, (simhash >> (band*16)) & 65535 AS bits FROM b),
+              cand AS (SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2, a.simhash AS s1, c.simhash AS s2
+                       FROM bk a JOIN bk c ON a.band = c.band AND a.bits = c.bits AND a.doc_id < c.doc_id)
+              SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
+              FROM cand WHERE bit_count(xor(s1, s2)) <= 3""")),
 
     // ── char-4-gram Jaccard near-dup (8-perm MinHash, 2 bands of 4) ──
     "d05_ngram_jaccard" -> Q(
