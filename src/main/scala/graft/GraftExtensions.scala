@@ -23,6 +23,7 @@ import graft.functions.{StAsText, StGeomFromText, StPoint}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.JaccardRewrite)
     def info(name: String, usage: String) =
       new ExpressionInfo(classOf[StPoint].getName, null, name, usage, "")
     ext.injectFunction((FunctionIdentifier("st_point"),

@@ -41,6 +41,7 @@ object Dedup {
     * and the repartition collapses into a cheap round-robin. */
   private def hashedDocs(s: SparkSession, d: String): DataFrame = {
     Hashing.register(s)
+    graft.plans.JaccardRewrite.install(s)
     Tables(s, d, "documents")
       .repartition(s.sparkContext.defaultParallelism)
       .where(s"size($toks) >= 3")
@@ -201,6 +202,7 @@ object Dedup {
     "d05_ngram_jaccard" -> Q(
       (s, d) => {
         Hashing.register(s)
+        graft.plans.JaccardRewrite.install(s)
         // hashed char-4-gram sets, native kernel, cached once
         val hg = Tables(s, d, "documents")
           .repartition(s.sparkContext.defaultParallelism)

@@ -31,6 +31,26 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     assert(!optimized.toLowerCase.contains("st_point"), optimized)
   }
 
+  test("JaccardRewrite fuses the intersect/union idiom and preserves results") {
+    graft.plans.JaccardRewrite.install(spark)
+    // non-foldable source, else ConvertToLocalRelation evaluates the
+    // whole projection at plan time and hides the expression
+    val df = spark.range(2)
+      .selectExpr("array(id, id + 1, 3L) as a", "array(id + 1, 4L) as b")
+      .selectExpr("cast(size(array_intersect(a, b)) as double) / size(array_union(a, b)) as jac")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("jaccard_sets"), optimized)
+    // id=0: a=[0,1,3] b=[1,4] -> 1/4; id=1: a=[1,2,3] b=[2,4] -> 1/4
+    assert(df.collect().map(_.getDouble(0)).toSeq === Seq(0.25, 0.25))
+    // fused result equals the unfused builtin computation
+    import spark.implicits._
+    val unfused = Seq((Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)))
+      .toDF("a", "b")
+      .selectExpr("size(array_intersect(a, b)) as i", "size(array_union(a, b)) as u")
+      .head
+    assert(unfused.getInt(0).toDouble / unfused.getInt(1) === 0.5)
+  }
+
   test("NullPropagation folds null-literal inputs (nullIntolerant)") {
     graft.functions.GeoFunctions.register(spark)
     val df = spark.sql(
