@@ -72,6 +72,15 @@ object EventStreams {
       .select(col("user_id"),
         unix_millis(col("session_window.start")).as("session_start_ms"), col("n"))
 
+  /** Streaming exact dedup: drop events whose `event_id` was already
+    * seen within the watermark horizon. State holds one entry per key
+    * for at most the watermark interval — bounded regardless of
+    * stream length (the streaming face of d01's batch hash-dedup). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class Event(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class SessionOut(user_id: Long, session_start_ms: Long, n: Long, val_sum: Double)

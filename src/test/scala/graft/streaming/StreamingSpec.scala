@@ -50,6 +50,15 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got === want)
   }
 
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    val stream = EventStreams.dedupStream(
+      EventStreams.eventsStream(spark, sf).select("event_id", "ts", "user_id"))
+    val got = runToMemory(stream, "t_dedup").count()
+    val want = graft.queries.Relational.events(spark, sf)
+      .select("event_id").distinct().count()
+    assert(got === want)
+  }
+
   test("flatMapGroupsWithState sessionizer matches session_window on closed sessions") {
     import spark.implicits._
     val events = EventStreams.eventsStream(spark, sf)
