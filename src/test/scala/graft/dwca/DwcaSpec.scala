@@ -55,6 +55,27 @@ class DwcaSpec extends AnyFunSuite with SparkTestBase {
     assert(occ1.getAs[String]("geom_wkt") === "POINT (59.910000 10.750000)")
   }
 
+  test("non-default separator and encoding: semicolon + latin-1, core-only") {
+    val zipSemi = {
+      val local = java.nio.file.Paths.get("src/test/resources/dwca/semicolon.zip")
+      if (java.nio.file.Files.exists(local)) local.toAbsolutePath.toString
+      else "/root/repo/src/test/resources/dwca/semicolon.zip"
+    }
+    val meta = DwcaMeta.fromZip(zipSemi)
+    assert(meta.core.sepRegex === ";" && meta.core.sepLiteral === ";")
+    assert(meta.core.encoding === "ISO-8859-1")
+    assert(meta.core.headers === Seq("id", "scientificName", "decimalLatitude", "decimalLongitude"))
+    assert(meta.extensions.isEmpty)
+    val df = DwcaConvert.convert(spark, zipSemi, DwcaConvert.GeomWktString)
+    val rows = df.collect().sortBy(_.getAs[String]("id"))
+    assert(rows.length === 2) // no extensions -> core passes through
+    // latin-1 text decoded correctly
+    assert(rows(0).getAs[String]("scientificName") === "Rådyr (Capreolus capreolus)")
+    assert(rows(1).getAs[String]("scientificName") === "Elg ælg")
+    // no footprintWKT column -> point branch only
+    assert(rows(0).getAs[String]("geom_wkt") === "POINT (59.500000 10.500000)")
+  }
+
   test("distributed zip scan is byte-equivalent to the extracted scan") {
     val meta = DwcaMeta.fromZip(zip)
     val dir = DwcaConvert.extract(zip)

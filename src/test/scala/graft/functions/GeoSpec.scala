@@ -46,6 +46,17 @@ class GeoSpec extends AnyFunSuite with SparkTestBase {
     cases.foreach { w => assert(Geo.wkbToWkt(Geo.wktToWkb(w)) === w) }
   }
 
+  test("envelope extracts the coordinate extent") {
+    assert(Geo.envelope(Geo.wktToWkb("POINT (3 4)")).toSeq === Seq(3.0, 4.0, 3.0, 4.0))
+    assert(Geo.envelope(Geo.wktToWkb("POLYGON ((10 63, 11 63, 11 64, 10 64, 10 63))")).toSeq
+      === Seq(10.0, 63.0, 11.0, 64.0))
+    assert(Geo.envelope(Geo.wktToWkb(
+      "GEOMETRYCOLLECTION (POINT (-5 2), LINESTRING (0 0, 7 1))")).toSeq
+      === Seq(-5.0, 0.0, 7.0, 2.0))
+    // empty point -> null envelope
+    assert(Geo.envelope(Geo.wktToWkb("POINT EMPTY")) === null)
+  }
+
   test("malformed WKT throws") {
     assertThrows[IllegalArgumentException](Geo.wktToWkb("POINT (1)"))
     assertThrows[IllegalArgumentException](Geo.wktToWkb("CIRCLE (1 2, 3)"))
