@@ -41,4 +41,21 @@ object ConvertJob {
       java.nio.file.Files.deleteIfExists(cache)
     }
   }
+
+  /** Catalog-driven fleet conversion — the reference's per-request RQ
+    * loop (`resources.py:46-75` over the RSS datasets) as one driver
+    * loop: each dataset is an independent skip-or-convert. Failures
+    * are isolated per archive (one bad zip must not sink the fleet);
+    * returns (resourceId → ran|skipped|error). */
+  def runCatalog(spark: SparkSession, datasets: Seq[graft.meta.IptDataset],
+      archiveUrlOf: graft.meta.IptDataset => String, outBase: String,
+      singleFile: Boolean = true): Map[String, String] =
+    datasets.map { ds =>
+      ds.id -> (try {
+        if (run(spark, archiveUrlOf(ds), outBase, ds.id, ds.version, singleFile))
+          "ran" else "skipped"
+      } catch {
+        case e: Exception => s"error: ${e.getMessage}"
+      })
+    }.toMap
 }

@@ -37,6 +37,22 @@ class ConvertJobSpec extends AnyFunSuite with SparkTestBase {
     assert(!ConvertJob.run(spark, url, out, "res1", "3"))
   }
 
+  test("catalog fleet conversion: per-archive isolation and skip") {
+    val out = Files.createTempDirectory("graft-fleet").toString
+    val goodUrl = Paths.get(DwcaQueries.fixtureZip).toUri.toString
+    val datasets = Seq(
+      graft.meta.IptDataset("good", "Good", "1", "g/1", ""),
+      graft.meta.IptDataset("bad", "Bad", "1", "b/1", ""))
+    val urls = Map("good" -> goodUrl, "bad" -> "file:///nonexistent.zip")
+    val res = ConvertJob.runCatalog(spark, datasets, ds => urls(ds.id), out)
+    assert(res("good") === "ran")
+    assert(res("bad").startsWith("error"))
+    // second pass: good is skipped, bad errors again, fleet continues
+    val res2 = ConvertJob.runCatalog(spark, datasets, ds => urls(ds.id), out)
+    assert(res2("good") === "skipped")
+    assert(spark.read.parquet(s"$out/good.parquet").count() === 10)
+  }
+
   test("fetch supports bare local paths and rejects unknown schemes") {
     val dest = Files.createTempDirectory("graft-fetch").resolve("z.zip")
     graft.sources.Fetch.toFile(DwcaQueries.fixtureZip, dest)
