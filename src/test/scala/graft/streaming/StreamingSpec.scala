@@ -59,6 +59,28 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got === want)
   }
 
+  test("file sink + checkpoint is exactly-once across restarts") {
+    val base = java.nio.file.Files.createTempDirectory("graft-eo").toString
+    def runOnce(): Unit = {
+      val q = EventStreams.eventsStream(spark, sf)
+        .select("event_id", "ts", "user_id")
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    val first = spark.read.parquet(s"$base/out").count()
+    // restart with the same checkpoint: the source offsets are already
+    // committed, so nothing is re-emitted and nothing is duplicated
+    runOnce()
+    val second = spark.read.parquet(s"$base/out").count()
+    assert(first === second)
+    assert(first === graft.queries.Relational.events(spark, sf).count())
+  }
+
   test("flatMapGroupsWithState sessionizer matches session_window on closed sessions") {
     import spark.implicits._
     val events = EventStreams.eventsStream(spark, sf)
