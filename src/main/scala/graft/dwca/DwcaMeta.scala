@@ -27,10 +27,20 @@ final case class DwcaLayer(
     sepRegex: String,
     idIndex: Int,
     isExtension: Boolean,
-    headers: Seq[String]) {
+    headers: Seq[String],
+    /** `<field index term>` declarations — the reference ignores them
+      * (column names come from the data header), but they are the
+      * schema-pinning source when inference parity matters
+      * (SURVEY §7.4): index → full DwC term URI. */
+    fieldTerms: Map[Int, String] = Map.empty) {
 
   /** Positional join-key resolution (`dwca.py:24-25`). */
   def idCol: String = headers(idIndex)
+
+  /** Short term name (URI fragment) per header position, where
+    * declared — e.g. 2 → "scientificName". */
+  def termNames: Map[Int, String] =
+    fieldTerms.map { case (i, uri) => i -> uri.substring(uri.lastIndexOf('/') + 1) }
 
   /** Literal separator for the CSV scan. The regex form is only ever
     * an escaped single character in IPT archives ("\t", ",", ";");
@@ -89,7 +99,12 @@ object DwcaMeta {
           case -1 => location
           case i  => location.substring(0, i)
         }
-        DwcaLayer(name, location, encoding, sepRegex, idIndex, isExtension, headers)
+        val fields = node.getElementsByTagName("field")
+        val terms = (0 until fields.getLength).map { i =>
+          val f = fields.item(i).asInstanceOf[Element]
+          f.getAttribute("index").toInt -> f.getAttribute("term")
+        }.toMap
+        DwcaLayer(name, location, encoding, sepRegex, idIndex, isExtension, headers, terms)
       }
 
       val core = parseLayer(layersOf("core").head, isExtension = false)

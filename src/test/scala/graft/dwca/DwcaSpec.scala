@@ -25,6 +25,13 @@ class DwcaSpec extends AnyFunSuite with SparkTestBase {
     assert(meta.extensions.forall(_.isExtension))
   }
 
+  test("field term declarations are parsed for schema pinning") {
+    val meta = DwcaMeta.fromZip(zip)
+    assert(meta.core.fieldTerms(2) === "http://rs.tdwg.org/dwc/terms/scientificName")
+    assert(meta.core.termNames(3) === "decimalLatitude")
+    assert(meta.extensions.head.termNames(1) === "measurementType")
+  }
+
   test("columns is the union over ALL layers (reference bug fixed)") {
     val meta = DwcaMeta.fromZip(zip)
     // dwca.py:42 discards the union result; ours must include
