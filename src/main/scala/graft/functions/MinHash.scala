@@ -72,20 +72,26 @@ object MinHash {
   }
 
   /** Distinct char n-gram hashes of a string (mod P), insertion order.
-    * Gram positions are CHARACTER positions (matches substr in both
-    * engines); bytes hashed are the gram's UTF-8 encoding. */
+    * Gram positions are CODE-POINT positions — Spark's `substring` and
+    * DuckDB's `substr` both count code points, so supplementary-plane
+    * characters (emoji, rare CJK) slice identically to the SQL
+    * formulations; bytes hashed are the gram's UTF-8 encoding. */
   def hashedCharGrams(s: UTF8String, n: Int): ArrayData = {
     val str = s.toString
     val out = new java.util.ArrayList[Long]()
     val seen = new java.util.HashSet[String]()
     val d = tl.get()
+    val cps = str.codePointCount(0, str.length)
+    var start = 0 // UTF-16 index of the current gram's first code point
     var i = 0
-    while (i + n <= str.length) {
-      val g = str.substring(i, i + n)
+    while (i + n <= cps) {
+      val end = str.offsetByCodePoints(start, n)
+      val g = str.substring(start, end)
       if (seen.add(g)) {
         d.reset()
         out.add(h32of(d.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
       }
+      start = str.offsetByCodePoints(start, 1)
       i += 1
     }
     toArrayData(out)

@@ -141,8 +141,11 @@ object MetaQueries {
         val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
           "graft-sinks", "geoapi-config.json").toString
         graft.sinks.Sinks.writeJsonArray(s, df, out)
+        // keywords joins to a string for the gate: the driver's pandas
+        // fingerprint cannot hash array cells (r03 harness error)
         df.select(col("id"), col("type"), col("visibility"), col("title"),
-          to_json(col("extents")).as("extents_json"), col("keywords"),
+          to_json(col("extents")).as("extents_json"),
+          array_join(col("keywords"), ", ").as("keywords"),
           col("description"), to_json(col("providers")).as("providers_json"))
       },
       Some {
@@ -151,12 +154,12 @@ object MetaQueries {
         s"""SELECT * FROM (VALUES
               ('ipt.example/birds-norway', 'collection', 'default', 'Bird observations Norway',
                '{"spatial":{"bbox":[4.0,57.9,31.1,71.2],"crs":4326}}',
-               ['Occurrence', 'Birds', 'Coastal'],
+               'Occurrence, Birds, Coastal',
                'Systematic bird counts along the Norwegian coast.',
                '${providers("birds-norway")}'),
               ('ipt.example/mammals-svalbard', 'collection', 'default', 'Mammal census Svalbard',
                '{"spatial":{"bbox":[9.5,76.4,33.5,80.8],"crs":4326}}',
-               ['Occurrence', 'Mammals'],
+               'Occurrence, Mammals',
                'Annual census of marine and land mammals on Svalbard.',
                '${providers("mammals-svalbard")}'))
             AS t(id, type, visibility, title, extents_json, keywords, description, providers_json)"""

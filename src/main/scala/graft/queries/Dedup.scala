@@ -96,11 +96,15 @@ object Dedup {
               FROM documents GROUP BY 1""")),
 
     // ── 16-perm MinHash signature per document ──
+    // Gate output is the comma-joined signature string: the driver's
+    // pandas fingerprint cannot hash array cells (r03 harness error),
+    // and the join is lossless for int64 values in both engines.
     "d02_minhash_sigs" -> Q(
       (s, d) => hashedDocs(s, d)
-        .selectExpr("doc_id", "affine_minhash(hv, 16) as sig"),
+        .selectExpr("doc_id",
+          "array_join(transform(affine_minhash(hv, 16), x -> cast(x as string)), ',') as sig"),
       Some(s"""$duckShingles
-               SELECT doc_id, ${duckSig(16)} AS sig FROM hs""")),
+               SELECT doc_id, array_to_string(${duckSig(16)}, ',') AS sig FROM hs""")),
 
     // ── MinHash-LSH near-dup pairs: band → bucket join → Jaccard verify ──
     "d03_lsh_pairs" -> Q(
@@ -125,13 +129,19 @@ object Dedup {
         val cand = bk.select(col("doc_id").as("d1"), col("band"), col("bucket"))
           .join(bk.select(col("doc_id").as("d2"), col("band").as("b2"), col("bucket").as("k2")),
             col("band") === col("b2") && col("bucket") === col("k2") && col("d1") < col("d2"))
-          .select("d1", "d2").distinct()
+          .select("d1", "d2").distinct().persist()
         // broadcast the hashed-set lookup: candidates keep their
-        // partitioning and the (small) hash sets replicate, instead of
-        // shuffling |cand| x |set| array bytes through two joins
+        // partitioning and the hash sets replicate, instead of
+        // shuffling |cand| x |set| array bytes through two joins.
+        // Broadcast ONLY the sets of docs that appear in a candidate
+        // pair (banding bounds |cand|, so this side stays small even
+        // when the corpus does not) — never the whole corpus.
+        val candIds = cand.select(col("d1").as("doc_id"))
+          .union(cand.select(col("d2").as("doc_id"))).distinct()
+        val candHs = hs.join(broadcast(candIds), Seq("doc_id"), "left_semi")
         cand
-          .join(broadcast(hs.select(col("doc_id").as("d1"), col("hv").as("hv1"))), "d1")
-          .join(broadcast(hs.select(col("doc_id").as("d2"), col("hv").as("hv2"))), "d2")
+          .join(broadcast(candHs.select(col("doc_id").as("d1"), col("hv").as("hv1"))), "d1")
+          .join(broadcast(candHs.select(col("doc_id").as("d2"), col("hv").as("hv2"))), "d2")
           .selectExpr("d1", "d2",
             "cast(size(array_intersect(hv1, hv2)) as double) / size(array_union(hv1, hv2)) as jac")
           .where("jac >= 0.7")
@@ -218,10 +228,14 @@ object Dedup {
         val cand = bk.select(col("doc_id").as("d1"), col("band"), col("bucket"))
           .join(bk.select(col("doc_id").as("d2"), col("band").as("b2"), col("bucket").as("k2")),
             col("band") === col("b2") && col("bucket") === col("k2") && col("d1") < col("d2"))
-          .select("d1", "d2").distinct()
+          .select("d1", "d2").distinct().persist()
+        // see d03: broadcast only candidate docs' gram sets, not the corpus
+        val candIds = cand.select(col("d1").as("doc_id"))
+          .union(cand.select(col("d2").as("doc_id"))).distinct()
+        val candHg = hg.join(broadcast(candIds), Seq("doc_id"), "left_semi")
         cand
-          .join(broadcast(hg.select(col("doc_id").as("d1"), col("hv").as("hv1"))), "d1")
-          .join(broadcast(hg.select(col("doc_id").as("d2"), col("hv").as("hv2"))), "d2")
+          .join(broadcast(candHg.select(col("doc_id").as("d1"), col("hv").as("hv1"))), "d1")
+          .join(broadcast(candHg.select(col("doc_id").as("d2"), col("hv").as("hv2"))), "d2")
           .selectExpr("d1", "d2",
             "cast(size(array_intersect(hv1, hv2)) as double) / size(array_union(hv1, hv2)) as jac")
           .where("jac >= 0.6")

@@ -212,19 +212,22 @@ object Similarity {
     // ── int8 embedding quantization (training-pipeline compaction) ──
     // floor(x·s + 0.5) instead of round(): identical half-up behavior
     // in both engines, no rounding-mode ambiguity.
+    // Gate output joins qvec to a comma string — the driver's pandas
+    // fingerprint cannot hash array cells (r03 harness error); the
+    // join is lossless for int8-range values in both engines.
     "s06_quantize" -> Q(
       (s, d) => Tables(s, d, "embeddings").selectExpr(
         "vec_id",
         s"127.0 / array_max(transform(embedding, x -> abs(cast(x as double)))) as scale",
-        s"""transform(embedding, x ->
-              cast(greatest(-127.0, least(127.0,
-                floor(cast(x as double) * (127.0 / array_max(transform(embedding, x2 -> abs(cast(x2 as double))))) + 0.5))) as int)) as qvec"""),
+        s"""array_join(transform(embedding, x ->
+              cast(cast(greatest(-127.0, least(127.0,
+                floor(cast(x as double) * (127.0 / array_max(transform(embedding, x2 -> abs(cast(x2 as double))))) + 0.5))) as int) as string)), ',') as qvec"""),
       Some("""WITH e AS (SELECT vec_id, embedding,
                 127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
               FROM embeddings)
               SELECT vec_id, scale,
-                     list_transform(embedding, x ->
-                       CAST(greatest(-127.0, least(127.0, floor(CAST(x AS DOUBLE) * scale + 0.5))) AS INTEGER)) AS qvec
+                     array_to_string(list_transform(embedding, x ->
+                       CAST(greatest(-127.0, least(127.0, floor(CAST(x AS DOUBLE) * scale + 0.5))) AS INTEGER)), ',') AS qvec
               FROM e""")),
 
     // ── per-label centroids: distributed element-wise array mean ──
@@ -233,6 +236,11 @@ object Similarity {
     // |labels| × dims regardless of row count — the scalable shape for
     // element-wise vector aggregation. Sums go through the decimal
     // cast (graft.Det rationale) so both engines add exactly.
+    // The centroid array is assembled (sorted collect — the operator
+    // under test), then re-exploded to scalar rows for the gate: the
+    // driver's pandas fingerprint cannot hash array cells, and the
+    // explode also verifies element order, which a joined string of
+    // doubles could not do without a formatting contract.
     "s07_label_centroids" -> Q(
       (s, d) => {
         import graft.Det
@@ -242,13 +250,12 @@ object Similarity {
           .agg(Det.davg(col("val").cast("double"), 8).as("v"))
           .groupBy("label")
           .agg(expr("transform(sort_array(collect_list(struct(pos, v))), x -> x.v)").as("centroid"))
+          .selectExpr("label", "posexplode(centroid) as (pos, v)")
       },
       Some(s"""WITH x AS (SELECT label, pos, CAST(embedding[pos+1] AS DOUBLE) AS val
-                          FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS pos) p),
-               m AS (SELECT label, pos, ${graft.Det.sqlAvg("val", 8)} AS v
-                     FROM x GROUP BY label, pos)
-               SELECT label, list(v ORDER BY pos) AS centroid
-               FROM m GROUP BY label""")),
+                          FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS pos) p)
+               SELECT label, CAST(pos AS INTEGER) AS pos, ${graft.Det.sqlAvg("val", 8)} AS v
+               FROM x GROUP BY label, pos""")),
 
     // ── embedding-cosine near-dup pairs (LSH candidates, cos ≥ 0.45) ──
     "s04_embed_dup" -> Q(

@@ -63,11 +63,29 @@ private class ZipLinesTable(path: String, encoding: String) extends Table with S
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ZipLinesScanBuilder(path, encoding)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // Capture the session's fs.* settings (s3a credentials/endpoint,
+    // Fetch.configureS3a) here on the driver — Configuration itself is
+    // not serializable, a String map is; planning and every reader
+    // rebuild the configured filesystem from it (same pattern as
+    // ZipSource.memberLines).
+    val fsConf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration.iterator().asScala
+      .map(e => e.getKey -> e.getValue)
+      .filter(_._1.startsWith("fs.")).toMap
+    new ZipLinesScanBuilder(path, encoding, fsConf)
+  }
 }
 
-private class ZipLinesScanBuilder(path: String, encoding: String)
+private object ZipLinesSourceConf {
+  def hadoopConf(fsConf: Map[String, String]): Configuration = {
+    val conf = new Configuration()
+    fsConf.foreach { case (k, v) => conf.set(k, v) }
+    conf
+  }
+}
+
+private class ZipLinesScanBuilder(path: String, encoding: String, fsConf: Map[String, String])
     extends ScanBuilder with SupportsPushDownFilters {
 
   private var memberEq: Option[String] = None
@@ -85,12 +103,13 @@ private class ZipLinesScanBuilder(path: String, encoding: String)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new ZipLinesScan(path, encoding, memberEq)
+  override def build(): Scan = new ZipLinesScan(path, encoding, memberEq, fsConf)
 }
 
 private case class ZipMemberPartition(member: String) extends InputPartition
 
-private class ZipLinesScan(path: String, encoding: String, memberEq: Option[String])
+private class ZipLinesScan(path: String, encoding: String, memberEq: Option[String],
+    fsConf: Map[String, String])
     extends Scan with Batch {
   override def readSchema(): StructType = ZipLinesSource.schema
   override def toBatch: Batch = this
@@ -100,7 +119,7 @@ private class ZipLinesScan(path: String, encoding: String, memberEq: Option[Stri
   /** Driver-side entry listing; partition pruning via the pushed
     * member filter happens HERE, before any task is scheduled. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = new Configuration()
+    val conf = ZipLinesSourceConf.hadoopConf(fsConf)
     val p = new Path(path)
     val in = p.getFileSystem(conf).open(p)
     val zin = new ZipInputStream(in)
@@ -114,23 +133,24 @@ private class ZipLinesScan(path: String, encoding: String, memberEq: Option[Stri
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ZipLinesReaderFactory(path, encoding)
+    new ZipLinesReaderFactory(path, encoding, fsConf)
 }
 
-private class ZipLinesReaderFactory(path: String, encoding: String)
+private class ZipLinesReaderFactory(path: String, encoding: String, fsConf: Map[String, String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val member = partition.asInstanceOf[ZipMemberPartition].member
-    new ZipLinesReader(path, member, encoding)
+    new ZipLinesReader(path, member, encoding, fsConf)
   }
 }
 
-private class ZipLinesReader(path: String, member: String, encoding: String)
+private class ZipLinesReader(path: String, member: String, encoding: String,
+    fsConf: Map[String, String])
     extends PartitionReader[InternalRow] {
 
   private val reader: BufferedReader = {
     val p = new Path(path)
-    val in = p.getFileSystem(new Configuration()).open(p)
+    val in = p.getFileSystem(ZipLinesSourceConf.hadoopConf(fsConf)).open(p)
     val zin = new ZipInputStream(in)
     var entry = zin.getNextEntry
     while (entry != null && entry.getName != member) entry = zin.getNextEntry

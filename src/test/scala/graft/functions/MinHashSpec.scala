@@ -46,6 +46,23 @@ class MinHashSpec extends AnyFunSuite with SparkTestBase {
     assert(got === want)
   }
 
+  test("hashed_chargrams slices by code points (supplementary plane)") {
+    Hashing.register(spark)
+    import spark.implicits._
+    // 😀 is one code point but two UTF-16 chars; Spark's substring
+    // counts code points, and the kernel must agree with it.
+    val text = "a😀bc😁d"
+    val got = Seq(text).toDF("t")
+      .selectExpr("hashed_chargrams(t, 3) as hv")
+      .head.getSeq[Long](0).toSet
+    val sql = Seq(text).toDF("t").selectExpr(
+      s"""transform(array_distinct(transform(sequence(1, char_length(t)-2),
+            i -> substring(t, i, 3))), g -> h32(g) % $P) as hv""")
+      .head.getSeq[Long](0).toSet
+    assert(got === sql)
+    assert(got.size === 4) // 6 code points -> 4 grams, all distinct
+  }
+
   test("affine_minhash equals per-permutation mins") {
     Hashing.register(spark)
     import spark.implicits._
