@@ -50,6 +50,12 @@ object Hashing {
       exprs => HashedCharGrams(exprs(0), litInt(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction("affine_minhash",
       exprs => AffineMinHash(exprs(0), litInt(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction("dotf",
+      exprs => DotF(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("vnorm",
+      exprs => VNorm(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("hyperplane_sig",
+      exprs => HyperplaneSig(exprs(0), litInt(exprs(1)), litInt(exprs(2))), "built-in")
   }
 
   private val tlMd5 = ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))

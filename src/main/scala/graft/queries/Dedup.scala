@@ -129,19 +129,15 @@ object Dedup {
         val cand = bk.select(col("doc_id").as("d1"), col("band"), col("bucket"))
           .join(bk.select(col("doc_id").as("d2"), col("band").as("b2"), col("bucket").as("k2")),
             col("band") === col("b2") && col("bucket") === col("k2") && col("d1") < col("d2"))
-          .select("d1", "d2").distinct().persist()
-        // broadcast the hashed-set lookup: candidates keep their
-        // partitioning and the hash sets replicate, instead of
-        // shuffling |cand| x |set| array bytes through two joins.
-        // Broadcast ONLY the sets of docs that appear in a candidate
-        // pair (banding bounds |cand|, so this side stays small even
-        // when the corpus does not) — never the whole corpus.
-        val candIds = cand.select(col("d1").as("doc_id"))
-          .union(cand.select(col("d2").as("doc_id"))).distinct()
-        val candHs = hs.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+        // Verification joins carry no hints: banding bounds |cand|, so
+        // AQE broadcasts the candidate side and streams the (cached)
+        // hash sets — never a broadcast of the whole corpus, which the
+        // previous explicit broadcast(hs) hint forced (fine at gate
+        // scale, an OOM at 100 TB).
+          .select("d1", "d2").distinct()
         cand
-          .join(broadcast(candHs.select(col("doc_id").as("d1"), col("hv").as("hv1"))), "d1")
-          .join(broadcast(candHs.select(col("doc_id").as("d2"), col("hv").as("hv2"))), "d2")
+          .join(hs.select(col("doc_id").as("d1"), col("hv").as("hv1")), "d1")
+          .join(hs.select(col("doc_id").as("d2"), col("hv").as("hv2")), "d2")
           .selectExpr("d1", "d2",
             "cast(size(array_intersect(hv1, hv2)) as double) / size(array_union(hv1, hv2)) as jac")
           .where("jac >= 0.7")
@@ -228,14 +224,11 @@ object Dedup {
         val cand = bk.select(col("doc_id").as("d1"), col("band"), col("bucket"))
           .join(bk.select(col("doc_id").as("d2"), col("band").as("b2"), col("bucket").as("k2")),
             col("band") === col("b2") && col("bucket") === col("k2") && col("d1") < col("d2"))
-          .select("d1", "d2").distinct().persist()
-        // see d03: broadcast only candidate docs' gram sets, not the corpus
-        val candIds = cand.select(col("d1").as("doc_id"))
-          .union(cand.select(col("d2").as("doc_id"))).distinct()
-        val candHg = hg.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+          .select("d1", "d2").distinct()
+        // see d03: no hints — AQE broadcasts the bounded candidate side
         cand
-          .join(broadcast(candHg.select(col("doc_id").as("d1"), col("hv").as("hv1"))), "d1")
-          .join(broadcast(candHg.select(col("doc_id").as("d2"), col("hv").as("hv2"))), "d2")
+          .join(hg.select(col("doc_id").as("d1"), col("hv").as("hv1")), "d1")
+          .join(hg.select(col("doc_id").as("d2"), col("hv").as("hv2")), "d2")
           .selectExpr("d1", "d2",
             "cast(size(array_intersect(hv1, hv2)) as double) / size(array_union(hv1, hv2)) as jac")
           .where("jac >= 0.6")

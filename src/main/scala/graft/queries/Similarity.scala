@@ -31,39 +31,34 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float-array columns (Spark
-    * SQL-lambda text). */
-  private def dot(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * y), cast(0 as double), (acc, v) -> acc + v)"
+  /** Sequential-fold dot product of two float-array columns — the
+    * native [[graft.functions.DotF]] kernel (bit-identical to the
+    * SQL-lambda `aggregate(zip_with(...))` formulation it replaced,
+    * which ran interpreted and dominated the ANN queries; requires
+    * [[Hashing.register]]). */
+  private def dot(a: String, b: String): String = s"dotf($a, $b)"
 
-  private val normE = "sqrt(aggregate(transform(embedding, x -> cast(x as double) * x), cast(0 as double), (acc, v) -> acc + v))"
+  private val normE = "vnorm(embedding)"
 
   private def duckDot(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * p[2]))"
 
   private val duckNorm = "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)))"
 
-  /** 16 random hyperplanes over 64 dims; coefficient (p,d) is
-    * h32("pl:p:d")/2^31 − 1 ∈ [−1, 1) — exactly reproducible in DuckDB
-    * SQL. Precomputed here so the Spark plan indexes a literal matrix
-    * instead of hashing 1024 values per row. */
-  private val planes: Seq[Seq[Double]] =
-    (0 until 16).map(p => (0 until 64).map(dd => Hashing.jvm32(s"pl:$p:$dd") / 2147483648.0 - 1.0))
-
-  /** vec_id, embedding, nrm, sig — the 16-bit hyperplane signature.
+  /** vec_id, embedding, nrm, sig — the 16-bit hyperplane signature via
+    * the native [[graft.functions.HyperplaneSig]] kernel (the plane
+    * matrix is the same md5-derived literal set; the interpreted
+    * 16×64-multiply lambda this replaced dominated s02-s04).
     * Repartition first: the testdata table is a single parquet file
     * (one input split); at 100 TB the scan has natural splits and
     * this is a cheap round-robin. */
-  private def signed(s: SparkSession, d: String): DataFrame =
+  private def signed(s: SparkSession, d: String): DataFrame = {
+    Hashing.register(s)
     Tables(s, d, "embeddings")
       .repartition(s.sparkContext.defaultParallelism)
-      .withColumn("planes", typedLit(planes))
       .selectExpr("vec_id", "embedding", s"$normE as nrm",
-        """cast(aggregate(sequence(0, 15), cast(0 as bigint),
-             (acc, p) -> acc + if(
-               aggregate(sequence(1, 64), cast(0 as double),
-                 (a, i) -> a + cast(element_at(embedding, i) as double) * element_at(element_at(planes, p+1), i)) >= 0,
-               shiftleft(cast(1 as bigint), p), cast(0 as bigint))) as bigint) as sig""")
+        "hyperplane_sig(embedding, 16, 64) as sig")
+  }
 
   private val duckSigned =
     s"""SELECT vec_id, embedding, $duckNorm AS nrm,
@@ -87,7 +82,12 @@ object Similarity {
     // ── brute-force cosine top-5 per probe (probes = vec_id < 10) ──
     "s01_topk_cosine" -> Q(
       (s, d) => {
-        val e = Tables(s, d, "embeddings").selectExpr("vec_id", "embedding", s"$normE as nrm")
+        Hashing.register(s)
+        // repartition: single-file testdata = one input split; the
+        // 50k-cosine join below would otherwise run on one core
+        val e = Tables(s, d, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("vec_id", "embedding", s"$normE as nrm")
         val p = e.where("vec_id < 10")
           .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nrm").as("pn"))
         val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("nrm").as("cn"))
