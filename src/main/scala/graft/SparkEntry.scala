@@ -28,6 +28,7 @@ object SparkEntry {
     graft.queries.Similarity.all,
     graft.queries.Multimodal.all,
     graft.queries.Pipeline.all,
+    graft.queries.Temporal.all,
     graft.dwca.DwcaQueries.all,
     graft.sinks.SinkQueries.all,
     graft.meta.MetaQueries.all

@@ -1,0 +1,71 @@
+package graft.queries
+
+import graft.Q
+import graft.operators.TemporalJoins
+import org.apache.spark.sql.functions._
+
+/** Temporal join queries over `events` (driver north-star operators —
+  * as-of join and windowed range join; no reference counterpart).
+  * Oracles are portable join+window SQL, NOT DuckDB's ASOF JOIN
+  * syntax, so they run on any oracle DuckDB version.
+  */
+object Temporal {
+
+  val all: Map[String, Q] = Map(
+    // ── as-of join: each purchase picks up the user's latest click at
+    //    or before it (union+tag single-sort plan — see TemporalJoins) ──
+    "j01_asof_join" -> Q(
+      (s, d) => {
+        val e = Relational.events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        val probes = e.where("event_type = 'purchase'")
+          .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+        val quotes = e.where("event_type = 'click'")
+        TemporalJoins.asOf(probes, quotes, key = "user_id", ts = "ts",
+            quoteTieBreak = "event_id",
+            payload = Seq("event_id" -> "click_id", "value" -> "click_value",
+              "ts" -> "click_ts"))
+          .withColumn("lag_us",
+            expr("unix_micros(ts) - unix_micros(click_ts)"))
+          .select("purchase_id", "user_id", "click_id", "click_value", "lag_us")
+      },
+      Some("""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events),
+              p AS (SELECT event_id, ts, user_id FROM e WHERE event_type = 'purchase'),
+              q AS (SELECT event_id, ts, user_id, value FROM e WHERE event_type = 'click'),
+              j AS (SELECT p.event_id AS purchase_id, p.user_id,
+                           q.event_id AS click_id, q.value AS click_value,
+                           epoch_us(p.ts) - epoch_us(q.ts) AS lag_us,
+                           row_number() OVER (PARTITION BY p.event_id
+                             ORDER BY q.ts DESC NULLS LAST, q.event_id DESC NULLS LAST) AS rn
+                    FROM p LEFT JOIN q ON q.user_id = p.user_id AND q.ts <= p.ts)
+              SELECT purchase_id, user_id, click_id, click_value, lag_us
+              FROM j WHERE rn = 1"""),
+      bench = true),
+
+    // ── windowed range join: (purchase, error) pairs of the same user
+    //    with the error at most 6h before the purchase (bucketed
+    //    equi-join — never a theta join; 6h ≈ the testdata's per-user
+    //    event spacing, so the result set is non-trivial) ──
+    "j02_range_join" -> Q(
+      (s, d) => {
+        val e = Relational.events(s, d)
+          .select("event_id", "ts", "user_id", "event_type")
+        val probes = e.where("event_type = 'purchase'")
+          .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+        val others = e.where("event_type = 'error'")
+          .select(col("user_id"), col("event_id").as("error_id"), col("ts").as("x_ts"))
+        TemporalJoins.recentPairs(probes, "p_ts", others, "x_ts",
+            key = "user_id", windowUs = 21600000000L)
+          .selectExpr("purchase_id", "error_id", "user_id",
+            "unix_micros(p_ts) - unix_micros(x_ts) as gap_us")
+      },
+      Some("""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events),
+              p AS (SELECT event_id, ts, user_id FROM e WHERE event_type = 'purchase'),
+              x AS (SELECT event_id, ts, user_id FROM e WHERE event_type = 'error')
+              SELECT p.event_id AS purchase_id, x.event_id AS error_id, p.user_id,
+                     epoch_us(p.ts) - epoch_us(x.ts) AS gap_us
+              FROM p JOIN x ON x.user_id = p.user_id
+                AND x.ts <= p.ts
+                AND epoch_us(p.ts) - epoch_us(x.ts) <= 21600000000"""))
+  )
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TemporalJoinsSpec extends AnyFunSuite with SparkTestBase {
+
+  test("asOf picks latest at-or-before quote, ties by greatest id, null when none") {
+    import spark.implicits._
+    // user 1: quotes at t=10 (two, ids 100/101) and t=20; user 2: t=50
+    val q = Seq(
+      (1L, 10L, 100L, 1.0),
+      (1L, 10L, 101L, 1.5),
+      (1L, 20L, 102L, 2.0),
+      (2L, 50L, 200L, 9.0)
+    ).toDF("user_id", "sec", "event_id", "value")
+      .selectExpr("user_id", "timestamp_micros(sec * 1000000) as ts", "event_id", "value")
+    val p = Seq(
+      (1L, 10L, 900L), // equal ts -> sees quote id 101 (tie: greatest id)
+      (1L, 15L, 901L), // between -> quote 101
+      (1L, 25L, 902L), // after all -> quote 102
+      (2L, 40L, 903L), // before user 2's only quote -> null
+      (3L, 99L, 904L)  // user with no quotes -> null
+    ).toDF("user_id", "sec", "probe_id")
+      .selectExpr("user_id", "timestamp_micros(sec * 1000000) as ts", "probe_id")
+    val got = TemporalJoins.asOf(p, q, "user_id", "ts", "event_id",
+        Seq("event_id" -> "q_id", "value" -> "q_value"))
+      .select("probe_id", "q_id", "q_value")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(got === Set(
+      (900L, Some(101L), Some(1.5)),
+      (901L, Some(101L), Some(1.5)),
+      (902L, Some(102L), Some(2.0)),
+      (903L, None, None),
+      (904L, None, None)))
+  }
+
+  test("recentPairs includes both window ends and respects the key") {
+    import spark.implicits._
+    val p = Seq((1L, 100L, 1L), (2L, 100L, 2L))
+      .toDF("user_id", "sec", "p_id")
+      .selectExpr("user_id", "p_id", "timestamp_micros(sec * 1000000) as p_ts")
+    val x = Seq(
+      (1L, 100L, 10L), // gap 0 -> in
+      (1L, 90L, 11L),  // gap 10s == window -> in
+      (1L, 89L, 12L),  // gap 11s -> out
+      (1L, 101L, 13L), // after probe -> out
+      (2L, 95L, 20L)   // other user's probe only
+    ).toDF("user_id", "sec", "x_id")
+      .selectExpr("user_id", "x_id", "timestamp_micros(sec * 1000000) as x_ts")
+    val got = TemporalJoins.recentPairs(p, "p_ts", x, "x_ts", "user_id", 10000000L)
+      .select("p_id", "x_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 10L), (1L, 11L), (2L, 20L)))
+  }
+}
