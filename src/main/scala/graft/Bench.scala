@@ -10,11 +10,17 @@ import org.apache.spark.sql.SparkSession
   * Forcing action: `count()` on the query result. Sink-shaped queries
   * perform their write inside the query fn, so the write cost is
   * included in the measured time.
+  *
+  * SPARK_GRAFT_BENCH_ISOLATE=1 clears the SQL cache between queries,
+  * so every number is a first-run cost (by default queries that share
+  * persisted subtrees — c01/d03 — reuse them, like a real pipeline
+  * session would).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val isolate = sys.env.get("SPARK_GRAFT_BENCH_ISOLATE").contains("1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,6 +35,7 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
 
     val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      if (isolate) spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }

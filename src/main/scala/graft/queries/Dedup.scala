@@ -3,6 +3,7 @@ package graft.queries
 import graft.{Q, Tables}
 import graft.functions.Hashing
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents` — the LLM-pipeline tier:
@@ -68,6 +69,29 @@ object Dedup {
            cast(0 as bigint), (a, x) -> a + x) as simhash""")
   }
 
+  /** Persisted (hashed-shingle-set, banded-bucket) frames shared by the
+    * LSH queries (d03/d07 and c01 through d03): hv is the HASHED set
+    * (array<long> — an order of magnitude cheaper to cache than the
+    * string arrays, measured: caching both string frames cost 7.6s at
+    * sf0.1); every later stage — signatures, both self-join sides, the
+    * verification joins — reads this one cache. Jaccard over hashed
+    * sets equals Jaccard over the shingle strings (the hash is a
+    * bijection up to md5 collisions, identical in the oracle). The
+    * bucket frame (3 scalar columns — near-free cache) keeps the
+    * self-join's two sides from recomputing signatures; identical
+    * logical plans across queries dedupe in the cache manager. */
+  private def lshFrames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val hs = hashedDocs(s, d).persist()
+    val sigs = hs.selectExpr("doc_id", "affine_minhash(hv, 16) as sig")
+    // 4 bands of 4 rows: bucket = hash(band, 4 consecutive sig values)
+    val bk = sigs
+      .selectExpr("doc_id", "explode(sequence(0, 3)) as band", "sig")
+      .selectExpr("doc_id", "band",
+        s"${Hashing.h32Sql("concat(band, ':', concat_ws(',', slice(sig, band*4+1, 4)))")} as bucket")
+      .persist()
+    (hs, bk)
+  }
+
   private val P = graft.functions.MinHash.P
   private def duckLits(xs: Seq[Long]): String = xs.mkString("[", ",", "]")
 
@@ -109,23 +133,7 @@ object Dedup {
     // ── MinHash-LSH near-dup pairs: band → bucket join → Jaccard verify ──
     "d03_lsh_pairs" -> Q(
       (s, d) => {
-        // Persist the HASHED shingle sets (array<long> — an order of
-        // magnitude cheaper to cache than the string arrays, measured:
-        // caching both string frames cost 7.6s at sf0.1). Every later
-        // stage — signatures, both self-join sides, both verification
-        // joins — reads this one cache. Jaccard over the hashed sets
-        // equals Jaccard over the shingle strings (the hash is a
-        // bijection up to md5 collisions, identical in the oracle).
-        val hs = hashedDocs(s, d).persist()
-        val sigs = hs.selectExpr("doc_id", "affine_minhash(hv, 16) as sig")
-        // 4 bands of 4 rows: bucket = hash(band, 4 consecutive sig values).
-        // Also persisted (3 scalar columns — near-free cache) so the
-        // self-join's two sides don't each recompute the signatures.
-        val bk = sigs
-          .selectExpr("doc_id", "explode(sequence(0, 3)) as band", "sig")
-          .selectExpr("doc_id", "band",
-            s"${Hashing.h32Sql("concat(band, ':', concat_ws(',', slice(sig, band*4+1, 4)))")} as bucket")
-          .persist()
+        val (hs, bk) = lshFrames(s, d)
         val cand = bk.select(col("doc_id").as("d1"), col("band"), col("bucket"))
           .join(bk.select(col("doc_id").as("d2"), col("band").as("b2"), col("bucket").as("k2")),
             col("band") === col("b2") && col("bucket") === col("k2") && col("d1") < col("d2"))
@@ -159,6 +167,51 @@ object Dedup {
                   FROM cand JOIN hs x ON x.doc_id = d1 JOIN hs y ON y.doc_id = d2)
                WHERE jac >= 0.7"""),
       bench = true),
+
+    // ── capped-bucket LSH pairs: the 100 TB skew path ──
+    // Identical to d03 except buckets with more than CAP members are
+    // dropped before the self-join. A near-universal bucket (a shingle
+    // set shared by millions of docs — boilerplate, templates) emits
+    // |bucket|² candidate pairs; capping bounds every bucket's fan-out
+    // at CAP² and turns the worst-case quadratic blowup into a tunable
+    // constant, at the cost of recall inside mega-clusters (their
+    // members are usually exact dups, which d01 already catches).
+    "d07_capped_lsh" -> Q(
+      (s, d) => {
+        val (hs, bk) = lshFrames(s, d)
+        val w = Window.partitionBy("band", "bucket")
+        val capped = bk.withColumn("bsz", count(lit(1)).over(w)).where("bsz <= 8")
+        val cand = capped.select(col("doc_id").as("d1"), col("band"), col("bucket"))
+          .join(capped.select(col("doc_id").as("d2"), col("band").as("b2"), col("bucket").as("k2")),
+            col("band") === col("b2") && col("bucket") === col("k2") && col("d1") < col("d2"))
+          .select("d1", "d2").distinct()
+        cand
+          .join(hs.select(col("doc_id").as("d1"), col("hv").as("hv1")), "d1")
+          .join(hs.select(col("doc_id").as("d2"), col("hv").as("hv2")), "d2")
+          .selectExpr("d1", "d2",
+            "cast(size(array_intersect(hv1, hv2)) as double) / size(array_union(hv1, hv2)) as jac")
+          .where("jac >= 0.7")
+          .select("d1", "d2", "jac")
+      },
+      Some(s"""$duckShingles,
+               sigs AS (SELECT doc_id, ${duckSig(16)} AS sig FROM hs),
+               b AS (SELECT doc_id, unnest(generate_series(0, 3)) AS band, sig FROM sigs),
+               bk AS (SELECT doc_id, band,
+                        ${Hashing.duck32("band || ':' || array_to_string(sig[band*4+1:band*4+4], ',')")} AS bucket
+                      FROM b),
+               capped AS (SELECT * FROM
+                            (SELECT doc_id, band, bucket,
+                                    count(*) OVER (PARTITION BY band, bucket) AS bsz FROM bk)
+                          WHERE bsz <= 8),
+               cand AS (SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+                        FROM capped a JOIN capped c
+                        ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id)
+               SELECT d1, d2, jac FROM
+                 (SELECT d1, d2,
+                         CAST(len(list_intersect(x.hv, y.hv)) AS DOUBLE)
+                           / len(list_distinct(x.hv || y.hv)) AS jac
+                  FROM cand JOIN hs x ON x.doc_id = d1 JOIN hs y ON y.doc_id = d2)
+               WHERE jac >= 0.7""")),
 
     // ── 32-bit SimHash per document (term-frequency weighted) ──
     "d04_simhash" -> Q(
