@@ -11,6 +11,22 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
 
+  /** Shared oracle for the two as-of formulations (j01 composed
+    * union+window, j03 custom Catalyst operator) — identical
+    * semantics, one source of truth. */
+  private val asofOracle =
+    """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events),
+       p AS (SELECT event_id, ts, user_id FROM e WHERE event_type = 'purchase'),
+       q AS (SELECT event_id, ts, user_id, value FROM e WHERE event_type = 'click'),
+       j AS (SELECT p.event_id AS purchase_id, p.user_id,
+                    q.event_id AS click_id, q.value AS click_value,
+                    epoch_us(p.ts) - epoch_us(q.ts) AS lag_us,
+                    row_number() OVER (PARTITION BY p.event_id
+                      ORDER BY q.ts DESC NULLS LAST, q.event_id DESC NULLS LAST) AS rn
+             FROM p LEFT JOIN q ON q.user_id = p.user_id AND q.ts <= p.ts)
+       SELECT purchase_id, user_id, click_id, click_value, lag_us
+       FROM j WHERE rn = 1"""
+
   val all: Map[String, Q] = Map(
     // ── as-of join: each purchase picks up the user's latest click at
     //    or before it (union+tag single-sort plan — see TemporalJoins) ──
@@ -29,18 +45,29 @@ object Temporal {
             expr("unix_micros(ts) - unix_micros(click_ts)"))
           .select("purchase_id", "user_id", "click_id", "click_value", "lag_us")
       },
-      Some("""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events),
-              p AS (SELECT event_id, ts, user_id FROM e WHERE event_type = 'purchase'),
-              q AS (SELECT event_id, ts, user_id, value FROM e WHERE event_type = 'click'),
-              j AS (SELECT p.event_id AS purchase_id, p.user_id,
-                           q.event_id AS click_id, q.value AS click_value,
-                           epoch_us(p.ts) - epoch_us(q.ts) AS lag_us,
-                           row_number() OVER (PARTITION BY p.event_id
-                             ORDER BY q.ts DESC NULLS LAST, q.event_id DESC NULLS LAST) AS rn
-                    FROM p LEFT JOIN q ON q.user_id = p.user_id AND q.ts <= p.ts)
-              SELECT purchase_id, user_id, click_id, click_value, lag_us
-              FROM j WHERE rn = 1"""),
+      Some(asofOracle),
       bench = true),
+
+    // ── the same as-of join through the custom Catalyst operator
+    //    (AsOfJoin LogicalPlan → AsOfJoinStrategy → AsOfJoinExec
+    //    sort-merge; shares j01's oracle — two formulations, one
+    //    source of truth for the semantics) ──
+    "j03_asof_plan" -> Q(
+      (s, d) => {
+        val e = Relational.events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        val probes = e.where("event_type = 'purchase'")
+          .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+        val quotes = e.where("event_type = 'click'")
+        graft.plans.AsOfJoinPlan.asOf(probes, quotes,
+            key = "user_id", ts = "ts", quoteTieBreak = "event_id",
+            payload = Seq("event_id" -> "click_id", "value" -> "click_value",
+              "ts" -> "click_ts"))
+          .withColumn("lag_us",
+            expr("unix_micros(ts) - unix_micros(click_ts)"))
+          .select("purchase_id", "user_id", "click_id", "click_value", "lag_us")
+      },
+      Some(asofOracle)),
 
     // ── windowed range join: (purchase, error) pairs of the same user
     //    with the error at most 6h before the purchase (bucketed

@@ -1,0 +1,20 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Bridge into `private[sql]` surface needed to build a DataFrame from
+  * a custom LogicalPlan (the standard pattern for libraries that add
+  * whole-operator nodes — same approach as public Spark-extension
+  * projects, e.g. the DatasetFactory in Qbeast or Pathling's
+  * SqlStrategy setup; see SNIPPETS.md).
+  */
+object GraftSqlShims {
+
+  /** DataFrame over an arbitrary (already-resolved) logical plan. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan of a DataFrame. */
+  def analyzed(df: Dataset[_]): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+}
