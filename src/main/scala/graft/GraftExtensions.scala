@@ -24,6 +24,7 @@ import graft.functions.{StAsText, StGeomFromText, StPoint}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.JaccardRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     def info(name: String, usage: String) =
       new ExpressionInfo(classOf[StPoint].getName, null, name, usage, "")
     ext.injectFunction((FunctionIdentifier("st_point"),

@@ -17,4 +17,10 @@ object GraftSqlShims {
   /** The analyzed logical plan of a DataFrame. */
   def analyzed(df: Dataset[_]): LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
+  /** The planner strategies an extensions instance would inject
+    * (test hook for the spark.sql.extensions registration path). */
+  def plannerStrategies(ext: SparkSessionExtensions,
+      spark: SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    ext.buildPlannerStrategies(spark)
 }

@@ -22,6 +22,17 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     assert(row.getString(0) === "POINT (1 2)")
   }
 
+  test("GraftExtensions injects AsOfJoinStrategy as a planner strategy") {
+    // Exercise the spark.sql.extensions wiring directly against an
+    // extensions instance (building a second session in the shared-
+    // context test JVM is unreliable); the runtime-install path is
+    // covered end-to-end by AsOfJoinPlanSpec and gate query j03.
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val strategies = org.apache.spark.sql.GraftSqlShims.plannerStrategies(ext, spark)
+    assert(strategies.contains(graft.plans.AsOfJoinStrategy))
+  }
+
   test("ConstantFolding folds literal ST_* calls at plan time") {
     graft.functions.GeoFunctions.register(spark)
     val df = spark.sql("SELECT st_point(1.0D, 2.0D) AS g FROM range(3)")

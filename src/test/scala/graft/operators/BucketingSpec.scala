@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bucketing is the co-located-join lever at 100 TB (SURVEY §4):
+  * pre-bucketing both fact tables on the join key means the join
+  * needs NO exchange at read time. Spark only honors bucket layout
+  * through the catalog, so this exercises saveAsTable + the
+  * bucket-aware scan, and asserts the shuffle really is gone.
+  */
+class BucketingSpec extends AnyFunSuite with SparkTestBase {
+
+  test("join of two tables bucketed on the key plans without a shuffle") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS bk_orders")
+    spark.sql("DROP TABLE IF EXISTS bk_lines")
+    (0L until 1000L).map(i => (i, s"o$i")).toDF("okey", "odata")
+      .write.bucketBy(8, "okey").sortBy("okey").saveAsTable("bk_orders")
+    (0L until 3000L).map(i => (i % 1000, i, i * 1.5)).toDF("okey", "lkey", "amount")
+      .write.bucketBy(8, "okey").sortBy("okey").saveAsTable("bk_lines")
+
+    // disable broadcast so both joins take the sort-merge path (a
+    // BroadcastExchange would make the no-Exchange assertion vacuous)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("bk_orders").join(spark.table("bk_lines"), "okey")
+      assert(j.count() === 3000)
+      val phys = j.queryExecution.executedPlan.toString
+      assert(!phys.contains("Exchange"),
+        s"bucketed join should not shuffle:\n$phys")
+
+      // contrast: the same data unbucketed DOES shuffle (sanity that
+      // the assertion above is meaningful)
+      val a = (0L until 1000L).map(i => (i, s"o$i")).toDF("okey", "odata")
+      val b = (0L until 3000L).map(i => (i % 1000, i)).toDF("okey", "lkey")
+      val u = a.join(b, "okey")
+      u.count()
+      assert(u.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.sql("DROP TABLE IF EXISTS bk_orders")
+    spark.sql("DROP TABLE IF EXISTS bk_lines")
+  }
+}
