@@ -359,6 +359,57 @@ object Relational {
                      strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS q_start,
                      datediff('day', o_orderdate::DATE, DATE '2002-01-01')::INT
                        AS days_to_2002
-              FROM orders"""))
+              FROM orders""")),
+
+    // ── A1+: exact interpolated percentiles per group ──
+    // Spark's `percentile` and DuckDB's `quantile_cont` both sort and
+    // linearly interpolate at pos = p·(n−1); doubles are compared
+    // bit-for-bit by the gate, so this row is also a regression check
+    // that the interpolation really is the same arithmetic.
+    "q22_percentiles" -> Q(
+      (s, d) => Tables(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_extendedprice, 0.25)").as("p25"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90")),
+      Some("""SELECT l_returnflag,
+                     quantile_cont(l_extendedprice, 0.25) AS p25,
+                     quantile_cont(l_extendedprice, 0.5) AS p50,
+                     quantile_cont(l_extendedprice, 0.9) AS p90
+              FROM lineitem GROUP BY l_returnflag""")),
+
+    // ── A1+: CUBE with grouping_id (all 4 grouping-set combinations) ──
+    "q23_cube" -> Q(
+      (s, d) => Tables(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          Det.dsum(col("l_quantity")).as("qty")),
+      Some("""SELECT l_returnflag, l_linestatus,
+                     GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid,
+                     count(*) AS n,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS qty
+              FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""")),
+
+    // ── A1+: pivot (wide conditional aggregation) ──
+    // Explicit value list → deterministic output columns; sum (not
+    // count) so absent combinations are NULL in both engines.
+    "q24_pivot" -> Q(
+      (s, d) => Tables(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(Det.dsum(col("o_totalprice")).as("total")),
+      Some {
+        def f(p: String, alias: String) =
+          s"""CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) FILTER (WHERE o_orderpriority = '$p') AS DOUBLE) AS "$alias""""
+        s"""SELECT o_orderstatus,
+               ${f("1-URGENT", "1-URGENT")},
+               ${f("2-HIGH", "2-HIGH")},
+               ${f("3-MEDIUM", "3-MEDIUM")},
+               ${f("4-NOT SPECIFIED", "4-NOT SPECIFIED")},
+               ${f("5-LOW", "5-LOW")}
+            FROM orders GROUP BY o_orderstatus"""
+      })
   )
 }

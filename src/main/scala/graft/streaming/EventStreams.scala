@@ -81,6 +81,16 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment: the event stream left-joined to a
+    * static dimension on user_id. Stateless — no watermark state; the
+    * broadcast static side is refreshed per micro-batch, so dimension
+    * updates between batches are picked up (the streaming face of the
+    * q02 star join's dim broadcast). */
+  def enrichedStream(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), col("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_name"), col("c_acctbal"))
+
   final case class Event(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class SessionOut(user_id: Long, session_start_ms: Long, n: Long, val_sum: Double)

@@ -50,6 +50,23 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got === want)
   }
 
+  test("stream-static enrichment equals the batch join") {
+    val dim = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey", "c_name", "c_acctbal")
+    val stream = EventStreams.enrichedStream(EventStreams.eventsStream(spark, sf), dim)
+    val got = runToMemory(stream, "t_enrich")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.queries.Relational.events(spark, sf)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_name"), col("c_acctbal"))
+      .collect().map(_.toSeq).toSet
+    assert(got === batch)
+    assert(got.nonEmpty)
+    // the join is genuinely left: some users enrich, some do not
+    assert(got.exists(_(3) != null))
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     val stream = EventStreams.dedupStream(
       EventStreams.eventsStream(spark, sf).select("event_id", "ts", "user_id"))
