@@ -82,8 +82,12 @@ object Geo {
     sb.toString
   }
 
+  // integral doubles render without the trailing ".0" (matches DuckDB
+  // spatial's ST_AsText); the magnitude guard keeps huge integral
+  // doubles (beyond exact-long range) in scientific notation instead
+  // of overflowing toLong
   private def fmt(d: Double): String =
-    if (d == Math.rint(d) && !d.isInfinite) d.toLong.toString else d.toString
+    if (d == Math.rint(d) && math.abs(d) < 1e15) d.toLong.toString else d.toString
 
   private def readGeom(b: ByteBuffer, sb: StringBuilder): Unit = {
     val order = b.get()

@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** ScalaCheck properties for the pure-JVM kernels (no Spark session —
+  * these run the same static methods the generated whole-stage code
+  * calls). */
+object KernelProps extends Properties("graft.kernels") {
+
+  private val P = MinHash.P
+
+  // strings over a unicode alphabet that includes supplementary-plane
+  // code points (each "char" here is one code point)
+  private val cpAlphabet: Seq[String] =
+    ("abc xyzXYZ0189,.".map(_.toString) ++ Seq("é", "Ø", "語", "😀", "🌲")).toSeq
+  private val genText: Gen[String] =
+    Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, Gen.oneOf(cpAlphabet)).map(_.mkString))
+
+  property("hashedCharGrams == naive code-point slicing") =
+    Prop.forAll(genText) { s =>
+      val got = MinHash.hashedCharGrams(UTF8String.fromString(s), 3)
+        .toLongArray().toSeq
+      val cps = s.codePoints().toArray
+      val want = cps.sliding(3).filter(_.length == 3)
+        .map(g => new String(g, 0, g.length))
+        .toSeq.distinct
+        .map(g => Hashing.jvm32(g) % P)
+      got == want
+    }
+
+  property("hashedShingles == naive join-and-hash") =
+    Prop.forAll(Gen.listOf(Gen.oneOf("ab", "cd", "ef", "gh", "é語", "😀"))) { toks =>
+      val arr = new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any])
+      val got = MinHash.hashedShingles(arr, 2).toLongArray().toSeq
+      val want = toks.sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")).toSeq.distinct
+        .map(sh => Hashing.jvm32(sh) % P)
+      got == want
+    }
+
+  property("affineMin == per-permutation minimum") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(0L, P - 1))) { hv =>
+      val got = MinHash.affineMin(new GenericArrayData(hv.toArray), 8).toLongArray().toSeq
+      val a = MinHash.coefA(8); val b = MinHash.coefB(8)
+      val want = (0 until 8).map(j => hv.map(h => (a(j) * h + b(j)) % P).min)
+      got == want
+    }
+
+  // -0.0 is excluded: WKT rendering normalizes it to 0 (like DuckDB
+  // spatial), so the sign of zero does not survive the text form
+  private val genCoord: Gen[Double] =
+    Gen.oneOf(Gen.chooseNum(-180.0, 180.0), Gen.oneOf(0.0, 90.0, -90.0, 1e-9, 1e20, -3.5e18))
+
+  property("WKB point roundtrips through WKT") =
+    Prop.forAll(genCoord, genCoord) { (x, y) =>
+      val wkb = Geo.pointWkb(x, y)
+      val back = Geo.wktToWkb(Geo.wkbToWkt(wkb))
+      java.util.Arrays.equals(wkb, back)
+    }
+
+  property("vector kernels: dotF and vnorm equal sequential folds") =
+    Prop.forAll(Gen.listOfN(16, Gen.chooseNum(-100.0f, 100.0f))) { fs =>
+      val a = new GenericArrayData(fs.toArray)
+      val b = new GenericArrayData(fs.reverse.toArray)
+      val dot = VectorOps.dotF(a, b)
+      val wantDot = fs.zip(fs.reverse).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + x.toDouble * y.toDouble
+      }
+      val nrm = VectorOps.vnorm(a)
+      val wantNrm = math.sqrt(fs.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+      java.lang.Double.doubleToLongBits(dot) == java.lang.Double.doubleToLongBits(wantDot) &&
+        java.lang.Double.doubleToLongBits(nrm) == java.lang.Double.doubleToLongBits(wantNrm)
+    }
+}
