@@ -66,6 +66,21 @@ object SinkQueries {
         // multiLine: the file is ONE JSON array, not NDJSON
         s.read.option("multiLine", "true").json(out)
       },
-      Some("SELECT doc_id, lang, source, text FROM documents WHERE doc_id < 10"))
+      Some("SELECT doc_id, lang, source, text FROM documents WHERE doc_id < 10")),
+
+    // ── hive-partitioned zstd parquet + readback ──
+    // The standard 100 TB output shape: partitionBy turns the column
+    // into directory structure (lang=en/…), so downstream readers get
+    // partition pruning for free; the readback restores the partition
+    // column from the paths and must reproduce the source exactly.
+    "sink04_partitioned" -> Q(
+      (s, d) => {
+        val out = scratch("partitioned")
+        Tables(s, d, "documents").select("doc_id", "lang", "source", "text")
+          .write.partitionBy("lang")
+          .option("compression", "zstd").parquet(out)
+        s.read.parquet(out).select("doc_id", "lang", "source", "text")
+      },
+      Some("SELECT doc_id, lang, source, text FROM documents"))
   )
 }
