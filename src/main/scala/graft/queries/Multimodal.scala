@@ -115,6 +115,41 @@ object Multimodal {
                       1 + ascii(substr(payload, 6, 1)) % 64 AS height,
                       (1 + ascii(substr(payload, 5, 1)) % 64)
                         * (1 + ascii(substr(payload, 6, 1)) % 64) AS n_px
-               FROM b"""))
+               FROM b""")),
+
+    // ── resize + feature extraction (stub codec, real plumbing) ──
+    // "Resize" = 4× byte-stride downsample of the payload (content
+    // hash of the result proves the byte selection); features = mean
+    // byte in basis points + a 4-bin byte histogram. ASCII payloads
+    // let the oracle mirror every byte op in string domain. Map-only.
+    "m05_resize_features" -> Q(
+      (s, d) => blobs(s, d)
+        .selectExpr("doc_id", "decode(blob, 'utf-8') as p")
+        .where("char_length(p) > 4")
+        .selectExpr(
+          "doc_id",
+          """md5(array_join(transform(sequence(0, (char_length(p) - 5) div 4),
+               i -> substring(p, 5 + i * 4, 1)), '')) as resized_md5""",
+          "cast(char_length(p) - 4 as bigint) as n_bytes",
+          """cast(aggregate(transform(sequence(5, char_length(p)),
+               i -> cast(ascii(substring(p, i, 1)) as bigint)),
+               cast(0 as bigint), (a, x) -> a + x) * 10000
+             div (char_length(p) - 4) as bigint) as mean_byte_bp""",
+          """array_join(transform(sequence(0, 3),
+               b -> cast(size(filter(sequence(5, char_length(p)),
+                 i -> ascii(substring(p, i, 1)) div 64 = b)) as string)), ',') as hist4"""),
+      Some(s"""WITH b AS ($duckBlobs),
+               pp AS (SELECT doc_id, payload AS p FROM b WHERE length(payload) > 4)
+               SELECT doc_id,
+                      md5(array_to_string(list_transform(generate_series(0, (length(p) - 5) // 4),
+                        i -> substr(p, CAST(5 + i * 4 AS INTEGER), 1)), '')) AS resized_md5,
+                      length(p) - 4 AS n_bytes,
+                      CAST(list_sum(list_transform(generate_series(5, length(p)),
+                        i -> ascii(substr(p, CAST(i AS INTEGER), 1)))) * 10000
+                        // (length(p) - 4) AS BIGINT) AS mean_byte_bp,
+                      array_to_string(list_transform(generate_series(0, 3),
+                        b -> CAST(len(list_filter(generate_series(5, length(p)),
+                          i -> ascii(substr(p, CAST(i AS INTEGER), 1)) // 64 = b)) AS VARCHAR)), ',') AS hist4
+               FROM pp"""))
   )
 }
