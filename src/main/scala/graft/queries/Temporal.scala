@@ -67,7 +67,8 @@ object Temporal {
             expr("unix_micros(ts) - unix_micros(click_ts)"))
           .select("purchase_id", "user_id", "click_id", "click_value", "lag_us")
       },
-      Some(asofOracle)),
+      Some(asofOracle),
+      bench = true),
 
     // ── windowed range join: (purchase, error) pairs of the same user
     //    with the error at most 6h before the purchase (bucketed

@@ -12,7 +12,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 BENCH = ["q01_filter_scan", "q02_star_join", "q06_outer_join_agg",
          "q08_agg_pricing", "q16_session_window", "t01_token_stats",
          "d03_lsh_pairs", "s01_topk_cosine", "m02_frame_sample",
-         "c01_clean_corpus", "j01_asof_join"]
+         "c01_clean_corpus", "j01_asof_join", "j03_asof_plan"]
 
 
 def main():
