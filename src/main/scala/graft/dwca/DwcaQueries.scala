@@ -69,12 +69,29 @@ object DwcaQueries {
       Some(convertOracle)),
 
     // ── engine-faithful conversion: WKB geometry via native ST_* ──
-    // No DuckDB oracle (spatial ext unavailable offline) → driver
-    // records a rows-only check; WKB bytes are unit-tested against
-    // golden vectors in GeoSpec.
+    // DuckDB spatial is unavailable offline, so the oracle is golden
+    // VALUES: the WKB hex for each fixture geometry, independently
+    // byte-packed (little-endian order marker + type + doubles —
+    // occ1's value equals GeoSpec's golden vector), plus the
+    // canonical WKT rendering. DISTINCT collapses the extension join
+    // to one row per core record so the golden stays per-geometry.
     "dwca03_convert_wkb" -> Q(
       (s, _) => DwcaConvert.convert(s, zipPath, DwcaConvert.GeomWkb)
-        .withColumn("geom_txt", expr("st_astext(geom)")),
-      None)
+        .selectExpr("id", "lower(hex(geom)) as geom_wkb_hex",
+          "st_astext(geom) as geom_txt")
+        .distinct(),
+      Some("""SELECT * FROM (VALUES
+                ('occ1', '010100000014ae47e17af44d400000000000802540',
+                 'POINT (59.91 10.75)'),
+                ('occ2', '0103000000010000000500000000000000000024400000000000804f4000000000000026400000000000804f40000000000000264000000000000050400000000000002440000000000000504000000000000024400000000000804f40',
+                 'POLYGON ((10 63, 11 63, 11 64, 10 64, 10 63))'),
+                ('occ3', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+                ('occ4', '010100000085eb51b81e654e40295c8fc2f5282640',
+                 'POINT (60.79 11.08)'),
+                ('occ5', '010300000001000000050000000000000000003240000000000040514000000000000033400000000000405140000000000000334000000000008051400000000000003240000000000080514000000000000032400000000000405140',
+                 'POLYGON ((18 69, 19 69, 19 70, 18 70, 18 69))'),
+                ('occ7', '01010000005c8fc2f5287c4d40ec51b81e85eb1640',
+                 'POINT (58.97 5.73)'))
+              AS t(id, geom_wkb_hex, geom_txt)"""))
   )
 }
