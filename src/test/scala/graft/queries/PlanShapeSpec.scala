@@ -1,0 +1,61 @@
+package graft.queries
+
+import graft.SparkEntry
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the plan properties the 100 TB story depends on — if a
+  * refactor reintroduces a cartesian product, drops a pushed filter,
+  * or turns the top-k into a global sort, these fail before any
+  * benchmark notices. */
+class PlanShapeSpec extends AnyFunSuite with graft.SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(query: String): String = {
+    val df = SparkEntry.queries(query)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01 pushes filters into the parquet scan and prunes columns") {
+    val p = planOf("q01_filter_scan")
+    // the PushedFilters list is truncated in toString; the leading
+    // entries plus an absent unprojected column prove push + prune
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    assert(!p.contains("l_tax"), p) // pruned from the scan
+  }
+
+  test("q02 star join broadcasts the dimensions, never cartesian") {
+    val p = planOf("q02_star_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q13 top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = planOf("q13_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q06 aggregates partially below the exchange") {
+    val p = planOf("q06_outer_join_agg")
+    // partial HashAggregate must appear before (deeper than) the first Exchange
+    val agg = p.indexOf("partial")
+    assert(agg >= 0, p)
+  }
+
+  test("d03 LSH candidate generation is an equi-join, never all-pairs") {
+    val p = planOf("d03_lsh_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("j01 as-of join is a single exchange + window, no join operator") {
+    val p = planOf("j01_asof_join")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("j03 as-of plans through the custom sort-merge exec") {
+    val p = planOf("j03_asof_plan")
+    assert(p.contains("AsOfJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}
