@@ -410,6 +410,27 @@ object Relational {
                ${f("4-NOT SPECIFIED", "4-NOT SPECIFIED")},
                ${f("5-LOW", "5-LOW")}
             FROM orders GROUP BY o_orderstatus"""
-      })
+      }),
+
+    // ── A2+: trailing time-RANGE window frame ──
+    // Per event: count of the same user's events in the trailing hour
+    // — the no-self-join formulation of sliding-time aggregates (one
+    // exchange on user_id, sorted range frame; a range join would
+    // shuffle |events|×|window| rows). Numeric micros ordering keeps
+    // the frame bounds portable across engines.
+    "q25_time_range_frame" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+          .rangeBetween(-3600000000L, 0)
+        events(s, d)
+          .selectExpr("event_id", "user_id", "unix_micros(ts) as ts_us")
+          .withColumn("n_last_hour", count(lit(1)).over(w))
+          .select("event_id", "user_id", "n_last_hour")
+      },
+      Some("""SELECT event_id, user_id,
+                     count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_last_hour
+              FROM events"""))
   )
 }
