@@ -15,7 +15,44 @@ object Pipeline {
 
   private val toks = "split(text, ' ')"
 
+  /** md5-derived percentile bucket of a doc id ∈ [0, 100) — the
+    * deterministic, engine-portable alternative to Bernoulli sampling:
+    * membership is a pure function of the id, so splits are stable
+    * across runs, engines, and repartitioning ([[graft.functions.Hashing]]). */
+  private def pctSql(idExpr: String): String =
+    s"${graft.functions.Hashing.h32Sql(s"concat('split:', $idExpr)")} % 100"
+  private def duckPct(idExpr: String): String =
+    s"(${graft.functions.Hashing.duck32(s"'split:' || $idExpr")} % 100)"
+
   val all: Map[String, Q] = Map(
+    // ── deterministic train/val/test split (80/10/10 by hash bucket) ──
+    "p01_split_assign" -> Q(
+      (s, d) => {
+        graft.functions.Hashing.register(s)
+        Tables(s, d, "documents").selectExpr(
+          "doc_id",
+          s"""case when ${pctSql("doc_id")} < 80 then 'train'
+                   when ${pctSql("doc_id")} < 90 then 'val'
+                   else 'test' end as split""")
+      },
+      Some(s"""SELECT doc_id,
+                      CASE WHEN ${duckPct("doc_id")} < 80 THEN 'train'
+                           WHEN ${duckPct("doc_id")} < 90 THEN 'val'
+                           ELSE 'test' END AS split
+               FROM documents""")),
+
+    // ── deterministic stratified sample: per-language rates ──
+    "p02_stratified_sample" -> Q(
+      (s, d) => {
+        graft.functions.Hashing.register(s)
+        Tables(s, d, "documents")
+          .selectExpr("doc_id", "lang", s"${pctSql("doc_id")} as pct")
+          .where("""pct < (case lang when 'en' then 20 when 'es' then 10 else 5 end)""")
+          .select("doc_id", "lang")
+      },
+      Some(s"""SELECT doc_id, lang FROM
+                 (SELECT doc_id, lang, ${duckPct("doc_id")} AS pct FROM documents)
+               WHERE pct < (CASE lang WHEN 'en' THEN 20 WHEN 'es' THEN 10 ELSE 5 END)""")),
     "c01_clean_corpus" -> Q(
       (s, d) => {
         // doc_ids to drop: the larger end of every verified dup pair
