@@ -56,6 +56,10 @@ object Hashing {
       exprs => VNorm(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("hyperplane_sig",
       exprs => HyperplaneSig(exprs(0), litInt(exprs(1)), litInt(exprs(2))), "built-in")
+    // aggregate: the analyzer wraps a bare AggregateFunction into an
+    // AggregateExpression, so registration looks like any expression
+    reg.createOrReplaceTempFunction("top_k_by_score",
+      exprs => TopKByScore(exprs(0), exprs(1), litInt(exprs(2))), "built-in")
   }
 
   private val tlMd5 = ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))

@@ -78,35 +78,58 @@ object Similarity {
     """b AS (SELECT vec_id, unnest(generate_series(0, 3)) AS band, sig FROM sigs),
        bk AS (SELECT vec_id, band, (sig >> (band*4)) & 15 AS bits FROM b)"""
 
+  /** probe_id, cand_id, cosine — every (probe, candidate) score pair
+    * (probes = vec_id < 10, broadcast). */
+  private def scoredPairs(s: SparkSession, d: String): DataFrame = {
+    Hashing.register(s)
+    // repartition: single-file testdata = one input split; the
+    // 50k-cosine join below would otherwise run on one core
+    val e = Tables(s, d, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
+      .selectExpr("vec_id", "embedding", s"$normE as nrm")
+    val p = e.where("vec_id < 10")
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nrm").as("pn"))
+    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+    c.join(broadcast(p), col("cand_id") =!= col("probe_id"))
+      .selectExpr("probe_id", "cand_id", s"${dot("pe", "ce")} / (pn * cn) as cosine")
+  }
+
+  /** Shared oracle for the two brute-force top-k formulations (s01
+    * window, s08 bounded-heap aggregate). */
+  private val topkOracle =
+    s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+        sc AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                      ${duckDot("p.embedding", "c.embedding")} / (p.nrm * c.nrm) AS cosine
+               FROM e p JOIN e c ON c.vec_id != p.vec_id
+               WHERE p.vec_id < 10)
+        SELECT probe_id, cand_id, rnk, cosine FROM
+          (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS INTEGER) AS rnk
+           FROM sc)
+        WHERE rnk <= 5"""
+
   val all: Map[String, Q] = Map(
-    // ── brute-force cosine top-5 per probe (probes = vec_id < 10) ──
+    // ── brute-force cosine top-5 per probe (window formulation) ──
     "s01_topk_cosine" -> Q(
-      (s, d) => {
-        Hashing.register(s)
-        // repartition: single-file testdata = one input split; the
-        // 50k-cosine join below would otherwise run on one core
-        val e = Tables(s, d, "embeddings")
-          .repartition(s.sparkContext.defaultParallelism)
-          .selectExpr("vec_id", "embedding", s"$normE as nrm")
-        val p = e.where("vec_id < 10")
-          .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nrm").as("pn"))
-        val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("nrm").as("cn"))
-        c.join(broadcast(p), col("cand_id") =!= col("probe_id"))
-          .selectExpr("probe_id", "cand_id", s"${dot("pe", "ce")} / (pn * cn) as cosine")
-          .withColumn("rnk",
-            row_number().over(Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("cand_id"))))
-          .where("rnk <= 5")
-          .select("probe_id", "cand_id", "rnk", "cosine")
-      },
-      Some(s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
-               sc AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
-                             ${duckDot("p.embedding", "c.embedding")} / (p.nrm * c.nrm) AS cosine
-                      FROM e p JOIN e c ON c.vec_id != p.vec_id
-                      WHERE p.vec_id < 10)
-               SELECT probe_id, cand_id, rnk, cosine FROM
-                 (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS INTEGER) AS rnk
-                  FROM sc)
-               WHERE rnk <= 5"""),
+      (s, d) => scoredPairs(s, d)
+        .withColumn("rnk",
+          row_number().over(Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("cand_id"))))
+        .where("rnk <= 5")
+        .select("probe_id", "cand_id", "rnk", "cosine"),
+      Some(topkOracle),
+      bench = true),
+
+    // ── the same top-5 via the bounded-heap aggregate ──
+    // top_k_by_score is a TypedImperativeAggregate: partial k-element
+    // buffers are built map-side, so only k rows per probe cross the
+    // exchange — the window formulation shuffles and sorts EVERY
+    // scored pair. Shares s01's oracle (two formulations, one truth).
+    "s08_topk_agg" -> Q(
+      (s, d) => scoredPairs(s, d)
+        .groupBy("probe_id")
+        .agg(expr("top_k_by_score(cosine, cand_id, 5)").as("top"))
+        .selectExpr("probe_id", "inline(top)")
+        .selectExpr("probe_id", "id as cand_id", "rnk", "score as cosine"),
+      Some(topkOracle),
       bench = true),
 
     // ── random-hyperplane LSH signature per vector ──
