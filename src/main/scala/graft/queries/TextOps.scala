@@ -132,6 +132,25 @@ object TextOps {
             FROM v"""
       })),
 
+    // ── vocabulary construction: global top-50 tokens by frequency ──
+    // explode → hash-aggregate (partial count map-side, one shuffle
+    // keyed by token) → orderBy+limit compiles to
+    // TakeOrderedAndProject: each partition keeps its own top-50, the
+    // driver merges 50×partitions rows — no global sort at any scale.
+    // Deterministic cutoff: ties break on the token string.
+    "t06_vocab" -> Q(
+      (s, d) => Tables(s, d, "documents")
+        .selectExpr(s"explode($toks) as token")
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50),
+      Some("""SELECT token, count(*) AS n
+              FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+              GROUP BY token
+              ORDER BY n DESC, token
+              LIMIT 50""")),
+
     // ── document fingerprint: min/max rolling hash over 5-gram shingles ──
     "t04_fingerprint" -> Q(
       (s, d) => { Hashing.register(s); Tables(s, d, "documents") }
