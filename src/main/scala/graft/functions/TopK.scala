@@ -17,9 +17,15 @@ final class TopKBuffer(val k: Int) {
   val scores = new Array[Double](k)
   val ids = new Array[Long](k)
 
-  /** true if (s1, id1) ranks better than (s2, id2). */
-  @inline private def better(s1: Double, id1: Long, s2: Double, id2: Long): Boolean =
-    s1 > s2 || (s1 == s2 && id1 < id2)
+  /** true if (s1, id1) ranks better than (s2, id2). Scores compare by
+    * java.lang.Double.compare — the same total order Spark's window
+    * sort uses (NaN greatest, so a NaN score ranks first under
+    * "score desc" in BOTH formulations; plain `>` would be false both
+    * ways and rank NaN inconsistently). */
+  @inline private def better(s1: Double, id1: Long, s2: Double, id2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c > 0 || (c == 0 && id1 < id2)
+  }
 
   private def worstIx: Int = {
     var w = 0
@@ -44,9 +50,10 @@ final class TopKBuffer(val k: Int) {
     while (i < other.n) { insert(other.scores(i), other.ids(i)); i += 1 }
   }
 
-  /** (id, rank, score) triples, best first. */
+  /** (id, rank, score) triples, best first (same total order as
+    * [[better]], so NaN handling matches the insert path). */
   def sorted: Array[(Long, Int, Double)] = {
-    val ixs = (0 until n).sortBy(i => (-scores(i), ids(i)))
+    val ixs = (0 until n).sortWith((i, j) => better(scores(i), ids(i), scores(j), ids(j)))
     ixs.zipWithIndex.map { case (i, r) => (ids(i), r + 1, scores(i)) }.toArray
   }
 }
@@ -63,9 +70,14 @@ final class TopKBuffer(val k: Int) {
 case class TopKByScore(
     score: Expression, id: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKBuffer] {
+  extends TypedImperativeAggregate[TopKBuffer]
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
   override def children: Seq[Expression] = Seq(score, id)
+  // declared input types: a float score / int id column is implicitly
+  // cast at analysis time instead of failing at runtime with a
+  // ClassCastException in update()
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("id", LongType, nullable = false),

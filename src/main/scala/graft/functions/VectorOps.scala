@@ -21,7 +21,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   */
 object VectorOps {
 
-  /** Sequential-fold dot product of two float vectors. */
+  /** Sequential-fold dot product of two float vectors. Callers
+    * ([[DotF]]) enforce equal lengths; this fold itself is total. */
   def dotF(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
@@ -79,19 +80,32 @@ object VectorOps {
   }
 }
 
-/** `dotf(a, b)` → double: sequential-fold dot product. */
+/** `dotf(a, b)` → double: sequential-fold dot product. NULL when the
+  * lengths differ — the same result as the SQL-lambda
+  * `aggregate(zip_with(a, b, …))` it replaced, where `zip_with` pads
+  * the short side with nulls and the null propagates through the sum
+  * (a silent truncation would return a plausible partial product). */
 case class DotF(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dotf"
   override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // mismatched lengths → null
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    VectorOps.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null else VectorOps.dotF(x, y)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.dotF($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if ($a.numElements() != $b.numElements()) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.VectorOps.dotF($a, $b);
+      }""")
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotF =
     copy(left = newLeft, right = newRight)

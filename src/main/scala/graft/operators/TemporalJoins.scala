@@ -33,28 +33,39 @@ object TemporalJoins {
   def asOf(probes: DataFrame, quotes: DataFrame, key: String, ts: String,
       quoteTieBreak: String, payload: Seq[(String, String)]): DataFrame = {
     val carried = probes.columns.toSeq.filterNot(c => c == key || c == ts)
+    // ALL payload columns ride in ONE struct: running `last` over the
+    // struct picks the single latest quote atomically (its NULL fields
+    // included). Per-column last(ignoreNulls) would "tear" — a NULL
+    // field in the latest quote falling back to an older quote while
+    // other fields come from the newer one, diverging from
+    // [[graft.plans.AsOfJoinExec]].
+    val payType = org.apache.spark.sql.types.StructType(payload.map {
+      case (src, out) => org.apache.spark.sql.types.StructField(
+        out, quotes.schema(src).dataType, nullable = true)
+    })
     val qSide = quotes.select(
       Seq(col(key), col(ts), lit(0).as("__tag"),
         col(quoteTieBreak).cast("long").as("__tie")) ++
-        carried.map(c => lit(null).cast(probes.schema(c).dataType).as(c)) ++
-        payload.map { case (src, out) => col(src).as(out) }: _*)
+        carried.map(c => lit(null).cast(probes.schema(c).dataType).as(c)) :+
+        struct(payload.map { case (src, out) => col(src).as(out) }: _*).as("__pay"): _*)
     val pSide = probes.select(
       Seq(col(key), col(ts), lit(1).as("__tag"),
         lit(null).cast("long").as("__tie")) ++
-        carried.map(col) ++
-        payload.map { case (src, out) =>
-          lit(null).cast(quotes.schema(src).dataType).as(out) }: _*)
+        carried.map(col) :+
+        lit(null).cast(payType).as("__pay"): _*)
     // quotes sort before probes at equal ts (tag 0 < 1), so an
     // exactly-simultaneous quote IS visible to the probe ("at or
-    // before"); running `last` with ignoreNulls skips probe rows.
+    // before"); running `last` with ignoreNulls skips probe rows (a
+    // quote's struct is never null even when every field is).
     val w = Window.partitionBy(key)
       .orderBy(col(ts).asc, col("__tag").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     qSide.unionByName(pSide)
-      .select(Seq(col(key), col(ts), col("__tag")) ++ carried.map(col) ++
-        payload.map { case (_, out) => last(col(out), ignoreNulls = true).over(w).as(out) }: _*)
+      .select(Seq(col(key), col(ts), col("__tag")) ++ carried.map(col) :+
+        last(col("__pay"), ignoreNulls = true).over(w).as("__pay"): _*)
       .where(col("__tag") === 1)
-      .drop("__tag")
+      .select(Seq(col(key), col(ts)) ++ carried.map(col) ++
+        payload.map { case (_, out) => col(s"__pay.$out").as(out) }: _*)
   }
 
   /** Range self/cross join on a time window: pairs (probe, other) with

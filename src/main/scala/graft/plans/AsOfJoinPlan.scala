@@ -153,9 +153,16 @@ case class AsOfJoinExec(
         while (qHead == null && qIt.hasNext) {
           val r = qIt.next()
           val k = qKey.eval(r) match {
-            // child iterators reuse row buffers; detach buffer-backed keys
+            // child iterators reuse row buffers; detach EVERY
+            // buffer-backed key kind (string, binary, struct, array,
+            // map) — retaining one across advanceQ would silently
+            // read the next row's bytes
             case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
-            case x => x
+            case b: Array[Byte] => b.clone()
+            case r2: InternalRow => r2.copy()
+            case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+            case m: org.apache.spark.sql.catalyst.util.MapData => m.copy()
+            case x => x // primitives and Decimal are value-detached
           }
           val t = qTs.eval(r)
           if (k != null && t != null) { qHead = r; qHeadKey = k; qHeadTs = t }

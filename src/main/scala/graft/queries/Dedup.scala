@@ -69,6 +69,23 @@ object Dedup {
            cast(0 as bigint), (a, x) -> a + x) as simhash""")
   }
 
+  /** 4×8-bit LSH banding + hamming verify over a (doc_id, simhash)
+    * frame. Pigeonhole: at most 3 flipped bits touch at most 3 of the
+    * 4 bands, so at least one band matches exactly — recall is EXACT
+    * for the hamming <= 3 contract. Exposed (not inlined in the query
+    * map) so the recall proof is testable on planted distances. */
+  def simhashPairs(sh: DataFrame): DataFrame = {
+    val bk = sh.selectExpr("doc_id", "simhash", "explode(sequence(0, 3)) as band")
+      .selectExpr("doc_id", "simhash", "band", "shiftright(simhash, band*8) & 255 as bits")
+    bk.select(col("doc_id").as("d1"), col("simhash").as("s1"), col("band"), col("bits"))
+      .join(bk.select(col("doc_id").as("d2"), col("simhash").as("s2"),
+        col("band").as("b2"), col("bits").as("k2")),
+        col("band") === col("b2") && col("bits") === col("k2") && col("d1") < col("d2"))
+      .select("d1", "d2", "s1", "s2").distinct()
+      .selectExpr("d1", "d2", "cast(bit_count(s1 ^ s2) as int) as hamming")
+      .where("hamming <= 3")
+  }
+
   /** Persisted (hashed-shingle-set, banded-bucket) frames shared by the
     * LSH queries (d03/d07 and c01 through d03): hv is the HASHED set
     * (array<long> — an order of magnitude cheaper to cache than the
@@ -226,32 +243,23 @@ object Dedup {
                               THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
                   FROM th)""")),
 
-    // ── SimHash near-dup pairs: 16-bit-half banding + hamming verify ──
-    // Pigeonhole: hamming <= 1 implies one 16-bit half matches exactly,
-    // so recall is exact for k <= 1 and partial for 2..3 (full k <= 3
-    // recall needs the C(32,k) multi-table expansion — documented
-    // tradeoff, same banding mirrored in the oracle).
+    // ── SimHash near-dup pairs: 4×8-bit banding + hamming verify ──
+    // Pigeonhole: hamming <= 3 flips bits in at most 3 of the 4 bands,
+    // so at least one 8-bit band matches exactly — recall is EXACT for
+    // the advertised hamming <= 3 contract (2×16-bit halves only
+    // guaranteed k <= 1). Narrower bands mean larger buckets
+    // (N/256 per band); the verify filter bounds precision, and a
+    // mega-bucket under skew takes the d07 cap pattern.
     "d06_simhash_pairs" -> Q(
-      (s, d) => {
-        val sh = simhashed(s, d).persist()
-        val bk = sh.selectExpr("doc_id", "simhash", "explode(sequence(0, 1)) as band")
-          .selectExpr("doc_id", "simhash", "band", "shiftright(simhash, band*16) & 65535 as bits")
-        bk.select(col("doc_id").as("d1"), col("simhash").as("s1"), col("band"), col("bits"))
-          .join(bk.select(col("doc_id").as("d2"), col("simhash").as("s2"),
-            col("band").as("b2"), col("bits").as("k2")),
-            col("band") === col("b2") && col("bits") === col("k2") && col("d1") < col("d2"))
-          .select("d1", "d2", "s1", "s2").distinct()
-          .selectExpr("d1", "d2", "cast(bit_count(s1 ^ s2) as int) as hamming")
-          .where("hamming <= 3")
-      },
+      (s, d) => simhashPairs(simhashed(s, d).persist()),
       Some("""WITH th AS (SELECT doc_id,
                 list_transform(string_split(text,' '), tok -> (('0x' || substr(md5(tok), 1, 8))::BIGINT)) AS th
               FROM documents),
               sh AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 31),
                        b -> CASE WHEN 2 * len(list_filter(th, h -> (h // (1::BIGINT << b)) % 2 = 1)) >= len(th)
                                  THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS simhash FROM th),
-              b AS (SELECT doc_id, simhash, unnest(generate_series(0, 1)) AS band FROM sh),
-              bk AS (SELECT doc_id, simhash, band, (simhash >> (band*16)) & 65535 AS bits FROM b),
+              b AS (SELECT doc_id, simhash, unnest(generate_series(0, 3)) AS band FROM sh),
+              bk AS (SELECT doc_id, simhash, band, (simhash >> (band*8)) & 255 AS bits FROM b),
               cand AS (SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2, a.simhash AS s1, c.simhash AS s2
                        FROM bk a JOIN bk c ON a.band = c.band AND a.bits = c.bits AND a.doc_id < c.doc_id)
               SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming

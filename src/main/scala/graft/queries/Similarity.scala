@@ -191,15 +191,29 @@ object Similarity {
           e.withColumn("h", expr(Hashing.h32Sql("concat('ivf:', vec_id)")))
             .orderBy(col("h"), col("vec_id")).limit(16)
             .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn")))
-        def nearestCells(src: DataFrame, idCol: String, n: Int): DataFrame =
-          src.crossJoin(cent)
-            .selectExpr(idCol, "cid", s"${dot("embedding", "ce")} / (nrm * cn) as ccos")
-            .withColumn("rn", row_number().over(
-              Window.partitionBy(idCol).orderBy(col("ccos").desc, col("cid"))))
-            .where(s"rn <= $n").select(col(idCol), col("cid").as("cell"))
-        val asg = nearestCells(e, "vec_id", 1)
-        val pcells = nearestCells(e.where("vec_id < 10")
-          .select(col("vec_id").as("probe_id"), col("embedding"), col("nrm")), "probe_id", 2)
+        // Corpus assignment (nearest cell for EVERY vector): a
+        // map-side partial aggregate, not a window. The broadcast
+        // crossJoin emits the 16 (vector, centroid) score rows inside
+        // the same map task that scanned the vector, and hash-agg's
+        // partial mode folds them back to one row before the
+        // exchange — so the assignment shuffle carries ≤1 small
+        // (vec_id, cell) row per vector instead of exchanging+sorting
+        // the full 16×N score frame by vec_id. Tie-break matches the
+        // row_number ordering it replaced (max cosine, then min cid)
+        // via the lexicographic struct ordering of max_by.
+        val asg = e.crossJoin(cent)
+          .selectExpr("vec_id", "cid", s"${dot("embedding", "ce")} / (nrm * cn) as ccos")
+          .groupBy("vec_id")
+          .agg(max_by(col("cid"), struct(col("ccos"), negate(col("cid")))).as("cell"))
+        // Probe-side cell selection (nprobe=2 over the 10 probe
+        // vectors): a 160-row window frame — harmless at any scale.
+        val pcells = e.where("vec_id < 10")
+          .select(col("vec_id").as("probe_id"), col("embedding"), col("nrm"))
+          .crossJoin(cent)
+          .selectExpr("probe_id", "cid", s"${dot("embedding", "ce")} / (nrm * cn) as ccos")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("probe_id").orderBy(col("ccos").desc, col("cid"))))
+          .where("rn <= 2").select(col("probe_id"), col("cid").as("cell"))
         val cand = pcells.join(asg, pcells("cell") === asg("cell")
             && col("vec_id") =!= col("probe_id"))
           .select(col("probe_id"), col("vec_id").as("cand_id")).distinct()

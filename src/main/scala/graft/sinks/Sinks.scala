@@ -48,10 +48,15 @@ object Sinks {
     if (hfs.exists(versioned)) false
     else {
       val out = if (singleFile) df.coalesce(1) else df
-      // evaluate the plan once, write twice (the reference executes the
-      // query twice, parquet.py:48-51 — we keep one plan, two writes)
+      // execute the conversion ONCE, then byte-copy the written
+      // objects to the latest alias. The reference executes its query
+      // twice (parquet.py:48-51); at 100 TB a second execution doubles
+      // the whole conversion, while the copy is pure filesystem I/O
+      // (on object stores, a server-side copy).
       writeZstd(out, versioned.toString)
-      writeZstd(out, latest.toString)
+      if (hfs.exists(latest)) hfs.delete(latest, true)
+      org.apache.hadoop.fs.FileUtil.copy(hfs, versioned, hfs, latest,
+        false, true, spark.sparkContext.hadoopConfiguration)
       true
     }
   }

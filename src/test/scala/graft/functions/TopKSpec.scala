@@ -40,6 +40,27 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
     assert(viaAgg.size === 28) // 7 groups x 4
   }
 
+  test("float score / int id are implicitly cast; NaN ranks like the window sort") {
+    Hashing.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // float score + int id exercise ImplicitCastInputTypes (used to
+    // throw ClassCastException at runtime); NaN must take the same
+    // rank as Spark's window sort gives it (greatest under desc)
+    val df = Seq((1, 1, 1.5f), (1, 2, Float.NaN), (1, 3, 9.0f))
+      .toDF("g", "id", "score")
+    val viaAgg = df.groupBy("g")
+      .agg(expr("top_k_by_score(score, id, 2)").as("top"))
+      .selectExpr("inline(top)").select("id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val viaWindow = df.withColumn("rnk", row_number().over(
+        Window.partitionBy("g").orderBy(col("score").desc, col("id"))))
+      .where("rnk <= 2").select("id", "rnk").collect()
+      .map(r => (r.getInt(0).toLong, r.getInt(1))).toSet
+    assert(viaAgg === viaWindow)
+    assert(viaAgg === Set((2L, 1), (3L, 2)))
+  }
+
   test("the aggregate plans with a partial ObjectHashAggregate below the exchange") {
     Hashing.register(spark)
     import spark.implicits._

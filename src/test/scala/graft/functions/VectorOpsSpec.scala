@@ -31,6 +31,20 @@ class VectorOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("dotf is NULL on length mismatch, matching zip_with null propagation") {
+    Hashing.register(spark)
+    import spark.implicits._
+    val r = Seq((Seq(1f, 2f, 3f), Seq(1f, 2f))).toDF("a", "b").selectExpr(
+      "dotf(a, b) as native",
+      """aggregate(zip_with(a, b, (x, y) -> cast(x as double) * y),
+           cast(0 as double), (acc, v) -> acc + v) as lambda""").head
+    assert(r.isNullAt(0), "dotf must not silently truncate to the shorter vector")
+    assert(r.isNullAt(1))
+    val ok = Seq((Seq(1f, 2f), Seq(3f, 4f))).toDF("a", "b")
+      .selectExpr("dotf(a, b)").head
+    assert(ok.getDouble(0) === 11.0)
+  }
+
   test("vnorm equals the sqrt-aggregate lambda bit-for-bit") {
     Hashing.register(spark)
     import spark.implicits._

@@ -21,7 +21,10 @@ class BucketingSpec extends AnyFunSuite with SparkTestBase {
       .write.bucketBy(8, "okey").sortBy("okey").saveAsTable("bk_lines")
 
     // disable broadcast so both joins take the sort-merge path (a
-    // BroadcastExchange would make the no-Exchange assertion vacuous)
+    // BroadcastExchange would make the no-Exchange assertion vacuous);
+    // restore whatever the shared session had, not a hardcoded default
+    val savedThreshold =
+      spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val j = spark.table("bk_orders").join(spark.table("bk_lines"), "okey")
@@ -37,7 +40,10 @@ class BucketingSpec extends AnyFunSuite with SparkTestBase {
       val u = a.join(b, "okey")
       u.count()
       assert(u.queryExecution.executedPlan.toString.contains("Exchange"))
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    } finally savedThreshold match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
     spark.sql("DROP TABLE IF EXISTS bk_orders")
     spark.sql("DROP TABLE IF EXISTS bk_lines")
   }

@@ -19,7 +19,11 @@ class AsOfJoinPlanSpec extends AnyFunSuite with SparkTestBase {
     import spark.implicits._
     (0 until n).map { i =>
       val h = graft.functions.Hashing.jvm32(s"$seed:$i")
-      (i.toLong, h % users, (h / 7) % 50, (h % 1000) / 10.0)
+      // ~1 in 5 quotes carries a NULL payload value: the latest match
+      // must contribute ALL payload columns including its NULLs (no
+      // per-column fallback to an older quote — the "tearing" bug)
+      val v = if (h % 5 == 0) None else Some((h % 1000) / 10.0)
+      (i.toLong, h % users, (h / 7) % 50, v)
     }.toDF("event_id", "user_id", "sec", "value")
       .selectExpr("event_id", "user_id",
         "timestamp_micros(sec * 1000000) as ts", "value")

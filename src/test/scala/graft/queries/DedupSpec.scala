@@ -24,6 +24,24 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(total === docs)
   }
 
+  test("d06 banding recovers EVERY pair at hamming <= 3 (pigeonhole recall proof)") {
+    import spark.implicits._
+    // planted distances: flips placed to defeat any single band where
+    // possible — id 4 differs from id 1 in all four 8-bit bands
+    val base = 0x12345678L
+    val sh = Seq(
+      1L -> base,
+      2L -> (base ^ 3L),                                  // h=2, both flips in band 0
+      3L -> (base ^ (1L | (1L << 8) | (1L << 16))),       // h=3, bands 0..2 flipped
+      4L -> (base ^ (1L | (1L << 8) | (1L << 16) | (1L << 24))) // h=4, ALL bands flipped
+    ).toDF("doc_id", "simhash")
+    val pairs = Dedup.simhashPairs(sh)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // every hamming<=3 pair is present — including distance 2 and 3,
+    // which the old 2×16-bit banding could silently miss
+    assert(pairs === Set((1L, 2L, 2), (1L, 3L, 3), (2L, 3L, 3), (3L, 4L, 1)))
+  }
+
   test("simhash of identical token multisets is identical") {
     val df = Dedup.all("d04_simhash").fn(spark, sf)
     // deterministic: same input -> same simhash on repeated run

@@ -42,6 +42,19 @@ class PlanShapeSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(agg >= 0, p)
   }
 
+  test("s05 IVF corpus assignment is a partial aggregate, not a window over the 16×N frame") {
+    val p = planOf("s05_ivf_topk")
+    // the corpus assignment must fold 16 score rows per vector
+    // map-side via max_by partial aggregation ...
+    assert(p.contains("max_by"), p)
+    assert(p.toLowerCase.contains("partial_max_by") || p.contains("partial"), p)
+    // ... leaving exactly two windows: the 10-probe cell selection and
+    // the final per-probe top-3 — a third would mean the 16×N
+    // assignment frame is being exchanged+sorted again
+    val windows = "Window\\s*\\[".r.findAllIn(p).size
+    assert(windows == 2, s"expected 2 windows, got $windows\n$p")
+  }
+
   test("d03 LSH candidate generation is an equi-join, never all-pairs") {
     val p = planOf("d03_lsh_pairs")
     assert(!p.contains("CartesianProduct"), p)

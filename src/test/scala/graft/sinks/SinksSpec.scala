@@ -27,6 +27,20 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(s"$base/r.parquet").count() === 2)
   }
 
+  test("writeVersioned executes the conversion plan exactly once") {
+    import spark.implicits._
+    val base = tmp("once")
+    val acc = spark.sparkContext.longAccumulator("evals")
+    val df = spark.range(100).map { i => acc.add(1); i }.toDF("v")
+    assert(Sinks.writeVersioned(spark, df, base, "r", "1"))
+    // both objects exist and read back identically ...
+    assert(spark.read.parquet(s"$base/r/v1.parquet").count() === 100)
+    assert(spark.read.parquet(s"$base/r.parquet").count() === 100)
+    // ... but every source row was evaluated once, not twice — the
+    // latest alias is a byte-copy, not a re-execution
+    assert(acc.value === 100L, "conversion plan was re-executed for the latest alias")
+  }
+
   test("geoparquet footer patch preserves data and adds the geo key") {
     import spark.implicits._
     val out = tmp("geo") + "/t.parquet"
