@@ -53,24 +53,28 @@ object EventStreams {
   }
 
   /** q15's tumbling counts as an incremental stream: watermarked
-    * 1-hour windows, partial aggregation before the stateful exchange. */
+    * 1-hour windows, partial aggregation before the stateful exchange.
+    * Same output shape as batch q15 (Det-summed val_sum) so both tiers
+    * share one oracle. */
   def tumblingCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n"), graft.Det.dsum(col("value")).as("val_sum"))
       .select(unix_timestamp(col("window.start")).as("win_start"),
-        col("event_type"), col("n"))
+        col("event_type"), col("n"), col("val_sum"))
 
   /** q16's session windows as a stream: built-in session_window with a
-    * 30-minute gap; watermark closes sessions and evicts their state. */
+    * 30-minute gap; watermark closes sessions and evicts their state.
+    * Output shape matches batch q16 — one oracle for both tiers. */
   def sessionCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n"), graft.Det.dsum(col("value")).as("val_sum"))
       .select(col("user_id"),
-        unix_millis(col("session_window.start")).as("session_start_ms"), col("n"))
+        unix_millis(col("session_window.start")).as("session_start_ms"),
+        col("n"), col("val_sum"))
 
   /** Streaming exact dedup: drop events whose `event_id` was already
     * seen within the watermark horizon. State holds one entry per key
@@ -101,9 +105,17 @@ object EventStreams {
     * watermark evicts idle sessions, so state per user is one
     * in-flight session regardless of history length.
     *
-    * NOTE on determinism: within one `availableNow` pass the group
-    * iterator is not time-ordered, so the spec feeds it pre-sorted
-    * micro-batches; a production job relies on the timeout path.
+    * Memory bound: events fold ONE AT A TIME into a set of disjoint
+    * candidate session intervals (a TreeMap keyed by session start) —
+    * an out-of-order event extends the interval it is gap-adjacent to
+    * and bridges neighbouring intervals that come within the gap.
+    * Executor memory per key per batch is O(distinct sessions in the
+    * batch), which is proportional to the OUTPUT, never O(events):
+    * a hot key with millions of events in one session holds exactly
+    * one interval. (The previous `it.toSeq.sortBy` materialized the
+    * whole group.) The interval merge computes the same connected
+    * components as a sort-then-fold, so results are order-independent
+    * within a batch.
     */
   def sessionizeCustom(events: Dataset[Event], gapMs: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -117,25 +129,43 @@ object EventStreams {
             state.remove()
             Iterator(SessionOut(userId, s.start, s.n, s.sum))
           } else {
-            var closed = List.empty[SessionOut]
-            var cur = state.getOption
-            it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val iv = new java.util.TreeMap[Long, SessionState]()
+            state.getOption.foreach(s => iv.put(s.start, s))
+            it.foreach { e =>
               val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.last < gapMs =>
-                  cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
-                case Some(s) =>
-                  closed ::= SessionOut(userId, s.start, s.n, s.sum)
-                  cur = Some(SessionState(t, t, 1, e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
+              // extend the latest interval starting at-or-before t if
+              // gap-adjacent (t inside it also lands here), else open
+              // a new candidate session
+              val floor = iv.floorEntry(t)
+              var cur =
+                if (floor != null && t - floor.getValue.last < gapMs) {
+                  val s = floor.getValue
+                  iv.remove(floor.getKey)
+                  SessionState(s.start, math.max(s.last, t), s.n + 1, s.sum + e.value)
+                } else SessionState(t, t, 1, e.value)
+              // bridge: absorb following intervals now within the gap
+              var ceil = iv.higherEntry(cur.start)
+              while (ceil != null && ceil.getValue.start - cur.last < gapMs) {
+                val s2 = ceil.getValue
+                iv.remove(ceil.getKey)
+                cur = SessionState(cur.start, math.max(cur.last, s2.last),
+                  cur.n + s2.n, cur.sum + s2.sum)
+                ceil = iv.higherEntry(cur.start)
               }
+              iv.put(cur.start, cur)
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+            if (iv.isEmpty) Iterator.empty
+            else {
+              // every interval except the latest is closed (a later
+              // event >= gap after it exists); the latest stays open
+              // on the watermark timeout
+              val open = iv.pollLastEntry().getValue
+              state.update(open)
+              state.setTimeoutTimestamp(open.last + gapMs)
+              val closed = List.newBuilder[SessionOut]
+              iv.values.forEach(s => closed += SessionOut(userId, s.start, s.n, s.sum))
+              closed.result().iterator
             }
-            closed.reverseIterator
           }
         })
   }

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.Q
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming tier in the correctness gate: each entry runs a bounded
+  * Structured Streaming query (`availableNow` over the static events
+  * directory, memory sink) and is checked against the SAME DuckDB
+  * oracle as its batch twin — the batch-parity promise enforced by the
+  * driver, not just ScalaTest.
+  *
+  * Complete output mode: the gate compares full results, so windows
+  * the watermark has not closed when the bounded stream drains must
+  * still be emitted. Production incremental jobs use append mode and
+  * emit on watermark close; the aggregation plan is identical.
+  */
+object StreamQueries {
+
+  /** Run a bounded stream to a memory sink and return the table. The
+    * sink table is driver-local — fine for gate-sized results; the
+    * production path writes the same stream to a parquet/kafka sink. */
+  private def drain(s: SparkSession, df: DataFrame, name: String): DataFrame = {
+    val q = df.writeStream
+      .format("memory").queryName(name).outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    s.table(name)
+  }
+
+  // oracle SQL mirrors q15/q16 exactly (same shape, same Det-summed
+  // val_sum) — one semantics, two execution tiers
+  def all: Map[String, Q] = Map(
+    "stream01_tumbling" -> Q(
+      (s, d) => drain(s,
+        EventStreams.tumblingCounts(EventStreams.eventsStream(s, d)), "g_stream01"),
+      Some(s"""SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS BIGINT) AS win_start,
+                      event_type, count(*) AS n, ${graft.Det.sqlSum("value")} AS val_sum
+               FROM events GROUP BY 1, 2""")),
+
+    "stream02_session" -> Q(
+      (s, d) => drain(s,
+        EventStreams.sessionCounts(EventStreams.eventsStream(s, d)), "g_stream02"),
+      Some(s"""WITH e AS (
+                 SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+               ), marks AS (
+                 SELECT user_id, ts, value,
+                        CASE WHEN lag(ts) OVER w IS NULL
+                                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                             THEN 1 ELSE 0 END AS new_s
+                 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+               ), sess AS (
+                 SELECT user_id, ts, value,
+                        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+                 FROM marks
+               )
+               SELECT user_id, epoch_ms(min(ts))::BIGINT AS session_start_ms,
+                      count(*) AS n, ${graft.Det.sqlSum("value")} AS val_sum
+               FROM sess GROUP BY user_id, sid"""))
+  )
+}

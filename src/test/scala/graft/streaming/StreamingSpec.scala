@@ -98,6 +98,33 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(first === graft.queries.Relational.events(spark, sf).count())
   }
 
+  test("sessionizer folds a 100k-event out-of-order hot-key batch into one interval") {
+    // one user floods a single micro-batch: state while folding must be
+    // O(sessions), not O(events) — the permuted 1s-apart run merges
+    // incrementally into ONE candidate interval, and the result is
+    // identical to a sort-then-fold
+    val dir = java.nio.file.Files.createTempDirectory("graft-hotkey").toString
+    val t0 = 1700000000L // seconds
+    spark.range(100000).selectExpr("1L as user_id",
+        s"timestamp_seconds($t0 + (id * 7) % 100000) as ts", "cast(1.0 as double) as value")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(1100) // second file must sort after the first by mtime
+    // a much-later lone event advances the watermark past the hot
+    // session's timeout in the second micro-batch
+    spark.range(1).selectExpr("2L as user_id",
+        s"timestamp_seconds($t0 + 200000) as ts", "cast(1.0 as double) as value")
+      .coalesce(1).write.mode("append").parquet(dir)
+    import spark.implicits._
+    val src = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir).as[EventStreams.Event]
+    val out = runToMemory(
+      EventStreams.sessionizeCustom(src, gapMs = 30 * 60 * 1000).toDF(), "t_hotkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq((1L, t0 * 1000, 100000L, 100000.0)))
+  }
+
   test("flatMapGroupsWithState sessionizer matches session_window on closed sessions") {
     import spark.implicits._
     val events = EventStreams.eventsStream(spark, sf)
