@@ -48,10 +48,16 @@ final case class EmlMetadata(
 
   def keywords: Seq[String] = keywordGroups.flatten
 
+  /** XML-escape text content: a `&` or `<` in a dataset title must not
+    * produce an unparseable document (entities round-trip back to the
+    * original characters in the `//text()` bag). */
+  private def esc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
   /** Minimal ISO-19139-shaped XML (double-quoted attributes only, so
     * goldens embed cleanly in SQL string literals). */
   def isoXml: String =
-    s"""<gmd:MD_Metadata xmlns:gmd="http://www.isotc211.org/2005/gmd"><gmd:fileIdentifier>$identifier</gmd:fileIdentifier><gmd:title>$title</gmd:title><gmd:abstract>$abstractText</gmd:abstract><gmd:date>$pubDate</gmd:date><gmd:keywords>${keywords.mkString(" ")}</gmd:keywords><gmd:contact>${contacts.map(_._2).mkString(" ")}</gmd:contact><gmd:bbox>${bbox.seq.map(_.toString).mkString(" ")}</gmd:bbox></gmd:MD_Metadata>"""
+    s"""<gmd:MD_Metadata xmlns:gmd="http://www.isotc211.org/2005/gmd"><gmd:fileIdentifier>${esc(identifier)}</gmd:fileIdentifier><gmd:title>${esc(title)}</gmd:title><gmd:abstract>${esc(abstractText)}</gmd:abstract><gmd:date>${esc(pubDate)}</gmd:date><gmd:keywords>${esc(keywords.mkString(" "))}</gmd:keywords><gmd:contact>${esc(contacts.map(_._2).mkString(" "))}</gmd:contact><gmd:bbox>${bbox.seq.map(_.toString).mkString(" ")}</gmd:bbox></gmd:MD_Metadata>"""
 }
 
 object Eml {

@@ -29,6 +29,16 @@ class EmlSpec extends AnyFunSuite {
     assert(Eml.anytext(birds.isoXml).contains("Bird observations Norway"))
   }
 
+  test("isoXml escapes markup in text fields and round-trips through the anytext bag") {
+    val meta = birds.copy(title = "Fish & Chips <Survey>",
+      abstractText = "10 < 20 & true")
+    // still a parseable document (dom() would throw on a bare &) ...
+    val bag = Eml.anytext(meta.isoXml)
+    // ... and the entities decode back to the original characters
+    assert(bag.contains("Fish & Chips <Survey>"))
+    assert(bag.contains("10 < 20 & true"))
+  }
+
   test("dedup is order-preserving first occurrence") {
     assert(Eml.dedup(Seq("b", "a", "b", "c", "a")) === Seq("b", "a", "c"))
   }
