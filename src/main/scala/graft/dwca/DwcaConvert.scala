@@ -88,7 +88,12 @@ object DwcaConvert {
     val meta = DwcaMeta.fromZip(zipPath)
     lazy val dir = extract(zipPath)
     def scan(l: DwcaLayer): DataFrame =
-      if (zipScan) graft.sources.ZipSource.readLayer(spark, zipPath, l)
+      if (l.sepLiteralOpt.isEmpty)
+        // genuine regex separator (dwca.py:19-20): stream the member
+        // and split rows by the same regex as the header
+        graft.sources.RegexCsv.scan(spark,
+          graft.sources.ZipSource.memberLines(spark, zipPath, l.location, l.encoding), l)
+      else if (zipScan) graft.sources.ZipSource.readLayer(spark, zipPath, l)
       else readLayer(spark, dir, l)
 
     val core = scan(meta.core)

@@ -42,17 +42,25 @@ final case class DwcaLayer(
   def termNames: Map[Int, String] =
     fieldTerms.map { case (i, uri) => i -> uri.substring(uri.lastIndexOf('/') + 1) }
 
-  /** Literal separator for the CSV scan. The regex form is only ever
-    * an escaped single character in IPT archives ("\t", ",", ";");
-    * Spark's CSV `sep` takes the literal. A true multi-char regex
-    * would be a documented divergence (SURVEY §7.4). */
-  def sepLiteral: String = sepRegex match {
-    case "\\t" => "\t"
-    case s if s.length == 2 && s.charAt(0) == '\\' => s.substring(1)
-    case s if s.length == 1 => s
-    case s => throw new IllegalArgumentException(
-      s"fieldsTerminatedBy '$s' is not a single-character separator")
+  /** The separator as a literal single character, when it is one —
+    * IPT archives almost always use "\t", ",", or ";", which Spark's
+    * CSV `sep` takes directly. None means `sepRegex` is a genuine
+    * regular expression (a class like `\s` or any metacharacter) and
+    * the scan must take the [[graft.sources.RegexCsv]] path. */
+  def sepLiteralOpt: Option[String] = sepRegex match {
+    case "\\t" => Some("\t")
+    case s if s.length == 2 && s.charAt(0) == '\\' =>
+      // an escaped letter/digit is a regex class (\d, \s, \w, ...);
+      // an escaped symbol is that literal symbol (\|, \;)
+      if (Character.isLetterOrDigit(s.charAt(1))) None else Some(s.substring(1))
+    case s if s.length == 1 && !"^$.|?*+()[]{}\\".contains(s.charAt(0)) => Some(s)
+    case _ => None
   }
+
+  /** Literal separator for the CSV scan (throws on a regex form —
+    * callers branch on [[sepLiteralOpt]] first). */
+  def sepLiteral: String = sepLiteralOpt.getOrElse(throw new IllegalArgumentException(
+    s"fieldsTerminatedBy '$sepRegex' is not a single-character separator"))
 }
 
 /** Parsed `meta.xml`: core + extensions + the all-columns set.

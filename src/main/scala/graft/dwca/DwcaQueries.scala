@@ -68,6 +68,18 @@ object DwcaQueries {
       (s, _) => DwcaConvert.convert(s, zipPath, DwcaConvert.GeomWktString, zipScan = true),
       Some(convertOracle)),
 
+    // ── genuine-regex fieldsTerminatedBy (\s*\|\s*) — the scan must
+    // split data rows by the SAME regex the reference compiles for
+    // the header (dwca.py:19-20), with full-sample type inference;
+    // oracle is golden VALUES (DuckDB read_csv cannot take a regex) ──
+    "dwca05_convert_regex" -> Q(
+      (s, _) => DwcaConvert.convert(s, fixture("regex_sep.zip"), DwcaConvert.GeomWktString),
+      Some("""SELECT * FROM (VALUES
+                ('o1', 'Falco peregrinus', 59.91, 10.75, 'o1', 'POINT (59.910000 10.750000)'),
+                ('o2', 'Parus major', CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), 'o2', CAST(NULL AS VARCHAR)),
+                ('o3', 'Lynx lynx', 60.5, 11.25, 'o3', 'POINT (60.500000 11.250000)'))
+              AS t(id, scientificName, decimalLatitude, decimalLongitude, fid, geom_wkt)""")),
+
     // ── engine-faithful conversion: WKB geometry via native ST_* ──
     // DuckDB spatial is unavailable offline, so the oracle is golden
     // VALUES: the WKB hex for each fixture geometry, independently

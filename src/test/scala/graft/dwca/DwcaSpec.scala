@@ -83,6 +83,38 @@ class DwcaSpec extends AnyFunSuite with SparkTestBase {
     assert(rows(0).getAs[String]("geom_wkt") === "POINT (59.500000 10.500000)")
   }
 
+  test("genuine-regex separator: data rows split by the header's regex, types inferred") {
+    val zipRe = {
+      val local = java.nio.file.Paths.get("src/test/resources/dwca/regex_sep.zip")
+      if (java.nio.file.Files.exists(local)) local.toAbsolutePath.toString
+      else "/root/repo/src/test/resources/dwca/regex_sep.zip"
+    }
+    val meta = DwcaMeta.fromZip(zipRe)
+    assert(meta.core.sepRegex === "\\s*\\|\\s*")
+    assert(meta.core.sepLiteralOpt === None) // not expressible as a CSV sep
+    assert(meta.core.headers === Seq("id", "scientificName", "decimalLatitude", "decimalLongitude"))
+    val df = DwcaConvert.convert(spark, zipRe, DwcaConvert.GeomWktString)
+    // full-sample inference typed the coordinates as double
+    assert(df.schema("decimalLatitude").dataType.typeName === "double")
+    val rows = df.collect().sortBy(_.getAs[String]("id"))
+    assert(rows.length === 3)
+    // padding around the separators is part of the regex, not the data
+    assert(rows(1).getAs[String]("scientificName") === "Parus major")
+    assert(rows(1).isNullAt(rows(1).fieldIndex("decimalLatitude")))
+    assert(rows(2).getAs[Double]("decimalLongitude") === 11.25)
+    assert(rows(0).getAs[String]("geom_wkt") === "POINT (59.910000 10.750000)")
+  }
+
+  test("escaped-symbol separators stay literal, regex classes do not") {
+    val l = DwcaMeta.fromZip(zip).core
+    assert(l.copy(sepRegex = "\\t").sepLiteralOpt === Some("\t"))
+    assert(l.copy(sepRegex = ",").sepLiteralOpt === Some(","))
+    assert(l.copy(sepRegex = "\\|").sepLiteralOpt === Some("|"))
+    assert(l.copy(sepRegex = "|").sepLiteralOpt === None) // bare metachar
+    assert(l.copy(sepRegex = "\\d").sepLiteralOpt === None) // class
+    assert(l.copy(sepRegex = "; *").sepLiteralOpt === None) // multi-char
+  }
+
   test("distributed zip scan is byte-equivalent to the extracted scan") {
     val meta = DwcaMeta.fromZip(zip)
     val dir = DwcaConvert.extract(zip)
