@@ -34,17 +34,27 @@ object Bench {
     try SparkEntry.entry(spark).count()
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
 
+    // Per-query: one untimed warmup run (JIT/codegen for THIS query's
+    // generated classes, shared-cache population), then the median of
+    // 3 timed runs — in-suite ordering/JIT noise made r4's t01 read
+    // 2× its standalone cost; medians put regressions back above the
+    // noise floor.
     val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (isolate) spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch {
+      val times =
+        try {
+          fn(spark, sfDir).count() // warmup, untimed
+          (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          }.sorted
+        } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            false
+            Seq.empty[Double]
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (times.nonEmpty) times(times.size / 2) else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
