@@ -76,6 +76,10 @@ object DwcaConvert {
       .option("sep", layer.sepLiteral)
       .option("encoding", layer.encoding)
       .option("inferSchema", "true")
+      // RFC4180 doubled-quote escaping, matching the reference's
+      // read_csv (Spark's default escape is backslash — dwca06's
+      // sniffer differential caught the divergence)
+      .option("escape", "\"")
       .csv(dir.resolve(layer.location).toString)
 
   /** Full conversion: the reference's one generated query.

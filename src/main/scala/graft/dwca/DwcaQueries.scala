@@ -80,6 +80,28 @@ object DwcaQueries {
                 ('o3', 'Lynx lynx', 60.5, 11.25, 'o3', 'POINT (60.500000 11.250000)'))
               AS t(id, scientificName, decimalLatitude, decimalLongitude, fid, geom_wkt)""")),
 
+    // ── CSV sniffer parity, differentially: Spark's inferSchema and
+    // DuckDB's read_csv sniffer each type the SAME committed fixture
+    // covering the promotion/format edge cases (int→long boundary,
+    // int→double promotion, booleans, ISO dates, timestamps, quoted
+    // separators, doubled quotes, all-null column). The hash compare
+    // IS the differential — a divergence in either engine's sniff
+    // shows up as a value/type mismatch in the gate. Timestamps leave
+    // as epoch seconds (both engines) to dodge tz-printing skew. ──
+    "dwca06_sniffer_parity" -> Q(
+      (s, _) => s.read
+        .option("header", "true").option("sep", ";").option("inferSchema", "true")
+        .option("escape", "\"") // RFC4180 doubled quotes, as DuckDB sniffs them
+        .csv(fixture("sniffer/sniffer.csv"))
+        .select(col("c_int"), col("c_promote"), col("c_bool"),
+          col("c_date").cast("string").as("c_date"),
+          unix_timestamp(col("c_ts").cast("timestamp")).as("ts_epoch"),
+          col("c_quoted"), col("c_null").cast("string").as("c_null"), col("c_str")),
+      Some("""SELECT c_int, c_promote, c_bool, CAST(c_date AS VARCHAR) AS c_date,
+                     CAST(epoch(c_ts) AS BIGINT) AS ts_epoch,
+                     c_quoted, CAST(c_null AS VARCHAR) AS c_null, c_str
+              FROM read_csv('/root/repo/src/test/resources/dwca/sniffer/sniffer.csv')""")),
+
     // ── engine-faithful conversion: WKB geometry via native ST_* ──
     // DuckDB spatial is unavailable offline, so the oracle is golden
     // VALUES: the WKB hex for each fixture geometry, independently

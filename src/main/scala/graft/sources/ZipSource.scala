@@ -75,5 +75,6 @@ object ZipSource {
       .option("header", "true")
       .option("sep", layer.sepLiteral)
       .option("inferSchema", "true")
+      .option("escape", "\"") // RFC4180 doubled quotes (see DwcaConvert.readLayer)
       .csv(memberLines(spark, zipPath, layer.location, layer.encoding))
 }
