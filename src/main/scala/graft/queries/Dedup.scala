@@ -266,6 +266,13 @@ object Dedup {
               FROM cand WHERE bit_count(xor(s1, s2)) <= 3""")),
 
     // ── char-4-gram Jaccard near-dup (8-perm MinHash, 2 bands of 4) ──
+    // Char-gram buckets are hotter than shingle buckets (short docs
+    // share 4-gram sets far more often than 3-token shingles — the
+    // uncapped banding admitted 119k candidate pairs at sf0.1), so
+    // this path carries the d07 bucket cap from the start: a bucket
+    // with more than 64 members is dropped before the self-join,
+    // bounding every bucket's fan-out at 64² (mega-bucket members are
+    // boilerplate near-identicals that d01 already groups).
     "d05_ngram_jaccard" -> Q(
       (s, d) => {
         Hashing.register(s)
@@ -282,8 +289,11 @@ object Dedup {
           .selectExpr("doc_id", "band",
             s"${Hashing.h32Sql("concat(band, ':', concat_ws(',', slice(sig, band*4+1, 4)))")} as bucket")
           .persist()
-        val cand = bk.select(col("doc_id").as("d1"), col("band"), col("bucket"))
-          .join(bk.select(col("doc_id").as("d2"), col("band").as("b2"), col("bucket").as("k2")),
+        val capped = bk.withColumn("bsz",
+            count(lit(1)).over(Window.partitionBy("band", "bucket")))
+          .where("bsz <= 64")
+        val cand = capped.select(col("doc_id").as("d1"), col("band"), col("bucket"))
+          .join(capped.select(col("doc_id").as("d2"), col("band").as("b2"), col("bucket").as("k2")),
             col("band") === col("b2") && col("bucket") === col("k2") && col("d1") < col("d2"))
           .select("d1", "d2").distinct()
         // see d03: no hints — AQE broadcasts the bounded candidate side
@@ -307,8 +317,12 @@ object Dedup {
                bk AS (SELECT doc_id, band,
                         ${Hashing.duck32("band || ':' || array_to_string(sig[band*4+1:band*4+4], ',')")} AS bucket
                       FROM b),
+               capped AS (SELECT * FROM
+                            (SELECT doc_id, band, bucket,
+                                    count(*) OVER (PARTITION BY band, bucket) AS bsz FROM bk)
+                          WHERE bsz <= 64),
                cand AS (SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
-                        FROM bk a JOIN bk c
+                        FROM capped a JOIN capped c
                         ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id)
                SELECT d1, d2, jac FROM
                  (SELECT d1, d2,
