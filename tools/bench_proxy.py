@@ -11,8 +11,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 BENCH = ["q01_filter_scan", "q02_star_join", "q06_outer_join_agg",
          "q08_agg_pricing", "q16_session_window", "t01_token_stats",
-         "d03_lsh_pairs", "s01_topk_cosine", "m02_frame_sample",
-         "c01_clean_corpus", "j01_asof_join", "j03_asof_plan"]
+         "d03_lsh_pairs", "s01_topk_cosine", "s08_topk_agg",
+         "m02_frame_sample", "c01_clean_corpus", "j01_asof_join",
+         "j03_asof_plan"]
 
 
 def main():
@@ -21,11 +22,16 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    # same methodology as graft.Bench: one untimed warmup, median of 3
     res = {}
     for q in BENCH:
-        t0 = time.time()
         con.sql(oracle[q]).fetchall()
-        res[q] = round(time.time() - t0, 3)
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            con.sql(oracle[q]).fetchall()
+            times.append(time.time() - t0)
+        res[q] = round(sorted(times)[1], 3)
     res["total"] = round(sum(res.values()), 2)
     print(json.dumps(res, indent=1))
 
