@@ -54,10 +54,46 @@ final case class EmlMetadata(
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
-  /** Minimal ISO-19139-shaped XML (double-quoted attributes only, so
-    * goldens embed cleanly in SQL string literals). */
-  def isoXml: String =
-    s"""<gmd:MD_Metadata xmlns:gmd="http://www.isotc211.org/2005/gmd"><gmd:fileIdentifier>${esc(identifier)}</gmd:fileIdentifier><gmd:title>${esc(title)}</gmd:title><gmd:abstract>${esc(abstractText)}</gmd:abstract><gmd:date>${esc(pubDate)}</gmd:date><gmd:keywords>${esc(keywords.mkString(" "))}</gmd:keywords><gmd:contact>${esc(contacts.map(_._2).mkString(" "))}</gmd:contact><gmd:bbox>${bbox.seq.map(_.toString).mkString(" ")}</gmd:bbox></gmd:MD_Metadata>"""
+  /** ISO-19139 metadata document, shaped like pygeometa's GBIF-EML →
+    * ISO19139 crosswalk output (`csw.py:19-20,47-48`): proper gmd/gco
+    * nesting — fileIdentifier, language, hierarchyLevel, one
+    * CI_ResponsibleParty per contact with its role code,
+    * dateStamp, CI_Citation with a typed publication date, abstract,
+    * one MD_Keywords keyword element per keyword, and an
+    * EX_GeographicBoundingBox with the four coordinate elements
+    * (west/east/south/north, pygeometa's order). Every fact the
+    * reference's `//text()` `anytext` bag collects appears as its own
+    * text node. Single line so goldens embed in SQL literals. */
+  def isoXml: String = {
+    def cs(v: String) = s"<gco:CharacterString>${esc(v)}</gco:CharacterString>"
+    val cl = "http://standards.iso.org/iso/19139/resources/gmxCodelists.xml"
+    val contactXml = contacts.map { case (role, name) =>
+      s"""<gmd:contact><gmd:CI_ResponsibleParty><gmd:individualName>${cs(name)}</gmd:individualName><gmd:role><gmd:CI_RoleCode codeList="$cl#CI_RoleCode" codeListValue="${esc(role)}">${esc(role)}</gmd:CI_RoleCode></gmd:role></gmd:CI_ResponsibleParty></gmd:contact>"""
+    }.mkString
+    val keywordXml = keywords.map(k => s"<gmd:keyword>${cs(k)}</gmd:keyword>").mkString
+    val Seq(w, s_, e, n) = bbox.seq.map(_.toString)
+    s"""<gmd:MD_Metadata xmlns:gmd="http://www.isotc211.org/2005/gmd" xmlns:gco="http://www.isotc211.org/2005/gco">""" +
+      s"<gmd:fileIdentifier>${cs(identifier)}</gmd:fileIdentifier>" +
+      s"<gmd:language>${cs("eng")}</gmd:language>" +
+      s"""<gmd:hierarchyLevel><gmd:MD_ScopeCode codeList="$cl#MD_ScopeCode" codeListValue="dataset">dataset</gmd:MD_ScopeCode></gmd:hierarchyLevel>""" +
+      contactXml +
+      s"<gmd:dateStamp><gco:Date>${esc(pubDate)}</gco:Date></gmd:dateStamp>" +
+      "<gmd:identificationInfo><gmd:MD_DataIdentification>" +
+      "<gmd:citation><gmd:CI_Citation>" +
+      s"<gmd:title>${cs(title)}</gmd:title>" +
+      s"""<gmd:date><gmd:CI_Date><gmd:date><gco:Date>${esc(pubDate)}</gco:Date></gmd:date><gmd:dateType><gmd:CI_DateTypeCode codeList="$cl#CI_DateTypeCode" codeListValue="publication">publication</gmd:CI_DateTypeCode></gmd:dateType></gmd:CI_Date></gmd:date>""" +
+      "</gmd:CI_Citation></gmd:citation>" +
+      s"<gmd:abstract>${cs(abstractText)}</gmd:abstract>" +
+      s"<gmd:descriptiveKeywords><gmd:MD_Keywords>$keywordXml</gmd:MD_Keywords></gmd:descriptiveKeywords>" +
+      "<gmd:extent><gmd:EX_Extent><gmd:geographicElement><gmd:EX_GeographicBoundingBox>" +
+      s"<gmd:westBoundLongitude><gco:Decimal>$w</gco:Decimal></gmd:westBoundLongitude>" +
+      s"<gmd:eastBoundLongitude><gco:Decimal>$e</gco:Decimal></gmd:eastBoundLongitude>" +
+      s"<gmd:southBoundLatitude><gco:Decimal>${s_}</gco:Decimal></gmd:southBoundLatitude>" +
+      s"<gmd:northBoundLatitude><gco:Decimal>$n</gco:Decimal></gmd:northBoundLatitude>" +
+      "</gmd:EX_GeographicBoundingBox></gmd:geographicElement></gmd:EX_Extent></gmd:extent>" +
+      "</gmd:MD_DataIdentification></gmd:identificationInfo>" +
+      "</gmd:MD_Metadata>"
+  }
 }
 
 object Eml {

@@ -106,8 +106,31 @@ object MetaQueries {
     "meta02_csw" -> Q(
       (s, _) => cswDf(s),
       Some {
-        val birdsXml = """<gmd:MD_Metadata xmlns:gmd="http://www.isotc211.org/2005/gmd"><gmd:fileIdentifier>d0a1b2c3</gmd:fileIdentifier><gmd:title>Bird observations Norway</gmd:title><gmd:abstract>Systematic bird counts along the Norwegian coast.</gmd:abstract><gmd:date>2024-05-01</gmd:date><gmd:keywords>Occurrence Birds Occurrence Coastal</gmd:keywords><gmd:contact>Ola Nordmann Kari Nordmann</gmd:contact><gmd:bbox>4.0 57.9 31.1 71.2</gmd:bbox></gmd:MD_Metadata>"""
-        val mammalsXml = """<gmd:MD_Metadata xmlns:gmd="http://www.isotc211.org/2005/gmd"><gmd:fileIdentifier>e4f5a6b7</gmd:fileIdentifier><gmd:title>Mammal census Svalbard</gmd:title><gmd:abstract>Annual census of marine and land mammals on Svalbard.</gmd:abstract><gmd:date>2024-06-11</gmd:date><gmd:keywords>Occurrence Mammals</gmd:keywords><gmd:contact>Nils Berg Nils Berg</gmd:contact><gmd:bbox>9.5 76.4 33.5 80.8</gmd:bbox></gmd:MD_Metadata>"""
+        // Golden ISO19139 docs: literal expected output of the
+        // pygeometa-shaped crosswalk (csw.py:47-48) over the two
+        // committed EML fixtures — element-per-fact nesting, role
+        // codes, typed publication date, 4-coordinate bbox.
+        val cl = "http://standards.iso.org/iso/19139/resources/gmxCodelists.xml"
+        def golden(id: String, title: String, abstr: String, date: String,
+            contacts: Seq[(String, String)], keywords: Seq[String],
+            w: String, e: String, s0: String, n: String): String = {
+          def cs(v: String) = s"<gco:CharacterString>$v</gco:CharacterString>"
+          val ct = contacts.map { case (role, name) =>
+            s"""<gmd:contact><gmd:CI_ResponsibleParty><gmd:individualName>${cs(name)}</gmd:individualName><gmd:role><gmd:CI_RoleCode codeList="$cl#CI_RoleCode" codeListValue="$role">$role</gmd:CI_RoleCode></gmd:role></gmd:CI_ResponsibleParty></gmd:contact>"""
+          }.mkString
+          val kw = keywords.map(k => s"<gmd:keyword>${cs(k)}</gmd:keyword>").mkString
+          s"""<gmd:MD_Metadata xmlns:gmd="http://www.isotc211.org/2005/gmd" xmlns:gco="http://www.isotc211.org/2005/gco"><gmd:fileIdentifier>${cs(id)}</gmd:fileIdentifier><gmd:language>${cs("eng")}</gmd:language><gmd:hierarchyLevel><gmd:MD_ScopeCode codeList="$cl#MD_ScopeCode" codeListValue="dataset">dataset</gmd:MD_ScopeCode></gmd:hierarchyLevel>$ct<gmd:dateStamp><gco:Date>$date</gco:Date></gmd:dateStamp><gmd:identificationInfo><gmd:MD_DataIdentification><gmd:citation><gmd:CI_Citation><gmd:title>${cs(title)}</gmd:title><gmd:date><gmd:CI_Date><gmd:date><gco:Date>$date</gco:Date></gmd:date><gmd:dateType><gmd:CI_DateTypeCode codeList="$cl#CI_DateTypeCode" codeListValue="publication">publication</gmd:CI_DateTypeCode></gmd:dateType></gmd:CI_Date></gmd:date></gmd:CI_Citation></gmd:citation><gmd:abstract>${cs(abstr)}</gmd:abstract><gmd:descriptiveKeywords><gmd:MD_Keywords>$kw</gmd:MD_Keywords></gmd:descriptiveKeywords><gmd:extent><gmd:EX_Extent><gmd:geographicElement><gmd:EX_GeographicBoundingBox><gmd:westBoundLongitude><gco:Decimal>$w</gco:Decimal></gmd:westBoundLongitude><gmd:eastBoundLongitude><gco:Decimal>$e</gco:Decimal></gmd:eastBoundLongitude><gmd:southBoundLatitude><gco:Decimal>$s0</gco:Decimal></gmd:southBoundLatitude><gmd:northBoundLatitude><gco:Decimal>$n</gco:Decimal></gmd:northBoundLatitude></gmd:EX_GeographicBoundingBox></gmd:geographicElement></gmd:EX_Extent></gmd:extent></gmd:MD_DataIdentification></gmd:identificationInfo></gmd:MD_Metadata>"""
+        }
+        val birdsXml = golden("d0a1b2c3", "Bird observations Norway",
+          "Systematic bird counts along the Norwegian coast.", "2024-05-01",
+          Seq("creator" -> "Ola Nordmann", "metadataProvider" -> "Kari Nordmann"),
+          Seq("Occurrence", "Birds", "Occurrence", "Coastal"),
+          "4.0", "31.1", "57.9", "71.2")
+        val mammalsXml = golden("e4f5a6b7", "Mammal census Svalbard",
+          "Annual census of marine and land mammals on Svalbard.", "2024-06-11",
+          Seq("creator" -> "Nils Berg", "metadataProvider" -> "Nils Berg"),
+          Seq("Occurrence", "Mammals"),
+          "9.5", "33.5", "76.4", "80.8")
         val birdsLinks = """[{"name": "Parquet", "description": "The resource as (geo)parquet file", "protocol": "FILE:GEO", "url": "https://s3.example/bucket/ipt/datasets/birds-norway.parquet"}, {"name": "DWCA", "description": "The resource as Darwin Core Archive", "protocol": "file", "url": "https://ipt.example/archive.do?r=birds-norway"}]"""
         val mammalsLinks = """[{"name": "Parquet", "description": "The resource as (geo)parquet file", "protocol": "FILE:GEO", "url": "https://s3.example/bucket/ipt/datasets/mammals-svalbard.parquet"}, {"name": "DWCA", "description": "The resource as Darwin Core Archive", "protocol": "file", "url": "https://ipt.example/archive.do?r=mammals-svalbard"}]"""
         val nina = "Norsk institutt for naturforskning (NINA)"
@@ -117,7 +140,7 @@ object MetaQueries {
                'POLYGON ((31.1 57.9, 31.1 71.2, 4 71.2, 4 57.9, 31.1 57.9))',
                '$birdsXml', '$birdsXml',
                'Occurrence, Birds, Coastal', 'application/xml',
-               'd0a1b2c3 Bird observations Norway Systematic bird counts along the Norwegian coast. 2024-05-01 Occurrence Birds Occurrence Coastal Ola Nordmann Kari Nordmann 4.0 57.9 31.1 71.2',
+               'd0a1b2c3 eng dataset Ola Nordmann creator Kari Nordmann metadataProvider 2024-05-01 Bird observations Norway 2024-05-01 publication Systematic bird counts along the Norwegian coast. Occurrence Birds Occurrence Coastal 4.0 31.1 57.9 71.2',
                'Systematic bird counts along the Norwegian coast.', '2024-05-01',
                '$nina', '$nina', 'Ola Nordmann; Kari Nordmann', '$birdsLinks'),
               ('e4f5a6b7', 'gmd:MD_Metadata', 'http://www.isotc211.org/2005/gmd', 'local',
@@ -125,7 +148,7 @@ object MetaQueries {
                'POLYGON ((33.5 76.4, 33.5 80.8, 9.5 80.8, 9.5 76.4, 33.5 76.4))',
                '$mammalsXml', '$mammalsXml',
                'Occurrence, Mammals', 'application/xml',
-               'e4f5a6b7 Mammal census Svalbard Annual census of marine and land mammals on Svalbard. 2024-06-11 Occurrence Mammals Nils Berg Nils Berg 9.5 76.4 33.5 80.8',
+               'e4f5a6b7 eng dataset Nils Berg creator Nils Berg metadataProvider 2024-06-11 Mammal census Svalbard 2024-06-11 publication Annual census of marine and land mammals on Svalbard. Occurrence Mammals 9.5 33.5 76.4 80.8',
                'Annual census of marine and land mammals on Svalbard.', '2024-06-11',
                '$nina', '$nina', 'Nils Berg', '$mammalsLinks'))
             AS t(identifier, typename, "schema", mdsource, insert_date, title,
