@@ -109,8 +109,85 @@ object Dedup {
     (hs, bk)
   }
 
+  /** d03's verified near-dup pairs (also the d08 cluster input and the
+    * c01 drop-candidate source). Verification joins carry no hints:
+    * banding bounds |cand|, so AQE broadcasts the candidate side and
+    * streams the (cached) hash sets — never a broadcast of the whole
+    * corpus, which an explicit broadcast(hs) hint would force (fine at
+    * gate scale, an OOM at 100 TB). */
+  private def lshPairs(s: SparkSession, d: String): DataFrame = {
+    val (hs, bk) = lshFrames(s, d)
+    val cand = bk.select(col("doc_id").as("d1"), col("band"), col("bucket"))
+      .join(bk.select(col("doc_id").as("d2"), col("band").as("b2"), col("bucket").as("k2")),
+        col("band") === col("b2") && col("bucket") === col("k2") && col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    cand
+      .join(hs.select(col("doc_id").as("d1"), col("hv").as("hv1")), "d1")
+      .join(hs.select(col("doc_id").as("d2"), col("hv").as("hv2")), "d2")
+      .selectExpr("d1", "d2",
+        "cast(size(array_intersect(hv1, hv2)) as double) / size(array_union(hv1, hv2)) as jac")
+      .where("jac >= 0.7")
+      .select("d1", "d2", "jac")
+  }
+
+  /** Connected components over an undirected edge list (columns `a`,
+    * `b`) by iterative min-label propagation: every vertex's label
+    * converges to the smallest vertex id reachable from it. Each
+    * round is one keyed shuffle (neighbor min) + one join; labels
+    * only decrease, so the loop is monotone and stops when the label
+    * sum is stable. `localCheckpoint` truncates the growing lineage
+    * each round — the standard Spark iterative-algorithm shape.
+    * Rounds = graph diameter (near-dup clusters are shallow star-ish
+    * components; the small-star/large-star variant would bound rounds
+    * at O(log n) for adversarial chains at two shuffles per round).
+    * Only vertices that appear in an edge are labeled — singleton
+    * docs are their own trivial cluster and never enter the graph. */
+  def connectedComponents(edgesIn: DataFrame): DataFrame = {
+    val edges = edgesIn.selectExpr("a", "b")
+      .union(edgesIn.selectExpr("b as a", "a as b"))
+      .distinct().persist()
+    var labels = edges.select(col("a").as("v")).distinct()
+      .withColumn("lbl", col("v")).localCheckpoint()
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
+    var prevSum = labelSum(labels)
+    var done = false
+    while (!done) {
+      val nbr = edges.join(labels.select(col("v").as("b"), col("lbl")), "b")
+        .groupBy(col("a").as("v")).agg(min("lbl").as("nl"))
+      val next = labels.join(nbr, Seq("v"), "left")
+        .select(col("v"),
+          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val s2 = labelSum(next)
+      done = s2 == prevSum
+      prevSum = s2
+      labels = next
+    }
+    edges.unpersist()
+    labels.select(col("v").as("doc_id"), col("lbl").as("cluster"))
+  }
+
   private val P = graft.functions.MinHash.P
   private def duckLits(xs: Seq[Long]): String = xs.mkString("[", ",", "]")
+
+  /** d03's oracle SQL — also the `p` CTE of d08's cluster oracle. */
+  private lazy val d03Oracle: String =
+    s"""$duckShingles,
+       sigs AS (SELECT doc_id, ${duckSig(16)} AS sig FROM hs),
+       b AS (SELECT doc_id, unnest(generate_series(0, 3)) AS band, sig FROM sigs),
+       bk AS (SELECT doc_id, band,
+                ${Hashing.duck32("band || ':' || array_to_string(sig[band*4+1:band*4+4], ',')")} AS bucket
+              FROM b),
+       cand AS (SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+                FROM bk a JOIN bk c
+                ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id)
+       SELECT d1, d2, jac FROM
+         (SELECT d1, d2,
+                 CAST(len(list_intersect(x.hv, y.hv)) AS DOUBLE)
+                   / len(list_distinct(x.hv || y.hv)) AS jac
+          FROM cand JOIN hs x ON x.doc_id = d1 JOIN hs y ON y.doc_id = d2)
+       WHERE jac >= 0.7"""
 
   private val duckShingles =
     """WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
@@ -148,42 +225,24 @@ object Dedup {
                SELECT doc_id, array_to_string(${duckSig(16)}, ',') AS sig FROM hs""")),
 
     // ── MinHash-LSH near-dup pairs: band → bucket join → Jaccard verify ──
-    "d03_lsh_pairs" -> Q(
-      (s, d) => {
-        val (hs, bk) = lshFrames(s, d)
-        val cand = bk.select(col("doc_id").as("d1"), col("band"), col("bucket"))
-          .join(bk.select(col("doc_id").as("d2"), col("band").as("b2"), col("bucket").as("k2")),
-            col("band") === col("b2") && col("bucket") === col("k2") && col("d1") < col("d2"))
-        // Verification joins carry no hints: banding bounds |cand|, so
-        // AQE broadcasts the candidate side and streams the (cached)
-        // hash sets — never a broadcast of the whole corpus, which the
-        // previous explicit broadcast(hs) hint forced (fine at gate
-        // scale, an OOM at 100 TB).
-          .select("d1", "d2").distinct()
-        cand
-          .join(hs.select(col("doc_id").as("d1"), col("hv").as("hv1")), "d1")
-          .join(hs.select(col("doc_id").as("d2"), col("hv").as("hv2")), "d2")
-          .selectExpr("d1", "d2",
-            "cast(size(array_intersect(hv1, hv2)) as double) / size(array_union(hv1, hv2)) as jac")
-          .where("jac >= 0.7")
-          .select("d1", "d2", "jac")
-      },
-      Some(s"""$duckShingles,
-               sigs AS (SELECT doc_id, ${duckSig(16)} AS sig FROM hs),
-               b AS (SELECT doc_id, unnest(generate_series(0, 3)) AS band, sig FROM sigs),
-               bk AS (SELECT doc_id, band,
-                        ${Hashing.duck32("band || ':' || array_to_string(sig[band*4+1:band*4+4], ',')")} AS bucket
-                      FROM b),
-               cand AS (SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
-                        FROM bk a JOIN bk c
-                        ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id)
-               SELECT d1, d2, jac FROM
-                 (SELECT d1, d2,
-                         CAST(len(list_intersect(x.hv, y.hv)) AS DOUBLE)
-                           / len(list_distinct(x.hv || y.hv)) AS jac
-                  FROM cand JOIN hs x ON x.doc_id = d1 JOIN hs y ON y.doc_id = d2)
-               WHERE jac >= 0.7"""),
+    "d03_lsh_pairs" -> Q((s, d) => lshPairs(s, d), Some(d03Oracle),
       bench = true),
+
+    // ── near-dup CLUSTERS: connected components over the d03 pair
+    // graph by min-label propagation — the step a dedup pipeline
+    // actually keeps (pick min doc_id per component as canonical,
+    // drop the rest). Oracle computes the same components via a
+    // recursive transitive closure over the same pairs. ──
+    "d08_dup_clusters" -> Q(
+      (s, d) => connectedComponents(
+        lshPairs(s, d).select(col("d1").as("a"), col("d2").as("b"))),
+      Some(s"""WITH RECURSIVE p AS ($d03Oracle),
+               edges AS (SELECT d1 AS a, d2 AS b FROM p
+                         UNION SELECT d2, d1 FROM p),
+               reach AS (SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges)
+                         UNION
+                         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+               SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a""")),
 
     // ── capped-bucket LSH pairs: the 100 TB skew path ──
     // Identical to d03 except buckets with more than CAP members are

@@ -42,6 +42,17 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs === Set((1L, 2L, 2), (1L, 3L, 3), (2L, 3L, 3), (3L, 4L, 1)))
   }
 
+  test("connected components: min-label propagation over planted chains") {
+    import spark.implicits._
+    // 1-2-3-4 is a diameter-3 chain (multiple propagation rounds);
+    // 10-11 is a separate component
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("simhash of identical token multisets is identical") {
     val df = Dedup.all("d04_simhash").fn(spark, sf)
     // deterministic: same input -> same simhash on repeated run
