@@ -167,6 +167,45 @@ object TextOps {
                         i -> ${Hashing.duck32("array_to_string(t[i:i+4], ' ')")})) AS fp_min,
                       list_max(list_transform(generate_series(1, len(t) - 4),
                         i -> ${Hashing.duck32("array_to_string(t[i:i+4], ' ')")})) AS fp_max
-               FROM t WHERE len(t) >= 5"""))
+               FROM t WHERE len(t) >= 5""")),
+
+    // ── TF-IDF: top-5 scoring terms per document ──
+    // The one text op that is NOT map-only, with the shapes that
+    // matter at 100 TB: term frequencies partial-aggregate map-side
+    // before one (doc, term)-keyed shuffle; document frequencies are
+    // one term-keyed aggregate producing a vocabulary-sized frame that
+    // AQE broadcasts into the score join; the per-doc top-5 window
+    // partitions by doc (frame = that doc's vocabulary, never global).
+    // Scores cross engines as printf('%.6f') strings: Java's and
+    // DuckDB's ln agree far inside six decimals, and the tie-break on
+    // the term string keeps ordering deterministic.
+    "t07_tfidf" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = Tables(s, d, "documents")
+          .selectExpr("doc_id", s"explode($toks) as tok")
+        val tf = t.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val df = t.select("doc_id", "tok").distinct()
+          .groupBy("tok").agg(count(lit(1)).as("df"))
+        val n = t.select("doc_id").distinct().count()
+        tf.join(df, "tok")
+          .withColumn("s", col("tf") * log(lit(n.toDouble) / col("df")))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("doc_id").orderBy(col("s").desc, col("tok"))))
+          .where("rnk <= 5")
+          .select(col("doc_id"), col("tok"), col("rnk"),
+            format_string("%.6f", col("s")).as("score"))
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+              tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+              df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+              n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM t),
+              sc AS (SELECT doc_id, tok, tf * ln(n / df) AS s
+                     FROM tf JOIN df USING (tok), n)
+              SELECT doc_id, tok, rnk, printf('%.6f', s) AS score FROM
+                (SELECT doc_id, tok, s,
+                        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, tok) AS INTEGER) AS rnk
+                 FROM sc)
+              WHERE rnk <= 5"""))
   )
 }
