@@ -39,6 +39,21 @@ object StreamQueries {
                       event_type, count(*) AS n, ${graft.Det.sqlSum("value")} AS val_sum
                FROM events GROUP BY 1, 2""")),
 
+    "stream03_dedup" -> Q(
+      (s, d) => {
+        // append mode: dropDuplicatesWithinWatermark emits each id's
+        // first arrival; project the key only, so the gate compares
+        // the deduped ID SET (which payload row survives is
+        // arrival-order-dependent, the id set is not)
+        val q = EventStreams.dedupStream(EventStreams.eventsStream(s, d))
+          .select("event_id")
+          .writeStream.format("memory").queryName("g_stream03")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(300000)
+        s.table("g_stream03")
+      },
+      Some("SELECT DISTINCT event_id FROM events")),
+
     "stream02_session" -> Q(
       (s, d) => drain(s,
         EventStreams.sessionCounts(EventStreams.eventsStream(s, d)), "g_stream02"),
