@@ -206,6 +206,7 @@ object TextOps {
                 (SELECT doc_id, tok, s,
                         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, tok) AS INTEGER) AS rnk
                  FROM sc)
-              WHERE rnk <= 5"""))
+              WHERE rnk <= 5"""),
+      bench = true)
   )
 }

@@ -11,9 +11,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 BENCH = ["q01_filter_scan", "q02_star_join", "q06_outer_join_agg",
          "q08_agg_pricing", "q16_session_window", "t01_token_stats",
-         "d03_lsh_pairs", "s01_topk_cosine", "s08_topk_agg",
-         "m02_frame_sample", "c01_clean_corpus", "j01_asof_join",
-         "j03_asof_plan"]
+         "t07_tfidf", "d03_lsh_pairs", "s01_topk_cosine",
+         "s08_topk_agg", "m02_frame_sample", "c01_clean_corpus",
+         "j01_asof_join", "j03_asof_plan"]
 
 
 def main():
