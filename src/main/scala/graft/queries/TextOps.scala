@@ -187,9 +187,12 @@ object TextOps {
         val tf = t.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
         val df = t.select("doc_id", "tok").distinct()
           .groupBy("tok").agg(count(lit(1)).as("df"))
-        val n = t.select("doc_id").distinct().count()
-        tf.join(df, "tok")
-          .withColumn("s", col("tf") * log(lit(n.toDouble) / col("df")))
+        // corpus size as a broadcast 1-row frame: keeps the whole
+        // query one lazy plan (no driver-side count action)
+        val n = t.select("doc_id").distinct()
+          .agg(count(lit(1)).cast("double").as("n"))
+        tf.join(df, "tok").crossJoin(broadcast(n))
+          .withColumn("s", col("tf") * log(col("n") / col("df")))
           .withColumn("rnk", row_number().over(
             Window.partitionBy("doc_id").orderBy(col("s").desc, col("tok"))))
           .where("rnk <= 5")

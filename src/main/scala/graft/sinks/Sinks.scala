@@ -51,8 +51,10 @@ object Sinks {
       // execute the conversion ONCE, then byte-copy the written
       // objects to the latest alias. The reference executes its query
       // twice (parquet.py:48-51); at 100 TB a second execution doubles
-      // the whole conversion, while the copy is pure filesystem I/O
-      // (on object stores, a server-side copy).
+      // the whole conversion, while the copy is pure filesystem I/O —
+      // no decode, no shuffle, no recompute. (FileUtil.copy streams
+      // through the client; an object-store deployment would swap in
+      // the store's server-side copy for the alias step.)
       writeZstd(out, versioned.toString)
       if (hfs.exists(latest)) hfs.delete(latest, true)
       org.apache.hadoop.fs.FileUtil.copy(hfs, versioned, hfs, latest,

@@ -20,9 +20,10 @@ object StreamQueries {
   /** Run a bounded stream to a memory sink and return the table. The
     * sink table is driver-local — fine for gate-sized results; the
     * production path writes the same stream to a parquet/kafka sink. */
-  private def drain(s: SparkSession, df: DataFrame, name: String): DataFrame = {
+  private def drain(s: SparkSession, df: DataFrame, name: String,
+      mode: String = "complete"): DataFrame = {
     val q = df.writeStream
-      .format("memory").queryName(name).outputMode("complete")
+      .format("memory").queryName(name).outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination(300000)
@@ -39,19 +40,14 @@ object StreamQueries {
                       event_type, count(*) AS n, ${graft.Det.sqlSum("value")} AS val_sum
                FROM events GROUP BY 1, 2""")),
 
+    // append mode: dropDuplicatesWithinWatermark emits each id's
+    // first arrival; project the key only, so the gate compares the
+    // deduped ID SET (which payload row survives is
+    // arrival-order-dependent, the id set is not)
     "stream03_dedup" -> Q(
-      (s, d) => {
-        // append mode: dropDuplicatesWithinWatermark emits each id's
-        // first arrival; project the key only, so the gate compares
-        // the deduped ID SET (which payload row survives is
-        // arrival-order-dependent, the id set is not)
-        val q = EventStreams.dedupStream(EventStreams.eventsStream(s, d))
-          .select("event_id")
-          .writeStream.format("memory").queryName("g_stream03")
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination(300000)
-        s.table("g_stream03")
-      },
+      (s, d) => drain(s,
+        EventStreams.dedupStream(EventStreams.eventsStream(s, d)).select("event_id"),
+        "g_stream03", mode = "append"),
       Some("SELECT DISTINCT event_id FROM events")),
 
     "stream02_session" -> Q(
