@@ -184,12 +184,18 @@ object TextOps {
         import org.apache.spark.sql.expressions.Window
         val t = Tables(s, d, "documents")
           .selectExpr("doc_id", s"explode($toks) as tok")
-        val tf = t.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        val df = t.select("doc_id", "tok").distinct()
-          .groupBy("tok").agg(count(lit(1)).as("df"))
+        // tf persists because df and n both derive from it (tf has
+        // one row per (doc, term), so its count IS the distinct doc
+        // count) — the scan+explode+aggregate pass, the expensive one
+        // at scale, runs once instead of three times. (Plain plan
+        // sharing does not survive column pruning: each consumer
+        // prunes tf differently, so the exchanges stop being
+        // identical and ReuseExchange cannot kick in.)
+        val tf = t.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")).persist()
+        val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
         // corpus size as a broadcast 1-row frame: keeps the whole
         // query one lazy plan (no driver-side count action)
-        val n = t.select("doc_id").distinct()
+        val n = tf.select("doc_id").distinct()
           .agg(count(lit(1)).cast("double").as("n"))
         tf.join(df, "tok").crossJoin(broadcast(n))
           .withColumn("s", col("tf") * log(col("n") / col("df")))
