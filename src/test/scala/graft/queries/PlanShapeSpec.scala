@@ -55,6 +55,15 @@ class PlanShapeSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(windows == 2, s"expected 2 windows, got $windows\n$p")
   }
 
+  test("t07 prunes top-5 map-side and tokenizes once") {
+    val p = planOf("t07_tfidf")
+    // WindowGroupLimit keeps only rank<=5 candidates below the final
+    // exchange; the persisted tf frame means one scan+explode pass
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("d03 LSH candidate generation is an equi-join, never all-pairs") {
     val p = planOf("d03_lsh_pairs")
     assert(!p.contains("CartesianProduct"), p)
