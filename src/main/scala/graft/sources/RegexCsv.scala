@@ -35,8 +35,9 @@ object RegexCsv {
       .select(split(col("value"), layer.sepRegex, -1).as("f"))
       .select(header.zipWithIndex.map { case (h, i) =>
         // empty field → null (CSV nullValue semantics); a short row's
-        // missing trailing fields read as null via out-of-bounds getItem
-        val c = col("f").getItem(i)
+        // missing trailing fields read as null via `get`, which
+        // tolerates out-of-bounds (getItem THROWS under ANSI mode)
+        val c = get(col("f"), lit(i))
         when(c === "", lit(null)).otherwise(c).as(h)
       }: _*)
 
