@@ -216,6 +216,46 @@ object TextOps {
                         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, tok) AS INTEGER) AS rnk
                  FROM sc)
               WHERE rnk <= 5"""),
-      bench = true)
+      bench = true),
+
+    // ── BM25: top-5 scoring terms per document (k1=1.2, b=0.75) ──
+    // Same frame topology as t07 plus the per-doc length and the
+    // corpus (N, avgdl) scalars: dl and df both fold out of the
+    // persisted tf frame; (N, avgdl) is a broadcast one-row frame.
+    // The score expression is written with IDENTICAL structure in
+    // both engines (left-assoc double ops), so %.6f strings match.
+    "t08_bm25" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = Tables(s, d, "documents")
+          .selectExpr("doc_id", s"explode($toks) as tok")
+        val tf = t.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")).persist()
+        val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+        val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val st = dl.agg(count(lit(1)).cast("double").as("n"), avg("dl").as("avgdl"))
+        tf.join(df, "tok").join(dl, "doc_id").crossJoin(broadcast(st))
+          .withColumn("s", expr(
+            "ln(1 + (n - df + 0.5)/(df + 0.5)) * (tf * 2.2)" +
+              " / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("doc_id").orderBy(col("s").desc, col("tok"))))
+          .where("rnk <= 5")
+          .select(col("doc_id"), col("tok"), col("rnk"),
+            format_string("%.6f", col("s")).as("score"))
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+              tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+              dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+              df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+              st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+              sc AS (SELECT doc_id, tok,
+                       ln(1 + (n - df + 0.5)/(df + 0.5)) * (tf * 2.2)
+                         / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS s
+                     FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), st)
+              SELECT doc_id, tok, rnk, printf('%.6f', s) AS score FROM
+                (SELECT doc_id, tok, s,
+                        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, tok) AS INTEGER) AS rnk
+                 FROM sc)
+              WHERE rnk <= 5"""))
   )
 }
