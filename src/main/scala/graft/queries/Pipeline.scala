@@ -53,6 +53,42 @@ object Pipeline {
       Some(s"""SELECT doc_id, lang FROM
                  (SELECT doc_id, lang, ${duckPct("doc_id")} AS pct FROM documents)
                WHERE pct < (CASE lang WHEN 'en' THEN 20 WHEN 'es' THEN 10 ELSE 5 END)""")),
+    // ── sequence packing: concat-then-chunk documents (doc_id order)
+    // into fixed 256-token training sequences. seq_id = which chunk
+    // the doc's FIRST token lands in. The global prefix sum is the
+    // scale problem here: a single-partition window is a non-starter
+    // at 100 TB, so this runs the canonical two-phase form — range
+    // partition by doc_id, cumsum within each partition, then add
+    // driver-prefix-summed per-partition offsets (one row PER
+    // PARTITION crosses the driver, thousands at most, regardless of
+    // data size). Range partitioning keeps the global doc_id order
+    // across partitions, so the result equals the single-window
+    // formulation the oracle uses. ──
+    "p03_seq_pack" -> Q(
+      (s, d) => {
+        val parts = Tables(s, d, "documents")
+          .selectExpr("doc_id", s"size($toks) as n")
+          .repartitionByRange(8, col("doc_id"))
+          .sortWithinPartitions("doc_id")
+          .withColumn("pid", spark_partition_id())
+          .persist()
+        val offsets = parts.groupBy("pid").agg(sum("n").as("tot"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+          .scanLeft((0, 0L)) { case ((_, acc), (pid, tot)) => (pid, acc + tot) }
+          .sliding(2).collect { case Array((_, off), (pid, _)) => (pid, off) }.toSeq
+        import s.implicits._
+        val offDf = broadcast(offsets.toDF("pid", "off"))
+        parts.join(offDf, "pid")
+          .withColumn("cum", col("off") + sum("n").over(
+            org.apache.spark.sql.expressions.Window.partitionBy("pid")
+              .orderBy("doc_id").rowsBetween(Long.MinValue, 0)))
+          .selectExpr("doc_id", "n", "(cum - n) div 256 as seq_id")
+      },
+      Some("""SELECT doc_id, n, CAST((cum - n) // 256 AS BIGINT) AS seq_id FROM
+                (SELECT doc_id, n,
+                        CAST(sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                 FROM (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents))""")),
+
     "c01_clean_corpus" -> Q(
       (s, d) => {
         // doc_ids to drop: the larger end of every verified dup pair
