@@ -4,7 +4,10 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{StAsText, StGeomFromText, StPoint}
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+import graft.functions.{AffineMinHash, DotF, H32, HashedCharGrams, HashedShingles,
+  HyperplaneSig, StAsText, StEnvelope, StGeomFromText, StPoint, TopKByScore, VNorm}
 
 /** Production registration path for the engine's extensions:
   *
@@ -14,27 +17,42 @@ import graft.functions.{StAsText, StGeomFromText, StPoint}
   *   .config("spark.sql.extensions", "graft.GraftExtensions")
   * }}}
   *
-  * Injects the ST_* expressions into every session built from the
-  * configured builder — the counterpart of the reference loading the
-  * DuckDB spatial extension at connection setup
+  * Injects the FULL user-facing function surface (geometry, hash /
+  * MinHash / vector kernels, the bounded top-k aggregate) plus the
+  * optimizer rule and planner strategy into every session built from
+  * the configured builder — the counterpart of the reference loading
+  * the DuckDB spatial extension at connection setup
   * (`/root/reference/src/dwca_parquet/settings.py:46-62`).
-  * `GeoFunctions.register` remains for sessions the engine does not
-  * construct (e.g. the driver-owned harness session).
+  * `GeoFunctions.register` / `Hashing.register` remain for sessions
+  * the engine does not construct (e.g. the driver-owned harness
+  * session).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.JaccardRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
-    def info(name: String, usage: String) =
-      new ExpressionInfo(classOf[StPoint].getName, null, name, usage, "")
-    ext.injectFunction((FunctionIdentifier("st_point"),
-      info("st_point", "st_point(x, y) - WKB point"),
-      exprs => StPoint(exprs(0), exprs(1))))
-    ext.injectFunction((FunctionIdentifier("st_geomfromtext"),
-      info("st_geomfromtext", "st_geomfromtext(wkt) - WKT to WKB"),
-      exprs => StGeomFromText(exprs(0))))
-    ext.injectFunction((FunctionIdentifier("st_astext"),
-      info("st_astext", "st_astext(wkb) - WKB to WKT"),
-      exprs => StAsText(exprs(0))))
+    def inject(name: String, usage: String)(build: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[StPoint].getName, null, name, usage, ""),
+        build))
+    def litInt(e: Expression): Int = e.eval().asInstanceOf[Number].intValue()
+
+    inject("st_point", "st_point(x, y) - WKB point")(e => StPoint(e(0), e(1)))
+    inject("st_geomfromtext", "st_geomfromtext(wkt) - WKT to WKB")(e => StGeomFromText(e(0)))
+    inject("st_astext", "st_astext(wkb) - WKB to WKT")(e => StAsText(e(0)))
+    inject("st_envelope", "st_envelope(wkb) - [xmin,ymin,xmax,ymax]")(e => StEnvelope(e(0)))
+    inject("h32", "h32(s) - first 4 md5 bytes as unsigned int")(e => H32(e.head))
+    inject("hashed_shingles", "hashed_shingles(tokens, n) - hashed word n-gram set")(
+      e => HashedShingles(e(0), litInt(e(1))))
+    inject("hashed_chargrams", "hashed_chargrams(text, n) - hashed char n-gram set")(
+      e => HashedCharGrams(e(0), litInt(e(1))))
+    inject("affine_minhash", "affine_minhash(hv, k) - k-perm MinHash signature")(
+      e => AffineMinHash(e(0), litInt(e(1))))
+    inject("dotf", "dotf(a, b) - sequential-fold float dot product")(e => DotF(e(0), e(1)))
+    inject("vnorm", "vnorm(a) - euclidean norm of a float vector")(e => VNorm(e.head))
+    inject("hyperplane_sig", "hyperplane_sig(v, planes, dims) - LSH signature")(
+      e => HyperplaneSig(e(0), litInt(e(1)), litInt(e(2))))
+    inject("top_k_by_score", "top_k_by_score(score, id, k) - bounded top-k aggregate")(
+      e => TopKByScore(e(0), e(1), litInt(e(2))))
   }
 }

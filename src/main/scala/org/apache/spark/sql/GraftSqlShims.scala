@@ -23,4 +23,13 @@ object GraftSqlShims {
   def plannerStrategies(ext: SparkSessionExtensions,
       spark: SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] =
     ext.buildPlannerStrategies(spark)
+
+  /** Names an extensions instance would add to a function registry
+    * (test hook: registers into a throwaway clone of the builtins). */
+  def injectedFunctionNames(ext: SparkSessionExtensions): Set[String] = {
+    val reg = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone()
+    val before = reg.listFunction().map(_.funcName).toSet
+    ext.registerFunctions(reg)
+    reg.listFunction().map(_.funcName).toSet -- before
+  }
 }

@@ -33,6 +33,16 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     assert(strategies.contains(graft.plans.AsOfJoinStrategy))
   }
 
+  test("GraftExtensions injects the full user-facing function surface") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val injected = org.apache.spark.sql.GraftSqlShims.injectedFunctionNames(ext)
+    val expected = Set("st_point", "st_geomfromtext", "st_astext", "st_envelope",
+      "h32", "hashed_shingles", "hashed_chargrams", "affine_minhash",
+      "dotf", "vnorm", "hyperplane_sig", "top_k_by_score")
+    assert(expected.subsetOf(injected), s"missing: ${expected.diff(injected)}")
+  }
+
   test("ConstantFolding folds literal ST_* calls at plan time") {
     graft.functions.GeoFunctions.register(spark)
     val df = spark.sql("SELECT st_point(1.0D, 2.0D) AS g FROM range(3)")
