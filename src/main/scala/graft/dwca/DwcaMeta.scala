@@ -47,15 +47,7 @@ final case class DwcaLayer(
     * CSV `sep` takes directly. None means `sepRegex` is a genuine
     * regular expression (a class like `\s` or any metacharacter) and
     * the scan must take the [[graft.sources.RegexCsv]] path. */
-  def sepLiteralOpt: Option[String] = sepRegex match {
-    case "\\t" => Some("\t")
-    case s if s.length == 2 && s.charAt(0) == '\\' =>
-      // an escaped letter/digit is a regex class (\d, \s, \w, ...);
-      // an escaped symbol is that literal symbol (\|, \;)
-      if (Character.isLetterOrDigit(s.charAt(1))) None else Some(s.substring(1))
-    case s if s.length == 1 && !"^$.|?*+()[]{}\\".contains(s.charAt(0)) => Some(s)
-    case _ => None
-  }
+  def sepLiteralOpt: Option[String] = DwcaMeta.sepLiteralOf(sepRegex)
 
   /** Literal separator for the CSV scan (throws on a regex form —
     * callers branch on [[sepLiteralOpt]] first). */
@@ -80,6 +72,21 @@ final case class DwcaArchive(core: DwcaLayer, extensions: Seq[DwcaLayer]) {
   * (DOM + java.util.zip) — no executor work, the archive descriptor is
   * a few KB regardless of data scale. */
 object DwcaMeta {
+
+  /** The `fieldsTerminatedBy` value as a literal single character,
+    * when it is one. ANY bare single character is the literal
+    * separator the archive author meant — including regex
+    * metacharacters like "|", which compiled as a regex would match
+    * the empty string and shred every row character-by-character.
+    * None only for genuine regex forms: escaped classes (\d, \s, …)
+    * and multi-character patterns. */
+  private[dwca] def sepLiteralOf(sepRegex: String): Option[String] = sepRegex match {
+    case "\\t" => Some("\t")
+    case s if s.length == 2 && s.charAt(0) == '\\' =>
+      if (Character.isLetterOrDigit(s.charAt(1))) None else Some(s.substring(1))
+    case s if s.length == 1 => Some(s)
+    case _ => None
+  }
 
   def fromZip(zipPath: String): DwcaArchive = {
     val zf = new ZipFile(zipPath)
@@ -133,7 +140,14 @@ object DwcaMeta {
       var c = in.read()
       while (c != -1 && c != '\n') { line += c.toChar; c = in.read() }
       val first = new String(line.toArray).stripSuffix("\r")
-      Pattern.compile(sepRegex).split(first, -1).toSeq
+      // literal single-char separators split literally (a bare "|"
+      // compiled as a regex would shred the header); genuine regex
+      // forms split as the regex, mirroring dwca.py:19-20
+      val splitter = sepLiteralOf(sepRegex) match {
+        case Some(lit) => Pattern.compile(Pattern.quote(lit))
+        case None      => Pattern.compile(sepRegex)
+      }
+      splitter.split(first, -1).toSeq
     } finally in.close()
   }
 }

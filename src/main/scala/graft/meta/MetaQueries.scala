@@ -106,31 +106,14 @@ object MetaQueries {
     "meta02_csw" -> Q(
       (s, _) => cswDf(s),
       Some {
-        // Golden ISO19139 docs: literal expected output of the
-        // pygeometa-shaped crosswalk (csw.py:47-48) over the two
-        // committed EML fixtures — element-per-fact nesting, role
-        // codes, typed publication date, 4-coordinate bbox.
-        val cl = "http://standards.iso.org/iso/19139/resources/gmxCodelists.xml"
-        def golden(id: String, title: String, abstr: String, date: String,
-            contacts: Seq[(String, String)], keywords: Seq[String],
-            w: String, e: String, s0: String, n: String): String = {
-          def cs(v: String) = s"<gco:CharacterString>$v</gco:CharacterString>"
-          val ct = contacts.map { case (role, name) =>
-            s"""<gmd:contact><gmd:CI_ResponsibleParty><gmd:individualName>${cs(name)}</gmd:individualName><gmd:role><gmd:CI_RoleCode codeList="$cl#CI_RoleCode" codeListValue="$role">$role</gmd:CI_RoleCode></gmd:role></gmd:CI_ResponsibleParty></gmd:contact>"""
-          }.mkString
-          val kw = keywords.map(k => s"<gmd:keyword>${cs(k)}</gmd:keyword>").mkString
-          s"""<gmd:MD_Metadata xmlns:gmd="http://www.isotc211.org/2005/gmd" xmlns:gco="http://www.isotc211.org/2005/gco"><gmd:fileIdentifier>${cs(id)}</gmd:fileIdentifier><gmd:language>${cs("eng")}</gmd:language><gmd:hierarchyLevel><gmd:MD_ScopeCode codeList="$cl#MD_ScopeCode" codeListValue="dataset">dataset</gmd:MD_ScopeCode></gmd:hierarchyLevel>$ct<gmd:dateStamp><gco:Date>$date</gco:Date></gmd:dateStamp><gmd:identificationInfo><gmd:MD_DataIdentification><gmd:citation><gmd:CI_Citation><gmd:title>${cs(title)}</gmd:title><gmd:date><gmd:CI_Date><gmd:date><gco:Date>$date</gco:Date></gmd:date><gmd:dateType><gmd:CI_DateTypeCode codeList="$cl#CI_DateTypeCode" codeListValue="publication">publication</gmd:CI_DateTypeCode></gmd:dateType></gmd:CI_Date></gmd:date></gmd:CI_Citation></gmd:citation><gmd:abstract>${cs(abstr)}</gmd:abstract><gmd:descriptiveKeywords><gmd:MD_Keywords>$kw</gmd:MD_Keywords></gmd:descriptiveKeywords><gmd:extent><gmd:EX_Extent><gmd:geographicElement><gmd:EX_GeographicBoundingBox><gmd:westBoundLongitude><gco:Decimal>$w</gco:Decimal></gmd:westBoundLongitude><gmd:eastBoundLongitude><gco:Decimal>$e</gco:Decimal></gmd:eastBoundLongitude><gmd:southBoundLatitude><gco:Decimal>$s0</gco:Decimal></gmd:southBoundLatitude><gmd:northBoundLatitude><gco:Decimal>$n</gco:Decimal></gmd:northBoundLatitude></gmd:EX_GeographicBoundingBox></gmd:geographicElement></gmd:EX_Extent></gmd:extent></gmd:MD_DataIdentification></gmd:identificationInfo></gmd:MD_Metadata>"""
-        }
-        val birdsXml = golden("d0a1b2c3", "Bird observations Norway",
-          "Systematic bird counts along the Norwegian coast.", "2024-05-01",
-          Seq("creator" -> "Ola Nordmann", "metadataProvider" -> "Kari Nordmann"),
-          Seq("Occurrence", "Birds", "Occurrence", "Coastal"),
-          "4.0", "31.1", "57.9", "71.2")
-        val mammalsXml = golden("e4f5a6b7", "Mammal census Svalbard",
-          "Annual census of marine and land mammals on Svalbard.", "2024-06-11",
-          Seq("creator" -> "Nils Berg", "metadataProvider" -> "Nils Berg"),
-          Seq("Occurrence", "Mammals"),
-          "9.5", "33.5", "76.4", "80.8")
+        // Golden ISO19139 docs: INDEPENDENT literal expected output of
+        // the pygeometa-shaped crosswalk (csw.py:47-48) over the two
+        // committed EML fixtures — hand-checked strings, deliberately
+        // NOT built by sharing Eml.isoXml's string assembly (a shared
+        // builder would make the gate tautological: a structural
+        // mistake made once would pass unnoticed).
+        val birdsXml = """<gmd:MD_Metadata xmlns:gmd="http://www.isotc211.org/2005/gmd" xmlns:gco="http://www.isotc211.org/2005/gco"><gmd:fileIdentifier><gco:CharacterString>d0a1b2c3</gco:CharacterString></gmd:fileIdentifier><gmd:language><gco:CharacterString>eng</gco:CharacterString></gmd:language><gmd:hierarchyLevel><gmd:MD_ScopeCode codeList="http://standards.iso.org/iso/19139/resources/gmxCodelists.xml#MD_ScopeCode" codeListValue="dataset">dataset</gmd:MD_ScopeCode></gmd:hierarchyLevel><gmd:contact><gmd:CI_ResponsibleParty><gmd:individualName><gco:CharacterString>Ola Nordmann</gco:CharacterString></gmd:individualName><gmd:role><gmd:CI_RoleCode codeList="http://standards.iso.org/iso/19139/resources/gmxCodelists.xml#CI_RoleCode" codeListValue="creator">creator</gmd:CI_RoleCode></gmd:role></gmd:CI_ResponsibleParty></gmd:contact><gmd:contact><gmd:CI_ResponsibleParty><gmd:individualName><gco:CharacterString>Kari Nordmann</gco:CharacterString></gmd:individualName><gmd:role><gmd:CI_RoleCode codeList="http://standards.iso.org/iso/19139/resources/gmxCodelists.xml#CI_RoleCode" codeListValue="metadataProvider">metadataProvider</gmd:CI_RoleCode></gmd:role></gmd:CI_ResponsibleParty></gmd:contact><gmd:dateStamp><gco:Date>2024-05-01</gco:Date></gmd:dateStamp><gmd:identificationInfo><gmd:MD_DataIdentification><gmd:citation><gmd:CI_Citation><gmd:title><gco:CharacterString>Bird observations Norway</gco:CharacterString></gmd:title><gmd:date><gmd:CI_Date><gmd:date><gco:Date>2024-05-01</gco:Date></gmd:date><gmd:dateType><gmd:CI_DateTypeCode codeList="http://standards.iso.org/iso/19139/resources/gmxCodelists.xml#CI_DateTypeCode" codeListValue="publication">publication</gmd:CI_DateTypeCode></gmd:dateType></gmd:CI_Date></gmd:date></gmd:CI_Citation></gmd:citation><gmd:abstract><gco:CharacterString>Systematic bird counts along the Norwegian coast.</gco:CharacterString></gmd:abstract><gmd:descriptiveKeywords><gmd:MD_Keywords><gmd:keyword><gco:CharacterString>Occurrence</gco:CharacterString></gmd:keyword><gmd:keyword><gco:CharacterString>Birds</gco:CharacterString></gmd:keyword><gmd:keyword><gco:CharacterString>Occurrence</gco:CharacterString></gmd:keyword><gmd:keyword><gco:CharacterString>Coastal</gco:CharacterString></gmd:keyword></gmd:MD_Keywords></gmd:descriptiveKeywords><gmd:extent><gmd:EX_Extent><gmd:geographicElement><gmd:EX_GeographicBoundingBox><gmd:westBoundLongitude><gco:Decimal>4.0</gco:Decimal></gmd:westBoundLongitude><gmd:eastBoundLongitude><gco:Decimal>31.1</gco:Decimal></gmd:eastBoundLongitude><gmd:southBoundLatitude><gco:Decimal>57.9</gco:Decimal></gmd:southBoundLatitude><gmd:northBoundLatitude><gco:Decimal>71.2</gco:Decimal></gmd:northBoundLatitude></gmd:EX_GeographicBoundingBox></gmd:geographicElement></gmd:EX_Extent></gmd:extent></gmd:MD_DataIdentification></gmd:identificationInfo></gmd:MD_Metadata>"""
+        val mammalsXml = """<gmd:MD_Metadata xmlns:gmd="http://www.isotc211.org/2005/gmd" xmlns:gco="http://www.isotc211.org/2005/gco"><gmd:fileIdentifier><gco:CharacterString>e4f5a6b7</gco:CharacterString></gmd:fileIdentifier><gmd:language><gco:CharacterString>eng</gco:CharacterString></gmd:language><gmd:hierarchyLevel><gmd:MD_ScopeCode codeList="http://standards.iso.org/iso/19139/resources/gmxCodelists.xml#MD_ScopeCode" codeListValue="dataset">dataset</gmd:MD_ScopeCode></gmd:hierarchyLevel><gmd:contact><gmd:CI_ResponsibleParty><gmd:individualName><gco:CharacterString>Nils Berg</gco:CharacterString></gmd:individualName><gmd:role><gmd:CI_RoleCode codeList="http://standards.iso.org/iso/19139/resources/gmxCodelists.xml#CI_RoleCode" codeListValue="creator">creator</gmd:CI_RoleCode></gmd:role></gmd:CI_ResponsibleParty></gmd:contact><gmd:contact><gmd:CI_ResponsibleParty><gmd:individualName><gco:CharacterString>Nils Berg</gco:CharacterString></gmd:individualName><gmd:role><gmd:CI_RoleCode codeList="http://standards.iso.org/iso/19139/resources/gmxCodelists.xml#CI_RoleCode" codeListValue="metadataProvider">metadataProvider</gmd:CI_RoleCode></gmd:role></gmd:CI_ResponsibleParty></gmd:contact><gmd:dateStamp><gco:Date>2024-06-11</gco:Date></gmd:dateStamp><gmd:identificationInfo><gmd:MD_DataIdentification><gmd:citation><gmd:CI_Citation><gmd:title><gco:CharacterString>Mammal census Svalbard</gco:CharacterString></gmd:title><gmd:date><gmd:CI_Date><gmd:date><gco:Date>2024-06-11</gco:Date></gmd:date><gmd:dateType><gmd:CI_DateTypeCode codeList="http://standards.iso.org/iso/19139/resources/gmxCodelists.xml#CI_DateTypeCode" codeListValue="publication">publication</gmd:CI_DateTypeCode></gmd:dateType></gmd:CI_Date></gmd:date></gmd:CI_Citation></gmd:citation><gmd:abstract><gco:CharacterString>Annual census of marine and land mammals on Svalbard.</gco:CharacterString></gmd:abstract><gmd:descriptiveKeywords><gmd:MD_Keywords><gmd:keyword><gco:CharacterString>Occurrence</gco:CharacterString></gmd:keyword><gmd:keyword><gco:CharacterString>Mammals</gco:CharacterString></gmd:keyword></gmd:MD_Keywords></gmd:descriptiveKeywords><gmd:extent><gmd:EX_Extent><gmd:geographicElement><gmd:EX_GeographicBoundingBox><gmd:westBoundLongitude><gco:Decimal>9.5</gco:Decimal></gmd:westBoundLongitude><gmd:eastBoundLongitude><gco:Decimal>33.5</gco:Decimal></gmd:eastBoundLongitude><gmd:southBoundLatitude><gco:Decimal>76.4</gco:Decimal></gmd:southBoundLatitude><gmd:northBoundLatitude><gco:Decimal>80.8</gco:Decimal></gmd:northBoundLatitude></gmd:EX_GeographicBoundingBox></gmd:geographicElement></gmd:EX_Extent></gmd:extent></gmd:MD_DataIdentification></gmd:identificationInfo></gmd:MD_Metadata>"""
         val birdsLinks = """[{"name": "Parquet", "description": "The resource as (geo)parquet file", "protocol": "FILE:GEO", "url": "https://s3.example/bucket/ipt/datasets/birds-norway.parquet"}, {"name": "DWCA", "description": "The resource as Darwin Core Archive", "protocol": "file", "url": "https://ipt.example/archive.do?r=birds-norway"}]"""
         val mammalsLinks = """[{"name": "Parquet", "description": "The resource as (geo)parquet file", "protocol": "FILE:GEO", "url": "https://s3.example/bucket/ipt/datasets/mammals-svalbard.parquet"}, {"name": "DWCA", "description": "The resource as Darwin Core Archive", "protocol": "file", "url": "https://ipt.example/archive.do?r=mammals-svalbard"}]"""
         val nina = "Norsk institutt for naturforskning (NINA)"

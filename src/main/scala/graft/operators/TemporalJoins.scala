@@ -43,11 +43,17 @@ object TemporalJoins {
       case (src, out) => org.apache.spark.sql.types.StructField(
         out, quotes.schema(src).dataType, nullable = true)
     })
+    // a NULL-keyed or NULL-ts quote must never match (SQL join
+    // semantics, and what AsOfJoinExec does): its payload struct is
+    // nulled so the running last(ignoreNulls) skips it even inside
+    // the NULL partition that Window.partitionBy groups together
+    // (and even though a NULL ts sorts first under asc ordering)
     val qSide = quotes.select(
       Seq(col(key), col(ts), lit(0).as("__tag"),
         col(quoteTieBreak).cast("long").as("__tie")) ++
         carried.map(c => lit(null).cast(probes.schema(c).dataType).as(c)) :+
-        struct(payload.map { case (src, out) => col(src).as(out) }: _*).as("__pay"): _*)
+        when(col(key).isNotNull && col(ts).isNotNull,
+          struct(payload.map { case (src, out) => col(src).as(out) }: _*)).as("__pay"): _*)
     val pSide = probes.select(
       Seq(col(key), col(ts), lit(1).as("__tag"),
         lit(null).cast("long").as("__tie")) ++

@@ -158,7 +158,8 @@ object Dedup {
       val next = labels.join(nbr, Seq("v"), "left")
         .select(col("v"),
           least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint() // eager: materialized before the old
+      labels.unpersist()  // generation's blocks are released
       val s2 = labelSum(next)
       done = s2 == prevSum
       prevSum = s2

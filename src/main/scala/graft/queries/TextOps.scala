@@ -22,6 +22,30 @@ object TextOps {
   /** Stopword list shared by quality scoring and language ID. */
   private val enStops = Seq("the", "a", "of", "and", "to", "in")
 
+  /** Persisted (doc_id, tok, tf) term-frequency frame shared by the
+    * scoring queries (t07/t08): document frequencies, document
+    * lengths, and the corpus size all fold out of it, so the
+    * scan+explode+aggregate pass — the expensive one at scale — runs
+    * once per query. (Plain plan sharing does not survive column
+    * pruning: each consumer prunes tf differently, so the exchanges
+    * stop being identical and ReuseExchange cannot kick in.) */
+  private def termFreqs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables(s, d, "documents")
+      .selectExpr("doc_id", s"explode($toks) as tok")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")).persist()
+
+  /** Per-document top-5 terms of a (doc_id, tok, s) scored frame —
+    * WindowGroupLimit prunes rank>5 candidates map-side; scores cross
+    * engines as printf %.6f strings with a term-string tie-break. */
+  private def topTerms(scored: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    scored.withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("s").desc, col("tok"))))
+      .where("rnk <= 5")
+      .select(col("doc_id"), col("tok"), col("rnk"),
+        format_string("%.6f", col("s")).as("score"))
+  }
+
   private def arr(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("array(", ",", ")")
   private def duckArr(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ",", "]")
 
@@ -181,29 +205,15 @@ object TextOps {
     // the term string keeps ordering deterministic.
     "t07_tfidf" -> Q(
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val t = Tables(s, d, "documents")
-          .selectExpr("doc_id", s"explode($toks) as tok")
-        // tf persists because df and n both derive from it (tf has
-        // one row per (doc, term), so its count IS the distinct doc
-        // count) — the scan+explode+aggregate pass, the expensive one
-        // at scale, runs once instead of three times. (Plain plan
-        // sharing does not survive column pruning: each consumer
-        // prunes tf differently, so the exchanges stop being
-        // identical and ReuseExchange cannot kick in.)
-        val tf = t.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")).persist()
+        val tf = termFreqs(s, d)
+        // tf has one row per (doc, term), so df's count IS the
+        // distinct doc count; corpus size rides as a broadcast 1-row
+        // frame (no driver-side count action — one lazy plan)
         val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-        // corpus size as a broadcast 1-row frame: keeps the whole
-        // query one lazy plan (no driver-side count action)
         val n = tf.select("doc_id").distinct()
           .agg(count(lit(1)).cast("double").as("n"))
-        tf.join(df, "tok").crossJoin(broadcast(n))
-          .withColumn("s", col("tf") * log(col("n") / col("df")))
-          .withColumn("rnk", row_number().over(
-            Window.partitionBy("doc_id").orderBy(col("s").desc, col("tok"))))
-          .where("rnk <= 5")
-          .select(col("doc_id"), col("tok"), col("rnk"),
-            format_string("%.6f", col("s")).as("score"))
+        topTerms(tf.join(df, "tok").crossJoin(broadcast(n))
+          .withColumn("s", col("tf") * log(col("n") / col("df"))))
       },
       Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
               tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
@@ -226,22 +236,14 @@ object TextOps {
     // both engines (left-assoc double ops), so %.6f strings match.
     "t08_bm25" -> Q(
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val t = Tables(s, d, "documents")
-          .selectExpr("doc_id", s"explode($toks) as tok")
-        val tf = t.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")).persist()
+        val tf = termFreqs(s, d)
         val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
         val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
         val st = dl.agg(count(lit(1)).cast("double").as("n"), avg("dl").as("avgdl"))
-        tf.join(df, "tok").join(dl, "doc_id").crossJoin(broadcast(st))
+        topTerms(tf.join(df, "tok").join(dl, "doc_id").crossJoin(broadcast(st))
           .withColumn("s", expr(
             "ln(1 + (n - df + 0.5)/(df + 0.5)) * (tf * 2.2)" +
-              " / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))"))
-          .withColumn("rnk", row_number().over(
-            Window.partitionBy("doc_id").orderBy(col("s").desc, col("tok"))))
-          .where("rnk <= 5")
-          .select(col("doc_id"), col("tok"), col("rnk"),
-            format_string("%.6f", col("s")).as("score"))
+              " / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))")))
       },
       Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
               tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),

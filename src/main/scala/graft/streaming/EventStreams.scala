@@ -114,8 +114,11 @@ object EventStreams {
     * a hot key with millions of events in one session holds exactly
     * one interval. (The previous `it.toSeq.sortBy` materialized the
     * whole group.) The interval merge computes the same connected
-    * components as a sort-then-fold, so results are order-independent
-    * within a batch.
+    * components as a sort-then-fold, so session boundaries, starts,
+    * and counts are order-independent within a batch; the double
+    * `sum` accumulates in arrival order and can differ in final ulps
+    * across orders — the same caveat as any distributed double sum
+    * (Spark's own `sum()` included).
     */
   def sessionizeCustom(events: Dataset[Event], gapMs: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._

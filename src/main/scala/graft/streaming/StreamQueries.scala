@@ -26,7 +26,12 @@ object StreamQueries {
       .format("memory").queryName(name).outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(300000)
+    // a partially-drained table must fail loudly, not hash-mismatch
+    // confusingly downstream; stop the straggler before throwing
+    if (!q.awaitTermination(300000)) {
+      q.stop()
+      throw new IllegalStateException(s"stream $name did not drain within 300s")
+    }
     s.table(name)
   }
 

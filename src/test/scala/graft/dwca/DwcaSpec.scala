@@ -105,12 +105,15 @@ class DwcaSpec extends AnyFunSuite with SparkTestBase {
     assert(rows(0).getAs[String]("geom_wkt") === "POINT (59.910000 10.750000)")
   }
 
-  test("escaped-symbol separators stay literal, regex classes do not") {
+  test("single-char separators stay literal (even metachars), regex classes do not") {
     val l = DwcaMeta.fromZip(zip).core
     assert(l.copy(sepRegex = "\\t").sepLiteralOpt === Some("\t"))
     assert(l.copy(sepRegex = ",").sepLiteralOpt === Some(","))
     assert(l.copy(sepRegex = "\\|").sepLiteralOpt === Some("|"))
-    assert(l.copy(sepRegex = "|").sepLiteralOpt === None) // bare metachar
+    // a bare "|" means a pipe separator — as a regex it would match
+    // the empty string and shred every row character-by-character
+    assert(l.copy(sepRegex = "|").sepLiteralOpt === Some("|"))
+    assert(l.copy(sepRegex = ".").sepLiteralOpt === Some("."))
     assert(l.copy(sepRegex = "\\d").sepLiteralOpt === None) // class
     assert(l.copy(sepRegex = "; *").sepLiteralOpt === None) // multi-char
   }

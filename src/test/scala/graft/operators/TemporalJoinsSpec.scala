@@ -6,6 +6,33 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class TemporalJoinsSpec extends AnyFunSuite with SparkTestBase {
 
+  test("NULL keys and NULL timestamps never match — both formulations agree") {
+    import spark.implicits._
+    // null-keyed quote AND probe share the window's NULL partition;
+    // a null-ts quote sorts first under asc ordering — none may match
+    val q = Seq(
+      (Option(1L), Option(10L), 100L, 1.0),
+      (Option.empty[Long], Option(5L), 101L, 2.0), // null key
+      (Option(1L), Option.empty[Long], 102L, 3.0)  // null ts
+    ).toDF("user_id", "sec", "event_id", "value")
+      .selectExpr("user_id", "timestamp_micros(sec * 1000000) as ts", "event_id", "value")
+    val p = Seq(
+      (Option(1L), Option(15L), 900L),
+      (Option.empty[Long], Option(15L), 901L) // null-key probe
+    ).toDF("user_id", "sec", "probe_id")
+      .selectExpr("user_id", "timestamp_micros(sec * 1000000) as ts", "probe_id")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "q_id").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val viaWindow = run(TemporalJoins.asOf(p, q, "user_id", "ts", "event_id",
+      Seq("event_id" -> "q_id")))
+    val viaPlan = run(graft.plans.AsOfJoinPlan.asOf(p, q, "user_id", "ts", "event_id",
+      Seq("event_id" -> "q_id")))
+    val want = Map(900L -> Some(100L), 901L -> None)
+    assert(viaWindow === want)
+    assert(viaPlan === want)
+  }
+
   test("asOf picks latest at-or-before quote, ties by greatest id, null when none") {
     import spark.implicits._
     // user 1: quotes at t=10 (two, ids 100/101) and t=20; user 2: t=50
