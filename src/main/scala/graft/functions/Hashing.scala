@@ -38,12 +38,19 @@ object Hashing {
     * UTF8String bytes directly (~10× less alloc on the LSH hot path). */
   def h32Sql(e: String): String = s"h32($e)"
 
+  /** SQL-text form of the SECOND 32-bit word of the md5 (hex chars
+    * 9-16). Together with [[h32Sql]] it gives 64 independent md5 bits
+    * per input — the 64-bit SimHash needs them (32-bit SimHash gives
+    * only 256 buckets per 8-bit band: a quadratic self-join at scale). */
+  def h32bSql(e: String): String = s"h32b($e)"
+
   /** Idempotent session registration of the native hash + MinHash
     * kernels (the n/k arguments must be integer literals). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     def litInt(e: Expression): Int = e.eval().asInstanceOf[Number].intValue()
     reg.createOrReplaceTempFunction("h32", exprs => H32(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("h32b", exprs => H32B(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("hashed_shingles",
       exprs => HashedShingles(exprs(0), litInt(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction("hashed_chargrams",
@@ -74,9 +81,23 @@ object Hashing {
       ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)
   }
 
+  /** md5 bytes 4-7, big-endian unsigned — the second 32-bit word
+    * (= hex chars 9-16). Static for codegen calls. */
+  def h32bBytes(s: UTF8String): Long = {
+    val d = tlMd5.get()
+    d.reset()
+    val digest = d.digest(s.getBytes)
+    ((digest(4) & 0xffL) << 24) | ((digest(5) & 0xffL) << 16) |
+      ((digest(6) & 0xffL) << 8) | (digest(7) & 0xffL)
+  }
+
   /** DuckDB mirror of [[h32]]. */
   def duck32(e: String): String =
     s"(('0x' || substr(md5($e), 1, 8))::BIGINT)"
+
+  /** DuckDB mirror of [[h32bSql]]. */
+  def duck32b(e: String): String =
+    s"(('0x' || substr(md5($e), 9, 8))::BIGINT)"
 
   /** Driver-side mirror of [[h32]] (used to precompute LSH plane
     * matrices as literals instead of re-hashing per row). */
@@ -103,5 +124,23 @@ case class H32(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.h32Bytes($c)")
 
   override protected def withNewChildInternal(newChild: Expression): H32 =
+    copy(child = newChild)
+}
+
+/** Native second-word md5 hash (see [[Hashing.h32bBytes]]). */
+case class H32B(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "h32b"
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(s: Any): Any =
+    Hashing.h32bBytes(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.h32bBytes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): H32B =
     copy(child = newChild)
 }

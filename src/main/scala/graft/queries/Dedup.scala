@@ -56,27 +56,45 @@ object Dedup {
     * recall (validated: the same 25/25 planted pairs at sf0.01). The
     * coefficients are md5-derived driver-side ([[Hashing.jvm32]]) and
     * inlined as literals in both the Spark plan and the oracle. */
-  /** doc_id + 32-bit SimHash (term-frequency weighted). */
+  /** doc_id + 64-bit SimHash (term-frequency weighted). 64 bits come
+    * from BOTH 32-bit md5 words per token (h32 = hex 1-8, h32b = hex
+    * 9-16) — bit b reads word b/32, bit b%32. 32-bit SimHash gave the
+    * 16-bit banding only 256 buckets per 8-bit band: bucket size N/256
+    * BY CONSTRUCTION, a guaranteed quadratic self-join at corpus
+    * scale. 64 bits buys 4×16-bit bands (65,536 buckets/band) with the
+    * same pigeonhole hamming≤3 recall contract. Bit 63 is the sign
+    * bit: `shiftleft(1L, 63)` = Long.MIN_VALUE, and the fold's partial
+    * sums stay in int64 range because the terms are distinct powers
+    * (bits 0..62 sum < 2^63; adding the bit-63 term lands exactly on
+    * the two's-complement value — no ANSI overflow in either engine). */
   private def simhashed(s: SparkSession, d: String): DataFrame = {
     Hashing.register(s)
     Tables(s, d, "documents")
       .repartition(s.sparkContext.defaultParallelism)
-      .selectExpr("doc_id", s"transform($toks, tok -> ${Hashing.h32Sql("tok")}) as th")
       .selectExpr("doc_id",
-        """aggregate(transform(sequence(0, 31),
-             b -> if(2 * size(filter(th, h -> (h div shiftleft(cast(1 as bigint), b)) % 2 = 1)) >= size(th),
+        s"transform($toks, tok -> array(${Hashing.h32Sql("tok")}, ${Hashing.h32bSql("tok")})) as th")
+      .selectExpr("doc_id",
+        """aggregate(transform(sequence(0, 63),
+             b -> if(2 * size(filter(th, h -> (element_at(h, if(b < 32, 1, 2)) div shiftleft(cast(1 as bigint), b % 32)) % 2 = 1)) >= size(th),
                      shiftleft(cast(1 as bigint), b), cast(0 as bigint))),
            cast(0 as bigint), (a, x) -> a + x) as simhash""")
   }
 
-  /** 4×8-bit LSH banding + hamming verify over a (doc_id, simhash)
+  /** 4×16-bit LSH banding + hamming verify over a (doc_id, simhash)
     * frame. Pigeonhole: at most 3 flipped bits touch at most 3 of the
     * 4 bands, so at least one band matches exactly — recall is EXACT
-    * for the hamming <= 3 contract. Exposed (not inlined in the query
-    * map) so the recall proof is testable on planted distances. */
-  def simhashPairs(sh: DataFrame): DataFrame = {
-    val bk = sh.selectExpr("doc_id", "simhash", "explode(sequence(0, 3)) as band")
-      .selectExpr("doc_id", "simhash", "band", "shiftright(simhash, band*8) & 255 as bits")
+    * for the hamming <= 3 contract. 65,536 buckets per band keeps
+    * expected bucket size at N/2^16; the d07 bucket cap backstops
+    * residual skew (a cluster of >cap simhash-band-identical docs is
+    * boilerplate that d01 already groups), bounding every bucket's
+    * self-join fan-out at cap². Exposed (not inlined in the query map)
+    * so the recall proof is testable on planted distances. */
+  def simhashPairs(sh: DataFrame, cap: Int = 64): DataFrame = {
+    val bk0 = sh.selectExpr("doc_id", "simhash", "explode(sequence(0, 3)) as band")
+      .selectExpr("doc_id", "simhash", "band", "shiftright(simhash, band*16) & 65535 as bits")
+    val bk = bk0.withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy("band", "bits")))
+      .where(s"bsz <= $cap")
     bk.select(col("doc_id").as("d1"), col("simhash").as("s1"), col("band"), col("bits"))
       .join(bk.select(col("doc_id").as("d2"), col("simhash").as("s2"),
         col("band").as("b2"), col("bits").as("k2")),
@@ -171,6 +189,23 @@ object Dedup {
 
   private val P = graft.functions.MinHash.P
   private def duckLits(xs: Seq[Long]): String = xs.mkString("[", ",", "]")
+
+  /** DuckDB mirror of [[simhashed]] (CTEs `th`, `sh`). Bit 63 can't be
+    * written `1::BIGINT << 63` (DuckDB raises Out of Range on left
+    * shift overflow) — it is the MIN_VALUE literal instead; list_sum
+    * runs in HUGEINT so the mixed-sign sum is exact, and the final
+    * BIGINT cast lands on the same two's-complement value Spark's
+    * int64 fold produces. */
+  private val duckSimhash: String =
+    s"""WITH th AS (SELECT doc_id,
+         list_transform(string_split(text,' '),
+           tok -> [${Hashing.duck32("tok")}, ${Hashing.duck32b("tok")}]) AS th
+       FROM documents),
+       sh AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 63),
+                b -> CASE WHEN 2 * len(list_filter(th, h -> (h[CASE WHEN b < 32 THEN 1 ELSE 2 END] // (1::BIGINT << (b % 32))) % 2 = 1)) >= len(th)
+                          THEN (CASE WHEN b = 63 THEN (-9223372036854775808)::BIGINT ELSE (1::BIGINT << b) END)
+                          ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+             FROM th)"""
 
   /** d03's oracle SQL — also the `p` CTE of d08's cluster oracle. */
   private lazy val d03Oracle: String =
@@ -293,35 +328,29 @@ object Dedup {
     // ── 32-bit SimHash per document (term-frequency weighted) ──
     "d04_simhash" -> Q(
       (s, d) => simhashed(s, d)
-        .selectExpr("doc_id", "simhash", "simhash div 16777216 as bucket"),
-      Some(s"""WITH th AS (SELECT doc_id,
-                 list_transform(string_split(text,' '), tok -> ${Hashing.duck32("tok")}) AS th
-               FROM documents)
-               SELECT doc_id, simhash, simhash // 16777216 AS bucket FROM
-                 (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 31),
-                    b -> CASE WHEN 2 * len(list_filter(th, h -> (h // (1::BIGINT << b)) % 2 = 1)) >= len(th)
-                              THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
-                  FROM th)""")),
+        .selectExpr("doc_id", "simhash", "shiftright(simhash, 48) & 65535 as bucket"),
+      Some(s"""$duckSimhash
+               SELECT doc_id, simhash, (simhash >> 48) & 65535 AS bucket FROM sh""")),
 
-    // ── SimHash near-dup pairs: 4×8-bit banding + hamming verify ──
+    // ── SimHash near-dup pairs: 4×16-bit banding + hamming verify ──
     // Pigeonhole: hamming <= 3 flips bits in at most 3 of the 4 bands,
-    // so at least one 8-bit band matches exactly — recall is EXACT for
-    // the advertised hamming <= 3 contract (2×16-bit halves only
-    // guaranteed k <= 1). Narrower bands mean larger buckets
-    // (N/256 per band); the verify filter bounds precision, and a
-    // mega-bucket under skew takes the d07 cap pattern.
+    // so at least one 16-bit band matches exactly — recall is EXACT
+    // for the advertised hamming <= 3 contract. 65,536 buckets per
+    // band (vs 256 with the old 32-bit/8-bit-band scheme, whose
+    // N/256-sized buckets made the self-join quadratic by
+    // construction at corpus scale); the d07 bucket cap (64)
+    // backstops residual skew, mirrored in both engines.
     "d06_simhash_pairs" -> Q(
       (s, d) => simhashPairs(simhashed(s, d).persist()),
-      Some("""WITH th AS (SELECT doc_id,
-                list_transform(string_split(text,' '), tok -> (('0x' || substr(md5(tok), 1, 8))::BIGINT)) AS th
-              FROM documents),
-              sh AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 31),
-                       b -> CASE WHEN 2 * len(list_filter(th, h -> (h // (1::BIGINT << b)) % 2 = 1)) >= len(th)
-                                 THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS simhash FROM th),
+      Some(s"""$duckSimhash,
               b AS (SELECT doc_id, simhash, unnest(generate_series(0, 3)) AS band FROM sh),
-              bk AS (SELECT doc_id, simhash, band, (simhash >> (band*8)) & 255 AS bits FROM b),
+              bk AS (SELECT doc_id, simhash, band, (simhash >> (band*16)) & 65535 AS bits FROM b),
+              capped AS (SELECT * FROM
+                           (SELECT doc_id, simhash, band, bits,
+                                   count(*) OVER (PARTITION BY band, bits) AS bsz FROM bk)
+                         WHERE bsz <= 64),
               cand AS (SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2, a.simhash AS s1, c.simhash AS s2
-                       FROM bk a JOIN bk c ON a.band = c.band AND a.bits = c.bits AND a.doc_id < c.doc_id)
+                       FROM capped a JOIN capped c ON a.band = c.band AND a.bits = c.bits AND a.doc_id < c.doc_id)
               SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
               FROM cand WHERE bit_count(xor(s1, s2)) <= 3""")),
 

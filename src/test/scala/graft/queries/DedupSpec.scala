@@ -27,19 +27,51 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
   test("d06 banding recovers EVERY pair at hamming <= 3 (pigeonhole recall proof)") {
     import spark.implicits._
     // planted distances: flips placed to defeat any single band where
-    // possible — id 4 differs from id 1 in all four 8-bit bands
-    val base = 0x12345678L
+    // possible — id 4 differs from id 1 in all four 16-bit bands.
+    // base has the sign bit set: the negative-simhash band math must
+    // agree with the oracle's arithmetic-shift + mask.
+    val base = 0x8123456789ABCDEFL
     val sh = Seq(
       1L -> base,
-      2L -> (base ^ 3L),                                  // h=2, both flips in band 0
-      3L -> (base ^ (1L | (1L << 8) | (1L << 16))),       // h=3, bands 0..2 flipped
-      4L -> (base ^ (1L | (1L << 8) | (1L << 16) | (1L << 24))) // h=4, ALL bands flipped
+      2L -> (base ^ 3L),                                   // h=2, both flips in band 0
+      3L -> (base ^ (1L | (1L << 16) | (1L << 32))),       // h=3, bands 0..2 flipped
+      4L -> (base ^ (1L | (1L << 16) | (1L << 32) | (1L << 48))) // h=4, ALL bands flipped
     ).toDF("doc_id", "simhash")
     val pairs = Dedup.simhashPairs(sh)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    // every hamming<=3 pair is present — including distance 2 and 3,
-    // which the old 2×16-bit banding could silently miss
+    // every hamming<=3 pair is present; (1,4) and (2,4) at hamming 4
+    // share no band and are correctly absent
     assert(pairs === Set((1L, 2L, 2), (1L, 3L, 3), (2L, 3L, 3), (3L, 4L, 1)))
+  }
+
+  test("d06 bands each read a full, distinct 16-bit window (2^16 key space)") {
+    import spark.implicits._
+    // the banding expression used by simhashPairs, probed directly:
+    // all-ones hits the max key in every band; a single bit at the top
+    // of window k lights only band k — so no band has < 2^16 key space
+    // and no two bands overlap. (The old 8-bit scheme capped the key
+    // space at 256 per band — quadratic buckets by construction.)
+    val probes = Seq(-1L) ++ (0 to 3).map(k => 1L << (16 * k + 15))
+    val df = probes.toDF("simhash")
+      .selectExpr("simhash",
+        "transform(sequence(0, 3), band -> shiftright(simhash, band*16) & 65535) as bands")
+    val got = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    assert(got(-1L) === Vector(65535L, 65535L, 65535L, 65535L))
+    for (k <- 0 to 3) {
+      val expect = Vector.tabulate(4)(b => if (b == k) 32768L else 0L)
+      assert(got(1L << (16 * k + 15)) === expect, s"band window $k")
+    }
+  }
+
+  test("d06 bucket cap drops mega-buckets (the d07 skew backstop)") {
+    import spark.implicits._
+    // 100 identical simhashes = a 100-member bucket in every band:
+    // over the cap -> zero candidate pairs (its members are d01's
+    // business); raising the cap re-admits them
+    val sh = (1L to 100L).map(_ -> 42L).toDF("doc_id", "simhash")
+    assert(Dedup.simhashPairs(sh).count() === 0L)
+    assert(Dedup.simhashPairs(sh, cap = 200).count() === 100L * 99 / 2)
   }
 
   test("connected components: min-label propagation over planted chains") {
@@ -60,7 +92,10 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val b = Dedup.all("d04_simhash").fn(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(a === b)
-    // 32-bit range
-    assert(a.values.forall(h => h >= 0 && h < (1L << 32)))
+    // genuinely 64-bit: some document sets a bit above the low word
+    assert(a.values.exists(h => h < 0 || h >= (1L << 32)))
+    // bucket = top 16-bit band
+    val buckets = df.collect().map(_.getLong(2))
+    assert(buckets.forall(bkt => bkt >= 0 && bkt <= 65535))
   }
 }
