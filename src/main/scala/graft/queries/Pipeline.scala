@@ -24,6 +24,38 @@ object Pipeline {
   private def duckPct(idExpr: String): String =
     s"(${graft.functions.Hashing.duck32(s"'split:' || $idExpr")} % 100)"
 
+  /** Two-phase global prefix sum behind p03. A single-partition window
+    * is a non-starter at 100 TB, so this runs the canonical form —
+    * range partition by doc_id, cumsum within each partition, then add
+    * driver-prefix-summed per-partition offsets (one row PER PARTITION
+    * crosses the driver, thousands at most, regardless of data size).
+    * Range partitioning keeps the global doc_id order across
+    * partitions, so the result equals the single-window formulation
+    * the oracle uses — for ANY `width` (the per-partition offsets
+    * compose): the query entry passes `defaultParallelism` so task
+    * size shrinks as executors are added, and [[PipelineSpec]] asserts
+    * width-invariance of the output. */
+  def seqPack(s: org.apache.spark.sql.SparkSession, d: String,
+      width: Int): org.apache.spark.sql.DataFrame = {
+    val parts = Tables(s, d, "documents")
+      .selectExpr("doc_id", s"size($toks) as n")
+      .repartitionByRange(width, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    val offsets = parts.groupBy("pid").agg(sum("n").as("tot"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      .scanLeft((0, 0L)) { case ((_, acc), (pid, tot)) => (pid, acc + tot) }
+      .sliding(2).collect { case Array((_, off), (pid, _)) => (pid, off) }.toSeq
+    import s.implicits._
+    val offDf = broadcast(offsets.toDF("pid", "off"))
+    parts.join(offDf, "pid")
+      .withColumn("cum", col("off") + sum("n").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("pid")
+          .orderBy("doc_id").rowsBetween(Long.MinValue, 0)))
+      .selectExpr("doc_id", "n", "(cum - n) div 256 as seq_id")
+  }
+
   val all: Map[String, Q] = Map(
     // ── deterministic train/val/test split (80/10/10 by hash bucket) ──
     "p01_split_assign" -> Q(
@@ -55,35 +87,9 @@ object Pipeline {
                WHERE pct < (CASE lang WHEN 'en' THEN 20 WHEN 'es' THEN 10 ELSE 5 END)""")),
     // ── sequence packing: concat-then-chunk documents (doc_id order)
     // into fixed 256-token training sequences. seq_id = which chunk
-    // the doc's FIRST token lands in. The global prefix sum is the
-    // scale problem here: a single-partition window is a non-starter
-    // at 100 TB, so this runs the canonical two-phase form — range
-    // partition by doc_id, cumsum within each partition, then add
-    // driver-prefix-summed per-partition offsets (one row PER
-    // PARTITION crosses the driver, thousands at most, regardless of
-    // data size). Range partitioning keeps the global doc_id order
-    // across partitions, so the result equals the single-window
-    // formulation the oracle uses. ──
+    // the doc's FIRST token lands in. See [[seqPack]]. ──
     "p03_seq_pack" -> Q(
-      (s, d) => {
-        val parts = Tables(s, d, "documents")
-          .selectExpr("doc_id", s"size($toks) as n")
-          .repartitionByRange(8, col("doc_id"))
-          .sortWithinPartitions("doc_id")
-          .withColumn("pid", spark_partition_id())
-          .persist()
-        val offsets = parts.groupBy("pid").agg(sum("n").as("tot"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-          .scanLeft((0, 0L)) { case ((_, acc), (pid, tot)) => (pid, acc + tot) }
-          .sliding(2).collect { case Array((_, off), (pid, _)) => (pid, off) }.toSeq
-        import s.implicits._
-        val offDf = broadcast(offsets.toDF("pid", "off"))
-        parts.join(offDf, "pid")
-          .withColumn("cum", col("off") + sum("n").over(
-            org.apache.spark.sql.expressions.Window.partitionBy("pid")
-              .orderBy("doc_id").rowsBetween(Long.MinValue, 0)))
-          .selectExpr("doc_id", "n", "(cum - n) div 256 as seq_id")
-      },
+      (s, d) => seqPack(s, d, s.sparkContext.defaultParallelism),
       Some("""SELECT doc_id, n, CAST((cum - n) // 256 AS BIGINT) AS seq_id FROM
                 (SELECT doc_id, n,
                         CAST(sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
