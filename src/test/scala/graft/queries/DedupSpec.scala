@@ -74,15 +74,39 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(Dedup.simhashPairs(sh, cap = 200).count() === 100L * 99 / 2)
   }
 
-  test("connected components: min-label propagation over planted chains") {
+  test("connected components: star rounds over planted chains") {
     import spark.implicits._
-    // 1-2-3-4 is a diameter-3 chain (multiple propagation rounds);
+    // 1-2-3-4 is a diameter-3 chain (multiple rounds);
     // 10-11 is a separate component
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
     val got = Dedup.connectedComponents(edges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components: adversarial 64-node chain converges within the star-round budget") {
+    import spark.implicits._
+    // a path graph is the worst case for min-label propagation
+    // (rounds = diameter = 63); large-star/small-star must land it
+    // well inside the O(log^2 n) budget
+    val edges = (1L until 64L).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) = Dedup.ccWithRounds(edges)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (1L to 64L).map(_ -> 1L).toMap)
+    assert(rounds <= 14, s"took $rounds star rounds for a 64-chain")
+  }
+
+  test("connected components use a RELIABLE checkpoint when a dir is configured") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    val edges = Seq((5L, 3L), (3L, 9L), (20L, 21L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
+    // the reliable path actually wrote checkpoint data
+    assert(java.nio.file.Files.list(dir).count() > 0)
   }
 
   test("simhash of identical token multisets is identical") {
