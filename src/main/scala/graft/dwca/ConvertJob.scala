@@ -30,10 +30,14 @@ object ConvertJob {
       }, outBase, resourceId, versionId, singleFile)
       if (ran) {
         val versioned = s"$outBase/$resourceId/v$versionId.parquet"
-        // bbox from the written data, one distributed envelope pass
-        val bbox = Sinks.geomBbox(spark, spark.read.parquet(versioned), "geom")
-        Sinks.patchGeoFooter(spark, versioned, "geom", bbox)
-        Sinks.patchGeoFooter(spark, s"$outBase/$resourceId.parquet", "geom", bbox)
+        // bbox + geometry types from the written data — one
+        // distributed envelope pass and one header-distinct pass,
+        // computed once and reused for both aliases
+        val written = spark.read.parquet(versioned)
+        val bbox = Sinks.geomBbox(spark, written, "geom")
+        val types = Some(Sinks.geomTypes(spark, written, "geom"))
+        Sinks.patchGeoFooter(spark, versioned, "geom", bbox, types)
+        Sinks.patchGeoFooter(spark, s"$outBase/$resourceId.parquet", "geom", bbox, types)
       }
       ran
     } finally {

@@ -53,7 +53,7 @@ object SinkQueries {
           .toDF("part_ix", "geo_json")
       },
       Some("""SELECT * FROM (VALUES (0,
-                '{"version":"1.0.0","primary_column":"geom","columns":{"geom":{"encoding":"WKB","geometry_types":[]}}}'))
+                '{"version":"1.0.0","primary_column":"geom","columns":{"geom":{"encoding":"WKB","geometry_types":["Point","Polygon"],"crs":null}}}'))
               AS t(part_ix, geo_json)""")),
 
     // ── S9: JSON array file (ARRAY true semantics) + readback ──

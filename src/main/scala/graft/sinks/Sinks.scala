@@ -66,12 +66,53 @@ object Sinks {
   def writeZstd(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(path)
 
-  /** GeoParquet 1.0.0 `geo` footer for a WKB geometry column; CRS
-    * omitted = OGC:CRS84 per spec (the reference's output CRS);
-    * optional per-column bbox [xmin, ymin, xmax, ymax]. */
-  def geoMetadataJson(geomColumn: String, bbox: Option[Seq[Double]] = None): String = {
+  /** GeoParquet 1.0.0 `geo` footer for a WKB geometry column.
+    * `"crs": null` is EXPLICIT — null means OGC:CRS84 per spec (the
+    * reference's output CRS), and consumers (OGR, geopandas)
+    * increasingly warn when the key is absent rather than null.
+    * `geometry_types` is populated from the written data via
+    * [[geomTypes]]; optional per-column bbox [xmin, ymin, xmax, ymax]. */
+  def geoMetadataJson(geomColumn: String, bbox: Option[Seq[Double]] = None,
+      geometryTypes: Seq[String] = Nil): String = {
     val bboxJson = bbox.map(b => s""","bbox":[${b.mkString(",")}]""").getOrElse("")
-    s"""{"version":"1.0.0","primary_column":"$geomColumn","columns":{"$geomColumn":{"encoding":"WKB","geometry_types":[]$bboxJson}}}"""
+    val types = geometryTypes.map(t => s""""$t"""").mkString(",")
+    s"""{"version":"1.0.0","primary_column":"$geomColumn","columns":{"$geomColumn":{"encoding":"WKB","geometry_types":[$types],"crs":null$bboxJson}}}"""
+  }
+
+  /** Distinct geometry type names of a WKB column — one partial-agg'd
+    * distinct over the 5-byte WKB header (endianness byte + uint32
+    * type code), so the scan reads only the column's first bytes and
+    * the driver receives at most the handful of distinct codes. */
+  def geomTypes(spark: SparkSession, df: DataFrame, geomColumn: String): Seq[String] = {
+    val th = s"hex(substring($geomColumn, 2, 4))" // 4 type bytes as 8 hex chars
+    val codes = df.where(s"$geomColumn is not null")
+      .selectExpr(
+        s"""cast(conv(case when hex(substring($geomColumn, 1, 1)) = '01'
+             then concat(substr($th, 7, 2), substr($th, 5, 2),
+                         substr($th, 3, 2), substr($th, 1, 2))
+             else $th end, 16, 10) as bigint) as code""")
+      .distinct().collect().map(_.getLong(0))
+    codes.sorted.map(wkbTypeName)
+  }
+
+  private def wkbTypeName(code: Long): String = {
+    val base = code % 1000 match {
+      case 1 => "Point"
+      case 2 => "LineString"
+      case 3 => "Polygon"
+      case 4 => "MultiPoint"
+      case 5 => "MultiLineString"
+      case 6 => "MultiPolygon"
+      case 7 => "GeometryCollection"
+      case other => s"Unknown($other)"
+    }
+    // ISO WKB dimension ranges: 1000s = Z, 2000s = M, 3000s = ZM
+    code / 1000 match {
+      case 1 => base + " Z"
+      case 2 => base + " M"
+      case 3 => base + " ZM"
+      case _ => base
+    }
   }
 
   /** Dataset-level bbox of a WKB geometry column — distributed min/max
@@ -89,26 +130,32 @@ object Sinks {
 
   /** Add the `geo` key to every part file's footer under `dir`
     * (post-write patch: row groups are byte-copied via `appendFile`,
-    * only the footer is rewritten). */
+    * only the footer is rewritten). `geometryTypes` defaults to one
+    * distributed distinct pass over the written column ([[geomTypes]]);
+    * callers patching multiple aliases of the same data compute it
+    * once and pass it through. */
   def patchGeoFooter(spark: SparkSession, dir: String, geomColumn: String,
-      bbox: Option[Seq[Double]] = None): Unit = {
+      bbox: Option[Seq[Double]] = None,
+      geometryTypes: Option[Seq[String]] = None): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val d = new Path(dir)
     val hfs = fs(spark, d)
+    val types = geometryTypes.getOrElse(
+      geomTypes(spark, spark.read.parquet(dir), geomColumn))
     val parts = hfs.listStatus(d).map(_.getPath)
       .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
-    parts.foreach(patchOneFooter(conf, _, geomColumn, bbox))
+    parts.foreach(patchOneFooter(conf, _, geomColumn, bbox, types))
   }
 
   private def patchOneFooter(conf: Configuration, file: Path, geomColumn: String,
-      bbox: Option[Seq[Double]]): Unit = {
+      bbox: Option[Seq[Double]], geometryTypes: Seq[String]): Unit = {
     val in = HadoopInputFile.fromPath(file, conf)
     val reader = ParquetFileReader.open(in)
     val fileMeta =
       try reader.getFooter.getFileMetaData
       finally reader.close()
     val extra = new java.util.HashMap[String, String](fileMeta.getKeyValueMetaData)
-    extra.put("geo", geoMetadataJson(geomColumn, bbox))
+    extra.put("geo", geoMetadataJson(geomColumn, bbox, geometryTypes))
 
     val tmp = new Path(file.getParent, file.getName + ".geo.tmp")
     val writer = new ParquetFileWriter(

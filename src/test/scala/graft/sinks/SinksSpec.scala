@@ -52,10 +52,14 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
     // data survives the byte-copy rewrite
     val after = spark.read.parquet(out).collect().map(_.getLong(0)).sorted
     assert(after === before)
-    // footer now carries GeoParquet metadata
+    // footer now carries GeoParquet metadata with geometry_types
+    // derived from the written WKB (the fixture bytes are a
+    // little-endian Point header) and an explicit crs
     val geo = Sinks.readFooterKey(spark, out, "geo")
     assert(geo.nonEmpty)
-    assert(geo.forall(_._2 == Sinks.geoMetadataJson("geom")))
+    assert(geo.forall(_._2 == Sinks.geoMetadataJson("geom", None, Seq("Point"))))
+    assert(geo.head._2.contains(""""geometry_types":["Point"]"""))
+    assert(geo.head._2.contains(""""crs":null"""))
   }
 
   test("writeJsonArray emits one parseable JSON array") {
