@@ -63,10 +63,16 @@ object DwcaQueries {
               AS t(layer, location, encoding, sep_regex, id_index, id_col, is_extension, n_cols)""")),
 
     // ── same conversion through the distributed no-extraction zip
-    // scan (ZipSource) — must reproduce dwca01's oracle exactly ──
+    // scan (ZipSource) — must reproduce dwca01's oracle exactly.
+    // In the bench set: the reference's ONE production query (star
+    // join + geom + schema discovery) gets a tracked wall time, so a
+    // regression in the core conversion path is visible round-over-
+    // round (the fixture is small — this tracks path cost, not
+    // throughput). ──
     "dwca04_convert_zipscan" -> Q(
       (s, _) => DwcaConvert.convert(s, zipPath, DwcaConvert.GeomWktString, zipScan = true),
-      Some(convertOracle)),
+      Some(convertOracle),
+      bench = true),
 
     // ── genuine-regex fieldsTerminatedBy (\s*\|\s*) — the scan must
     // split data rows by the SAME regex the reference compiles for
