@@ -50,6 +50,50 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got === want)
   }
 
+  test("append-mode tumbling stream emits exactly the watermark-closed windows") {
+    // the production incremental path: append mode emits a window only
+    // once the watermark (max event time - 1h) passes its end; the
+    // open tail is withheld until more data closes it
+    val events = graft.queries.Relational.events(spark, sf)
+    val wmMs = events.agg(max(unix_millis(col("ts")))).head.getLong(0) - 3600L * 1000
+    val got = runToMemory(
+      EventStreams.tumblingCounts(EventStreams.eventsStream(spark, sf)),
+      "t_tumbling_append", mode = "append")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    def batch(closedOnly: Boolean) = {
+      val agg = events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      (if (closedOnly) agg.where(unix_millis(col("window.end")) <= wmMs) else agg)
+        .select(unix_timestamp(col("window.start")).as("win_start"),
+          col("event_type"), col("n"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    }
+    assert(got === batch(closedOnly = true))
+    assert(got.nonEmpty)
+    // the withheld open tail is real: complete-mode has strictly more
+    assert(got.length < batch(closedOnly = false).length)
+  }
+
+  test("append-mode session stream emits exactly the watermark-closed sessions") {
+    val events = graft.queries.Relational.events(spark, sf)
+    val wmMs = events.agg(max(unix_millis(col("ts")))).head.getLong(0) - 3600L * 1000
+    val got = runToMemory(
+      EventStreams.sessionCounts(EventStreams.eventsStream(spark, sf)),
+      "t_sessions_append", mode = "append")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    def batch(closedOnly: Boolean) = {
+      val agg = events.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      (if (closedOnly) agg.where(unix_millis(col("session_window.end")) <= wmMs) else agg)
+        .select(col("user_id"),
+          unix_millis(col("session_window.start")).as("session_start_ms"), col("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    }
+    assert(got === batch(closedOnly = true))
+    assert(got.nonEmpty)
+    assert(got.length < batch(closedOnly = false).length)
+  }
+
   test("stream-static enrichment equals the batch join") {
     val dim = spark.read.parquet(s"$sf/customer.parquet")
       .select("c_custkey", "c_name", "c_acctbal")
