@@ -69,6 +69,25 @@ class PlanShapeSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("d06 SimHash pairs band-join is an equi-join with the cap window, never all-pairs") {
+    val p = planOf("d06_simhash_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the mega-bucket cap is computed once per (band, bits) via a
+    // count window BEFORE the self-join
+    assert(p.contains("Window"), p)
+    // banding joins on the 16-bit window — the key expression mask is
+    // 65535, not the old 255 (256-bucket keyspace = quadratic buckets)
+    assert(p.contains("65535"), p)
+    assert(!p.contains("& 255"), p)
+  }
+
+  test("p03 seq packing range-partitions at session parallelism, cumsums within partitions") {
+    val p = planOf("p03_seq_pack")
+    // the global prefix sum must NOT be a single-partition window
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("rangepartitioning"), p)
+  }
+
   test("j01 as-of join is a single exchange + window, no join operator") {
     val p = planOf("j01_asof_join")
     assert(p.contains("Window"), p)
