@@ -391,6 +391,46 @@ object Dedup {
               SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
               FROM cand WHERE bit_count(xor(s1, s2)) <= 3""")),
 
+    // ── asymmetric CONTAINMENT near-dup: |A∩B| / min(|A|,|B|) over
+    // the same LSH candidates as d03. Catches a short document quoted
+    // verbatim inside a long one — Jaccard punishes the size gap
+    // (|A∩B|/|A∪B| stays low) while containment hits 1.0; the
+    // training-data failure mode is memorized boilerplate embedded in
+    // larger pages. Shares d03's cached hashed-set + bucket frames, so
+    // at scale this is one extra candidate join over the same
+    // machinery, not a second pipeline. ──
+    "d09_containment" -> Q(
+      (s, d) => {
+        val (hs, bk) = lshFrames(s, d)
+        val cand = bk.select(col("doc_id").as("d1"), col("band"), col("bucket"))
+          .join(bk.select(col("doc_id").as("d2"), col("band").as("b2"), col("bucket").as("k2")),
+            col("band") === col("b2") && col("bucket") === col("k2") && col("d1") < col("d2"))
+          .select("d1", "d2").distinct()
+        cand
+          .join(hs.select(col("doc_id").as("d1"), col("hv").as("hv1")), "d1")
+          .join(hs.select(col("doc_id").as("d2"), col("hv").as("hv2")), "d2")
+          .selectExpr("d1", "d2",
+            "cast(size(array_intersect(hv1, hv2)) as double) / least(size(hv1), size(hv2)) as cont")
+          .where("cont >= 0.9")
+          .select("d1", "d2", "cont")
+      },
+      Some(s"""$duckShingles,
+               sigs AS (SELECT doc_id, ${duckSig(16)} AS sig FROM hs),
+               b AS (SELECT doc_id, unnest(generate_series(0, 3)) AS band, sig FROM sigs),
+               bk AS (SELECT doc_id, band,
+                        ${Hashing.duck32("band || ':' || array_to_string(sig[band*4+1:band*4+4], ',')")} AS bucket
+                      FROM b),
+               cand AS (SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+                        FROM bk a JOIN bk c
+                        ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id)
+               SELECT d1, d2, cont FROM
+                 (SELECT d1, d2,
+                         CAST(len(list_intersect(x.hv, y.hv)) AS DOUBLE)
+                           / least(len(x.hv), len(y.hv)) AS cont
+                  FROM cand JOIN hs x ON x.doc_id = d1 JOIN hs y ON y.doc_id = d2)
+               WHERE cont >= 0.9"""),
+      bench = false),
+
     // ── char-4-gram Jaccard near-dup (8-perm MinHash, 2 bands of 4) ──
     // Char-gram buckets are hotter than shingle buckets (short docs
     // share 4-gram sets far more often than 3-token shingles — the

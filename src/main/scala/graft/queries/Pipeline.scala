@@ -95,6 +95,43 @@ object Pipeline {
                         CAST(sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
                  FROM (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents))""")),
 
+    // ── deterministic source mixing: sample each source so the output
+    // matches target RELATIVE weights without oversampling any source.
+    // The feasible total T = min_s floor(n_s·S/w_s) (the limiting
+    // source is taken whole); take_s = floor(T·w_s/S); membership is
+    // the doc-id hash — all integer arithmetic, floor points mirrored
+    // in the oracle so both engines agree bit-for-bit. Scale shape:
+    // one partial-agg'd count per source (tiny frame), two 1-row
+    // scalar reductions broadcast back, then a map-side hash filter —
+    // the corpus is never shuffled. The gate mixture weights sources
+    // 2:3:4:5 by source number mod 4. ──
+    "p04_source_mix" -> Q(
+      (s, d) => {
+        graft.functions.Hashing.register(s)
+        val docs = Tables(s, d, "documents")
+        val n = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+          .selectExpr("source", "n_s",
+            "cast(1000 + 500 * (cast(substring(source, 4) as int) % 4) as bigint) as w")
+        val sTot = broadcast(n.agg(sum("w").as("s_tot")))
+        val n2 = n.crossJoin(sTot)
+        val tOut = broadcast(n2.agg(min(expr("n_s * s_tot div w")).as("t_out")))
+        val rates = n2.crossJoin(tOut)
+          .selectExpr("source",
+            "least(10000L, ((t_out * w div s_tot) * 10000) div n_s) as rate_bp")
+        docs.join(broadcast(rates), "source")
+          .where(s"${graft.functions.Hashing.h32Sql("concat('mix:', doc_id)")} % 10000 < rate_bp")
+          .select("doc_id", "source")
+      },
+      Some(s"""WITH n AS (SELECT source, count(*) AS n_s,
+                        CAST(1000 + 500 * (CAST(substr(source, 4) AS INT) % 4) AS BIGINT) AS w
+                 FROM documents GROUP BY source),
+               s AS (SELECT CAST(sum(w) AS BIGINT) AS s_tot FROM n),
+               t AS (SELECT min(n_s * s_tot // w) AS t_out FROM n, s),
+               r AS (SELECT source, least(10000, ((t_out * w // s_tot) * 10000) // n_s) AS rate_bp
+                     FROM n, s, t)
+               SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+               WHERE ${graft.functions.Hashing.duck32("'mix:' || doc_id")} % 10000 < rate_bp""")),
+
     "c01_clean_corpus" -> Q(
       (s, d) => {
         // doc_ids to drop: the larger end of every verified dup pair

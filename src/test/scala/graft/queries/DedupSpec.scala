@@ -109,6 +109,22 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(java.nio.file.Files.list(dir).count() > 0)
   }
 
+  test("d09 containment dominates Jaccard on shared candidates") {
+    // containment >= jaccard for any pair (min <= union), and both
+    // run over the same LSH candidates — so every d03 pair at
+    // jac >= 0.9 MUST reappear in d09
+    val sf01 = "/root/testdata/sf0.01"
+    val cont = Dedup.all("d09_containment").fn(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.nonEmpty)
+    cont.foreach { case (d1, d2, c) => assert(d1 < d2 && c >= 0.9) }
+    val contPairs = cont.map(t => (t._1, t._2)).toSet
+    val strongJac = Dedup.all("d03_lsh_pairs").fn(spark, sf01)
+      .where("jac >= 0.9")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strongJac.subsetOf(contPairs))
+  }
+
   test("simhash of identical token multisets is identical") {
     val df = Dedup.all("d04_simhash").fn(spark, sf)
     // deterministic: same input -> same simhash on repeated run

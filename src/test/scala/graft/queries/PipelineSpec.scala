@@ -22,6 +22,21 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(a.nonEmpty)
   }
 
+  test("p04 source mix: deterministic, never oversamples, takes the heaviest source whole") {
+    // sf0.01: 20 sources x 25 docs, weights 2:3:4:5 by number%4 ->
+    // feasible total 350, rates {4000,6000,8000,10000} bp. Weight-5
+    // sources get rate 10000 = every doc, deterministically.
+    val sf01 = "/root/testdata/sf0.01"
+    def run() = Pipeline.all("p04_source_mix").fn(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val a = run()
+    assert(a.toSet === run().toSet) // pure function of ids
+    val bySource = a.groupBy(_._2).view.mapValues(_.length).toMap
+    for ((src, n) <- bySource) assert(n <= 25, s"$src oversampled: $n")
+    for (k <- Seq(3, 7, 11, 15, 19))
+      assert(bySource(s"src$k") === 25, s"limiting-weight src$k not taken whole")
+  }
+
   test("p03 seq_id equals the serial concat-then-chunk assignment") {
     val rows = Pipeline.seqPack(spark, sf, 5)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
