@@ -6,8 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 import org.apache.spark.sql.catalyst.expressions.Expression
 
-import graft.functions.{AffineMinHash, DotF, H32, HashedCharGrams, HashedShingles,
-  HyperplaneSig, StAsText, StEnvelope, StGeomFromText, StPoint, TopKByScore, VNorm}
+import graft.functions.{AffineMinHash, DotF, H32, H32B, HashedCharGrams, HashedShingles,
+  HyperplaneSig, SimHash64, StAsText, StEnvelope, StGeomFromText, StPoint, TopKByScore, VNorm}
 
 /** Production registration path for the engine's extensions:
   *
@@ -42,6 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("st_astext", "st_astext(wkb) - WKB to WKT")(e => StAsText(e(0)))
     inject("st_envelope", "st_envelope(wkb) - [xmin,ymin,xmax,ymax]")(e => StEnvelope(e(0)))
     inject("h32", "h32(s) - first 4 md5 bytes as unsigned int")(e => H32(e.head))
+    inject("h32b", "h32b(s) - md5 bytes 4-7 as unsigned int")(e => H32B(e.head))
+    inject("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array")(
+      e => SimHash64(e.head))
     inject("hashed_shingles", "hashed_shingles(tokens, n) - hashed word n-gram set")(
       e => HashedShingles(e(0), litInt(e(1))))
     inject("hashed_chargrams", "hashed_chargrams(text, n) - hashed char n-gram set")(

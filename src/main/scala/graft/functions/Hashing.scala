@@ -51,6 +51,7 @@ object Hashing {
     def litInt(e: Expression): Int = e.eval().asInstanceOf[Number].intValue()
     reg.createOrReplaceTempFunction("h32", exprs => H32(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("h32b", exprs => H32B(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("simhash64", exprs => SimHash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("hashed_shingles",
       exprs => HashedShingles(exprs(0), litInt(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction("hashed_chargrams",

@@ -56,28 +56,23 @@ object Dedup {
     * recall (validated: the same 25/25 planted pairs at sf0.01). The
     * coefficients are md5-derived driver-side ([[Hashing.jvm32]]) and
     * inlined as literals in both the Spark plan and the oracle. */
-  /** doc_id + 64-bit SimHash (term-frequency weighted). 64 bits come
-    * from BOTH 32-bit md5 words per token (h32 = hex 1-8, h32b = hex
-    * 9-16) — bit b reads word b/32, bit b%32. 32-bit SimHash gave the
-    * 16-bit banding only 256 buckets per 8-bit band: bucket size N/256
-    * BY CONSTRUCTION, a guaranteed quadratic self-join at corpus
-    * scale. 64 bits buys 4×16-bit bands (65,536 buckets/band) with the
-    * same pigeonhole hamming≤3 recall contract. Bit 63 is the sign
-    * bit: `shiftleft(1L, 63)` = Long.MIN_VALUE, and the fold's partial
-    * sums stay in int64 range because the terms are distinct powers
-    * (bits 0..62 sum < 2^63; adding the bit-63 term lands exactly on
-    * the two's-complement value — no ANSI overflow in either engine). */
+  /** doc_id + 64-bit SimHash (term-frequency weighted), via the
+    * native [[graft.functions.SimHash64]] kernel — one md5 per token,
+    * bit-fold in straight JVM code, inside whole-stage codegen (the
+    * SQL-lambda formulation the oracle uses runs interpreted and
+    * digests every token twice). 64 bits come from BOTH 32-bit md5
+    * words per token (h32 = hex 1-8, h32b = hex 9-16) — bit b reads
+    * word b/32, bit b%32. 32-bit SimHash gave banding only 256
+    * buckets per 8-bit band: bucket size N/256 BY CONSTRUCTION, a
+    * guaranteed quadratic self-join at corpus scale; 64 bits buys
+    * 4×16-bit bands (65,536 buckets/band) with the same pigeonhole
+    * hamming≤3 recall contract. Bit 63 is the sign bit — the oracle's
+    * HUGEINT fold lands on the same two's-complement value. */
   private def simhashed(s: SparkSession, d: String): DataFrame = {
     Hashing.register(s)
     Tables(s, d, "documents")
       .repartition(s.sparkContext.defaultParallelism)
-      .selectExpr("doc_id",
-        s"transform($toks, tok -> array(${Hashing.h32Sql("tok")}, ${Hashing.h32bSql("tok")})) as th")
-      .selectExpr("doc_id",
-        """aggregate(transform(sequence(0, 63),
-             b -> if(2 * size(filter(th, h -> (element_at(h, if(b < 32, 1, 2)) div shiftleft(cast(1 as bigint), b % 32)) % 2 = 1)) >= size(th),
-                     shiftleft(cast(1 as bigint), b), cast(0 as bigint))),
-           cast(0 as bigint), (a, x) -> a + x) as simhash""")
+      .selectExpr("doc_id", s"simhash64($toks) as simhash")
   }
 
   /** 4×16-bit LSH banding + hamming verify over a (doc_id, simhash)

@@ -8,6 +8,7 @@ class HashingSpec extends AnyFunSuite with SparkTestBase {
   private val rnd = new scala.util.Random(42)
 
   test("jvm32 matches the h32 SQL expression for random strings") {
+    Hashing.register(spark) // don't depend on another suite's registration
     val strings = (Seq("", "a", "the quick brown fox", "0:key agg row") ++
       (0 until 200).map(_ => rnd.alphanumeric.take(rnd.nextInt(40) + 1).mkString))
       .distinct
@@ -19,6 +20,28 @@ class HashingSpec extends AnyFunSuite with SparkTestBase {
     strings.foreach { s =>
       assert(fromSql(s) === Hashing.jvm32(s), s"mismatch for '$s'")
     }
+  }
+
+  test("native simhash64 equals the SQL-lambda formulation (incl. sign bit, empty, unicode)") {
+    Hashing.register(spark)
+    import spark.implicits._
+    val texts = Seq("", "one", "a b c", "the the the unique",
+      "ünïcødé tøkens π∆", "x " * 50 + "y") ++
+      (0 until 100).map(_ => (0 until rnd.nextInt(12) + 1)
+        .map(_ => rnd.alphanumeric.take(rnd.nextInt(8) + 1).mkString).mkString(" "))
+    val rows = texts.distinct.toDF("text")
+      .selectExpr("text", "simhash64(split(text, ' ')) as native",
+        s"""aggregate(transform(sequence(0, 63),
+              b -> if(2 * size(filter(transform(split(text, ' '), tok -> array(h32(tok), h32b(tok))),
+                                      h -> (element_at(h, if(b < 32, 1, 2)) div shiftleft(cast(1 as bigint), b % 32)) % 2 = 1)) >= size(split(text, ' ')),
+                      shiftleft(cast(1 as bigint), b), cast(0 as bigint))),
+            cast(0 as bigint), (a, x) -> a + x) as lambda""")
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2), s"mismatch for '${r.getString(0)}'")
+    }
+    // the upper word is exercised: some hash sets a bit >= 32
+    assert(rows.exists(r => r.getLong(1) < 0 || r.getLong(1) >= (1L << 32)))
   }
 
   test("jvm32 range is unsigned 32-bit") {
