@@ -122,12 +122,17 @@ object Dedup {
     (hs, bk)
   }
 
-  /** d03's verified near-dup pairs (also the d08 cluster input and the
-    * c01 drop-candidate source). Verification joins carry no hints:
-    * banding bounds |cand|, so AQE broadcasts the candidate side and
-    * streams the (cached) hash sets — never a broadcast of the whole
-    * corpus, which an explicit broadcast(hs) hint would force (fine at
-    * gate scale, an OOM at 100 TB). */
+  /** d03's verified near-dup pairs — a FOUR-consumer frame (d03's own
+    * gate output, d08's cluster edges, d09's candidate reuse, c01's
+    * drop set), so the verified result is persisted: pairs ≪ corpus
+    * by construction (a few rows per near-dup cluster), making this
+    * the cheapest cache in the tier, and every consumer after the
+    * first reads an InMemoryTableScan instead of re-running the
+    * candidate join + Jaccard verify. Verification joins carry no
+    * hints: banding bounds |cand|, so AQE broadcasts the candidate
+    * side and streams the (cached) hash sets — never a broadcast of
+    * the whole corpus, which an explicit broadcast(hs) hint would
+    * force (fine at gate scale, an OOM at 100 TB). */
   private def lshPairs(s: SparkSession, d: String): DataFrame = {
     val (hs, bk) = lshFrames(s, d)
     val cand = bk.select(col("doc_id").as("d1"), col("band"), col("bucket"))
@@ -141,6 +146,7 @@ object Dedup {
         "cast(size(array_intersect(hv1, hv2)) as double) / size(array_union(hv1, hv2)) as jac")
       .where("jac >= 0.7")
       .select("d1", "d2", "jac")
+      .persist()
   }
 
   /** Connected components over an undirected edge list (columns `a`,
