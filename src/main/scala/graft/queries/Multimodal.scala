@@ -28,6 +28,36 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Pluggable payload decoder. The contract a real deployment swaps
+    * in (libjpeg/ffmpeg behind this interface): bytes after the
+    * 4-byte magic tag → (width, height). The plumbing around it —
+    * typed mapPartitions, schema, partitioning — is codec-agnostic;
+    * [[MultimodalSpec]] asserts the physical plan is IDENTICAL
+    * (same operator sequence, no exchange) for two different codecs. */
+  trait BlobCodec extends Serializable {
+    def decode(blob: Array[Byte]): (Int, Int)
+  }
+
+  /** Deterministic fake codec (the container ships no media libs):
+    * dimensions derived from the first payload bytes. */
+  object StubCodec extends BlobCodec {
+    override def decode(blob: Array[Byte]): (Int, Int) =
+      (1 + (blob(4) & 0xff) % 64, 1 + (blob(5) & 0xff) % 64)
+  }
+
+  /** The m04 decode pipeline, parameterized by codec: map-only typed
+    * mapPartitions over the binary payload (the Scala analogue of a
+    * mapInPandas batch UDF), schema declared up front, no shuffle. */
+  def decodePipeline(s: SparkSession, d: String, codec: BlobCodec): DataFrame = {
+    import s.implicits._
+    blobs(s, d).select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) =>
+        val (w, h) = codec.decode(blob)
+        (id, w, h, w * h)
+      })
+      .toDF("doc_id", "width", "height", "n_px")
+  }
+
   /** doc_id, modality (deterministic 3-way assignment), blob
     * (BinaryType: 4-byte magic + text bytes). */
   private def blobs(s: SparkSession, d: String): DataFrame =
@@ -90,25 +120,11 @@ object Multimodal {
                FROM b GROUP BY modality""")),
 
     // ── decode pipeline: typed mapPartitions over the binary payload ──
-    // STUB decoder: dimensions derived from the first payload bytes —
-    // a real codec replaces `decodeStub` only; partitioning, schema,
-    // and batch shape stay identical.
+    // STUB codec behind the [[BlobCodec]] seam — a real codec swaps
+    // the one function body; partitioning, schema, and batch shape
+    // stay identical (plan-equality spec-asserted).
     "m04_decode_stub" -> Q(
-      (s, d) => {
-        import s.implicits._
-        // payload starts after the 4-byte magic tag
-        def decodeStub(blob: Array[Byte]): (Int, Int) = {
-          val w = 1 + (blob(4) & 0xff) % 64
-          val h = 1 + (blob(5) & 0xff) % 64
-          (w, h)
-        }
-        blobs(s, d).select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
-          .mapPartitions(_.map { case (id, blob) =>
-            val (w, h) = decodeStub(blob)
-            (id, w, h, w * h)
-          })
-          .toDF("doc_id", "width", "height", "n_px")
-      },
+      (s, d) => decodePipeline(s, d, StubCodec),
       Some(s"""WITH b AS ($duckBlobs)
                SELECT doc_id,
                       1 + ascii(substr(payload, 5, 1)) % 64 AS width,
