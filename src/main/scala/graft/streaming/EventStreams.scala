@@ -95,6 +95,30 @@ object EventStreams {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("c_name"), col("c_acctbal"))
 
+  /** Stream-stream inner join: purchases attributed to a click by the
+    * same user within 30 minutes. Both sides are watermarked and the
+    * join carries an event-time range predicate — that pair is what
+    * lets Spark BOUND each side's buffered state to the watermark
+    * horizon (without a time constraint a stream-stream join buffers
+    * both streams forever). Inner matches emit as soon as both rows
+    * arrive, so a bounded availableNow run equals the batch join
+    * exactly — one oracle for both tiers. */
+  def clickAttribution(events: DataFrame): DataFrame = {
+    val clicks = events.where("event_type = 'click'")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.where("event_type = 'purchase'")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select("click_id", "purchase_id", "user_id")
+  }
+
   final case class Event(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class SessionOut(user_id: Long, session_start_ms: Long, n: Long, val_sum: Double)

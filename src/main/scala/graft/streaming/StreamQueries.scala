@@ -55,6 +55,20 @@ object StreamQueries {
         "g_stream03", mode = "append"),
       Some("SELECT DISTINCT event_id FROM events")),
 
+    // stream-stream inner join (append): watermarked both sides +
+    // event-time range predicate = bounded state; inner matches emit
+    // immediately, so the bounded run equals the batch join
+    "stream04_stream_join" -> Q(
+      (s, d) => drain(s,
+        EventStreams.clickAttribution(EventStreams.eventsStream(s, d)),
+        "g_stream04", mode = "append"),
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+                                CAST(ts AS TIMESTAMP) AS ts FROM events)
+              SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id
+              FROM e a JOIN e b ON a.user_id = b.user_id
+              WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+                AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE""")),
+
     "stream02_session" -> Q(
       (s, d) => drain(s,
         EventStreams.sessionCounts(EventStreams.eventsStream(s, d)), "g_stream02"),

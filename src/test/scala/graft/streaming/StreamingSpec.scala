@@ -111,6 +111,26 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.exists(_(3) != null))
   }
 
+  test("stream-stream click attribution equals the batch range join") {
+    val got = runToMemory(
+      EventStreams.clickAttribution(EventStreams.eventsStream(spark, sf)),
+      "t_ssjoin")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val e = graft.queries.Relational.events(spark, sf)
+    val want = e.where("event_type = 'click'")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .join(e.where("event_type = 'purchase'")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+          col("ts").as("purchase_ts")),
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select("click_id", "purchase_id", "user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     val stream = EventStreams.dedupStream(
       EventStreams.eventsStream(spark, sf).select("event_id", "ts", "user_id"))
