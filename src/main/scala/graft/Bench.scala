@@ -11,10 +11,11 @@ import org.apache.spark.sql.SparkSession
   * perform their write inside the query fn, so the write cost is
   * included in the measured time.
   *
-  * SPARK_GRAFT_BENCH_ISOLATE=1 clears the SQL cache between queries,
-  * so every number is a first-run cost (by default queries that share
-  * persisted subtrees — c01/d03 — reuse them, like a real pipeline
-  * session would).
+  * SPARK_GRAFT_BENCH_ISOLATE=1 clears the SQL cache before each
+  * query, so nothing is reused ACROSS queries; the per-query warmup
+  * still runs first, so timed medians remain steady-state costs (by
+  * default queries that share persisted subtrees — c01/d03/d08/d09 —
+  * reuse them, like a real pipeline session would).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
