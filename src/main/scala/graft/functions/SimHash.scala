@@ -32,10 +32,15 @@ case class SimHash64(child: Expression)
   override def nullIntolerant: Boolean = true
 
   override protected def nullSafeEval(a: Any): Any =
-    SimHash64.eval(a.asInstanceOf[ArrayData])
+    SimHash64.hash(a.asInstanceOf[ArrayData])
 
+  // NOTE: the companion method must NOT be named `eval` — the case
+  // class inherits Expression.eval, which suppresses the static
+  // forwarder scalac would otherwise emit for the companion, and the
+  // generated call then fails to compile (silently de-codegen-ing the
+  // whole stage under the default codegen fallback)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.eval($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.hash($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
@@ -45,7 +50,7 @@ object SimHash64 {
   private val tl =
     ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))
 
-  def eval(tokens: ArrayData): Long = {
+  def hash(tokens: ArrayData): Long = {
     val n = tokens.numElements()
     val counts = new Array[Int](64)
     val d = tl.get()

@@ -122,28 +122,45 @@ object Dedup {
     (hs, bk)
   }
 
+  /** The ONE candidate topology every LSH query shares: banded
+    * (band, bucket) self-join — optionally bucket-capped for skew —
+    * then the two hashed-set joins, scored by `scoreExpr` (references
+    * hv1/hv2 and aliases its output). Verification joins carry no
+    * hints: banding bounds |cand|, so AQE broadcasts the candidate
+    * side and streams the (cached) hash sets — never a broadcast of
+    * the whole corpus, which an explicit broadcast(hs) hint would
+    * force (fine at gate scale, an OOM at 100 TB). Factored so d03,
+    * d05, d07, and d09 cannot drift apart in candidate semantics. */
+  private def scoredCandidates(hs: DataFrame, bk: DataFrame,
+      scoreExpr: String, cap: Option[Int] = None): DataFrame = {
+    val side = cap match {
+      case Some(c) => bk.withColumn("bsz",
+          count(lit(1)).over(Window.partitionBy("band", "bucket"))).where(s"bsz <= $c")
+      case None => bk
+    }
+    val cand = side.select(col("doc_id").as("d1"), col("band"), col("bucket"))
+      .join(side.select(col("doc_id").as("d2"), col("band").as("b2"), col("bucket").as("k2")),
+        col("band") === col("b2") && col("bucket") === col("k2") && col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    cand
+      .join(hs.select(col("doc_id").as("d1"), col("hv").as("hv1")), "d1")
+      .join(hs.select(col("doc_id").as("d2"), col("hv").as("hv2")), "d2")
+      .selectExpr("d1", "d2", scoreExpr)
+  }
+
+  private val jaccardExpr =
+    "cast(size(array_intersect(hv1, hv2)) as double) / size(array_union(hv1, hv2)) as jac"
+
   /** d03's verified near-dup pairs — a FOUR-consumer frame (d03's own
     * gate output, d08's cluster edges, d09's candidate reuse, c01's
     * drop set), so the verified result is persisted: pairs ≪ corpus
     * by construction (a few rows per near-dup cluster), making this
     * the cheapest cache in the tier, and every consumer after the
     * first reads an InMemoryTableScan instead of re-running the
-    * candidate join + Jaccard verify. Verification joins carry no
-    * hints: banding bounds |cand|, so AQE broadcasts the candidate
-    * side and streams the (cached) hash sets — never a broadcast of
-    * the whole corpus, which an explicit broadcast(hs) hint would
-    * force (fine at gate scale, an OOM at 100 TB). */
+    * candidate join + Jaccard verify. */
   private def lshPairs(s: SparkSession, d: String): DataFrame = {
     val (hs, bk) = lshFrames(s, d)
-    val cand = bk.select(col("doc_id").as("d1"), col("band"), col("bucket"))
-      .join(bk.select(col("doc_id").as("d2"), col("band").as("b2"), col("bucket").as("k2")),
-        col("band") === col("b2") && col("bucket") === col("k2") && col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
-    cand
-      .join(hs.select(col("doc_id").as("d1"), col("hv").as("hv1")), "d1")
-      .join(hs.select(col("doc_id").as("d2"), col("hv").as("hv2")), "d2")
-      .selectExpr("d1", "d2",
-        "cast(size(array_intersect(hv1, hv2)) as double) / size(array_union(hv1, hv2)) as jac")
+    scoredCandidates(hs, bk, jaccardExpr)
       .where("jac >= 0.7")
       .select("d1", "d2", "jac")
       .persist()
@@ -177,12 +194,39 @@ object Dedup {
 
   /** [[connectedComponents]] + the number of star rounds it took —
     * exposed so the convergence-budget spec can assert the O(log² n)
-    * bound on adversarial chains. */
-  private[queries] def ccWithRounds(edgesIn: DataFrame): (DataFrame, Int) = {
+    * bound on adversarial chains. `reliableDir` overrides the
+    * context's checkpoint dir (tests inject a scratch dir without
+    * mutating the shared session).
+    *
+    * Reliable lineage cuts are explicit parquet rounds under
+    * `<dir>/graft-cc-<uuid>` rather than `Dataset.checkpoint`:
+    * checkpoint files are never reclaimed before application exit
+    * (`cleanCheckpoints` defaults off, and `unpersist()` does not
+    * touch ReliableCheckpointRDD files), which at 100 TB accumulates
+    * O(rounds × |edges|) dead data — here round N−1 is deleted the
+    * moment round N is materialized, keeping disk at O(|edges|) (the
+    * final round's files back the returned frame and live until the
+    * caller is done with the directory). */
+  private[queries] def ccWithRounds(edgesIn: DataFrame,
+      reliableDir: Option[String] = None): (DataFrame, Int) = {
     val s = edgesIn.sparkSession
-    def cp(df: DataFrame): DataFrame =
-      if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
+    val base = reliableDir.orElse(s.sparkContext.getCheckpointDir)
+      .map(d => new org.apache.hadoop.fs.Path(d, s"graft-cc-${java.util.UUID.randomUUID}"))
+    val hconf = s.sparkContext.hadoopConfiguration
+    var prevRound: Option[org.apache.hadoop.fs.Path] = None
+    var roundNo = 0
+    def cp(df: DataFrame): DataFrame = base match {
+      case Some(b) =>
+        val p = new org.apache.hadoop.fs.Path(b, s"round-$roundNo")
+        roundNo += 1
+        df.write.mode("overwrite").parquet(p.toString)
+        val back = s.read.parquet(p.toString)
+        // only after the new round is fully materialized
+        prevRound.foreach(old => old.getFileSystem(hconf).delete(old, true))
+        prevRound = Some(p)
+        back
+      case None => df.localCheckpoint()
+    }
     // bit_xor, not sum: order-independent, and immune to ANSI int64
     // overflow no matter how many edges
     def checksum(e: DataFrame): (Long, Long) = {
@@ -329,17 +373,7 @@ object Dedup {
     "d07_capped_lsh" -> Q(
       (s, d) => {
         val (hs, bk) = lshFrames(s, d)
-        val w = Window.partitionBy("band", "bucket")
-        val capped = bk.withColumn("bsz", count(lit(1)).over(w)).where("bsz <= 8")
-        val cand = capped.select(col("doc_id").as("d1"), col("band"), col("bucket"))
-          .join(capped.select(col("doc_id").as("d2"), col("band").as("b2"), col("bucket").as("k2")),
-            col("band") === col("b2") && col("bucket") === col("k2") && col("d1") < col("d2"))
-          .select("d1", "d2").distinct()
-        cand
-          .join(hs.select(col("doc_id").as("d1"), col("hv").as("hv1")), "d1")
-          .join(hs.select(col("doc_id").as("d2"), col("hv").as("hv2")), "d2")
-          .selectExpr("d1", "d2",
-            "cast(size(array_intersect(hv1, hv2)) as double) / size(array_union(hv1, hv2)) as jac")
+        scoredCandidates(hs, bk, jaccardExpr, cap = Some(8))
           .where("jac >= 0.7")
           .select("d1", "d2", "jac")
       },
@@ -403,15 +437,8 @@ object Dedup {
     "d09_containment" -> Q(
       (s, d) => {
         val (hs, bk) = lshFrames(s, d)
-        val cand = bk.select(col("doc_id").as("d1"), col("band"), col("bucket"))
-          .join(bk.select(col("doc_id").as("d2"), col("band").as("b2"), col("bucket").as("k2")),
-            col("band") === col("b2") && col("bucket") === col("k2") && col("d1") < col("d2"))
-          .select("d1", "d2").distinct()
-        cand
-          .join(hs.select(col("doc_id").as("d1"), col("hv").as("hv1")), "d1")
-          .join(hs.select(col("doc_id").as("d2"), col("hv").as("hv2")), "d2")
-          .selectExpr("d1", "d2",
-            "cast(size(array_intersect(hv1, hv2)) as double) / least(size(hv1), size(hv2)) as cont")
+        scoredCandidates(hs, bk,
+          "cast(size(array_intersect(hv1, hv2)) as double) / least(size(hv1), size(hv2)) as cont")
           .where("cont >= 0.9")
           .select("d1", "d2", "cont")
       },
@@ -456,19 +483,7 @@ object Dedup {
           .selectExpr("doc_id", "band",
             s"${Hashing.h32Sql("concat(band, ':', concat_ws(',', slice(sig, band*4+1, 4)))")} as bucket")
           .persist()
-        val capped = bk.withColumn("bsz",
-            count(lit(1)).over(Window.partitionBy("band", "bucket")))
-          .where("bsz <= 64")
-        val cand = capped.select(col("doc_id").as("d1"), col("band"), col("bucket"))
-          .join(capped.select(col("doc_id").as("d2"), col("band").as("b2"), col("bucket").as("k2")),
-            col("band") === col("b2") && col("bucket") === col("k2") && col("d1") < col("d2"))
-          .select("d1", "d2").distinct()
-        // see d03: no hints — AQE broadcasts the bounded candidate side
-        cand
-          .join(hg.select(col("doc_id").as("d1"), col("hv").as("hv1")), "d1")
-          .join(hg.select(col("doc_id").as("d2"), col("hv").as("hv2")), "d2")
-          .selectExpr("d1", "d2",
-            "cast(size(array_intersect(hv1, hv2)) as double) / size(array_union(hv1, hv2)) as jac")
+        scoredCandidates(hg, bk, jaccardExpr, cap = Some(64))
           .where("jac >= 0.6")
           .select("d1", "d2", "jac")
       },

@@ -39,10 +39,16 @@ object Multimodal {
   }
 
   /** Deterministic fake codec (the container ships no media libs):
-    * dimensions derived from the first payload bytes. */
+    * dimensions derived from the first payload bytes. A missing byte
+    * (payload shorter than 2 bytes after the magic tag) reads as 0 —
+    * the same value DuckDB's `ascii(substr(payload, n, 1))` yields
+    * for an out-of-range position, so both engines agree on
+    * degenerate documents instead of this side crashing. */
   object StubCodec extends BlobCodec {
-    override def decode(blob: Array[Byte]): (Int, Int) =
-      (1 + (blob(4) & 0xff) % 64, 1 + (blob(5) & 0xff) % 64)
+    override def decode(blob: Array[Byte]): (Int, Int) = {
+      def at(i: Int): Int = if (i < blob.length) blob(i) & 0xff else 0
+      (1 + at(4) % 64, 1 + at(5) % 64)
+    }
   }
 
   /** The m04 decode pipeline, parameterized by codec: map-only typed

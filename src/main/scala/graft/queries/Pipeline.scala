@@ -109,9 +109,13 @@ object Pipeline {
       (s, d) => {
         graft.functions.Hashing.register(s)
         val docs = Tables(s, d, "documents")
+        // persisted: this few-row frame feeds FOUR subtrees (s_tot,
+        // t_out twice via the crossJoin, and the rates build) — without
+        // the persist each one re-runs the full corpus count scan
         val n = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
           .selectExpr("source", "n_s",
             "cast(1000 + 500 * (cast(substring(source, 4) as int) % 4) as bigint) as w")
+          .persist()
         val sTot = broadcast(n.agg(sum("w").as("s_tot")))
         val n2 = n.crossJoin(sTot)
         val tOut = broadcast(n2.agg(min(expr("n_s * s_tot div w")).as("t_out")))

@@ -101,8 +101,13 @@ object EventStreams {
     * lets Spark BOUND each side's buffered state to the watermark
     * horizon (without a time constraint a stream-stream join buffers
     * both streams forever). Inner matches emit as soon as both rows
-    * arrive, so a bounded availableNow run equals the batch join
-    * exactly — one oracle for both tiers. */
+    * arrive, so a SINGLE-micro-batch availableNow drain (the gate's
+    * shape: one file) equals the batch join exactly — one oracle for
+    * both tiers. Across multiple micro-batches the standard streaming
+    * caveat applies: a row arriving later than the watermark horizon
+    * established by earlier batches is dropped before it can match —
+    * late-data loss bounded by the 1 h delay, the price of bounded
+    * state on an unbounded feed. */
   def clickAttribution(events: DataFrame): DataFrame = {
     val clicks = events.where("event_type = 'click'")
       .select(col("event_id").as("click_id"), col("user_id"),

@@ -25,6 +25,14 @@ class HashingSpec extends AnyFunSuite with SparkTestBase {
   test("native simhash64 equals the SQL-lambda formulation (incl. sign bit, empty, unicode)") {
     Hashing.register(spark)
     import spark.implicits._
+    // fail loudly if the kernel's generated call doesn't compile —
+    // with the default fallback a codegen bug silently runs
+    // interpreted, which is exactly the regression this kernel exists
+    // to prevent (a companion method named `eval` gets no static
+    // forwarder and did exactly that)
+    val fallback = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
     val texts = Seq("", "one", "a b c", "the the the unique",
       "ünïcødé tøkens π∆", "x " * 50 + "y") ++
       (0 until 100).map(_ => (0 until rnd.nextInt(12) + 1)
@@ -42,6 +50,7 @@ class HashingSpec extends AnyFunSuite with SparkTestBase {
     }
     // the upper word is exercised: some hash sets a bit >= 32
     assert(rows.exists(r => r.getLong(1) < 0 || r.getLong(1) >= (1L << 32)))
+    } finally spark.conf.set("spark.sql.codegen.fallback", fallback)
   }
 
   test("jvm32 range is unsigned 32-bit") {

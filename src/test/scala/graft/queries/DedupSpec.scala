@@ -99,14 +99,22 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
 
   test("connected components use a RELIABLE checkpoint when a dir is configured") {
     import spark.implicits._
+    // injected dir — the shared session's checkpoint config is NOT
+    // mutated (that would silently switch every later CC call in the
+    // JVM onto this path)
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
-    spark.sparkContext.setCheckpointDir(dir.toString)
     val edges = Seq((5L, 3L), (3L, 9L), (20L, 21L)).toDF("a", "b")
-    val got = Dedup.connectedComponents(edges)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (labels, rounds) = Dedup.ccWithRounds(edges, Some(dir.toString))
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
-    // the reliable path actually wrote checkpoint data
-    assert(java.nio.file.Files.list(dir).count() > 0)
+    assert(rounds > 1)
+    // the reliable path wrote rounds AND cleaned up behind itself:
+    // only the final round's parquet remains
+    val ccBase = java.nio.file.Files.list(dir).toArray.map(_.toString)
+    assert(ccBase.length === 1 && ccBase.head.contains("graft-cc-"), ccBase.toSeq)
+    val roundDirs = java.nio.file.Files.list(java.nio.file.Paths.get(ccBase.head))
+      .toArray.map(_.toString)
+    assert(roundDirs.length === 1, s"stale round dirs not deleted: ${roundDirs.toSeq}")
   }
 
   test("d09 containment dominates Jaccard on shared candidates") {

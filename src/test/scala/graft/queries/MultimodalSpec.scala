@@ -35,6 +35,13 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(a !== b)
   }
 
+  test("stub codec agrees with the oracle on degenerate payloads (missing bytes read as 0)") {
+    // DuckDB's ascii(substr(p, n, 1)) is 0 past the end; the stub must
+    // match rather than crash on a doc with < 2 payload bytes
+    assert(Multimodal.StubCodec.decode(Array[Byte](1, 2, 3, 4)) === (1, 1))
+    assert(Multimodal.StubCodec.decode(Array[Byte](1, 2, 3, 4, 65)) === (1 + 65 % 64, 1))
+  }
+
   test("decode output schema is pinned regardless of codec") {
     val df = Multimodal.decodePipeline(spark, sf, AltCodec)
     assert(df.schema.map(f => (f.name, f.dataType.typeName)) ===
