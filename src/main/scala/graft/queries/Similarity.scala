@@ -107,14 +107,43 @@ object Similarity {
            FROM sc)
         WHERE rnk <= 5"""
 
+  /** s03's body: LSH-bucketed ANN top-3 — candidates share ≥1 of 4
+    * signature bands. Exposed for the s09 recall harness. */
+  private def annTopk(s: SparkSession, d: String): DataFrame = {
+    // persisted: referenced by both join sides and the embedding
+    // lookups — avoids recomputing the 1024-multiply signature
+    val sigs = signed(s, d).persist()
+    val bk = banded(sigs)
+    val cand = broadcast(bk.where("vec_id < 10")
+        .select(col("vec_id").as("probe_id"), col("band"), col("bits")))
+      .join(bk.select(col("vec_id").as("cand_id"), col("band").as("b2"), col("bits").as("k2")),
+        col("band") === col("b2") && col("bits") === col("k2") && col("probe_id") =!= col("cand_id"))
+      .select("probe_id", "cand_id").distinct()
+    val e = sigs.select("vec_id", "embedding", "nrm")
+    cand
+      .join(e.select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nrm").as("pn")), "probe_id")
+      .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("nrm").as("cn")), "cand_id")
+      .selectExpr("probe_id", "cand_id", s"${dot("pe", "ce")} / (pn * cn) as cosine")
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("cand_id"))))
+      .where("rnk <= 3")
+      .select("probe_id", "cand_id", "rnk", "cosine")
+  }
+
+  /** Exact per-probe top-k by cosine (window formulation) — s01's
+    * body, exposed so the recall harness (s09) measures ANN against
+    * the same exactness baseline the gate checks. */
+  private def bruteTopk(s: SparkSession, d: String, k: Int): DataFrame =
+    scoredPairs(s, d)
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("cand_id"))))
+      .where(s"rnk <= $k")
+      .select("probe_id", "cand_id", "rnk", "cosine")
+
   val all: Map[String, Q] = Map(
     // ── brute-force cosine top-5 per probe (window formulation) ──
     "s01_topk_cosine" -> Q(
-      (s, d) => scoredPairs(s, d)
-        .withColumn("rnk",
-          row_number().over(Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("cand_id"))))
-        .where("rnk <= 5")
-        .select("probe_id", "cand_id", "rnk", "cosine"),
+      (s, d) => bruteTopk(s, d, 5),
       Some(topkOracle),
       bench = true),
 
@@ -140,26 +169,7 @@ object Similarity {
 
     // ── LSH-bucketed ANN top-3: candidates share ≥1 of 4 signature bands ──
     "s03_ann_topk" -> Q(
-      (s, d) => {
-        // persisted: referenced by both join sides and the embedding
-        // lookups — avoids recomputing the 1024-multiply signature
-        val sigs = signed(s, d).persist()
-        val bk = banded(sigs)
-        val cand = broadcast(bk.where("vec_id < 10")
-            .select(col("vec_id").as("probe_id"), col("band"), col("bits")))
-          .join(bk.select(col("vec_id").as("cand_id"), col("band").as("b2"), col("bits").as("k2")),
-            col("band") === col("b2") && col("bits") === col("k2") && col("probe_id") =!= col("cand_id"))
-          .select("probe_id", "cand_id").distinct()
-        val e = sigs.select("vec_id", "embedding", "nrm")
-        cand
-          .join(e.select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nrm").as("pn")), "probe_id")
-          .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("nrm").as("cn")), "cand_id")
-          .selectExpr("probe_id", "cand_id", s"${dot("pe", "ce")} / (pn * cn) as cosine")
-          .withColumn("rnk",
-            row_number().over(Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("cand_id"))))
-          .where("rnk <= 3")
-          .select("probe_id", "cand_id", "rnk", "cosine")
-      },
+      (s, d) => annTopk(s, d),
       Some(s"""WITH sigs AS ($duckSigned),
                $duckBanded,
                cand AS (SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id
@@ -295,30 +305,98 @@ object Similarity {
                FROM x GROUP BY label, pos""")),
 
     // ── embedding-cosine near-dup pairs (LSH candidates, cos ≥ 0.45) ──
-    "s04_embed_dup" -> Q(
+    "s04_embed_dup" -> Q((s, d) => embedDupPairs(s, d), Some(s04Oracle)),
+
+    // ── ANN quality harness: recall@3 of the LSH-bucketed ANN (s03)
+    // against the exact brute-force top-3 (s01's baseline) — the
+    // measurement a pipeline runs before trusting an index. Left join
+    // keeps zero-hit probes; all-integer recall so the gate
+    // hash-compares exactly. Scale: both inputs are the (tiny)
+    // per-probe top-k frames, so the join+agg is probe-bounded
+    // regardless of corpus size. ──
+    "s09_ann_recall" -> Q(
       (s, d) => {
-        val sigs = signed(s, d).persist()
-        val bk = banded(sigs)
-        val cand = bk.select(col("vec_id").as("v1"), col("band"), col("bits"))
-          .join(bk.select(col("vec_id").as("v2"), col("band").as("b2"), col("bits").as("k2")),
-            col("band") === col("b2") && col("bits") === col("k2") && col("v1") < col("v2"))
-          .select("v1", "v2").distinct()
-        val e = sigs.select("vec_id", "embedding", "nrm")
-        cand
-          .join(e.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("nrm").as("n1")), "v1")
-          .join(e.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("nrm").as("n2")), "v2")
-          .selectExpr("v1", "v2", s"${dot("e1", "e2")} / (n1 * n2) as cosine")
-          .where("cosine >= 0.45")
-          .select("v1", "v2", "cosine")
+        val ann = annTopk(s, d)
+          .select(col("probe_id"), col("cand_id"), lit(1).as("hit"))
+        bruteTopk(s, d, 3).select("probe_id", "cand_id")
+          .join(ann, Seq("probe_id", "cand_id"), "left")
+          .groupBy("probe_id")
+          .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
+          .selectExpr("probe_id", "hits", "(hits * 10000) div 3 as recall_bp")
       },
-      Some(s"""WITH sigs AS ($duckSigned),
+      Some(s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+               sc AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                             ${duckDot("p.embedding", "c.embedding")} / (p.nrm * c.nrm) AS cosine
+                      FROM e p JOIN e c ON c.vec_id != p.vec_id WHERE p.vec_id < 10),
+               exact AS (SELECT probe_id, cand_id FROM
+                           (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
+                            FROM sc)
+                         WHERE rnk <= 3),
+               sigs AS ($duckSigned),
                $duckBanded,
-               cand AS (SELECT DISTINCT a.vec_id AS v1, c.vec_id AS v2
-                        FROM bk a JOIN bk c
-                        ON a.band = c.band AND a.bits = c.bits AND a.vec_id < c.vec_id)
-               SELECT v1, v2, cosine FROM
-                 (SELECT v1, v2, ${duckDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cosine
-                  FROM cand JOIN sigs x ON x.vec_id = v1 JOIN sigs y ON y.vec_id = v2)
-               WHERE cosine >= 0.45"""))
+               cand AS (SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id
+                        FROM bk p JOIN bk c
+                        ON p.band = c.band AND p.bits = c.bits AND c.vec_id != p.vec_id
+                        WHERE p.vec_id < 10),
+               asc2 AS (SELECT probe_id, cand_id,
+                               ${duckDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cosine
+                        FROM cand JOIN sigs x ON x.vec_id = probe_id
+                                  JOIN sigs y ON y.vec_id = cand_id),
+               ann AS (SELECT probe_id, cand_id FROM
+                         (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
+                          FROM asc2)
+                       WHERE rnk <= 3)
+               SELECT x.probe_id,
+                      CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+                      (CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 10000) // 3 AS recall_bp
+               FROM exact x LEFT JOIN ann a
+                 ON a.probe_id = x.probe_id AND a.cand_id = x.cand_id
+               GROUP BY x.probe_id""")),
+
+    // ── SemDeDup-style semantic clusters: connected components over
+    // the embedding near-dup pair graph (s04's edges through d08's
+    // large-star/small-star machinery) — "keep one doc per embedding
+    // cluster" is the semantic-dedup step after exact and lexical
+    // dedup. Same recursive-closure oracle shape as d08. ──
+    "s10_embed_clusters" -> Q(
+      (s, d) => Dedup.connectedComponents(
+          embedDupPairs(s, d).select(col("v1").as("a"), col("v2").as("b")))
+        .select(col("doc_id").as("vec_id"), col("cluster")),
+      Some(s"""WITH RECURSIVE p AS ($s04Oracle),
+               edges AS (SELECT v1 AS a, v2 AS b FROM p
+                         UNION SELECT v2, v1 FROM p),
+               reach AS (SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges)
+                         UNION
+                         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+               SELECT a AS vec_id, min(b) AS cluster FROM reach GROUP BY a"""))
   )
+
+  /** s04's body: LSH-candidate embedding near-dup pairs, cosine ≥
+    * 0.45 — shared with the s10 cluster formation. */
+  private def embedDupPairs(s: SparkSession, d: String): DataFrame = {
+    val sigs = signed(s, d).persist()
+    val bk = banded(sigs)
+    val cand = bk.select(col("vec_id").as("v1"), col("band"), col("bits"))
+      .join(bk.select(col("vec_id").as("v2"), col("band").as("b2"), col("bits").as("k2")),
+        col("band") === col("b2") && col("bits") === col("k2") && col("v1") < col("v2"))
+      .select("v1", "v2").distinct()
+    val e = sigs.select("vec_id", "embedding", "nrm")
+    cand
+      .join(e.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("nrm").as("n1")), "v1")
+      .join(e.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("nrm").as("n2")), "v2")
+      .selectExpr("v1", "v2", s"${dot("e1", "e2")} / (n1 * n2) as cosine")
+      .where("cosine >= 0.45")
+      .select("v1", "v2", "cosine")
+  }
+
+  private lazy val s04Oracle: String =
+    s"""WITH sigs AS ($duckSigned),
+        $duckBanded,
+        cand AS (SELECT DISTINCT a.vec_id AS v1, c.vec_id AS v2
+                 FROM bk a JOIN bk c
+                 ON a.band = c.band AND a.bits = c.bits AND a.vec_id < c.vec_id)
+        SELECT v1, v2, cosine FROM
+          (SELECT v1, v2, ${duckDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cosine
+           FROM cand JOIN sigs x ON x.vec_id = v1 JOIN sigs y ON y.vec_id = v2)
+        WHERE cosine >= 0.45"""
 }
