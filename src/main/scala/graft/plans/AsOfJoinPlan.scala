@@ -169,9 +169,16 @@ case class AsOfJoinExec(
         }
       }
       advanceQ()
-      // latest consumed quote: its key and its projected payload (one
-      // retained UnsafeRow — copied because the child iterator reuses
-      // row objects)
+      // latest consumed quote: its key and its projected payload.
+      // curPayload references payloadProj's REUSED output buffer with
+      // no per-quote copy: the buffer is overwritten only by the next
+      // payloadProj call, which happens exactly when a newer quote
+      // supersedes this one — i.e. the bytes are stable for precisely
+      // the rows that must see them. (Emitted rows may be invalidated
+      // by a later next(), the standard SparkPlan iterator contract —
+      // buffering consumers copy.) Dropping the copy removes one
+      // UnsafeRow allocation per consumed quote, the merge's only
+      // per-row allocation when quotes outnumber probes.
       var curKey: Any = null
       var curPayload: InternalRow = null
 
@@ -183,7 +190,7 @@ case class AsOfJoinExec(
           while (qHead != null &&
               (cmp < 0 || (cmp == 0 && tsOrd.compare(qHeadTs, pt) <= 0))) {
             curKey = qHeadKey
-            curPayload = payloadProj(qHead).copy()
+            curPayload = payloadProj(qHead)
             advanceQ()
             cmp = if (qHead == null) 1 else keyOrd.compare(qHeadKey, pk)
           }
