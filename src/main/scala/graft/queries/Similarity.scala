@@ -21,10 +21,15 @@ import org.apache.spark.sql.functions._
   * hashing) and in-SQL for the DuckDB oracle; both are exact doubles.
   *
   * Design for 100 TB:
-  *   - Brute force (s01) broadcasts the probe set — a
+  *   - Brute force (s01/s08) broadcasts the probe set — a
   *     BroadcastNestedLoopJoin that scans candidates once, linear in
-  *     input splits; the per-probe top-k window shuffles only
-  *     (probe × candidate) score rows, keyed by probe.
+  *     input splits; the per-probe top-k is the bounded-heap
+  *     `top_k_by_score` aggregate ([[graft.functions.TopKByScore]]),
+  *     so only k rows per probe cross the exchange. (The window
+  *     formulation — row_number over a |probes|-key partition — would
+  *     sort ALL probe×corpus score rows on a 10-value key: 10 reducer
+  *     tasks each sorting ~N rows at 1 B vectors. It survives only as
+  *     a spec-level cross-check, [[Similarity.windowTopk]].)
   *   - The LSH path (s03/s04) joins on (band, bits) buckets, so the
   *     candidate join is an equi-join with bounded fan-out — never a
   *     cross join. Bucket skew → AQE skew-join splitting.
@@ -107,6 +112,19 @@ object Similarity {
            FROM sc)
         WHERE rnk <= 5"""
 
+  /** Bounded-heap per-probe top-k over a (probe_id, cand_id, cosine)
+    * score frame — k rows per probe cross the exchange (partial
+    * [[graft.functions.TopKByScore]] buffers map-side), never a
+    * window sort of the full score frame on the |probes|-key. The
+    * tie-break (score desc, id asc) matches `row_number() OVER
+    * (ORDER BY cosine DESC, cand_id)` exactly, NaN included. */
+  private def heapTopk(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy("probe_id")
+      .agg(expr(s"top_k_by_score(cosine, cand_id, $k)").as("top"))
+      .selectExpr("probe_id", "inline(top)")
+      .selectExpr("probe_id", "id as cand_id", "rnk", "score as cosine")
+
   /** s03's body: LSH-bucketed ANN top-3 — candidates share ≥1 of 4
     * signature bands. Exposed for the s09 recall harness. */
   private def annTopk(s: SparkSession, d: String): DataFrame = {
@@ -120,20 +138,25 @@ object Similarity {
         col("band") === col("b2") && col("bits") === col("k2") && col("probe_id") =!= col("cand_id"))
       .select("probe_id", "cand_id").distinct()
     val e = sigs.select("vec_id", "embedding", "nrm")
-    cand
+    heapTopk(cand
       .join(e.select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nrm").as("pn")), "probe_id")
       .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("nrm").as("cn")), "cand_id")
-      .selectExpr("probe_id", "cand_id", s"${dot("pe", "ce")} / (pn * cn) as cosine")
-      .withColumn("rnk",
-        row_number().over(Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("cand_id"))))
-      .where("rnk <= 3")
-      .select("probe_id", "cand_id", "rnk", "cosine")
+      .selectExpr("probe_id", "cand_id", s"${dot("pe", "ce")} / (pn * cn) as cosine"), 3)
   }
 
-  /** Exact per-probe top-k by cosine (window formulation) — s01's
-    * body, exposed so the recall harness (s09) measures ANN against
-    * the same exactness baseline the gate checks. */
+  /** Exact per-probe top-k by cosine — s01's body and s09's recall
+    * denominator. Bounded-heap aggregate formulation (the r6-flagged
+    * window form is kept ONLY as [[windowTopk]], a spec cross-check). */
   private def bruteTopk(s: SparkSession, d: String, k: Int): DataFrame =
+    heapTopk(scoredPairs(s, d), k)
+
+  /** The window formulation of the exact top-k (row_number + filter).
+    * NOT the scale shape — it shuffles and sorts every probe×corpus
+    * score row on a |probes|-value key — but semantically identical to
+    * [[bruteTopk]]; SimilaritySpec pins the equivalence so the heap
+    * aggregate's ordering contract (score desc, id asc, NaN-first)
+    * stays honest against Spark's own window sort. */
+  private[graft] def windowTopk(s: SparkSession, d: String, k: Int): DataFrame =
     scoredPairs(s, d)
       .withColumn("rnk",
         row_number().over(Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("cand_id"))))
@@ -141,23 +164,24 @@ object Similarity {
       .select("probe_id", "cand_id", "rnk", "cosine")
 
   val all: Map[String, Q] = Map(
-    // ── brute-force cosine top-5 per probe (window formulation) ──
+    // ── brute-force cosine top-5 per probe ──
+    // Bounded-heap aggregate since r7: top_k_by_score is a
+    // TypedImperativeAggregate whose partial k-element buffers are
+    // built map-side, so only k rows per probe cross the exchange —
+    // the old window formulation shuffled and sorted EVERY scored
+    // pair on a |probes|-value key (10 reducers sorting ~N rows each
+    // at 1 B vectors). PlanShapeSpec guards the shape.
     "s01_topk_cosine" -> Q(
       (s, d) => bruteTopk(s, d, 5),
       Some(topkOracle),
       bench = true),
 
-    // ── the same top-5 via the bounded-heap aggregate ──
-    // top_k_by_score is a TypedImperativeAggregate: partial k-element
-    // buffers are built map-side, so only k rows per probe cross the
-    // exchange — the window formulation shuffles and sorts EVERY
-    // scored pair. Shares s01's oracle (two formulations, one truth).
+    // ── the same top-5, kept as a second gate entry ──
+    // Historically the aggregate twin of s01's window form; both now
+    // share bruteTopk (one formulation, one truth — the window form
+    // survives as the windowTopk spec cross-check).
     "s08_topk_agg" -> Q(
-      (s, d) => scoredPairs(s, d)
-        .groupBy("probe_id")
-        .agg(expr("top_k_by_score(cosine, cand_id, 5)").as("top"))
-        .selectExpr("probe_id", "inline(top)")
-        .selectExpr("probe_id", "id as cand_id", "rnk", "score as cosine"),
+      (s, d) => bruteTopk(s, d, 5),
       Some(topkOracle),
       bench = true),
 
@@ -227,14 +251,10 @@ object Similarity {
         val cand = pcells.join(asg, pcells("cell") === asg("cell")
             && col("vec_id") =!= col("probe_id"))
           .select(col("probe_id"), col("vec_id").as("cand_id")).distinct()
-        cand
+        heapTopk(cand
           .join(e.select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nrm").as("pn")), "probe_id")
           .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("ce2"), col("nrm").as("cn2")), "cand_id")
-          .selectExpr("probe_id", "cand_id", s"${dot("pe", "ce2")} / (pn * cn2) as cosine")
-          .withColumn("rnk", row_number().over(
-            Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("cand_id"))))
-          .where("rnk <= 3")
-          .select("probe_id", "cand_id", "rnk", "cosine")
+          .selectExpr("probe_id", "cand_id", s"${dot("pe", "ce2")} / (pn * cn2) as cosine"), 3)
       },
       Some(s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
                cent AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn

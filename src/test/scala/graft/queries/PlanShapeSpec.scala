@@ -48,11 +48,30 @@ class PlanShapeSpec extends AnyFunSuite with graft.SparkTestBase {
     // map-side via max_by partial aggregation ...
     assert(p.contains("max_by"), p)
     assert(p.toLowerCase.contains("partial_max_by") || p.contains("partial"), p)
-    // ... leaving exactly two windows: the 10-probe cell selection and
-    // the final per-probe top-3 — a third would mean the 16×N
-    // assignment frame is being exchanged+sorted again
+    // ... leaving exactly ONE window: the 10-probe nprobe=2 cell
+    // selection (a 160-row frame). The final per-probe top-3 is the
+    // bounded-heap aggregate since r7; a second window would mean
+    // either the 16×N assignment frame or the candidate score frame
+    // is being exchanged+sorted again
     val windows = "Window\\s*\\[".r.findAllIn(p).size
-    assert(windows == 2, s"expected 2 windows, got $windows\n$p")
+    assert(windows == 1, s"expected 1 window, got $windows\n$p")
+    assert(p.toLowerCase.contains("partial_top_k_by_score"), p)
+  }
+
+  test("s01 exact top-k is a partial bounded-heap aggregate, no window over the score frame") {
+    val p = planOf("s01_topk_cosine")
+    // the r6-flagged scale defect: a row_number window here shuffles
+    // and sorts ALL probe×corpus score rows on a 10-value key. The
+    // heap aggregate ships k rows per probe map-side instead.
+    assert(p.toLowerCase.contains("partial_top_k_by_score"), p)
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("s09 recall harness: both exact baseline and ANN side are heap aggregates, no window") {
+    val p = planOf("s09_ann_recall")
+    assert(p.toLowerCase.contains("partial_top_k_by_score"), p)
+    assert(!p.contains("Window"), p)
   }
 
   test("t07 prunes top-5 map-side and tokenizes once") {

@@ -19,6 +19,18 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("s01 heap-aggregate top-k equals the window formulation on real embeddings") {
+    // the window form (row_number over probe_id) is the semantic
+    // reference; the shipped bounded-heap aggregate must agree row for
+    // row — ordering, ties (cosine desc, cand_id asc) and all
+    val agg = Similarity.all("s01_topk_cosine").fn(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val win = Similarity.windowTopk(spark, sf, 5)
+      .collect().map(_.toSeq).toSet
+    assert(agg === win)
+    assert(agg.size === 50) // 10 probes x 5
+  }
+
   test("s10 semantic clusters: labels are component minima over the s04 pair graph") {
     val pairs = Similarity.all("s04_embed_dup").fn(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
