@@ -101,8 +101,15 @@ case class StEnvelope(child: Expression)
   * query-build time rather than via `SparkSessionExtensions` because
   * the driver owns session construction. */
 object GeoFunctions {
+  // once per registry instance (see Hashing.registered for rationale)
+  private val registered =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[AnyRef, java.lang.Boolean]))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    if (!registered.add(reg)) return
     reg.createOrReplaceTempFunction("st_point", exprs => StPoint(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("st_geomfromtext", exprs => StGeomFromText(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction("st_astext", exprs => StAsText(exprs(0)), "built-in")

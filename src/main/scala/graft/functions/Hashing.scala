@@ -44,10 +44,23 @@ object Hashing {
     * only 256 buckets per 8-bit band: a quadratic self-join at scale). */
   def h32bSql(e: String): String = s"h32b($e)"
 
+  // Registries already populated — keyed on the registry instance
+  // (not the session: cloned sessions can share one registry), weakly
+  // so a torn-down session doesn't pin its registry. Without this,
+  // every query function re-registered all ~10 kernels and each
+  // bench/gate run logged ~20 "replaced a previously registered
+  // function" WARNs.
+  private val registered =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[AnyRef, java.lang.Boolean]))
+
   /** Idempotent session registration of the native hash + MinHash
-    * kernels (the n/k arguments must be integer literals). */
+    * kernels (the n/k arguments must be integer literals). Safe to
+    * call from every query function; registers once per registry. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    if (!registered.add(reg)) return
     def litInt(e: Expression): Int = e.eval().asInstanceOf[Number].intValue()
     reg.createOrReplaceTempFunction("h32", exprs => H32(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("h32b", exprs => H32B(exprs.head), "built-in")
