@@ -16,9 +16,24 @@ import org.apache.spark.sql.SparkSession
   * still runs first, so timed medians remain steady-state costs (by
   * default queries that share persisted subtrees — c01/d03/d08/d09 —
   * reuse them, like a real pipeline session would).
+  *
+  * Contention accounting: the gate machine runs other work, and r5/r6
+  * showed per-query medians moving 2× with the identical binary purely
+  * from machine load (BENCH_PROXY.md reproduces it). So each query
+  * records the 1-min system load average alongside its median, and
+  * the JSON carries `loads` + `queries_min` (min of the timed runs —
+  * the least-contended observation) next to `queries` (the median).
+  * A round-over-round delta on a query whose load reading also moved
+  * is machine noise, not a regression; `queries_min` is the better
+  * cross-round comparator when loads differ.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def load(): Double = {
+      val l = osBean.getSystemLoadAverage
+      math.rint(l * 100) / 100
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val isolate = sys.env.get("SPARK_GRAFT_BENCH_ISOLATE").contains("1")
@@ -40,6 +55,7 @@ object Bench {
     // 3 timed runs — in-suite ordering/JIT noise made r4's t01 read
     // 2× its standalone cost; medians put regressions back above the
     // noise floor.
+    val loadStart = load()
     val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (isolate) spark.catalog.clearCache()
       val times =
@@ -55,12 +71,16 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             Seq.empty[Double]
         }
-      name -> (if (times.nonEmpty) times(times.size / 2) else -1.0)
+      (name,
+        if (times.nonEmpty) times(times.size / 2) else -1.0, // median
+        if (times.nonEmpty) times.head else -1.0,            // min
+        load())
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jmap(f: ((String, Double, Double, Double)) => Double): String =
+      results.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalMin = results.map(_._3).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2)},"queries_min":${jmap(_._3)},"total_min":$totalMin,"loads":${jmap(_._4)},"load_avg_start":$loadStart,"ncpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
