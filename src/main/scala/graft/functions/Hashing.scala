@@ -77,6 +77,8 @@ object Hashing {
       exprs => VNorm(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("hyperplane_sig",
       exprs => HyperplaneSig(exprs(0), litInt(exprs(1)), litInt(exprs(2))), "built-in")
+    reg.createOrReplaceTempFunction("byte_features",
+      exprs => ByteFeatures(exprs.head), "built-in")
     // aggregate: the analyzer wraps a bare AggregateFunction into an
     // AggregateExpression, so registration looks like any expression
     reg.createOrReplaceTempFunction("top_k_by_score",

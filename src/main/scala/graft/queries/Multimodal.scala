@@ -143,23 +143,20 @@ object Multimodal {
     // "Resize" = 4× byte-stride downsample of the payload (content
     // hash of the result proves the byte selection); features = mean
     // byte in basis points + a 4-bin byte histogram. ASCII payloads
-    // let the oracle mirror every byte op in string domain. Map-only.
+    // let the oracle mirror every byte op in string domain. Map-only,
+    // and since r7 a single pass: the native byte_features kernel
+    // ([[graft.functions.ByteFeatures]]) replaced four interpreted
+    // per-byte SQL-lambda passes (the retired formulation survives as
+    // [[resizeFeaturesSqlLambda]], a spec cross-check).
     "m05_resize_features" -> Q(
-      (s, d) => blobs(s, d)
-        .selectExpr("doc_id", "decode(blob, 'utf-8') as p")
-        .where("char_length(p) > 4")
-        .selectExpr(
-          "doc_id",
-          """md5(array_join(transform(sequence(0, (char_length(p) - 5) div 4),
-               i -> substring(p, 5 + i * 4, 1)), '')) as resized_md5""",
-          "cast(char_length(p) - 4 as bigint) as n_bytes",
-          """cast(aggregate(transform(sequence(5, char_length(p)),
-               i -> cast(ascii(substring(p, i, 1)) as bigint)),
-               cast(0 as bigint), (a, x) -> a + x) * 10000
-             div (char_length(p) - 4) as bigint) as mean_byte_bp""",
-          """array_join(transform(sequence(0, 3),
-               b -> cast(size(filter(sequence(5, char_length(p)),
-                 i -> ascii(substring(p, i, 1)) div 64 = b)) as string)), ',') as hist4"""),
+      (s, d) => {
+        graft.functions.Hashing.register(s)
+        blobs(s, d)
+          .where("octet_length(blob) > 4")
+          .selectExpr("doc_id", "byte_features(blob) as f")
+          .select(col("doc_id"), col("f.resized_md5"), col("f.n_bytes"),
+            col("f.mean_byte_bp"), col("f.hist4"))
+      },
       Some(s"""WITH b AS ($duckBlobs),
                pp AS (SELECT doc_id, payload AS p FROM b WHERE length(payload) > 4)
                SELECT doc_id,
@@ -174,4 +171,25 @@ object Multimodal {
                           i -> ascii(substr(p, CAST(i AS INTEGER), 1)) // 64 = b)) AS VARCHAR)), ',') AS hist4
                FROM pp"""))
   )
+
+  /** The retired four-pass SQL-lambda formulation of m05 — NOT the
+    * shipped shape (every per-byte lambda ran interpreted); kept as
+    * MultimodalSpec's cross-check pinning the native kernel's byte
+    * semantics against Spark's own string builtins. */
+  private[graft] def resizeFeaturesSqlLambda(s: SparkSession, d: String): DataFrame =
+    blobs(s, d)
+      .selectExpr("doc_id", "decode(blob, 'utf-8') as p")
+      .where("char_length(p) > 4")
+      .selectExpr(
+        "doc_id",
+        """md5(array_join(transform(sequence(0, (char_length(p) - 5) div 4),
+             i -> substring(p, 5 + i * 4, 1)), '')) as resized_md5""",
+        "cast(char_length(p) - 4 as bigint) as n_bytes",
+        """cast(aggregate(transform(sequence(5, char_length(p)),
+             i -> cast(ascii(substring(p, i, 1)) as bigint)),
+             cast(0 as bigint), (a, x) -> a + x) * 10000
+           div (char_length(p) - 4) as bigint) as mean_byte_bp""",
+        """array_join(transform(sequence(0, 3),
+             b -> cast(size(filter(sequence(5, char_length(p)),
+               i -> ascii(substring(p, i, 1)) div 64 = b)) as string)), ',') as hist4""")
 }

@@ -42,6 +42,33 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.StubCodec.decode(Array[Byte](1, 2, 3, 4, 65)) === (1 + 65 % 64, 1))
   }
 
+  test("m05 byte_features kernel equals the retired SQL-lambda formulation") {
+    val kernel = Multimodal.all("m05_resize_features").fn(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val lambda = Multimodal.resizeFeaturesSqlLambda(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(kernel === lambda)
+    assert(kernel.nonEmpty)
+  }
+
+  test("byte_features kernel: high bytes, short payloads, and hist bins") {
+    import graft.functions.ByteFeatures
+    // bytes >= 128 land in hist bins 2/3 (the SQL form never sees them
+    // — ASCII testdata — so pin the raw-byte semantics here)
+    val r = ByteFeatures.compute(Array[Byte](0, 0, 0, 0, // tag
+      10, 70, -127, -1)) // 10, 70, 129, 255 → bins 0,1,2,3
+    assert(r.getLong(1) === 4L) // n_bytes
+    assert(r.getLong(2) === (10L + 70 + 129 + 255) * 10000 / 4)
+    assert(r.getUTF8String(3).toString === "1,1,1,1")
+    // resized = offsets 4, 8 → here only offset 4 exists (byte 10)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(Array[Byte](10)).map("%02x".format(_)).mkString
+    assert(r.getUTF8String(0).toString === md)
+    // ≤ 4 bytes after nothing: total, not crashing
+    assert(ByteFeatures.compute(Array[Byte](1, 2, 3, 4)) === null)
+    assert(ByteFeatures.compute(Array.emptyByteArray) === null)
+  }
+
   test("decode output schema is pinned regardless of codec") {
     val df = Multimodal.decodePipeline(spark, sf, AltCodec)
     assert(df.schema.map(f => (f.name, f.dataType.typeName)) ===
