@@ -30,14 +30,17 @@ object ConvertJob {
       }, outBase, resourceId, versionId, singleFile)
       if (ran) {
         val versioned = s"$outBase/$resourceId/v$versionId.parquet"
-        // bbox + geometry types from the written data — one
+        // per-part bboxes + geometry types from the written data — one
         // distributed envelope pass and one header-distinct pass,
-        // computed once and reused for both aliases
+        // computed once and reused for both aliases (the latest alias
+        // is a byte copy, so part names and contents are identical)
         val written = spark.read.parquet(versioned)
-        val bbox = Sinks.geomBbox(spark, written, "geom")
+        val parts = Some(Sinks.geomBboxByPart(spark, versioned, "geom"))
         val types = Some(Sinks.geomTypes(spark, written, "geom"))
-        Sinks.patchGeoFooter(spark, versioned, "geom", bbox, types)
-        Sinks.patchGeoFooter(spark, s"$outBase/$resourceId.parquet", "geom", bbox, types)
+        Sinks.patchGeoFooter(spark, versioned, "geom",
+          geometryTypes = types, partBboxes = parts)
+        Sinks.patchGeoFooter(spark, s"$outBase/$resourceId.parquet", "geom",
+          geometryTypes = types, partBboxes = parts)
       }
       ran
     } finally {

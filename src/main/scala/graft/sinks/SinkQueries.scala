@@ -52,8 +52,10 @@ object SinkQueries {
           .map { case ((_, json), ix) => (ix, json) }
           .toDF("part_ix", "geo_json")
       },
+      // the bbox is the single part's own envelope (per-part stamping;
+      // fixture extent over its points + footprint polygons)
       Some("""SELECT * FROM (VALUES (0,
-                '{"version":"1.0.0","primary_column":"geom","columns":{"geom":{"encoding":"WKB","geometry_types":["Point","Polygon"],"crs":null}}}'))
+                '{"version":"1.0.0","primary_column":"geom","columns":{"geom":{"encoding":"WKB","geometry_types":["Point","Polygon"],"crs":null,"bbox":[10.0,5.73,60.79,70.0]}}}'))
               AS t(part_ix, geo_json)""")),
 
     // ── S9: JSON array file (ARRAY true semantics) + readback ──

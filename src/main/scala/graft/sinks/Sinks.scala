@@ -128,23 +128,60 @@ object Sinks {
     else Some(Seq(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
   }
 
+  /** Per-part-file bboxes of a written parquet dir's WKB column — ONE
+    * distributed envelope pass grouped by `input_file_name()`; the
+    * driver receives one row per part file (bounded by file count,
+    * never row count). Keys are part file NAMES, so the map is valid
+    * for any byte-copied alias of the same write. */
+  def geomBboxByPart(spark: SparkSession, dir: String,
+      geomColumn: String): Map[String, Seq[Double]] = {
+    graft.functions.GeoFunctions.register(spark)
+    spark.read.parquet(dir)
+      .selectExpr("input_file_name() as f", s"st_envelope($geomColumn) as e")
+      .where("e is not null")
+      .groupBy("f")
+      .agg(org.apache.spark.sql.functions.expr("min(e[0])").as("xmin"),
+        org.apache.spark.sql.functions.expr("min(e[1])").as("ymin"),
+        org.apache.spark.sql.functions.expr("max(e[2])").as("xmax"),
+        org.apache.spark.sql.functions.expr("max(e[3])").as("ymax"))
+      .collect()
+      .map { r =>
+        val name = r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)
+        name -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      }.toMap
+  }
+
   /** Add the `geo` key to every part file's footer under `dir`
     * (post-write patch: row groups are byte-copied via `appendFile`,
     * only the footer is rewritten). `geometryTypes` defaults to one
     * distributed distinct pass over the written column ([[geomTypes]]);
     * callers patching multiple aliases of the same data compute it
-    * once and pass it through. */
+    * once and pass it through.
+    *
+    * Each part is stamped with ITS OWN bbox (computed by
+    * [[geomBboxByPart]] unless a precomputed `partBboxes` map is
+    * passed) — a single dataset-global bbox on every part is legal
+    * GeoParquet but defeats part-wise spatial pruning: a consumer
+    * listing parts would have to read all of them for any window that
+    * intersects the global extent. Passing `bbox` overrides with a
+    * uniform global stamp (parity/testing escape hatch). Parts with no
+    * non-null geometries carry no bbox key. */
   def patchGeoFooter(spark: SparkSession, dir: String, geomColumn: String,
       bbox: Option[Seq[Double]] = None,
-      geometryTypes: Option[Seq[String]] = None): Unit = {
+      geometryTypes: Option[Seq[String]] = None,
+      partBboxes: Option[Map[String, Seq[Double]]] = None): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val d = new Path(dir)
     val hfs = fs(spark, d)
     val types = geometryTypes.getOrElse(
       geomTypes(spark, spark.read.parquet(dir), geomColumn))
+    val perPart: Map[String, Seq[Double]] =
+      if (bbox.isDefined) Map.empty
+      else partBboxes.getOrElse(geomBboxByPart(spark, dir, geomColumn))
     val parts = hfs.listStatus(d).map(_.getPath)
       .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
-    parts.foreach(patchOneFooter(conf, _, geomColumn, bbox, types))
+    parts.foreach(p =>
+      patchOneFooter(conf, p, geomColumn, bbox.orElse(perPart.get(p.getName)), types))
   }
 
   private def patchOneFooter(conf: Configuration, file: Path, geomColumn: String,

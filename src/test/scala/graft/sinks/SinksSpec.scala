@@ -41,10 +41,10 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
     assert(acc.value === 100L, "conversion plan was re-executed for the latest alias")
   }
 
-  test("geoparquet footer patch preserves data and adds the geo key") {
+  test("geoparquet footer patch preserves data and adds the geo key with the part bbox") {
     import spark.implicits._
     val out = tmp("geo") + "/t.parquet"
-    val df = Seq((1L, Array[Byte](1, 1, 0, 0, 0)), (2L, null))
+    val df = Seq((1L, graft.functions.Geo.pointWkb(3.5, 7.25)), (2L, null))
       .toDF("fid", "geom")
     Sinks.writeZstd(df.coalesce(1), out)
     val before = spark.read.parquet(out).collect().map(_.getLong(0)).sorted
@@ -52,14 +52,40 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
     // data survives the byte-copy rewrite
     val after = spark.read.parquet(out).collect().map(_.getLong(0)).sorted
     assert(after === before)
-    // footer now carries GeoParquet metadata with geometry_types
-    // derived from the written WKB (the fixture bytes are a
-    // little-endian Point header) and an explicit crs
+    // footer now carries GeoParquet metadata with geometry_types and
+    // the part's own bbox derived from the written WKB, explicit crs
     val geo = Sinks.readFooterKey(spark, out, "geo")
     assert(geo.nonEmpty)
-    assert(geo.forall(_._2 == Sinks.geoMetadataJson("geom", None, Seq("Point"))))
+    assert(geo.forall(_._2 ==
+      Sinks.geoMetadataJson("geom", Some(Seq(3.5, 7.25, 3.5, 7.25)), Seq("Point"))))
     assert(geo.head._2.contains(""""geometry_types":["Point"]"""))
     assert(geo.head._2.contains(""""crs":null"""))
+    assert(geo.head._2.contains(""""bbox":[3.5,7.25,3.5,7.25]"""))
+  }
+
+  test("multi-part write: each part's footer carries its OWN bbox, not the global one") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val out = tmp("geo2") + "/t.parquet"
+    // two spatially disjoint groups, range-partitioned into two parts
+    val df = Seq(
+      (1L, graft.functions.Geo.pointWkb(0.0, 0.0)),
+      (2L, graft.functions.Geo.pointWkb(1.0, 1.0)),
+      (3L, graft.functions.Geo.pointWkb(100.0, 100.0)),
+      (4L, graft.functions.Geo.pointWkb(101.0, 101.0)))
+      .toDF("fid", "geom")
+      .repartitionByRange(2, col("fid"))
+    df.write.mode("overwrite").parquet(out)
+    Sinks.patchGeoFooter(spark, out, "geom")
+    val geo = Sinks.readFooterKey(spark, out, "geo")
+    assert(geo.size === 2, geo.map(_._1).mkString(", "))
+    val bboxes = geo.map(_._2).toSet
+    // a global stamp would make both parts identical and kill
+    // part-wise spatial pruning for footer-reading consumers
+    assert(bboxes.size === 2, bboxes.mkString("\n"))
+    assert(bboxes === Set(
+      Sinks.geoMetadataJson("geom", Some(Seq(0.0, 0.0, 1.0, 1.0)), Seq("Point")),
+      Sinks.geoMetadataJson("geom", Some(Seq(100.0, 100.0, 101.0, 101.0)), Seq("Point"))))
   }
 
   test("writeJsonArray emits one parseable JSON array") {
