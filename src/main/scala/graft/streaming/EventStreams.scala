@@ -104,10 +104,13 @@ object EventStreams {
     * arrive, so a SINGLE-micro-batch availableNow drain (the gate's
     * shape: one file) equals the batch join exactly — one oracle for
     * both tiers. Across multiple micro-batches the standard streaming
-    * caveat applies: a row arriving later than the watermark horizon
-    * established by earlier batches is dropped before it can match —
-    * late-data loss bounded by the 1 h delay, the price of bounded
-    * state on an unbounded feed. */
+    * caveat applies: once the watermark lets the join EVICT a click's
+    * state (eviction runs at end-of-batch, one batch behind the
+    * watermark), a purchase arriving later can no longer match — the
+    * result is a subset of the batch join, with late-data loss bounded
+    * by the 1 h delay: the price of bounded state on an unbounded
+    * feed. StreamingSpec pins both bounds (on-time pairs present,
+    * post-eviction pair lost, nothing fabricated). */
   def clickAttribution(events: DataFrame): DataFrame = {
     val clicks = events.where("event_type = 'click'")
       .select(col("event_id").as("click_id"), col("user_id"),

@@ -131,6 +131,67 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("stream-stream join across micro-batches: on-time subset bound, never fabrication") {
+    // The gate's availableNow drain is single-batch, where equality
+    // with the batch join is exact. This pins the MULTI-batch
+    // contract instead: once the watermark has EVICTED a row's
+    // partner state (eviction runs at end-of-batch, one batch behind
+    // the watermark), a late arrival can no longer match — the loss
+    // bounded state trades for — and nothing is ever fabricated.
+    // Timeline:
+    //   batch 1: all clicks + the latest purchase → watermark after
+    //            it = min(maxClick, maxPurchase) - 1h = t0+32400
+    //   batch 2: an unrelated purchase; at ITS end, clicks with
+    //            click_ts + 30min < t0+32400 are evicted (click 1)
+    //   batch 3: purchase 11 (t0+600) arrives for evicted click 1 →
+    //            pair lost; purchase 13 (t0+35900) pairs with the
+    //            still-buffered click 3
+    // (synthetic events: sf0.001's natural clicks/purchases yield only
+    // 2 pairs, none late — too sparse to exercise the eviction path)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssmb").toString
+    val t0 = 1700000000L // seconds
+    def ev(id: Long, user: Long, typ: String, offsetS: Long) =
+      (id, user, typ, new java.sql.Timestamp((t0 + offsetS) * 1000))
+    import spark.implicits._
+    def write(rows: Seq[(Long, Long, String, java.sql.Timestamp)]): Unit =
+      rows.toDF("event_id", "user_id", "event_type", "ts")
+        .coalesce(1).write.mode("append").parquet(dir)
+    val clicks = Seq(
+      ev(1, 100, "click", 0), // partner arrives after eviction → lost
+      ev(2, 200, "click", 36000),
+      ev(3, 300, "click", 35000)) // partner late but click survives
+    val latestPurchase = ev(12, 200, "purchase", 36300)
+    val fillerPurchase = ev(14, 999, "purchase", 36400) // no click partner
+    val latePurchases = Seq(
+      ev(11, 100, "purchase", 600),
+      ev(13, 300, "purchase", 35900))
+    write(clicks :+ latestPurchase)
+    Thread.sleep(1100) // file-source orders batches by mtime
+    write(Seq(fillerPurchase))
+    Thread.sleep(1100)
+    write(latePurchases)
+    val all = (clicks ++ Seq(latestPurchase, fillerPurchase) ++ latePurchases)
+      .toDF("event_id", "user_id", "event_type", "ts")
+
+    val src = spark.readStream
+      .schema(all.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val got = runToMemory(EventStreams.clickAttribution(src), "t_ssjoin_mb")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val wantAll = pairs(EventStreams.clickAttribution(all)) // batch twin
+    assert(wantAll === Set((1L, 11L, 100L), (2L, 12L, 200L), (3L, 13L, 300L)))
+    // nothing fabricated...
+    assert(got.subsetOf(wantAll), s"fabricated pairs: ${got.diff(wantAll)}")
+    // ...on-time pairs all present, and click 1's pair IS lost — the
+    // bounded-state price the EventStreams doc promises; full equality
+    // here would mean the spec never exercised the eviction path
+    assert(got === Set((2L, 12L, 200L), (3L, 13L, 300L)), s"got $got")
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     val stream = EventStreams.dedupStream(
       EventStreams.eventsStream(spark, sf).select("event_id", "ts", "user_id"))
