@@ -108,6 +108,24 @@ object DwcaQueries {
                      c_quoted, CAST(c_null AS VARCHAR) AS c_null, c_str
               FROM read_csv('/root/repo/src/test/resources/dwca/sniffer/sniffer.csv')""")),
 
+    // ── DuckDB-parity sniffer over the adversarial matrix fixture:
+    // day-first slash dates, scientific notation, int64-overflow →
+    // double promotion, leading zeros → varchar, whitespace-padded
+    // ints → bigint, quoted-empty nulls, case-insensitive booleans,
+    // quoted separators. Spark's own inferSchema diverges on FOUR of
+    // these (slash dates → string, 007 → int 7, overflow →
+    // decimal(19,0), padded ints → trimmed per cast rules), so the
+    // Spark side goes through SnifferCsv, the one-pass DuckDB-lattice
+    // classifier — the differential IS the gate hash compare. ──
+    "dwca07_sniffer_matrix" -> Q(
+      (s, _) => graft.sources.SnifferCsv.read(s, fixture("sniffer/matrix.csv"), ";")
+        .select(col("c_slashdate").cast("string").as("c_slashdate"),
+          col("c_sci"), col("c_bigover"), col("c_leadzero"),
+          col("c_pad"), col("c_emptyq"), col("c_bool"), col("c_str")),
+      Some("""SELECT CAST(c_slashdate AS VARCHAR) AS c_slashdate,
+                     c_sci, c_bigover, c_leadzero, c_pad, c_emptyq, c_bool, c_str
+              FROM read_csv('/root/repo/src/test/resources/dwca/sniffer/matrix.csv')""")),
+
     // ── engine-faithful conversion: WKB geometry via native ST_* ──
     // DuckDB spatial is unavailable offline, so the oracle is golden
     // VALUES: the WKB hex for each fixture geometry, independently
