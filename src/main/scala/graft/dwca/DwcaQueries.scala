@@ -108,6 +108,30 @@ object DwcaQueries {
                      c_quoted, CAST(c_null AS VARCHAR) AS c_null, c_str
               FROM read_csv('/root/repo/src/test/resources/dwca/sniffer/sniffer.csv')""")),
 
+    // ── conversion THROUGHPUT: the full production path (zip scan →
+    // full-sample inference → star join → zstd parquet write → read
+    // back) over the generated 150k-row archive. dwca04 times the
+    // 7-row fixture — pure path cost; this is the number that moves
+    // when scan/join/write throughput regresses. In the bench set. ──
+    "dwca08_convert_bulk" -> Q(
+      (s, _) => {
+        BulkFixture.ensure()
+        val df = DwcaConvert.convert(s, BulkFixture.zipPath,
+          DwcaConvert.GeomWktString, zipScan = true)
+        graft.sinks.Sinks.writeZstd(df, BulkFixture.outParquet)
+        s.read.parquet(BulkFixture.outParquet)
+      },
+      Some(s"""SELECT occ.id AS id, occurrenceID, scientificName,
+                      decimalLatitude, decimalLongitude, footprintWKT, individualCount,
+                      measurementType, measurementValue,
+                      occ.id AS fid,
+                      coalesce(footprintWKT,
+                        CASE WHEN decimalLatitude IS NULL OR decimalLongitude IS NULL THEN NULL
+                             ELSE printf('POINT (%.6f %.6f)', decimalLatitude, decimalLongitude) END) AS geom_wkt
+               FROM read_csv('${BulkFixture.extractedDir}/occurrence.txt') occ
+               JOIN read_csv('${BulkFixture.extractedDir}/measurementorfact.txt', sample_size=-1) m ON m.coreid = occ.id"""),
+      bench = true),
+
     // ── DuckDB-parity sniffer over the adversarial matrix fixture:
     // day-first slash dates, scientific notation, int64-overflow →
     // double promotion, leading zeros → varchar, whitespace-padded
