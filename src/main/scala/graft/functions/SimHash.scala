@@ -22,7 +22,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * [[SimHash64]]'s spec): bit b of the result is set iff
   * `2 * |{tokens with bit b set}| >= |tokens|`, with null tokens
   * counted in the denominator but never the numerator — exactly the
-  * SQL-lambda semantics.
+  * SQL-lambda semantics. Consequently an EMPTY token array sets all
+  * 64 bits (2·0 >= 0): every degenerate/empty doc lands on simhash
+  * -1 at hamming 0 from every other empty doc. Deliberate — it
+  * matches the SQL/DuckDB fold bit for bit, and the d06/d07 bucket
+  * cap is the guard that keeps a mega-bucket of empty docs from
+  * exploding the band self-join (they are d01 exact-dup territory
+  * anyway).
   */
 case class SimHash64(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {

@@ -78,12 +78,17 @@ object Dedup {
   /** 4×16-bit LSH banding + hamming verify over a (doc_id, simhash)
     * frame. Pigeonhole: at most 3 flipped bits touch at most 3 of the
     * 4 bands, so at least one band matches exactly — recall is EXACT
-    * for the hamming <= 3 contract. 65,536 buckets per band keeps
-    * expected bucket size at N/2^16; the d07 bucket cap backstops
-    * residual skew (a cluster of >cap simhash-band-identical docs is
-    * boilerplate that d01 already groups), bounding every bucket's
-    * self-join fan-out at cap². Exposed (not inlined in the query map)
-    * so the recall proof is testable on planted distances. */
+    * for the hamming <= 3 contract AMONG pairs outside capped
+    * buckets. The cap is a deliberate precision/recall trade: a true
+    * hamming≤3 pair whose only exactly-matching bands all fall in
+    * over-cap buckets is dropped, the price of bounding every
+    * bucket's self-join fan-out at cap² (a >cap band-identical
+    * cluster is boilerplate that d01's exact dedup already groups;
+    * the oracle mirrors the cap, so the gate pins the same trade).
+    * 65,536 buckets per band keeps expected bucket size at N/2^16,
+    * so capping should only ever fire on degenerate content. Exposed
+    * (not inlined in the query map) so the recall proof is testable
+    * on planted distances. */
   def simhashPairs(sh: DataFrame, cap: Int = 64): DataFrame = {
     val bk0 = sh.selectExpr("doc_id", "simhash", "explode(sequence(0, 3)) as band")
       .selectExpr("doc_id", "simhash", "band", "shiftright(simhash, band*16) & 65535 as bits")
@@ -157,7 +162,14 @@ object Dedup {
     * by construction (a few rows per near-dup cluster), making this
     * the cheapest cache in the tier, and every consumer after the
     * first reads an InMemoryTableScan instead of re-running the
-    * candidate join + Jaccard verify. */
+    * candidate join + Jaccard verify.
+    *
+    * Cache lifetime (applies to every persist in this tier): frames
+    * are session-lived by design — cross-query reuse rides the
+    * CacheManager's logical-plan dedup, and the release paths are the
+    * harness's isolate-mode `spark.catalog.clearCache()` (Verify runs
+    * it between queries) or session teardown. A library embedding
+    * would wrap these in its own lifecycle and unpersist explicitly. */
   private def lshPairs(s: SparkSession, d: String): DataFrame = {
     val (hs, bk) = lshFrames(s, d)
     scoredCandidates(hs, bk, jaccardExpr)
@@ -188,7 +200,15 @@ object Dedup {
     * (count, xxhash64-xor) edge checksum — exact at a fixpoint, and a
     * false-stop needs a 64-bit hash-xor collision on a changed set.
     * Only vertices that appear in an edge are labeled — singleton
-    * docs are their own trivial cluster and never enter the graph. */
+    * docs are their own trivial cluster and never enter the graph.
+    *
+    * Resource lifetime: on the reliable path the returned frame is
+    * BACKED by the final round's parquet under
+    * `<checkpointDir>/graft-cc-<uuid>` — it must outlive consumption,
+    * so it is not self-deleting. A long-lived driver should point the
+    * checkpoint dir at scratch storage and reclaim `graft-cc-*`
+    * entries after materializing (or writing out) the labels; repeated
+    * invocations otherwise accumulate one final-round directory each. */
   def connectedComponents(edgesIn: DataFrame): DataFrame =
     ccWithRounds(edgesIn)._1
 

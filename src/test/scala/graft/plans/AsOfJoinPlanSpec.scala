@@ -47,6 +47,21 @@ class AsOfJoinPlanSpec extends AnyFunSuite with SparkTestBase {
     assert(a.size === 400)
     // non-degenerate: some probes matched, some did not
     assert(a.exists(_(1) != null) && a.exists(_(1) == null))
+
+    // Downstream BUFFERING consumers over the exec's output: the
+    // zero-copy payload buffer (AsOfJoinPlan.scala) is only legal
+    // because buffering parents copy — drive an aggregate and a sort
+    // over it so a future contract violation (a stale buffer mutated
+    // after emission) corrupts a grouped count or a sorted run and
+    // fails here, not in production. min/max keep the compare exact
+    // (a double sum would differ in ulps across orders).
+    def grouped(df: DataFrame) = df.groupBy("q_id")
+      .agg(count(lit(1)).as("n"), min("q_value").as("mn"), max("q_value").as("mx"))
+      .collect().map(_.toSeq).toSet
+    assert(grouped(viaPlan) === grouped(viaWindow))
+    def sorted(df: DataFrame) = df.orderBy("probe_id", "q_id")
+      .collect().map(_.toSeq).toSeq
+    assert(sorted(viaPlan) === sorted(viaWindow))
   }
 
   test("the physical plan contains AsOfJoinExec") {
