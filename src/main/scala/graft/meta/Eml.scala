@@ -149,6 +149,14 @@ object Eml {
       contacts = Seq("creator", "metadataProvider").flatMap(contactOf))
   }
 
+  /** Version from the EML root's `packageId` attribute —
+    * `meta["eml:eml"]["@packageId"].split("/")[1].replace("v", "")`
+    * (`resources.py:56-58`): "d0a1b2c3/v7" → "7". */
+  def packageVersion(xml: String): String = {
+    val root = dom(xml).getDocumentElement
+    root.getAttribute("packageId").split("/")(1).replace("v", "")
+  }
+
   /** `get_anytext` (`csw.py:25-38`): every text node of the document,
     * stripped, space-joined. Real XML traversal, not string reuse. */
   def anytext(xml: String): String = {

@@ -54,21 +54,29 @@ object MetaQueries {
       linksJson(ds.id))
   }
 
-  private def cswDf(s: SparkSession): DataFrame = {
+  /** CSW records frame over any catalog — the builder the service
+    * tier ([[graft.service.ResourceServer]]) shares with the
+    * fixture-checked gate, so live and gate records cannot drift. */
+  private[graft] def cswRecords(s: SparkSession,
+      data: Seq[(IptDataset, EmlMetadata)]): DataFrame = {
     import s.implicits._
-    fixtureDatasets.map { case (ds, m) => cswRow(ds, m) }
+    data.map { case (ds, m) => cswRow(ds, m) }
       .toDF("identifier", "typename", "schema", "mdsource", "insert_date", "title",
         "date_modified", "type", "format", "wkt_geometry", "metadata", "xml",
         "keywords", "metadata_type", "anytext", "abstract", "date",
         "creator", "publisher", "contributor", "links")
   }
 
+  private def cswDf(s: SparkSession): DataFrame = cswRecords(s, fixtureDatasets)
+
   /** pygeoapi resource config (geoapi.py:40-65), nested structs built
     * with the DataFrame API ("default" is a Java keyword, so the
-    * struct fields are aliased rather than encoder-derived). */
-  private def geoapiDf(s: SparkSession): DataFrame = {
+    * struct fields are aliased rather than encoder-derived). Shared
+    * with the service tier like [[cswRecords]]. */
+  private[graft] def geoapiResources(s: SparkSession,
+      data: Seq[(IptDataset, EmlMetadata)]): DataFrame = {
     import s.implicits._
-    val base = fixtureDatasets.map { case (ds, m) =>
+    val base = data.map { case (ds, m) =>
       (s"${iptPublic.replace("https://", "")}/${ds.id}", ds.title, m.bbox.seq,
         Eml.dedup(m.keywords), m.abstractText,
         s"/vsicurl/$awsEndpoint/$bucket$resourcesPrefix${ds.id}.parquet", ds.id)
@@ -143,7 +151,7 @@ object MetaQueries {
     // ── EP3: EML → pygeoapi resources; nested struct build + JSON array sink + flat projection ──
     "meta03_geoapi" -> Q(
       (s, _) => {
-        val df = geoapiDf(s)
+        val df = geoapiResources(s, fixtureDatasets)
         val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
           "graft-sinks", "geoapi-config.json").toString
         graft.sinks.Sinks.writeJsonArray(s, df, out)

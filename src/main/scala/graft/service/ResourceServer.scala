@@ -1,0 +1,194 @@
+package graft.service
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.{ConcurrentHashMap, Executors}
+import java.util.concurrent.atomic.AtomicLong
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+import graft.dwca.ConvertJob
+import graft.meta.{Eml, Ipt, MetaQueries}
+import graft.sinks.Sinks
+import graft.sources.Fetch
+
+/** Thin HTTP service shim over the engine — the reference's FastAPI +
+  * RQ tier (`/root/reference/src/dwca_parquet/routers/resources.py:19-75`)
+  * re-expressed endpoint-for-endpoint on the JDK's built-in
+  * `com.sun.net.httpserver` (zero new dependencies; the service tier
+  * is job plumbing, so a web framework would be padding):
+  *
+  *   - `GET  /resources`        — IPT RSS catalog listing
+  *   - `POST /resources/csw`    — enqueue EML → CSW records build
+  *   - `POST /resources/geoapi` — enqueue EML → pygeoapi config build
+  *   - `GET  /resources/{id}`   — dataset metadata + parquet URLs, and
+  *     (reference semantics, `resources.py:73`) enqueues the
+  *     conversion as a side effect of the GET
+  *   - `GET  /jobs`             — job statuses (shim addition: RQ's
+  *     dashboard stands outside the reference router; some visible
+  *     status surface is needed to be usable at all)
+  *
+  * One worker thread stands in for the reference's single RQ worker —
+  * conversions are Spark DRIVER jobs, so serializing them preserves
+  * both RQ's semantics and the cluster's resources. Job bodies reuse
+  * the exact builders the gate checks ([[MetaQueries.cswRecords]],
+  * [[MetaQueries.geoapiResources]], [[ConvertJob.run]]), so the
+  * service cannot drift from the verified engine.
+  *
+  * `fetch` is pluggable (URL → body) so tests drive the full HTTP
+  * surface against committed fixtures offline; production passes a
+  * real HTTP fetch. Output paths are Hadoop-FS paths — `file:/` in
+  * tests, `s3a://` (after [[Fetch.configureS3a]]) in deployment.
+  */
+final class ResourceServer(
+    spark: SparkSession,
+    iptPublic: String,
+    outBase: String,
+    resultBase: String,
+    fetch: String => String,
+    archiveUrlOf: (String, String) => String) {
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+  private val worker = Executors.newSingleThreadExecutor(r => {
+    val t = new Thread(r, "graft-service-worker"); t.setDaemon(true); t
+  })
+  private val jobSeq = new AtomicLong(0)
+  private val jobs = new ConcurrentHashMap[String, String]()
+
+  /** Enqueue `body` on the single worker; returns the job id. */
+  private def enqueue(kind: String)(body: => Unit): String = {
+    val id = s"$kind-${jobSeq.incrementAndGet()}"
+    jobs.put(id, "queued")
+    worker.submit(new Runnable {
+      override def run(): Unit = {
+        jobs.put(id, "running")
+        try { body; jobs.put(id, "done") }
+        catch { case e: Exception => jobs.put(id, s"failed: ${e.getMessage}") }
+      }
+    })
+    id
+  }
+
+  private def catalog() =
+    Ipt.datasets(fetch(s"$iptPublic/rss.do"), baseUrl = s"$iptPublic/")
+
+  private def withMeta() =
+    catalog().map(ds => ds -> Eml.parse(fetch(s"$iptPublic/eml.do?r=${ds.id}")))
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def respond(ex: HttpExchange, code: Int, json: String): Unit = {
+    val bytes = json.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    try ex.getResponseBody.write(bytes) finally ex.close()
+  }
+
+  // ── endpoint bodies ──
+
+  /** `GET /resources` (`resources.py:20-28`). */
+  private def listResources(): String =
+    catalog().map { ds =>
+      s"""{"id":${jstr(ds.id)},"title":${jstr(ds.title)},"version":${jstr(ds.version)},"guid":${jstr(ds.guid)},"url":${jstr(ds.url)}}"""
+    }.mkString("""{"resources":[""", ",", "]}")
+
+  /** `POST /resources/csw` (`resources.py:31-36`): CSW records over
+    * the live catalog → parquet under outBase. */
+  private def generateCsw(): String = {
+    val job = enqueue("csw") {
+      Sinks.writeZstd(
+        MetaQueries.cswRecords(spark, withMeta()), s"$outBase/csw-records.parquet")
+    }
+    s"""{"result":${jstr(s"$resultBase/csw-records.parquet")},"job":${jstr(job)}}"""
+  }
+
+  /** `POST /resources/geoapi` (`resources.py:39-44`): pygeoapi config
+    * JSON array under outBase. */
+  private def generateGeoapi(): String = {
+    val job = enqueue("geoapi") {
+      Sinks.writeJsonArray(spark,
+        MetaQueries.geoapiResources(spark, withMeta()), s"$outBase/geoapi-config.json")
+    }
+    s"""{"result":${jstr(s"$resultBase/geoapi-config.json")},"job":${jstr(job)}}"""
+  }
+
+  /** `GET /resources/{id}` (`resources.py:47-75`): metadata + URLs,
+    * conversion enqueued as a side effect — reference semantics. */
+  private def getResource(id: String): String = {
+    val emlXml = fetch(s"$iptPublic/eml.do?r=$id")
+    val meta = Eml.parse(emlXml)
+    val version = Eml.packageVersion(emlXml)
+    val job = enqueue(s"convert-$id") {
+      ConvertJob.run(spark, archiveUrlOf(id, version), outBase, id, version)
+    }
+    s"""{"id":${jstr(id)},
+        |"ipt_url":${jstr(s"$iptPublic/resource?r=$id")},
+        |"ipt_eml":${jstr(s"$iptPublic/eml.do?r=$id")},
+        |"ipt_dwca":${jstr(s"$iptPublic/archive.do?r=$id")},
+        |"title":${jstr(meta.title)},
+        |"version":${jstr(version)},
+        |"parquet_url":${jstr(s"$resultBase/$id.parquet")},
+        |"s3_path":${jstr(s"$outBase/$id.parquet")},
+        |"job":${jstr(job)}}""".stripMargin.replace("\n", "")
+  }
+
+  private def jobsJson(): String =
+    "{" + jobs.entrySet().stream().map[String](e =>
+      s"${jstr(e.getKey)}:${jstr(e.getValue)}").sorted().toArray.mkString(",") + "}"
+
+  server.createContext("/", (ex: HttpExchange) => {
+    val path = ex.getRequestURI.getPath
+    val method = ex.getRequestMethod
+    try (method, path) match {
+      case ("GET", "/resources") => respond(ex, 200, listResources())
+      case ("POST", "/resources/csw") => respond(ex, 200, generateCsw())
+      case ("POST", "/resources/geoapi") => respond(ex, 200, generateGeoapi())
+      case ("GET", "/jobs") => respond(ex, 200, jobsJson())
+      case ("GET", p) if p.startsWith("/resources/") =>
+        respond(ex, 200, getResource(p.stripPrefix("/resources/")))
+      case _ => respond(ex, 404, """{"error":"not found"}""")
+    } catch {
+      case e: Exception => respond(ex, 500, s"""{"error":${jstr(String.valueOf(e.getMessage))}}""")
+    }
+  })
+
+  def start(): Int = { server.start(); server.getAddress.getPort }
+
+  /** Wait for all queued jobs to finish (test/shutdown aid). */
+  def drain(timeoutMs: Long = 120000): Unit = {
+    val t0 = System.currentTimeMillis()
+    while (jobs.values.stream.anyMatch(v => v == "queued" || v == "running")) {
+      require(System.currentTimeMillis() - t0 < timeoutMs, s"jobs stuck: $jobs")
+      Thread.sleep(50)
+    }
+  }
+
+  def jobStatuses: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    jobs.asScala.toMap
+  }
+
+  def stop(): Unit = { server.stop(0); worker.shutdown() }
+}
+
+object ResourceServer {
+  /** Production wiring: real HTTP fetch, reference archive URL shape. */
+  def apply(spark: SparkSession, iptPublic: String, outBase: String,
+      resultBase: String): ResourceServer =
+    new ResourceServer(spark, iptPublic, outBase, resultBase,
+      fetch = url => {
+        val tmp = java.nio.file.Files.createTempFile("graft-svc", ".xml")
+        try new String(java.nio.file.Files.readAllBytes(Fetch.toFile(url, tmp)),
+          StandardCharsets.UTF_8)
+        finally java.nio.file.Files.deleteIfExists(tmp)
+      },
+      archiveUrlOf = (id, v) => Fetch.archiveUrl(iptPublic, id, v))
+}

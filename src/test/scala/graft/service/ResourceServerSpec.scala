@@ -1,0 +1,109 @@
+package graft.service
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import graft.meta.Ipt
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drives the service shim over REAL HTTP (loopback, ephemeral port)
+  * with fixture-backed fetch — the full reference router surface
+  * (`resources.py:19-75`) offline: catalog listing, metadata GET with
+  * its conversion side effect, CSW/geoapi job enqueues, job status. */
+class ResourceServerSpec extends AnyFunSuite with SparkTestBase {
+
+  private val ipt = "https://ipt.example"
+
+  private def fixtureFetch(url: String): String = url match {
+    case u if u == s"$ipt/rss.do" => Ipt.readFixture("rss.xml")
+    case u if u.startsWith(s"$ipt/eml.do?r=") =>
+      Ipt.readFixture(s"eml_${u.split("=").last}.xml")
+    case other => sys.error(s"unexpected fetch $other")
+  }
+
+  private def get(port: Int, path: String, post: Boolean = false): (Int, String) = {
+    val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+    val req = (if (post) b.POST(HttpRequest.BodyPublishers.noBody()) else b.GET()).build()
+    val res = HttpClient.newHttpClient().send(req, HttpResponse.BodyHandlers.ofString())
+    (res.statusCode(), res.body())
+  }
+
+  test("the full router surface: list, metadata+convert, csw, geoapi, jobs, 404") {
+    val out = Files.createTempDirectory("graft-svc-out").toString
+    val srv = new ResourceServer(spark, ipt, out, "https://s3.example/bucket",
+      fetch = fixtureFetch,
+      // the "archive" behind every id is the committed sample zip
+      archiveUrlOf = (_, _) => graft.dwca.DwcaQueries.fixtureZip)
+    val port = srv.start()
+    try {
+      // GET /resources — the RSS catalog
+      val (c1, list) = get(port, "/resources")
+      assert(c1 === 200)
+      assert(list.contains(""""id":"birds-norway""""))
+      assert(list.contains(""""id":"mammals-svalbard""""))
+      assert(list.contains(""""version":"12""""))
+
+      // GET /resources/{id} — metadata, URLs, version from packageId,
+      // and the conversion enqueued as a side effect (reference
+      // semantics, resources.py:73)
+      val (c2, res) = get(port, "/resources/birds-norway")
+      assert(c2 === 200)
+      assert(res.contains(""""version":"7""""))
+      assert(res.contains(""""title":"Bird observations Norway""""))
+      assert(res.contains(""""ipt_dwca":"https://ipt.example/archive.do?r=birds-norway""""))
+      assert(res.contains(""""parquet_url":"https://s3.example/bucket/birds-norway.parquet""""))
+      srv.drain()
+      // the conversion really ran: versioned + latest objects exist
+      assert(Files.exists(java.nio.file.Paths.get(out, "birds-norway", "v7.parquet")))
+      assert(Files.exists(java.nio.file.Paths.get(out, "birds-norway.parquet")))
+      assert(spark.read.parquet(s"$out/birds-norway.parquet").count() > 0)
+
+      // POST /resources/csw — records parquet over the live catalog
+      val (c3, csw) = get(port, "/resources/csw", post = true)
+      assert(c3 === 200)
+      assert(csw.contains(""""result":"https://s3.example/bucket/csw-records.parquet""""))
+      srv.drain()
+      val rec = spark.read.parquet(s"$out/csw-records.parquet")
+      assert(rec.count() === 2)
+      assert(rec.columns.contains("anytext") && rec.columns.contains("wkt_geometry"))
+
+      // POST /resources/geoapi — config JSON array file
+      val (c4, geo) = get(port, "/resources/geoapi", post = true)
+      assert(c4 === 200)
+      srv.drain()
+      val cfg = spark.read.option("multiLine", "true").json(s"$out/geoapi-config.json")
+      assert(cfg.count() === 2)
+      assert(cfg.columns.contains("providers"))
+
+      // GET /jobs — all terminal, none failed
+      val (c5, jobs) = get(port, "/jobs")
+      assert(c5 === 200)
+      assert(jobs.contains("done"))
+      assert(!jobs.contains("failed"), jobs)
+      assert(srv.jobStatuses.values.forall(_ == "done"), srv.jobStatuses)
+
+      // unknown route
+      assert(get(port, "/nope")._1 === 404)
+    } finally srv.stop()
+  }
+
+  test("idempotent re-GET skips the conversion (existence probe, parquet.py:33)") {
+    val out = Files.createTempDirectory("graft-svc-skip").toString
+    val srv = new ResourceServer(spark, ipt, out, "https://s3.example/bucket",
+      fetch = fixtureFetch,
+      archiveUrlOf = (_, _) => graft.dwca.DwcaQueries.fixtureZip)
+    val port = srv.start()
+    try {
+      get(port, "/resources/mammals-svalbard"); srv.drain()
+      val v = java.nio.file.Paths.get(out, "mammals-svalbard", "v12.parquet")
+      assert(Files.exists(v))
+      val mtime = Files.getLastModifiedTime(v)
+      get(port, "/resources/mammals-svalbard"); srv.drain()
+      // second conversion is a skip: the versioned object is untouched
+      assert(Files.getLastModifiedTime(v) === mtime)
+      assert(srv.jobStatuses.values.forall(_ == "done"), srv.jobStatuses)
+    } finally srv.stop()
+  }
+}
