@@ -47,9 +47,11 @@ final class ResourceServer(
     outBase: String,
     resultBase: String,
     fetch: String => String,
-    archiveUrlOf: (String, String) => String) {
+    archiveUrlOf: (String, String) => String,
+    bindHost: String = "127.0.0.1",
+    bindPort: Int = 0) {
 
-  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+  private val server = HttpServer.create(new InetSocketAddress(bindHost, bindPort), 0)
   private val worker = Executors.newSingleThreadExecutor(r => {
     val t = new Thread(r, "graft-service-worker"); t.setDaemon(true); t
   })
@@ -182,7 +184,8 @@ final class ResourceServer(
 object ResourceServer {
   /** Production wiring: real HTTP fetch, reference archive URL shape. */
   def apply(spark: SparkSession, iptPublic: String, outBase: String,
-      resultBase: String): ResourceServer =
+      resultBase: String, bindHost: String = "127.0.0.1",
+      bindPort: Int = 0): ResourceServer =
     new ResourceServer(spark, iptPublic, outBase, resultBase,
       fetch = url => {
         val tmp = java.nio.file.Files.createTempFile("graft-svc", ".xml")
@@ -191,4 +194,29 @@ object ResourceServer {
         finally java.nio.file.Files.deleteIfExists(tmp)
       },
       archiveUrlOf = (id, v) => Fetch.archiveUrl(iptPublic, id, v))
+}
+
+/** Standalone entry point:
+  * `runMain graft.service.ServiceMain <iptPublicUrl> <outBase> <resultBase> [port]`
+  * — the deployment analogue of the reference's uvicorn app. The
+  * session is local by default; a cluster deployment constructs its
+  * own SparkSession (spark-submit master) before this main runs. */
+object ServiceMain {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: ServiceMain <iptPublicUrl> <outBase> <resultBase> [port]")
+    val port = args.lift(3).map(_.toInt).getOrElse(8080)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val srv = ResourceServer(spark, args(0), args(1), args(2),
+      bindHost = "0.0.0.0", bindPort = port)
+    val bound = srv.start()
+    System.err.println(s"[graft-service] listening on :$bound")
+    Thread.currentThread().join() // serve until killed
+  }
 }
