@@ -258,6 +258,62 @@ object TextOps {
                 (SELECT doc_id, tok, s,
                         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, tok) AS INTEGER) AS rnk
                  FROM sc)
-              WHERE rnk <= 5"""))
+              WHERE rnk <= 5""")),
+
+    // ── PII scrubbing: redact emails/phones, count redactions ──
+    // The pipeline-curation step every corpus runs before training.
+    // The synthetic texts carry no natural PII, so a deterministic
+    // contact line (derived from doc_id, like Multimodal's blobs) is
+    // appended FIXTURE-side; the operator under test is the global
+    // regex scrub + match counting. Regexes stay in the conservative
+    // syntax subset Java and RE2-family engines agree on; DuckDB's
+    // regexp_replace needs the explicit 'g' flag to match Spark's
+    // replace-all. Map-only, codegen'd, linear in splits.
+    "t09_pii_scrub" -> Q(
+      (s, d) => {
+        // Column API, not selectExpr: SQL single-quoted literals
+        // process backslash escapes, silently mangling '\+' / '\.'
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phone = "\\+[0-9]{2} [0-9]{8}"
+        Tables(s, d, "documents")
+          .selectExpr("doc_id",
+            "concat(text, ' contact user', doc_id % 50, '@mail.example or +47 ', 10000000 + doc_id) as raw")
+          .select(col("doc_id"),
+            regexp_count(col("raw"), lit(email)).as("n_emails"),
+            regexp_count(col("raw"), lit(phone)).as("n_phones"),
+            md5(regexp_replace(regexp_replace(col("raw"), email, "<EMAIL>"),
+              phone, "<PHONE>")).as("scrubbed_md5"))
+      },
+      Some("""WITH r AS (SELECT doc_id,
+                           text || ' contact user' || (doc_id % 50) || '@mail.example or +47 ' || (10000000 + doc_id) AS raw
+                         FROM documents)
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                     CAST(len(regexp_extract_all(raw, '\+[0-9]{2} [0-9]{8}')) AS BIGINT) AS n_phones,
+                     md5(regexp_replace(regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\+[0-9]{2} [0-9]{8}', '<PHONE>', 'g')) AS scrubbed_md5
+              FROM r""")),
+
+    // ── per-source document cap: keep the K oldest docs per source ──
+    // Corpus curation's anti-domination step (cap documents per
+    // domain, C4/RefinedWeb-style) — deterministic keep-set: smallest
+    // doc_id first. rank<=K over a window compiles to
+    // WindowGroupLimit (plan-guarded): candidates beyond rank K are
+    // pruned MAP-SIDE before the exchange, so the shuffle carries
+    // ≤K rows per source — the same scale shape as t07's top-terms,
+    // NOT a full window sort of the corpus. ──
+    "t10_domain_cap" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables(s, d, "documents")
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("source").orderBy(col("doc_id"))))
+          .where("rnk <= 40")
+          .select(col("source"), col("doc_id"), col("rnk"))
+      },
+      Some("""SELECT source, doc_id, rnk FROM
+                (SELECT source, doc_id,
+                        CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS INTEGER) AS rnk
+                 FROM documents)
+              WHERE rnk <= 40"""))
   )
 }

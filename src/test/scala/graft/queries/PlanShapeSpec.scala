@@ -83,6 +83,13 @@ class PlanShapeSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("t10 per-source cap prunes beyond rank K map-side (WindowGroupLimit)") {
+    val p = planOf("t10_domain_cap")
+    // rank<=K must push a WindowGroupLimit below the exchange so the
+    // shuffle carries at most K rows per source, not the whole corpus
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("d03 LSH candidate generation is an equi-join, never all-pairs") {
     val p = planOf("d03_lsh_pairs")
     assert(!p.contains("CartesianProduct"), p)
