@@ -13,7 +13,8 @@ BENCH = ["q01_filter_scan", "q02_star_join", "q06_outer_join_agg",
          "q08_agg_pricing", "q16_session_window", "t01_token_stats",
          "t07_tfidf", "d03_lsh_pairs", "s01_topk_cosine",
          "s08_topk_agg", "m02_frame_sample", "c01_clean_corpus",
-         "j01_asof_join", "j03_asof_plan", "dwca04_convert_zipscan"]
+         "j01_asof_join", "j03_asof_plan", "dwca04_convert_zipscan",
+         "dwca08_convert_bulk"]
 
 
 def main():
