@@ -1,0 +1,60 @@
+package graft.queries
+
+import scala.util.{Failure, Success, Try}
+
+import graft.SparkEntry
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Blanket physical-plan audit over EVERY registered query — the
+  * breadth guard behind PlanShapeSpec's targeted assertions. At 100 TB
+  * the three shapes that kill a job are a cartesian product, an
+  * unpartitioned (single-reducer) window over an unbounded frame, and
+  * an accidental nested-loop join; none may appear anywhere in the
+  * registry without an explicit, justified whitelist entry. */
+class PlanAuditSpec extends AnyFunSuite with graft.SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Queries where a BroadcastNestedLoopJoin is the DESIGNED shape:
+    * the broadcast side is a tiny bounded frame (10 probes / 16 IVF
+    * centroids) and the non-equi condition (!=) admits no hash join —
+    * a linear scan of the corpus against a constant-size build side. */
+  private val bnljOk = Set(
+    "s01_topk_cosine", "s08_topk_agg", "s09_ann_recall", // 10-probe scoredPairs
+    "s05_ivf_topk") // 16-centroid assignment + probe cells
+
+  /** Queries where an unpartitioned window runs over a PROVABLY tiny
+    * frame (never the corpus). */
+  private val globalWindowOk = Set(
+    "s05_ivf_topk") // 16-row centroid selection via row_number over h
+
+  private def offenders(p: SparkPlan): Seq[String] = p.collect {
+    case _: CartesianProductExec => "CartesianProduct"
+    case _: BroadcastNestedLoopJoinExec => "BroadcastNestedLoopJoin"
+    case w: WindowExec if w.partitionSpec.isEmpty => "GlobalWindow"
+    case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => "GlobalWindowGroupLimit"
+  }
+
+  test("no registered query plans a cartesian product, stray nested loop, or global window") {
+    val bad = SparkEntry.registry.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+      val found = Try {
+        val df = q.fn(spark, sf)
+        spark.catalog.clearCache() // queries persist; isolate like Verify
+        offenders(df.queryExecution.executedPlan)
+      } match {
+        case Success(o) => o
+        case Failure(e) => Seq(s"PLAN-FAILED: ${e.getMessage.take(120)}")
+      }
+      val unexcused = found.filterNot {
+        case "BroadcastNestedLoopJoin" => bnljOk(name)
+        case "GlobalWindow" | "GlobalWindowGroupLimit" => globalWindowOk(name)
+        case _ => false
+      }
+      if (unexcused.isEmpty) Nil else Seq(s"$name: ${unexcused.mkString(", ")}")
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+}
