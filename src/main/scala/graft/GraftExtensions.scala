@@ -6,9 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 import org.apache.spark.sql.catalyst.expressions.Expression
 
-import graft.functions.{AffineMinHash, ByteFeatures, DotF, H32, H32B, HashedCharGrams,
-  HashedShingles, HyperplaneSig, SimHash64, StAsText, StEnvelope, StGeomFromText, StPoint,
-  TopKByScore, VNorm}
+import graft.functions.{AffineMinHash, ByteFeatures, DotF, DuckTypeMask, H32, H32B,
+  HashedCharGrams, HashedShingles, HyperplaneSig, SimHash64, StAsText, StEnvelope,
+  StGeomFromText, StPoint, TopKByScore, VNorm}
 
 /** Production registration path for the engine's extensions:
   *
@@ -58,6 +58,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e => HyperplaneSig(e(0), litInt(e(1)), litInt(e(2))))
     inject("byte_features", "byte_features(blob) - one-pass payload byte features")(
       e => ByteFeatures(e.head))
+    inject("duck_type_mask", "duck_type_mask(s) - DuckDB sniffer candidate-type bitmask")(
+      e => DuckTypeMask(e.head))
     inject("top_k_by_score", "top_k_by_score(score, id, k) - bounded top-k aggregate")(
       e => TopKByScore(e(0), e(1), litInt(e(2))))
   }

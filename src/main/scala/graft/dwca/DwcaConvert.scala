@@ -69,18 +69,17 @@ object DwcaConvert {
   }
 
   /** CSV scan of one member with the descriptor's separator/encoding
-    * and full schema inference (S1/S2). */
+    * and full-sample type inference (S1/S2). Typing goes through
+    * [[graft.sources.SnifferCsv]] — the DuckDB-sniffer-parity lattice
+    * — NOT Spark's `inferSchema`: the reference types every member
+    * with DuckDB's sniffer (`query.sql:2,4`), and the two sniffers
+    * disagree on hostile archives (leading-zero identifiers would
+    * silently lose their zeros as integers, int64-overflow ids would
+    * become decimals, day-first dates would stay strings). Same
+    * pass-count as `inferSchema` (one classify, one read). */
   def readLayer(spark: SparkSession, dir: Path, layer: DwcaLayer): DataFrame =
-    spark.read
-      .option("header", "true")
-      .option("sep", layer.sepLiteral)
-      .option("encoding", layer.encoding)
-      .option("inferSchema", "true")
-      // RFC4180 doubled-quote escaping, matching the reference's
-      // read_csv (Spark's default escape is backslash — dwca06's
-      // sniffer differential caught the divergence)
-      .option("escape", "\"")
-      .csv(dir.resolve(layer.location).toString)
+    graft.sources.SnifferCsv.read(spark,
+      dir.resolve(layer.location).toString, layer.sepLiteral, layer.encoding)
 
   /** Full conversion: the reference's one generated query.
     * `zipScan = true` streams members straight out of the archive

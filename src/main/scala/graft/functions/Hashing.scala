@@ -79,6 +79,8 @@ object Hashing {
       exprs => HyperplaneSig(exprs(0), litInt(exprs(1)), litInt(exprs(2))), "built-in")
     reg.createOrReplaceTempFunction("byte_features",
       exprs => ByteFeatures(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("duck_type_mask",
+      exprs => DuckTypeMask(exprs.head), "built-in")
     // aggregate: the analyzer wraps a bare AggregateFunction into an
     // AggregateExpression, so registration looks like any expression
     reg.createOrReplaceTempFunction("top_k_by_score",

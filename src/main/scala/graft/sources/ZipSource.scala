@@ -69,12 +69,9 @@ object ZipSource {
   }
 
   /** CSV scan of a DwC-A layer straight out of the archive — same
-    * options as the extracted path, same inference, no staging. */
+    * DuckDB-parity typing as the extracted path
+    * (see DwcaConvert.readLayer), no staging. */
   def readLayer(spark: SparkSession, zipPath: String, layer: DwcaLayer): DataFrame =
-    spark.read
-      .option("header", "true")
-      .option("sep", layer.sepLiteral)
-      .option("inferSchema", "true")
-      .option("escape", "\"") // RFC4180 doubled quotes (see DwcaConvert.readLayer)
-      .csv(memberLines(spark, zipPath, layer.location, layer.encoding))
+    SnifferCsv.readLines(spark,
+      memberLines(spark, zipPath, layer.location, layer.encoding), layer.sepLiteral)
 }

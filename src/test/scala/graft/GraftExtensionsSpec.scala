@@ -38,8 +38,9 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     new GraftExtensions().apply(ext)
     val injected = org.apache.spark.sql.GraftSqlShims.injectedFunctionNames(ext)
     val expected = Set("st_point", "st_geomfromtext", "st_astext", "st_envelope",
-      "h32", "h32b", "simhash64", "byte_features", "hashed_shingles", "hashed_chargrams",
-      "affine_minhash", "dotf", "vnorm", "hyperplane_sig", "top_k_by_score")
+      "h32", "h32b", "simhash64", "byte_features", "duck_type_mask", "hashed_shingles",
+      "hashed_chargrams", "affine_minhash", "dotf", "vnorm", "hyperplane_sig",
+      "top_k_by_score")
     assert(expected.subsetOf(injected), s"missing: ${expected.diff(injected)}")
   }
 
