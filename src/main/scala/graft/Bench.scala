@@ -80,7 +80,11 @@ object Bench {
       results.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalMin = results.map(_._3).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2)},"queries_min":${jmap(_._3)},"total_min":$totalMin,"loads":${jmap(_._4)},"load_avg_start":$loadStart,"ncpus":$cpus,"sf":"$sfDir"}""")
+    // SPARK_GRAFT_CPUS is a master thread spec, not necessarily numeric
+    // ("*" is valid for local[*]) — interpolating it bare would emit
+    // invalid JSON. Parse it, falling back to the actual core count.
+    val ncpus = cpus.toIntOption.getOrElse(Runtime.getRuntime.availableProcessors)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2)},"queries_min":${jmap(_._3)},"total_min":$totalMin,"loads":${jmap(_._4)},"load_avg_start":$loadStart,"ncpus":$ncpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

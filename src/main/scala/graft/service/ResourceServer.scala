@@ -49,7 +49,8 @@ final class ResourceServer(
     fetch: String => String,
     archiveUrlOf: (String, String) => String,
     bindHost: String = "127.0.0.1",
-    bindPort: Int = 0) {
+    bindPort: Int = 0,
+    maxJobEntries: Int = 1024) {
 
   private val server = HttpServer.create(new InetSocketAddress(bindHost, bindPort), 0)
   private val worker = Executors.newSingleThreadExecutor(r => {
@@ -57,16 +58,37 @@ final class ResourceServer(
   })
   private val jobSeq = new AtomicLong(0)
   private val jobs = new ConcurrentHashMap[String, String]()
+  // Insertion order for age-out; ConcurrentHashMap has none of its own.
+  private val jobOrder = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
-  /** Enqueue `body` on the single worker; returns the job id. */
+  private def isTerminal(s: String): Boolean = s == "done" || s.startsWith("failed")
+
+  private def pruneJobs(): Unit =
+    while (jobs.size > maxJobEntries) {
+      val oldest = jobOrder.peek()
+      // Never evict a live job: stop pruning at the first non-terminal
+      // entry (FIFO worker ⇒ everything behind it is younger).
+      if (oldest == null || !isTerminal(jobs.getOrDefault(oldest, "done"))) return
+      jobOrder.poll(); jobs.remove(oldest)
+    }
+
+  /** Enqueue `body` on the single worker; returns the job id. A fatal
+    * Throwable (OOM, linkage error) still marks the job failed before
+    * propagating, so /jobs never shows a zombie "running" forever. */
   private def enqueue(kind: String)(body: => Unit): String = {
     val id = s"$kind-${jobSeq.incrementAndGet()}"
-    jobs.put(id, "queued")
+    jobs.put(id, "queued"); jobOrder.add(id); pruneJobs()
     worker.submit(new Runnable {
       override def run(): Unit = {
         jobs.put(id, "running")
         try { body; jobs.put(id, "done") }
-        catch { case e: Exception => jobs.put(id, s"failed: ${e.getMessage}") }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            jobs.put(id, s"failed: ${e.getMessage}")
+          case e: Throwable =>
+            jobs.put(id, s"failed: fatal ${e.getClass.getSimpleName}: ${e.getMessage}")
+            throw e
+        }
       }
     })
     id
@@ -155,7 +177,16 @@ final class ResourceServer(
       case ("POST", "/resources/geoapi") => respond(ex, 200, generateGeoapi())
       case ("GET", "/jobs") => respond(ex, 200, jobsJson())
       case ("GET", p) if p.startsWith("/resources/") =>
-        respond(ex, 200, getResource(p.stripPrefix("/resources/")))
+        // The id flows into fetch URLs and output paths, so reject
+        // anything but a conservative token (FastAPI's `{resource_id}`
+        // path param can't match slashes either, `resources.py:47`).
+        // The raw (pre-URL-decode) path must ALSO be clean, or an
+        // encoded `%2F`/`%26` would smuggle separators through.
+        val id = p.stripPrefix("/resources/")
+        val rawId = Option(ex.getRequestURI.getRawPath).getOrElse(p).stripPrefix("/resources/")
+        if (ResourceServer.validId(id) && ResourceServer.validId(rawId))
+          respond(ex, 200, getResource(id))
+        else respond(ex, 404, """{"error":"not found"}""")
       case _ => respond(ex, 404, """{"error":"not found"}""")
     } catch {
       case e: Exception => respond(ex, 500, s"""{"error":${jstr(String.valueOf(e.getMessage))}}""")
@@ -182,6 +213,13 @@ final class ResourceServer(
 }
 
 object ResourceServer {
+  /** Ids flow into fetch URLs and Hadoop output paths: only a
+    * conservative token shape is routable; everything else is 404. */
+  private val IdPattern = java.util.regex.Pattern.compile("^[A-Za-z0-9._-]+$")
+  def validId(id: String): Boolean =
+    id.nonEmpty && id.length <= 256 && IdPattern.matcher(id).matches() &&
+      id != "." && id != ".."
+
   /** Production wiring: real HTTP fetch, reference archive URL shape. */
   def apply(spark: SparkSession, iptPublic: String, outBase: String,
       resultBase: String, bindHost: String = "127.0.0.1",
@@ -197,15 +235,20 @@ object ResourceServer {
 }
 
 /** Standalone entry point:
-  * `runMain graft.service.ServiceMain <iptPublicUrl> <outBase> <resultBase> [port]`
+  * `runMain graft.service.ServiceMain <iptPublicUrl> <outBase> <resultBase> [port] [bindHost]`
   * — the deployment analogue of the reference's uvicorn app. The
   * session is local by default; a cluster deployment constructs its
-  * own SparkSession (spark-submit master) before this main runs. */
+  * own SparkSession (spark-submit master) before this main runs.
+  *
+  * Binds LOOPBACK unless a bind host is given explicitly — the shim
+  * has no auth layer, so exposing it beyond the host must be an
+  * operator decision (front it with a reverse proxy), not a default. */
 object ServiceMain {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: ServiceMain <iptPublicUrl> <outBase> <resultBase> [port]")
+      "usage: ServiceMain <iptPublicUrl> <outBase> <resultBase> [port] [bindHost]")
     val port = args.lift(3).map(_.toInt).getOrElse(8080)
+    val host = args.lift(4).getOrElse("127.0.0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -214,9 +257,9 @@ object ServiceMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     val srv = ResourceServer(spark, args(0), args(1), args(2),
-      bindHost = "0.0.0.0", bindPort = port)
+      bindHost = host, bindPort = port)
     val bound = srv.start()
-    System.err.println(s"[graft-service] listening on :$bound")
+    System.err.println(s"[graft-service] listening on $host:$bound")
     Thread.currentThread().join() // serve until killed
   }
 }

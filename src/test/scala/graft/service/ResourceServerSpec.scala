@@ -89,6 +89,56 @@ class ResourceServerSpec extends AnyFunSuite with SparkTestBase {
     } finally srv.stop()
   }
 
+  test("hostile resource ids are 404, not path/query injection") {
+    val out = Files.createTempDirectory("graft-svc-sec").toString
+    val srv = new ResourceServer(spark, ipt, out, "https://s3.example/bucket",
+      fetch = fixtureFetch,
+      archiveUrlOf = (_, _) => graft.dwca.DwcaQueries.fixtureZip)
+    val port = srv.start()
+    try {
+      // encoded traversal: %2E%2E%2F decodes to ../ — would climb out
+      // of outBase if it reached ConvertJob
+      assert(get(port, "/resources/%2E%2E%2Fetc%2Fpasswd")._1 === 404)
+      // query-param smuggling into the eml.do fetch URL
+      assert(get(port, "/resources/x%26admin=1")._1 === 404)
+      assert(get(port, "/resources/x%3Fy")._1 === 404)
+      // bare dot segments and empty id
+      assert(get(port, "/resources/..")._1 === 404)
+      assert(get(port, "/resources/")._1 === 404)
+      // no job was ever enqueued by any of the above
+      assert(srv.jobStatuses.isEmpty, srv.jobStatuses)
+      // a conservative token id still routes (fetch hit proves it)
+      assert(get(port, "/resources/birds-norway")._1 === 200)
+    } finally srv.stop()
+  }
+
+  test("a failing job is marked failed (never a zombie 'running') and terminal entries age out") {
+    val out = Files.createTempDirectory("graft-svc-fail").toString
+    val srv = new ResourceServer(spark, ipt, out, "https://s3.example/bucket",
+      fetch = fixtureFetch,
+      // archive fetch inside the JOB blows up — the enqueue must survive
+      archiveUrlOf = (_, _) => "file:///nonexistent/archive.zip",
+      maxJobEntries = 3)
+    val port = srv.start()
+    try {
+      assert(get(port, "/resources/birds-norway")._1 === 200) // enqueues the doomed convert
+      srv.drain() // a stuck "running" would hang this until its timeout
+      assert(srv.jobStatuses.values.exists(_.startsWith("failed")), srv.jobStatuses)
+      val (_, jobs) = get(port, "/jobs")
+      assert(jobs.contains("failed"))
+
+      // age-out: every enqueue past the cap evicts the oldest terminal
+      // entry, so the map never exceeds maxJobEntries (=3 here)
+      (1 to 5).foreach { _ =>
+        get(port, "/resources/birds-norway")
+        srv.drain()
+        assert(srv.jobStatuses.size <= 3, srv.jobStatuses)
+      }
+      // the newest job is still visible after pruning
+      assert(srv.jobStatuses.keys.exists(_.endsWith("-6")), srv.jobStatuses)
+    } finally srv.stop()
+  }
+
   test("idempotent re-GET skips the conversion (existence probe, parquet.py:33)") {
     val out = Files.createTempDirectory("graft-svc-skip").toString
     val srv = new ResourceServer(spark, ipt, out, "https://s3.example/bucket",
