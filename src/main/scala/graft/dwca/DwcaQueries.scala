@@ -150,6 +150,26 @@ object DwcaQueries {
                      c_sci, c_bigover, c_leadzero, c_pad, c_emptyq, c_bool, c_str
               FROM read_csv('/root/repo/src/test/resources/dwca/sniffer/matrix.csv')""")),
 
+    // ── per-FILE dateformat resolution, differentially: DuckDB keeps
+    // one dateformat candidate stack per file (ISO → d/M → M/d, pop
+    // on failure, final format converts ALL date columns). The
+    // fixture walks the whole mechanism in one file: an ambiguous
+    // slash column (typed day-first on its own) is silently
+    // REINTERPRETED month-first once the unambiguous M/d column pops
+    // the stack past d/M, and the ISO column — displaced from DATE —
+    // lands as midnight TIMESTAMPs via the (still-ISO) timestamp
+    // format. Dates/timestamps leave as strings/epochs for the
+    // tz-stable hash compare. ──
+    "dwca09_dateformat_file" -> Q(
+      (s, _) => graft.sources.SnifferCsv.read(s, fixture("sniffer/dates.csv"), ";")
+        .select(col("c_amb").cast("string").as("c_amb"),
+          col("c_mdy").cast("string").as("c_mdy"),
+          unix_timestamp(col("c_iso")).as("iso_epoch")),
+      Some("""SELECT CAST(c_amb AS VARCHAR) AS c_amb,
+                     CAST(c_mdy AS VARCHAR) AS c_mdy,
+                     CAST(epoch(c_iso) AS BIGINT) AS iso_epoch
+              FROM read_csv('/root/repo/src/test/resources/dwca/sniffer/dates.csv')""")),
+
     // ── engine-faithful conversion: WKB geometry via native ST_* ──
     // DuckDB spatial is unavailable offline, so the oracle is golden
     // VALUES: the WKB hex for each fixture geometry, independently

@@ -25,6 +25,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - DATE_ISO (8): yyyy-MM-dd, calendar-valid
   *   - DATE_DMY (16): d/M/yyyy (1-2 digit day/month), calendar-valid,
   *     day-first
+  *   - DATE_MDY (64): M/d/yyyy, calendar-valid, month-first — an
+  *     ambiguous slash date sets BOTH slash bits; which one wins is
+  *     the per-FILE dateformat resolution in [[graft.sources.SnifferCsv]]
   *   - TS (32): yyyy-MM-dd HH:mm:ss, calendar- and clock-valid
   */
 case class DuckTypeMask(child: Expression)
@@ -51,6 +54,7 @@ object DuckTypeMask {
   val DATE_ISO = 8
   val DATE_DMY = 16
   val TS = 32
+  val DATE_MDY = 64
 
   private def daysIn(y: Int, m: Int): Int = m match {
     case 1 | 3 | 5 | 7 | 8 | 10 | 12 => 31
@@ -125,19 +129,25 @@ object DuckTypeMask {
       dig(s.charAt(from + 8)) && dig(s.charAt(from + 9)) &&
       validDate(num(s, from, from + 4), num(s, from + 5, from + 7), num(s, from + 8, from + 10))
 
-  private def isDmyDate(s: String): Boolean = {
+  /** Slash-date bits for a candidate `a/b/yyyy`: DATE_DMY if valid
+    * day-first, DATE_MDY if valid month-first (ambiguous sets both);
+    * 0 if not a slash date at all. */
+  private def slashDateBits(s: String): Int = {
     val n = s.length
     val s1 = s.indexOf('/')
-    if (s1 < 1 || s1 > 2) return false
+    if (s1 < 1 || s1 > 2) return 0
     val s2 = s.indexOf('/', s1 + 1)
-    if (s2 < 0 || s2 - s1 - 1 < 1 || s2 - s1 - 1 > 2 || n - s2 - 1 != 4) return false
+    if (s2 < 0 || s2 - s1 - 1 < 1 || s2 - s1 - 1 > 2 || n - s2 - 1 != 4) return 0
     var i = 0
     while (i < n) {
       val c = s.charAt(i)
-      if (i != s1 && i != s2 && !dig(c)) return false
+      if (i != s1 && i != s2 && !dig(c)) return 0
       i += 1
     }
-    validDate(num(s, s2 + 1, n), num(s, s1 + 1, s2), num(s, 0, s1))
+    val y = num(s, s2 + 1, n)
+    val a = num(s, 0, s1)
+    val b = num(s, s1 + 1, s2)
+    (if (validDate(y, b, a)) DATE_DMY else 0) | (if (validDate(y, a, b)) DATE_MDY else 0)
   }
 
   private def isTimestamp(s: String): Boolean =
@@ -161,7 +171,7 @@ object DuckTypeMask {
     if (a < b && isBigint(s, a, b)) m |= BIGINT
     if (isDouble(s)) m |= DOUBLE
     if (n == 10 && isIsoDate(s, 0)) m |= DATE_ISO
-    if (isDmyDate(s)) m |= DATE_DMY
+    m |= slashDateBits(s)
     if (isTimestamp(s)) m |= TS
     m
   }

@@ -26,11 +26,28 @@ import org.apache.spark.sql.functions._
   *   - quoted empty strings are NULL (allow_quoted_nulls), like bare
   *     empty fields
   *
-  * Known boundary (out of scope, verified empirically): DuckDB
-  * resolves ONE dateformat per FILE — a file mixing day-first slash
-  * dates with ISO dates types the ISO column TIMESTAMP, not DATE.
-  * This sniffer types columns independently; the gate fixtures keep
-  * one date family per file accordingly.
+  * Dateformat resolution is per FILE, not per column — replicated
+  * from 14 empirical probes of DuckDB 1.0 (all pinned in
+  * SnifferCsvSpec). DuckDB keeps ONE ordered candidate stack
+  * (ISO yyyy-MM-dd tried first, then d/M/yyyy, then M/d/yyyy),
+  * walks columns LEFT TO RIGHT popping forward when a column fails
+  * the current candidate, and converts ALL date columns under the
+  * FINAL surviving format:
+  *   - (dmy, iso) → dmy DATE, iso TIMESTAMP (slash format displaced
+  *     ISO; bare ISO dates still parse under the ISO timestamp
+  *     format → midnight timestamps)
+  *   - (mdy, dmy) → mdy DATE, dmy VARCHAR (d/M was already popped
+  *     past while resolving column 1; nothing left matches)
+  *   - (ambig, mdy) → BOTH DATE read month-first (the final format
+  *     silently reinterprets the earlier ambiguous column)
+  *   - (iso, dmy) and (dmy, mdy) → DuckDB HARD-ERRORS (the final
+  *     format invalidates an already-typed DATE column). This
+  *     sniffer deliberately diverges: it keeps each such column
+  *     under its own format and logs a WARN naming the divergence —
+  *     succeeding where the reference refuses the file (same policy
+  *     as the meta.xml columns-union fix).
+  * Remaining boundary (documented, not sniffed): 2-digit years and
+  * dash/dot slash-family dates, and slash-format timestamps.
   *
   * Scale shape: one all-string scan + ONE partial-aggregated
   * classification pass (count per candidate type per column — the
@@ -39,7 +56,14 @@ import org.apache.spark.sql.functions._
   */
 object SnifferCsv {
 
-  import graft.functions.DuckTypeMask.{BIGINT, BOOL, DATE_DMY, DATE_ISO, DOUBLE, TS}
+  import graft.functions.DuckTypeMask.{BIGINT, BOOL, DATE_DMY, DATE_ISO, DATE_MDY, DOUBLE, TS}
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** The file-wide dateformat candidate stack, in DuckDB's pop order:
+    * mask bit → Spark datetime pattern. */
+  private val DateCandidates: IndexedSeq[(Int, String)] =
+    IndexedSeq(DATE_ISO -> "yyyy-MM-dd", DATE_DMY -> "d/M/yyyy", DATE_MDY -> "M/d/yyyy")
 
   /** Read `path` with DuckDB-sniffer-parity types. */
   def read(spark: SparkSession, path: String, sep: String = ",",
@@ -77,12 +101,36 @@ object SnifferCsv {
       val m = col(h)
       def bit(b: Int) = count(when(m.bitwiseAND(lit(b)) =!= 0, 1))
       Seq(count(m), bit(BOOL), bit(BIGINT), bit(DOUBLE),
-        bit(DATE_ISO), bit(DATE_DMY), bit(TS))
+        bit(DATE_ISO), bit(DATE_DMY), bit(DATE_MDY), bit(TS))
     }
     val r = masked.agg(aggs.head, aggs.tail: _*).head()
+    val W = 8
+    def counts(i: Int): IndexedSeq[Long] = (0 until W).map(j => r.getLong(W * i + j))
+
+    // ── pass 1, columns LEFT TO RIGHT: walk the file-wide dateformat
+    // stack. A date column matches the first candidate (from the
+    // current stack position on) that EVERY value satisfies; matching
+    // advances the position. A date column matching nothing from the
+    // position on falls through (ISO dates still land as timestamps,
+    // slash dates as VARCHAR) — the pointer does not move.
+    var pos = 0
+    val provisional: Seq[Option[Int]] = raw.columns.indices.map { i =>
+      val cs = counts(i)
+      val n = cs(0)
+      val isDateCol = n > 0 && cs(1) != n && cs(2) != n && cs(3) != n &&
+        DateCandidates.exists { case (b, _) => cs(bitIdx(b)) == n }
+      if (!isDateCol) None
+      else (pos until DateCandidates.size)
+        .find(j => cs(bitIdx(DateCandidates(j)._1)) == n) match {
+          case Some(j) => pos = j; Some(j)
+          case None => None
+        }
+    }
+    val fileFmt = pos
 
     val typed = raw.columns.toSeq.zipWithIndex.map { case (h, i) =>
-      val Seq(n, bool, big, dbl, iso, dmy, ts) = (0 to 6).map(j => r.getLong(7 * i + j))
+      val cs = counts(i)
+      val Seq(n, bool, big, dbl, iso, dmy, mdy, ts) = cs
       val c = col(h)
       val out =
         if (n == 0) c.cast("string")
@@ -93,12 +141,44 @@ object SnifferCsv {
             .when(lower(c) === "inf", lit(Double.PositiveInfinity))
             .when(lower(c) === "-inf", lit(Double.NegativeInfinity))
             .otherwise(c.cast("double"))
-        else if (iso == n) to_date(c, "yyyy-MM-dd")
-        else if (dmy == n) to_date(c, "d/M/yyyy")
-        else if (ts == n) to_timestamp(c, "yyyy-MM-dd HH:mm:ss")
-        else c
+        else provisional(i) match {
+          // ── pass 2: convert every date column under the FINAL
+          // format, like DuckDB's read does (an ambiguous column typed
+          // earlier is silently reinterpreted). If the final format
+          // invalidates the column, DuckDB refuses the whole file;
+          // we keep the column's own format and say so.
+          case Some(j) =>
+            val (finalBit, finalPat) = DateCandidates(fileFmt)
+            if (cs(bitIdx(finalBit)) == n) to_date(c, finalPat)
+            else {
+              val (_, ownPat) = DateCandidates(j)
+              log.warn(s"sniffer divergence: DuckDB read_csv would REJECT this file " +
+                s"(column `$h` is dateformat '$ownPat' but the file resolved to " +
+                s"'$finalPat'); keeping `$h` as DATE '$ownPat'")
+              to_date(c, ownPat)
+            }
+          case None =>
+            if (iso == n && fileFmt > 0)
+              // ISO dates displaced by a slash file-format: DuckDB
+              // parses them under the (still-ISO) TIMESTAMP format
+              to_timestamp(c, "yyyy-MM-dd")
+            else if ((dmy == n || mdy == n) && n > 0)
+              c // slash dates with their format popped past: VARCHAR
+            else if (ts == n) to_timestamp(c, "yyyy-MM-dd HH:mm:ss")
+            else c
+        }
       out.as(h)
     }
     raw.select(typed: _*)
+  }
+
+  private def bitIdx(bit: Int): Int = bit match {
+    case BOOL => 1
+    case BIGINT => 2
+    case DOUBLE => 3
+    case DATE_ISO => 4
+    case DATE_DMY => 5
+    case DATE_MDY => 6
+    case TS => 7
   }
 }

@@ -35,6 +35,7 @@ class DuckTypeMaskSpec extends AnyFunSuite with SparkTestBase {
       "0001-01-01", "9999-12-31", "2024-5-1", "2024/05/01",
       "03/04/2024", "15/04/2024", "31/11/2024", "29/02/2024", "29/02/2023",
       "3/4/2024", "003/04/2024", "15/04/24",
+      "04/15/2024", "01/22/2023", "02/29/2024", "02/29/2023", "13/13/2024",
       "2024-05-01 10:00:00", "2024-05-01 24:00:00", "2024-05-01 23:59:60",
       "2024-02-30 10:00:00", "2024-05-01T10:00:00", "2024-05-01 10:00",
       "", "x", "a b", "über", "１２３")
@@ -69,7 +70,9 @@ class DuckTypeMaskSpec extends AnyFunSuite with SparkTestBase {
       (col("s").rlike(dmyDateRe) &&
         expr("try_to_date(s, 'd/M/yyyy')").isNotNull).as("r_dmy"),
       (col("s").rlike(tsRe) &&
-        expr("try_to_timestamp(s, 'yyyy-MM-dd HH:mm:ss')").isNotNull).as("r_ts"))
+        expr("try_to_timestamp(s, 'yyyy-MM-dd HH:mm:ss')").isNotNull).as("r_ts"),
+      (col("s").rlike(dmyDateRe) &&
+        expr("try_to_date(s, 'M/d/yyyy')").isNotNull).as("r_mdy"))
     val bad = df.collect().flatMap { r =>
       val (s, m) = (r.getString(0), r.getInt(1))
       def bit(b: Int) = (m & b) != 0
@@ -79,7 +82,8 @@ class DuckTypeMaskSpec extends AnyFunSuite with SparkTestBase {
         ("DOUBLE", r.getBoolean(4), bit(DuckTypeMask.DOUBLE)),
         ("DATE_ISO", r.getBoolean(5), bit(DuckTypeMask.DATE_ISO)),
         ("DATE_DMY", r.getBoolean(6), bit(DuckTypeMask.DATE_DMY)),
-        ("TS", r.getBoolean(7), bit(DuckTypeMask.TS)))
+        ("TS", r.getBoolean(7), bit(DuckTypeMask.TS)),
+        ("DATE_MDY", r.getBoolean(8), bit(DuckTypeMask.DATE_MDY)))
       want.collect { case (k, ref, got) if ref != got => s"'$s' $k: ref=$ref kernel=$got" }
     }
     assert(bad.isEmpty, bad.mkString("\n"))

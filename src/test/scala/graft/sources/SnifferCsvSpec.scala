@@ -58,6 +58,57 @@ class SnifferCsvSpec extends AnyFunSuite with SparkTestBase {
     assert(e.collect().map(r => Option(r.getString(0))).toSeq === Seq(None, Some("x")))
   }
 
+  test("per-file dateformat stack: slash format displaces ISO → TIMESTAMP") {
+    // probed: (dmy, iso) → dmy DATE, iso TIMESTAMP at midnight
+    val df = SnifferCsv.read(spark,
+      csv("d,i", "15/04/2024,2024-04-15", "02/01/2023,2023-01-02"))
+    assert(df.schema.map(_.dataType.typeName) === Seq("date", "timestamp"))
+    assert(df.collect().map(r => (r.getDate(0).toString, r.getTimestamp(1).toString)).toSeq
+      === Seq(("2024-04-15", "2024-04-15 00:00:00.0"), ("2023-01-02", "2023-01-02 00:00:00.0")))
+    // probed: (mdy, iso) behaves the same way
+    val mf = SnifferCsv.read(spark,
+      csv("m,i", "04/15/2024,2024-04-15", "01/02/2023,2023-01-02"))
+    assert(mf.schema.map(_.dataType.typeName) === Seq("date", "timestamp"))
+    assert(mf.head().getDate(0).toString === "2024-04-15")
+  }
+
+  test("per-file dateformat stack: popped-past formats never come back") {
+    // probed: (mdy, dmy) → d/M/yyyy was popped while resolving column
+    // 1, so the day-first column stays VARCHAR (no error, no date)
+    val df = SnifferCsv.read(spark,
+      csv("m,d", "04/15/2024,15/04/2024", "01/02/2023,02/01/2023"))
+    assert(df.schema.map(_.dataType.typeName) === Seq("date", "string"))
+    assert(df.collect().map(r => (r.getDate(0).toString, r.getString(1))).toSeq
+      === Seq(("2024-04-15", "15/04/2024"), ("2023-01-02", "02/01/2023")))
+  }
+
+  test("per-file dateformat stack: the final format reinterprets ambiguous columns") {
+    // probed: (ambig, mdy) → the ambiguous column, day-first on its
+    // own, is re-read month-first under the file's final format
+    val df = SnifferCsv.read(spark,
+      csv("a,m", "04/05/2024,04/15/2024", "01/02/2023,01/22/2023"))
+    assert(df.schema.map(_.dataType.typeName) === Seq("date", "date"))
+    assert(df.head().getDate(0).toString === "2024-04-05") // April 5, NOT May 4
+    // ... and alone, the same column is day-first (stack top d/M first)
+    val alone = SnifferCsv.read(spark, csv("a", "04/05/2024", "01/02/2023"))
+    assert(alone.head().getDate(0).toString === "2024-05-04") // May 4
+  }
+
+  test("where DuckDB hard-errors (format invalidated after typing) we keep per-column formats") {
+    // probed: (iso, dmy) and (dmy, mdy) make read_csv REJECT the
+    // file — the deliberate divergence is typing each column under
+    // its own format (WARN logged)
+    val a = SnifferCsv.read(spark,
+      csv("i,d", "2024-04-15,15/04/2024", "2023-01-02,02/01/2023"))
+    assert(a.schema.map(_.dataType.typeName) === Seq("date", "date"))
+    assert(a.head().getDate(0).toString === "2024-04-15")
+    assert(a.head().getDate(1).toString === "2024-04-15")
+    val b = SnifferCsv.read(spark,
+      csv("d,m", "15/04/2024,04/15/2024", "02/01/2023,01/22/2023"))
+    assert(b.schema.map(_.dataType.typeName) === Seq("date", "date"))
+    assert(b.collect().map(_.getDate(1).toString).toSeq === Seq("2024-04-15", "2023-01-22"))
+  }
+
   test("one value off-type demotes the whole column (full-sample, not prefix)") {
     // 999 longs then one alpha tail value: a prefix sampler would
     // commit to bigint and crash or null the tail at read time
