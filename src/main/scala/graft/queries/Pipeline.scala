@@ -136,6 +136,91 @@ object Pipeline {
                SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
                WHERE ${graft.functions.Hashing.duck32("'mix:' || doc_id")} % 10000 < rate_bp""")),
 
+    // ── deterministic global shuffle + round-robin sharding: the
+    // training-output step after cleaning. Every doc gets a stable
+    // md5-derived shuffle key; global rank over (key, doc_id) is the
+    // shuffled order; shard = rank % 8 deals docs out round-robin
+    // (perfectly balanced by construction), pos = rank div 8 is the
+    // within-shard write order. The global rank uses the same
+    // two-phase prefix-sum shape as [[seqPack]] — range partition on
+    // the key at defaultParallelism width, count per partition, one
+    // row PER PARTITION to the driver, offset + within-partition
+    // row_number — never a single-partition global window. ──
+    "p05_shard_shuffle" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        graft.functions.Hashing.register(s)
+        val width = s.sparkContext.defaultParallelism
+        val keyed = Tables(s, d, "documents")
+          .selectExpr("doc_id", s"${graft.functions.Hashing.h32Sql("concat('shuf:', doc_id)")} as k")
+          .repartitionByRange(width, col("k"), col("doc_id"))
+          .sortWithinPartitions("k", "doc_id")
+          .withColumn("pid", spark_partition_id())
+          .persist()
+        val offsets = keyed.groupBy("pid").count()
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+          .scanLeft((0, 0L)) { case ((_, acc), (pid, n)) => (pid, acc + n) }
+          .sliding(2).collect { case Array((_, off), (pid, _)) => (pid, off) }.toSeq
+        import s.implicits._
+        keyed.join(broadcast(offsets.toDF("pid", "off")), "pid")
+          .withColumn("rn",
+            col("off") + row_number().over(Window.partitionBy("pid").orderBy("k", "doc_id")) - 1)
+          .selectExpr("doc_id", "rn % 8 as shard", "rn div 8 as pos")
+      },
+      Some(s"""SELECT doc_id,
+                      CAST((rn - 1) % 8 AS BIGINT) AS shard,
+                      CAST((rn - 1) // 8 AS BIGINT) AS pos
+               FROM (SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) AS rn
+                     FROM (SELECT doc_id,
+                                  ${graft.functions.Hashing.duck32("'shuf:' || doc_id")} AS k
+                           FROM documents))""")),
+
+    // ── benchmark decontamination: drop (flag) training docs sharing
+    // any 13-gram with the eval split — the GPT-3-style n-gram
+    // overlap rule, the step a training pipeline runs against every
+    // benchmark before training. Eval membership is the same
+    // deterministic hash-percentile as p01 (~2% of the corpus). Scale
+    // shape: the eval side's distinct grams are SMALL by construction
+    // (benchmarks ≪ corpus) → explicitly broadcast; the corpus side
+    // is a map-side semi join of its exploded grams against that
+    // broadcast — the TEXT never shuffles; only (doc_id, hit) pairs
+    // reach the id-keyed aggregation and the final id join. ──
+    "c02_decontaminate" -> Q(
+      (s, d) => {
+        graft.functions.Hashing.register(s)
+        val docs = Tables(s, d, "documents")
+        val evalPred = s"${pctSql("'eval:' || doc_id")} < 2"
+        val grams = docs
+          .selectExpr("doc_id", s"$evalPred as is_eval",
+            s"""case when size($toks) >= 13
+                  then transform(sequence(1, size($toks) - 12), i -> array_join(slice($toks, i, 13), ' '))
+                  else array() end as gs""")
+          .select(col("doc_id"), col("is_eval"), explode(col("gs")).as("g"))
+        val evalGrams = grams.where("is_eval").select("g").distinct()
+        val hits = grams.where("not is_eval")
+          .join(broadcast(evalGrams), "g")
+          .select("doc_id").distinct()
+          .withColumn("contaminated", lit(true))
+        docs.where(s"not ($evalPred)")
+          .select("doc_id")
+          .join(hits, Seq("doc_id"), "left")
+          .selectExpr("doc_id", "coalesce(contaminated, false) as contaminated")
+      },
+      Some {
+        val duckEval = s"(${duckPct("'eval:' || doc_id")} < 2)"
+        s"""WITH toks AS (SELECT doc_id, $duckEval AS is_eval,
+                                 string_split(text, ' ') AS t FROM documents),
+            grams AS (SELECT doc_id, is_eval, array_to_string(t[i:i+12], ' ') AS g
+                      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 12)) AS i)
+                      WHERE len(t) >= 13),
+            ev AS (SELECT DISTINCT g FROM grams WHERE is_eval),
+            hits AS (SELECT DISTINCT doc_id FROM grams
+                     WHERE NOT is_eval AND g IN (SELECT g FROM ev))
+            SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE NOT $duckEval"""
+      }),
+
     "c01_clean_corpus" -> Q(
       (s, d) => {
         // doc_ids to drop: the larger end of every verified dup pair

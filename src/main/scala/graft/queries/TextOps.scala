@@ -314,6 +314,43 @@ object TextOps {
                 (SELECT source, doc_id,
                         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS INTEGER) AS rnk
                  FROM documents)
-              WHERE rnk <= 40"""))
+              WHERE rnk <= 40""")),
+
+    // ── repetition-based quality filter (the Gopher repetition rules
+    // re-expressed for the tier): duplicate-token fraction and
+    // duplicate-bigram fraction per document, plus the keep verdict.
+    // Repetitive machine-generated text scores high on both; the
+    // bigram fraction is the sharper signal (natural prose repeats
+    // words, rarely word PAIRS). Map-only over array builtins —
+    // size/array_distinct inside whole-stage codegen, no shuffle; the
+    // bigram array is built by zipping the token array with its own
+    // tail, never exploded. Integer basis points, exact cross-engine. ──
+    "t11_repetition" -> Q(
+      (s, d) => Tables(s, d, "documents")
+        .selectExpr("doc_id", s"$toks as t")
+        .selectExpr("doc_id", "t",
+          """case when size(t) >= 2
+               then transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))
+               else array() end as g2""")
+        .selectExpr("doc_id",
+          "10000 - (size(array_distinct(t)) * 10000) div size(t) as dup_tok_bp",
+          """case when size(g2) > 0
+               then 10000 - (size(array_distinct(g2)) * 10000) div size(g2)
+               else 0L end as dup2_bp""")
+        .selectExpr("doc_id", "dup_tok_bp", "dup2_bp",
+          "dup2_bp <= 800 and dup_tok_bp <= 7000 as keep"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              g AS (SELECT doc_id, t,
+                      CASE WHEN len(t) >= 2
+                        THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                        ELSE [] END AS g2 FROM t),
+              m AS (SELECT doc_id,
+                      CAST(10000 - (len(list_distinct(t)) * 10000) // len(t) AS BIGINT) AS dup_tok_bp,
+                      CAST(CASE WHEN len(g2) > 0
+                        THEN 10000 - (len(list_distinct(g2)) * 10000) // len(g2)
+                        ELSE 0 END AS BIGINT) AS dup2_bp
+                    FROM g)
+              SELECT doc_id, dup_tok_bp, dup2_bp,
+                     (dup2_bp <= 800 AND dup_tok_bp <= 7000) AS keep FROM m"""))
   )
 }

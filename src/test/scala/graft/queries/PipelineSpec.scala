@@ -37,6 +37,46 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       assert(bySource(s"src$k") === 25, s"limiting-weight src$k not taken whole")
   }
 
+  test("p05 shard shuffle: round-robin balance, contiguous positions, key-ordered") {
+    val rows = Pipeline.all("p05_shard_shuffle").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // every doc exactly once
+    assert(rows.map(_._1).distinct.length === rows.length)
+    // round-robin: shard sizes differ by at most 1
+    val sizes = rows.groupBy(_._2).view.mapValues(_.length).values
+    assert(sizes.max - sizes.min <= 1, sizes.toSeq.sorted)
+    // positions within each shard are 0..n-1 with no gaps
+    rows.groupBy(_._2).foreach { case (sh, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (0L until rs.length).toSeq, s"shard $sh")
+    }
+    // the global order (pos, shard) equals the serial rank over the
+    // same md5 shuffle key — the two-phase offsets compose correctly
+    val serial = rows.map(_._1).sortBy(id => (graft.functions.Hashing.jvm32(s"shuf:$id"), id))
+    val byRank = rows.sortBy { case (_, sh, pos) => (pos, sh) }.map(_._1)
+    assert(byRank.toSeq === serial.toSeq)
+  }
+
+  test("c02 decontamination flags exactly the docs sharing a 13-gram with the eval split") {
+    import org.apache.spark.sql.functions._
+    val sf01 = "/root/testdata/sf0.01" // sf0.001 has too few docs for a stable eval split
+    val docs = graft.Tables(spark, sf01, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    def grams(t: Seq[String]): Set[Seq[String]] =
+      if (t.length < 13) Set.empty else t.sliding(13).map(_.toSeq).toSet
+    val isEval = docs.keys.map(id =>
+      id -> (graft.functions.Hashing.jvm32(s"split:eval:$id") % 100 < 2)).toMap
+    val evalGrams = docs.collect { case (id, t) if isEval(id) => grams(t) }
+      .foldLeft(Set.empty[Seq[String]])(_ ++ _)
+    val expected = docs.collect { case (id, t) if !isEval(id) =>
+      id -> grams(t).exists(evalGrams.contains) }.toMap
+    val got = Pipeline.all("c02_decontaminate").fn(spark, sf01)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got === expected)
+    assert(got.nonEmpty && evalGrams.nonEmpty)
+  }
+
   test("p03 seq_id equals the serial concat-then-chunk assignment") {
     val rows = Pipeline.seqPack(spark, sf, 5)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))

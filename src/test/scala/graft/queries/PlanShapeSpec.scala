@@ -114,6 +114,23 @@ class PlanShapeSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(p.contains("rangepartitioning"), p)
   }
 
+  test("p05 shard shuffle range-partitions the rank, never a single-partition window") {
+    val p = planOf("p05_shard_shuffle")
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("rangepartitioning"), p)
+  }
+
+  test("c02 decontamination broadcasts the eval grams; corpus text never shuffles") {
+    val p = planOf("c02_decontaminate")
+    // the gram-overlap join must be a broadcast hash join (eval side
+    // small by construction) — a sort-merge join here would shuffle
+    // every exploded corpus 13-gram
+    assert(p.contains("BroadcastHashJoin"), p)
+    // text reaches only map-side projections: no exchange carries it
+    val exchanges = p.split("Exchange").drop(1)
+    assert(exchanges.nonEmpty && !exchanges.exists(_.split("\n").head.contains("text")), p)
+  }
+
   test("j01 as-of join is a single exchange + window, no join operator") {
     val p = planOf("j01_asof_join")
     assert(p.contains("Window"), p)
