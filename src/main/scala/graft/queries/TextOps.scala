@@ -351,6 +351,33 @@ object TextOps {
                         ELSE 0 END AS BIGINT) AS dup2_bp
                     FROM g)
               SELECT doc_id, dup_tok_bp, dup2_bp,
-                     (dup2_bp <= 800 AND dup_tok_bp <= 7000) AS keep FROM m"""))
+                     (dup2_bp <= 800 AND dup_tok_bp <= 7000) AS keep FROM m""")),
+
+    // ── model-based quality scoring plumbing: a fastText-shaped
+    // hashed-bag-of-words linear classifier evaluated map-only over
+    // the corpus — the scale pattern for "run a quality model over
+    // 100 TB" (token → hashed weight lookup, mean-pool, threshold).
+    // The weight function here is a deterministic hash stand-in
+    // (like BlobCodec's decode seam: a trained model ships its
+    // weights as a broadcast map/file and swaps ONE lambda; the
+    // Spark-side shape — tokenize, per-token lookup, fold, verdict,
+    // all inside whole-stage codegen with no shuffle — is the
+    // deliverable). Integer bp arithmetic end to end, exact in both
+    // engines (HUGEINT folded back per the gate rules). ──
+    "t12_classifier_score" -> Q(
+      (s, d) => {
+        Hashing.register(s)
+        Tables(s, d, "documents").selectExpr(
+          "doc_id",
+          s"""aggregate(transform($toks, t -> ${Hashing.h32Sql("concat('w:', t)")} % 2001 - 1000),
+                        0L, (a, x) -> a + x) div size($toks) as score_bp""")
+          .selectExpr("doc_id", "score_bp", "score_bp > 0 as keep")
+      },
+      Some(s"""SELECT doc_id, score_bp, score_bp > 0 AS keep FROM
+                 (SELECT doc_id,
+                         CAST(list_sum(list_transform(string_split(text, ' '),
+                                t -> (${Hashing.duck32("'w:' || t")} % 2001 - 1000))) AS BIGINT)
+                           // len(string_split(text, ' ')) AS score_bp
+                  FROM documents)"""))
   )
 }

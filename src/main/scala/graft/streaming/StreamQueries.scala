@@ -69,6 +69,18 @@ object StreamQueries {
               WHERE a.event_type = 'click' AND b.event_type = 'purchase'
                 AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE""")),
 
+    // stream-static enrichment (append): stateless broadcast left
+    // join against the customer dimension, re-resolved per
+    // micro-batch — equals the batch left join on any drain
+    "stream05_enrich" -> Q(
+      (s, d) => drain(s,
+        EventStreams.enrichedStream(
+          EventStreams.eventsStream(s, d),
+          graft.Tables(s, d, "customer").select("c_custkey", "c_name", "c_acctbal")),
+        "g_stream05", mode = "append"),
+      Some("""SELECT e.event_id, e.user_id, e.event_type, c.c_name, c.c_acctbal
+              FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""")),
+
     "stream02_session" -> Q(
       (s, d) => drain(s,
         EventStreams.sessionCounts(EventStreams.eventsStream(s, d)), "g_stream02"),
