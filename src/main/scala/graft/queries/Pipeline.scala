@@ -173,7 +173,8 @@ object Pipeline {
                FROM (SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) AS rn
                      FROM (SELECT doc_id,
                                   ${graft.functions.Hashing.duck32("'shuf:' || doc_id")} AS k
-                           FROM documents))""")),
+                           FROM documents))"""),
+      bench = true),
 
     // ── benchmark decontamination: drop (flag) training docs sharing
     // any 13-gram with the eval split — the GPT-3-style n-gram
@@ -219,7 +220,8 @@ object Pipeline {
             SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
             WHERE NOT $duckEval"""
-      }),
+      },
+      bench = true),
 
     "c01_clean_corpus" -> Q(
       (s, d) => {
