@@ -56,6 +56,33 @@ object Pipeline {
       .selectExpr("doc_id", "n", "(cum - n) div 256 as seq_id")
   }
 
+  /** Deterministic global shuffle + round-robin sharding of an id
+    * frame (see p05): md5 shuffle key, two-phase global rank (range
+    * partition at `width`, one count row per partition to the driver,
+    * offset + within-partition row_number — never a single-partition
+    * window), shard = rank % nShards, pos = rank div nShards. */
+  def shardShuffle(df: org.apache.spark.sql.DataFrame, nShards: Int,
+      width: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = df.sparkSession
+    graft.functions.Hashing.register(s)
+    val keyed = df
+      .selectExpr("doc_id", s"${graft.functions.Hashing.h32Sql("concat('shuf:', doc_id)")} as k")
+      .repartitionByRange(width, col("k"), col("doc_id"))
+      .sortWithinPartitions("k", "doc_id")
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    val offsets = keyed.groupBy("pid").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      .scanLeft((0, 0L)) { case ((_, acc), (pid, n)) => (pid, acc + n) }
+      .sliding(2).collect { case Array((_, off), (pid, _)) => (pid, off) }.toSeq
+    import s.implicits._
+    keyed.join(broadcast(offsets.toDF("pid", "off")), "pid")
+      .withColumn("rn",
+        col("off") + row_number().over(Window.partitionBy("pid").orderBy("k", "doc_id")) - 1)
+      .selectExpr("doc_id", s"rn % $nShards as shard", s"rn div $nShards as pos")
+  }
+
   val all: Map[String, Q] = Map(
     // ── deterministic train/val/test split (80/10/10 by hash bucket) ──
     "p01_split_assign" -> Q(
@@ -147,26 +174,8 @@ object Pipeline {
     // row PER PARTITION to the driver, offset + within-partition
     // row_number — never a single-partition global window. ──
     "p05_shard_shuffle" -> Q(
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        graft.functions.Hashing.register(s)
-        val width = s.sparkContext.defaultParallelism
-        val keyed = Tables(s, d, "documents")
-          .selectExpr("doc_id", s"${graft.functions.Hashing.h32Sql("concat('shuf:', doc_id)")} as k")
-          .repartitionByRange(width, col("k"), col("doc_id"))
-          .sortWithinPartitions("k", "doc_id")
-          .withColumn("pid", spark_partition_id())
-          .persist()
-        val offsets = keyed.groupBy("pid").count()
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-          .scanLeft((0, 0L)) { case ((_, acc), (pid, n)) => (pid, acc + n) }
-          .sliding(2).collect { case Array((_, off), (pid, _)) => (pid, off) }.toSeq
-        import s.implicits._
-        keyed.join(broadcast(offsets.toDF("pid", "off")), "pid")
-          .withColumn("rn",
-            col("off") + row_number().over(Window.partitionBy("pid").orderBy("k", "doc_id")) - 1)
-          .selectExpr("doc_id", "rn % 8 as shard", "rn div 8 as pos")
-      },
+      (s, d) => shardShuffle(Tables(s, d, "documents"), 8,
+        s.sparkContext.defaultParallelism),
       Some(s"""SELECT doc_id,
                       CAST((rn - 1) % 8 AS BIGINT) AS shard,
                       CAST((rn - 1) // 8 AS BIGINT) AS pos
@@ -180,7 +189,9 @@ object Pipeline {
     // any 13-gram with the eval split — the GPT-3-style n-gram
     // overlap rule, the step a training pipeline runs against every
     // benchmark before training. Eval membership is the same
-    // deterministic hash-percentile as p01 (~2% of the corpus). Scale
+    // deterministic hash-percentile as p01 (10% of the corpus — a
+    // real benchmark suite is a visible slice, and the gate needs
+    // both verdict classes populated). Scale
     // shape: the eval side's distinct grams are SMALL by construction
     // (benchmarks ≪ corpus) → explicitly broadcast; the corpus side
     // is a map-side semi join of its exploded grams against that
@@ -190,7 +201,7 @@ object Pipeline {
       (s, d) => {
         graft.functions.Hashing.register(s)
         val docs = Tables(s, d, "documents")
-        val evalPred = s"${pctSql("'eval:' || doc_id")} < 2"
+        val evalPred = s"${pctSql("'eval:' || doc_id")} < 10"
         val grams = docs
           .selectExpr("doc_id", s"$evalPred as is_eval",
             s"""case when size($toks) >= 13
@@ -208,7 +219,7 @@ object Pipeline {
           .selectExpr("doc_id", "coalesce(contaminated, false) as contaminated")
       },
       Some {
-        val duckEval = s"(${duckPct("'eval:' || doc_id")} < 2)"
+        val duckEval = s"(${duckPct("'eval:' || doc_id")} < 10)"
         s"""WITH toks AS (SELECT doc_id, $duckEval AS is_eval,
                                  string_split(text, ' ') AS t FROM documents),
             grams AS (SELECT doc_id, is_eval, array_to_string(t[i:i+12], ' ') AS g
@@ -220,6 +231,93 @@ object Pipeline {
             SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
             WHERE NOT $duckEval"""
+      },
+      bench = true),
+
+    // ── the FLAGSHIP composition: the full training-data job, every
+    // stage a tier operator — exact dedup (keep smallest doc_id per
+    // identical text), near-dup removal (d03's verified LSH pairs,
+    // persisted frame shared with d03/c01/d08/d09), map-only quality
+    // floor (t11 repetition + t12 classifier score), eval exclusion +
+    // 13-gram decontamination (c02), then the deterministic global
+    // shuffle + round-robin sharding (p05) over the survivors. Scale
+    // shape is the union of its parts: text crosses exactly TWO
+    // exchanges (the md5 exact-dedup aggregate and d03's banded LSH),
+    // everything else moves ids — quality is map-only, eval grams
+    // broadcast, the final rank is the two-phase range-partition
+    // prefix. One oracle covers the whole composition. ──
+    "c03_train_pipeline" -> Q(
+      (s, d) => {
+        graft.functions.Hashing.register(s)
+        val docs = Tables(s, d, "documents")
+        val keepExact = docs.groupBy(md5(col("text")).as("h"))
+          .agg(min("doc_id").as("doc_id")).select("doc_id")
+        val nearDrops = Dedup.all("d03_lsh_pairs").fn(s, d)
+          .select(col("d2").as("doc_id")).distinct()
+        val evalPred = s"${pctSql("'eval:' || doc_id")} < 10"
+        val quality = docs
+          .selectExpr("doc_id", s"$toks as t", s"$evalPred as is_eval")
+          .selectExpr("doc_id", "is_eval", "t",
+            """case when size(t) >= 2
+                 then transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))
+                 else array() end as g2""")
+          .selectExpr("doc_id", "is_eval",
+            "10000 - (size(array_distinct(t)) * 10000) div size(t) as dup_tok_bp",
+            """case when size(g2) > 0
+                 then 10000 - (size(array_distinct(g2)) * 10000) div size(g2)
+                 else 0L end as dup2_bp""",
+            s"""aggregate(transform(t, x -> ${graft.functions.Hashing.h32Sql("concat('w:', x)")} % 2001 - 1000),
+                          0L, (a, x) -> a + x) div size(t) as score_bp""")
+          .where("not is_eval and dup2_bp <= 800 and dup_tok_bp <= 7000 and score_bp > 0")
+          .select("doc_id")
+        val grams = docs
+          .selectExpr("doc_id", s"$evalPred as is_eval",
+            s"""case when size($toks) >= 13
+                  then transform(sequence(1, size($toks) - 12), i -> array_join(slice($toks, i, 13), ' '))
+                  else array() end as gs""")
+          .select(col("doc_id"), col("is_eval"), explode(col("gs")).as("g"))
+        val evalGrams = grams.where("is_eval").select("g").distinct()
+        val contaminated = grams.where("not is_eval")
+          .join(broadcast(evalGrams), "g").select("doc_id").distinct()
+        val cleaned = quality
+          .join(keepExact, Seq("doc_id"), "left_semi")
+          .join(nearDrops, Seq("doc_id"), "left_anti")
+          .join(contaminated, Seq("doc_id"), "left_anti")
+        shardShuffle(cleaned, 8, s.sparkContext.defaultParallelism)
+      },
+      Some {
+        val dupSql = Dedup.all("d03_lsh_pairs").oracle.get
+        val duckEval = s"(${duckPct("'eval:' || doc_id")} < 10)"
+        val d32 = graft.functions.Hashing.duck32 _
+        s"""WITH nd AS (SELECT DISTINCT d2 AS doc_id FROM ($dupSql)),
+            ke AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+            tk AS (SELECT doc_id, string_split(text, ' ') AS t, $duckEval AS is_eval FROM documents),
+            gq AS (SELECT doc_id, is_eval, t,
+                     CASE WHEN len(t) >= 2
+                       THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                       ELSE [] END AS g2 FROM tk),
+            q AS (SELECT doc_id FROM (
+                    SELECT doc_id, is_eval,
+                           CAST(10000 - (len(list_distinct(t)) * 10000) // len(t) AS BIGINT) AS dup_tok_bp,
+                           CAST(CASE WHEN len(g2) > 0
+                             THEN 10000 - (len(list_distinct(g2)) * 10000) // len(g2)
+                             ELSE 0 END AS BIGINT) AS dup2_bp,
+                           CAST(list_sum(list_transform(t, x -> (${d32("'w:' || x")} % 2001 - 1000))) AS BIGINT)
+                             // len(t) AS score_bp
+                    FROM gq)
+                  WHERE NOT is_eval AND dup2_bp <= 800 AND dup_tok_bp <= 7000 AND score_bp > 0),
+            grams AS (SELECT doc_id, is_eval, array_to_string(t[i:i+12], ' ') AS g
+                      FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t) - 12)) AS i)
+                      WHERE len(t) >= 13),
+            ev AS (SELECT DISTINCT g FROM grams WHERE is_eval),
+            hits AS (SELECT DISTINCT doc_id FROM grams WHERE NOT is_eval AND g IN (SELECT g FROM ev)),
+            cleaned AS (SELECT doc_id FROM q
+                        WHERE doc_id IN (SELECT doc_id FROM ke)
+                          AND doc_id NOT IN (SELECT doc_id FROM nd)
+                          AND doc_id NOT IN (SELECT doc_id FROM hits))
+            SELECT doc_id, CAST((rn - 1) % 8 AS BIGINT) AS shard, CAST((rn - 1) // 8 AS BIGINT) AS pos
+            FROM (SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) AS rn
+                  FROM (SELECT doc_id, ${d32("'shuf:' || doc_id")} AS k FROM cleaned))"""
       },
       bench = true),
 

@@ -66,7 +66,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     def grams(t: Seq[String]): Set[Seq[String]] =
       if (t.length < 13) Set.empty else t.sliding(13).map(_.toSeq).toSet
     val isEval = docs.keys.map(id =>
-      id -> (graft.functions.Hashing.jvm32(s"split:eval:$id") % 100 < 2)).toMap
+      id -> (graft.functions.Hashing.jvm32(s"split:eval:$id") % 100 < 10)).toMap
     val evalGrams = docs.collect { case (id, t) if isEval(id) => grams(t) }
       .foldLeft(Set.empty[Seq[String]])(_ ++ _)
     val expected = docs.collect { case (id, t) if !isEval(id) =>
