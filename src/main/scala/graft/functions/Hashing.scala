@@ -85,6 +85,24 @@ object Hashing {
     // AggregateExpression, so registration looks like any expression
     reg.createOrReplaceTempFunction("top_k_by_score",
       exprs => TopKByScore(exprs(0), exprs(1), litInt(exprs(2))), "built-in")
+    // Spark's own runtime-filter bloom machinery, exposed as SQL
+    // functions: bloom_agg(col, nItems, nBits) folds xxhash64(col)
+    // into a BloomFilter sketch (mergeable partial aggregate, constant
+    // output size); bloom_might(filter, col) is the codegen'd
+    // membership probe. Both sides hash with the same XxHash64, so
+    // probe semantics match build semantics exactly.
+    reg.createOrReplaceTempFunction("bloom_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs(0))),
+        // the aggregate type-checks for BIGINT literals
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          exprs(1).eval().asInstanceOf[Number].longValue()),
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          exprs(2).eval().asInstanceOf[Number].longValue())), "built-in")
+    reg.createOrReplaceTempFunction("bloom_might",
+      exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs(0),
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs(1)))), "built-in")
   }
 
   private val tlMd5 = ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus-cleaning composition — the job a training-data
@@ -23,6 +24,39 @@ object Pipeline {
     s"${graft.functions.Hashing.h32Sql(s"concat('split:', $idExpr)")} % 100"
   private def duckPct(idExpr: String): String =
     s"(${graft.functions.Hashing.duck32(s"'split:' || $idExpr")} % 100)"
+
+  /** Deterministic eval-split membership (10% of the corpus), shared
+    * by the decontamination formulations (c02/c04) and c03. */
+  private val evalPredSql = s"${pctSql("'eval:' || doc_id")} < 10"
+
+  /** (doc_id, is_eval, g) — every 13-gram of every document, the
+    * decontamination candidate universe shared by c02 and c04. */
+  private def decontGrams(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables(s, d, "documents")
+      .selectExpr("doc_id", s"$evalPredSql as is_eval",
+        s"""case when size($toks) >= 13
+              then transform(sequence(1, size($toks) - 12), i -> array_join(slice($toks, i, 13), ' '))
+              else array() end as gs""")
+      .select(col("doc_id"), col("is_eval"), explode(col("gs")).as("g"))
+
+  /** One oracle for both decontamination formulations — c04's bloom
+    * prefilter is exact after its verify join, so c02 and c04 share
+    * this SQL verbatim. */
+  private val decontOracle: String = {
+    val duckEval = s"(${duckPct("'eval:' || doc_id")} < 10)"
+    s"""WITH toks AS (SELECT doc_id, $duckEval AS is_eval,
+                             string_split(text, ' ') AS t FROM documents),
+        grams AS (SELECT doc_id, is_eval, array_to_string(t[i:i+12], ' ') AS g
+                  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 12)) AS i)
+                  WHERE len(t) >= 13),
+        ev AS (SELECT DISTINCT g FROM grams WHERE is_eval),
+        hits AS (SELECT DISTINCT doc_id FROM grams
+                 WHERE NOT is_eval AND g IN (SELECT g FROM ev))
+        SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE NOT $duckEval"""
+  }
 
   /** Two-phase global prefix sum behind p03. A single-partition window
     * is a non-starter at 100 TB, so this runs the canonical form —
@@ -201,38 +235,71 @@ object Pipeline {
       (s, d) => {
         graft.functions.Hashing.register(s)
         val docs = Tables(s, d, "documents")
-        val evalPred = s"${pctSql("'eval:' || doc_id")} < 10"
-        val grams = docs
-          .selectExpr("doc_id", s"$evalPred as is_eval",
-            s"""case when size($toks) >= 13
-                  then transform(sequence(1, size($toks) - 12), i -> array_join(slice($toks, i, 13), ' '))
-                  else array() end as gs""")
-          .select(col("doc_id"), col("is_eval"), explode(col("gs")).as("g"))
+        val grams = decontGrams(s, d)
         val evalGrams = grams.where("is_eval").select("g").distinct()
         val hits = grams.where("not is_eval")
           .join(broadcast(evalGrams), "g")
           .select("doc_id").distinct()
           .withColumn("contaminated", lit(true))
-        docs.where(s"not ($evalPred)")
+        docs.where(s"not ($evalPredSql)")
           .select("doc_id")
           .join(hits, Seq("doc_id"), "left")
           .selectExpr("doc_id", "coalesce(contaminated, false) as contaminated")
       },
-      Some {
-        val duckEval = s"(${duckPct("'eval:' || doc_id")} < 10)"
-        s"""WITH toks AS (SELECT doc_id, $duckEval AS is_eval,
-                                 string_split(text, ' ') AS t FROM documents),
-            grams AS (SELECT doc_id, is_eval, array_to_string(t[i:i+12], ' ') AS g
-                      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 12)) AS i)
-                      WHERE len(t) >= 13),
-            ev AS (SELECT DISTINCT g FROM grams WHERE is_eval),
-            hits AS (SELECT DISTINCT doc_id FROM grams
-                     WHERE NOT is_eval AND g IN (SELECT g FROM ev))
-            SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
-            FROM documents d LEFT JOIN hits h USING (doc_id)
-            WHERE NOT $duckEval"""
-      },
+      Some(decontOracle),
       bench = true),
+
+    // ── decontamination at benchmark-SUITE scale: same contract and
+    // oracle as c02, different candidate topology. c02's broadcast of
+    // the exact eval-gram set is right while the benchmark suite is
+    // small; when the eval side is itself huge (every public
+    // benchmark plus held-out suites — billions of grams), the
+    // broadcast no longer fits an executor. The scale answer is a
+    // CONSTANT-SIZE bloom prefilter + exact verify: fold the eval
+    // grams into Spark's mergeable BloomFilter sketch (bloom_agg —
+    // a partial-agg'd binary of fixed numBits regardless of gram
+    // count), probe every corpus gram MAP-SIDE with the codegen'd
+    // bloom_might over that literal, and equi-join only the
+    // surviving ≈fpp fraction against the eval grams for exactness —
+    // false positives die in the verify join, so the result equals
+    // c02 bit-for-bit and one oracle covers both formulations
+    // (the j01/j03 and s01/s08 pattern). Corpus text never
+    // broadcasts and never shuffles; the verify join carries only
+    // bloom-surviving grams. ──
+    "c04_decontaminate_bloom" -> Q(
+      (s, d) => {
+        graft.functions.Hashing.register(s)
+        val docs = Tables(s, d, "documents")
+        val grams = decontGrams(s, d)
+        val evalGrams = grams.where("is_eval").select("g").distinct()
+        // One bounded row to the driver (the sketch itself — ~1 MB at
+        // the configured 2^23 bits, independent of eval size), then a
+        // Literal probe: BloomFilterMightContain requires a constant
+        // or scalar-subquery filter side, and a Literal keeps the
+        // probe inside whole-stage codegen.
+        val bloomRow = evalGrams
+          .agg(expr(s"bloom_agg(g, ${1 << 20}, ${8 << 20})").as("bf"))
+          .head()
+        val mightHit: Column =
+          if (bloomRow.isNullAt(0)) lit(false) // no eval grams at all
+          else org.apache.spark.sql.GraftSqlShims.column(
+            org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+              org.apache.spark.sql.catalyst.expressions.Literal(
+                bloomRow.getAs[Array[Byte]](0),
+                org.apache.spark.sql.types.BinaryType),
+              new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+                org.apache.spark.sql.GraftSqlShims.expression(col("g"))))))
+        val hits = grams.where("not is_eval")
+          .where(mightHit)
+          .join(evalGrams, Seq("g"), "left_semi")
+          .select("doc_id").distinct()
+          .withColumn("contaminated", lit(true))
+        docs.where(s"not ($evalPredSql)")
+          .select("doc_id")
+          .join(hits, Seq("doc_id"), "left")
+          .selectExpr("doc_id", "coalesce(contaminated, false) as contaminated")
+      },
+      Some(decontOracle)),
 
     // ── the FLAGSHIP composition: the full training-data job, every
     // stage a tier operator — exact dedup (keep smallest doc_id per

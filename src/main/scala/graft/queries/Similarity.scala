@@ -388,8 +388,98 @@ object Similarity {
                reach AS (SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges)
                          UNION
                          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-               SELECT a AS vec_id, min(b) AS cluster FROM reach GROUP BY a"""))
+               SELECT a AS vec_id, min(b) AS cluster FROM reach GROUP BY a""")),
+
+    // ── one spherical-k-means Lloyd step (k=8, seeds = the first k
+    // vectors): the workhorse of embedding-space corpus curation
+    // (cluster-balanced sampling, SemDeDup prototypes, topic
+    // bucketing). Assignment is MAP-ONLY: the centroids ride along as
+    // a typed literal matrix (the hyperplane-literal pattern), each
+    // row computes its k cosines and takes argmax in-projection — no
+    // crossJoin, no shuffle, nothing per-row but arithmetic. The
+    // update is a (cluster, pos)-keyed partial aggregate: only
+    // k × 64 × partitions partial rows cross the exchange, never the
+    // corpus. argmax = array_position of the max (first index wins =
+    // min-cid tie-break, mirrored by the oracle's ORDER BY ccos DESC,
+    // cid). [[kmeansFit]] iterates this step driver-side; the planted
+    // convergence spec drives it. ──
+    "s11_kmeans_step" -> Q(
+      (s, d) => {
+        Hashing.register(s)
+        val e = Tables(s, d, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("vec_id", "embedding", s"$normE as nrm")
+        kmeansStep(e, kmeansSeed(e, 8))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+               c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e WHERE vec_id < 8),
+               sc AS (SELECT e.vec_id, c.cid, ${duckDot("e.embedding", "c.ce")} / (e.nrm * c.cn) AS ccos
+                      FROM e CROSS JOIN c),
+               asg AS (SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM
+                         (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM sc)
+                       WHERE rn = 1),
+               cnt AS (SELECT cluster, count(*) AS n FROM asg GROUP BY cluster),
+               x AS (SELECT a.cluster, pos, CAST(e.embedding[pos+1] AS DOUBLE) AS val
+                     FROM asg a JOIN e ON e.vec_id = a.vec_id
+                     CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS pos) p)
+               SELECT x.cluster, cnt.n, CAST(pos AS INTEGER) AS pos, ${graft.Det.sqlAvg("val", 8)} AS v
+               FROM x JOIN cnt USING (cluster) GROUP BY x.cluster, cnt.n, pos"""))
   )
+
+  /** Seed centroids for [[kmeansStep]]/[[kmeansFit]]: the embeddings
+    * of the k smallest vec_ids (deterministic; a bounded k-row
+    * collect). */
+  def kmeansSeed(e: DataFrame, k: Int): Seq[Seq[Float]] =
+    e.where(s"vec_id < $k").orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+
+  /** Map-only cluster assignment against a literal centroid matrix:
+    * (vec_id, embedding, cluster). Requires columns vec_id,
+    * embedding, nrm and a registered [[Hashing]] session. */
+  def kmeansAssign(e: DataFrame, cent: Seq[Seq[Float]]): DataFrame = {
+    val cns = cent.map(c => math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x)))
+    e.withColumn("cents", typedLit(cent))
+      .withColumn("cns", typedLit(cns))
+      // [] subscripting is 0-based; array_position is 1-based
+      .withColumn("scores", expr(
+        s"transform(sequence(0, ${cent.size - 1}), j -> dotf(embedding, cents[j]) / (nrm * cns[j]))"))
+      .selectExpr("vec_id", "embedding",
+        "array_position(scores, array_max(scores)) - 1 as cluster")
+  }
+
+  /** One Lloyd step: assign + mean update. Output (cluster, n, pos, v)
+    * — the new centroid matrix, scalar rows for the gate. Empty
+    * clusters drop out (the oracle's GROUP BY does the same). */
+  def kmeansStep(e: DataFrame, cent: Seq[Seq[Float]]): DataFrame = {
+    import graft.Det
+    val asg = kmeansAssign(e, cent)
+    val counts = asg.groupBy("cluster").agg(count(lit(1)).as("n"))
+    asg.selectExpr("cluster", "posexplode(embedding) as (pos, val)")
+      .groupBy("cluster", "pos")
+      .agg(Det.davg(col("val").cast("double"), 8).as("v"))
+      .join(broadcast(counts), "cluster")
+      .select("cluster", "n", "pos", "v")
+  }
+
+  /** Driver-iterated Lloyd loop: k seed centroids from the smallest
+    * vec_ids, `iters` steps, final assignment (vec_id, cluster).
+    * Per iteration only the k×dim centroid matrix crosses the driver
+    * (means re-quantized to float for the literal probe — standard
+    * practice; convergence is asserted by the planted spec). An
+    * emptied cluster keeps its previous centroid. */
+  def kmeansFit(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cent = kmeansSeed(e, k).toArray
+    for (_ <- 1 to iters) {
+      val next = cent.map(_.toArray)
+      kmeansStep(e, cent.toSeq).collect().foreach { r =>
+        next(r.getAs[Long]("cluster").toInt)(r.getAs[Int]("pos")) =
+          r.getAs[Double]("v").toFloat
+      }
+      cent = next.map(_.toSeq: Seq[Float])
+    }
+    kmeansAssign(e, cent.toSeq).select("vec_id", "cluster")
+  }
 
   /** s04's body: LSH-candidate embedding near-dup pairs, cosine ≥
     * 0.45 — shared with the s10 cluster formation. */

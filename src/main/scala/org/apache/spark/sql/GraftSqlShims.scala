@@ -18,6 +18,16 @@ object GraftSqlShims {
   def analyzed(df: Dataset[_]): LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
 
+  /** Column over a raw catalyst Expression (classic-session bridge) —
+    * for expressions with no public builder, e.g. a bloom-filter
+    * membership probe over a Literal sketch. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  /** The catalyst Expression behind a Column. */
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
+
   /** The planner strategies an extensions instance would inject
     * (test hook for the spark.sql.extensions registration path). */
   def plannerStrategies(ext: SparkSessionExtensions,

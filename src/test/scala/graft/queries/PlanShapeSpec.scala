@@ -42,6 +42,23 @@ class PlanShapeSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(agg >= 0, p)
   }
 
+  test("s11 k-means assignment is map-only: no join or window feeds the centroid aggregate") {
+    val p = planOf("s11_kmeans_step")
+    // centroids are a literal matrix — assignment must not join,
+    // window, or exchange the corpus; the only join is the broadcast
+    // of the 8-row counts frame onto the k×64 centroid rows
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial"), p) // (cluster, pos) partial agg below the exchange
+  }
+
+  test("c04 probes the bloom literal map-side; the corpus side is never broadcast") {
+    val p = planOf("c04_decontaminate_bloom")
+    assert(p.contains("might_contain"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("s05 IVF corpus assignment is a partial aggregate, not a window over the 16×N frame") {
     val p = planOf("s05_ivf_topk")
     // the corpus assignment must fold 16 score rows per vector

@@ -31,6 +31,41 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(agg.size === 50) // 10 probes x 5
   }
 
+  test("k-means fit recovers planted clusters and reaches a fixed point") {
+    graft.functions.Hashing.register(spark)
+    import spark.implicits._
+    // 3 planted clusters on near-orthogonal directions; vec_ids 0,1,2
+    // (the seeds) land in distinct clusters by construction
+    val pts = (0 until 60).map { i =>
+      val base = Array.fill(64)(0.0f)
+      base(i % 3) = 1.0f
+      base(10 + (i % 5)) = 0.05f // deterministic jitter
+      (i.toLong, base.toSeq)
+    }
+    val e = pts.toDF("vec_id", "embedding")
+      .selectExpr("vec_id", "embedding", "vnorm(embedding) as nrm")
+    val fit2 = Similarity.kmeansFit(e, 3, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fit3 = Similarity.kmeansFit(e, 3, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fit3 === fit2, "assignments must be a fixed point")
+    (0 until 60).foreach { i =>
+      assert(fit3(i.toLong) === (i % 3).toLong, s"vec $i misassigned")
+    }
+  }
+
+  test("k-means step drops emptied clusters and sizes sum to the corpus") {
+    graft.functions.Hashing.register(spark)
+    val emb = graft.Tables(spark, sf, "embeddings")
+      .selectExpr("vec_id", "embedding", "vnorm(embedding) as nrm")
+    val step = Similarity.kmeansStep(emb, Similarity.kmeansSeed(emb, 8))
+      .collect()
+    val n = graft.Tables(spark, sf, "embeddings").count()
+    val bySize = step.map(r => r.getLong(0) -> r.getLong(1)).distinct
+    assert(bySize.map(_._2).sum === n, "cluster sizes must partition the corpus")
+    assert(step.length === bySize.length * 64, "64 positions per surviving cluster")
+  }
+
   test("s10 semantic clusters: labels are component minima over the s04 pair graph") {
     val pairs = Similarity.all("s04_embed_dup").fn(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
