@@ -378,6 +378,67 @@ object TextOps {
                          CAST(list_sum(list_transform(string_split(text, ' '),
                                 t -> (${Hashing.duck32("'w:' || t")} % 2001 - 1000))) AS BIGINT)
                            // len(string_split(text, ' ')) AS score_bp
-                  FROM documents)"""))
+                  FROM documents)""")),
+
+    // ── corpus-trained bigram language model scoring — the classic
+    // perplexity-proxy quality filter (a KenLM stand-in trained on
+    // the corpus itself): per-bigram add-one-smoothed conditional
+    // probability P(w2|w1) = (c(w1 w2)+1)/(c(w1 ·)+V) in integer
+    // basis points, summed and averaged per document. Repetitive /
+    // templated text scores high, token salad scores low. Integer
+    // arithmetic end to end (counts, ×10000, integer division) so
+    // the cross-engine compare is exact — no transcendental parity
+    // bet. Scale shape: the bigram-instance frame is persisted and
+    // feeds three consumers (the c(w1 w2) counts, the c(w1 ·)
+    // prefix counts, and the instance-score join); counts are
+    // partial-agg'd shuffles on the gram keys; the vocabulary size
+    // rides as a broadcast 1-row frame (t07's scalar pattern); the
+    // final per-doc sum partial-aggregates below its exchange. The
+    // instance→counts joins shuffle (gram, doc_id) pairs — the
+    // standard LM-scoring topology; nothing is broadcast that grows
+    // with the corpus. ──
+    "t13_bigram_lm" -> Q(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val bg = docs
+          .selectExpr("doc_id", s"$toks as t")
+          .where("size(t) >= 2")
+          .selectExpr("doc_id",
+            """explode(transform(sequence(1, size(t) - 1),
+                 i -> struct(element_at(t, i) as w1,
+                             concat(element_at(t, i), ' ', element_at(t, i + 1)) as g))) as b""")
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.g").as("g"))
+          .persist()
+        val c2 = bg.groupBy("g").agg(count(lit(1)).as("n2"))
+        val c1 = bg.groupBy("w1").agg(count(lit(1)).as("n1"))
+        val v = docs.selectExpr(s"explode($toks) as tok")
+          .agg(count_distinct(col("tok")).as("v"))
+        val scored = bg.join(c2, "g").join(c1, "w1").crossJoin(broadcast(v))
+          .selectExpr("doc_id", "((n2 + 1) * 10000) div (n1 + v) as s_bp")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum("s_bp").as("sum_bp"))
+        docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+          .selectExpr("doc_id",
+            "coalesce(n_bigrams, 0L) as n_bigrams",
+            "coalesce(sum_bp, 0L) as sum_bp",
+            "case when n_bigrams > 0 then sum_bp div n_bigrams end as avg_bp")
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              bg AS (SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS g
+                     FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+                     WHERE len(t) >= 2),
+              c2 AS (SELECT g, count(*) AS n2 FROM bg GROUP BY g),
+              c1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY w1),
+              v AS (SELECT count(DISTINCT tok) AS v FROM
+                      (SELECT unnest(t) AS tok FROM tk)),
+              sc AS (SELECT doc_id, ((n2 + 1) * 10000) // (n1 + v) AS s_bp
+                     FROM bg JOIN c2 USING (g) JOIN c1 USING (w1), v),
+              agg AS (SELECT doc_id, count(*) AS n_bigrams, CAST(sum(s_bp) AS BIGINT) AS sum_bp
+                      FROM sc GROUP BY doc_id)
+              SELECT d.doc_id,
+                     COALESCE(a.n_bigrams, 0) AS n_bigrams,
+                     COALESCE(a.sum_bp, 0) AS sum_bp,
+                     CASE WHEN a.n_bigrams > 0 THEN a.sum_bp // a.n_bigrams END AS avg_bp
+              FROM documents d LEFT JOIN agg a USING (doc_id)"""))
   )
 }

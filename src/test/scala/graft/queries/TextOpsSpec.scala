@@ -26,4 +26,25 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     // the verdict must discriminate on real data, not rubber-stamp
     assert(got.values.exists(_._3) && got.values.exists(!_._3))
   }
+
+  test("t13 bigram LM: every doc scored, n_bigrams = n_tokens - 1, scores in range") {
+    val nTokens = TextOps.all("t01_token_stats").fn(spark, sf)
+      .select("doc_id", "n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val lm = TextOps.all("t13_bigram_lm").fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(lm.length === nTokens.size, "one row per document")
+    lm.foreach { case (id, nBg, sum, avg) =>
+      assert(nBg === math.max(nTokens(id) - 1, 0).toLong, s"doc $id bigram count")
+      if (nBg == 0) assert(sum === 0L && avg.isEmpty, s"doc $id empty contract")
+      else {
+        assert(avg.contains(sum / nBg), s"doc $id avg")
+        // add-one smoothing bounds: 0 ≤ P_bp ≤ 10000
+        assert(avg.get >= 0L && avg.get <= 10000L, s"doc $id range")
+      }
+    }
+    // the score must discriminate: not all docs identical
+    assert(lm.flatMap(_._4).distinct.length > 1)
+  }
 }
