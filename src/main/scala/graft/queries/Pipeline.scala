@@ -26,19 +26,24 @@ object Pipeline {
     s"(${graft.functions.Hashing.duck32(s"'split:' || $idExpr")} % 100)"
 
   /** Deterministic eval-split membership (10% of the corpus), shared
-    * by the decontamination formulations (c02/c04) and c03. */
-  private val evalPredSql = s"${pctSql("'eval:' || doc_id")} < 10"
+    * by the decontamination formulations (c02/c04/stream06) and c03. */
+  val evalPredSql: String = s"${pctSql("'eval:' || doc_id")} < 10"
 
   /** (doc_id, is_eval, g) — every 13-gram of every document, the
-    * decontamination candidate universe shared by c02 and c04. */
-  private def decontGrams(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame =
-    Tables(s, d, "documents")
+    * decontamination candidate universe shared by c02, c04 and the
+    * stream06 streaming twin. Works on any (doc_id, text) frame —
+    * batch table or stream (the projection is map-only). */
+  def decontGrams(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
       .selectExpr("doc_id", s"$evalPredSql as is_eval",
         s"""case when size($toks) >= 13
               then transform(sequence(1, size($toks) - 12), i -> array_join(slice($toks, i, 13), ' '))
               else array() end as gs""")
       .select(col("doc_id"), col("is_eval"), explode(col("gs")).as("g"))
+
+  private def decontGrams(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    decontGrams(Tables(s, d, "documents"))
 
   /** One oracle for both decontamination formulations — c04's bloom
     * prefilter is exact after its verify join, so c02 and c04 share
@@ -300,6 +305,50 @@ object Pipeline {
           .selectExpr("doc_id", "coalesce(contaminated, false) as contaminated")
       },
       Some(decontOracle)),
+
+    // ── keep-the-BEST-copy dedup: real pipelines don't keep the
+    // smallest doc_id of a near-dup cluster, they keep the highest
+    // QUALITY member. Composes d08's connected-component clusters
+    // with t12's classifier score: per cluster, argmax score (tie →
+    // min doc_id, the max_by lexicographic-struct pattern);
+    // unclustered docs are kept by definition. Scale shape: the
+    // cluster frame is dup-pairs-sized (≪ corpus), so the argmax is
+    // a partial agg over a small frame; the corpus-wide verdict is a
+    // left join on ids — text never moves. ──
+    "c05_keep_best" -> Q(
+      (s, d) => {
+        graft.functions.Hashing.register(s)
+        val clusters = Dedup.all("d08_dup_clusters").fn(s, d)
+        val score = TextOps.all("t12_classifier_score").fn(s, d)
+          .select("doc_id", "score_bp")
+        val best = clusters.join(score, "doc_id")
+          .groupBy("cluster")
+          .agg(max_by(col("doc_id"), struct(col("score_bp"), negate(col("doc_id")))).as("keep_id"))
+        Tables(s, d, "documents").select("doc_id")
+          .join(score, "doc_id")
+          .join(clusters, Seq("doc_id"), "left")
+          .join(broadcast(best), Seq("cluster"), "left")
+          .selectExpr("doc_id", "cluster", "score_bp",
+            "cluster is null or keep_id = doc_id as kept")
+      },
+      Some {
+        val d08Sql = Dedup.all("d08_dup_clusters").oracle.get
+        val t12Sql = TextOps.all("t12_classifier_score").oracle.get
+        s"""WITH cl AS ($d08Sql),
+            sc AS (SELECT doc_id, score_bp FROM ($t12Sql)),
+            best AS (SELECT cluster, doc_id AS keep_id FROM
+                       (SELECT cl.cluster, cl.doc_id,
+                               row_number() OVER (PARTITION BY cl.cluster
+                                 ORDER BY sc.score_bp DESC, cl.doc_id) AS rn
+                        FROM cl JOIN sc USING (doc_id))
+                     WHERE rn = 1)
+            SELECT d.doc_id, cl.cluster, sc.score_bp,
+                   (cl.cluster IS NULL OR best.keep_id = d.doc_id) AS kept
+            FROM documents d
+            JOIN sc ON sc.doc_id = d.doc_id
+            LEFT JOIN cl ON cl.doc_id = d.doc_id
+            LEFT JOIN best ON best.cluster = cl.cluster"""
+      }),
 
     // ── the FLAGSHIP composition: the full training-data job, every
     // stage a tier operator — exact dedup (keep smallest doc_id per

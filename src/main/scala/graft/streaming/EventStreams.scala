@@ -32,25 +32,53 @@ object EventStreams {
     * source monitors a directory; the testdata ships a single file, so
     * a symlink staging dir adapts it (production feeds are
     * directories already). */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+  /** A testdata table as a bounded file stream: the parquet file is
+    * symlinked into a per-path scratch dir (the file-stream source
+    * wants a directory it can list). */
+  private def tableStream(spark: SparkSession, dir: String,
+      table: String): DataFrame = {
     import java.nio.file.{Files, Paths}
-    val src = Paths.get(s"$dir/events.parquet")
+    val src = Paths.get(s"$dir/$table.parquet")
     val streamDir =
       if (Files.isDirectory(src)) src
       else {
         val d = Paths.get(System.getProperty("java.io.tmpdir"),
           s"graft-stream-${src.toAbsolutePath.toString.hashCode.toHexString}")
         Files.createDirectories(d)
-        val link = d.resolve("events.parquet")
+        val link = d.resolve(s"$table.parquet")
         if (!Files.exists(link)) Files.createSymbolicLink(link, src.toAbsolutePath)
         d
       }
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
-    if (schema("ts").dataType.typeName == "long")
+    val schema = spark.read.parquet(s"$dir/$table.parquet").schema
+    spark.readStream.schema(schema).parquet(streamDir.toString)
+  }
+
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val raw = tableStream(spark, dir, "events")
+    if (raw.schema("ts").dataType.typeName == "long")
       raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else raw.withColumn("ts", col("ts").cast("timestamp"))
   }
+
+  /** The documents table as a bounded stream — the corpus-ingest shape
+    * (documents arrive continuously from a crawler; each micro-batch
+    * is decontaminated / scored on the way in). */
+  def docsStream(spark: SparkSession, dir: String): DataFrame =
+    tableStream(spark, dir, "documents")
+
+  /** Streaming decontamination (stream06): the stream side explodes
+    * each arriving doc's 13-grams MAP-ONLY, the static eval-gram set
+    * is broadcast per micro-batch (stateless stream-static join), and
+    * the per-doc hit count aggregates only MATCHED grams — state is
+    * one row per CONTAMINATED doc, a vanishing fraction of the
+    * corpus. Production appends on an ingest-time watermark; the gate
+    * drains complete for batch parity (stream01's contract). */
+  def decontaminationStream(docGrams: DataFrame,
+      evalGrams: DataFrame): DataFrame =
+    docGrams.where("not is_eval")
+      .join(org.apache.spark.sql.functions.broadcast(evalGrams), "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
 
   /** q15's tumbling counts as an incremental stream: watermarked
     * 1-hour windows, partial aggregation before the stateful exchange.

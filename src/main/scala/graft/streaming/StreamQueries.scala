@@ -81,6 +81,33 @@ object StreamQueries {
       Some("""SELECT e.event_id, e.user_id, e.event_type, c.c_name, c.c_acctbal
               FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""")),
 
+    // streaming decontamination (complete): arriving docs explode
+    // their 13-grams map-only and probe the broadcast eval-gram set;
+    // only contaminated docs hold state. Same gram universe and eval
+    // split as c02 — one semantics, two tiers.
+    "stream06_decontaminate" -> Q(
+      (s, d) => {
+        graft.functions.Hashing.register(s)
+        val evalGrams = graft.queries.Pipeline
+          .decontGrams(graft.Tables(s, d, "documents"))
+          .where("is_eval").select("g").distinct()
+        drain(s,
+          EventStreams.decontaminationStream(
+            graft.queries.Pipeline.decontGrams(EventStreams.docsStream(s, d)),
+            evalGrams),
+          "g_stream06")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id,
+                      (${graft.functions.Hashing.duck32("'split:' || ('eval:' || doc_id)")} % 100 < 10) AS is_eval,
+                      string_split(text, ' ') AS t FROM documents),
+               grams AS (SELECT doc_id, is_eval, array_to_string(t[i:i+12], ' ') AS g
+                         FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 12)) AS i)
+                         WHERE len(t) >= 13),
+               ev AS (SELECT DISTINCT g FROM grams WHERE is_eval)
+               SELECT doc_id, count(*) AS n_hits FROM grams
+               WHERE NOT is_eval AND g IN (SELECT g FROM ev)
+               GROUP BY doc_id""")),
+
     "stream02_session" -> Q(
       (s, d) => drain(s,
         EventStreams.sessionCounts(EventStreams.eventsStream(s, d)), "g_stream02"),

@@ -192,6 +192,54 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got === Set((2L, 12L, 200L), (3L, 13L, 300L)), s"got $got")
   }
 
+  test("streaming decontamination across micro-batches equals the batch verdict") {
+    // complete-mode agg over a stateless stream-static join: batch
+    // boundaries must not matter. Docs arrive in two micro-batches;
+    // the eval-gram set is static. Ids are picked by evaluating the
+    // engine's own eval predicate, so the spec never hardcodes hashes.
+    graft.functions.Hashing.register(spark)
+    import spark.implicits._
+    val ids = (0L until 100L).toDF("doc_id")
+      .selectExpr("doc_id", s"${graft.queries.Pipeline.evalPredSql} as is_eval")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val evalId = ids.collectFirst { case (id, true) => id }.get
+    val Seq(cleanId, dirtyId, dirtyId2) =
+      ids.collect { case (id, false) => id }.toSeq.sorted.take(3)
+    val evalText = (1 to 13).map(i => s"ev$i").mkString(" ")
+    val docs = Seq(
+      (evalId, evalText),
+      (dirtyId, s"prefix $evalText suffix"), // 1 shared 13-gram... and more
+      (dirtyId2, s"$evalText tail1 tail2"),
+      (cleanId, (1 to 20).map(i => s"cl$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-dcmb").toString
+    docs.where(col("doc_id") =!= dirtyId2).coalesce(1)
+      .write.mode("append").parquet(dir)
+    Thread.sleep(1100) // file-source orders batches by mtime
+    docs.where(col("doc_id") === dirtyId2).coalesce(1)
+      .write.mode("append").parquet(dir)
+    val src = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val evalGrams = graft.queries.Pipeline.decontGrams(docs)
+      .where("is_eval").select("g").distinct()
+    val got = runToMemory(
+      EventStreams.decontaminationStream(
+        graft.queries.Pipeline.decontGrams(src), evalGrams),
+      "t_decont_mb", mode = "complete")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch twin over the union — and the verdicts by hand: the eval
+    // doc has exactly ONE 13-gram, so each dirty doc (which embeds
+    // the eval text once) matches exactly once; shifted windows
+    // contain prefix/suffix tokens and match nothing
+    val want = EventStreams.decontaminationStream(
+        graft.queries.Pipeline.decontGrams(docs), evalGrams)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want, "micro-batching changed the verdict")
+    assert(got.keySet === Set(dirtyId, dirtyId2), got)
+    assert(got(dirtyId) === 1L && got(dirtyId2) === 1L, got)
+    assert(!got.contains(cleanId) && !got.contains(evalId))
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     val stream = EventStreams.dedupStream(
       EventStreams.eventsStream(spark, sf).select("event_id", "ts", "user_id"))
