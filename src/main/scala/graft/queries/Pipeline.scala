@@ -304,7 +304,8 @@ object Pipeline {
           .join(hits, Seq("doc_id"), "left")
           .selectExpr("doc_id", "coalesce(contaminated, false) as contaminated")
       },
-      Some(decontOracle)),
+      Some(decontOracle),
+      bench = true),
 
     // ── keep-the-BEST-copy dedup: real pipelines don't keep the
     // smallest doc_id of a near-dup cluster, they keep the highest

@@ -439,6 +439,7 @@ object TextOps {
                      COALESCE(a.n_bigrams, 0) AS n_bigrams,
                      COALESCE(a.sum_bp, 0) AS sum_bp,
                      CASE WHEN a.n_bigrams > 0 THEN a.sum_bp // a.n_bigrams END AS avg_bp
-              FROM documents d LEFT JOIN agg a USING (doc_id)"""))
+              FROM documents d LEFT JOIN agg a USING (doc_id)"""),
+      bench = true)
   )
 }
