@@ -531,6 +531,52 @@ object Dedup {
                          CAST(len(list_intersect(x.hv, y.hv)) AS DOUBLE)
                            / len(list_distinct(x.hv || y.hv)) AS jac
                   FROM cand JOIN hg x ON x.doc_id = d1 JOIN hg y ON y.doc_id = d2)
-               WHERE jac >= 0.6"""))
+               WHERE jac >= 0.6""")),
+
+    // ── duplicated-window fraction (Lee et al. 2022 shape) ──
+    // "Deduplicating Training Data Makes Language Models Better"
+    // flags documents by how much of their text is covered by token
+    // windows that also occur elsewhere in the corpus. Here: the
+    // fraction of a document's distinct 8-token windows (hashed by
+    // the native [[graft.functions.HashedShingles]] kernel — the
+    // rolling-window machinery is the same as shingling, wider n)
+    // that appear in ≥2 documents, in integer basis points.
+    //
+    // Scale shape: explode once (persisted — it feeds two consumers),
+    // one partial-agg'd shuffle keyed by window hash counts cross-doc
+    // occurrences, an equi-join on the same key carries the flag back
+    // (the counted side arrives already hash-partitioned on `wh`, so
+    // only the probe side re-exchanges), and the per-doc fraction is
+    // a second partial agg. No all-pairs join anywhere; a boilerplate
+    // window shared by millions of docs only widens one count row,
+    // and AQE splits the skewed join side.
+    "d10_window_dedup" -> Q(
+      (s, d) => {
+        Hashing.register(s)
+        val wins = Tables(s, d, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .where(s"size($toks) >= 8")
+          .selectExpr("doc_id", s"explode(hashed_shingles($toks, 8)) as wh")
+          .persist()
+        val counts = wins.groupBy("wh").agg(count(lit(1)).as("n_docs"))
+        wins.join(counts, "wh")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_win"),
+            sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup"))
+          .selectExpr("doc_id", "n_win", "n_dup",
+            "(n_dup * 10000) div n_win as dup_bp")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
+                          WHERE len(string_split(text,' ')) >= 8),
+               w AS (SELECT doc_id, list_transform(
+                       list_distinct(list_transform(generate_series(1, len(t)-7),
+                         i -> array_to_string(t[i:i+7], ' '))),
+                       x -> (('0x' || substr(md5(x), 1, 8))::BIGINT) % $P) AS hv FROM t),
+               e AS (SELECT doc_id, unnest(hv) AS wh FROM w),
+               c AS (SELECT wh, count(*) AS n_docs FROM e GROUP BY wh)
+               SELECT doc_id, count(*) AS n_win,
+                      CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+                      CAST((sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT) AS dup_bp
+               FROM e JOIN c USING (wh) GROUP BY doc_id"""))
   )
 }

@@ -438,6 +438,54 @@ object Pipeline {
       },
       bench = true),
 
+    // ── chunk-level dedup with document reassembly (RefinedWeb shape) ──
+    // RefinedWeb/CCNet drop duplicated LINES from otherwise-unique
+    // documents (boilerplate headers, navigation, license blocks)
+    // rather than whole documents. The testdata corpus has no
+    // newlines, so the unit is a fixed 10-token chunk — the delimiter
+    // is a parameter of the shape, not of the algorithm: posexplode
+    // chunks, count distinct documents per chunk, remove chunks seen
+    // in ≥2 documents, and reassemble each document's surviving
+    // chunks in original order (docs losing every chunk drop out).
+    //
+    // Scale shape: the chunk universe shuffles once for the
+    // distinct+count (both partial-agg'd on the same key), the
+    // common-chunk set is a vanishing fraction of the corpus so the
+    // anti-join broadcasts under AQE, and reassembly is one per-doc
+    // partial agg whose collect_list is bounded by document length —
+    // never by corpus size. The corpus text crosses an exchange only
+    // inside the per-doc reassembly agg.
+    "c06_chunk_dedup" -> Q(
+      (s, d) => {
+        val chunks = Tables(s, d, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), posexplode(expr(
+            s"""transform(sequence(0, (size($toks) - 1) div 10),
+                          i -> array_join(slice($toks, i * 10 + 1, 10), ' '))""")))
+          .toDF("doc_id", "pos", "chunk")
+          .persist()
+        val common = chunks.select("doc_id", "chunk").distinct()
+          .groupBy("chunk").agg(count(lit(1)).as("nd")).where("nd >= 2")
+          .select("chunk")
+        chunks.join(common, Seq("chunk"), "left_anti")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            array_join(
+              transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+                x => x.getField("chunk")), " ").as("clean_text"))
+          .select("doc_id", "n_kept", "clean_text")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              ch AS (SELECT doc_id, i AS pos, array_to_string(t[i*10+1:i*10+10], ' ') AS chunk
+                     FROM t, LATERAL (SELECT unnest(generate_series(0, (len(t)-1)//10)) AS i) g),
+              common AS (SELECT chunk
+                         FROM (SELECT chunk, count(DISTINCT doc_id) AS nd FROM ch GROUP BY chunk)
+                         WHERE nd >= 2)
+              SELECT doc_id, count(*) AS n_kept,
+                     string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+              FROM ch WHERE chunk NOT IN (SELECT chunk FROM common)
+              GROUP BY doc_id""")),
+
     "c01_clean_corpus" -> Q(
       (s, d) => {
         // doc_ids to drop: the larger end of every verified dup pair

@@ -264,6 +264,24 @@ object Relational {
                       event_type, count(*) AS n, ${Det.sqlSum("value")} AS val_sum
                FROM events GROUP BY 1, 2""")),
 
+    // ── A5: hopping (overlapping) event-time windows, 1h every 30m ──
+    // Each event lands in exactly windowDuration/slideDuration = 2
+    // windows; Spark's window() expands rows map-side before the
+    // grouping exchange — the same partial-agg-below-exchange shape
+    // as tumbling, with a bounded 2× row expansion.
+    "q26_hopping_window" -> Q(
+      (s, d) => events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("val_sum"))
+        .select(unix_timestamp(col("window.start")).as("win_start"),
+          col("event_type"), col("n"), col("val_sum")),
+      Some(s"""WITH e AS (SELECT event_type, value,
+                      time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) AS b FROM events),
+               w AS (SELECT event_type, value, unnest([b, b - INTERVAL 30 MINUTE]) AS w_start FROM e)
+               SELECT CAST(epoch(w_start) AS BIGINT) AS win_start,
+                      event_type, count(*) AS n, ${Det.sqlSum("value")} AS val_sum
+               FROM w GROUP BY 1, 2""")),
+
     // ── A5: session windows (30-minute gap) per user ──
     "q16_session_window" -> Q(
       (s, d) => events(s, d)

@@ -92,6 +92,20 @@ object EventStreams {
       .select(unix_timestamp(col("window.start")).as("win_start"),
         col("event_type"), col("n"), col("val_sum"))
 
+  /** q26's hopping windows as a stream: overlapping 1-hour windows
+    * every 30 minutes. State per key is bounded by the watermark plus
+    * windowDuration/slideDuration = 2 concurrently-open windows per
+    * (slide, event_type) — the overlap multiplies open-window count,
+    * not per-window state. Output shape matches batch q26 — one
+    * oracle for both tiers. */
+  def hoppingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), graft.Det.dsum(col("value")).as("val_sum"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n"), col("val_sum"))
+
   /** q16's session windows as a stream: built-in session_window with a
     * 30-minute gap; watermark closes sessions and evicts their state.
     * Output shape matches batch q16 — one oracle for both tiers. */

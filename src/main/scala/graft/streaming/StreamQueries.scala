@@ -108,6 +108,18 @@ object StreamQueries {
                WHERE NOT is_eval AND g IN (SELECT g FROM ev)
                GROUP BY doc_id""")),
 
+    // hopping windows (complete): q26's overlapping 1h/30m windows as
+    // an incremental stream — same oracle as the batch twin
+    "stream07_hopping" -> Q(
+      (s, d) => drain(s,
+        EventStreams.hoppingCounts(EventStreams.eventsStream(s, d)), "g_stream07"),
+      Some(s"""WITH e AS (SELECT event_type, value,
+                      time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) AS b FROM events),
+               w AS (SELECT event_type, value, unnest([b, b - INTERVAL 30 MINUTE]) AS w_start FROM e)
+               SELECT CAST(epoch(w_start) AS BIGINT) AS win_start,
+                      event_type, count(*) AS n, ${graft.Det.sqlSum("value")} AS val_sum
+               FROM w GROUP BY 1, 2""")),
+
     "stream02_session" -> Q(
       (s, d) => drain(s,
         EventStreams.sessionCounts(EventStreams.eventsStream(s, d)), "g_stream02"),

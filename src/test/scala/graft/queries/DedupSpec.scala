@@ -133,6 +133,29 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(strongJac.subsetOf(contPairs))
   }
 
+  test("d10 dup-window fraction equals the serial sliding-window recompute") {
+    val sf01 = "/root/testdata/sf0.01" // sf0.001 has no cross-doc window dups
+    val out = Dedup.all("d10_window_dedup").fn(spark, sf01).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_win"), r.getAs[Long]("n_dup"), r.getAs[Long]("dup_bp"))).toMap
+    // serial model: distinct 8-token windows per doc; a window is
+    // duplicated iff it occurs in >= 2 documents
+    val wins = graft.Tables(spark, sf01, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(' ').toSeq))
+      .collect { case (id, t) if t.length >= 8 =>
+        id -> t.sliding(8).map(_.mkString(" ")).toSet }
+    val docsPerWin = wins.flatMap { case (id, ws) => ws.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    val expected = wins.map { case (id, ws) =>
+      val nDup = ws.count(w => docsPerWin(w) >= 2).toLong
+      id -> (ws.size.toLong, nDup, nDup * 10000 / ws.size)
+    }.toMap
+    assert(out === expected)
+    assert(expected.values.exists(_._2 > 0), "no duplicated windows in testdata")
+    assert(expected.values.exists(_._2 == 0), "no clean docs in testdata")
+  }
+
   test("simhash of identical token multisets is identical") {
     val df = Dedup.all("d04_simhash").fn(spark, sf)
     // deterministic: same input -> same simhash on repeated run

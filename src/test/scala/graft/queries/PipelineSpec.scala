@@ -77,6 +77,34 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(got.nonEmpty && evalGrams.nonEmpty)
   }
 
+  test("c06 chunk dedup equals the serial chunk-remove-reassemble recompute") {
+    val sf01 = "/root/testdata/sf0.01" // sf0.001 has no cross-doc chunk dups
+    val docs = graft.Tables(spark, sf01, "documents").selectExpr("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // serial model: 10-token chunks in order, drop chunks present in
+    // >= 2 distinct docs, reassemble; docs losing every chunk drop out
+    val chunksOf = docs.map { case (id, text) =>
+      id -> text.split(' ').grouped(10).map(_.mkString(" ")).toVector }.toMap
+    val docsPerChunk = chunksOf.toSeq
+      .flatMap { case (id, cs) => cs.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    val expected = chunksOf.flatMap { case (id, cs) =>
+      val kept = cs.filter(c => docsPerChunk(c) < 2)
+      if (kept.isEmpty) None
+      else Some(id -> (kept.length.toLong, kept.mkString(" ")))
+    }
+    val out = Pipeline.all("c06_chunk_dedup").fn(spark, sf01).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_kept"), r.getAs[String]("clean_text"))).toMap
+    assert(out === expected)
+    // the fixture exercises all three behaviors
+    assert(expected.size < docs.length, "no doc was fully removed")
+    val untouched = expected.count { case (id, (n, t)) => t == docs.toMap.apply(id) }
+    assert(untouched > 0, "no doc survived verbatim")
+    assert(expected.exists { case (id, (n, _)) => n < chunksOf(id).length },
+      "no doc was partially trimmed")
+  }
+
   test("p03 seq_id equals the serial concat-then-chunk assignment") {
     val rows = Pipeline.seqPack(spark, sf, 5)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))

@@ -148,6 +148,20 @@ class PlanShapeSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(exchanges.nonEmpty && !exchanges.exists(_.split("\n").head.contains("text")), p)
   }
 
+  test("d10 dup-window count is a keyed equi-join over partial aggregates, no window, no cartesian") {
+    val p = planOf("d10_window_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window["), p) // fractions fold in aggregates, never a sort
+    assert(p.contains("partial"), p)  // both counts combine map-side
+  }
+
+  test("c06 chunk dedup anti-joins on the chunk key, never broadcasting the corpus side") {
+    val p = planOf("c06_chunk_dedup")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial"), p)  // distinct+count and reassembly aggs combine map-side
+  }
+
   test("j01 as-of join is a single exchange + window, no join operator") {
     val p = planOf("j01_asof_join")
     assert(p.contains("Window"), p)

@@ -37,6 +37,22 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got === want)
   }
 
+  test("hopping window stream equals the batch aggregation") {
+    val stream = EventStreams.hoppingCounts(EventStreams.eventsStream(spark, sf))
+    val got = runToMemory(stream, "t_hopping", mode = "complete")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    val want = graft.queries.Relational.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    assert(got === want)
+    // overlap factor: total per-window memberships = 2 × event count
+    val events = graft.queries.Relational.events(spark, sf).count()
+    assert(want.map(_._3).sum === 2 * events)
+  }
+
   test("session window stream equals the batch sessionization") {
     val stream = EventStreams.sessionCounts(EventStreams.eventsStream(spark, sf))
     val got = runToMemory(stream, "t_sessions", mode = "complete")
