@@ -423,7 +423,66 @@ object Similarity {
                      FROM asg a JOIN e ON e.vec_id = a.vec_id
                      CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS pos) p)
                SELECT x.cluster, cnt.n, CAST(pos AS INTEGER) AS pos, ${graft.Det.sqlAvg("val", 8)} AS v
-               FROM x JOIN cnt USING (cluster) GROUP BY x.cluster, cnt.n, pos"""))
+               FROM x JOIN cnt USING (cluster) GROUP BY x.cluster, cnt.n, pos""")),
+
+    // ── product-quantization ANN (PQ/ADC, the Jégou et al. 2011 memory
+    // path): 8 subspaces × 8 dims, 16 codewords each — a vector
+    // compresses 256 bytes → 8 code bytes, which is what lets a
+    // 1 B-vector index live in executor memory at all. Codebooks here
+    // are the subvectors of the 16 smallest vec_ids (deterministic;
+    // [[kmeansFit]] trains real per-subspace codebooks through the
+    // same literal seam). Encoding is MAP-ONLY against the literal
+    // codebook (the s11 pattern — argmin by array_position, first
+    // index = min-j ties). ADC scoring is the PQ trick: each probe
+    // precomputes its 8×16 subspace-distance table map-only, and the
+    // candidate scan is a table LOOKUP-fold over the 8 code bytes —
+    // broadcast-NLJ over the probe set like s01, but scanning codes,
+    // not raw vectors. The fold runs in subspace order, so the double
+    // sum is bit-identical to the oracle's ordered list_sum. Top-3 is
+    // the bounded-heap aggregate (k rows per probe cross the
+    // exchange). ──
+    "s12_pq_adc" -> Q(
+      (s, d) => {
+        Hashing.register(s)
+        val e = Tables(s, d, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("vec_id"), col("embedding"))
+        val cb = pqCodebook(e)
+        val codes = pqEncode(e, cb).select(col("vec_id").as("cand_id"), col("codes"))
+        val probes = e.where("vec_id < 10")
+          .withColumn("cb", typedLit(cb))
+          .withColumn("ptab", expr(s"transform(sequence(0, 7), sp -> $pqSubDists)"))
+          .select(col("vec_id").as("probe_id"), col("ptab"))
+        val scored = codes.crossJoin(broadcast(probes))
+          .where("cand_id != probe_id")
+          .selectExpr("probe_id", "cand_id",
+            "aggregate(sequence(0, 7), cast(0 as double), (acc, sp) -> acc + ptab[sp][codes[sp]]) as adist")
+        heapTopk(scored.withColumn("cosine", negate(col("adist"))), 3)
+          .selectExpr("probe_id", "cand_id", "rnk", "-cosine as adist")
+      },
+      Some {
+        val dd2 = (a: String, b: String) =>
+          s"(${duckDot(a, a)} - 2 * ${duckDot(a, b)} + ${duckDot(b, b)})"
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+            sub AS (SELECT vec_id, s, embedding[s*8+1:s*8+8] AS sv
+                    FROM e, LATERAL (SELECT unnest(generate_series(0, 7)) AS s) g),
+            cb AS (SELECT s, vec_id AS j, sv AS cv FROM sub WHERE vec_id < 16),
+            codes AS (SELECT vec_id AS cand_id, s, j AS code FROM (
+                        SELECT sub.vec_id, sub.s, cb.j,
+                               row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                                 ORDER BY ${dd2("sub.sv", "cb.cv")}, cb.j) AS rn
+                        FROM sub JOIN cb ON cb.s = sub.s) WHERE rn = 1),
+            ad AS (SELECT p.vec_id AS probe_id, co.cand_id,
+                          list_sum(list(${dd2("p.sv", "cb.cv")} ORDER BY p.s)) AS adist
+                   FROM sub p
+                   JOIN codes co ON co.s = p.s
+                   JOIN cb ON cb.s = co.s AND cb.j = co.code
+                   WHERE p.vec_id < 10 AND co.cand_id != p.vec_id
+                   GROUP BY 1, 2)
+            SELECT probe_id, cand_id, rnk, adist FROM
+              (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY adist, cand_id) AS INTEGER) AS rnk FROM ad)
+            WHERE rnk <= 3"""
+      })
   )
 
   /** Seed centroids for [[kmeansStep]]/[[kmeansFit]]: the embeddings
@@ -480,6 +539,36 @@ object Similarity {
     }
     kmeansAssign(e, cent.toSeq).select("vec_id", "cluster")
   }
+
+  /** ||a−b||² decomposed over the native dot kernel; a = b gives
+    * exactly 0.0 (x − 2x + x in IEEE doubles), so a seed vector
+    * self-encodes to its own codeword. */
+  private def pqD2(a: String, b: String) =
+    s"(dotf($a, $a) - 2 * dotf($a, $b) + dotf($b, $b))"
+
+  /** Distances from the current row's subspace-`sp` slice to all 16
+    * codewords of the literal codebook column `cb`. */
+  private val pqSubDists =
+    s"""transform(sequence(0, 15), j -> ${pqD2("slice(embedding, sp*8+1, 8)", "cb[sp][j]")})"""
+
+  /** PQ codebook: per subspace, the 8-dim subvectors of the 16
+    * smallest vec_ids (deterministic, bounded collect — the seam
+    * [[kmeansFit]] trains through in production). cb(s)(j) is
+    * subspace s's codeword j. */
+  private[graft] def pqCodebook(e: DataFrame): Seq[Seq[Seq[Float]]] = {
+    val seeds = e.where("vec_id < 16").orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toIndexedSeq)
+    (0 until 8).map(sub => seeds.map(v => v.slice(sub * 8, sub * 8 + 8): Seq[Float]).toSeq)
+  }
+
+  /** MAP-ONLY PQ encoding against the literal codebook: (vec_id,
+    * codes) with codes(s) ∈ [0, 16) — argmin by array_position, first
+    * index = min-j tie-break. */
+  private[graft] def pqEncode(e: DataFrame, cb: Seq[Seq[Seq[Float]]]): DataFrame =
+    e.withColumn("cb", typedLit(cb))
+      .withColumn("codes", expr(
+        s"transform(sequence(0, 7), sp -> array_position($pqSubDists, array_min($pqSubDists)) - 1)"))
+      .select("vec_id", "codes")
 
   /** s04's body: LSH-candidate embedding near-dup pairs, cosine ≥
     * 0.45 — shared with the s10 cluster formation. */

@@ -148,6 +148,14 @@ class PlanShapeSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(exchanges.nonEmpty && !exchanges.exists(_.split("\n").head.contains("text")), p)
   }
 
+  test("s12 PQ: map-only encode, broadcast-NLJ code scan, heap top-k — no sort-merge, no window") {
+    val p = planOf("s12_pq_adc")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window["), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // the 10-probe ADC scan, s01's shape
+    assert(p.toLowerCase.contains("partial_top_k_by_score"), p)
+  }
+
   test("d10 dup-window count is a keyed equi-join over partial aggregates, no window, no cartesian") {
     val p = planOf("d10_window_dedup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

