@@ -486,6 +486,39 @@ object Pipeline {
               FROM ch WHERE chunk NOT IN (SELECT chunk FROM common)
               GROUP BY doc_id""")),
 
+    // ── quality-weighted resampling: keep each document with
+    // probability proportional to its quality score (the DoReMi /
+    // importance-resampling shape — up-weight good data WITHOUT a
+    // hard cutoff). Acceptance is the deterministic doc-id hash
+    // against the score itself: u(doc_id) ∈ [0,10000) < quality_bp,
+    // so expected acceptance = quality_bp/10000 exactly, every engine
+    // and every rerun agrees on the kept set, and the plan is one
+    // map-only codegen'd projection+filter — no RNG, no shuffle,
+    // linear at 100 TB. ──
+    "p06_quality_resample" -> Q(
+      (s, d) => {
+        graft.functions.Hashing.register(s)
+        Tables(s, d, "documents")
+          .selectExpr("doc_id",
+            s"(size(array_distinct($toks)) * 10000) div size($toks) as uniq_bp",
+            s"size($toks) as n_tokens")
+          .selectExpr("doc_id", "n_tokens",
+            "(uniq_bp + (case when n_tokens >= 15 then 10000 else 0 end)) div 2 as quality_bp")
+          .selectExpr("doc_id", "n_tokens", "quality_bp",
+            s"${graft.functions.Hashing.h32Sql("concat('resample:', doc_id)")} % 10000 as u")
+          .where("u < quality_bp")
+          .select("doc_id", "n_tokens", "quality_bp")
+      },
+      Some(s"""WITH q AS (
+                 SELECT doc_id, len(string_split(text,' ')) AS n_tokens,
+                        ((len(list_distinct(string_split(text,' '))) * 10000)
+                           // len(string_split(text,' '))
+                         + (CASE WHEN len(string_split(text,' ')) >= 15 THEN 10000 ELSE 0 END)) // 2
+                          AS quality_bp
+                 FROM documents)
+               SELECT doc_id, n_tokens, quality_bp FROM q
+               WHERE (${graft.functions.Hashing.duck32("'resample:' || doc_id")} % 10000) < quality_bp""")),
+
     "c01_clean_corpus" -> Q(
       (s, d) => {
         // doc_ids to drop: the larger end of every verified dup pair

@@ -37,6 +37,25 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       assert(bySource(s"src$k") === 25, s"limiting-weight src$k not taken whole")
   }
 
+  test("p06 quality resample: acceptance is the hash-vs-score rule, rate tracks quality") {
+    // Serial recompute of the acceptance set: u(doc_id) < quality_bp.
+    val docs = graft.Tables(spark, sf, "documents")
+      .selectExpr("doc_id", "split(text, ' ') as t").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val expected = docs.collect { case (id, t) =>
+      val uniq = t.distinct.length.toLong * 10000 / t.length
+      val q = (uniq + (if (t.length >= 15) 10000L else 0L)) / 2
+      val u = graft.functions.Hashing.jvm32(s"resample:$id") % 10000
+      (id, q, u)
+    }.filter { case (_, q, u) => u < q }.map(_._1).toSet
+    val got = Pipeline.all("p06_quality_resample").fn(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+    // probabilistic sanity: the kept fraction sits near mean quality
+    assert(got.nonEmpty && got.size < docs.size,
+      "resampling must neither keep everything nor drop everything")
+  }
+
   test("p05 shard shuffle: round-robin balance, contiguous positions, key-ordered") {
     val rows = Pipeline.all("p05_shard_shuffle").fn(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
