@@ -103,6 +103,11 @@ object Hashing {
       exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         exprs(0),
         new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs(1)))), "built-in")
+    // literal string-array second arg, resolved once at plan time
+    reg.createOrReplaceTempFunction("text_features",
+      exprs => TextFeatures(exprs(0),
+        exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toArray[UTF8String](StringType).map(_.toString).toSeq), "built-in")
   }
 
   private val tlMd5 = ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))

@@ -52,12 +52,16 @@ object TextOps {
   val all: Map[String, Q] = Map(
     // ── token counting ──
     "t01_token_stats" -> Q(
-      (s, d) => Tables(s, d, "documents").selectExpr(
-        "doc_id",
-        "length(text) as n_chars",
-        s"size($toks) as n_tokens",
-        s"size(array_distinct($toks)) as n_uniq",
-        s"(aggregate(transform($toks, t -> length(t)), 0, (a, x) -> a + x) * 10000) div size($toks) as avg_tok_len_bp"),
+      (s, d) => {
+        Hashing.register(s)
+        Tables(s, d, "documents")
+          .selectExpr("doc_id", s"text_features(text, ${arr(enStops)}) as f")
+          .selectExpr("doc_id",
+            "f.n_chars as n_chars",
+            "f.n_tokens as n_tokens",
+            "f.n_uniq as n_uniq",
+            "(f.sum_tok_len * 10000) div f.n_tokens as avg_tok_len_bp")
+      },
       Some("""SELECT doc_id, length(text) AS n_chars,
                      len(string_split(text,' ')) AS n_tokens,
                      len(list_distinct(string_split(text,' '))) AS n_uniq,
@@ -92,16 +96,20 @@ object TextOps {
 
     // ── quality scoring: stopword ratio, uniqueness, length band ──
     "t02_quality" -> Q(
-      (s, d) => Tables(s, d, "documents")
-        .selectExpr(
-          "doc_id",
-          s"(size(filter($toks, t -> array_contains(${arr(enStops)}, t))) * 10000) div size($toks) as stop_bp",
-          s"(size(array_distinct($toks)) * 10000) div size($toks) as uniq_bp",
-          s"case when size($toks) < 15 then 1 else 0 end as too_short")
-        // quality = mean of three integer signals: uniqueness, capped
-        // stopword presence, and a not-too-short bonus.
-        .selectExpr("doc_id", "stop_bp", "uniq_bp", "too_short",
-          "(uniq_bp + least(stop_bp * 4, 10000) + (1 - too_short) * 10000) div 3 as quality_bp"),
+      (s, d) => {
+        Hashing.register(s)
+        Tables(s, d, "documents")
+          .selectExpr("doc_id", s"text_features(text, ${arr(enStops)}) as f")
+          .selectExpr(
+            "doc_id",
+            "(f.n_stop * 10000) div f.n_tokens as stop_bp",
+            "(f.n_uniq * 10000) div f.n_tokens as uniq_bp",
+            "case when f.n_tokens < 15 then 1 else 0 end as too_short")
+          // quality = mean of three integer signals: uniqueness, capped
+          // stopword presence, and a not-too-short bonus.
+          .selectExpr("doc_id", "stop_bp", "uniq_bp", "too_short",
+            "(uniq_bp + least(stop_bp * 4, 10000) + (1 - too_short) * 10000) div 3 as quality_bp")
+      },
       Some(s"""WITH q AS (
                  SELECT doc_id,
                    (len(list_filter(string_split(text,' '), t -> list_contains(${duckArr(enStops)}, t))) * 10000)
@@ -326,19 +334,18 @@ object TextOps {
     // bigram array is built by zipping the token array with its own
     // tail, never exploded. Integer basis points, exact cross-engine. ──
     "t11_repetition" -> Q(
-      (s, d) => Tables(s, d, "documents")
-        .selectExpr("doc_id", s"$toks as t")
-        .selectExpr("doc_id", "t",
-          """case when size(t) >= 2
-               then transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))
-               else array() end as g2""")
-        .selectExpr("doc_id",
-          "10000 - (size(array_distinct(t)) * 10000) div size(t) as dup_tok_bp",
-          """case when size(g2) > 0
-               then 10000 - (size(array_distinct(g2)) * 10000) div size(g2)
-               else 0L end as dup2_bp""")
-        .selectExpr("doc_id", "dup_tok_bp", "dup2_bp",
-          "dup2_bp <= 800 and dup_tok_bp <= 7000 as keep"),
+      (s, d) => {
+        Hashing.register(s)
+        Tables(s, d, "documents")
+          .selectExpr("doc_id", s"text_features(text, ${arr(enStops)}) as f")
+          .selectExpr("doc_id",
+            "10000 - (f.n_uniq * 10000) div f.n_tokens as dup_tok_bp",
+            """case when f.n_bigrams > 0
+                 then 10000 - (f.n_uniq_bigrams * 10000) div f.n_bigrams
+                 else 0L end as dup2_bp""")
+          .selectExpr("doc_id", "dup_tok_bp", "dup2_bp",
+            "dup2_bp <= 800 and dup_tok_bp <= 7000 as keep")
+      },
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
               g AS (SELECT doc_id, t,
                       CASE WHEN len(t) >= 2
@@ -440,6 +447,52 @@ object TextOps {
                      COALESCE(a.sum_bp, 0) AS sum_bp,
                      CASE WHEN a.n_bigrams > 0 THEN a.sum_bp // a.n_bigrams END AS avg_bp
               FROM documents d LEFT JOIN agg a USING (doc_id)"""),
-      bench = true)
+      bench = true),
+
+    // ── Gopher-style composite quality filter (Rae et al. 2021 §A1.1
+    // shape): five named heuristic rules evaluated map-only per
+    // document, a fail bitmask recording WHICH rules rejected it, and
+    // keep = no rule fired. All signals are integer basis points so
+    // the cross-engine compare is exact; the whole thing is one
+    // narrow codegen'd projection — no shuffle, linear at 100 TB.
+    // Rule bits: 1 token-count band, 2 mean-word-length band,
+    // 4 symbol-char ratio, 8 stopword presence, 16 duplicate-token
+    // fraction (the t11 signal at filter strength). ──
+    "t14_gopher_filter" -> Q(
+      (s, d) => {
+        Hashing.register(s)
+        Tables(s, d, "documents")
+          .selectExpr("doc_id", s"text_features(text, ${arr(enStops)}) as f")
+          .selectExpr("doc_id",
+            "f.n_tokens as n_tokens",
+            "(f.sum_tok_len * 10000) div f.n_tokens as mwl_bp",
+            "(f.n_sym * 10000) div f.n_chars as sym_bp",
+            "f.n_stop_uniq as stop_hits",
+            "10000 - (f.n_uniq * 10000) div f.n_tokens as dup_tok_bp")
+          .selectExpr("doc_id", "n_tokens", "mwl_bp", "sym_bp", "stop_hits", "dup_tok_bp",
+          """(case when n_tokens between 20 and 80 then 0 else 1 end)
+           + (case when mwl_bp between 40000 and 52000 then 0 else 2 end)
+           + (case when sym_bp <= 1000 then 0 else 4 end)
+           + (case when stop_hits >= 2 then 0 else 8 end)
+           + (case when dup_tok_bp <= 6000 then 0 else 16 end) as fail_mask""")
+          .selectExpr("*", "fail_mask = 0 as keep")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+               m AS (SELECT doc_id,
+                       len(t) AS n_tokens,
+                       CAST((list_sum(list_transform(t, x -> len(x))) * 10000) // len(t) AS BIGINT) AS mwl_bp,
+                       CAST((len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 10000) // len(text) AS BIGINT) AS sym_bp,
+                       len(list_filter(list_distinct(t), x -> list_contains(${duckArr(enStops)}, x))) AS stop_hits,
+                       CAST(10000 - (len(list_distinct(t)) * 10000) // len(t) AS BIGINT) AS dup_tok_bp
+                     FROM t),
+               f AS (SELECT *,
+                       (CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 0 ELSE 1 END)
+                     + (CASE WHEN mwl_bp BETWEEN 40000 AND 52000 THEN 0 ELSE 2 END)
+                     + (CASE WHEN sym_bp <= 1000 THEN 0 ELSE 4 END)
+                     + (CASE WHEN stop_hits >= 2 THEN 0 ELSE 8 END)
+                     + (CASE WHEN dup_tok_bp <= 6000 THEN 0 ELSE 16 END) AS fail_mask
+                     FROM m)
+               SELECT doc_id, n_tokens, mwl_bp, sym_bp, stop_hits, dup_tok_bp,
+                      fail_mask, fail_mask = 0 AS keep FROM f"""))
   )
 }

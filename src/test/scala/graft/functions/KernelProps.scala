@@ -60,6 +60,26 @@ object KernelProps extends Properties("graft.kernels") {
       java.util.Arrays.equals(wkb, back)
     }
 
+  property("textFeatures == naive split-and-count (code points, empty tokens kept)") =
+    Prop.forAll(genText) { s =>
+      val stops = new java.util.HashSet[String]()
+      Seq("a", "xyz", "", "語").foreach(stops.add)
+      val r = TextFeatures.compute(UTF8String.fromString(s), stops)
+      val toks = s.split(" ", -1).toSeq // split(text,' ') parity incl. "" -> [""]
+      def cps(x: String) = x.codePointCount(0, x.length)
+      val bigrams = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      r.getInt(0) == cps(s) &&
+        r.getInt(1) == toks.length &&
+        r.getInt(2) == toks.distinct.length &&
+        r.getLong(3) == toks.map(cps(_).toLong).sum &&
+        r.getInt(4) == s.codePoints().toArray.count(cp =>
+          !(cp >= 'a' && cp <= 'z') && !(cp >= '0' && cp <= '9') && cp != ' ') &&
+        r.getLong(5) == toks.count(stops.contains).toLong &&
+        r.getInt(6) == toks.distinct.count(stops.contains) &&
+        r.getInt(7) == toks.length - 1 &&
+        r.getInt(8) == bigrams.distinct.length
+    }
+
   property("vector kernels: dotF and vnorm equal sequential folds") =
     Prop.forAll(Gen.listOfN(16, Gen.chooseNum(-100.0f, 100.0f))) { fs =>
       val a = new GenericArrayData(fs.toArray)

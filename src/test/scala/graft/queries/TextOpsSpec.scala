@@ -47,4 +47,31 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     // the score must discriminate: not all docs identical
     assert(lm.flatMap(_._4).distinct.length > 1)
   }
+
+  test("t14 gopher filter: fail_mask equals the serial rules; verdict splits the corpus") {
+    import org.apache.spark.sql.functions._
+    val stops = Set("the", "a", "of", "and", "to", "in")
+    val docs = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = docs.map { case (id, text) =>
+      val t = text.split(" ", -1).toSeq
+      val mwl = t.map(_.length.toLong).sum * 10000 / t.length
+      val sym = text.count(c => !(c.isLower || c.isDigit || c == ' ')).toLong * 10000 / text.length
+      val stopHits = t.distinct.count(stops)
+      val dupTok = 10000 - t.distinct.length.toLong * 10000 / t.length
+      val mask = (if (t.length >= 20 && t.length <= 80) 0 else 1) +
+        (if (mwl >= 40000 && mwl <= 52000) 0 else 2) +
+        (if (sym <= 1000) 0 else 4) +
+        (if (stopHits >= 2) 0 else 8) +
+        (if (dupTok <= 6000) 0 else 16)
+      id -> ((mask.toLong, mask == 0))
+    }
+    val got = TextOps.all("t14_gopher_filter").fn(spark, sf)
+      .select("doc_id", "fail_mask", "keep").collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Number](1).longValue, r.getBoolean(2)))).toMap
+    assert(got === expected)
+    assert(got.values.exists(_._2) && got.values.exists(!_._2),
+      "the filter must discriminate on real data, not rubber-stamp")
+  }
 }
