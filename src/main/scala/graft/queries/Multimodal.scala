@@ -169,7 +169,29 @@ object Multimodal {
                       array_to_string(list_transform(generate_series(0, 3),
                         b -> CAST(len(list_filter(generate_series(5, length(p)),
                           i -> ascii(substr(p, CAST(i AS INTEGER), 1)) // 64 = b)) AS VARCHAR)), ',') AS hist4
-               FROM pp"""))
+               FROM pp""")),
+
+    // ── cross-media duplicate-frame detection: which sampled frames
+    // appear in ≥2 media objects (repeated clips / stock footage /
+    // shared intros — the video-corpus dedup primitive). Rides m02's
+    // fixed-stride frame sample verbatim (one formulation, one
+    // truth), then ONE partial-agg'd shuffle keyed on the 16-byte
+    // frame hash; the distinct-doc count is Spark's standard two-
+    // phase distinct aggregate, and the payload bytes themselves
+    // never cross an exchange — only (frame_md5, doc_id) pairs do.
+    // At 100 TB this is the frame-level analogue of d01. ──
+    "m06_frame_dedup" -> Q(
+      (s, d) => all("m02_frame_sample").fn(s, d)
+        .groupBy("frame_md5")
+        .agg(countDistinct("doc_id").as("n_docs"), min("doc_id").as("first_doc"))
+        .where("n_docs >= 2"),
+      Some(s"""WITH b AS ($duckBlobs),
+               f AS (SELECT doc_id, payload,
+                            unnest(generate_series(0, (length(payload) - 1) // 48)) AS frame_ix
+                     FROM b),
+               fr AS (SELECT doc_id, md5(substr(payload, 1 + frame_ix * 48, 16)) AS frame_md5 FROM f)
+               SELECT frame_md5, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+               FROM fr GROUP BY frame_md5 HAVING count(DISTINCT doc_id) >= 2"""))
   )
 
   /** The retired four-pass SQL-lambda formulation of m05 — NOT the

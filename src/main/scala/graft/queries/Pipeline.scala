@@ -75,6 +75,15 @@ object Pipeline {
     * size shrinks as executors are added, and [[PipelineSpec]] asserts
     * width-invariance of the output. */
   def seqPack(s: org.apache.spark.sql.SparkSession, d: String,
+      width: Int): org.apache.spark.sql.DataFrame =
+    packCum(s, d, width).selectExpr("doc_id", "n", "(cum - n) div 256 as seq_id")
+
+  /** (doc_id, n, cum): each document's token count and the EXCLUSIVE
+    * global prefix sum's end (cum = tokens up to and including this
+    * doc, in doc_id order) — the two-phase prefix sum shared by p03
+    * and p07. Range-partitioned at `width`; one row per partition
+    * crosses the driver. */
+  private[queries] def packCum(s: org.apache.spark.sql.SparkSession, d: String,
       width: Int): org.apache.spark.sql.DataFrame = {
     val parts = Tables(s, d, "documents")
       .selectExpr("doc_id", s"size($toks) as n")
@@ -92,7 +101,7 @@ object Pipeline {
       .withColumn("cum", col("off") + sum("n").over(
         org.apache.spark.sql.expressions.Window.partitionBy("pid")
           .orderBy("doc_id").rowsBetween(Long.MinValue, 0)))
-      .selectExpr("doc_id", "n", "(cum - n) div 256 as seq_id")
+      .select("doc_id", "n", "cum")
   }
 
   /** Deterministic global shuffle + round-robin sharding of an id
@@ -160,6 +169,34 @@ object Pipeline {
                 (SELECT doc_id, n,
                         CAST(sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
                  FROM (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents))""")),
+
+    // ── packed-sequence boundary map: for every 256-token training
+    // sequence, the ordered (doc_id, seg_start, seg_len) segments
+    // that fill it — the attention-mask/loss-boundary metadata a
+    // packer must emit alongside p03's assignment (a doc spanning a
+    // chunk boundary contributes a segment to EACH sequence it
+    // crosses). Same two-phase prefix sum as p03 (no single-partition
+    // window), then a map-only explode over the seq range each doc
+    // covers — a doc adds ceil(n/256)+1 rows at most, so the fan-out
+    // is bounded by total tokens / 256, linear at 100 TB. ──
+    "p07_pack_segments" -> Q(
+      (s, d) => packCum(s, d, s.sparkContext.defaultParallelism)
+        .selectExpr("doc_id", "cum - n as st", "cum as en")
+        .selectExpr("doc_id", "st", "en",
+          "explode(sequence(st div 256, (en - 1) div 256)) as seq_id")
+        .selectExpr("seq_id", "doc_id",
+          "greatest(st, seq_id * 256) - seq_id * 256 as seg_start",
+          "least(en, (seq_id + 1) * 256) - greatest(st, seq_id * 256) as seg_len"),
+      Some("""WITH c AS (SELECT doc_id, n,
+                     CAST(sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                   FROM (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents)),
+              e AS (SELECT doc_id, cum - n AS st, cum AS en,
+                           unnest(generate_series((cum - n) // 256, (cum - 1) // 256)) AS seq_id
+                    FROM c)
+              SELECT seq_id, doc_id,
+                     CAST(greatest(st, seq_id * 256) - seq_id * 256 AS BIGINT) AS seg_start,
+                     CAST(least(en, (seq_id + 1) * 256) - greatest(st, seq_id * 256) AS BIGINT) AS seg_len
+              FROM e""")),
 
     // ── deterministic source mixing: sample each source so the output
     // matches target RELATIVE weights without oversampling any source.

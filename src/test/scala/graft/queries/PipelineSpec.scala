@@ -37,6 +37,38 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       assert(bySource(s"src$k") === 25, s"limiting-weight src$k not taken whole")
   }
 
+  test("p07 pack segments: tile every sequence exactly, conserve every doc's tokens") {
+    val segs = Pipeline.all("p07_pack_segments").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nTokens = graft.Tables(spark, sf, "documents")
+      .selectExpr("doc_id", "size(split(text, ' ')) as n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    // every document's segments sum to its token count
+    val byDoc = segs.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    assert(byDoc === nTokens)
+    // every sequence except the last is tiled exactly: segments are
+    // disjoint, ordered, and cover [0, 256)
+    val lastSeq = segs.map(_._1).max
+    for ((seqId, ss) <- segs.groupBy(_._1)) {
+      val sorted = ss.sortBy(_._3)
+      sorted.foreach { case (_, _, st, len) => assert(len > 0 && st >= 0 && st + len <= 256) }
+      val covered = sorted.foldLeft(0L) { case (pos, (_, _, st, len)) =>
+        assert(st === pos, s"gap/overlap in seq $seqId at $st"); st + len
+      }
+      if (seqId < lastSeq) assert(covered === 256L, s"seq $seqId not full")
+    }
+    // segment boundaries are partition-width invariant (same prefix sum)
+    val alt = Pipeline.packCum(spark, sf, 3)
+      .selectExpr("doc_id", "cum - n as st", "cum as en")
+      .selectExpr("doc_id", "st", "en",
+        "explode(sequence(st div 256, (en - 1) div 256)) as seq_id")
+      .selectExpr("seq_id", "doc_id",
+        "greatest(st, seq_id * 256) - seq_id * 256 as seg_start",
+        "least(en, (seq_id + 1) * 256) - greatest(st, seq_id * 256) as seg_len")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(segs.sorted.toSeq === alt.sorted.toSeq)
+  }
+
   test("p06 quality resample: acceptance is the hash-vs-score rule, rate tracks quality") {
     // Serial recompute of the acceptance set: u(doc_id) < quality_bp.
     val docs = graft.Tables(spark, sf, "documents")
