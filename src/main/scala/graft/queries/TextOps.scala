@@ -461,21 +461,7 @@ object TextOps {
     "t14_gopher_filter" -> Q(
       (s, d) => {
         Hashing.register(s)
-        Tables(s, d, "documents")
-          .selectExpr("doc_id", s"text_features(text, ${arr(enStops)}) as f")
-          .selectExpr("doc_id",
-            "f.n_tokens as n_tokens",
-            "(f.sum_tok_len * 10000) div f.n_tokens as mwl_bp",
-            "(f.n_sym * 10000) div f.n_chars as sym_bp",
-            "f.n_stop_uniq as stop_hits",
-            "10000 - (f.n_uniq * 10000) div f.n_tokens as dup_tok_bp")
-          .selectExpr("doc_id", "n_tokens", "mwl_bp", "sym_bp", "stop_hits", "dup_tok_bp",
-          """(case when n_tokens between 20 and 80 then 0 else 1 end)
-           + (case when mwl_bp between 40000 and 52000 then 0 else 2 end)
-           + (case when sym_bp <= 1000 then 0 else 4 end)
-           + (case when stop_hits >= 2 then 0 else 8 end)
-           + (case when dup_tok_bp <= 6000 then 0 else 16 end) as fail_mask""")
-          .selectExpr("*", "fail_mask = 0 as keep")
+        gopherVerdict(Tables(s, d, "documents"))
       },
       Some(s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
                m AS (SELECT doc_id,
@@ -495,4 +481,25 @@ object TextOps {
                SELECT doc_id, n_tokens, mwl_bp, sym_bp, stop_hits, dup_tok_bp,
                       fail_mask, fail_mask = 0 AS keep FROM f"""))
   )
+
+  /** t14's rule evaluation over any (doc_id, text) frame — one
+    * map-only codegen'd projection, shared verbatim by the batch
+    * gate and the streaming quality gate (stream08): one semantics,
+    * two execution tiers. Caller must have run [[Hashing.register]]. */
+  def gopherVerdict(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .selectExpr("doc_id", s"text_features(text, ${arr(enStops)}) as f")
+      .selectExpr("doc_id",
+        "f.n_tokens as n_tokens",
+        "(f.sum_tok_len * 10000) div f.n_tokens as mwl_bp",
+        "(f.n_sym * 10000) div f.n_chars as sym_bp",
+        "f.n_stop_uniq as stop_hits",
+        "10000 - (f.n_uniq * 10000) div f.n_tokens as dup_tok_bp")
+      .selectExpr("doc_id", "n_tokens", "mwl_bp", "sym_bp", "stop_hits", "dup_tok_bp",
+        """(case when n_tokens between 20 and 80 then 0 else 1 end)
+         + (case when mwl_bp between 40000 and 52000 then 0 else 2 end)
+         + (case when sym_bp <= 1000 then 0 else 4 end)
+         + (case when stop_hits >= 2 then 0 else 8 end)
+         + (case when dup_tok_bp <= 6000 then 0 else 16 end) as fail_mask""")
+      .selectExpr("*", "fail_mask = 0 as keep")
 }

@@ -120,6 +120,19 @@ object StreamQueries {
                       event_type, count(*) AS n, ${graft.Det.sqlSum("value")} AS val_sum
                FROM w GROUP BY 1, 2""")),
 
+    // streaming quality gate (append): t14's Gopher rules evaluated
+    // map-only on arriving docs — stateless, the native text_features
+    // kernel runs inside the streaming plan unchanged. Same oracle as
+    // the batch twin: one semantics, two tiers.
+    "stream08_quality_gate" -> Q(
+      (s, d) => {
+        graft.functions.Hashing.register(s)
+        drain(s,
+          graft.queries.TextOps.gopherVerdict(EventStreams.docsStream(s, d)),
+          "g_stream08", mode = "append")
+      },
+      graft.queries.TextOps.all("t14_gopher_filter").oracle),
+
     "stream02_session" -> Q(
       (s, d) => drain(s,
         EventStreams.sessionCounts(EventStreams.eventsStream(s, d)), "g_stream02"),

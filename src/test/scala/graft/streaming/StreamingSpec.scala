@@ -256,6 +256,34 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(!got.contains(cleanId) && !got.contains(evalId))
   }
 
+  test("streaming quality gate across micro-batches equals the batch t14 verdict") {
+    // stateless append: each arriving doc gets its verdict in its own
+    // micro-batch, so batch boundaries cannot change the output set.
+    graft.functions.Hashing.register(spark)
+    import spark.implicits._
+    val docs = Seq(
+      // 33 distinct tokens, mean length in band, stops present → keep
+      (1L, (1 to 30).map(i => f"tok$i%02d").mkString(" ") + " the a of"),
+      (2L, "short doc"),                    // fails token-count band
+      (3L, ("dup " * 50).trim + " the a")) // fails dup-token + length rules
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-qgmb").toString
+    docs.where("doc_id < 3").coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(1100) // file-source orders batches by mtime
+    docs.where("doc_id = 3").coalesce(1).write.mode("append").parquet(dir)
+    val src = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val got = runToMemory(graft.queries.TextOps.gopherVerdict(src),
+        "t_qgate_mb", mode = "append")
+      .select("doc_id", "fail_mask", "keep").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getBoolean(2))).toSet
+    val want = graft.queries.TextOps.gopherVerdict(docs)
+      .select("doc_id", "fail_mask", "keep").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getBoolean(2))).toSet
+    assert(got === want, "micro-batching changed the verdict")
+    assert(got.exists(_._3) && got.exists(!_._3), "both verdict classes")
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     val stream = EventStreams.dedupStream(
       EventStreams.eventsStream(spark, sf).select("event_id", "ts", "user_id"))
