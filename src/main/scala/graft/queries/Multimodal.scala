@@ -191,7 +191,8 @@ object Multimodal {
                      FROM b),
                fr AS (SELECT doc_id, md5(substr(payload, 1 + frame_ix * 48, 16)) AS frame_md5 FROM f)
                SELECT frame_md5, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
-               FROM fr GROUP BY frame_md5 HAVING count(DISTINCT doc_id) >= 2"""))
+               FROM fr GROUP BY frame_md5 HAVING count(DISTINCT doc_id) >= 2"""),
+      bench = true)
   )
 
   /** The retired four-pass SQL-lambda formulation of m05 — NOT the

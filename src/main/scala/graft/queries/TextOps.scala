@@ -479,7 +479,8 @@ object TextOps {
                      + (CASE WHEN dup_tok_bp <= 6000 THEN 0 ELSE 16 END) AS fail_mask
                      FROM m)
                SELECT doc_id, n_tokens, mwl_bp, sym_bp, stop_hits, dup_tok_bp,
-                      fail_mask, fail_mask = 0 AS keep FROM f"""))
+                      fail_mask, fail_mask = 0 AS keep FROM f"""),
+      bench = true)
   )
 
   /** t14's rule evaluation over any (doc_id, text) frame — one

@@ -181,4 +181,27 @@ class PlanShapeSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(p.contains("AsOfJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("t14/p06 are map-only: one codegen'd scan stage, no exchange at all") {
+    for (q <- Seq("t14_gopher_filter", "p06_quality_resample")) {
+      val p = planOf(q)
+      assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
+      assert(p.contains("*(1)"), s"$q left whole-stage codegen:\n$p")
+    }
+  }
+
+  test("m06 frame dedup aggregates partially below the exchange, no join of the payload") {
+    val p = planOf("m06_frame_dedup")
+    assert(p.contains("partial"), p)
+    assert(!p.contains("Join"), p) // only (frame_md5, doc_id) pairs shuffle
+  }
+
+  test("p07 pack segments: no global window, explode above the pid-keyed prefix sum") {
+    val p = planOf("p07_pack_segments")
+    // same contract as p03: the only window is partitioned by pid
+    assert(!p.contains("Window [") ||
+      p.linesIterator.filter(_.contains("windowspecdefinition")).forall(_.contains("pid")), p)
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

@@ -11,9 +11,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 BENCH = ["q01_filter_scan", "q02_star_join", "q06_outer_join_agg",
          "q08_agg_pricing", "q16_session_window", "t01_token_stats",
-         "t07_tfidf", "t13_bigram_lm", "d03_lsh_pairs",
+         "t07_tfidf", "t13_bigram_lm", "t14_gopher_filter",
+         "d03_lsh_pairs",
          "s01_topk_cosine", "s08_topk_agg", "m02_frame_sample",
-         "c01_clean_corpus", "c02_decontaminate",
+         "m06_frame_dedup", "c01_clean_corpus", "c02_decontaminate",
          "c03_train_pipeline", "c04_decontaminate_bloom",
          "p05_shard_shuffle", "j01_asof_join", "j03_asof_plan",
          "dwca04_convert_zipscan", "dwca08_convert_bulk"]
