@@ -523,6 +523,47 @@ object Pipeline {
               FROM ch WHERE chunk NOT IN (SELECT chunk FROM common)
               GROUP BY doc_id""")),
 
+    // ── epoch repeat-budget expansion (the data-constrained-scaling
+    // schedule: repeat the best data up to N epochs instead of
+    // training on junk once): quality tier → epoch count, map-only
+    // explode into (doc_id, epoch) with a deterministic per-epoch
+    // shuffle key so every epoch re-shuffles the corpus differently
+    // but reproducibly. Fan-out ≤3× input rows, no exchange — the
+    // shuffle key is CONSUMED by a downstream p05-style sharder. ──
+    "p08_epoch_schedule" -> Q(
+      (s, d) => {
+        graft.functions.Hashing.register(s)
+        Tables(s, d, "documents")
+          .selectExpr("doc_id",
+            s"(size(array_distinct($toks)) * 10000) div size($toks) as uniq_bp",
+            s"size($toks) as n_tokens")
+          .selectExpr("doc_id",
+            "(uniq_bp + (case when n_tokens >= 15 then 10000 else 0 end)) div 2 as quality_bp")
+          .selectExpr("doc_id", "quality_bp",
+            "case when quality_bp >= 7600 then 3 when quality_bp >= 7000 then 2 else 1 end as n_epochs")
+          .selectExpr("doc_id", "quality_bp", "n_epochs",
+            "explode(sequence(1, n_epochs)) as epoch")
+          .selectExpr("doc_id", "quality_bp", "n_epochs", "epoch",
+            s"${graft.functions.Hashing.h32Sql("concat('ep:', epoch, ':', doc_id)")} as shuffle_key")
+      },
+      Some(s"""WITH q AS (
+                 SELECT doc_id,
+                        ((len(list_distinct(string_split(text,' '))) * 10000)
+                           // len(string_split(text,' '))
+                         + (CASE WHEN len(string_split(text,' ')) >= 15 THEN 10000 ELSE 0 END)) // 2
+                          AS quality_bp
+                 FROM documents),
+               t AS (SELECT doc_id, quality_bp,
+                            CASE WHEN quality_bp >= 7600 THEN 3
+                                 WHEN quality_bp >= 7000 THEN 2 ELSE 1 END AS n_epochs
+                     FROM q),
+               e AS (SELECT doc_id, quality_bp, n_epochs,
+                            unnest(generate_series(1, n_epochs)) AS epoch
+                     FROM t)
+               SELECT doc_id, quality_bp, n_epochs, epoch,
+                      ${graft.functions.Hashing.duck32("'ep:' || epoch || ':' || doc_id")} AS shuffle_key
+               FROM e""")),
+
     // ── quality-weighted resampling: keep each document with
     // probability proportional to its quality score (the DoReMi /
     // importance-resampling shape — up-weight good data WITHOUT a

@@ -69,6 +69,23 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(segs.sorted.toSeq === alt.sorted.toSeq)
   }
 
+  test("p08 epoch schedule: contiguous epochs per doc, tiered counts, reproducible keys") {
+    val rows = Pipeline.all("p08_epoch_schedule").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    for ((docId, epochs) <- rows.groupBy(_._1)) {
+      val (_, q, n, _, _) = epochs.head
+      assert(epochs.map(_._4).sorted.toSeq === (1 to n), s"doc $docId epochs not 1..$n")
+      val wantN = if (q >= 7600) 3 else if (q >= 7000) 2 else 1
+      assert(n === wantN, s"doc $docId tier")
+    }
+    rows.foreach { case (docId, _, _, ep, key) =>
+      assert(key === graft.functions.Hashing.jvm32(s"ep:$ep:$docId"), s"doc $docId key")
+    }
+    // the schedule must actually repeat some docs and not others
+    val ns = rows.map(_._3).distinct
+    assert(ns.length > 1, s"single tier only: $ns")
+  }
+
   test("p06 quality resample: acceptance is the hash-vs-score rule, rate tracks quality") {
     // Serial recompute of the acceptance set: u(doc_id) < quality_bp.
     val docs = graft.Tables(spark, sf, "documents")
