@@ -221,55 +221,14 @@ object Similarity {
         val e = Tables(s, d, "embeddings")
           .repartition(s.sparkContext.defaultParallelism)
           .selectExpr("vec_id", "embedding", s"$normE as nrm").persist()
-        val cent = broadcast(
-          e.withColumn("h", expr(Hashing.h32Sql("concat('ivf:', vec_id)")))
-            .orderBy(col("h"), col("vec_id")).limit(16)
-            .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn")))
-        // Corpus assignment (nearest cell for EVERY vector): a
-        // map-side partial aggregate, not a window. The broadcast
-        // crossJoin emits the 16 (vector, centroid) score rows inside
-        // the same map task that scanned the vector, and hash-agg's
-        // partial mode folds them back to one row before the
-        // exchange — so the assignment shuffle carries ≤1 small
-        // (vec_id, cell) row per vector instead of exchanging+sorting
-        // the full 16×N score frame by vec_id. Tie-break matches the
-        // row_number ordering it replaced (max cosine, then min cid)
-        // via the lexicographic struct ordering of max_by.
-        val asg = e.crossJoin(cent)
-          .selectExpr("vec_id", "cid", s"${dot("embedding", "ce")} / (nrm * cn) as ccos")
-          .groupBy("vec_id")
-          .agg(max_by(col("cid"), struct(col("ccos"), negate(col("cid")))).as("cell"))
-        // Probe-side cell selection (nprobe=2 over the 10 probe
-        // vectors): a 160-row window frame — harmless at any scale.
-        val pcells = e.where("vec_id < 10")
-          .select(col("vec_id").as("probe_id"), col("embedding"), col("nrm"))
-          .crossJoin(cent)
-          .selectExpr("probe_id", "cid", s"${dot("embedding", "ce")} / (nrm * cn) as ccos")
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("probe_id").orderBy(col("ccos").desc, col("cid"))))
-          .where("rn <= 2").select(col("probe_id"), col("cid").as("cell"))
-        val cand = pcells.join(asg, pcells("cell") === asg("cell")
-            && col("vec_id") =!= col("probe_id"))
-          .select(col("probe_id"), col("vec_id").as("cand_id")).distinct()
+        val cand = ivfCandidates(e)
         heapTopk(cand
           .join(e.select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nrm").as("pn")), "probe_id")
           .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("ce2"), col("nrm").as("cn2")), "cand_id")
           .selectExpr("probe_id", "cand_id", s"${dot("pe", "ce2")} / (pn * cn2) as cosine"), 3)
       },
       Some(s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
-               cent AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn
-                        FROM (SELECT *, row_number() OVER (ORDER BY ${Hashing.duck32("'ivf:' || vec_id")}, vec_id) AS rn FROM e)
-                        WHERE rn <= 16),
-               asg AS (SELECT vec_id, cid AS cell FROM (
-                         SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
-                                  ORDER BY ${duckDot("e.embedding", "c.ce")}/(e.nrm*c.cn) DESC, c.cid) AS rn
-                         FROM e CROSS JOIN cent c) WHERE rn = 1),
-               pcells AS (SELECT probe_id, cid AS cell FROM (
-                           SELECT e.vec_id AS probe_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
-                                    ORDER BY ${duckDot("e.embedding", "c.ce")}/(e.nrm*c.cn) DESC, c.cid) AS rn
-                           FROM e CROSS JOIN cent c WHERE e.vec_id < 10) WHERE rn <= 2),
-               cand AS (SELECT DISTINCT probe_id, a.vec_id AS cand_id
-                        FROM pcells p JOIN asg a ON a.cell = p.cell AND a.vec_id != p.probe_id),
+               $duckIvfCand,
                sc AS (SELECT probe_id, cand_id, ${duckDot("x.embedding", "y.embedding")}/(x.nrm*y.nrm) AS cosine
                       FROM cand JOIN e x ON x.vec_id = probe_id JOIN e y ON y.vec_id = cand_id)
                SELECT probe_id, cand_id, rnk, cosine FROM
@@ -482,6 +441,63 @@ object Similarity {
             SELECT probe_id, cand_id, rnk, adist FROM
               (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY adist, cand_id) AS INTEGER) AS rnk FROM ad)
             WHERE rnk <= 3"""
+      }),
+
+    // ── two-stage IVF-PQ ANN (the FAISS IVFPQ shape, s05 × s12): the
+    // coarse quantizer prunes the corpus to the probes' nprobe=2
+    // cells, and only those candidates are scored — by asymmetric
+    // distance against their 8-byte PQ codes, NOT their raw vectors.
+    // This is the composition a 1 B-vector index actually runs: the
+    // cell join bounds the scan, the code lookup bounds the memory,
+    // and nothing ever scores probe × full-corpus. Candidate
+    // generation is s05's (map-side partial-agg assignment); scoring
+    // is s12's (broadcast per-probe distance tables, sequential
+    // subspace fold, bit-identical to the oracle); top-3 is the
+    // bounded-heap aggregate. ──
+    "s13_ivfpq" -> Q(
+      (s, d) => {
+        Hashing.register(s)
+        val e = Tables(s, d, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("vec_id", "embedding", s"$normE as nrm").persist()
+        val cand = ivfCandidates(e)
+        val cb = pqCodebook(e)
+        val codes = pqEncode(e, cb).select(col("vec_id").as("cand_id"), col("codes"))
+        val probes = e.where("vec_id < 10")
+          .withColumn("cb", typedLit(cb))
+          .withColumn("ptab", expr(s"transform(sequence(0, 7), sp -> $pqSubDists)"))
+          .select(col("vec_id").as("probe_id"), col("ptab"))
+        val scored = cand
+          .join(codes, "cand_id")
+          .join(broadcast(probes), "probe_id")
+          .selectExpr("probe_id", "cand_id",
+            "aggregate(sequence(0, 7), cast(0 as double), (acc, sp) -> acc + ptab[sp][codes[sp]]) as adist")
+        heapTopk(scored.withColumn("cosine", negate(col("adist"))), 3)
+          .selectExpr("probe_id", "cand_id", "rnk", "-cosine as adist")
+      },
+      Some {
+        val dd2 = (a: String, b: String) =>
+          s"(${duckDot(a, a)} - 2 * ${duckDot(a, b)} + ${duckDot(b, b)})"
+        s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+            $duckIvfCand,
+            sub AS (SELECT vec_id, s, embedding[s*8+1:s*8+8] AS sv
+                    FROM e, LATERAL (SELECT unnest(generate_series(0, 7)) AS s) g),
+            cb AS (SELECT s, vec_id AS j, sv AS cv FROM sub WHERE vec_id < 16),
+            codes AS (SELECT vec_id AS cand_id, s, j AS code FROM (
+                        SELECT sub.vec_id, sub.s, cb.j,
+                               row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                                 ORDER BY ${dd2("sub.sv", "cb.cv")}, cb.j) AS rn
+                        FROM sub JOIN cb ON cb.s = sub.s) WHERE rn = 1),
+            ad AS (SELECT c.probe_id, c.cand_id,
+                          list_sum(list(${dd2("p.sv", "cb.cv")} ORDER BY p.s)) AS adist
+                   FROM cand c
+                   JOIN sub p ON p.vec_id = c.probe_id
+                   JOIN codes co ON co.cand_id = c.cand_id AND co.s = p.s
+                   JOIN cb ON cb.s = co.s AND cb.j = co.code
+                   GROUP BY 1, 2)
+            SELECT probe_id, cand_id, rnk, adist FROM
+              (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY adist, cand_id) AS INTEGER) AS rnk FROM ad)
+            WHERE rnk <= 3"""
       })
   )
 
@@ -550,6 +566,56 @@ object Similarity {
     * codewords of the literal codebook column `cb`. */
   private val pqSubDists =
     s"""transform(sequence(0, 15), j -> ${pqD2("slice(embedding, sp*8+1, 8)", "cb[sp][j]")})"""
+
+  /** (probe_id, cand_id): IVF candidate generation shared by s05 and
+    * s13 — 16 md5-chosen coarse centroids, corpus assignment as a
+    * map-side partial aggregate (the broadcast crossJoin emits the 16
+    * (vector, centroid) score rows inside the same map task that
+    * scanned the vector, and hash-agg's partial mode folds them back
+    * to one row before the exchange — so the assignment shuffle
+    * carries ≤1 small (vec_id, cell) row per vector instead of
+    * exchanging+sorting the full 16×N score frame; max_by's
+    * lexicographic struct ordering reproduces the max-cosine/min-cid
+    * row_number tie-break), and nprobe=2 probe cells (a 160-row
+    * window frame — harmless at any scale). */
+  private def ivfCandidates(e: DataFrame): DataFrame = {
+    val cent = broadcast(
+      e.withColumn("h", expr(Hashing.h32Sql("concat('ivf:', vec_id)")))
+        .orderBy(col("h"), col("vec_id")).limit(16)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn")))
+    val asg = e.crossJoin(cent)
+      .selectExpr("vec_id", "cid", s"${dot("embedding", "ce")} / (nrm * cn) as ccos")
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("ccos"), negate(col("cid")))).as("cell"))
+    val pcells = e.where("vec_id < 10")
+      .select(col("vec_id").as("probe_id"), col("embedding"), col("nrm"))
+      .crossJoin(cent)
+      .selectExpr("probe_id", "cid", s"${dot("embedding", "ce")} / (nrm * cn) as ccos")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("ccos").desc, col("cid"))))
+      .where("rn <= 2").select(col("probe_id"), col("cid").as("cell"))
+    pcells.join(asg, pcells("cell") === asg("cell")
+        && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("cand_id")).distinct()
+  }
+
+  /** DuckDB mirror of [[ivfCandidates]] — CTEs cent/asg/pcells/cand,
+    * expecting an `e(vec_id, embedding, nrm)` CTE in scope. (lazy:
+    * referenced from `all`'s eager oracle strings above). */
+  private lazy val duckIvfCand =
+    s"""cent AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn
+                 FROM (SELECT *, row_number() OVER (ORDER BY ${Hashing.duck32("'ivf:' || vec_id")}, vec_id) AS rn FROM e)
+                 WHERE rn <= 16),
+        asg AS (SELECT vec_id, cid AS cell FROM (
+                  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY ${duckDot("e.embedding", "c.ce")}/(e.nrm*c.cn) DESC, c.cid) AS rn
+                  FROM e CROSS JOIN cent c) WHERE rn = 1),
+        pcells AS (SELECT probe_id, cid AS cell FROM (
+                    SELECT e.vec_id AS probe_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+                             ORDER BY ${duckDot("e.embedding", "c.ce")}/(e.nrm*c.cn) DESC, c.cid) AS rn
+                    FROM e CROSS JOIN cent c WHERE e.vec_id < 10) WHERE rn <= 2),
+        cand AS (SELECT DISTINCT probe_id, a.vec_id AS cand_id
+                 FROM pcells p JOIN asg a ON a.cell = p.cell AND a.vec_id != p.probe_id)"""
 
   /** PQ codebook: per subspace, the 8-dim subvectors of the 16
     * smallest vec_ids (deterministic, bounded collect — the seam

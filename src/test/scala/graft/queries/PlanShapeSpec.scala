@@ -156,6 +156,16 @@ class PlanShapeSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(p.toLowerCase.contains("partial_top_k_by_score"), p)
   }
 
+  test("s13 IVF-PQ: cell-bounded candidates, code-table scoring, heap top-k — no cartesian") {
+    val p = planOf("s13_ivfpq")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only windows are the bounded probe-side frames (cent pick +
+    // pcells), both keyed — never an unpartitioned corpus window
+    assert(p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .forall(l => l.contains("probe_id") || l.contains("vec_id")), p)
+    assert(p.toLowerCase.contains("partial_top_k_by_score"), p)
+  }
+
   test("d10 dup-window count is a keyed equi-join over partial aggregates, no window, no cartesian") {
     val p = planOf("d10_window_dedup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

@@ -98,4 +98,20 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val vertices = pairs.flatMap(p => Seq(p._1, p._2)).toSet
     assert(clusters.keySet === vertices)
   }
+
+  test("s13 IVF-PQ: ranks contiguous, adist ascending, candidates confined to probed cells") {
+    val rows = Similarity.all("s13_ivfpq").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    for ((probe, g) <- rows.groupBy(_._1)) {
+      val sorted = g.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq === (1 to g.length), s"probe $probe ranks")
+      assert(sorted.map(_._4).toSeq === sorted.map(_._4).sorted.toSeq, s"probe $probe adist order")
+      assert(g.length <= 3 && g.forall(_._2 != probe), s"probe $probe k/self")
+    }
+    // two-stage pruning really prunes: some probe must see fewer than
+    // 3 candidates OR the candidate union must be well under corpus
+    val corpus = graft.Tables(spark, sf, "embeddings").count()
+    assert(rows.map(_._2).distinct.length < corpus, "no pruning happened")
+  }
 }
