@@ -269,6 +269,26 @@ object Relational {
     // windows; Spark's window() expands rows map-side before the
     // grouping exchange — the same partial-agg-below-exchange shape
     // as tumbling, with a bounded 2× row expansion.
+    // ── salted skew join through the gate: [[graft.operators.Skew
+    // .saltedJoin]] spreads each hot key over 8 salt shards on the
+    // big side and replicates the dimension 8× — the plan-level
+    // answer when one join key dwarfs the rest and AQE's runtime
+    // split can't save a broadcast-ineligible join. Semantics are
+    // IDENTICAL to the plain 1:N equi-join, which is exactly what the
+    // oracle asserts (same aggregate over a plain join). ──
+    "q27_salted_join" -> Q(
+      (s, d) => {
+        val li = Tables(s, d, "lineitem").select(col("l_suppkey"), col("l_quantity"))
+        val sup = Tables(s, d, "supplier")
+          .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+        graft.operators.Skew.saltedJoin(li, sup, "l_suppkey", 8)
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n"), Det.dsum(col("l_quantity")).as("qty_sum"))
+      },
+      Some(s"""SELECT s_nationkey, count(*) AS n, ${Det.sqlSum("l_quantity")} AS qty_sum
+               FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+               GROUP BY s_nationkey""")),
+
     "q26_hopping_window" -> Q(
       (s, d) => events(s, d)
         .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
