@@ -66,6 +66,12 @@ object EventStreams {
   def docsStream(spark: SparkSession, dir: String): DataFrame =
     tableStream(spark, dir, "documents")
 
+  /** The embeddings table as a bounded stream — the ANN-index-ingest
+    * shape (vectors arrive continuously; each micro-batch is encoded
+    * against the offline-trained codebook on the way in). */
+  def embeddingsStream(spark: SparkSession, dir: String): DataFrame =
+    tableStream(spark, dir, "embeddings")
+
   /** Streaming decontamination (stream06): the stream side explodes
     * each arriving doc's 13-grams MAP-ONLY, the static eval-gram set
     * is broadcast per micro-batch (stateless stream-static join), and
