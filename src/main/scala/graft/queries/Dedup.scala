@@ -550,6 +550,64 @@ object Dedup {
     // a second partial agg. No all-pairs join anywhere; a boilerplate
     // window shared by millions of docs only widens one count row,
     // and AQE splits the skewed join side.
+    // ── LSH recall audit (s09's harness in the dedup tier): does the
+    // banded MinHash candidate generation FIND the true near-dups?
+    // Exact baseline = brute verified-Jaccard scan of the corpus
+    // against a BROADCAST 10% probe sample (the audit a production
+    // dedup runs on a sample before trusting its band parameters —
+    // bounded: |sample| × corpus, linear in splits); retrieved =
+    // d03's pairs (the persisted four-consumer frame). Per-probe
+    // integer recall; probes with no true near-dup have no recall to
+    // measure and are absent by construction. ──
+    "d11_lsh_recall" -> Q(
+      (s, d) => {
+        val (hs, _) = lshFrames(s, d)
+        val probes = broadcast(hs.where("doc_id < 50")
+          .select(col("doc_id").as("p_id"), col("hv").as("pv")))
+        val exact = hs.join(probes, col("doc_id") =!= col("p_id"))
+          .selectExpr("p_id", "doc_id as c_id",
+            "cast(size(array_intersect(pv, hv)) as double) / size(array_union(pv, hv)) as jac")
+          .where("jac >= 0.7")
+          .select("p_id", "c_id")
+        val pairs = lshPairs(s, d)
+        val retr = pairs.selectExpr("d1 as p_id", "d2 as c_id")
+          .union(pairs.selectExpr("d2 as p_id", "d1 as c_id"))
+          .where("p_id < 50").withColumn("hit", lit(1))
+        exact.join(retr, Seq("p_id", "c_id"), "left")
+          .groupBy("p_id")
+          .agg(count(lit(1)).as("n_true"),
+            sum(coalesce(col("hit"), lit(0))).as("hits"))
+          .selectExpr("p_id", "n_true", "hits",
+            "(hits * 10000) div n_true as recall_bp")
+      },
+      Some(s"""$duckShingles,
+               sigs AS (SELECT doc_id, ${duckSig(16)} AS sig FROM hs),
+               b AS (SELECT doc_id, unnest(generate_series(0, 3)) AS band, sig FROM sigs),
+               bk AS (SELECT doc_id, band,
+                        ${Hashing.duck32("band || ':' || array_to_string(sig[band*4+1:band*4+4], ',')")} AS bucket
+                      FROM b),
+               cand AS (SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+                        FROM bk a JOIN bk c
+                        ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id),
+               pr AS (SELECT d1, d2 FROM
+                        (SELECT d1, d2,
+                                CAST(len(list_intersect(x.hv, y.hv)) AS DOUBLE)
+                                  / len(list_distinct(x.hv || y.hv)) AS jac
+                         FROM cand JOIN hs x ON x.doc_id = d1 JOIN hs y ON y.doc_id = d2)
+                      WHERE jac >= 0.7),
+               p AS (SELECT doc_id AS p_id, hv AS pv FROM hs WHERE doc_id < 50),
+               ex AS (SELECT p_id, s.doc_id AS c_id FROM p JOIN hs s ON s.doc_id != p.p_id
+                      WHERE CAST(len(list_intersect(pv, s.hv)) AS DOUBLE)
+                              / len(list_distinct(pv || s.hv)) >= 0.7),
+               r AS (SELECT d1 AS p_id, d2 AS c_id FROM pr
+                     UNION ALL SELECT d2, d1 FROM pr)
+               SELECT e.p_id, count(*) AS n_true,
+                      CAST(sum(CASE WHEN r.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+                      (CAST(sum(CASE WHEN r.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+                        // count(*) AS recall_bp
+               FROM ex e LEFT JOIN r ON r.p_id = e.p_id AND r.c_id = e.c_id
+               GROUP BY e.p_id""")),
+
     "d10_window_dedup" -> Q(
       (s, d) => {
         Hashing.register(s)

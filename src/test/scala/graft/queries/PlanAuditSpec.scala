@@ -24,7 +24,8 @@ class PlanAuditSpec extends AnyFunSuite with graft.SparkTestBase {
     * a linear scan of the corpus against a constant-size build side. */
   private val bnljOk = Set(
     "s01_topk_cosine", "s08_topk_agg", "s09_ann_recall", // 10-probe scoredPairs
-    "s05_ivf_topk", "s13_ivfpq") // 16-centroid assignment + probe cells
+    "s05_ivf_topk", "s13_ivfpq", // 16-centroid assignment + probe cells
+    "d11_lsh_recall") // 50-probe broadcast exact-baseline scan
 
   /** Queries where an unpartitioned window runs over a PROVABLY tiny
     * frame (never the corpus). */
