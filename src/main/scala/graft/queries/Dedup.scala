@@ -550,6 +550,39 @@ object Dedup {
     // a second partial agg. No all-pairs join anywhere; a boilerplate
     // window shared by millions of docs only widens one count row,
     // and AQE splits the skewed join side.
+    // ── soft dedup: DOWN-WEIGHT near-duplicate documents instead of
+    // dropping them (training weight = 1/cluster-size, in basis
+    // points) — the SoftDeDup alternative to c05's hard keep-one,
+    // preserving coverage while neutralizing the duplicated mass.
+    // Rides d08's clusters; singleton docs never enter the pair
+    // graph and keep full weight. Two small joins against the
+    // bounded cluster frame — the corpus never re-shuffles. ──
+    "d12_softdedup_weights" -> Q(
+      (s, d) => {
+        val clusters = all("d08_dup_clusters").fn(s, d)
+        val sizes = clusters.groupBy("cluster").agg(count(lit(1)).as("csz"))
+        Tables(s, d, "documents").select("doc_id")
+          .join(clusters, Seq("doc_id"), "left")
+          .join(sizes, Seq("cluster"), "left")
+          .selectExpr("doc_id",
+            "coalesce(csz, 1L) as cluster_size",
+            "10000 div coalesce(csz, 1L) as weight_bp")
+      },
+      Some(s"""WITH RECURSIVE p AS ($d03Oracle),
+               edges AS (SELECT d1 AS a, d2 AS b FROM p
+                         UNION SELECT d2, d1 FROM p),
+               reach AS (SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges)
+                         UNION
+                         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+               cl AS (SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a),
+               sz AS (SELECT cluster, count(*) AS csz FROM cl GROUP BY cluster)
+               SELECT d.doc_id,
+                      COALESCE(sz.csz, 1) AS cluster_size,
+                      10000 // COALESCE(sz.csz, 1) AS weight_bp
+               FROM documents d
+               LEFT JOIN cl ON cl.doc_id = d.doc_id
+               LEFT JOIN sz ON sz.cluster = cl.cluster""")),
+
     // ── LSH recall audit (s09's harness in the dedup tier): does the
     // banded MinHash candidate generation FIND the true near-dups?
     // Exact baseline = brute verified-Jaccard scan of the corpus

@@ -523,6 +523,46 @@ object Pipeline {
               FROM ch WHERE chunk NOT IN (SELECT chunk FROM common)
               GROUP BY doc_id""")),
 
+    // ── token-budget corpus assembly: per source, take documents in
+    // quality order until the source's token budget is spent (the
+    // budget-constrained selection step of corpus assembly — every
+    // domain gets its allotment, best data first). One keyed
+    // cumulative-sum window PER SOURCE: at 100 TB the source key is
+    // domain-granular (millions of partitions), so the window
+    // parallelizes naturally — never a global sort. ROWS frame +
+    // total (quality, doc_id) tie-break make the prefix exact and
+    // engine-independent. ──
+    "p09_token_budget" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables(s, d, "documents")
+          .selectExpr("doc_id", "source",
+            s"size($toks) as n_tokens",
+            s"(size(array_distinct($toks)) * 10000) div size($toks) as uniq_bp")
+          .selectExpr("doc_id", "source", "n_tokens",
+            "(uniq_bp + (case when n_tokens >= 15 then 10000 else 0 end)) div 2 as quality_bp")
+          .withColumn("cum", sum("n_tokens").over(
+            Window.partitionBy("source")
+              .orderBy(col("quality_bp").desc, col("doc_id"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .where("cum <= 800")
+          .select("doc_id", "source", "n_tokens", "quality_bp", "cum")
+      },
+      Some("""WITH q AS (
+                SELECT doc_id, source, len(string_split(text,' ')) AS n_tokens,
+                       ((len(list_distinct(string_split(text,' '))) * 10000)
+                          // len(string_split(text,' '))
+                        + (CASE WHEN len(string_split(text,' ')) >= 15 THEN 10000 ELSE 0 END)) // 2
+                         AS quality_bp
+                FROM documents),
+              c AS (SELECT doc_id, source, n_tokens, quality_bp,
+                           CAST(sum(n_tokens) OVER (PARTITION BY source
+                             ORDER BY quality_bp DESC, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                    FROM q)
+              SELECT doc_id, source, n_tokens, quality_bp, cum
+              FROM c WHERE cum <= 800""")),
+
     // ── epoch repeat-budget expansion (the data-constrained-scaling
     // schedule: repeat the best data up to N epochs instead of
     // training on junk once): quality tier → epoch count, map-only

@@ -156,6 +156,26 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(expected.values.exists(_._2 == 0), "no clean docs in testdata")
   }
 
+  test("d12 soft-dedup weights: one row per doc, weight = 10000 div cluster size") {
+    val sf01 = "/root/testdata/sf0.01" // sf0.001 has no near-dup pairs
+    val rows = Dedup.all("d12_softdedup_weights").fn(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = graft.Tables(spark, sf01, "documents").count()
+    assert(rows.length.toLong === nDocs, "one weight per document")
+    rows.foreach { case (id, csz, w) =>
+      assert(csz >= 1 && w === 10000L / csz, s"doc $id weight")
+    }
+    // cluster members must agree with d08's sizes
+    val clusters = Dedup.all("d08_dup_clusters").fn(spark, sf01).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val sizes = clusters.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val byDoc = clusters.map { case (doc, cl) => doc -> sizes(cl) }.toMap
+    rows.foreach { case (id, csz, _) =>
+      assert(csz === byDoc.getOrElse(id, 1L), s"doc $id cluster size")
+    }
+    assert(rows.exists(_._2 > 1) && rows.exists(_._2 == 1), "both classes")
+  }
+
   test("simhash of identical token multisets is identical") {
     val df = Dedup.all("d04_simhash").fn(spark, sf)
     // deterministic: same input -> same simhash on repeated run
