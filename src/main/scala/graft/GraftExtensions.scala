@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 
 import graft.functions.{AffineMinHash, ByteFeatures, DotF, DuckTypeMask, H32, H32B,
   HashedCharGrams, HashedShingles, HyperplaneSig, SimHash64, StAsText, StEnvelope,
-  StGeomFromText, StPoint, TopKByScore, VNorm}
+  StGeomFromText, StPoint, TextFeatures, TopKByScore, VNorm}
 
 /** Production registration path for the engine's extensions:
   *
@@ -60,6 +60,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e => ByteFeatures(e.head))
     inject("duck_type_mask", "duck_type_mask(s) - DuckDB sniffer candidate-type bitmask")(
       e => DuckTypeMask(e.head))
+    inject("text_features", "text_features(text, stops) - one-pass per-document token statistics")(
+      e => TextFeatures(e(0),
+        e(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toArray[org.apache.spark.unsafe.types.UTF8String](
+            org.apache.spark.sql.types.StringType).map(_.toString).toSeq))
     inject("top_k_by_score", "top_k_by_score(score, id, k) - bounded top-k aggregate")(
       e => TopKByScore(e(0), e(1), litInt(e(2))))
   }

@@ -40,7 +40,7 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     val expected = Set("st_point", "st_geomfromtext", "st_astext", "st_envelope",
       "h32", "h32b", "simhash64", "byte_features", "duck_type_mask", "hashed_shingles",
       "hashed_chargrams", "affine_minhash", "dotf", "vnorm", "hyperplane_sig",
-      "top_k_by_score")
+      "top_k_by_score", "text_features")
     assert(expected.subsetOf(injected), s"missing: ${expected.diff(injected)}")
   }
 
