@@ -429,6 +429,23 @@ object Relational {
                      CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS qty
               FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""")),
 
+    // ── A1+: explicit grouping sets (the general form rollup/cube
+    // specialize): per-flag and per-status marginals in ONE pass —
+    // the expand+partial-agg plan, one shuffle, no per-set rescan. ──
+    "q28_grouping_sets" -> Q(
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+        li.createOrReplaceTempView("graft_q28_lineitem")
+        s.sql("""SELECT l_returnflag, l_linestatus,
+                        grouping_id() AS gid, count(1) AS n
+                 FROM graft_q28_lineitem
+                 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+                     GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid,
+                     count(*) AS n
+              FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""")),
+
     // ── A1+: pivot (wide conditional aggregation) ──
     // Explicit value list → deterministic output columns; sum (not
     // count) so absent combinations are NULL in both engines.

@@ -48,6 +48,45 @@ object Temporal {
       Some(asofOracle),
       bench = true),
 
+    // ── as-of join with a tolerance bound (pandas merge_asof's
+    //    `tolerance`): the latest click at most 24h before the
+    //    purchase, else NULL. Because the base as-of already picks
+    //    the LATEST quote ≤ ts, a post-filter on the lag is exact —
+    //    no closer match can exist — so tolerance costs one codegen'd
+    //    CASE on top of j01's single-exchange plan. ──
+    "j04_asof_tolerance" -> Q(
+      (s, d) => {
+        val e = Relational.events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        val probes = e.where("event_type = 'purchase'")
+          .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+        val quotes = e.where("event_type = 'click'")
+        TemporalJoins.asOf(probes, quotes, key = "user_id", ts = "ts",
+            quoteTieBreak = "event_id",
+            payload = Seq("event_id" -> "click_id", "value" -> "click_value",
+              "ts" -> "click_ts"))
+          .withColumn("lag_us",
+            expr("unix_micros(ts) - unix_micros(click_ts)"))
+          .selectExpr("purchase_id", "user_id",
+            "case when lag_us <= 86400000000 then click_id end as click_id",
+            "case when lag_us <= 86400000000 then click_value end as click_value",
+            "case when lag_us <= 86400000000 then lag_us end as lag_us")
+      },
+      Some("""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events),
+              p AS (SELECT event_id, ts, user_id FROM e WHERE event_type = 'purchase'),
+              q AS (SELECT event_id, ts, user_id, value FROM e WHERE event_type = 'click'),
+              j AS (SELECT p.event_id AS purchase_id, p.user_id,
+                           q.event_id AS click_id, q.value AS click_value,
+                           epoch_us(p.ts) - epoch_us(q.ts) AS lag_us,
+                           row_number() OVER (PARTITION BY p.event_id
+                             ORDER BY q.ts DESC NULLS LAST, q.event_id DESC NULLS LAST) AS rn
+                    FROM p LEFT JOIN q ON q.user_id = p.user_id AND q.ts <= p.ts)
+              SELECT purchase_id, user_id,
+                     CASE WHEN lag_us <= 86400000000 THEN click_id END AS click_id,
+                     CASE WHEN lag_us <= 86400000000 THEN click_value END AS click_value,
+                     CASE WHEN lag_us <= 86400000000 THEN lag_us END AS lag_us
+              FROM j WHERE rn = 1""")),
+
     // ── the same as-of join through the custom Catalyst operator
     //    (AsOfJoin LogicalPlan → AsOfJoinStrategy → AsOfJoinExec
     //    sort-merge; shares j01's oracle — two formulations, one
