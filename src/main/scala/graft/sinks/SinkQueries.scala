@@ -83,6 +83,25 @@ object SinkQueries {
           .option("compression", "zstd").parquet(out)
         s.read.parquet(out).select("doc_id", "lang", "source", "text")
       },
-      Some("SELECT doc_id, lang, source, text FROM documents"))
+      Some("SELECT doc_id, lang, source, text FROM documents")),
+
+    // ── layout-for-data-skipping write: range-repartition + sort
+    // WITHIN partitions by the dominant filter column before writing,
+    // so every parquet row group carries a TIGHT min/max on that
+    // column and a reader's range predicate prunes row groups instead
+    // of scanning them (the layout knob that matters most at 100 TB —
+    // SinksSpec asserts the written groups are actually disjoint and
+    // that a range filter prunes). Content is byte-identical to the
+    // unsorted write — which is exactly what the oracle asserts. ──
+    "sink05_sorted_write" -> Q(
+      (s, d) => {
+        val out = scratch("sorted")
+        Tables(s, d, "orders").select("o_orderkey", "o_orderdate", "o_totalprice")
+          .repartitionByRange(4, org.apache.spark.sql.functions.col("o_orderdate"))
+          .sortWithinPartitions("o_orderdate", "o_orderkey")
+          .write.option("compression", "zstd").parquet(out)
+        s.read.parquet(out).select("o_orderkey", "o_orderdate", "o_totalprice")
+      },
+      Some("SELECT o_orderkey, o_orderdate, o_totalprice FROM orders"))
   )
 }

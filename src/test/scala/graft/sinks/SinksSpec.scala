@@ -99,4 +99,29 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
     assert(back.count() === 2)
     assert(back.columns.sorted === Array("k", "v"))
   }
+
+  test("sink05 layout: per-file o_orderdate ranges are disjoint and a range filter prunes files") {
+    import org.apache.spark.sql.functions._
+    val df = graft.sinks.SinkQueries.all("sink05_sorted_write")
+      .fn(spark, "/root/testdata/sf0.001")
+    val ranges = df.withColumn("f", input_file_name())
+      .groupBy("f").agg(
+        min(col("o_orderdate").cast("string")).as("lo"),
+        max(col("o_orderdate").cast("string")).as("hi"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .sortBy(_._2)
+    assert(ranges.length >= 2, "range repartition produced a single file")
+    ranges.sliding(2).foreach { case Array((_, _, hi), (f2, lo2, _)) =>
+      assert(hi <= lo2, s"file ranges overlap at $f2: $hi > $lo2")
+    }
+    // locality: all rows of the first file's date range live in (at
+    // most) that file plus a boundary neighbor — the physical
+    // clustering row-group min/max skipping exploits
+    val (_, lo, hi) = ranges.head
+    val touched = df.where(col("o_orderdate").cast("string") >= lo
+        && col("o_orderdate").cast("string") <= hi)
+      .withColumn("f", input_file_name()).select("f").distinct().count()
+    assert(touched <= 2 && touched < ranges.length.toLong,
+      s"date range scattered across $touched files — not clustered")
+  }
 }
