@@ -126,13 +126,17 @@ object TextOps {
     // ── language ID: marker-word votes, deterministic tie-break ──
     "t03_langid" -> Q(
       (s, d) => {
+        Hashing.register(s)
         val langs = Seq(
           "en" -> Seq("the", "a", "and", "of"),
           "es" -> Seq("el", "la", "de", "y"),
           "fr" -> Seq("le", "les", "de", "et"),
           "de" -> Seq("der", "die", "und", "das"))
+        // one native kernel pass per language's marker list (n_stop =
+        // marker hits with multiplicity) — replaces the interpreted
+        // split + filter + array_contains walk per vote
         val votes = langs.map { case (l, ws) =>
-          s"size(filter($toks, t -> array_contains(${arr(ws)}, t))) as v_$l"
+          s"text_features(text, ${arr(ws)}).n_stop as v_$l"
         }
         val pred =
           """case when v_en >= greatest(v_es, v_fr, v_de) and v_en > 0 then 'en'
