@@ -284,6 +284,34 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.exists(_._3) && got.exists(!_._3), "both verdict classes")
   }
 
+  test("streaming PQ encode across micro-batches equals the batch encoding") {
+    // stateless append against a literal codebook: batch boundaries
+    // cannot change any vector's codes
+    graft.functions.Hashing.register(spark)
+    val e = graft.Tables(spark, sf, "embeddings").select("vec_id", "embedding")
+    val cb = graft.queries.Similarity.pqCodebook(e)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqmb").toString
+    e.where("vec_id % 2 = 0").coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(1100) // file-source orders batches by mtime
+    e.where("vec_id % 2 = 1").coalesce(1).write.mode("append").parquet(dir)
+    val src = spark.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    def codesOf(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("vec_id", "array_join(transform(codes, x -> cast(x as string)), ',') as c")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = {
+      val out = graft.queries.Similarity.pqEncode(src, cb)
+      val q = out.writeStream.format("memory").queryName("t_pq_mb")
+        .outputMode("append").trigger(
+          org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      codesOf(spark.table("t_pq_mb"))
+    }
+    val want = codesOf(graft.queries.Similarity.pqEncode(e, cb))
+    assert(got === want, "micro-batching changed the encoding")
+    assert(got.nonEmpty)
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     val stream = EventStreams.dedupStream(
       EventStreams.eventsStream(spark, sf).select("event_id", "ts", "user_id"))
