@@ -443,6 +443,60 @@ object Similarity {
             WHERE rnk <= 3"""
       }),
 
+    // ── IVF-PQ recall@3 harness (s09's shape for the two-stage
+    // index): how much of the exact cosine top-3 survives BOTH the
+    // coarse-cell pruning AND the 8-byte quantization? The number an
+    // index tuner actually watches when trading nprobe/codebook size
+    // against recall. Exact baseline = the bounded-heap brute top-k;
+    // left join keeps zero-hit probes; integer recall_bp. ──
+    "s14_ivfpq_recall" -> Q(
+      (s, d) => {
+        val ann = all("s13_ivfpq").fn(s, d)
+          .select(col("probe_id"), col("cand_id"), lit(1).as("hit"))
+        bruteTopk(s, d, 3).select("probe_id", "cand_id")
+          .join(ann, Seq("probe_id", "cand_id"), "left")
+          .groupBy("probe_id")
+          .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
+          .selectExpr("probe_id", "hits", "(hits * 10000) div 3 as recall_bp")
+      },
+      Some {
+        val dd2 = (a: String, b: String) =>
+          s"(${duckDot(a, a)} - 2 * ${duckDot(a, b)} + ${duckDot(b, b)})"
+        s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+            sc AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                          ${duckDot("p.embedding", "c.embedding")} / (p.nrm * c.nrm) AS cosine
+                   FROM e p JOIN e c ON c.vec_id != p.vec_id WHERE p.vec_id < 10),
+            exact AS (SELECT probe_id, cand_id FROM
+                        (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
+                         FROM sc)
+                      WHERE rnk <= 3),
+            $duckIvfCand,
+            sub AS (SELECT vec_id, s, embedding[s*8+1:s*8+8] AS sv
+                    FROM e, LATERAL (SELECT unnest(generate_series(0, 7)) AS s) g),
+            cb AS (SELECT s, vec_id AS j, sv AS cv FROM sub WHERE vec_id < 16),
+            codes AS (SELECT vec_id AS cand_id, s, j AS code FROM (
+                        SELECT sub.vec_id, sub.s, cb.j,
+                               row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                                 ORDER BY ${dd2("sub.sv", "cb.cv")}, cb.j) AS rn
+                        FROM sub JOIN cb ON cb.s = sub.s) WHERE rn = 1),
+            ad AS (SELECT c.probe_id, c.cand_id,
+                          list_sum(list(${dd2("p.sv", "cb.cv")} ORDER BY p.s)) AS adist
+                   FROM cand c
+                   JOIN sub p ON p.vec_id = c.probe_id
+                   JOIN codes co ON co.cand_id = c.cand_id AND co.s = p.s
+                   JOIN cb ON cb.s = co.s AND cb.j = co.code
+                   GROUP BY 1, 2),
+            ann AS (SELECT probe_id, cand_id FROM
+                      (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY adist, cand_id) AS rnk FROM ad)
+                    WHERE rnk <= 3)
+            SELECT x.probe_id,
+                   CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+                   (CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 10000) // 3 AS recall_bp
+            FROM exact x LEFT JOIN ann a
+              ON a.probe_id = x.probe_id AND a.cand_id = x.cand_id
+            GROUP BY x.probe_id"""
+      }),
+
     // ── two-stage IVF-PQ ANN (the FAISS IVFPQ shape, s05 × s12): the
     // coarse quantizer prunes the corpus to the probes' nprobe=2
     // cells, and only those candidates are scored — by asymmetric
