@@ -36,7 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[StPoint].getName, null, name, usage, ""),
         build))
-    def litInt(e: Expression): Int = e.eval().asInstanceOf[Number].intValue()
+    def litInt(e: Expression): Int = {
+      require(e.foldable, s"argument must be an integer literal, got: ${e.sql}")
+      e.eval().asInstanceOf[Number].intValue()
+    }
 
     inject("st_point", "st_point(x, y) - WKB point")(e => StPoint(e(0), e(1)))
     inject("st_geomfromtext", "st_geomfromtext(wkt) - WKT to WKB")(e => StGeomFromText(e(0)))
@@ -61,10 +64,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("duck_type_mask", "duck_type_mask(s) - DuckDB sniffer candidate-type bitmask")(
       e => DuckTypeMask(e.head))
     inject("text_features", "text_features(text, stops) - one-pass per-document token statistics")(
-      e => TextFeatures(e(0),
-        e(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-          .toArray[org.apache.spark.unsafe.types.UTF8String](
-            org.apache.spark.sql.types.StringType).map(_.toString).toSeq))
+      e => {
+        require(e(1).foldable,
+          s"text_features stops must be a literal string array, got: ${e(1).sql}")
+        TextFeatures(e(0),
+          e(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toArray[org.apache.spark.unsafe.types.UTF8String](
+              org.apache.spark.sql.types.StringType).map(_.toString).toSeq)
+      })
     inject("top_k_by_score", "top_k_by_score(score, id, k) - bounded top-k aggregate")(
       e => TopKByScore(e(0), e(1), litInt(e(2))))
   }

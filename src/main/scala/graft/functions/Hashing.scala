@@ -61,7 +61,10 @@ object Hashing {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (!registered.add(reg)) return
-    def litInt(e: Expression): Int = e.eval().asInstanceOf[Number].intValue()
+    def litInt(e: Expression): Int = {
+      require(e.foldable, s"argument must be an integer literal, got: ${e.sql}")
+      e.eval().asInstanceOf[Number].intValue()
+    }
     reg.createOrReplaceTempFunction("h32", exprs => H32(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("h32b", exprs => H32B(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("simhash64", exprs => SimHash64(exprs.head), "built-in")
@@ -105,9 +108,13 @@ object Hashing {
         new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs(1)))), "built-in")
     // literal string-array second arg, resolved once at plan time
     reg.createOrReplaceTempFunction("text_features",
-      exprs => TextFeatures(exprs(0),
-        exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-          .toArray[UTF8String](StringType).map(_.toString).toSeq), "built-in")
+      exprs => {
+        require(exprs(1).foldable,
+          s"text_features stops must be a literal string array, got: ${exprs(1).sql}")
+        TextFeatures(exprs(0),
+          exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toArray[UTF8String](StringType).map(_.toString).toSeq)
+      }, "built-in")
   }
 
   private val tlMd5 = ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))

@@ -57,7 +57,12 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     val expected = docs.map { case (id, text) =>
       val t = text.split(" ", -1).toSeq
       val mwl = t.map(_.length.toLong).sum * 10000 / t.length
-      val sym = text.count(c => !(c.isLower || c.isDigit || c == ' ')).toLong * 10000 / text.length
+      // mirror the kernel's ASCII code-point semantics (see KernelProps):
+      // Char.isLower/isDigit are Unicode-aware and String.length counts
+      // UTF-16 units, both of which diverge on non-ASCII text
+      val cps = text.codePoints().toArray
+      val sym = cps.count(cp => !((cp >= 'a' && cp <= 'z') ||
+        (cp >= '0' && cp <= '9') || cp == ' ')).toLong * 10000 / cps.length
       val stopHits = t.distinct.count(stops)
       val dupTok = 10000 - t.distinct.length.toLong * 10000 / t.length
       val mask = (if (t.length >= 20 && t.length <= 80) 0 else 1) +

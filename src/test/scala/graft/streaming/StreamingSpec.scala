@@ -304,7 +304,12 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       val q = out.writeStream.format("memory").queryName("t_pq_mb")
         .outputMode("append").trigger(
           org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination(120000)
+      // a partially-drained table must fail loudly, not set-mismatch
+      // confusingly below; stop the straggler before throwing
+      if (!q.awaitTermination(120000)) {
+        q.stop()
+        throw new IllegalStateException("t_pq_mb did not drain within 120s")
+      }
       codesOf(spark.table("t_pq_mb"))
     }
     val want = codesOf(graft.queries.Similarity.pqEncode(e, cb))
