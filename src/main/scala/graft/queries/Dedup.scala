@@ -590,7 +590,9 @@ object Dedup {
     // dedup runs on a sample before trusting its band parameters —
     // bounded: |sample| × corpus, linear in splits); retrieved =
     // d03's pairs (the persisted four-consumer frame). Per-probe
-    // integer recall; probes with no true near-dup have no recall to
+    // integer recall through the shared [[Recall]] harness (one code
+    // path with s09/s14, so the band/nprobe dials read off identical
+    // semantics); probes with no true near-dup have no recall to
     // measure and are absent by construction. ──
     "d11_lsh_recall" -> Q(
       (s, d) => {
@@ -605,13 +607,8 @@ object Dedup {
         val pairs = lshPairs(s, d)
         val retr = pairs.selectExpr("d1 as p_id", "d2 as c_id")
           .union(pairs.selectExpr("d2 as p_id", "d1 as c_id"))
-          .where("p_id < 50").withColumn("hit", lit(1))
-        exact.join(retr, Seq("p_id", "c_id"), "left")
-          .groupBy("p_id")
-          .agg(count(lit(1)).as("n_true"),
-            sum(coalesce(col("hit"), lit(0))).as("hits"))
-          .selectExpr("p_id", "n_true", "hits",
-            "(hits * 10000) div n_true as recall_bp")
+          .where("p_id < 50")
+        Recall.perProbe(exact, retr, "p_id", "c_id", None)
       },
       Some(s"""$duckShingles,
                sigs AS (SELECT doc_id, ${duckSig(16)} AS sig FROM hs),

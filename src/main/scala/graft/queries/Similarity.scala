@@ -50,6 +50,16 @@ object Similarity {
 
   private val duckNorm = "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)))"
 
+  /** Lloyd iteration counts for the trained indexes (coarse IVF
+    * quantizer and per-subspace PQ codebooks). Two steps already move
+    * the codebooks well off the seeds; every extra step is one more
+    * full-corpus pass in BOTH engines (the oracle replays training as
+    * a CTE chain per iteration), so keep this small. NOTE: declared
+    * BEFORE `all` — the oracle strings interpolate these eagerly at
+    * object init, and Scala vals initialize in declaration order. */
+  private[graft] val ivfIters = 2
+  private[graft] val pqIters = 2
+
   /** vec_id, embedding, nrm, sig — the 16-bit hyperplane signature via
     * the native [[graft.functions.HyperplaneSig]] kernel (the plane
     * matrix is the same md5-derived literal set; the interpreted
@@ -209,25 +219,27 @@ object Similarity {
                   FROM sc)
                WHERE rnk <= 3""")),
 
-    // ── IVF-style ANN: sampled coarse quantizer, nprobe=2 cells ──
-    // Centroids are the 16 vectors with the smallest md5-derived
-    // sample hash (deterministic sampling stands in for k-means —
-    // the cell-probe mechanics are identical). Selection compiles to
-    // TakeOrderedAndProject (no global sort); assignment is a
-    // broadcast nested-loop against 16 centroids (linear scan).
+    // ── IVF ANN: TRAINED coarse quantizer (k=16, 2 Lloyd steps from
+    // the md5-chosen seeds — [[lloydCents]]), nprobe=2 cells.
+    // Training is the standard Lloyd loop: one corpus pass per step,
+    // only the 16×64 centroid matrix crossing the driver; assignment
+    // at query time is map-only against the trained literal matrix.
+    // The oracle replays the identical training as a CTE chain
+    // (decimal-exact means + float re-quantization in both engines).
     "s05_ivf_topk" -> Q(
       (s, d) => {
         Hashing.register(s)
         val e = Tables(s, d, "embeddings")
           .repartition(s.sparkContext.defaultParallelism)
           .selectExpr("vec_id", "embedding", s"$normE as nrm").persist()
-        val cand = ivfCandidates(e)
+        val cand = ivfCandidates(e, lloydCents(e, ivfSeeds(e), ivfIters))
         heapTopk(cand
           .join(e.select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nrm").as("pn")), "probe_id")
           .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("ce2"), col("nrm").as("cn2")), "cand_id")
           .selectExpr("probe_id", "cand_id", s"${dot("pe", "ce2")} / (pn * cn2) as cosine"), 3)
       },
       Some(s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+               ${duckTrainedCent(ivfIters)},
                $duckIvfCand,
                sc AS (SELECT probe_id, cand_id, ${duckDot("x.embedding", "y.embedding")}/(x.nrm*y.nrm) AS cosine
                       FROM cand JOIN e x ON x.vec_id = probe_id JOIN e y ON y.vec_id = cand_id)
@@ -294,15 +306,8 @@ object Similarity {
     // per-probe top-k frames, so the join+agg is probe-bounded
     // regardless of corpus size. ──
     "s09_ann_recall" -> Q(
-      (s, d) => {
-        val ann = annTopk(s, d)
-          .select(col("probe_id"), col("cand_id"), lit(1).as("hit"))
-        bruteTopk(s, d, 3).select("probe_id", "cand_id")
-          .join(ann, Seq("probe_id", "cand_id"), "left")
-          .groupBy("probe_id")
-          .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
-          .selectExpr("probe_id", "hits", "(hits * 10000) div 3 as recall_bp")
-      },
+      (s, d) => Recall.perProbe(
+        bruteTopk(s, d, 3), annTopk(s, d), "probe_id", "cand_id", Some(3)),
       Some(s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
                sc AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
                              ${duckDot("p.embedding", "c.embedding")} / (p.nrm * c.nrm) AS cosine
@@ -388,9 +393,10 @@ object Similarity {
     // path): 8 subspaces × 8 dims, 16 codewords each — a vector
     // compresses 256 bytes → 8 code bytes, which is what lets a
     // 1 B-vector index live in executor memory at all. Codebooks here
-    // are the subvectors of the 16 smallest vec_ids (deterministic;
-    // [[kmeansFit]] trains real per-subspace codebooks through the
-    // same literal seam). Encoding is MAP-ONLY against the literal
+    // are the seed subvectors of the 16 smallest vec_ids — s12 is
+    // kept as the UNtrained ADC baseline; the production path
+    // (s13/s14/stream09) trains them via [[pqCodebookTrained]]
+    // through the same literal seam. Encoding is MAP-ONLY against the literal
     // codebook (the s11 pattern — argmin by array_position, first
     // index = min-j ties). ADC scoring is the PQ trick: each probe
     // precomputes its 8×16 subspace-distance table map-only, and the
@@ -447,18 +453,13 @@ object Similarity {
     // index): how much of the exact cosine top-3 survives BOTH the
     // coarse-cell pruning AND the 8-byte quantization? The number an
     // index tuner actually watches when trading nprobe/codebook size
-    // against recall. Exact baseline = the bounded-heap brute top-k;
-    // left join keeps zero-hit probes; integer recall_bp. ──
+    // against recall — and the gauge for the r9 codebook training
+    // (trained-vs-seed recall is pinned by SimilaritySpec). Exact
+    // baseline = the bounded-heap brute top-k; left join keeps
+    // zero-hit probes; integer recall_bp. ──
     "s14_ivfpq_recall" -> Q(
-      (s, d) => {
-        val ann = all("s13_ivfpq").fn(s, d)
-          .select(col("probe_id"), col("cand_id"), lit(1).as("hit"))
-        bruteTopk(s, d, 3).select("probe_id", "cand_id")
-          .join(ann, Seq("probe_id", "cand_id"), "left")
-          .groupBy("probe_id")
-          .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
-          .selectExpr("probe_id", "hits", "(hits * 10000) div 3 as recall_bp")
-      },
+      (s, d) => Recall.perProbe(
+        bruteTopk(s, d, 3), all("s13_ivfpq").fn(s, d), "probe_id", "cand_id", Some(3)),
       Some {
         val dd2 = (a: String, b: String) =>
           s"(${duckDot(a, a)} - 2 * ${duckDot(a, b)} + ${duckDot(b, b)})"
@@ -470,21 +471,22 @@ object Similarity {
                         (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
                          FROM sc)
                       WHERE rnk <= 3),
+            ${duckTrainedCent(ivfIters)},
             $duckIvfCand,
             sub AS (SELECT vec_id, s, embedding[s*8+1:s*8+8] AS sv
                     FROM e, LATERAL (SELECT unnest(generate_series(0, 7)) AS s) g),
-            cb AS (SELECT s, vec_id AS j, sv AS cv FROM sub WHERE vec_id < 16),
+            ${duckTrainedCb(pqIters)},
             codes AS (SELECT vec_id AS cand_id, s, j AS code FROM (
                         SELECT sub.vec_id, sub.s, cb.j,
                                row_number() OVER (PARTITION BY sub.vec_id, sub.s
                                  ORDER BY ${dd2("sub.sv", "cb.cv")}, cb.j) AS rn
-                        FROM sub JOIN cb ON cb.s = sub.s) WHERE rn = 1),
+                        FROM sub JOIN cbl cb ON cb.s = sub.s) WHERE rn = 1),
             ad AS (SELECT c.probe_id, c.cand_id,
                           list_sum(list(${dd2("p.sv", "cb.cv")} ORDER BY p.s)) AS adist
                    FROM cand c
                    JOIN sub p ON p.vec_id = c.probe_id
                    JOIN codes co ON co.cand_id = c.cand_id AND co.s = p.s
-                   JOIN cb ON cb.s = co.s AND cb.j = co.code
+                   JOIN cbl cb ON cb.s = co.s AND cb.j = co.code
                    GROUP BY 1, 2),
             ann AS (SELECT probe_id, cand_id FROM
                       (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY adist, cand_id) AS rnk FROM ad)
@@ -503,19 +505,21 @@ object Similarity {
     // distance against their 8-byte PQ codes, NOT their raw vectors.
     // This is the composition a 1 B-vector index actually runs: the
     // cell join bounds the scan, the code lookup bounds the memory,
-    // and nothing ever scores probe × full-corpus. Candidate
-    // generation is s05's (map-side partial-agg assignment); scoring
-    // is s12's (broadcast per-probe distance tables, sequential
-    // subspace fold, bit-identical to the oracle); top-3 is the
-    // bounded-heap aggregate. ──
+    // and nothing ever scores probe × full-corpus. BOTH stages are
+    // TRAINED since r9: the coarse quantizer by [[lloydCents]] and
+    // the per-subspace codebooks by [[pqCodebookTrained]] (2 Lloyd
+    // steps each; the oracle replays the training as CTE chains).
+    // Scoring is s12's (broadcast per-probe distance tables,
+    // sequential subspace fold, bit-identical to the oracle); top-3
+    // is the bounded-heap aggregate. ──
     "s13_ivfpq" -> Q(
       (s, d) => {
         Hashing.register(s)
         val e = Tables(s, d, "embeddings")
           .repartition(s.sparkContext.defaultParallelism)
           .selectExpr("vec_id", "embedding", s"$normE as nrm").persist()
-        val cand = ivfCandidates(e)
-        val cb = pqCodebook(e)
+        val cand = ivfCandidates(e, lloydCents(e, ivfSeeds(e), ivfIters))
+        val cb = pqCodebookTrained(e, pqIters)
         val codes = pqEncode(e, cb).select(col("vec_id").as("cand_id"), col("codes"))
         val probes = e.where("vec_id < 10")
           .withColumn("cb", typedLit(cb))
@@ -533,21 +537,22 @@ object Similarity {
         val dd2 = (a: String, b: String) =>
           s"(${duckDot(a, a)} - 2 * ${duckDot(a, b)} + ${duckDot(b, b)})"
         s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+            ${duckTrainedCent(ivfIters)},
             $duckIvfCand,
             sub AS (SELECT vec_id, s, embedding[s*8+1:s*8+8] AS sv
                     FROM e, LATERAL (SELECT unnest(generate_series(0, 7)) AS s) g),
-            cb AS (SELECT s, vec_id AS j, sv AS cv FROM sub WHERE vec_id < 16),
+            ${duckTrainedCb(pqIters)},
             codes AS (SELECT vec_id AS cand_id, s, j AS code FROM (
                         SELECT sub.vec_id, sub.s, cb.j,
                                row_number() OVER (PARTITION BY sub.vec_id, sub.s
                                  ORDER BY ${dd2("sub.sv", "cb.cv")}, cb.j) AS rn
-                        FROM sub JOIN cb ON cb.s = sub.s) WHERE rn = 1),
+                        FROM sub JOIN cbl cb ON cb.s = sub.s) WHERE rn = 1),
             ad AS (SELECT c.probe_id, c.cand_id,
                           list_sum(list(${dd2("p.sv", "cb.cv")} ORDER BY p.s)) AS adist
                    FROM cand c
                    JOIN sub p ON p.vec_id = c.probe_id
                    JOIN codes co ON co.cand_id = c.cand_id AND co.s = p.s
-                   JOIN cb ON cb.s = co.s AND cb.j = co.code
+                   JOIN cbl cb ON cb.s = co.s AND cb.j = co.code
                    GROUP BY 1, 2)
             SELECT probe_id, cand_id, rnk, adist FROM
               (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY adist, cand_id) AS INTEGER) AS rnk FROM ad)
@@ -591,14 +596,17 @@ object Similarity {
       .select("cluster", "n", "pos", "v")
   }
 
-  /** Driver-iterated Lloyd loop: k seed centroids from the smallest
-    * vec_ids, `iters` steps, final assignment (vec_id, cluster).
-    * Per iteration only the k×dim centroid matrix crosses the driver
+  /** Driver-iterated Lloyd loop over arbitrary seeds: `iters`
+    * [[kmeansStep]]s, returning the trained centroid matrix. Per
+    * iteration only the k×dim centroid matrix crosses the driver
     * (means re-quantized to float for the literal probe — standard
     * practice; convergence is asserted by the planted spec). An
-    * emptied cluster keeps its previous centroid. */
-  def kmeansFit(e: DataFrame, k: Int, iters: Int): DataFrame = {
-    var cent = kmeansSeed(e, k).toArray
+    * emptied cluster keeps its previous centroid. This is the trainer
+    * behind BOTH the clustering surface ([[kmeansFit]]) and the
+    * IVF coarse quantizer (s05/s13). */
+  private[graft] def lloydCents(
+      e: DataFrame, seeds: Seq[Seq[Float]], iters: Int): Seq[Seq[Float]] = {
+    var cent = seeds.toArray
     for (_ <- 1 to iters) {
       val next = cent.map(_.toArray)
       kmeansStep(e, cent.toSeq).collect().foreach { r =>
@@ -607,8 +615,14 @@ object Similarity {
       }
       cent = next.map(_.toSeq: Seq[Float])
     }
-    kmeansAssign(e, cent.toSeq).select("vec_id", "cluster")
+    cent.toSeq
   }
+
+  /** Driver-iterated Lloyd fit: k seed centroids from the smallest
+    * vec_ids, `iters` steps, final assignment (vec_id, cluster). */
+  def kmeansFit(e: DataFrame, k: Int, iters: Int): DataFrame =
+    kmeansAssign(e, lloydCents(e, kmeansSeed(e, k), iters))
+      .select("vec_id", "cluster")
 
   /** ||a−b||² decomposed over the native dot kernel; a = b gives
     * exactly 0.0 (x − 2x + x in IEEE doubles), so a seed vector
@@ -621,46 +635,84 @@ object Similarity {
   private val pqSubDists =
     s"""transform(sequence(0, 15), j -> ${pqD2("slice(embedding, sp*8+1, 8)", "cb[sp][j]")})"""
 
+  /** Coarse-quantizer seeds: the embeddings of the 16 smallest
+    * md5-sample hashes (deterministic spread over the corpus — the
+    * same md5-order the untrained r8 index probed directly). Bounded
+    * 16-row collect; seed index j is the cell id. */
+  private def ivfSeeds(e: DataFrame): Seq[Seq[Float]] =
+    e.withColumn("h", expr(Hashing.h32Sql("concat('ivf:', vec_id)")))
+      .orderBy(col("h"), col("vec_id")).limit(16)
+      .select("embedding").collect().map(_.getSeq[Float](0).toSeq).toSeq
+
   /** (probe_id, cand_id): IVF candidate generation shared by s05 and
-    * s13 — 16 md5-chosen coarse centroids, corpus assignment as a
-    * map-side partial aggregate (the broadcast crossJoin emits the 16
-    * (vector, centroid) score rows inside the same map task that
-    * scanned the vector, and hash-agg's partial mode folds them back
-    * to one row before the exchange — so the assignment shuffle
-    * carries ≤1 small (vec_id, cell) row per vector instead of
-    * exchanging+sorting the full 16×N score frame; max_by's
-    * lexicographic struct ordering reproduces the max-cosine/min-cid
-    * row_number tie-break), and nprobe=2 probe cells (a 160-row
-    * window frame — harmless at any scale). */
-  private def ivfCandidates(e: DataFrame): DataFrame = {
-    val cent = broadcast(
-      e.withColumn("h", expr(Hashing.h32Sql("concat('ivf:', vec_id)")))
-        .orderBy(col("h"), col("vec_id")).limit(16)
-        .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn")))
-    val asg = e.crossJoin(cent)
-      .selectExpr("vec_id", "cid", s"${dot("embedding", "ce")} / (nrm * cn) as ccos")
-      .groupBy("vec_id")
-      .agg(max_by(col("cid"), struct(col("ccos"), negate(col("cid")))).as("cell"))
-    val pcells = e.where("vec_id < 10")
-      .select(col("vec_id").as("probe_id"), col("embedding"), col("nrm"))
-      .crossJoin(cent)
-      .selectExpr("probe_id", "cid", s"${dot("embedding", "ce")} / (nrm * cn) as ccos")
+    * s13 — 16 TRAINED coarse centroids ([[lloydCents]] over the
+    * md5-chosen seeds), corpus assignment fully MAP-ONLY: the trained
+    * centroids ride along as a literal float matrix (the s11/kmeans
+    * pattern), each row computes its 16 cosines and takes argmax
+    * in-projection — no crossJoin, no aggregate, nothing crosses an
+    * exchange for the assignment at all (strictly better than the r8
+    * max_by partial agg, which still exchanged one row per vector).
+    * nprobe=2 probe cells are a 160-row window frame — harmless at
+    * any scale. */
+  private def ivfCandidates(e: DataFrame, cent: Seq[Seq[Float]]): DataFrame = {
+    val cns = cent.map(c => math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x)))
+    val scored = e
+      .withColumn("cents", typedLit(cent))
+      .withColumn("cns", typedLit(cns))
+      .withColumn("scores", expr(
+        s"transform(sequence(0, ${cent.size - 1}), j -> dotf(embedding, cents[j]) / (nrm * cns[j]))"))
+    val asg = scored.selectExpr(
+      "vec_id", "array_position(scores, array_max(scores)) - 1 as cell")
+    val pcells = scored.where("vec_id < 10")
+      .selectExpr("vec_id as probe_id", "posexplode(scores) as (cid, ccos)")
       .withColumn("rn", row_number().over(
         Window.partitionBy("probe_id").orderBy(col("ccos").desc, col("cid"))))
-      .where("rn <= 2").select(col("probe_id"), col("cid").as("cell"))
-    pcells.join(asg, pcells("cell") === asg("cell")
+      .where("rn <= 2").selectExpr("probe_id", "cast(cid as bigint) as cell")
+    broadcast(pcells).join(asg, pcells("cell") === asg("cell")
         && col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("cand_id")).distinct()
   }
 
-  /** DuckDB mirror of [[ivfCandidates]] — CTEs cent/asg/pcells/cand,
-    * expecting an `e(vec_id, embedding, nrm)` CTE in scope. (lazy:
-    * referenced from `all`'s eager oracle strings above). */
+  /** DuckDB mirror of the TRAINED coarse quantizer: replays
+    * [[lloydCents]] over the md5-chosen seeds as one CTE block per
+    * Lloyd step (assignment window → decimal-exact per-position means
+    * → float re-quantization, emptied cells keeping their previous
+    * centroid via the left-join COALESCE — exactly the Spark
+    * trainer's semantics), ending in `cent(cid, ce, cn)`. Expects an
+    * `e(vec_id, embedding, nrm)` CTE in scope. */
+  private def duckTrainedCent(iters: Int): String = {
+    val pos64 = "(SELECT unnest(generate_series(0, 63)) AS pos)"
+    val seed =
+      s"""cx0 AS (SELECT CAST(rn - 1 AS BIGINT) AS cid, pos, embedding[pos+1] AS v
+                  FROM (SELECT *, row_number() OVER (ORDER BY ${Hashing.duck32("'ivf:' || vec_id")}, vec_id) AS rn FROM e) sd
+                  CROSS JOIN $pos64 p
+                  WHERE rn <= 16)"""
+    val steps = (1 to iters).map { i =>
+      s"""cl${i - 1} AS (SELECT cid, list(CAST(v AS DOUBLE) ORDER BY pos) AS ce FROM cx${i - 1} GROUP BY cid),
+          cn${i - 1} AS (SELECT cid, ce, sqrt(list_sum(list_transform(ce, x -> x * x))) AS cn FROM cl${i - 1}),
+          casg$i AS (SELECT vec_id, cid FROM (
+                      SELECT e.vec_id, c.cid,
+                             row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY ${duckDot("e.embedding", "c.ce")} / (e.nrm * c.cn) DESC, c.cid) AS rn
+                      FROM e CROSS JOIN cn${i - 1} c) WHERE rn = 1),
+          cmx$i AS (SELECT a.cid, p.pos, ${graft.Det.sqlAvg("CAST(e.embedding[p.pos+1] AS DOUBLE)", 8)} AS v
+                    FROM casg$i a JOIN e ON e.vec_id = a.vec_id
+                    CROSS JOIN $pos64 p
+                    GROUP BY a.cid, p.pos),
+          cx$i AS (SELECT sd.cid, sd.pos, CAST(COALESCE(m.v, CAST(sd.v AS DOUBLE)) AS FLOAT) AS v
+                   FROM cx${i - 1} sd LEFT JOIN cmx$i m ON m.cid = sd.cid AND m.pos = sd.pos)"""
+    }
+    val fin =
+      s"""ctl AS (SELECT cid, list(CAST(v AS DOUBLE) ORDER BY pos) AS ce FROM cx$iters GROUP BY cid),
+          cent AS (SELECT cid, ce, sqrt(list_sum(list_transform(ce, x -> x * x))) AS cn FROM ctl)"""
+    (seed +: steps :+ fin).mkString(",\n")
+  }
+
+  /** DuckDB mirror of [[ivfCandidates]]'s candidate topology — CTEs
+    * asg/pcells/cand over a `cent(cid, ce, cn)` CTE
+    * ([[duckTrainedCent]]) and `e(vec_id, embedding, nrm)`. */
   private lazy val duckIvfCand =
-    s"""cent AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn
-                 FROM (SELECT *, row_number() OVER (ORDER BY ${Hashing.duck32("'ivf:' || vec_id")}, vec_id) AS rn FROM e)
-                 WHERE rn <= 16),
-        asg AS (SELECT vec_id, cid AS cell FROM (
+    s"""asg AS (SELECT vec_id, cid AS cell FROM (
                   SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
                            ORDER BY ${duckDot("e.embedding", "c.ce")}/(e.nrm*c.cn) DESC, c.cid) AS rn
                   FROM e CROSS JOIN cent c) WHERE rn = 1),
@@ -689,6 +741,104 @@ object Similarity {
       .withColumn("codes", expr(
         s"transform(sequence(0, 7), sp -> array_position($pqSubDists, array_min($pqSubDists)) - 1)"))
       .select("vec_id", "codes")
+
+  /** TRAINED PQ codebooks: `iters` Lloyd steps in each of the 8
+    * subspaces at once, seeded by [[pqCodebook]]. One corpus pass per
+    * step: encode map-only against the current literal codebook, then
+    * a (subspace, codeword, position)-keyed decimal-exact mean —
+    * ≤ 8×16×8 = 1024 partial rows cross the exchange and the driver,
+    * never the corpus. Means re-quantize to float for the literal
+    * probe; an emptied codeword keeps its previous value. Expects
+    * `e(vec_id, embedding)`; [[Hashing.register]] must have run. */
+  private[graft] def pqCodebookTrained(e: DataFrame, iters: Int): Seq[Seq[Seq[Float]]] = {
+    var cb: Array[Array[Array[Float]]] =
+      pqCodebook(e).map(_.map(_.toArray).toArray).toArray
+    for (_ <- 1 to iters) {
+      val cbSeq: Seq[Seq[Seq[Float]]] = cb.map(_.map(_.toSeq: Seq[Float]).toSeq).toSeq
+      val next = cb.map(_.map(_.clone()))
+      e.withColumn("cb", typedLit(cbSeq))
+        .withColumn("codes", expr(
+          s"transform(sequence(0, 7), sp -> array_position($pqSubDists, array_min($pqSubDists)) - 1)"))
+        .selectExpr("codes", "posexplode(embedding) as (pos, val)")
+        .selectExpr("cast(pos div 8 as int) as s", "codes[cast(pos div 8 as int)] as j",
+          "pos % 8 as p", "cast(val as double) as val")
+        .groupBy("s", "j", "p")
+        .agg(graft.Det.davg(col("val"), 8).as("v"))
+        .collect().foreach { r =>
+          next(r.getAs[Int]("s"))(r.getAs[Long]("j").toInt)(r.getAs[Int]("p")) =
+            r.getAs[Double]("v").toFloat
+        }
+      cb = next
+    }
+    cb.map(_.map(_.toSeq: Seq[Float]).toSeq).toSeq
+  }
+
+  /** DuckDB mirror of [[pqCodebookTrained]]: replays the per-subspace
+    * Lloyd steps as one CTE block per iteration (all 8 subspaces in
+    * one chain, keyed by s), ending in `cbl(s, j, cv)` — the trained
+    * codebook the oracle's encode/ADC CTEs read. Expects a
+    * `sub(vec_id, s, sv)` subvector CTE in scope. */
+  private def duckTrainedCb(iters: Int): String = {
+    val dd2 = (a: String, b: String) =>
+      s"(${duckDot(a, a)} - 2 * ${duckDot(a, b)} + ${duckDot(b, b)})"
+    val pos8 = "(SELECT unnest(generate_series(0, 7)) AS p)"
+    val seed =
+      s"""cb0 AS (SELECT s, vec_id AS j, p.p, sv[p.p+1] AS v
+                  FROM sub CROSS JOIN $pos8 p
+                  WHERE vec_id < 16)"""
+    val steps = (1 to iters).map { i =>
+      s"""cbl${i - 1} AS (SELECT s, j, list(CAST(v AS DOUBLE) ORDER BY p) AS cv FROM cb${i - 1} GROUP BY s, j),
+          pcodes$i AS (SELECT vec_id, s, j AS code FROM (
+                        SELECT sub.vec_id, sub.s, cb.j,
+                               row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                                 ORDER BY ${dd2("sub.sv", "cb.cv")}, cb.j) AS rn
+                        FROM sub JOIN cbl${i - 1} cb ON cb.s = sub.s) WHERE rn = 1),
+          pmx$i AS (SELECT c.s, c.code AS j, p.p, ${graft.Det.sqlAvg("CAST(sub.sv[p.p+1] AS DOUBLE)", 8)} AS v
+                    FROM pcodes$i c JOIN sub ON sub.vec_id = c.vec_id AND sub.s = c.s
+                    CROSS JOIN $pos8 p
+                    GROUP BY c.s, c.code, p.p),
+          cb$i AS (SELECT sd.s, sd.j, sd.p, CAST(COALESCE(m.v, CAST(sd.v AS DOUBLE)) AS FLOAT) AS v
+                   FROM cb${i - 1} sd LEFT JOIN pmx$i m ON m.s = sd.s AND m.j = sd.j AND m.p = sd.p)"""
+    }
+    val fin =
+      s"""cbl AS (SELECT s, j, list(CAST(v AS DOUBLE) ORDER BY p) AS cv FROM cb$iters GROUP BY s, j)"""
+    (seed +: steps :+ fin).mkString(",\n")
+  }
+
+  /** The trained PQ codebook + its oracle chain, shared with the
+    * streaming tier (stream09 encodes arriving vectors against the
+    * codebook trained offline on the batch corpus). */
+  private[graft] def trainedPqCodebook(e: DataFrame): Seq[Seq[Seq[Float]]] =
+    pqCodebookTrained(e, pqIters)
+  private[graft] def duckTrainedCbSql: String = duckTrainedCb(pqIters)
+
+  /** Total PQ quantization error: Σ over vectors and subspaces of the
+    * squared distance to the nearest codeword — the objective the
+    * Lloyd trainer descends (SimilaritySpec pins trained < seed). */
+  private[graft] def pqQuantError(e: DataFrame, cb: Seq[Seq[Seq[Float]]]): Double =
+    e.withColumn("cb", typedLit(cb))
+      .selectExpr(
+        s"aggregate(sequence(0, 7), cast(0 as double), (acc, sp) -> acc + array_min($pqSubDists)) as qe")
+      .agg(sum("qe")).collect()(0).getDouble(0)
+
+  /** Mean best-centroid cosine of the corpus under a centroid matrix
+    * — the coarse quantizer's quality dial (higher = tighter cells). */
+  private[graft] def coarseObjective(e: DataFrame, cent: Seq[Seq[Float]]): Double = {
+    val cns = cent.map(c => math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x)))
+    e.withColumn("cents", typedLit(cent))
+      .withColumn("cns", typedLit(cns))
+      .selectExpr(
+        s"array_max(transform(sequence(0, ${cent.size - 1}), j -> dotf(embedding, cents[j]) / (nrm * cns[j]))) as best")
+      .agg(avg("best")).collect()(0).getDouble(0)
+  }
+
+  /** r9 index-training entry points for specs: (seedCents, trained)
+    * for the coarse quantizer over a prepared e(vec_id, embedding,
+    * nrm). */
+  private[graft] def coarseCents(e: DataFrame): (Seq[Seq[Float]], Seq[Seq[Float]]) = {
+    val seeds = ivfSeeds(e)
+    (seeds, lloydCents(e, seeds, ivfIters))
+  }
 
   /** s04's body: LSH-candidate embedding near-dup pairs, cosine ≥
     * 0.45 — shared with the s10 cluster formation. */

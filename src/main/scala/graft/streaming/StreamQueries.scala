@@ -134,15 +134,15 @@ object StreamQueries {
       graft.queries.TextOps.all("t14_gopher_filter").oracle),
 
     // streaming PQ index ingestion (append): arriving vectors encode
-    // map-only against the literal codebook trained offline on the
-    // batch corpus (s12's pqEncode verbatim — one semantics, two
-    // tiers); stateless, 8 code bytes per vector leave the stream.
-    // Codes cross the gate as a comma string (driver fingerprint
-    // cannot hash array cells).
+    // map-only against the literal codebook TRAINED offline on the
+    // batch corpus ([[graft.queries.Similarity.trainedPqCodebook]],
+    // the s13 trainer — one semantics, two tiers); stateless, 8 code
+    // bytes per vector leave the stream. Codes cross the gate as a
+    // comma string (driver fingerprint cannot hash array cells).
     "stream09_pq_encode" -> Q(
       (s, d) => {
         graft.functions.Hashing.register(s)
-        val cb = graft.queries.Similarity.pqCodebook(
+        val cb = graft.queries.Similarity.trainedPqCodebook(
           graft.Tables(s, d, "embeddings").select("vec_id", "embedding"))
         drain(s,
           graft.queries.Similarity.pqEncode(EventStreams.embeddingsStream(s, d), cb)
@@ -158,12 +158,12 @@ object StreamQueries {
         s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
             sub AS (SELECT vec_id, s, embedding[s*8+1:s*8+8] AS sv
                     FROM e, LATERAL (SELECT unnest(generate_series(0, 7)) AS s) g),
-            cb AS (SELECT s, vec_id AS j, sv AS cv FROM sub WHERE vec_id < 16),
+            ${graft.queries.Similarity.duckTrainedCbSql},
             codes AS (SELECT vec_id, s, j AS code FROM (
                         SELECT sub.vec_id, sub.s, cb.j,
                                row_number() OVER (PARTITION BY sub.vec_id, sub.s
                                  ORDER BY ${dd2("sub.sv", "cb.cv")}, cb.j) AS rn
-                        FROM sub JOIN cb ON cb.s = sub.s) WHERE rn = 1)
+                        FROM sub JOIN cbl cb ON cb.s = sub.s) WHERE rn = 1)
             SELECT vec_id, array_to_string(list(code ORDER BY s), ',') AS codes
             FROM codes GROUP BY vec_id"""
       }),

@@ -82,6 +82,26 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     byVec.foreach(g => assert(g.map(v => codes(v._1)).distinct.length === 1))
   }
 
+  test("r9 trained PQ codebook strictly reduces quantization error vs the seed codebook") {
+    graft.functions.Hashing.register(spark)
+    val e = graft.Tables(spark, sf, "embeddings").select("vec_id", "embedding")
+    val seedErr = Similarity.pqQuantError(e, Similarity.pqCodebook(e))
+    val trainedErr = Similarity.pqQuantError(e, Similarity.trainedPqCodebook(e))
+    assert(trainedErr < seedErr,
+      s"Lloyd training must descend the quantization objective: $trainedErr !< $seedErr")
+  }
+
+  test("r9 trained coarse quantizer tightens cells (mean best-centroid cosine rises)") {
+    graft.functions.Hashing.register(spark)
+    val e = graft.Tables(spark, sf, "embeddings")
+      .selectExpr("vec_id", "embedding", "vnorm(embedding) as nrm")
+    val (seeds, trained) = Similarity.coarseCents(e)
+    val before = Similarity.coarseObjective(e, seeds)
+    val after = Similarity.coarseObjective(e, trained)
+    assert(after > before,
+      s"coarse training must tighten cells: $after !> $before")
+  }
+
   test("s10 semantic clusters: labels are component minima over the s04 pair graph") {
     val pairs = Similarity.all("s04_embed_dup").fn(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
