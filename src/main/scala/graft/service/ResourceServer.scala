@@ -40,6 +40,21 @@ import graft.sources.Fetch
   * surface against committed fixtures offline; production passes a
   * real HTTP fetch. Output paths are Hadoop-FS paths — `file:/` in
   * tests, `s3a://` (after [[Fetch.configureS3a]]) in deployment.
+  *
+  * Durability (`journalPath`): the reference's RQ+Redis queue
+  * (`dependencies.py:33-34`) survives a worker restart; the r8 shim's
+  * in-memory jobs map did not. With a journal path set (production
+  * wiring does, `_jobs.json` under outBase), every job transition
+  * snapshots the full job table — id, state, and a replayable payload
+  * — through the Hadoop FS API (tmp-write + rename; works on file:/,
+  * HDFS, and object stores, no appends). On construction the journal
+  * is replayed: terminal jobs are restored for /jobs continuity and
+  * queued/running jobs are RE-ENQUEUED — safe because every job body
+  * is idempotent (the convert sink's existence probe skips completed
+  * outputs, `Sinks.scala` / reference `parquet.py:33`; csw/geoapi
+  * rebuild from the live catalog). A snapshot per transition is one
+  * small PUT per state change of a minutes-long conversion job —
+  * negligible, and unlike an append log it needs no compaction.
   */
 final class ResourceServer(
     spark: SparkSession,
@@ -50,7 +65,8 @@ final class ResourceServer(
     archiveUrlOf: (String, String) => String,
     bindHost: String = "127.0.0.1",
     bindPort: Int = 0,
-    maxJobEntries: Int = 1024) {
+    maxJobEntries: Int = 1024,
+    journalPath: Option[String] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress(bindHost, bindPort), 0)
   private val worker = Executors.newSingleThreadExecutor(r => {
@@ -60,6 +76,13 @@ final class ResourceServer(
   private val jobs = new ConcurrentHashMap[String, String]()
   // Insertion order for age-out; ConcurrentHashMap has none of its own.
   private val jobOrder = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  // Replayable payload per job id ({"kind":...} + args) — what the
+  // journal needs to reconstruct a body after a restart.
+  private val jobMeta = new ConcurrentHashMap[String, String]()
+  // Jackson ships inside Spark; readTree/writeValueAsBytes are
+  // thread-safe on a shared configured mapper.
+  private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val journalLock = new Object
 
   private def isTerminal(s: String): Boolean = s == "done" || s.startsWith("failed")
 
@@ -69,28 +92,67 @@ final class ResourceServer(
       // Never evict a live job: stop pruning at the first non-terminal
       // entry (FIFO worker ⇒ everything behind it is younger).
       if (oldest == null || !isTerminal(jobs.getOrDefault(oldest, "done"))) return
-      jobOrder.poll(); jobs.remove(oldest)
+      jobOrder.poll(); jobs.remove(oldest); jobMeta.remove(oldest)
     }
 
-  /** Enqueue `body` on the single worker; returns the job id. A fatal
+  /** Snapshot the whole job table to the journal (tmp + rename — no
+    * Hadoop-FS append, which LocalFileSystem and s3a both refuse).
+    * Serialized under a lock: worker + handler threads both
+    * transition states. */
+  private def snapshotJournal(): Unit = journalPath.foreach { jp =>
+    journalLock.synchronized {
+      import scala.jdk.CollectionConverters._
+      val arr = om.createArrayNode()
+      jobOrder.asScala.foreach { id =>
+        val o = om.createObjectNode()
+        o.put("id", id)
+        o.put("state", jobs.getOrDefault(id, "queued"))
+        val payload = jobMeta.get(id)
+        o.set("payload", om.readTree(if (payload != null) payload else "{}"))
+        arr.add(o)
+      }
+      val root = om.createObjectNode()
+      root.set("jobs", arr)
+      val path = new org.apache.hadoop.fs.Path(jp)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(jp + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(om.writeValueAsBytes(root)) finally out.close()
+      if (fs.exists(path)) fs.delete(path, false)
+      fs.rename(tmp, path)
+    }
+  }
+
+  private def setState(id: String, st: String): Unit = {
+    jobs.put(id, st)
+    snapshotJournal()
+  }
+
+  /** Register `id` and run `body` on the single worker. A fatal
     * Throwable (OOM, linkage error) still marks the job failed before
     * propagating, so /jobs never shows a zombie "running" forever. */
-  private def enqueue(kind: String)(body: => Unit): String = {
-    val id = s"$kind-${jobSeq.incrementAndGet()}"
-    jobs.put(id, "queued"); jobOrder.add(id); pruneJobs()
+  private def submitJob(id: String, payload: String)(body: => Unit): Unit = {
+    jobs.put(id, "queued"); jobMeta.put(id, payload); jobOrder.add(id); pruneJobs()
+    snapshotJournal()
     worker.submit(new Runnable {
       override def run(): Unit = {
-        jobs.put(id, "running")
-        try { body; jobs.put(id, "done") }
+        setState(id, "running")
+        try { body; setState(id, "done") }
         catch {
           case scala.util.control.NonFatal(e) =>
-            jobs.put(id, s"failed: ${e.getMessage}")
+            setState(id, s"failed: ${e.getMessage}")
           case e: Throwable =>
-            jobs.put(id, s"failed: fatal ${e.getClass.getSimpleName}: ${e.getMessage}")
+            setState(id, s"failed: fatal ${e.getClass.getSimpleName}: ${e.getMessage}")
             throw e
         }
       }
     })
+  }
+
+  /** Enqueue `body` on the single worker; returns the job id. */
+  private def enqueue(kind: String, payload: String)(body: => Unit): String = {
+    val id = s"$kind-${jobSeq.incrementAndGet()}"
+    submitJob(id, payload)(body)
     id
   }
 
@@ -116,6 +178,34 @@ final class ResourceServer(
     try ex.getResponseBody.write(bytes) finally ex.close()
   }
 
+  // ── job bodies (shared by the endpoints and journal replay) ──
+
+  private def cswBody(): Unit =
+    Sinks.writeZstd(
+      MetaQueries.cswRecords(spark, withMeta()), s"$outBase/csw-records.parquet")
+
+  private def geoapiBody(): Unit =
+    Sinks.writeJsonArray(spark,
+      MetaQueries.geoapiResources(spark, withMeta()), s"$outBase/geoapi-config.json")
+
+  private def convertBody(url: String, rid: String, version: String): Unit =
+    ConvertJob.run(spark, url, outBase, rid, version)
+
+  /** Reconstruct a job body from its journaled payload; None for a
+    * payload this build cannot replay (journal from a newer shim). */
+  private def replayBody(payload: String): Option[() => Unit] = {
+    val n = om.readTree(payload)
+    def f(k: String): Option[String] = Option(n.get(k)).map(_.asText())
+    f("kind") match {
+      case Some("csw") => Some(() => cswBody())
+      case Some("geoapi") => Some(() => geoapiBody())
+      case Some("convert") =>
+        for (u <- f("url"); r <- f("rid"); v <- f("version"))
+          yield () => convertBody(u, r, v)
+      case _ => None
+    }
+  }
+
   // ── endpoint bodies ──
 
   /** `GET /resources` (`resources.py:20-28`). */
@@ -127,20 +217,14 @@ final class ResourceServer(
   /** `POST /resources/csw` (`resources.py:31-36`): CSW records over
     * the live catalog → parquet under outBase. */
   private def generateCsw(): String = {
-    val job = enqueue("csw") {
-      Sinks.writeZstd(
-        MetaQueries.cswRecords(spark, withMeta()), s"$outBase/csw-records.parquet")
-    }
+    val job = enqueue("csw", """{"kind":"csw"}""")(cswBody())
     s"""{"result":${jstr(s"$resultBase/csw-records.parquet")},"job":${jstr(job)}}"""
   }
 
   /** `POST /resources/geoapi` (`resources.py:39-44`): pygeoapi config
     * JSON array under outBase. */
   private def generateGeoapi(): String = {
-    val job = enqueue("geoapi") {
-      Sinks.writeJsonArray(spark,
-        MetaQueries.geoapiResources(spark, withMeta()), s"$outBase/geoapi-config.json")
-    }
+    val job = enqueue("geoapi", """{"kind":"geoapi"}""")(geoapiBody())
     s"""{"result":${jstr(s"$resultBase/geoapi-config.json")},"job":${jstr(job)}}"""
   }
 
@@ -150,8 +234,15 @@ final class ResourceServer(
     val emlXml = fetch(s"$iptPublic/eml.do?r=$id")
     val meta = Eml.parse(emlXml)
     val version = Eml.packageVersion(emlXml)
-    val job = enqueue(s"convert-$id") {
-      ConvertJob.run(spark, archiveUrlOf(id, version), outBase, id, version)
+    val url = archiveUrlOf(id, version)
+    val payload = {
+      val o = om.createObjectNode()
+      o.put("kind", "convert"); o.put("url", url)
+      o.put("rid", id); o.put("version", version)
+      om.writeValueAsString(o)
+    }
+    val job = enqueue(s"convert-$id", payload) {
+      convertBody(url, id, version)
     }
     s"""{"id":${jstr(id)},
         |"ipt_url":${jstr(s"$iptPublic/resource?r=$id")},
@@ -193,7 +284,47 @@ final class ResourceServer(
     }
   })
 
+  // ── journal replay (constructor-time, before the server listens) ──
+  // Terminal jobs are restored for /jobs continuity; queued/running
+  // jobs are re-enqueued in their original order (idempotent bodies
+  // make this the RQ restart semantics, not a duplicate-work hazard).
+  journalPath.foreach { jp =>
+    val path = new org.apache.hadoop.fs.Path(jp)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) {
+      import scala.jdk.CollectionConverters._
+      val in = fs.open(path)
+      val root =
+        try om.readTree(in)
+        finally in.close()
+      Option(root.get("jobs")).toSeq.flatMap(_.elements().asScala).foreach { n =>
+        val id = n.get("id").asText()
+        val st = n.get("state").asText()
+        val payload = Option[Any](n.get("payload")).map(_.toString).getOrElse("{}")
+        // keep new ids past every journaled one
+        id.split("-").lastOption.flatMap(_.toLongOption)
+          .foreach(seq => jobSeq.updateAndGet(cur => math.max(cur, seq)))
+        if (isTerminal(st)) {
+          jobs.put(id, st); jobMeta.put(id, payload); jobOrder.add(id)
+        } else replayBody(payload) match {
+          case Some(body) => submitJob(id, payload)(body())
+          case None =>
+            jobs.put(id, "failed: unreplayable journal payload")
+            jobMeta.put(id, payload); jobOrder.add(id)
+        }
+      }
+      snapshotJournal()
+    }
+  }
+
   def start(): Int = { server.start(); server.getAddress.getPort }
+
+  /** Test aid: die like a crashed engine — stop listening and abandon
+    * the worker WITHOUT letting queued jobs run (ExecutorService.
+    * shutdown() would drain them, which is exactly what a crash does
+    * not do). The restart spec builds a new server on the same
+    * journal afterwards. */
+  def crash(): Unit = { server.stop(0); worker.shutdownNow() }
 
   /** Wait for all queued jobs to finish (test/shutdown aid). */
   def drain(timeoutMs: Long = 120000): Unit = {
@@ -220,7 +351,8 @@ object ResourceServer {
     id.nonEmpty && id.length <= 256 && IdPattern.matcher(id).matches() &&
       id != "." && id != ".."
 
-  /** Production wiring: real HTTP fetch, reference archive URL shape. */
+  /** Production wiring: real HTTP fetch, reference archive URL shape,
+    * durable job journal under outBase (RQ+Redis restart parity). */
   def apply(spark: SparkSession, iptPublic: String, outBase: String,
       resultBase: String, bindHost: String = "127.0.0.1",
       bindPort: Int = 0): ResourceServer =
@@ -231,7 +363,8 @@ object ResourceServer {
           StandardCharsets.UTF_8)
         finally java.nio.file.Files.deleteIfExists(tmp)
       },
-      archiveUrlOf = (id, v) => Fetch.archiveUrl(iptPublic, id, v))
+      archiveUrlOf = (id, v) => Fetch.archiveUrl(iptPublic, id, v),
+      journalPath = Some(s"$outBase/_jobs.json"))
 }
 
 /** Standalone entry point:

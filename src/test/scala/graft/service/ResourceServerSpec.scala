@@ -139,6 +139,65 @@ class ResourceServerSpec extends AnyFunSuite with SparkTestBase {
     } finally srv.stop()
   }
 
+  test("r9 durable journal: jobs survive a crash and a restarted server completes them") {
+    val out = Files.createTempDirectory("graft-svc-journal").toString
+    val journal = s"$out/_jobs.json"
+
+    // server1's rss.do fetch parks FOREVER, ignoring interrupts — the
+    // csw job must still be journaled as "running" when we crash (an
+    // interrupt would let the job mark itself failed, which a real
+    // kill -9 never allows)
+    def parkingFetch(url: String): String = url match {
+      case u if u == s"$ipt/rss.do" =>
+        val never = new java.util.concurrent.CountDownLatch(1)
+        while (true) {
+          try never.await()
+          catch { case _: InterruptedException => }
+        }
+        sys.error("unreachable")
+      case other => fixtureFetch(other)
+    }
+
+    val srv1 = new ResourceServer(spark, ipt, out, "https://s3.example/bucket",
+      fetch = parkingFetch,
+      archiveUrlOf = (_, _) => graft.dwca.DwcaQueries.fixtureZip,
+      journalPath = Some(journal))
+    val port1 = srv1.start()
+    // csw-1 occupies the single worker (running, parked); the convert
+    // enqueued behind it never gets to run (queued)
+    assert(get(port1, "/resources/csw", post = true)._1 === 200)
+    val t0 = System.currentTimeMillis()
+    while (!srv1.jobStatuses.values.exists(_ == "running")) {
+      require(System.currentTimeMillis() - t0 < 30000, srv1.jobStatuses)
+      Thread.sleep(20)
+    }
+    assert(get(port1, "/resources/birds-norway")._1 === 200)
+    assert(srv1.jobStatuses.values.toSet === Set("running", "queued"), srv1.jobStatuses)
+    srv1.crash()
+    // nothing completed before the crash
+    assert(!Files.exists(java.nio.file.Paths.get(out, "csw-records.parquet")))
+    assert(!Files.exists(java.nio.file.Paths.get(out, "birds-norway.parquet")))
+
+    // restart on the same journal with a healthy fetch: both jobs are
+    // re-enqueued in order and run to completion
+    val srv2 = new ResourceServer(spark, ipt, out, "https://s3.example/bucket",
+      fetch = fixtureFetch,
+      archiveUrlOf = (_, _) => graft.dwca.DwcaQueries.fixtureZip,
+      journalPath = Some(journal))
+    try {
+      srv2.drain()
+      assert(srv2.jobStatuses.size === 2, srv2.jobStatuses)
+      assert(srv2.jobStatuses.values.forall(_ == "done"), srv2.jobStatuses)
+      assert(srv2.jobStatuses.keys.exists(_.startsWith("csw-")), srv2.jobStatuses)
+      assert(srv2.jobStatuses.keys.exists(_.startsWith("convert-birds-norway-")), srv2.jobStatuses)
+      assert(spark.read.parquet(s"$out/csw-records.parquet").count() === 2)
+      assert(spark.read.parquet(s"$out/birds-norway.parquet").count() > 0)
+      // the journal itself records the terminal states for the NEXT restart
+      val text = new String(Files.readAllBytes(java.nio.file.Paths.get(journal)))
+      assert(text.contains("\"done\"") && !text.contains("\"queued\"") && !text.contains("\"running\""))
+    } finally srv2.stop()
+  }
+
   test("idempotent re-GET skips the conversion (existence probe, parquet.py:33)") {
     val out = Files.createTempDirectory("graft-svc-skip").toString
     val srv = new ResourceServer(spark, ipt, out, "https://s3.example/bucket",
