@@ -88,6 +88,38 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
       Sinks.geoMetadataJson("geom", Some(Seq(100.0, 100.0, 101.0, 101.0)), Seq("Point"))))
   }
 
+  test("r9 external-reader conformance: a NON-engine reader consumes the GeoParquet output") {
+    // The reference's contract is that outputs are consumable by OGR
+    // /vsicurl/ (csw.py:65, geoapi.py:58-62); until r8 the only check
+    // read the footer back with the engine's own reader. tools/
+    // geocheck.py re-reads the full conversion output with pyarrow +
+    // a pure-python WKB parser and independently re-derives the
+    // geometry types and per-part bbox from the data.
+    assume(
+      new ProcessBuilder("python3", "-c", "import pyarrow.parquet").start().waitFor() == 0,
+      "python3+pyarrow unavailable")
+    val out = tmp("geoconf") + "/conv.parquet"
+    val df = graft.dwca.DwcaConvert.convert(
+      spark, graft.dwca.DwcaQueries.fixtureZip, graft.dwca.DwcaConvert.GeomWkb)
+    Sinks.writeZstd(df.coalesce(1), out)
+    Sinks.patchGeoFooter(spark, out, "geom")
+    val repoRoot = new java.io.File(".").getCanonicalPath
+    val p = new ProcessBuilder("python3", s"$repoRoot/tools/geocheck.py", out, "geom")
+      .redirectErrorStream(true).start()
+    val log = new String(p.getInputStream.readAllBytes())
+    assert(p.waitFor() === 0, s"geocheck.py rejected the output:\n$log")
+    assert(log.contains("geocheck OK"), log)
+
+    // and the checker is not a rubber stamp: a corrupted footer fails
+    val bad = tmp("geoconf-bad") + "/conv.parquet"
+    Sinks.writeZstd(spark.read.parquet(out), bad)
+    // no patchGeoFooter → no geo key
+    val pb = new ProcessBuilder("python3", s"$repoRoot/tools/geocheck.py", bad, "geom")
+      .redirectErrorStream(true).start()
+    val badLog = new String(pb.getInputStream.readAllBytes())
+    assert(pb.waitFor() !== 0, s"geocheck.py accepted a geo-less footer:\n$badLog")
+  }
+
   test("writeJsonArray emits one parseable JSON array") {
     import spark.implicits._
     val out = tmp("json") + "/a.json"
