@@ -79,7 +79,10 @@ object DwcaConvert {
     * pass-count as `inferSchema` (one classify, one read). */
   def readLayer(spark: SparkSession, dir: Path, layer: DwcaLayer): DataFrame =
     graft.sources.SnifferCsv.read(spark,
-      dir.resolve(layer.location).toString, layer.sepLiteral, layer.encoding)
+      dir.resolve(layer.location).toString, layer.sepLiteral, layer.encoding,
+      // the reference default-samples only the CORE (query.sql:2 vs
+      // :4) — detection is meaningless on full-sampled extensions
+      coreSampleCheck = !layer.isExtension)
 
   /** Full conversion: the reference's one generated query.
     * `zipScan = true` streams members straight out of the archive

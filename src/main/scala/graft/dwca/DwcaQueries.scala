@@ -170,6 +170,24 @@ object DwcaQueries {
                      CAST(epoch(c_iso) AS BIGINT) AS iso_epoch
               FROM read_csv('/root/repo/src/test/resources/dwca/sniffer/dates.csv')""")),
 
+    // ── core-layer sampling divergence, pinned (dwca06/07/09 family):
+    // the reference default-samples the CORE (query.sql:2) and would
+    // type the drifted columns from the first 20480 rows, then ERROR
+    // mid-scan on the later non-conforming values; the engine
+    // full-passes the core and converts the archive. The oracle reads
+    // the same bytes with sample_size=-1 — the full-sample answer the
+    // engine's typing must (and does) match. SnifferCsv WARNs on
+    // detection (DwcaSpec pins the detection + verdicts). ──
+    "dwca10_sample_drift" -> Q(
+      (s, _) => {
+        SampleDriftFixture.ensure()
+        DwcaConvert.convert(s, SampleDriftFixture.zipPath,
+            DwcaConvert.GeomWktString, zipScan = true)
+          .selectExpr("id", "scientificName", "individualCount", "catalogNumber")
+      },
+      Some(s"""SELECT id, scientificName, individualCount, catalogNumber
+               FROM read_csv('${SampleDriftFixture.extractedDir}/occurrence.txt', sample_size=-1)""")),
+
     // ── engine-faithful conversion: WKB geometry via native ST_* ──
     // DuckDB spatial is unavailable offline, so the oracle is golden
     // VALUES: the WKB hex for each fixture geometry, independently

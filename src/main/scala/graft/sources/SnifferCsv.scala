@@ -65,36 +65,84 @@ object SnifferCsv {
   private val DateCandidates: IndexedSeq[(Int, String)] =
     IndexedSeq(DATE_ISO -> "yyyy-MM-dd", DATE_DMY -> "d/M/yyyy", DATE_MDY -> "M/d/yyyy")
 
-  /** Read `path` with DuckDB-sniffer-parity types. */
+  /** DuckDB's default `read_csv` sniff window in rows — the sample
+    * the reference types the CORE layer with (`query.sql:2`;
+    * extensions force `sample_size=-1`, `query.sql:4`). */
+  val DuckSampleRows = 20480
+
+  /** Read `path` with DuckDB-sniffer-parity types. `coreSampleCheck`
+    * additionally detects (and WARNs on) core-layer sampling
+    * divergence — see [[sampleDivergence]]. */
   def read(spark: SparkSession, path: String, sep: String = ",",
-      encoding: String = "UTF-8"): DataFrame =
+      encoding: String = "UTF-8", coreSampleCheck: Boolean = false): DataFrame =
     typeColumns(spark.read
       .option("header", "true").option("sep", sep)
       .option("encoding", encoding)
       .option("escape", "\"") // RFC4180 doubled quotes, as DuckDB reads them
-      .csv(path))
+      .csv(path), coreSampleCheck)
 
   /** Same typing over an already-decoded line Dataset (the zip-member
     * no-extraction path — encoding was handled by the line source). */
   def readLines(spark: SparkSession, lines: org.apache.spark.sql.Dataset[String],
-      sep: String): DataFrame =
+      sep: String, coreSampleCheck: Boolean = false): DataFrame =
     typeColumns(spark.read
       .option("header", "true").option("sep", sep)
       .option("escape", "\"")
-      .csv(lines))
+      .csv(lines), coreSampleCheck)
 
-  /** The DuckDB-lattice classification + cast over an all-string
-    * frame: ONE partial-agg'd counting pass (each value classified by
-    * one [[graft.functions.DuckTypeMask]] kernel scan — the regex +
-    * try-cast chain it replaced evaluated six patterns per value,
-    * measurably slowing the bulk conversion bench), then a codegen'd
-    * cast projection. */
-  private def typeColumns(raw0: DataFrame): DataFrame = {
-    graft.functions.Hashing.register(raw0.sparkSession)
-    // quoted "" → NULL like bare empty (DuckDB allow_quoted_nulls)
-    val raw = raw0.select(raw0.columns.map(h =>
+  /** Core-layer sampling divergence: the lattice type each column
+    * takes under a DuckDB-default prefix sample vs the full pass,
+    * for every column where they differ — exactly the files where
+    * the reference's default-sampled `read_csv` types the core from
+    * the first [[DuckSampleRows]] rows and then ERRORS mid-scan on a
+    * later non-conforming value, while this engine's full-pass
+    * typing is correct by construction. The divergence is strictly
+    * in the safer direction (dwca10 pins the full-pass answer
+    * against `sample_size=-1`); detection exists so an operator
+    * comparing against a reference deployment knows WHY the
+    * reference refused an archive the engine converted.
+    *
+    * Cost: one bounded pass over the first [[DuckSampleRows]] rows
+    * plus one full counting pass (callers on the conversion path get
+    * the full pass for free — [[typeColumns]] shares it). */
+  def sampleDivergence(raw0: DataFrame): Seq[(String, String, String)] = {
+    val raw = nullifyEmpty(raw0)
+    divergence(raw, maskCounts(raw))
+  }
+
+  private def divergence(raw: DataFrame,
+      fullCounts: Array[IndexedSeq[Long]]): Seq[(String, String, String)] = {
+    val sampled = maskCounts(raw.limit(DuckSampleRows)).map(latticeName)
+    val full = fullCounts.map(latticeName)
+    raw.columns.toSeq.zip(sampled.zip(full)).collect {
+      case (h, (s, f)) if s != f => (h, s, f)
+    }
+  }
+
+  /** The coarse lattice verdict for one column's mask counts (date
+    * format subtleties collapse to DATE — good enough to NAME a
+    * sampled-vs-full divergence; the typed output itself still goes
+    * through the full per-format resolution). */
+  private def latticeName(cs: IndexedSeq[Long]): String = {
+    val Seq(n, bool, big, dbl, iso, dmy, mdy, ts) = cs
+    if (n == 0) "VARCHAR"
+    else if (bool == n) "BOOLEAN"
+    else if (big == n) "BIGINT"
+    else if (dbl == n) "DOUBLE"
+    else if (iso == n || dmy == n || mdy == n) "DATE"
+    else if (ts == n) "TIMESTAMP"
+    else "VARCHAR"
+  }
+
+  /** quoted "" → NULL like bare empty (DuckDB allow_quoted_nulls). */
+  private def nullifyEmpty(raw0: DataFrame): DataFrame =
+    raw0.select(raw0.columns.map(h =>
       when(col(h) === "", lit(null)).otherwise(col(h)).as(h)): _*)
 
+  /** Per-column mask counts: (n, bool, bigint, double, iso, dmy, mdy,
+    * ts) — ONE partial-agg'd pass, one row to the driver. */
+  private def maskCounts(raw: DataFrame): Array[IndexedSeq[Long]] = {
+    graft.functions.Hashing.register(raw.sparkSession)
     val masked = raw.select(raw.columns.map(h =>
       expr(s"duck_type_mask(`$h`)").as(h)): _*)
     val aggs: Seq[Column] = masked.columns.toSeq.flatMap { h =>
@@ -105,7 +153,26 @@ object SnifferCsv {
     }
     val r = masked.agg(aggs.head, aggs.tail: _*).head()
     val W = 8
-    def counts(i: Int): IndexedSeq[Long] = (0 until W).map(j => r.getLong(W * i + j))
+    raw.columns.indices.map(i => (0 until W).map(j => r.getLong(W * i + j))).toArray
+  }
+
+  /** The DuckDB-lattice classification + cast over an all-string
+    * frame: ONE partial-agg'd counting pass (each value classified by
+    * one [[graft.functions.DuckTypeMask]] kernel scan — the regex +
+    * try-cast chain it replaced evaluated six patterns per value,
+    * measurably slowing the bulk conversion bench), then a codegen'd
+    * cast projection. */
+  private def typeColumns(raw0: DataFrame, coreSampleCheck: Boolean = false): DataFrame = {
+    val raw = nullifyEmpty(raw0)
+    val allCounts = maskCounts(raw)
+    def counts(i: Int): IndexedSeq[Long] = allCounts(i)
+
+    if (coreSampleCheck) divergence(raw, allCounts).foreach { case (h, s, f) =>
+      log.warn(s"core-layer sampling divergence: DuckDB's default-sampled read_csv " +
+        s"(reference core path, query.sql:2) types `$h` as $s from the first " +
+        s"$DuckSampleRows rows and then errors on a later value; full-pass typing " +
+        s"keeps $f (the dwca10-pinned answer)")
+    }
 
     // ── pass 1, columns LEFT TO RIGHT: walk the file-wide dateformat
     // stack. A date column matches the first candidate (from the

@@ -73,5 +73,6 @@ object ZipSource {
     * (see DwcaConvert.readLayer), no staging. */
   def readLayer(spark: SparkSession, zipPath: String, layer: DwcaLayer): DataFrame =
     SnifferCsv.readLines(spark,
-      memberLines(spark, zipPath, layer.location, layer.encoding), layer.sepLiteral)
+      memberLines(spark, zipPath, layer.location, layer.encoding), layer.sepLiteral,
+      coreSampleCheck = !layer.isExtension)
 }

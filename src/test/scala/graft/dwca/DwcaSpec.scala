@@ -149,4 +149,30 @@ class DwcaSpec extends AnyFunSuite with SparkTestBase {
       } else assert(r.getAs[String]("id") === "occ3")
     }
   }
+
+  test("r9 core-layer sampling divergence is detected with the right type verdicts") {
+    SampleDriftFixture.ensure()
+    val raw = spark.read
+      .option("header", "true").option("sep", "\t")
+      .csv(s"${SampleDriftFixture.extractedDir}/occurrence.txt")
+    val div = graft.sources.SnifferCsv.sampleDivergence(raw)
+      .map { case (h, s, f) => h -> ((s, f)) }.toMap
+    // both planted drifts surface, with the DuckDB-default verdicts
+    assert(div.get("individualCount").contains(("BIGINT", "VARCHAR")), div)
+    assert(div.get("catalogNumber").contains(("BIGINT", "DOUBLE")), div)
+    // non-drifting columns are silent
+    assert(!div.contains("id") && !div.contains("scientificName"), div)
+    // and the engine's full-pass conversion of the archive SUCCEEDS
+    // with the correct types where the reference's default-sampled
+    // core read would error mid-scan (query.sql:2 semantics)
+    val converted = DwcaConvert.convert(spark, SampleDriftFixture.zipPath,
+      DwcaConvert.GeomWktString, zipScan = true)
+    val types = converted.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    assert(types("individualCount") === "string", types)
+    assert(types("catalogNumber") === "double", types)
+    assert(converted.count() === SampleDriftFixture.rows)
+    // a sample-window-sized clean file reports no divergence
+    assert(graft.sources.SnifferCsv.sampleDivergence(
+      raw.where("individualCount != 'several' and catalogNumber != '9223372036854775808'")).isEmpty)
+  }
 }
