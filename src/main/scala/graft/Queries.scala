@@ -13,6 +13,54 @@ final case class Q(
     oracle: Option[String],
     bench: Boolean = false)
 
+/** Per-query cache lifecycle for the query tier's persisted
+  * intermediates (LSH pair frames, signature caches, term-frequency
+  * frames, …). Until r8 these were session-lived by design and the
+  * release path was the harness's `spark.catalog.clearCache()` — a
+  * long-lived session running gate queries ad hoc accumulated
+  * InMemoryRelations without bound.
+  *
+  * Query bodies persist through [[CacheScope.persist]] (or the
+  * `.persistScoped()` syntax), which registers the frame with the
+  * scope active on the calling thread. The consumer — Verify's
+  * write, Bench's count, a spec's collect — runs inside
+  * [[CacheScope.scoped]], which releases every registered frame on
+  * exit. Outside any scope the call is a plain `persist()` and the
+  * caller owns the lifecycle, so ad-hoc/spec use is unchanged.
+  */
+object CacheScope {
+  private val active =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[DataFrame]]
+
+  /** Persist `df`; when a scope is active on this thread, the frame
+    * is released at scope exit. */
+  def persist(df: DataFrame): DataFrame = {
+    val reg = active.get()
+    if (reg != null) reg += df
+    df.persist()
+  }
+
+  implicit final class PersistScopedOps(private val df: DataFrame) extends AnyVal {
+    def persistScoped(): DataFrame = CacheScope.persist(df)
+  }
+
+  /** Run build-and-consume `body` in a fresh scope, then unpersist
+    * everything the body persisted. Nested scopes release only their
+    * own registrations. The scope is thread-local: `body` must build
+    * AND consume the result on the calling thread (all harness
+    * consumers do — actions may of course run cluster-side). */
+  def scoped[T](body: => T): T = {
+    val prev = active.get()
+    val reg = new scala.collection.mutable.ArrayBuffer[DataFrame]
+    active.set(reg)
+    try body
+    finally {
+      if (prev == null) active.remove() else active.set(prev)
+      reg.foreach(_.unpersist())
+    }
+  }
+}
+
 /** Cross-engine determinism helpers.
   *
   * Floating-point SUM/AVG are order-dependent; Spark's partial

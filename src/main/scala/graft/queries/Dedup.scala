@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.CacheScope.PersistScopedOps
 import graft.{Q, Tables}
 import graft.functions.Hashing
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -116,14 +117,14 @@ object Dedup {
     * self-join's two sides from recomputing signatures; identical
     * logical plans across queries dedupe in the cache manager. */
   private def lshFrames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val hs = hashedDocs(s, d).persist()
+    val hs = hashedDocs(s, d).persistScoped()
     val sigs = hs.selectExpr("doc_id", "affine_minhash(hv, 16) as sig")
     // 4 bands of 4 rows: bucket = hash(band, 4 consecutive sig values)
     val bk = sigs
       .selectExpr("doc_id", "explode(sequence(0, 3)) as band", "sig")
       .selectExpr("doc_id", "band",
         s"${Hashing.h32Sql("concat(band, ':', concat_ws(',', slice(sig, band*4+1, 4)))")} as bucket")
-      .persist()
+      .persistScoped()
     (hs, bk)
   }
 
@@ -165,17 +166,18 @@ object Dedup {
     * candidate join + Jaccard verify.
     *
     * Cache lifetime (applies to every persist in this tier): frames
-    * are session-lived by design — cross-query reuse rides the
-    * CacheManager's logical-plan dedup, and the release paths are the
-    * harness's isolate-mode `spark.catalog.clearCache()` (Verify runs
-    * it between queries) or session teardown. A library embedding
-    * would wrap these in its own lifecycle and unpersist explicitly. */
+    * register with the per-query [[graft.CacheScope]] — the harness
+    * consumes each query inside `CacheScope.scoped`, which releases
+    * the query's own persists at consumption, so a long-lived session
+    * running gate queries back-to-back accumulates nothing
+    * (CacheScopeSpec pins this). Outside a scope the persist is
+    * plain and the embedding caller owns the lifecycle. */
   private def lshPairs(s: SparkSession, d: String): DataFrame = {
     val (hs, bk) = lshFrames(s, d)
     scoredCandidates(hs, bk, jaccardExpr)
       .where("jac >= 0.7")
       .select("d1", "d2", "jac")
-      .persist()
+      .persistScoped()
   }
 
   /** Connected components over an undirected edge list (columns `a`,
@@ -433,7 +435,7 @@ object Dedup {
     // construction at corpus scale); the d07 bucket cap (64)
     // backstops residual skew, mirrored in both engines.
     "d06_simhash_pairs" -> Q(
-      (s, d) => simhashPairs(simhashed(s, d).persist()),
+      (s, d) => simhashPairs(simhashed(s, d).persistScoped()),
       Some(s"""$duckSimhash,
               b AS (SELECT doc_id, simhash, unnest(generate_series(0, 3)) AS band FROM sh),
               bk AS (SELECT doc_id, simhash, band, (simhash >> (band*16)) & 65535 AS bits FROM b),
@@ -496,13 +498,13 @@ object Dedup {
           .repartition(s.sparkContext.defaultParallelism)
           .where("length(text) >= 4")
           .selectExpr("doc_id", "hashed_chargrams(text, 4) as hv")
-          .persist()
+          .persistScoped()
         val sigs = hg.selectExpr("doc_id", "affine_minhash(hv, 8) as sig")
         val bk = sigs
           .selectExpr("doc_id", "explode(sequence(0, 1)) as band", "sig")
           .selectExpr("doc_id", "band",
             s"${Hashing.h32Sql("concat(band, ':', concat_ws(',', slice(sig, band*4+1, 4)))")} as bucket")
-          .persist()
+          .persistScoped()
         scoredCandidates(hg, bk, jaccardExpr, cap = Some(64))
           .where("jac >= 0.6")
           .select("d1", "d2", "jac")
@@ -645,7 +647,7 @@ object Dedup {
           .repartition(s.sparkContext.defaultParallelism)
           .where(s"size($toks) >= 8")
           .selectExpr("doc_id", s"explode(hashed_shingles($toks, 8)) as wh")
-          .persist()
+          .persistScoped()
         val counts = wins.groupBy("wh").agg(count(lit(1)).as("n_docs"))
         wins.join(counts, "wh")
           .groupBy("doc_id")

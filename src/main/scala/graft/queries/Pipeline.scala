@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.CacheScope.PersistScopedOps
 import graft.{Q, Tables}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
@@ -90,7 +91,7 @@ object Pipeline {
       .repartitionByRange(width, col("doc_id"))
       .sortWithinPartitions("doc_id")
       .withColumn("pid", spark_partition_id())
-      .persist()
+      .persistScoped()
     val offsets = parts.groupBy("pid").agg(sum("n").as("tot"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
       .scanLeft((0, 0L)) { case ((_, acc), (pid, tot)) => (pid, acc + tot) }
@@ -119,7 +120,7 @@ object Pipeline {
       .repartitionByRange(width, col("k"), col("doc_id"))
       .sortWithinPartitions("k", "doc_id")
       .withColumn("pid", spark_partition_id())
-      .persist()
+      .persistScoped()
     val offsets = keyed.groupBy("pid").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
       .scanLeft((0, 0L)) { case ((_, acc), (pid, n)) => (pid, acc + n) }
@@ -218,7 +219,7 @@ object Pipeline {
         val n = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
           .selectExpr("source", "n_s",
             "cast(1000 + 500 * (cast(substring(source, 4) as int) % 4) as bigint) as w")
-          .persist()
+          .persistScoped()
         val sTot = broadcast(n.agg(sum("w").as("s_tot")))
         val n2 = n.crossJoin(sTot)
         val tOut = broadcast(n2.agg(min(expr("n_s * s_tot div w")).as("t_out")))
@@ -500,7 +501,7 @@ object Pipeline {
             s"""transform(sequence(0, (size($toks) - 1) div 10),
                           i -> array_join(slice($toks, i * 10 + 1, 10), ' '))""")))
           .toDF("doc_id", "pos", "chunk")
-          .persist()
+          .persistScoped()
         val common = chunks.select("doc_id", "chunk").distinct()
           .groupBy("chunk").agg(count(lit(1)).as("nd")).where("nd >= 2")
           .select("chunk")

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.CacheScope.PersistScopedOps
 import graft.{Q, Tables}
 import graft.functions.Hashing
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -140,7 +141,7 @@ object Similarity {
   private def annTopk(s: SparkSession, d: String): DataFrame = {
     // persisted: referenced by both join sides and the embedding
     // lookups — avoids recomputing the 1024-multiply signature
-    val sigs = signed(s, d).persist()
+    val sigs = signed(s, d).persistScoped()
     val bk = banded(sigs)
     val cand = broadcast(bk.where("vec_id < 10")
         .select(col("vec_id").as("probe_id"), col("band"), col("bits")))
@@ -231,7 +232,7 @@ object Similarity {
         Hashing.register(s)
         val e = Tables(s, d, "embeddings")
           .repartition(s.sparkContext.defaultParallelism)
-          .selectExpr("vec_id", "embedding", s"$normE as nrm").persist()
+          .selectExpr("vec_id", "embedding", s"$normE as nrm").persistScoped()
         val cand = ivfCandidates(e, lloydCents(e, ivfSeeds(e), ivfIters))
         heapTopk(cand
           .join(e.select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nrm").as("pn")), "probe_id")
@@ -517,7 +518,7 @@ object Similarity {
         Hashing.register(s)
         val e = Tables(s, d, "embeddings")
           .repartition(s.sparkContext.defaultParallelism)
-          .selectExpr("vec_id", "embedding", s"$normE as nrm").persist()
+          .selectExpr("vec_id", "embedding", s"$normE as nrm").persistScoped()
         val cand = ivfCandidates(e, lloydCents(e, ivfSeeds(e), ivfIters))
         val cb = pqCodebookTrained(e, pqIters)
         val codes = pqEncode(e, cb).select(col("vec_id").as("cand_id"), col("codes"))
@@ -843,7 +844,7 @@ object Similarity {
   /** s04's body: LSH-candidate embedding near-dup pairs, cosine ≥
     * 0.45 — shared with the s10 cluster formation. */
   private def embedDupPairs(s: SparkSession, d: String): DataFrame = {
-    val sigs = signed(s, d).persist()
+    val sigs = signed(s, d).persistScoped()
     val bk = banded(sigs)
     val cand = bk.select(col("vec_id").as("v1"), col("band"), col("bits"))
       .join(bk.select(col("vec_id").as("v2"), col("band").as("b2"), col("bits").as("k2")),

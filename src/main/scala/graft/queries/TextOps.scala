@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.CacheScope.PersistScopedOps
 import graft.{Q, Tables}
 import graft.functions.Hashing
 import org.apache.spark.sql.functions._
@@ -32,7 +33,7 @@ object TextOps {
   private def termFreqs(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables(s, d, "documents")
       .selectExpr("doc_id", s"explode($toks) as tok")
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")).persist()
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")).persistScoped()
 
   /** Per-document top-5 terms of a (doc_id, tok, s) scored frame —
     * WindowGroupLimit prunes rank>5 candidates map-side; scores cross
@@ -419,7 +420,7 @@ object TextOps {
                  i -> struct(element_at(t, i) as w1,
                              concat(element_at(t, i), ' ', element_at(t, i + 1)) as g))) as b""")
           .select(col("doc_id"), col("b.w1").as("w1"), col("b.g").as("g"))
-          .persist()
+          .persistScoped()
         val c2 = bg.groupBy("g").agg(count(lit(1)).as("n2"))
         val c1 = bg.groupBy("w1").agg(count(lit(1)).as("n1"))
         val v = docs.selectExpr(s"explode($toks) as tok")
