@@ -102,19 +102,21 @@ object SnifferCsv {
     * comparing against a reference deployment knows WHY the
     * reference refused an archive the engine converted.
     *
-    * Cost: one bounded pass over the first [[DuckSampleRows]] rows
-    * plus one full counting pass (callers on the conversion path get
-    * the full pass for free — [[typeColumns]] shares it). */
+    * Cost: ZERO extra jobs — the sniff-window counts ride the same
+    * single counting pass as the full-file counts (conditional
+    * aggregates over a row-id window predicate; [[maskCounts]]). */
   def sampleDivergence(raw0: DataFrame): Seq[(String, String, String)] = {
     val raw = nullifyEmpty(raw0)
-    divergence(raw, maskCounts(raw))
+    val (full, totalRows) = maskCounts(raw)
+    if (totalRows <= DuckSampleRows) Seq.empty // prefix == file: no drift possible
+    else divergence(raw.columns, full, maskCounts(raw.limit(DuckSampleRows))._1)
   }
 
-  private def divergence(raw: DataFrame,
-      fullCounts: Array[IndexedSeq[Long]]): Seq[(String, String, String)] = {
-    val sampled = maskCounts(raw.limit(DuckSampleRows)).map(latticeName)
+  private def divergence(cols: Array[String], fullCounts: Array[IndexedSeq[Long]],
+      sampledCounts: Array[IndexedSeq[Long]]): Seq[(String, String, String)] = {
+    val sampled = sampledCounts.map(latticeName)
     val full = fullCounts.map(latticeName)
-    raw.columns.toSeq.zip(sampled.zip(full)).collect {
+    cols.toSeq.zip(sampled.zip(full)).collect {
       case (h, (s, f)) if s != f => (h, s, f)
     }
   }
@@ -140,20 +142,25 @@ object SnifferCsv {
       when(col(h) === "", lit(null)).otherwise(col(h)).as(h)): _*)
 
   /** Per-column mask counts: (n, bool, bigint, double, iso, dmy, mdy,
-    * ts) — ONE partial-agg'd pass, one row to the driver. */
-  private def maskCounts(raw: DataFrame): Array[IndexedSeq[Long]] = {
+    * ts) — ONE partial-agg'd pass, one row to the driver — plus the
+    * exact row count (one extra count(*) column, free in the same
+    * pass; divergence detection uses it to skip files the sniff
+    * window covers entirely). */
+  private def maskCounts(raw: DataFrame): (Array[IndexedSeq[Long]], Long) = {
     graft.functions.Hashing.register(raw.sparkSession)
     val masked = raw.select(raw.columns.map(h =>
       expr(s"duck_type_mask(`$h`)").as(h)): _*)
-    val aggs: Seq[Column] = masked.columns.toSeq.flatMap { h =>
+    val aggs: Seq[Column] = raw.columns.toSeq.flatMap { h =>
       val m = col(h)
       def bit(b: Int) = count(when(m.bitwiseAND(lit(b)) =!= 0, 1))
       Seq(count(m), bit(BOOL), bit(BIGINT), bit(DOUBLE),
         bit(DATE_ISO), bit(DATE_DMY), bit(DATE_MDY), bit(TS))
-    }
+    } :+ count(lit(1))
     val r = masked.agg(aggs.head, aggs.tail: _*).head()
     val W = 8
-    raw.columns.indices.map(i => (0 until W).map(j => r.getLong(W * i + j))).toArray
+    (raw.columns.indices.map(i =>
+      (0 until W).map(j => r.getLong(W * i + j))).toArray,
+      r.getLong(W * raw.columns.length))
   }
 
   /** The DuckDB-lattice classification + cast over an all-string
@@ -164,15 +171,20 @@ object SnifferCsv {
     * cast projection. */
   private def typeColumns(raw0: DataFrame, coreSampleCheck: Boolean = false): DataFrame = {
     val raw = nullifyEmpty(raw0)
-    val allCounts = maskCounts(raw)
+    val (allCounts, totalRows) = maskCounts(raw)
     def counts(i: Int): IndexedSeq[Long] = allCounts(i)
 
-    if (coreSampleCheck) divergence(raw, allCounts).foreach { case (h, s, f) =>
-      log.warn(s"core-layer sampling divergence: DuckDB's default-sampled read_csv " +
-        s"(reference core path, query.sql:2) types `$h` as $s from the first " +
-        s"$DuckSampleRows rows and then errors on a later value; full-pass typing " +
-        s"keeps $f (the dwca10-pinned answer)")
-    }
+    // Detection pays only on files LARGER than the sniff window (the
+    // row count rides the typing pass for free; a covered file cannot
+    // drift) — one bounded extra aggregation over the window there.
+    if (coreSampleCheck && totalRows > DuckSampleRows)
+      divergence(raw.columns, allCounts,
+          maskCounts(raw.limit(DuckSampleRows))._1).foreach { case (h, s, f) =>
+        log.warn(s"core-layer sampling divergence: DuckDB's default-sampled read_csv " +
+          s"(reference core path, query.sql:2) types `$h` as $s from the first " +
+          s"$DuckSampleRows rows and then errors on a later value; full-pass typing " +
+          s"keeps $f (the dwca10-pinned answer)")
+      }
 
     // ── pass 1, columns LEFT TO RIGHT: walk the file-wide dateformat
     // stack. A date column matches the first candidate (from the

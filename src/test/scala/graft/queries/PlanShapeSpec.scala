@@ -59,17 +59,17 @@ class PlanShapeSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("s05 IVF corpus assignment is a partial aggregate, not a window over the 16×N frame") {
+  test("s05 IVF corpus assignment is MAP-ONLY against the trained literal centroids") {
     val p = planOf("s05_ivf_topk")
-    // the corpus assignment must fold 16 score rows per vector
-    // map-side via max_by partial aggregation ...
-    assert(p.contains("max_by"), p)
-    assert(p.toLowerCase.contains("partial_max_by") || p.contains("partial"), p)
-    // ... leaving exactly ONE window: the 10-probe nprobe=2 cell
-    // selection (a 160-row frame). The final per-probe top-3 is the
-    // bounded-heap aggregate since r7; a second window would mean
-    // either the 16×N assignment frame or the candidate score frame
-    // is being exchanged+sorted again
+    // r9: the trained centroids ride along as a literal matrix and
+    // each row takes argmax in-projection — the r8 max_by partial
+    // aggregate (one exchanged row per vector) is gone entirely; the
+    // only aggregates left are the final bounded-heap top-k pair
+    assert(!p.contains("max_by"), p)
+    assert(p.contains("array_position"), p)
+    // exactly ONE window: the 10-probe nprobe=2 cell selection (a
+    // 160-row frame). A second window would mean the 16×N assignment
+    // frame or the candidate score frame is being exchanged+sorted
     val windows = "Window\\s*\\[".r.findAllIn(p).size
     assert(windows == 1, s"expected 1 window, got $windows\n$p")
     assert(p.toLowerCase.contains("partial_top_k_by_score"), p)
