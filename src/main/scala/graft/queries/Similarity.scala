@@ -233,11 +233,7 @@ object Similarity {
         val e = Tables(s, d, "embeddings")
           .repartition(s.sparkContext.defaultParallelism)
           .selectExpr("vec_id", "embedding", s"$normE as nrm").persistScoped()
-        val cand = ivfCandidates(e, lloydCents(e, ivfSeeds(e), ivfIters))
-        heapTopk(cand
-          .join(e.select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nrm").as("pn")), "probe_id")
-          .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("ce2"), col("nrm").as("cn2")), "cand_id")
-          .selectExpr("probe_id", "cand_id", s"${dot("pe", "ce2")} / (pn * cn2) as cosine"), 3)
+        ivfTopk(e, lloydCents(e, ivfSeeds(e), ivfIters), 2, 3)
       },
       Some(s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
                ${duckTrainedCent(ivfIters)},
@@ -337,6 +333,61 @@ object Similarity {
                FROM exact x LEFT JOIN ann a
                  ON a.probe_id = x.probe_id AND a.cand_id = x.cand_id
                GROUP BY x.probe_id""")),
+
+    // ── nprobe recall sweep: recall@3 of the IVF cell pruning at
+    // nprobe ∈ {1, 2, 4} against the exact cosine top-3 — the curve
+    // an index operator actually reads when trading probe cost
+    // against recall (each nprobe step scans proportionally more
+    // cells; recall must be monotone in nprobe, which the spec pins).
+    // One trained quantizer + ONE corpus assignment shared by all
+    // three settings (only the 160-row probe-cell frames differ);
+    // every sweep point goes through the shared [[Recall]] harness. ──
+    "s15_nprobe_sweep" -> Q(
+      (s, d) => {
+        Hashing.register(s)
+        val e = Tables(s, d, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("vec_id", "embedding", s"$normE as nrm").persistScoped()
+        val cents = lloydCents(e, ivfSeeds(e), ivfIters)
+        val exact = bruteTopk(s, d, 3)
+        Seq(1, 2, 4).map { np =>
+          Recall.perProbe(exact, ivfTopk(e, cents, np, 3),
+              "probe_id", "cand_id", Some(3))
+            .selectExpr(s"cast($np as int) as nprobe", "probe_id", "hits", "recall_bp")
+        }.reduce(_.unionByName(_))
+      },
+      Some {
+        val sweeps = Seq(1, 2, 4).map { np =>
+          s"""${duckIvfProbe(np, s"_$np")},
+              scn$np AS (SELECT c.probe_id, c.cand_id,
+                                ${duckDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cosine
+                         FROM cand_$np c JOIN e x ON x.vec_id = c.probe_id
+                                         JOIN e y ON y.vec_id = c.cand_id),
+              ann$np AS (SELECT probe_id, cand_id FROM
+                           (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk FROM scn$np)
+                         WHERE rnk <= 3)"""
+        }
+        val recs = Seq(1, 2, 4).map { np =>
+          s"""SELECT $np AS nprobe, x.probe_id,
+                     CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+                     (CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 10000) // 3 AS recall_bp
+              FROM exact x LEFT JOIN ann$np a
+                ON a.probe_id = x.probe_id AND a.cand_id = x.cand_id
+              GROUP BY x.probe_id"""
+        }
+        s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+            sc AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                          ${duckDot("p.embedding", "c.embedding")} / (p.nrm * c.nrm) AS cosine
+                   FROM e p JOIN e c ON c.vec_id != p.vec_id WHERE p.vec_id < 10),
+            exact AS (SELECT probe_id, cand_id FROM
+                        (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
+                         FROM sc)
+                      WHERE rnk <= 3),
+            ${duckTrainedCent(ivfIters)},
+            $duckIvfAsg,
+            ${sweeps.mkString(",\n")}
+            ${recs.mkString("\nUNION ALL\n")}"""
+      }),
 
     // ── SemDeDup-style semantic clusters: connected components over
     // the embedding near-dup pair graph (s04's edges through d08's
@@ -655,7 +706,8 @@ object Similarity {
     * max_by partial agg, which still exchanged one row per vector).
     * nprobe=2 probe cells are a 160-row window frame — harmless at
     * any scale. */
-  private def ivfCandidates(e: DataFrame, cent: Seq[Seq[Float]]): DataFrame = {
+  private def ivfCandidates(e: DataFrame, cent: Seq[Seq[Float]],
+      nprobe: Int = 2): DataFrame = {
     val cns = cent.map(c => math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x)))
     val scored = e
       .withColumn("cents", typedLit(cent))
@@ -668,11 +720,21 @@ object Similarity {
       .selectExpr("vec_id as probe_id", "posexplode(scores) as (cid, ccos)")
       .withColumn("rn", row_number().over(
         Window.partitionBy("probe_id").orderBy(col("ccos").desc, col("cid"))))
-      .where("rn <= 2").selectExpr("probe_id", "cast(cid as bigint) as cell")
+      .where(s"rn <= $nprobe").selectExpr("probe_id", "cast(cid as bigint) as cell")
     broadcast(pcells).join(asg, pcells("cell") === asg("cell")
         && col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("cand_id")).distinct()
   }
+
+  /** IVF ANN top-k by exact cosine over the pruned candidates — s05's
+    * scoring stage, shared with the s15 nprobe sweep. Expects the
+    * persisted e(vec_id, embedding, nrm). */
+  private def ivfTopk(e: DataFrame, cent: Seq[Seq[Float]], nprobe: Int,
+      k: Int): DataFrame =
+    heapTopk(ivfCandidates(e, cent, nprobe)
+      .join(e.select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nrm").as("pn")), "probe_id")
+      .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("ce2"), col("nrm").as("cn2")), "cand_id")
+      .selectExpr("probe_id", "cand_id", s"${dot("pe", "ce2")} / (pn * cn2) as cosine"), k)
 
   /** DuckDB mirror of the TRAINED coarse quantizer: replays
     * [[lloydCents]] over the md5-chosen seeds as one CTE block per
@@ -709,20 +771,28 @@ object Similarity {
     (seed +: steps :+ fin).mkString(",\n")
   }
 
-  /** DuckDB mirror of [[ivfCandidates]]'s candidate topology — CTEs
-    * asg/pcells/cand over a `cent(cid, ce, cn)` CTE
+  /** DuckDB mirror of [[ivfCandidates]]'s corpus assignment (shared
+    * across nprobe settings) over a `cent(cid, ce, cn)` CTE
     * ([[duckTrainedCent]]) and `e(vec_id, embedding, nrm)`. */
-  private lazy val duckIvfCand =
+  private lazy val duckIvfAsg =
     s"""asg AS (SELECT vec_id, cid AS cell FROM (
                   SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
                            ORDER BY ${duckDot("e.embedding", "c.ce")}/(e.nrm*c.cn) DESC, c.cid) AS rn
-                  FROM e CROSS JOIN cent c) WHERE rn = 1),
-        pcells AS (SELECT probe_id, cid AS cell FROM (
+                  FROM e CROSS JOIN cent c) WHERE rn = 1)"""
+
+  /** DuckDB mirror of the probe-cell selection + candidate join for
+    * one nprobe setting — CTEs pcells`sfx`/cand`sfx`. */
+  private def duckIvfProbe(np: Int, sfx: String = ""): String =
+    s"""pcells$sfx AS (SELECT probe_id, cid AS cell FROM (
                     SELECT e.vec_id AS probe_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
                              ORDER BY ${duckDot("e.embedding", "c.ce")}/(e.nrm*c.cn) DESC, c.cid) AS rn
-                    FROM e CROSS JOIN cent c WHERE e.vec_id < 10) WHERE rn <= 2),
-        cand AS (SELECT DISTINCT probe_id, a.vec_id AS cand_id
-                 FROM pcells p JOIN asg a ON a.cell = p.cell AND a.vec_id != p.probe_id)"""
+                    FROM e CROSS JOIN cent c WHERE e.vec_id < 10) WHERE rn <= $np),
+        cand$sfx AS (SELECT DISTINCT probe_id, a.vec_id AS cand_id
+                 FROM pcells$sfx p JOIN asg a ON a.cell = p.cell AND a.vec_id != p.probe_id)"""
+
+  /** The full nprobe=2 candidate topology (asg + pcells + cand) —
+    * what s05/s13/s14 splice into their oracles. */
+  private lazy val duckIvfCand = s"$duckIvfAsg,\n${duckIvfProbe(2)}"
 
   /** PQ codebook: per subspace, the 8-dim subvectors of the 16
     * smallest vec_ids (deterministic, bounded collect — the seam

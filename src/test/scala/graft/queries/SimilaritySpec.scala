@@ -102,6 +102,24 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       s"coarse training must tighten cells: $after !> $before")
   }
 
+  test("s15 sweep: recall is monotone non-decreasing in nprobe, per probe") {
+    // scanning more cells can only grow the candidate pool, and any
+    // candidate that displaces an exact-top-3 hit from the ANN top-3
+    // must itself rank above it in the exact order — so per-probe
+    // hits can never drop as nprobe rises
+    val rows = Similarity.all("s15_nprobe_sweep").fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val probes = rows.keys.map(_._2).toSet
+    assert(probes.size === 10)
+    probes.foreach { p =>
+      assert(rows((1, p)) <= rows((2, p)), s"probe $p: nprobe 1->2 dropped")
+      assert(rows((2, p)) <= rows((4, p)), s"probe $p: nprobe 2->4 dropped")
+    }
+    // and the sweep must actually move somewhere, or the dial is fake
+    assert(rows.collect { case ((4, p), h) => h - rows((1, p)) }.sum > 0,
+      "nprobe 4 found nothing beyond nprobe 1 on any probe")
+  }
+
   test("s10 semantic clusters: labels are component minima over the s04 pair graph") {
     val pairs = Similarity.all("s04_embed_dup").fn(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
