@@ -368,6 +368,47 @@ object Dedup {
     "d03_lsh_pairs" -> Q((s, d) => lshPairs(s, d), Some(d03Oracle),
       bench = true),
 
+    // ── MinHash Jaccard ESTIMATOR audit: for every LSH candidate
+    // pair, the signature-agreement estimate (matching perms / 16)
+    // against the exact verified Jaccard, with the signed error — the
+    // measurement that tells a pipeline when it can SKIP the exact
+    // verification join entirely and trust the k-perm estimate (at
+    // 100 TB the verify join reads both shingle sets per candidate;
+    // the estimator reads only 2×16 longs already shuffled for
+    // banding). All-integer basis points; candidates and signatures
+    // ride the same persisted lshFrames caches as d03. ──
+    "d13_jaccard_estimate" -> Q(
+      (s, d) => {
+        val (hs, bk) = lshFrames(s, d)
+        val sigs = hs.selectExpr("doc_id", "affine_minhash(hv, 16) as sig")
+        scoredCandidates(hs, bk,
+            "cast(size(array_intersect(hv1, hv2)) * 10000 as bigint) div size(array_union(hv1, hv2)) as jac_bp")
+          .join(sigs.selectExpr("doc_id as d1", "sig as g1"), "d1")
+          .join(sigs.selectExpr("doc_id as d2", "sig as g2"), "d2")
+          .selectExpr("d1", "d2", "jac_bp",
+            "cast(aggregate(sequence(0, 15), 0, (acc, j) -> acc + if(g1[j] = g2[j], 1, 0)) * 10000 as bigint) div 16 as est_bp")
+          .selectExpr("d1", "d2", "jac_bp", "est_bp", "est_bp - jac_bp as err_bp")
+      },
+      Some(s"""$duckShingles,
+               sigs AS (SELECT doc_id, ${duckSig(16)} AS sig FROM hs),
+               b AS (SELECT doc_id, unnest(generate_series(0, 3)) AS band, sig FROM sigs),
+               bk AS (SELECT doc_id, band,
+                        ${Hashing.duck32("band || ':' || array_to_string(sig[band*4+1:band*4+4], ',')")} AS bucket
+                      FROM b),
+               cand AS (SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+                        FROM bk a JOIN bk c
+                        ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id),
+               scored AS (SELECT d1, d2,
+                                 (CAST(len(list_intersect(x.hv, y.hv)) * 10000 AS BIGINT))
+                                   // len(list_distinct(x.hv || y.hv)) AS jac_bp,
+                                 (CAST(len(list_filter(generate_series(1, 16),
+                                    j -> sx.sig[j] = sy.sig[j])) * 10000 AS BIGINT)) // 16 AS est_bp
+                          FROM cand JOIN hs x ON x.doc_id = d1
+                                    JOIN hs y ON y.doc_id = d2
+                                    JOIN sigs sx ON sx.doc_id = d1
+                                    JOIN sigs sy ON sy.doc_id = d2)
+               SELECT d1, d2, jac_bp, est_bp, est_bp - jac_bp AS err_bp FROM scored""")),
+
     // ── near-dup CLUSTERS: connected components over the d03 pair
     // graph by min-label propagation — the step a dedup pipeline
     // actually keeps (pick min doc_id per component as canonical,

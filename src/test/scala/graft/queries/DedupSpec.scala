@@ -176,6 +176,22 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.exists(_._2 > 1) && rows.exists(_._2 == 1), "both classes")
   }
 
+  test("d13 estimator: est/jac in range, errors inside the k=16 binomial envelope") {
+    val rows = Dedup.all("d13_jaccard_estimate").fn(spark, sf).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4))) // (jac, est, err)
+    assert(rows.nonEmpty)
+    rows.foreach { case (jac, est, err) =>
+      assert(jac >= 0 && jac <= 10000 && est >= 0 && est <= 10000)
+      assert(err === est - jac)
+      // 16 perms quantize to 625-bp steps; a |err| beyond 4 steps on
+      // high-jac LSH candidates would mean the affine permutations
+      // are not behaving like independent min-hashes
+      assert(math.abs(err) <= 2500, s"(jac=$jac est=$est)")
+    }
+    // the estimate must carry signal, not rubber-stamp one value
+    assert(rows.map(_._2).distinct.length > 1)
+  }
+
   test("simhash of identical token multisets is identical") {
     val df = Dedup.all("d04_simhash").fn(spark, sf)
     // deterministic: same input -> same simhash on repeated run
