@@ -3,6 +3,8 @@ package graft.queries
 import graft.CacheScope.PersistScopedOps
 import graft.{Q, Tables}
 import graft.functions.Hashing
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table — the
@@ -49,6 +51,51 @@ object TextOps {
 
   private def arr(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("array(", ",", ")")
   private def duckArr(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** Marker-word vocabularies shared by t03's prediction and t15's
+    * confusion matrix (one semantics, two consumers). */
+  private val langMarkers = Seq(
+    "en" -> Seq("the", "a", "and", "of"),
+    "es" -> Seq("el", "la", "de", "y"),
+    "fr" -> Seq("le", "les", "de", "et"),
+    "de" -> Seq("der", "die", "und", "das"))
+
+  /** t03's body: per-doc marker-word votes + deterministic-tie-break
+    * prediction — one native kernel pass per language's marker list
+    * (n_stop = marker hits with multiplicity), replacing the
+    * interpreted split + filter + array_contains walk per vote. */
+  private def langidPred(s: SparkSession, d: String): DataFrame = {
+    Hashing.register(s)
+    val votes = langMarkers.map { case (l, ws) =>
+      s"text_features(text, ${arr(ws)}).n_stop as v_$l"
+    }
+    val pred =
+      """case when v_en >= greatest(v_es, v_fr, v_de) and v_en > 0 then 'en'
+              when v_es >= greatest(v_fr, v_de) and v_es > 0 then 'es'
+              when v_fr >= v_de and v_fr > 0 then 'fr'
+              when v_de > 0 then 'de'
+              else 'und' end as lang_pred"""
+    Tables(s, d, "documents")
+      .selectExpr(Seq("doc_id", "lang as lang_label") ++ votes :+ pred: _*)
+      .select("doc_id", "lang_label", "lang_pred", "v_en", "v_es", "v_fr", "v_de")
+  }
+
+  /** DuckDB mirror of [[langidPred]] — a full SELECT producing
+    * (doc_id, lang_label, lang_pred, v_*). */
+  private def duckLangidPred: String = {
+    val votes = langMarkers.map { case (l, ws) =>
+      s"len(list_filter(string_split(text,' '), t -> list_contains(${duckArr(ws)}, t))) AS v_$l"
+    }.mkString(", ")
+    s"""WITH v AS (SELECT doc_id, lang AS lang_label, $votes FROM documents)
+        SELECT doc_id, lang_label,
+               CASE WHEN v_en >= greatest(v_es, v_fr, v_de) AND v_en > 0 THEN 'en'
+                    WHEN v_es >= greatest(v_fr, v_de) AND v_es > 0 THEN 'es'
+                    WHEN v_fr >= v_de AND v_fr > 0 THEN 'fr'
+                    WHEN v_de > 0 THEN 'de'
+                    ELSE 'und' END AS lang_pred,
+               v_en, v_es, v_fr, v_de
+        FROM v"""
+  }
 
   val all: Map[String, Q] = Map(
     // ── token counting ──
@@ -125,49 +172,29 @@ object TextOps {
                FROM q""")),
 
     // ── language ID: marker-word votes, deterministic tie-break ──
-    "t03_langid" -> Q(
-      (s, d) => {
-        Hashing.register(s)
-        val langs = Seq(
-          "en" -> Seq("the", "a", "and", "of"),
-          "es" -> Seq("el", "la", "de", "y"),
-          "fr" -> Seq("le", "les", "de", "et"),
-          "de" -> Seq("der", "die", "und", "das"))
-        // one native kernel pass per language's marker list (n_stop =
-        // marker hits with multiplicity) — replaces the interpreted
-        // split + filter + array_contains walk per vote
-        val votes = langs.map { case (l, ws) =>
-          s"text_features(text, ${arr(ws)}).n_stop as v_$l"
-        }
-        val pred =
-          """case when v_en >= greatest(v_es, v_fr, v_de) and v_en > 0 then 'en'
-                  when v_es >= greatest(v_fr, v_de) and v_es > 0 then 'es'
-                  when v_fr >= v_de and v_fr > 0 then 'fr'
-                  when v_de > 0 then 'de'
-                  else 'und' end as lang_pred"""
-        Tables(s, d, "documents")
-          .selectExpr(Seq("doc_id", "lang as lang_label") ++ votes :+ pred: _*)
-          .select("doc_id", "lang_label", "lang_pred", "v_en", "v_es", "v_fr", "v_de")
-      },
-      Some({
-        val langs = Seq(
-          "en" -> Seq("the", "a", "and", "of"),
-          "es" -> Seq("el", "la", "de", "y"),
-          "fr" -> Seq("le", "les", "de", "et"),
-          "de" -> Seq("der", "die", "und", "das"))
-        val votes = langs.map { case (l, ws) =>
-          s"len(list_filter(string_split(text,' '), t -> list_contains(${duckArr(ws)}, t))) AS v_$l"
-        }.mkString(", ")
-        s"""WITH v AS (SELECT doc_id, lang AS lang_label, $votes FROM documents)
-            SELECT doc_id, lang_label,
-                   CASE WHEN v_en >= greatest(v_es, v_fr, v_de) AND v_en > 0 THEN 'en'
-                        WHEN v_es >= greatest(v_fr, v_de) AND v_es > 0 THEN 'es'
-                        WHEN v_fr >= v_de AND v_fr > 0 THEN 'fr'
-                        WHEN v_de > 0 THEN 'de'
-                        ELSE 'und' END AS lang_pred,
-                   v_en, v_es, v_fr, v_de
-            FROM v"""
-      })),
+    "t03_langid" -> Q((s, d) => langidPred(s, d), Some(duckLangidPred)),
+
+    // ── language-ID confusion matrix: t03's predictions against the
+    // labeled lang, with each cell's share of its label row — the
+    // eval a pipeline runs before trusting a classifier to route the
+    // corpus. MAP-ONLY prediction feeding a (label, pred)-keyed
+    // partial aggregate; the share window runs over the aggregated
+    // |labels|×|preds| matrix (≤ 25 rows at ANY corpus size), never
+    // over documents. ──
+    "t15_langid_confusion" -> Q(
+      (s, d) => langidPred(s, d)
+        .groupBy("lang_label", "lang_pred").agg(count(lit(1)).as("n"))
+        .withColumn("label_total",
+          sum("n").over(Window.partitionBy("lang_label")))
+        .selectExpr("lang_label", "lang_pred", "n",
+          "cast(n * 10000 as bigint) div label_total as share_bp"),
+      Some(s"""WITH p AS ($duckLangidPred),
+               cm AS (SELECT lang_label, lang_pred, count(*) AS n
+                      FROM p GROUP BY 1, 2)
+               SELECT lang_label, lang_pred, n,
+                      CAST((n * 10000)
+                        // (sum(n) OVER (PARTITION BY lang_label)) AS BIGINT) AS share_bp
+               FROM cm""")),
 
     // ── vocabulary construction: global top-50 tokens by frequency ──
     // explode → hash-aggregate (partial count map-side, one shuffle

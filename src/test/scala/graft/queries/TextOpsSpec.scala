@@ -27,6 +27,23 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.values.exists(_._3) && got.values.exists(!_._3))
   }
 
+  test("t15 confusion matrix: cells partition the corpus and label shares sum to ~10000") {
+    val docsN = graft.Tables(spark, sf, "documents").count()
+    val rows = TextOps.all("t15_langid_confusion").fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._3).sum === docsN, "cells must partition the corpus")
+    rows.groupBy(_._1).foreach { case (label, cells) =>
+      val shares = cells.map(_._4)
+      assert(shares.forall(s => s >= 0 && s <= 10000), s"$label share range")
+      // integer division loses < 1 bp per cell
+      assert(shares.sum <= 10000 && shares.sum > 10000 - cells.length - 1,
+        s"$label shares sum to ${shares.sum}")
+    }
+    // the eval must expose the heuristic's real behavior, not echo
+    // the label column: at least one off-diagonal cell exists
+    assert(rows.exists { case (l, p, _, _) => l != p })
+  }
+
   test("t13 bigram LM: every doc scored, n_bigrams = n_tokens - 1, scores in range") {
     val nTokens = TextOps.all("t01_token_stats").fn(spark, sf)
       .select("doc_id", "n_tokens").collect()
