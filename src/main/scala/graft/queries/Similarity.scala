@@ -129,7 +129,7 @@ object Similarity {
     * window sort of the full score frame on the |probes|-key. The
     * tie-break (score desc, id asc) matches `row_number() OVER
     * (ORDER BY cosine DESC, cand_id)` exactly, NaN included. */
-  private def heapTopk(scored: DataFrame, k: Int): DataFrame =
+  private[graft] def heapTopk(scored: DataFrame, k: Int): DataFrame =
     scored
       .groupBy("probe_id")
       .agg(expr(s"top_k_by_score(cosine, cand_id, $k)").as("top"))
@@ -466,16 +466,8 @@ object Similarity {
           .select(col("vec_id"), col("embedding"))
         val cb = pqCodebook(e)
         val codes = pqEncode(e, cb).select(col("vec_id").as("cand_id"), col("codes"))
-        val probes = e.where("vec_id < 10")
-          .withColumn("cb", typedLit(cb))
-          .withColumn("ptab", expr(s"transform(sequence(0, 7), sp -> $pqSubDists)"))
-          .select(col("vec_id").as("probe_id"), col("ptab"))
-        val scored = codes.crossJoin(broadcast(probes))
-          .where("cand_id != probe_id")
-          .selectExpr("probe_id", "cand_id",
-            "aggregate(sequence(0, 7), cast(0 as double), (acc, sp) -> acc + ptab[sp][codes[sp]]) as adist")
-        heapTopk(scored.withColumn("cosine", negate(col("adist"))), 3)
-          .selectExpr("probe_id", "cand_id", "rnk", "-cosine as adist")
+        val probes = pqProbeTables(e.where("vec_id < 10"), cb)
+        adcTopk(codes.crossJoin(broadcast(probes)).where("cand_id != probe_id"), 3)
       },
       Some {
         val dd2 = (a: String, b: String) =>
@@ -573,17 +565,8 @@ object Similarity {
         val cand = ivfCandidates(e, lloydCents(e, ivfSeeds(e), ivfIters))
         val cb = pqCodebookTrained(e, pqIters)
         val codes = pqEncode(e, cb).select(col("vec_id").as("cand_id"), col("codes"))
-        val probes = e.where("vec_id < 10")
-          .withColumn("cb", typedLit(cb))
-          .withColumn("ptab", expr(s"transform(sequence(0, 7), sp -> $pqSubDists)"))
-          .select(col("vec_id").as("probe_id"), col("ptab"))
-        val scored = cand
-          .join(codes, "cand_id")
-          .join(broadcast(probes), "probe_id")
-          .selectExpr("probe_id", "cand_id",
-            "aggregate(sequence(0, 7), cast(0 as double), (acc, sp) -> acc + ptab[sp][codes[sp]]) as adist")
-        heapTopk(scored.withColumn("cosine", negate(col("adist"))), 3)
-          .selectExpr("probe_id", "cand_id", "rnk", "-cosine as adist")
+        val probes = pqProbeTables(e.where("vec_id < 10"), cb)
+        adcTopk(cand.join(codes, "cand_id").join(broadcast(probes), "probe_id"), 3)
       },
       Some {
         val dd2 = (a: String, b: String) =>
@@ -803,6 +786,27 @@ object Similarity {
       .select("embedding").collect().map(_.getSeq[Float](0).toIndexedSeq)
     (0 until 8).map(sub => seeds.map(v => v.slice(sub * 8, sub * 8 + 8): Seq[Float]).toSeq)
   }
+
+  /** Probe-side ADC distance tables (probe_id, ptab) computed
+    * MAP-ONLY against the literal codebook — a stateless projection,
+    * so it runs unchanged on batch frames (s12/s13) and on a
+    * streaming probe frame (stream10). ptab(sp)(j) = squared distance
+    * from the probe's subvector sp to codeword j. */
+  private[graft] def pqProbeTables(probes: DataFrame, cb: Seq[Seq[Seq[Float]]]): DataFrame =
+    probes
+      .withColumn("cb", typedLit(cb))
+      .withColumn("ptab", expr(s"transform(sequence(0, 7), sp -> $pqSubDists)"))
+      .select(col("vec_id").as("probe_id"), col("ptab"))
+
+  /** ADC scoring + bounded-heap top-k over (probe_id, ptab) ×
+    * (cand_id, codes): the sequential subspace fold, shared by s12,
+    * s13, and the streaming search. Output (probe_id, cand_id, rnk,
+    * adist). */
+  private[graft] def adcTopk(scored: DataFrame, k: Int): DataFrame =
+    heapTopk(scored.selectExpr("probe_id", "cand_id",
+        "aggregate(sequence(0, 7), cast(0 as double), (acc, sp) -> acc + ptab[sp][codes[sp]]) as adist")
+        .withColumn("cosine", negate(col("adist"))), k)
+      .selectExpr("probe_id", "cand_id", "rnk", "-cosine as adist")
 
   /** MAP-ONLY PQ encoding against the literal codebook: (vec_id,
     * codes) with codes(s) ∈ [0, 16) — argmin by array_position, first

@@ -284,6 +284,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.exists(_._3) && got.exists(!_._3), "both verdict classes")
   }
 
+  test("streaming ANN search across micro-batches equals the batch ADC top-3") {
+    // probes arriving in separate micro-batches must converge to the
+    // same per-probe top-3 as one batch pass: the heap aggregate's
+    // state carries k-row partial buffers per probe and complete
+    // mode re-emits the merged result
+    graft.functions.Hashing.register(spark)
+    val e = graft.Tables(spark, sf, "embeddings").select("vec_id", "embedding")
+    val cb = graft.queries.Similarity.trainedPqCodebook(e)
+    val codes = graft.queries.Similarity.pqEncode(e, cb)
+      .selectExpr("vec_id as cand_id", "codes")
+    val probesB = e.where("vec_id < 6")
+    val dir = java.nio.file.Files.createTempDirectory("graft-annmb").toString
+    probesB.where("vec_id < 3").coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(1100) // file-source orders batches by mtime
+    probesB.where("vec_id >= 3").coalesce(1).write.mode("append").parquet(dir)
+    val src = spark.readStream.schema(probesB.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val got = rowsOf(runToMemory(
+      graft.queries.Similarity.adcTopk(
+        graft.queries.Similarity.pqProbeTables(src, cb)
+          .join(codes, org.apache.spark.sql.functions.expr("cand_id != probe_id")), 3),
+      "t_ann_mb", mode = "complete"))
+    val want = rowsOf(graft.queries.Similarity.adcTopk(
+      graft.queries.Similarity.pqProbeTables(probesB, cb)
+        .join(codes, org.apache.spark.sql.functions.expr("cand_id != probe_id")), 3))
+    assert(got === want, "micro-batching changed the search results")
+    assert(got.size === 18, "6 probes x top-3")
+  }
+
   test("streaming PQ encode across micro-batches equals the batch encoding") {
     // stateless append against a literal codebook: batch boundaries
     // cannot change any vector's codes
