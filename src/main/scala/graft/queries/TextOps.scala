@@ -196,6 +196,95 @@ object TextOps {
                         // (sum(n) OVER (PARTITION BY lang_label)) AS BIGINT) AS share_bp
                FROM cm""")),
 
+    // ── CCNet-style LM bucketing (Wenzek et al. 2020 §4.3 shape):
+    // train the bigram LM on the in-domain slice only (lang = 'en' —
+    // the Wikipedia stand-in), score EVERY document against it
+    // (out-of-domain grams fall back to the add-one floor via left
+    // joins — this is what distinguishes it from t13, which scores
+    // the corpus against itself), then cut the corpus into
+    // head/middle/tail terciles on the score. The tercile cutpoints
+    // are exact rank statistics via orderBy+limit+agg, which
+    // compiles to TakeOrderedAndProject — a distributed merge of
+    // per-partition top-k heads, never a global sort or an
+    // unpartitioned window (CCNet computes the same thresholds
+    // offline on a sample; here they are exact). One driver-side
+    // count() sizes the rank k — O(1) result, same class as the
+    // kmeans driver loop. Bucket assignment is by VALUE against the
+    // broadcast 1-row cut frames, so ties straddling a cut all land
+    // in the upper bucket — deterministic in both engines. ──
+    "t16_lm_buckets" -> Q(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val bg = docs
+          .selectExpr("doc_id", "lang", s"$toks as t")
+          .where("size(t) >= 2")
+          .selectExpr("doc_id", "lang",
+            """explode(transform(sequence(1, size(t) - 1),
+                 i -> struct(element_at(t, i) as w1,
+                             concat(element_at(t, i), ' ', element_at(t, i + 1)) as g))) as b""")
+          .select(col("doc_id"), col("lang"), col("b.w1").as("w1"), col("b.g").as("g"))
+          .persistScoped()
+        val en = bg.where("lang = 'en'")
+        val c2 = en.groupBy("g").agg(count(lit(1)).as("n2"))
+        val c1 = en.groupBy("w1").agg(count(lit(1)).as("n1"))
+        val v = docs.where("lang = 'en'")
+          .selectExpr(s"explode($toks) as tok")
+          .agg(count_distinct(col("tok")).as("v"))
+        val scored = bg
+          .join(c2, Seq("g"), "left").join(c1, Seq("w1"), "left")
+          .crossJoin(broadcast(v))
+          .selectExpr("doc_id",
+            "((coalesce(n2, 0L) + 1) * 10000) div (coalesce(n1, 0L) + v) as s_bp")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum("s_bp").as("sum_bp"))
+          .selectExpr("doc_id", "n_bigrams", "sum_bp div n_bigrams as avg_bp")
+        val perDoc = docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+          .selectExpr("doc_id", "coalesce(n_bigrams, 0L) as n_bigrams", "avg_bp")
+          .persistScoped()
+        val withAvg = perDoc.where("avg_bp is not null")
+        val n = withAvg.count()
+        def cutAt(k: Long, name: String) =
+          withAvg.orderBy(col("avg_bp").desc, col("doc_id"))
+            .limit(k.toInt).agg(min("avg_bp").as(name))
+        val cut1 = cutAt((n + 2) / 3, "cut1")
+        val cut2 = cutAt((2 * n + 2) / 3, "cut2")
+        perDoc.crossJoin(broadcast(cut1)).crossJoin(broadcast(cut2))
+          .selectExpr("doc_id", "n_bigrams", "avg_bp",
+            """case when avg_bp is null then 'unscored'
+                    when avg_bp >= cut1 then 'head'
+                    when avg_bp >= cut2 then 'middle'
+                    else 'tail' end as bucket""")
+      },
+      Some("""WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+              bg AS (SELECT doc_id, lang, t[i] AS w1, t[i] || ' ' || t[i+1] AS g
+                     FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+                     WHERE len(t) >= 2),
+              c2 AS (SELECT g, count(*) AS n2 FROM bg WHERE lang = 'en' GROUP BY g),
+              c1 AS (SELECT w1, count(*) AS n1 FROM bg WHERE lang = 'en' GROUP BY w1),
+              v AS (SELECT count(DISTINCT tok) AS v FROM
+                      (SELECT unnest(t) AS tok FROM tk WHERE lang = 'en')),
+              sc AS (SELECT doc_id,
+                            ((COALESCE(n2, 0) + 1) * 10000) // (COALESCE(n1, 0) + v) AS s_bp
+                     FROM bg LEFT JOIN c2 USING (g) LEFT JOIN c1 USING (w1), v),
+              agg AS (SELECT doc_id, count(*) AS n_bigrams,
+                             CAST(sum(s_bp) AS BIGINT) // count(*) AS avg_bp
+                      FROM sc GROUP BY doc_id),
+              perdoc AS (SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams, a.avg_bp
+                         FROM documents d LEFT JOIN agg a USING (doc_id)),
+              ranked AS (SELECT avg_bp,
+                                row_number() OVER (ORDER BY avg_bp DESC, doc_id) AS rn,
+                                count(*) OVER () AS n
+                         FROM perdoc WHERE avg_bp IS NOT NULL),
+              cuts AS (SELECT min(CASE WHEN rn <= (n + 2) // 3 THEN avg_bp END) AS cut1,
+                              min(CASE WHEN rn <= (2 * n + 2) // 3 THEN avg_bp END) AS cut2
+                       FROM ranked)
+              SELECT doc_id, n_bigrams, avg_bp,
+                     CASE WHEN avg_bp IS NULL THEN 'unscored'
+                          WHEN avg_bp >= cut1 THEN 'head'
+                          WHEN avg_bp >= cut2 THEN 'middle'
+                          ELSE 'tail' END AS bucket
+              FROM perdoc, cuts""")),
+
     // ── vocabulary construction: global top-50 tokens by frequency ──
     // explode → hash-aggregate (partial count map-side, one shuffle
     // keyed by token) → orderBy+limit compiles to

@@ -44,6 +44,41 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.exists { case (l, p, _, _) => l != p })
   }
 
+  test("t16 LM buckets: value-ordered terciles that discriminate the training domain") {
+    val docsN = graft.Tables(spark, sf, "documents").count()
+    val lang = graft.Tables(spark, sf, "documents").select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = TextOps.all("t16_lm_buckets").fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getString(3)))
+    assert(rows.length === docsN, "one row per document")
+    // unscored exactly when the doc has no bigrams
+    rows.foreach { case (id, nBg, avg, bucket) =>
+      assert((bucket == "unscored") === (nBg == 0L), s"doc $id unscored contract")
+      if (nBg > 0) assert(avg.isDefined, s"doc $id scored docs carry a score")
+    }
+    // buckets are value-ordered with no interleaving: every head score
+    // strictly above every middle score above every tail score is too
+    // strong (ties land in the upper bucket), but min(upper) >= max(lower)
+    // must hold — the cutpoints are order statistics
+    def scores(b: String) = rows.collect { case (_, _, Some(s), `b`) => s }
+    val (h, m, t) = (scores("head"), scores("middle"), scores("tail"))
+    assert(h.nonEmpty && m.nonEmpty && t.nonEmpty, "all three buckets populated")
+    assert(h.min >= m.max && m.min >= t.max, "tercile value ordering")
+    // tercile sizing: ties spill upward, so head ≥ ceil(n/3) and
+    // head+middle ≥ ceil(2n/3); nothing is lost
+    val n = h.length + m.length + t.length
+    assert(h.length >= (n + 2) / 3 && h.length + m.length >= (2 * n + 2) / 3)
+    // the filter must discriminate: in-domain (en) docs concentrate in
+    // head, out-of-domain in tail (CCNet's whole point)
+    def enShareBp(b: String) = {
+      val ids = rows.collect { case (id, _, _, `b`) => id }
+      ids.count(lang(_) == "en") * 10000L / ids.length
+    }
+    assert(enShareBp("head") > enShareBp("tail") + 2000,
+      s"en share head=${enShareBp("head")}bp vs tail=${enShareBp("tail")}bp")
+  }
+
   test("t13 bigram LM: every doc scored, n_bigrams = n_tokens - 1, scores in range") {
     val nTokens = TextOps.all("t01_token_stats").fn(spark, sf)
       .select("doc_id", "n_tokens").collect()
