@@ -102,6 +102,24 @@ object SinkQueries {
           .write.option("compression", "zstd").parquet(out)
         s.read.parquet(out).select("o_orderkey", "o_orderdate", "o_totalprice")
       },
-      Some("SELECT o_orderkey, o_orderdate, o_totalprice FROM orders"))
+      Some("SELECT o_orderkey, o_orderdate, o_totalprice FROM orders")),
+
+    // ── small-file compaction — the table-maintenance pass every
+    // long-lived 100 TB dataset needs (streaming sinks and
+    // per-archive conversions accrete tiny parts; small files
+    // multiply scan tasks and NameNode/liststatus pressure). A
+    // deliberately fragmented 64-part copy is compacted to
+    // ~target-sized files via the shuffle-free Sinks.compact;
+    // the oracle asserts the rewrite lost and changed nothing. ──
+    "sink06_compaction" -> Q(
+      (s, d) => {
+        val frag = scratch("fragmented")
+        val out = scratch("compacted")
+        Tables(s, d, "documents").select("doc_id", "lang", "source", "text")
+          .repartition(64).write.option("compression", "zstd").parquet(frag)
+        Sinks.compact(s, frag, out, targetBytes = 1L << 20)
+        s.read.parquet(out).select("doc_id", "lang", "source", "text")
+      },
+      Some("SELECT doc_id, lang, source, text FROM documents"))
   )
 }

@@ -66,6 +66,28 @@ object Sinks {
   def writeZstd(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(path)
 
+  /** Small-file compaction: rewrite `inDir`'s parquet parts as
+    * ~`targetBytes`-sized files (part count = ceil(observed bytes /
+    * target), from a driver-side listing — O(files) statuses, no data
+    * read). Shuffle-FREE by design: `coalesce` merges whole input
+    * splits map-side, so compaction costs one read + one write and no
+    * exchange — a `repartition` would shuffle the full table for
+    * marginally more even output files, doubling network cost at
+    * 100 TB. Compacted output inherits the input's row order only
+    * within each merged group; callers that also want a skipping
+    * layout should compose with the sink05 range-sorted write
+    * instead. Returns the target part count. */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val in = new Path(inDir)
+    val bytes = fs(spark, in).listStatus(in)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    writeZstd(spark.read.parquet(inDir).coalesce(parts), outDir)
+    parts
+  }
+
   /** GeoParquet 1.0.0 `geo` footer for a WKB geometry column.
     * `"crs": null` is EXPLICIT — null means OGC:CRS84 per spec (the
     * reference's output CRS), and consumers (OGR, geopandas)

@@ -156,4 +156,36 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
     assert(touched <= 2 && touched < ranges.length.toLong,
       s"date range scattered across $touched files — not clustered")
   }
+
+  test("sink06 compaction: part count = ceil(bytes/target), content identical, no shuffle") {
+    import java.nio.file.Paths
+    val frag = tmp("compact-in")
+    val src = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "lang", "source", "text")
+    src.repartition(64).write.mode("overwrite")
+      .option("compression", "zstd").parquet(frag)
+    def parquetFiles(dir: String) =
+      Paths.get(dir).toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+    val inFiles = parquetFiles(frag)
+    assert(inFiles.length === 64, "fragmented input precondition")
+    val bytes = inFiles.map(_.length).sum
+
+    // force a multi-file output: target = ~bytes/3 → exactly 3 parts
+    val out3 = tmp("compact-out3")
+    val target = bytes / 3 + 1
+    val parts = Sinks.compact(spark, frag, out3, target)
+    assert(parts === ((bytes + target - 1) / target).toInt)
+    assert(parquetFiles(out3).length === parts)
+    assert(parts > 1 && parts < 64, s"expected genuine compaction, got $parts")
+
+    // content is exactly preserved (same multiset of rows)
+    val back = spark.read.parquet(out3)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty,
+      "compaction changed content")
+
+    // the compaction plan must be shuffle-free: coalesce, no exchange
+    val plan = spark.read.parquet(frag).coalesce(parts)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"compaction shuffles:\n$plan")
+  }
 }
