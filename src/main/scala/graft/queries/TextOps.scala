@@ -243,9 +243,18 @@ object TextOps {
           .persistScoped()
         val withAvg = perDoc.where("avg_bp is not null")
         val n = withAvg.count()
-        def cutAt(k: Long, name: String) =
+        def cutAt(k: Long, name: String) = {
+          // exact rank-k is Int-bounded (limit takes Int, and the
+          // TakeOrdered merge materializes k rows on the driver);
+          // past that, do what CCNet does: cutpoints from a
+          // deterministic hash-sample, which this guard names
+          // rather than silently wrapping k
+          require(k <= Int.MaxValue,
+            s"corpus too large for exact tercile cutpoints (k=$k); " +
+              "compute cuts on a deterministic sample instead")
           withAvg.orderBy(col("avg_bp").desc, col("doc_id"))
             .limit(k.toInt).agg(min("avg_bp").as(name))
+        }
         val cut1 = cutAt((n + 2) / 3, "cut1")
         val cut2 = cutAt((2 * n + 2) / 3, "cut2")
         perDoc.crossJoin(broadcast(cut1)).crossJoin(broadcast(cut2))
