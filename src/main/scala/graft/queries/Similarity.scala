@@ -568,32 +568,103 @@ object Similarity {
         val probes = pqProbeTables(e.where("vec_id < 10"), cb)
         adcTopk(cand.join(codes, "cand_id").join(broadcast(probes), "probe_id"), 3)
       },
-      Some {
-        val dd2 = (a: String, b: String) =>
-          s"(${duckDot(a, a)} - 2 * ${duckDot(a, b)} + ${duckDot(b, b)})"
-        s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
-            ${duckTrainedCent(ivfIters)},
-            $duckIvfCand,
-            sub AS (SELECT vec_id, s, embedding[s*8+1:s*8+8] AS sv
-                    FROM e, LATERAL (SELECT unnest(generate_series(0, 7)) AS s) g),
-            ${duckTrainedCb(pqIters)},
-            codes AS (SELECT vec_id AS cand_id, s, j AS code FROM (
-                        SELECT sub.vec_id, sub.s, cb.j,
-                               row_number() OVER (PARTITION BY sub.vec_id, sub.s
-                                 ORDER BY ${dd2("sub.sv", "cb.cv")}, cb.j) AS rn
-                        FROM sub JOIN cbl cb ON cb.s = sub.s) WHERE rn = 1),
-            ad AS (SELECT c.probe_id, c.cand_id,
-                          list_sum(list(${dd2("p.sv", "cb.cv")} ORDER BY p.s)) AS adist
-                   FROM cand c
-                   JOIN sub p ON p.vec_id = c.probe_id
-                   JOIN codes co ON co.cand_id = c.cand_id AND co.s = p.s
-                   JOIN cbl cb ON cb.s = co.s AND cb.j = co.code
-                   GROUP BY 1, 2)
-            SELECT probe_id, cand_id, rnk, adist FROM
-              (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY adist, cand_id) AS INTEGER) AS rnk FROM ad)
-            WHERE rnk <= 3"""
-      })
+      Some(duckIvfPqSql)),
+
+    // ── index persistence roundtrip: the offline-build / online-serve
+    // split every production ANN deployment runs. BUILD trains both
+    // quantizers (s13's trainers) and writes the three index
+    // artifacts as parquet: the centroid matrix (cell, pos, v), the
+    // per-subspace PQ codebooks (s, j, pos, v), and the inverted
+    // file (cell, cand_id, codes) — cell-partitionable postings
+    // carrying 8-byte codes, the only corpus-sized artifact. SERVE
+    // then answers s13's query from the artifacts alone: quantizer
+    // matrices load driver-side (k×dim and 8×16×8 floats — the
+    // bounded in-memory index head), probe cells fan out against the
+    // loaded centroids, candidates come from the postings scan (at
+    // scale, partition pruning on cell replaces reading the file),
+    // and ADC scoring is s12's. The corpus table is touched only for
+    // probe vectors — the serving tier's actual input. Must equal
+    // s13 bit-for-bit (same oracle): persistence loses nothing
+    // (floats roundtrip parquet exactly). ──
+    "s16_index_roundtrip" -> Q(
+      (s, d) => {
+        Hashing.register(s)
+        import s.implicits._
+        val e = Tables(s, d, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("vec_id", "embedding", s"$normE as nrm").persistScoped()
+        val ix = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft-index", "ivfpq").toString
+        // build: train, then write the artifacts
+        val cent = lloydCents(e, ivfSeeds(e), ivfIters)
+        val cb = pqCodebookTrained(e, pqIters)
+        cent.zipWithIndex.flatMap { case (c, cid) =>
+          c.zipWithIndex.map { case (v, pos) => (cid.toLong, pos, v) }
+        }.toDF("cell", "pos", "v")
+          .write.mode("overwrite").parquet(s"$ix/centroids")
+        cb.zipWithIndex.flatMap { case (sub, sp) =>
+          sub.zipWithIndex.flatMap { case (cw, j) =>
+            cw.zipWithIndex.map { case (v, pos) => (sp, j, pos, v) } }
+        }.toDF("s", "j", "pos", "v")
+          .write.mode("overwrite").parquet(s"$ix/codebooks")
+        ivfAssign(e, cent)
+          .join(pqEncode(e, cb).withColumnRenamed("vec_id", "cand_id"),
+            col("vec_id") === col("cand_id"))
+          .select("cell", "cand_id", "codes")
+          .write.mode("overwrite").parquet(s"$ix/postings")
+        // serve: load the quantizer heads, scan the postings
+        val centBack = {
+          val m = Array.fill(cent.size)(new Array[Float](cent.head.size))
+          s.read.parquet(s"$ix/centroids").collect()
+            .foreach(r => m(r.getLong(0).toInt)(r.getInt(1)) = r.getFloat(2))
+          m.map(_.toSeq: Seq[Float]).toSeq
+        }
+        val cbBack = {
+          val m = Array.fill(8, 16)(new Array[Float](8))
+          s.read.parquet(s"$ix/codebooks").collect()
+            .foreach(r => m(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getFloat(3))
+          m.map(_.map(_.toSeq: Seq[Float]).toSeq: Seq[Seq[Float]]).toSeq
+        }
+        val postings = s.read.parquet(s"$ix/postings")
+        val probes = e.where("vec_id < 10")
+        val cand = broadcast(probeCells(probes, centBack, 2))
+          .join(postings, "cell")
+          .where(col("cand_id") =!= col("probe_id"))
+          .select("probe_id", "cand_id", "codes").distinct()
+        adcTopk(cand.join(broadcast(pqProbeTables(probes, cbBack)), "probe_id"), 3)
+      },
+      // the roundtrip must reproduce s13's answer exactly
+      Some(duckIvfPqSql))
   )
+
+  /** s13's full IVF-PQ oracle (trained quantizers replayed CTE-for-
+    * CTE), shared verbatim by s16: the persistence roundtrip must
+    * produce the identical answer. */
+  private lazy val duckIvfPqSql: String = {
+    val dd2 = (a: String, b: String) =>
+      s"(${duckDot(a, a)} - 2 * ${duckDot(a, b)} + ${duckDot(b, b)})"
+    s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+        ${duckTrainedCent(ivfIters)},
+        $duckIvfCand,
+        sub AS (SELECT vec_id, s, embedding[s*8+1:s*8+8] AS sv
+                FROM e, LATERAL (SELECT unnest(generate_series(0, 7)) AS s) g),
+        ${duckTrainedCb(pqIters)},
+        codes AS (SELECT vec_id AS cand_id, s, j AS code FROM (
+                    SELECT sub.vec_id, sub.s, cb.j,
+                           row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                             ORDER BY ${dd2("sub.sv", "cb.cv")}, cb.j) AS rn
+                    FROM sub JOIN cbl cb ON cb.s = sub.s) WHERE rn = 1),
+        ad AS (SELECT c.probe_id, c.cand_id,
+                      list_sum(list(${dd2("p.sv", "cb.cv")} ORDER BY p.s)) AS adist
+               FROM cand c
+               JOIN sub p ON p.vec_id = c.probe_id
+               JOIN codes co ON co.cand_id = c.cand_id AND co.s = p.s
+               JOIN cbl cb ON cb.s = co.s AND cb.j = co.code
+               GROUP BY 1, 2)
+        SELECT probe_id, cand_id, rnk, adist FROM
+          (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY adist, cand_id) AS INTEGER) AS rnk FROM ad)
+        WHERE rnk <= 3"""
+  }
 
   /** Seed centroids for [[kmeansStep]]/[[kmeansFit]]: the embeddings
     * of the k smallest vec_ids (deterministic; a bounded k-row
@@ -689,25 +760,40 @@ object Similarity {
     * max_by partial agg, which still exchanged one row per vector).
     * nprobe=2 probe cells are a 160-row window frame — harmless at
     * any scale. */
-  private def ivfCandidates(e: DataFrame, cent: Seq[Seq[Float]],
-      nprobe: Int = 2): DataFrame = {
+  /** Per-cell cosine scores against the literal centroid matrix —
+    * map-only, shared by the corpus-assignment and probe-cell
+    * stages. */
+  private def cellScores(df: DataFrame, cent: Seq[Seq[Float]]): DataFrame = {
     val cns = cent.map(c => math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x)))
-    val scored = e
-      .withColumn("cents", typedLit(cent))
+    df.withColumn("cents", typedLit(cent))
       .withColumn("cns", typedLit(cns))
       .withColumn("scores", expr(
         s"transform(sequence(0, ${cent.size - 1}), j -> dotf(embedding, cents[j]) / (nrm * cns[j]))"))
-    val asg = scored.selectExpr(
+  }
+
+  /** Corpus cell assignment (vec_id, cell) — the inverted-file
+    * membership, map-only (argmax over the literal centroids). */
+  private[graft] def ivfAssign(e: DataFrame, cent: Seq[Seq[Float]]): DataFrame =
+    cellScores(e, cent).selectExpr(
       "vec_id", "array_position(scores, array_max(scores)) - 1 as cell")
-    val pcells = scored.where("vec_id < 10")
+
+  /** Probe→cell fan-out (probe_id, cell), top-nprobe cells per probe
+    * via the per-probe-partitioned rank window (bounded: 10 probes ×
+    * 16 cells). */
+  private[graft] def probeCells(probes: DataFrame, cent: Seq[Seq[Float]],
+      nprobe: Int): DataFrame =
+    cellScores(probes, cent)
       .selectExpr("vec_id as probe_id", "posexplode(scores) as (cid, ccos)")
       .withColumn("rn", row_number().over(
         Window.partitionBy("probe_id").orderBy(col("ccos").desc, col("cid"))))
       .where(s"rn <= $nprobe").selectExpr("probe_id", "cast(cid as bigint) as cell")
-    broadcast(pcells).join(asg, pcells("cell") === asg("cell")
-        && col("vec_id") =!= col("probe_id"))
+
+  private def ivfCandidates(e: DataFrame, cent: Seq[Seq[Float]],
+      nprobe: Int = 2): DataFrame =
+    broadcast(probeCells(e.where("vec_id < 10"), cent, nprobe))
+      .join(ivfAssign(e, cent), "cell")
+      .where(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("cand_id")).distinct()
-  }
 
   /** IVF ANN top-k by exact cosine over the pruned candidates — s05's
     * scoring stage, shared with the s15 nprobe sweep. Expects the

@@ -152,4 +152,25 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val corpus = graft.Tables(spark, sf, "embeddings").count()
     assert(rows.map(_._2).distinct.length < corpus, "no pruning happened")
   }
+
+  test("s16 index roundtrip: serve-from-artifacts equals the direct s13 answer; artifacts complete") {
+    val direct = Similarity.all("s13_ivfpq").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val served = Similarity.all("s16_index_roundtrip").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(served === direct, "persistence roundtrip changed the answer")
+    // the artifacts on disk are a complete index: every corpus vector
+    // appears exactly once in the postings with an 8-byte code, and
+    // the quantizer heads have full shape
+    val ix = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-index", "ivfpq").toString
+    val corpus = graft.Tables(spark, sf, "embeddings").count()
+    val post = spark.read.parquet(s"$ix/postings")
+    assert(post.count() === corpus)
+    assert(post.select("cand_id").distinct().count() === corpus)
+    assert(post.selectExpr("max(size(codes))", "min(size(codes))")
+      .collect().head.toSeq === Seq(8, 8))
+    assert(spark.read.parquet(s"$ix/centroids").count() === 16L * 64)
+    assert(spark.read.parquet(s"$ix/codebooks").count() === 8L * 16 * 8)
+  }
 }
