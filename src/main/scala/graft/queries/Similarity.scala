@@ -611,7 +611,10 @@ object Similarity {
           .join(pqEncode(e, cb).withColumnRenamed("vec_id", "cand_id"),
             col("vec_id") === col("cand_id"))
           .select("cell", "cand_id", "codes")
-          .write.mode("overwrite").parquet(s"$ix/postings")
+          // hive-partition the inverted file by cell: a probe read
+          // touches nprobe directories, not the index — the layout
+          // that makes a 1 B-vector index serveable
+          .write.partitionBy("cell").mode("overwrite").parquet(s"$ix/postings")
         // serve: load the quantizer heads, scan the postings
         val centBack = {
           val m = Array.fill(cent.size)(new Array[Float](cent.head.size))
