@@ -292,7 +292,8 @@ object TextOps {
                           WHEN avg_bp >= cut1 THEN 'head'
                           WHEN avg_bp >= cut2 THEN 'middle'
                           ELSE 'tail' END AS bucket
-              FROM perdoc, cuts""")),
+              FROM perdoc, cuts"""),
+      bench = true),
 
     // ── vocabulary construction: global top-50 tokens by frequency ──
     // explode → hash-aggregate (partial count map-side, one shuffle

@@ -12,6 +12,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 BENCH = ["q01_filter_scan", "q02_star_join", "q06_outer_join_agg",
          "q08_agg_pricing", "q16_session_window", "t01_token_stats",
          "t07_tfidf", "t13_bigram_lm", "t14_gopher_filter",
+         "t16_lm_buckets",
          "d03_lsh_pairs",
          "s01_topk_cosine", "s08_topk_agg", "m02_frame_sample",
          "m06_frame_dedup", "c01_clean_corpus", "c02_decontaminate",
