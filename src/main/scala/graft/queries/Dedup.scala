@@ -409,6 +409,64 @@ object Dedup {
                                     JOIN sigs sy ON sy.doc_id = d2)
                SELECT d1, d2, jac_bp, est_bp, est_bp - jac_bp AS err_bp FROM scored""")),
 
+    // ── incremental shard-vs-corpus dedup: the topology a GROWING
+    // corpus needs — a new crawl shard checked against the existing
+    // corpus WITHOUT re-deduping the corpus against itself. The gate
+    // shard simulates a re-crawl: 20% of docs (deterministic hash
+    // split) re-fetched under new ids, half verbatim (the unchanged
+    // pages an incremental crawler must drop) and half content-edited
+    // (the genuinely new revisions it must keep). This is c04's bloom
+    // shape inverted: there the small eval side is sketched and the
+    // big corpus probes it; here the BIG side is folded into the
+    // constant-size mergeable bloom (one partial-agg'd binary
+    // regardless of corpus size) and the small increment probes it
+    // map-side. Survivors of the ≈fpp prefilter are exact-verified
+    // by a fingerprint-only semi join — 16-byte md5s cross the
+    // exchange, never text — so the answer equals the exact anti-join
+    // bit-for-bit and the oracle is the plain LEFT JOIN. At 100 TB the
+    // corpus fingerprint table is a maintained index artifact (the s16
+    // pattern), not a per-run scan; the per-shard cost is then
+    // O(|shard|) probe + O(survivors) join. ──
+    "d14_shard_dedup" -> Q(
+      (s, d) => {
+        Hashing.register(s)
+        val docs = Tables(s, d, "documents")
+        val pct = s"${Hashing.h32Sql("concat('shard:', doc_id)")} % 100"
+        val shard = docs.where(s"$pct < 20")
+          .selectExpr("doc_id + 1000000 as doc_id",
+            s"case when $pct < 10 then text else concat(text, ' v2') end as text")
+          .select(col("doc_id"), md5(col("text")).as("fp"))
+        val corpusFps = docs.select(md5(col("text")).as("fp")).distinct()
+        // One bounded row to the driver (the sketch itself), probed as
+        // a codegen'd Literal — the c04 pattern.
+        val bloomRow = corpusFps
+          .agg(expr(s"bloom_agg(fp, ${1 << 20}, ${8 << 20})").as("bf"))
+          .head()
+        val mightHit: org.apache.spark.sql.Column =
+          if (bloomRow.isNullAt(0)) lit(false) // empty corpus: everything is new
+          else org.apache.spark.sql.GraftSqlShims.column(
+            org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+              org.apache.spark.sql.catalyst.expressions.Literal(
+                bloomRow.getAs[Array[Byte]](0),
+                org.apache.spark.sql.types.BinaryType),
+              new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+                org.apache.spark.sql.GraftSqlShims.expression(col("fp"))))))
+        val seen = shard.where(mightHit)
+          .join(corpusFps, Seq("fp"), "left_semi")
+          .select("doc_id").withColumn("seen", lit(true))
+        shard.select("doc_id")
+          .join(seen, Seq("doc_id"), "left")
+          .selectExpr("doc_id", "coalesce(seen, false) as seen")
+      },
+      Some(s"""WITH shard AS (SELECT doc_id + 1000000 AS doc_id,
+                      md5(CASE WHEN ${Hashing.duck32("'shard:' || doc_id")} % 100 < 10
+                               THEN text ELSE text || ' v2' END) AS fp
+                      FROM documents
+                      WHERE ${Hashing.duck32("'shard:' || doc_id")} % 100 < 20),
+               corpus AS (SELECT DISTINCT md5(text) AS fp FROM documents)
+               SELECT s.doc_id, (c.fp IS NOT NULL) AS seen
+               FROM shard s LEFT JOIN corpus c USING (fp)""")),
+
     // ── near-dup CLUSTERS: connected components over the d03 pair
     // graph by min-label propagation — the step a dedup pipeline
     // actually keeps (pick min doc_id per component as canonical,

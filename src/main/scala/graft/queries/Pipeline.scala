@@ -240,6 +240,40 @@ object Pipeline {
                SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
                WHERE ${graft.functions.Hashing.duck32("'mix:' || doc_id")} % 10000 < rate_bp""")),
 
+    // ── temperature-scaled language balancing: the multilingual
+    // sampling step (p(L) ∝ |L|^α, α = 0.5 here) that keeps low-
+    // resource languages from drowning — acceptance rate per language
+    // is (n_min/n_L)^(1-α) = sqrt(n_min/n_L), so post-sample counts go
+    // as sqrt(n_L) instead of n_L, with the smallest language taken
+    // whole. Differs from p04 (explicit target weights) in that the
+    // weights COME FROM the corpus statistics themselves. Determinism
+    // across engines: the rate is computed as floor(sqrt(v)) over the
+    // exact integer v = 10^8·n_min div n_L — integer division first,
+    // then ONE correctly-rounded IEEE sqrt whose floor is exact for
+    // v < 2^52 — and membership is the doc-id hash, not an RNG. Scale
+    // shape: a partial-agg'd per-language count (|langs| rows), a
+    // 1-row min broadcast back, then a map-side broadcast-join +
+    // hash filter — the corpus never shuffles. ──
+    "p10_temperature_mix" -> Q(
+      (s, d) => {
+        graft.functions.Hashing.register(s)
+        val docs = Tables(s, d, "documents")
+        val n = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+        val nMin = broadcast(n.agg(min("n_l").as("n_min")))
+        val rates = n.crossJoin(nMin)
+          .selectExpr("lang",
+            "cast(floor(sqrt((100000000L * n_min) div n_l)) as bigint) as rate_bp")
+        docs.join(broadcast(rates), "lang")
+          .where(s"${graft.functions.Hashing.h32Sql("concat('temp:', doc_id)")} % 10000 < rate_bp")
+          .select("doc_id", "lang", "rate_bp")
+      },
+      Some(s"""WITH n AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+               m AS (SELECT min(n_l) AS n_min FROM n),
+               r AS (SELECT lang, CAST(floor(sqrt((100000000 * n_min) // n_l)) AS BIGINT) AS rate_bp
+                     FROM n, m)
+               SELECT d.doc_id, d.lang, r.rate_bp FROM documents d JOIN r USING (lang)
+               WHERE ${graft.functions.Hashing.duck32("'temp:' || doc_id")} % 10000 < rate_bp""")),
+
     // ── deterministic global shuffle + round-robin sharding: the
     // training-output step after cleaning. Every doc gets a stable
     // md5-derived shuffle key; global rank over (key, doc_id) is the

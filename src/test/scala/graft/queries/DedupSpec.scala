@@ -192,6 +192,27 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_._2).distinct.length > 1)
   }
 
+  test("d14 shard dedup: bloom-prefiltered answer equals the exact serial recompute") {
+    val got = Dedup.all("d14_shard_dedup").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    // serial recompute: same split, same mutation, plain set lookup
+    def h32(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    val docs = graft.Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val corpus = docs.map(_._2).toSet
+    val expected = docs.collect { case (id, text) if h32(s"shard:$id") % 100 < 20 =>
+      val t = if (h32(s"shard:$id") % 100 < 10) text else text + " v2"
+      (id + 1000000L) -> corpus.contains(t)
+    }.toMap
+    assert(got === expected)
+    // non-degenerate by construction: the verbatim half is seen, the
+    // edited half is new
+    assert(got.values.exists(identity) && got.values.exists(!_))
+  }
+
   test("simhash of identical token multisets is identical") {
     val df = Dedup.all("d04_simhash").fn(spark, sf)
     // deterministic: same input -> same simhash on repeated run

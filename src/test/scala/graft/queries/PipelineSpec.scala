@@ -37,6 +37,35 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       assert(bySource(s"src$k") === 25, s"limiting-weight src$k not taken whole")
   }
 
+  test("p10 temperature mix: rates are exact isqrt of corpus stats, kept set is the hash filter") {
+    val sf01 = "/root/testdata/sf0.01"
+    val got = Pipeline.all("p10_temperature_mix").fn(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // serial recompute from the raw table: per-lang counts -> exact
+    // integer rate floor(sqrt(1e8 * n_min div n_l)) -> h32 membership
+    val docs = graft.Tables(spark, sf01, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val nByLang = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nMin = nByLang.values.min
+    val rate = nByLang.map { case (l, n) =>
+      l -> math.sqrt((100000000L * nMin / n).toDouble).toLong }
+    def h32(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    val expected = docs.collect {
+      case (id, l) if h32(s"temp:$id") % 10000 < rate(l) => (id, l, rate(l)) }
+    assert(got.toSet === expected.toSet)
+    // the smallest language is taken whole; larger languages are
+    // sub-sampled (temperature flattens, never inverts)
+    val minLang = nByLang.minBy(_._2)._1
+    assert(rate(minLang) === 10000L)
+    val keptByLang = got.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(keptByLang(minLang) === nByLang(minLang))
+    for ((l, n) <- nByLang if l != minLang)
+      assert(keptByLang.getOrElse(l, 0L) <= n)
+  }
+
   test("p07 pack segments: tile every sequence exactly, conserve every doc's tokens") {
     val segs = Pipeline.all("p07_pack_segments").fn(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
