@@ -486,6 +486,29 @@ object Relational {
       Some("""SELECT event_id, user_id,
                      count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
                        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_last_hour
-              FROM events"""))
+              FROM events""")),
+
+    // ── P5: unpivot / melt (wide→long), the inverse of q24's pivot ──
+    // The four lineitem measures become (measure, value) rows keyed by
+    // (l_orderkey, l_linenumber). Plan: one map-only Expand — 4×
+    // output rows but ZERO exchange, so it composes with a downstream
+    // groupBy("measure") into a single-shuffle long-form aggregation.
+    // The oracle is the dialect-neutral UNION ALL spelling of the same
+    // relation (DuckDB's UNPIVOT keyword reorders rows, which the
+    // harness sort absorbs, but UNION ALL pins the semantics in ANSI).
+    "q29_unpivot" -> Q(
+      (s, d) => Tables(s, d, "lineitem")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "value"),
+      Some("""SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem"""))
   )
 }

@@ -295,6 +295,46 @@ object TextOps {
               FROM perdoc, cuts"""),
       bench = true),
 
+    // ── vocabulary coverage curve: what fraction of all token
+    // occurrences a top-k vocabulary covers — the statistic that sizes
+    // a tokenizer's vocab (diminishing-returns knee) and predicts the
+    // UNK rate at each cut. Corpus cost is t06's: one explode +
+    // partial-agg'd token-keyed shuffle to a vocab-sized count frame
+    // (persisted once for its two consumers), then TakeOrdered keeps
+    // the top 50 — per-partition heads merged on the driver, never a
+    // global sort. The cumulative sum runs AFTER the limit, over ≤50
+    // rows: that global window is provably tiny (whitelisted in
+    // PlanAuditSpec next to s05's 16-row one), not a corpus window.
+    // Coverage is integer basis points so the compare is exact. ──
+    "t17_vocab_coverage" -> Q(
+      (s, d) => {
+        val counts = Tables(s, d, "documents")
+          .selectExpr(s"explode($toks) as token")
+          .groupBy("token").agg(count(lit(1)).as("n"))
+          .persistScoped()
+        val total = counts.agg(sum("n").as("total"))
+        val top = counts.orderBy(col("n").desc, col("token")).limit(50)
+        val w = Window.orderBy(col("n").desc, col("token"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        top
+          .withColumn("rank", row_number().over(w))
+          .withColumn("cum_n", sum("n").over(w))
+          .crossJoin(broadcast(total))
+          .selectExpr("rank", "token", "n",
+            "(cum_n * 10000L) div total as cov_bp")
+      },
+      Some("""WITH c AS (SELECT token, count(*) AS n
+                         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+                         GROUP BY token),
+                   t AS (SELECT sum(n) AS total FROM c),
+                   top AS (SELECT token, n,
+                                  row_number() OVER (ORDER BY n DESC, token) AS rank
+                           FROM c ORDER BY n DESC, token LIMIT 50)
+              SELECT rank, token, n,
+                     CAST((sum(n) OVER (ORDER BY rank
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000) // total AS BIGINT) AS cov_bp
+              FROM top, t""")),
+
     // ── vocabulary construction: global top-50 tokens by frequency ──
     // explode → hash-aggregate (partial count map-side, one shuffle
     // keyed by token) → orderBy+limit compiles to

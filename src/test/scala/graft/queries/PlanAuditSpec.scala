@@ -31,7 +31,8 @@ class PlanAuditSpec extends AnyFunSuite with graft.SparkTestBase {
   /** Queries where an unpartitioned window runs over a PROVABLY tiny
     * frame (never the corpus). */
   private val globalWindowOk = Set(
-    "s05_ivf_topk") // 16-row centroid selection via row_number over h
+    "s05_ivf_topk", // 16-row centroid selection via row_number over h
+    "t17_vocab_coverage") // cumulative share over the top-50 AFTER the limit
 
   private def offenders(p: SparkPlan): Seq[String] = p.collect {
     case _: CartesianProductExec => "CartesianProduct"

@@ -206,6 +206,12 @@ class PlanShapeSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(!p.contains("Join"), p) // only (frame_md5, doc_id) pairs shuffle
   }
 
+  test("q29 unpivot is a map-only Expand: 4x output rows, zero exchange") {
+    val p = planOf("q29_unpivot")
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("Exchange"), s"unpivot must not shuffle:\n$p")
+  }
+
   test("p07 pack segments: no global window, explode above the pid-keyed prefix sum") {
     val p = planOf("p07_pack_segments")
     // same contract as p03: the only window is partitioned by pid

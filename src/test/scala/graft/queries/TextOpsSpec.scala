@@ -27,6 +27,25 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.values.exists(_._3) && got.values.exists(!_._3))
   }
 
+  test("t17 vocab coverage equals the serial cumulative share and is monotone") {
+    import org.apache.spark.sql.functions._
+    val toks = graft.Tables(spark, sf, "documents")
+      .select(split(col("text"), " ").as("t")).collect()
+      .flatMap(_.getSeq[String](0))
+    val total = toks.length.toLong
+    val top = toks.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (tok, n) => (-n, tok) }.take(50)
+    val expected = top.zipWithIndex.map { case ((tok, n), i) =>
+      (i + 1, tok, n, top.take(i + 1).map(_._2).sum * 10000L / total)
+    }
+    val got = TextOps.all("t17_vocab_coverage").fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expected)
+    // the curve must be a genuine coverage curve: monotone, capped
+    assert(got.map(_._4).toSeq == got.map(_._4).toSeq.sorted, "monotone coverage")
+    assert(got.last._4 <= 10000)
+  }
+
   test("t15 confusion matrix: cells partition the corpus and label shares sum to ~10000") {
     val docsN = graft.Tables(spark, sf, "documents").count()
     val rows = TextOps.all("t15_langid_confusion").fn(spark, sf).collect()
