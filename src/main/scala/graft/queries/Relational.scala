@@ -509,6 +509,29 @@ object Relational {
               UNION ALL
               SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
               UNION ALL
-              SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem"""))
+              SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""")),
+
+    // ── latest-record-per-key: the changelog→snapshot compaction
+    // every CDC-fed or multi-crawl corpus needs (keep only the newest
+    // crawl of each URL / latest order per customer). rank()=1 over
+    // (key, recency) — Spark's optimizer rewrites the filtered window
+    // into WindowGroupLimit, which keeps a per-key top-1 heap BELOW
+    // the exchange: only one row per key per partition shuffles, not
+    // the history. The tie-break on o_orderkey makes the winner
+    // deterministic in both engines. PlanShapeSpec pins the
+    // WindowGroupLimit so a refactor can't silently regress this to a
+    // full-history shuffle + filter. ──
+    "q30_latest_per_key" -> Q(
+      (s, d) => Tables(s, d, "orders")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_custkey")
+            .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)))
+        .where("rn = 1")
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+              FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                    FROM orders)
+              WHERE rn = 1"""))
   )
 }

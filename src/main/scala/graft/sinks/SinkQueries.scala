@@ -120,6 +120,52 @@ object SinkQueries {
         Sinks.compact(s, frag, out, targetBytes = 1L << 20)
         s.read.parquet(out).select("doc_id", "lang", "source", "text")
       },
-      Some("SELECT doc_id, lang, source, text FROM documents"))
+      Some("SELECT doc_id, lang, source, text FROM documents")),
+
+    // ── per-file statistics manifest + file-skipping scan — the
+    // Iceberg/Delta metadata-pruning story in miniature. The table is
+    // written range-partitioned on the dominant filter column (so
+    // files carry disjoint value ranges, sink05's layout), then ONE
+    // distributed pass builds a manifest of per-file
+    // (min, max, row count) — itself a parquet artifact, O(files)
+    // rows. A range query consults the MANIFEST first: only files
+    // whose [min,max] intersects the predicate are handed to the
+    // reader; the rest are never opened. The driver touches O(files)
+    // manifest rows, never data. At 100 TB this is the difference
+    // between listing 100k footers per query and reading one small
+    // manifest table — and the manifest is incrementally maintainable
+    // (append per-file rows on write, rewrite on compaction). The
+    // oracle asserts the pruned scan equals the full-scan filter
+    // exactly; the require proves skipping actually happened. ──
+    "sink07_stats_manifest" -> Q(
+      (s, d) => {
+        val out = scratch("manifested")
+        val man = scratch("manifest")
+        Tables(s, d, "orders").select("o_orderkey", "o_orderdate", "o_totalprice")
+          .repartitionByRange(4, col("o_orderdate"))
+          .sortWithinPartitions("o_orderdate", "o_orderkey")
+          .write.option("compression", "zstd").parquet(out)
+        s.read.parquet(out)
+          .groupBy(input_file_name().as("file"))
+          .agg(min("o_orderdate").as("lo"), max("o_orderdate").as("hi"),
+            count(lit(1)).as("n_rows"))
+          .write.parquet(man)
+        val (qlo, qhi) = ("1996-01-01", "1996-12-31 23:59:59")
+        val manifest = s.read.parquet(man)
+        val total = manifest.count()
+        val surviving = manifest
+          .where(col("hi") >= lit(qlo).cast("timestamp") &&
+            col("lo") <= lit(qhi).cast("timestamp"))
+          .select("file").collect().map(_.getString(0))
+        require(surviving.nonEmpty && surviving.length < total,
+          s"manifest pruned nothing: ${surviving.length} of $total files survive")
+        s.read.parquet(surviving: _*)
+          .where(col("o_orderdate") >= lit(qlo).cast("timestamp") &&
+            col("o_orderdate") <= lit(qhi).cast("timestamp"))
+          .select("o_orderkey", "o_orderdate", "o_totalprice")
+      },
+      Some("""SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate <= TIMESTAMP '1996-12-31 23:59:59'"""))
   )
 }

@@ -206,6 +206,12 @@ class PlanShapeSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(!p.contains("Join"), p) // only (frame_md5, doc_id) pairs shuffle
   }
 
+  test("q30 latest-per-key prunes to top-1 per key BELOW the exchange via WindowGroupLimit") {
+    val p = planOf("q30_latest_per_key")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial"), p) // per-partition top-1 heap before the shuffle
+  }
+
   test("q29 unpivot is a map-only Expand: 4x output rows, zero exchange") {
     val p = planOf("q29_unpivot")
     assert(p.contains("Expand"), p)

@@ -157,6 +157,29 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
       s"date range scattered across $touched files — not clustered")
   }
 
+  test("sink07 manifest: stats cover every row; the pruned scan opens fewer files, loses nothing") {
+    import org.apache.spark.sql.functions._
+    val df = graft.sinks.SinkQueries.all("sink07_stats_manifest")
+      .fn(spark, "/root/testdata/sf0.001")
+    val man = spark.read.parquet(java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-sinks", "manifest").toString)
+    val orders = graft.Tables(spark, "/root/testdata/sf0.001", "orders")
+    // the manifest accounts for every row exactly once
+    assert(man.agg(sum("n_rows")).collect()(0).getLong(0) === orders.count())
+    val nFiles = man.count()
+    assert(nFiles === 4, "range write precondition")
+    // the scan behind the returned relation opens strictly fewer files
+    val touched = df.withColumn("f", input_file_name())
+      .select("f").distinct().count()
+    assert(touched < nFiles, s"pruning opened all $nFiles files")
+    // and the pruned read equals the direct full-scan filter
+    val direct = orders.where(
+      "o_orderdate >= timestamp '1996-01-01' and o_orderdate <= timestamp '1996-12-31 23:59:59'")
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+    assert(df.exceptAll(direct).isEmpty && direct.exceptAll(df).isEmpty,
+      "manifest pruning changed the answer")
+  }
+
   test("sink06 compaction: part count = ceil(bytes/target), content identical, no shuffle") {
     import java.nio.file.Paths
     val frag = tmp("compact-in")
