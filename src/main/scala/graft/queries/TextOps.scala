@@ -97,6 +97,63 @@ object TextOps {
         FROM v"""
   }
 
+  /** t16's scoring stage, shared with t18's calibration diagram:
+    * every document scored against the bigram LM trained on the
+    * in-domain (lang = 'en') slice only. Returns
+    * (doc_id, lang, n_bigrams, avg_bp) with avg_bp null for
+    * bigram-less documents. Persisted — each consumer aggregates it
+    * more than once, and [[graft.CacheScope]] releases it when the
+    * query result is consumed. */
+  private def lmPerDoc(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d, "documents")
+    val bg = docs
+      .selectExpr("doc_id", "lang", s"$toks as t")
+      .where("size(t) >= 2")
+      .selectExpr("doc_id", "lang",
+        """explode(transform(sequence(1, size(t) - 1),
+             i -> struct(element_at(t, i) as w1,
+                         concat(element_at(t, i), ' ', element_at(t, i + 1)) as g))) as b""")
+      .select(col("doc_id"), col("lang"), col("b.w1").as("w1"), col("b.g").as("g"))
+      .persistScoped()
+    val en = bg.where("lang = 'en'")
+    val c2 = en.groupBy("g").agg(count(lit(1)).as("n2"))
+    val c1 = en.groupBy("w1").agg(count(lit(1)).as("n1"))
+    val v = docs.where("lang = 'en'")
+      .selectExpr(s"explode($toks) as tok")
+      .agg(count_distinct(col("tok")).as("v"))
+    val scored = bg
+      .join(c2, Seq("g"), "left").join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .selectExpr("doc_id",
+        "((coalesce(n2, 0L) + 1) * 10000) div (coalesce(n1, 0L) + v) as s_bp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("s_bp").as("sum_bp"))
+      .selectExpr("doc_id", "n_bigrams", "sum_bp div n_bigrams as avg_bp")
+    docs.select("doc_id", "lang").join(scored, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "lang", "coalesce(n_bigrams, 0L) as n_bigrams", "avg_bp")
+      .persistScoped()
+  }
+
+  /** DuckDB mirror of [[lmPerDoc]] — a CTE chain ending in `perdoc`
+    * (doc_id, lang, n_bigrams, avg_bp), spliced into t16/t18 oracles. */
+  private val duckLmPerDoc: String =
+    """tk AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+       bg AS (SELECT doc_id, lang, t[i] AS w1, t[i] || ' ' || t[i+1] AS g
+              FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+              WHERE len(t) >= 2),
+       c2 AS (SELECT g, count(*) AS n2 FROM bg WHERE lang = 'en' GROUP BY g),
+       c1 AS (SELECT w1, count(*) AS n1 FROM bg WHERE lang = 'en' GROUP BY w1),
+       v AS (SELECT count(DISTINCT tok) AS v FROM
+               (SELECT unnest(t) AS tok FROM tk WHERE lang = 'en')),
+       sc AS (SELECT doc_id,
+                     ((COALESCE(n2, 0) + 1) * 10000) // (COALESCE(n1, 0) + v) AS s_bp
+              FROM bg LEFT JOIN c2 USING (g) LEFT JOIN c1 USING (w1), v),
+       agg AS (SELECT doc_id, count(*) AS n_bigrams,
+                      CAST(sum(s_bp) AS BIGINT) // count(*) AS avg_bp
+               FROM sc GROUP BY doc_id),
+       perdoc AS (SELECT d.doc_id, d.lang, COALESCE(a.n_bigrams, 0) AS n_bigrams, a.avg_bp
+                  FROM documents d LEFT JOIN agg a USING (doc_id))"""
+
   val all: Map[String, Q] = Map(
     // ── token counting ──
     "t01_token_stats" -> Q(
@@ -196,6 +253,38 @@ object TextOps {
                         // (sum(n) OVER (PARTITION BY lang_label)) AS BIGINT) AS share_bp
                FROM cm""")),
 
+    // ── classifier calibration curve (reliability diagram): does a
+    // higher score actually MEAN more in-domain? Documents are binned
+    // into ten equal-width bins over the observed range of t16's
+    // in-domain LM score, and each bin reports its mean claimed score
+    // next to the OBSERVED en rate — what a pipeline reads before
+    // using scores as sampling weights (p06/d12 style) rather than a
+    // mere ranking. The [min,max] extent is a broadcast 1-row frame;
+    // binning is map-side; the bin-keyed partial aggregate emits ≤ 10
+    // rows at any corpus size. All-integer, exact cross-engine. ──
+    "t18_calibration" -> Q(
+      (s, d) => {
+        val scored = lmPerDoc(s, d).where("avg_bp is not null")
+        val ext = scored.agg(min("avg_bp").as("lo"), max("avg_bp").as("hi"))
+        scored.crossJoin(broadcast(ext))
+          .selectExpr("lang", "avg_bp",
+            "least(((avg_bp - lo) * 10) div (hi - lo + 1), 9) as bin")
+          .groupBy("bin").agg(
+            count(lit(1)).as("n"),
+            expr("sum(avg_bp) div count(1)").as("mean_lm_bp"),
+            expr("sum(case when lang = 'en' then 1 else 0 end) * 10000 div count(1)")
+              .as("en_rate_bp"))
+      },
+      Some(s"""WITH $duckLmPerDoc,
+               scored AS (SELECT * FROM perdoc WHERE avg_bp IS NOT NULL),
+               ext AS (SELECT min(avg_bp) AS lo, max(avg_bp) AS hi FROM scored)
+               SELECT least(((avg_bp - lo) * 10) // (hi - lo + 1), 9) AS bin,
+                      count(*) AS n,
+                      CAST(sum(avg_bp) // count(*) AS BIGINT) AS mean_lm_bp,
+                      CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 10000
+                        // count(*) AS BIGINT) AS en_rate_bp
+               FROM scored, ext GROUP BY 1""")),
+
     // ── CCNet-style LM bucketing (Wenzek et al. 2020 §4.3 shape):
     // train the bigram LM on the in-domain slice only (lang = 'en' —
     // the Wikipedia stand-in), score EVERY document against it
@@ -214,33 +303,7 @@ object TextOps {
     // in the upper bucket — deterministic in both engines. ──
     "t16_lm_buckets" -> Q(
       (s, d) => {
-        val docs = Tables(s, d, "documents")
-        val bg = docs
-          .selectExpr("doc_id", "lang", s"$toks as t")
-          .where("size(t) >= 2")
-          .selectExpr("doc_id", "lang",
-            """explode(transform(sequence(1, size(t) - 1),
-                 i -> struct(element_at(t, i) as w1,
-                             concat(element_at(t, i), ' ', element_at(t, i + 1)) as g))) as b""")
-          .select(col("doc_id"), col("lang"), col("b.w1").as("w1"), col("b.g").as("g"))
-          .persistScoped()
-        val en = bg.where("lang = 'en'")
-        val c2 = en.groupBy("g").agg(count(lit(1)).as("n2"))
-        val c1 = en.groupBy("w1").agg(count(lit(1)).as("n1"))
-        val v = docs.where("lang = 'en'")
-          .selectExpr(s"explode($toks) as tok")
-          .agg(count_distinct(col("tok")).as("v"))
-        val scored = bg
-          .join(c2, Seq("g"), "left").join(c1, Seq("w1"), "left")
-          .crossJoin(broadcast(v))
-          .selectExpr("doc_id",
-            "((coalesce(n2, 0L) + 1) * 10000) div (coalesce(n1, 0L) + v) as s_bp")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"), sum("s_bp").as("sum_bp"))
-          .selectExpr("doc_id", "n_bigrams", "sum_bp div n_bigrams as avg_bp")
-        val perDoc = docs.select("doc_id").join(scored, Seq("doc_id"), "left")
-          .selectExpr("doc_id", "coalesce(n_bigrams, 0L) as n_bigrams", "avg_bp")
-          .persistScoped()
+        val perDoc = lmPerDoc(s, d)
         val withAvg = perDoc.where("avg_bp is not null")
         val n = withAvg.count()
         def cutAt(k: Long, name: String) = {
@@ -264,22 +327,7 @@ object TextOps {
                     when avg_bp >= cut2 then 'middle'
                     else 'tail' end as bucket""")
       },
-      Some("""WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
-              bg AS (SELECT doc_id, lang, t[i] AS w1, t[i] || ' ' || t[i+1] AS g
-                     FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
-                     WHERE len(t) >= 2),
-              c2 AS (SELECT g, count(*) AS n2 FROM bg WHERE lang = 'en' GROUP BY g),
-              c1 AS (SELECT w1, count(*) AS n1 FROM bg WHERE lang = 'en' GROUP BY w1),
-              v AS (SELECT count(DISTINCT tok) AS v FROM
-                      (SELECT unnest(t) AS tok FROM tk WHERE lang = 'en')),
-              sc AS (SELECT doc_id,
-                            ((COALESCE(n2, 0) + 1) * 10000) // (COALESCE(n1, 0) + v) AS s_bp
-                     FROM bg LEFT JOIN c2 USING (g) LEFT JOIN c1 USING (w1), v),
-              agg AS (SELECT doc_id, count(*) AS n_bigrams,
-                             CAST(sum(s_bp) AS BIGINT) // count(*) AS avg_bp
-                      FROM sc GROUP BY doc_id),
-              perdoc AS (SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams, a.avg_bp
-                         FROM documents d LEFT JOIN agg a USING (doc_id)),
+      Some(s"""WITH $duckLmPerDoc,
               ranked AS (SELECT avg_bp,
                                 row_number() OVER (ORDER BY avg_bp DESC, doc_id) AS rn,
                                 count(*) OVER () AS n

@@ -46,6 +46,28 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.last._4 <= 10000)
   }
 
+  test("t18 calibration: bins cover every scored doc, means rise with bin, curve discriminates") {
+    import org.apache.spark.sql.functions._
+    val scoredN = graft.Tables(spark, sf, "documents")
+      .where(size(split(col("text"), " ")) >= 2).count()
+    val rows = TextOps.all("t18_calibration").fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._2).sum === scoredN, "bins must partition the scored corpus")
+    assert(rows.forall { case (b, _, _, rate) => b >= 0 && b <= 9 && rate >= 0 && rate <= 10000 })
+    // equal-width value bins ⇒ per-bin mean scores are strictly ordered
+    assert(rows.map(_._3).toSeq == rows.map(_._3).toSeq.sorted.distinct, "bin means must rise")
+    // the diagram must show genuine calibration signal: docs in the
+    // upper half of the score range are overwhelmingly en, the lower
+    // half overwhelmingly not (weighted by bin population)
+    def wrate(rs: Array[(Long, Long, Long, Long)]) =
+      if (rs.isEmpty) 0L else rs.map(r => r._2 * r._4).sum / rs.map(_._2).sum
+    val lowRate = wrate(rows.filter(_._1 <= 3))
+    val highRate = wrate(rows.filter(_._1 >= 6))
+    assert(highRate > 7000 && lowRate < 1500,
+      s"curve does not discriminate: low=$lowRate high=$highRate")
+  }
+
   test("t15 confusion matrix: cells partition the corpus and label shares sum to ~10000") {
     val docsN = graft.Tables(spark, sf, "documents").count()
     val rows = TextOps.all("t15_langid_confusion").fn(spark, sf).collect()
