@@ -637,8 +637,98 @@ object Similarity {
         adcTopk(cand.join(broadcast(pqProbeTables(probes, cbBack)), "probe_id"), 3)
       },
       // the roundtrip must reproduce s13's answer exactly
-      Some(duckIvfPqSql))
+      Some(duckIvfPqSql)),
+
+    // ── MMR diversity re-rank: Maximal Marginal Relevance
+    // (Carbonell & Goldstein 1998) over the exact top-10 shortlist —
+    // retrieval that penalizes redundancy, the standard fix when the
+    // plain top-k returns five near-copies of one document. Greedy:
+    // each step selects argmax of 0.7·relevance − 0.3·(max cosine to
+    // anything already selected), expressed with integer coefficients
+    // (7x−3y)/10 so both engines parse identical double literals.
+    // Scale shape: the shortlist is s01's bounded-heap top-k (k rows
+    // per probe cross the exchange); candidate-candidate sims are an
+    // equi-join on probe_id with m²=90 rows per probe; the greedy
+    // loop itself runs as a codegen'd higher-order SQL aggregate over
+    // the per-probe rels/sims arrays — collect_list is bounded by
+    // m=10 (m² pairs), every array consumer is order-independent, and
+    // NOTHING grows with the corpus after the shortlist stage. The
+    // oracle unrolls the same greedy selection as chained argmax CTEs. ──
+    "s17_mmr_rerank" -> Q(
+      (s, d) => {
+        Hashing.register(s)
+        val e = Tables(s, d, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("vec_id", "embedding", s"$normE as nrm")
+        val top = bruteTopk(s, d, 10).select("probe_id", "cand_id", "cosine")
+        val te = top
+          .join(e.select(col("vec_id").as("cand_id"), col("embedding"), col("nrm")), "cand_id")
+        val pairs = te.alias("x").join(te.alias("y"),
+            expr("x.probe_id = y.probe_id and x.cand_id != y.cand_id"))
+          .selectExpr("x.probe_id as probe_id", "x.cand_id as a", "y.cand_id as b",
+            s"${dot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) as sim")
+        val rels = top.groupBy("probe_id")
+          .agg(collect_list(struct(col("cand_id").as("cand"), col("cosine").as("rel"))).as("rels"))
+        val sims = pairs.groupBy("probe_id")
+          .agg(collect_list(struct(col("a"), col("b"), col("sim"))).as("sims"))
+        val mmr =
+          """aggregate(
+               sequence(1, 5),
+               cast(array() as array<struct<cand: bigint, rnk: int, score: double>>),
+               (acc, step) -> concat(acc, transform(
+                 array(array_max(transform(
+                   filter(rels, r -> !exists(acc, s -> s.cand = r.cand)),
+                   r -> struct(
+                     (7 * r.rel - 3 * coalesce(array_max(transform(
+                        filter(sims, p -> p.a = r.cand and exists(acc, s -> s.cand = p.b)),
+                        p -> p.sim)), cast(0 as double))) / 10 as score,
+                     -r.cand as negid,
+                     r.cand as cand)))),
+                 b -> struct(b.cand as cand, cast(step as int) as rnk, b.score as score))))"""
+        rels.join(sims, "probe_id")
+          .selectExpr("probe_id", s"explode($mmr) as sel")
+          .selectExpr("probe_id", "sel.cand as cand_id", "sel.rnk as rnk", "sel.score as mmr_score")
+      },
+      Some(duckMmrSql))
   )
+
+  /** s17's oracle: the identical greedy MMR unrolled as chained
+    * argmax CTEs — selN carries the cumulative selection after step N,
+    * stN scores the remaining shortlist against it. */
+  private lazy val duckMmrSql: String = {
+    val base =
+      s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+          sc AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                        ${duckDot("p.embedding", "c.embedding")} / (p.nrm * c.nrm) AS cosine
+                 FROM e p JOIN e c ON c.vec_id != p.vec_id
+                 WHERE p.vec_id < 10),
+          top AS (SELECT probe_id, cand_id, cosine AS rel FROM
+                    (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rn FROM sc)
+                  WHERE rn <= 10),
+          pr AS (SELECT t1.probe_id, t1.cand_id AS a, t2.cand_id AS b,
+                        ${duckDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS sim
+                 FROM top t1 JOIN top t2 ON t2.probe_id = t1.probe_id AND t2.cand_id != t1.cand_id
+                 JOIN e x ON x.vec_id = t1.cand_id
+                 JOIN e y ON y.vec_id = t2.cand_id),
+          sel1 AS (SELECT probe_id, cand_id, 1 AS rnk, (7 * rel - 3 * CAST(0 AS DOUBLE)) / 10 AS score FROM
+                     (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY rel DESC, cand_id) AS rn FROM top)
+                   WHERE rn = 1)"""
+    val steps = (2 to 5).map { i =>
+      val prev = s"sel${i - 1}"
+      s"""st$i AS (SELECT t.probe_id, t.cand_id, (7 * t.rel - 3 * max(p.sim)) / 10 AS score
+                 FROM top t
+                 JOIN pr p ON p.probe_id = t.probe_id AND p.a = t.cand_id
+                 JOIN $prev s ON s.probe_id = p.probe_id AND s.cand_id = p.b
+                 LEFT JOIN $prev q ON q.probe_id = t.probe_id AND q.cand_id = t.cand_id
+                 WHERE q.cand_id IS NULL
+                 GROUP BY t.probe_id, t.cand_id, t.rel),
+          sel${i}p AS (SELECT probe_id, cand_id, $i AS rnk, score FROM
+                    (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, cand_id) AS rn FROM st$i)
+                  WHERE rn = 1),
+          sel$i AS (SELECT * FROM $prev UNION ALL SELECT * FROM sel${i}p)"""
+    }.mkString(",\n")
+    s"$base,\n$steps\n SELECT probe_id, cand_id, rnk, score AS mmr_score FROM sel5"
+  }
 
   /** s13's full IVF-PQ oracle (trained quantizers replayed CTE-for-
     * CTE), shared verbatim by s16: the persistence roundtrip must

@@ -26,6 +26,7 @@ class PlanAuditSpec extends AnyFunSuite with graft.SparkTestBase {
     "s01_topk_cosine", "s08_topk_agg", "s09_ann_recall", // 10-probe scoredPairs
     "s05_ivf_topk", "s13_ivfpq", // 16-centroid assignment + probe cells
     "s14_ivfpq_recall", // composes s13 + the 10-probe exact baseline
+    "s17_mmr_rerank", // re-ranks s01's 10-probe bounded shortlist
     "d11_lsh_recall") // 50-probe broadcast exact-baseline scan
 
   /** Queries where an unpartitioned window runs over a PROVABLY tiny

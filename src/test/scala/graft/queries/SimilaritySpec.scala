@@ -31,6 +31,50 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(agg.size === 50) // 10 probes x 5
   }
 
+  test("s17 MMR equals a serial greedy recompute and genuinely diversifies") {
+    // serial reference: greedy argmax of (7·rel − 3·maxSimToSelected)/10
+    // over the exact top-10 shortlist, ties to the smaller cand_id
+    val emb = graft.Tables(spark, sf, "embeddings")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
+      s
+    }
+    def cos(a: Long, b: Long): Double =
+      dot(emb(a), emb(b)) / (math.sqrt(dot(emb(a), emb(a))) * math.sqrt(dot(emb(b), emb(b))))
+    val short = Similarity.windowTopk(spark, sf, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      .groupBy(_._1)
+    val expected = short.flatMap { case (probe, rows) =>
+      var rem = rows.map(r => r._2 -> r._3).toMap
+      var sel = Vector.empty[(Long, Int, Double)]
+      for (step <- 1 to 5) {
+        val (cand, score) = rem.map { case (c, rel) =>
+          val pen = if (sel.isEmpty) 0.0 else sel.map(s => cos(c, s._1)).max
+          c -> ((7 * rel - 3 * pen) / 10)
+        }.toSeq.maxBy { case (c, sc) => (sc, -c) }
+        sel :+= ((cand, step, score)); rem -= cand
+      }
+      sel.map { case (c, rk, sc) => (probe, c, rk, sc) }
+    }.toSet
+    val got = Similarity.all("s17_mmr_rerank").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(got.map(t => (t._1, t._2, t._3)) === expected.map(t => (t._1, t._2, t._3)))
+    got.foreach { case (p, c, rk, sc) =>
+      val ref = expected.find(e => e._1 == p && e._3 == rk).get._4
+      assert(math.abs(sc - ref) < 1e-12, s"probe $p rank $rk score $sc vs $ref")
+    }
+    // diversity must have an effect: some probe's MMR five differs
+    // from its plain relevance five
+    val top5 = short.map { case (p, rows) =>
+      p -> rows.sortBy(r => (-r._3, r._2)).take(5).map(_._2).toSet
+    }
+    val mmr5 = got.groupBy(_._1).map { case (p, rs) => p -> rs.map(_._2) }
+    assert(mmr5.exists { case (p, s) => s != top5(p) },
+      "MMR never diverged from plain top-5 — the penalty term is dead")
+  }
+
   test("k-means fit recovers planted clusters and reaches a fixed point") {
     graft.functions.Hashing.register(spark)
     import spark.implicits._
