@@ -167,5 +167,49 @@ object SinkQueries {
       Some("""SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
               WHERE o_orderdate >= TIMESTAMP '1996-01-01'
                 AND o_orderdate <= TIMESTAMP '1996-12-31 23:59:59'"""))
+      ,
+
+    // ── Z-order (Morton) layout: multi-column data skipping. sink05's
+    // linear sort gives tight file ranges on ONE column; interleaving
+    // the bits of (o_custkey, o_orderdate-days) orders the write along
+    // a space-filling curve, so every file covers a LOCALIZED rectangle
+    // of the 2-D key space and min/max pruning works on EITHER column
+    // — the Databricks Z-ORDER / Iceberg sort-order technique. Each
+    // dimension is min/max-normalized to 16 bits FIRST (broadcast
+    // 1-row extent frame): with raw values the wider domain's high
+    // bits dominate the interleave and the curve degenerates into a
+    // single-column sort; equalized widths are what make every file a
+    // localized rectangle (production systems rank-normalize against
+    // skew; the curve downstream is identical). The Morton key is one
+    // codegen'd map-side fold (16 interleave steps); the write is one
+    // range exchange on z, identical cost to sink05. The key is
+    // layout-only (dropped before write: narrow projection, order
+    // preserved); the oracle pins that the curve rewrite loses and
+    // changes nothing, and SinksSpec proves BOTH-column pruning. ──
+    "sink08_zorder" -> Q(
+      (s, d) => {
+        val out = scratch("zorder")
+        val morton =
+          """aggregate(sequence(0, 15), 0L, (a, i) -> a
+               | shiftleft(shiftright(xb, i) & 1, 2*i)
+               | shiftleft(shiftright(yb, i) & 1, 2*i + 1))"""
+        val ext = Tables(s, d, "orders").selectExpr(
+          "min(o_custkey) as cklo", "max(o_custkey) as ckhi",
+          "min(unix_date(cast(o_orderdate as date))) as dlo",
+          "max(unix_date(cast(o_orderdate as date))) as dhi")
+        Tables(s, d, "orders").crossJoin(broadcast(ext))
+          .selectExpr("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
+            "(o_custkey - cklo) * 65535L div greatest(ckhi - cklo, 1) as xb",
+            """(unix_date(cast(o_orderdate as date)) - dlo) * 65535L
+                 div greatest(dhi - dlo, 1) as yb""")
+          .withColumn("z", expr(morton))
+          .repartitionByRange(8, col("z"))
+          .sortWithinPartitions("z")
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+          .write.option("compression", "zstd").parquet(out)
+        s.read.parquet(out)
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      },
+      Some("SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM orders"))
   )
 }

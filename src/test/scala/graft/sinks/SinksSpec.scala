@@ -180,6 +180,33 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
       "manifest pruning changed the answer")
   }
 
+  test("sink08 z-order: per-file ranges localize BOTH dimensions — either column alone prunes") {
+    import org.apache.spark.sql.functions._
+    val df = graft.sinks.SinkQueries.all("sink08_zorder")
+      .fn(spark, "/root/testdata/sf0.001")
+    val files = df.withColumn("f", input_file_name())
+      .withColumn("day", expr("unix_date(cast(o_orderdate as date))"))
+      .groupBy("f").agg(
+        min("o_custkey").as("clo"), max("o_custkey").as("chi"),
+        min("day").as("dlo"), max("day").as("dhi"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4)))
+    assert(files.length >= 4, "z-order write produced too few files to prove pruning")
+    // scale-robust probes: the top/bottom decile of each dimension
+    val (ckLo, ckHi) = (files.map(_._1).min, files.map(_._2).max)
+    val ckProbe = ckHi - (ckHi - ckLo) / 10
+    val dtProbe = files.map(_._3).min + (files.map(_._4).max - files.map(_._3).min) / 10
+    // a custkey-only slice must skip at least one file on custkey stats
+    val ckSurvivors = files.count { case (_, hi, _, _) => hi >= ckProbe }
+    assert(ckSurvivors < files.length,
+      s"custkey slice pruned nothing ($ckSurvivors of ${files.length})")
+    // a date-only slice must ALSO skip at least one file on date stats
+    // — the property a single-column sort (sink05) cannot give both ways
+    val dSurvivors = files.count { case (_, _, lo, _) => lo <= dtProbe }
+    assert(dSurvivors < files.length,
+      s"date slice pruned nothing ($dSurvivors of ${files.length})")
+  }
+
   test("sink06 compaction: part count = ceil(bytes/target), content identical, no shuffle") {
     import java.nio.file.Paths
     val frag = tmp("compact-in")
