@@ -689,7 +689,8 @@ object Similarity {
           .selectExpr("probe_id", s"explode($mmr) as sel")
           .selectExpr("probe_id", "sel.cand as cand_id", "sel.rnk as rnk", "sel.score as mmr_score")
       },
-      Some(duckMmrSql))
+      Some(duckMmrSql),
+      bench = true)
   )
 
   /** s17's oracle: the identical greedy MMR unrolled as chained

@@ -14,7 +14,8 @@ BENCH = ["q01_filter_scan", "q02_star_join", "q06_outer_join_agg",
          "t07_tfidf", "t13_bigram_lm", "t14_gopher_filter",
          "t16_lm_buckets",
          "d03_lsh_pairs",
-         "s01_topk_cosine", "s08_topk_agg", "m02_frame_sample",
+         "s01_topk_cosine", "s08_topk_agg", "s17_mmr_rerank",
+         "m02_frame_sample",
          "m06_frame_dedup", "c01_clean_corpus", "c02_decontaminate",
          "c03_train_pipeline", "c04_decontaminate_bloom",
          "p05_shard_shuffle", "j01_asof_join", "j03_asof_plan",
