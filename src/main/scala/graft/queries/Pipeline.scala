@@ -702,6 +702,63 @@ object Pipeline {
             WHERE lang IN ('en', 'es') AND quality_bp >= 4000
               AND doc_id NOT IN (SELECT doc_id FROM drops)"""
       },
-      bench = true)
+      bench = true),
+
+    // ── quality-annealed curriculum (p11): the end-of-pretraining
+    // annealing schedule — phase 1 trains on everything, later phases
+    // progressively restrict to higher-quality slices (phase 2 = top
+    // two-thirds, phase 3 = top third). The phase thresholds are
+    // EXACT rank statistics over the quality score, computed the t16
+    // way: orderBy+limit+agg compiles to TakeOrderedAndProject
+    // (per-partition top-k heads merged on the driver — never a
+    // global sort or an unpartitioned window), each cut riding as a
+    // broadcast 1-row frame. Membership is by VALUE against the cut
+    // (ties straddling a cut all land in the later phase —
+    // deterministic in both engines); the phase fan-out is a map-only
+    // explode+filter, ≤3× rows, no exchange. One driver-side count()
+    // sizes the ranks (O(1) result). ──
+    "p11_quality_anneal" -> Q(
+      (s, d) => {
+        val q = Tables(s, d, "documents")
+          .selectExpr("doc_id",
+            s"(size(array_distinct($toks)) * 10000) div size($toks) as uniq_bp",
+            s"size($toks) as n_tokens")
+          .selectExpr("doc_id",
+            "(uniq_bp + (case when n_tokens >= 15 then 10000 else 0 end)) div 2 as quality_bp")
+          .persistScoped()
+        val n = q.count()
+        def cutAt(k: Long, name: String) = {
+          require(k <= Int.MaxValue,
+            s"corpus too large for exact phase cutpoints (k=$k); " +
+              "compute cuts on a deterministic sample instead")
+          q.orderBy(col("quality_bp").desc, col("doc_id"))
+            .limit(k.toInt).agg(min("quality_bp").as(name))
+        }
+        val cut1 = cutAt((2 * n + 2) / 3, "cut1") // phase-2 floor (top 2/3)
+        val cut2 = cutAt((n + 2) / 3, "cut2") // phase-3 floor (top 1/3)
+        q.crossJoin(broadcast(cut1)).crossJoin(broadcast(cut2))
+          .selectExpr("doc_id", "quality_bp", "explode(sequence(1, 3)) as phase",
+            "cut1", "cut2")
+          .where("phase = 1 or (phase = 2 and quality_bp >= cut1) or (phase = 3 and quality_bp >= cut2)")
+          .select("doc_id", "phase", "quality_bp")
+      },
+      Some(s"""WITH q AS (
+                 SELECT doc_id,
+                        ((len(list_distinct(string_split(text,' '))) * 10000)
+                           // len(string_split(text,' '))
+                         + (CASE WHEN len(string_split(text,' ')) >= 15 THEN 10000 ELSE 0 END)) // 2
+                          AS quality_bp
+                 FROM documents),
+               ranked AS (SELECT quality_bp,
+                                 row_number() OVER (ORDER BY quality_bp DESC, doc_id) AS rn,
+                                 count(*) OVER () AS n
+                          FROM q),
+               cuts AS (SELECT min(CASE WHEN rn <= (2 * n + 2) // 3 THEN quality_bp END) AS cut1,
+                               min(CASE WHEN rn <= (n + 2) // 3 THEN quality_bp END) AS cut2
+                        FROM ranked)
+               SELECT doc_id, phase, quality_bp
+               FROM q, cuts, (SELECT unnest(generate_series(1, 3)) AS phase)
+               WHERE phase = 1 OR (phase = 2 AND quality_bp >= cut1)
+                  OR (phase = 3 AND quality_bp >= cut2)"""))
   )
 }

@@ -98,6 +98,34 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(segs.sorted.toSeq === alt.sorted.toSeq)
   }
 
+  test("p11 quality anneal: phases nest, cuts are the exact rank statistics, ties go upward") {
+    import org.apache.spark.sql.functions._
+    val quality = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t")).collect()
+      .map { r =>
+        val t = r.getSeq[String](1)
+        val uniq = t.distinct.length * 10000L / t.length
+        r.getLong(0) -> (uniq + (if (t.length >= 15) 10000L else 0L)) / 2
+      }.toMap
+    val n = quality.size
+    val ranked = quality.toSeq.sortBy { case (id, q) => (-q, id) }
+    def cut(k: Int) = ranked.take(k).map(_._2).min
+    val (cut1, cut2) = (cut((2 * n + 2) / 3), cut((n + 2) / 3))
+    val expected = quality.flatMap { case (id, q) =>
+      Seq((id, 1L, q)) ++
+        (if (q >= cut1) Seq((id, 2L, q)) else Nil) ++
+        (if (q >= cut2) Seq((id, 3L, q)) else Nil)
+    }.toSet
+    val got = Pipeline.all("p11_quality_anneal").fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2))).toSet
+    assert(got === expected)
+    // structural: phase memberships nest and genuinely shrink
+    val byPhase = got.groupBy(_._2).map { case (p, rs) => p -> rs.map(_._1) }
+    assert(byPhase(1L).size === n)
+    assert(byPhase(3L).subsetOf(byPhase(2L)) && byPhase(2L).subsetOf(byPhase(1L)))
+    assert(byPhase(2L).size < n && byPhase(3L).size < byPhase(2L).size)
+  }
+
   test("p08 epoch schedule: contiguous epochs per doc, tiered counts, reproducible keys") {
     val rows = Pipeline.all("p08_epoch_schedule").fn(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))
