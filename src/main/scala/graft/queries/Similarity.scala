@@ -660,14 +660,18 @@ object Similarity {
         val e = Tables(s, d, "embeddings")
           .repartition(s.sparkContext.defaultParallelism)
           .selectExpr("vec_id", "embedding", s"$normE as nrm")
-        val top = bruteTopk(s, d, 10).select("probe_id", "cand_id", "cosine")
-        val te = top
+        // persisted: the bounded |probes|×10 shortlist (with its
+        // embeddings) feeds the pair self-join twice and the rels
+        // aggregate — without the cache the whole shortlist scoring
+        // pass (a corpus scan) would re-execute per consumer
+        val te = bruteTopk(s, d, 10).select("probe_id", "cand_id", "cosine")
           .join(e.select(col("vec_id").as("cand_id"), col("embedding"), col("nrm")), "cand_id")
+          .persistScoped()
         val pairs = te.alias("x").join(te.alias("y"),
             expr("x.probe_id = y.probe_id and x.cand_id != y.cand_id"))
           .selectExpr("x.probe_id as probe_id", "x.cand_id as a", "y.cand_id as b",
             s"${dot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) as sim")
-        val rels = top.groupBy("probe_id")
+        val rels = te.groupBy("probe_id")
           .agg(collect_list(struct(col("cand_id").as("cand"), col("cosine").as("rel"))).as("rels"))
         val sims = pairs.groupBy("probe_id")
           .agg(collect_list(struct(col("a"), col("b"), col("sim"))).as("sims"))
