@@ -349,9 +349,14 @@ object Similarity {
           .repartition(s.sparkContext.defaultParallelism)
           .selectExpr("vec_id", "embedding", s"$normE as nrm").persistScoped()
         val cents = lloydCents(e, ivfSeeds(e), ivfIters)
-        val exact = bruteTopk(s, d, 3)
+        // persisted: the exact baseline and the corpus cell
+        // assignment are nprobe-independent — without the caches each
+        // of the three sweep points would re-run the brute-force
+        // scoring scan and the full-corpus assignment
+        val exact = bruteTopk(s, d, 3).persistScoped()
+        val asg = ivfAssign(e, cents).persistScoped()
         Seq(1, 2, 4).map { np =>
-          Recall.perProbe(exact, ivfTopk(e, cents, np, 3),
+          Recall.perProbe(exact, ivfTopk(e, cents, np, 3, Some(asg)),
               "probe_id", "cand_id", Some(3))
             .selectExpr(s"cast($np as int) as nprobe", "probe_id", "hits", "recall_bp")
         }.reduce(_.unionByName(_))
@@ -595,6 +600,16 @@ object Similarity {
           .selectExpr("vec_id", "embedding", s"$normE as nrm").persistScoped()
         val ix = java.nio.file.Paths.get(
           System.getProperty("java.io.tmpdir"), "graft-index", "ivfpq").toString
+        // deterministic re-build: drop any prior artifacts first so a
+        // partially-written or older index can never mix into this
+        // run's serve phase (same pre-clean contract as the sink
+        // tier's scratch(); the fixed path means concurrent sessions
+        // must not share one tmpdir, as with every scratch path here)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(new java.io.File(ix))
         // build: train, then write the artifacts
         val cent = lloydCents(e, ivfSeeds(e), ivfIters)
         val cb = pqCodebookTrained(e, pqIters)
@@ -775,16 +790,10 @@ object Similarity {
   /** Map-only cluster assignment against a literal centroid matrix:
     * (vec_id, embedding, cluster). Requires columns vec_id,
     * embedding, nrm and a registered [[Hashing]] session. */
-  def kmeansAssign(e: DataFrame, cent: Seq[Seq[Float]]): DataFrame = {
-    val cns = cent.map(c => math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x)))
-    e.withColumn("cents", typedLit(cent))
-      .withColumn("cns", typedLit(cns))
-      // [] subscripting is 0-based; array_position is 1-based
-      .withColumn("scores", expr(
-        s"transform(sequence(0, ${cent.size - 1}), j -> dotf(embedding, cents[j]) / (nrm * cns[j]))"))
-      .selectExpr("vec_id", "embedding",
-        "array_position(scores, array_max(scores)) - 1 as cluster")
-  }
+  def kmeansAssign(e: DataFrame, cent: Seq[Seq[Float]]): DataFrame =
+    // [] subscripting is 0-based; array_position is 1-based
+    cellScores(e, cent).selectExpr("vec_id", "embedding",
+      "array_position(scores, array_max(scores)) - 1 as cluster")
 
   /** One Lloyd step: assign + mean update. Output (cluster, n, pos, v)
     * — the new centroid matrix, scalar rows for the gate. Empty
@@ -861,7 +870,7 @@ object Similarity {
   /** Per-cell cosine scores against the literal centroid matrix —
     * map-only, shared by the corpus-assignment and probe-cell
     * stages. */
-  private def cellScores(df: DataFrame, cent: Seq[Seq[Float]]): DataFrame = {
+  private[graft] def cellScores(df: DataFrame, cent: Seq[Seq[Float]]): DataFrame = {
     val cns = cent.map(c => math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x)))
     df.withColumn("cents", typedLit(cent))
       .withColumn("cns", typedLit(cns))
@@ -886,10 +895,13 @@ object Similarity {
         Window.partitionBy("probe_id").orderBy(col("ccos").desc, col("cid"))))
       .where(s"rn <= $nprobe").selectExpr("probe_id", "cast(cid as bigint) as cell")
 
+  /** `asg` lets a caller running SEVERAL nprobe settings hand in one
+    * precomputed (vec_id, cell) assignment instead of re-deriving it
+    * per setting (only the probe-cell fan-out depends on nprobe). */
   private def ivfCandidates(e: DataFrame, cent: Seq[Seq[Float]],
-      nprobe: Int = 2): DataFrame =
+      nprobe: Int = 2, asg: Option[DataFrame] = None): DataFrame =
     broadcast(probeCells(e.where("vec_id < 10"), cent, nprobe))
-      .join(ivfAssign(e, cent), "cell")
+      .join(asg.getOrElse(ivfAssign(e, cent)), "cell")
       .where(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("cand_id")).distinct()
 
@@ -897,8 +909,8 @@ object Similarity {
     * scoring stage, shared with the s15 nprobe sweep. Expects the
     * persisted e(vec_id, embedding, nrm). */
   private def ivfTopk(e: DataFrame, cent: Seq[Seq[Float]], nprobe: Int,
-      k: Int): DataFrame =
-    heapTopk(ivfCandidates(e, cent, nprobe)
+      k: Int, asg: Option[DataFrame] = None): DataFrame =
+    heapTopk(ivfCandidates(e, cent, nprobe, asg)
       .join(e.select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nrm").as("pn")), "probe_id")
       .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("ce2"), col("nrm").as("cn2")), "cand_id")
       .selectExpr("probe_id", "cand_id", s"${dot("pe", "ce2")} / (pn * cn2) as cosine"), k)
@@ -1082,14 +1094,9 @@ object Similarity {
 
   /** Mean best-centroid cosine of the corpus under a centroid matrix
     * — the coarse quantizer's quality dial (higher = tighter cells). */
-  private[graft] def coarseObjective(e: DataFrame, cent: Seq[Seq[Float]]): Double = {
-    val cns = cent.map(c => math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x)))
-    e.withColumn("cents", typedLit(cent))
-      .withColumn("cns", typedLit(cns))
-      .selectExpr(
-        s"array_max(transform(sequence(0, ${cent.size - 1}), j -> dotf(embedding, cents[j]) / (nrm * cns[j]))) as best")
+  private[graft] def coarseObjective(e: DataFrame, cent: Seq[Seq[Float]]): Double =
+    cellScores(e, cent).selectExpr("array_max(scores) as best")
       .agg(avg("best")).collect()(0).getDouble(0)
-  }
 
   /** r9 index-training entry points for specs: (seedCents, trained)
     * for the coarse quantizer over a prepared e(vec_id, embedding,

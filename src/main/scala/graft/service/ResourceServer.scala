@@ -289,8 +289,16 @@ final class ResourceServer(
   // jobs are re-enqueued in their original order (idempotent bodies
   // make this the RQ restart semantics, not a duplicate-work hazard).
   journalPath.foreach { jp =>
-    val path = new org.apache.hadoop.fs.Path(jp)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val main = new org.apache.hadoop.fs.Path(jp)
+    val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash-window fallback: the writer goes create(tmp) → delete(main)
+    // → rename(tmp, main) (no overwriting rename on LocalFileSystem /
+    // s3a). A kill between the delete and the rename leaves only the
+    // tmp — which is complete, because it was written and closed
+    // before the delete — so a missing main falls back to it rather
+    // than silently dropping every journaled job.
+    val tmp = new org.apache.hadoop.fs.Path(jp + ".tmp")
+    val path = if (fs.exists(main)) main else tmp
     if (fs.exists(path)) {
       import scala.jdk.CollectionConverters._
       val in = fs.open(path)
@@ -313,6 +321,9 @@ final class ResourceServer(
             jobMeta.put(id, payload); jobOrder.add(id)
         }
       }
+      // the terminal-restore path above bypasses submitJob's prune: a
+      // journal written at the cap would otherwise resurrect past it
+      pruneJobs()
       snapshotJournal()
     }
   }

@@ -102,9 +102,17 @@ object SnifferCsv {
     * comparing against a reference deployment knows WHY the
     * reference refused an archive the engine converted.
     *
-    * Cost: ZERO extra jobs — the sniff-window counts ride the same
-    * single counting pass as the full-file counts (conditional
-    * aggregates over a row-id window predicate; [[maskCounts]]). */
+    * Cost: files the sniff window covers entirely are FREE — the
+    * exact row count rides the full counting pass and short-circuits
+    * detection. Larger files pay ONE extra bounded job: a second
+    * [[maskCounts]] over `limit(DuckSampleRows)` — 20480 rows
+    * regardless of file size. The limit models DuckDB's prefix
+    * sample: this engine's single-member text scans carry
+    * offset-ordered splits, so the limit drains the file head first;
+    * on a frame without that ordering guarantee the window would be
+    * an arbitrary-but-valid sample, which can only under-report
+    * divergence, never corrupt typing (the typed output always comes
+    * from the full pass). */
   def sampleDivergence(raw0: DataFrame): Seq[(String, String, String)] = {
     val raw = nullifyEmpty(raw0)
     val (full, totalRows) = maskCounts(raw)

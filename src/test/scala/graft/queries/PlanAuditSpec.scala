@@ -25,7 +25,9 @@ class PlanAuditSpec extends AnyFunSuite with graft.SparkTestBase {
   private val bnljOk = Set(
     "s01_topk_cosine", "s08_topk_agg", "s09_ann_recall", // 10-probe scoredPairs
     "s05_ivf_topk", "s13_ivfpq", // 16-centroid assignment + probe cells
+    "s12_pq_adc", // 10-probe ADC table crossJoin onto the code frame
     "s14_ivfpq_recall", // composes s13 + the 10-probe exact baseline
+    "s15_nprobe_sweep", // same 10-probe exact baseline via bruteTopk
     "s17_mmr_rerank", // re-ranks s01's 10-probe bounded shortlist
     "d11_lsh_recall") // 50-probe broadcast exact-baseline scan
 
@@ -35,9 +37,46 @@ class PlanAuditSpec extends AnyFunSuite with graft.SparkTestBase {
     "s05_ivf_topk", // 16-row centroid selection via row_number over h
     "t17_vocab_coverage") // cumulative share over the top-50 AFTER the limit
 
-  private def offenders(p: SparkPlan): Seq[String] = p.collect {
+  /** Walk ACROSS adaptive-execution boundaries: under AQE (on by
+    * default) the root is AdaptiveSparkPlanExec — a leaf node whose
+    * real plan hangs off `executedPlan` — so a naive
+    * `plan.collect` inspects nothing and the audit silently passes
+    * everything. Same for materialized query stages and reused
+    * exchanges/subqueries. */
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      p +: flatten(a.executedPlan)
+    case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      p +: flatten(s.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      p +: flatten(r.child)
+    case other => other +: other.children.flatMap(flatten)
+  }
+
+  /** A BNLJ whose build side contains a global (empty-grouping)
+    * aggregate is the scalar-attach pattern — crossJoin(broadcast(
+    * one-row totals / extents / cutpoints)) — bounded by construction
+    * at ANY corpus size, so it is excused automatically rather than
+    * whitelisted per query. (A corpus-sized frame that merely
+    * CONTAINS a scalar deeper in its pipeline would be excused
+    * wrongly; none of the registered plans broadcasts such a frame,
+    * and the explicit whitelist stays the mechanism for everything
+    * else.) */
+  private def scalarBuilt(j: BroadcastNestedLoopJoinExec): Boolean = {
+    val build = j.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+      case _ => j.right
+    }
+    flatten(build).exists {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        a.groupingExpressions.isEmpty
+      case _ => false
+    }
+  }
+
+  private def offenders(p: SparkPlan): Seq[String] = flatten(p).collect {
     case _: CartesianProductExec => "CartesianProduct"
-    case _: BroadcastNestedLoopJoinExec => "BroadcastNestedLoopJoin"
+    case j: BroadcastNestedLoopJoinExec if !scalarBuilt(j) => "BroadcastNestedLoopJoin"
     case w: WindowExec if w.partitionSpec.isEmpty => "GlobalWindow"
     case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => "GlobalWindowGroupLimit"
   }
