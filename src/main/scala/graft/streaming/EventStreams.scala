@@ -133,6 +133,23 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** CDC keep-latest: the newest event per user as an INCREMENTAL
+    * streaming aggregation — `max_by` over the (ts, event_id) recency
+    * struct, q30's changelog→snapshot semantics in streaming form.
+    * Per-key state is ONE row (the current winner), never history:
+    * each micro-batch folds its rows into the running max map-side
+    * before the state-store update — the streaming face of q30's
+    * WindowGroupLimit. The event_id tie-break makes the winner
+    * deterministic under any arrival order. */
+  def latestPerUser(events: DataFrame): DataFrame =
+    events.groupBy("user_id")
+      .agg(expr("""max_by(named_struct('event_id', event_id,
+                                       'ts', ts,
+                                       'event_type', event_type),
+                          struct(ts, event_id))""").as("last"))
+      .selectExpr("user_id", "last.event_id as last_event_id",
+        "unix_millis(last.ts) as last_ts_ms", "last.event_type as last_type")
+
   /** Stream-static enrichment: the event stream left-joined to a
     * static dimension on user_id. Stateless — no watermark state; the
     * broadcast static side is refreshed per micro-batch, so dimension

@@ -219,6 +219,20 @@ object StreamQueries {
             WHERE rnk <= 3"""
       }),
 
+    // complete mode: the gate reads the full snapshot; a production
+    // deployment runs the same plan in update mode and upserts the
+    // changed keys into the serving store per micro-batch
+    "stream11_latest_per_key" -> Q(
+      (s, d) => drain(s,
+        EventStreams.latestPerUser(EventStreams.eventsStream(s, d)), "g_stream11"),
+      Some("""SELECT user_id, event_id AS last_event_id,
+                     epoch_ms(CAST(ts AS TIMESTAMP))::BIGINT AS last_ts_ms,
+                     event_type AS last_type
+              FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+                    FROM events)
+              WHERE rn = 1""")),
+
     "stream02_session" -> Q(
       (s, d) => drain(s,
         EventStreams.sessionCounts(EventStreams.eventsStream(s, d)), "g_stream02"),

@@ -18,7 +18,13 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       .format("memory").queryName(name).outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    // a timed-out drain must fail loudly here, not as a confusing
+    // partial-table mismatch downstream (same contract as
+    // StreamQueries.drain)
+    if (!q.awaitTermination(120000)) {
+      q.stop()
+      throw new IllegalStateException(s"stream $name did not drain within 120s")
+    }
     spark.table(name)
   }
 
@@ -346,6 +352,31 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val want = codesOf(graft.queries.Similarity.pqEncode(e, cb))
     assert(got === want, "micro-batching changed the encoding")
     assert(got.nonEmpty)
+  }
+
+  test("streaming keep-latest across micro-batches: arrival order never changes the winner") {
+    import spark.implicits._
+    // user 1's LATEST event arrives in batch 1 and an OLDER one in
+    // batch 2 (out-of-order arrival); user 2's winner arrives last;
+    // user 3's ts tie resolves to the larger event_id
+    val rows = Seq(
+      (10L, 1L, "click", "2024-01-01 10:00:00"),
+      (11L, 2L, "view", "2024-01-01 09:00:00"),
+      (12L, 3L, "view", "2024-01-01 08:00:00"),
+      (13L, 1L, "view", "2024-01-01 09:30:00"),
+      (14L, 2L, "purchase", "2024-01-01 11:00:00"),
+      (15L, 3L, "click", "2024-01-01 08:00:00"))
+      .toDF("event_id", "user_id", "event_type", "ts0")
+      .selectExpr("event_id", "user_id", "event_type", "cast(ts0 as timestamp) as ts")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lpk").toString
+    rows.where("event_id <= 12").coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(1100) // file-source orders batches by mtime
+    rows.where("event_id >= 13").coalesce(1).write.mode("append").parquet(dir)
+    val src = spark.readStream.schema(rows.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val got = runToMemory(EventStreams.latestPerUser(src), "t_lpk_mb", mode = "complete")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
+    assert(got === Set((1L, 10L, "click"), (2L, 14L, "purchase"), (3L, 15L, "click")))
   }
 
   test("streaming dedup drops duplicate event ids within the watermark") {
