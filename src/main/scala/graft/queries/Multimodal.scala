@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.CacheScope.PersistScopedOps
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -192,7 +193,53 @@ object Multimodal {
                fr AS (SELECT doc_id, md5(substr(payload, 1 + frame_ix * 48, 16)) AS frame_md5 FROM f)
                SELECT frame_md5, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
                FROM fr GROUP BY frame_md5 HAVING count(DISTINCT doc_id) >= 2"""),
-      bench = true)
+      bench = true),
+
+    // ── perceptual NEAR-dup for media blobs: m06 catches exact
+    // repeated frames (md5); this is its pHash/PDQ-shaped sibling —
+    // a 64-bit SimHash over the payload's byte 4-grams (magic bytes
+    // EXCLUDED, so the same content behind different container
+    // formats still collides — cross-format near-dup), then d06's
+    // banded LSH + hamming<=3 verify verbatim (4x16-bit bands,
+    // pigeonhole-exact recall, capped buckets). Payload bytes never
+    // cross an exchange: each blob folds map-side to one int64;
+    // only (band, bucket) keys and 8-byte hashes shuffle — the
+    // media-corpus analogue of d04/d06, and at 100 TB the blob
+    // column stays columnar-pruned out of the whole pipeline. A
+    // real deployment swaps the byte-gram kernel for a decoded
+    // perceptual feature (DCT lowbands); the topology is this one. ──
+    "m07_phash_neardup" -> Q(
+      (s, d) => {
+        graft.functions.Hashing.register(s)
+        val sh = blobs(s, d)
+          .where("octet_length(blob) >= 8")
+          .selectExpr("doc_id", "decode(substring(blob, 5), 'utf-8') as p")
+          .selectExpr("doc_id",
+            "simhash64(transform(sequence(1, length(p) - 3), i -> substring(p, i, 4))) as simhash")
+          .persistScoped()
+        Dedup.simhashPairs(sh).select("d1", "d2", "hamming")
+      },
+      Some(s"""WITH bl AS ($duckBlobs),
+           th AS (SELECT doc_id,
+                    list_transform(generate_series(1, length(payload) - 4 - 3),
+                      i -> [${graft.functions.Hashing.duck32("substr(payload, CAST(i + 4 AS INTEGER), 4)")},
+                            ${graft.functions.Hashing.duck32b("substr(payload, CAST(i + 4 AS INTEGER), 4)")}]) AS th
+                  FROM bl WHERE length(payload) >= 8),
+           sh AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 63),
+                    b -> CASE WHEN 2 * len(list_filter(th, h -> (h[CASE WHEN b < 32 THEN 1 ELSE 2 END] // (1::BIGINT << (b % 32))) % 2 = 1)) >= len(th)
+                              THEN (CASE WHEN b = 63 THEN (-9223372036854775808)::BIGINT ELSE (1::BIGINT << b) END)
+                              ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+                  FROM th),
+           b AS (SELECT doc_id, simhash, unnest(generate_series(0, 3)) AS band FROM sh),
+           bk AS (SELECT doc_id, simhash, band, (simhash >> (band*16)) & 65535 AS bits FROM b),
+           capped AS (SELECT * FROM
+                        (SELECT doc_id, simhash, band, bits,
+                                count(*) OVER (PARTITION BY band, bits) AS bsz FROM bk)
+                      WHERE bsz <= 64),
+           cand AS (SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2, a.simhash AS s1, c.simhash AS s2
+                    FROM capped a JOIN capped c ON a.band = c.band AND a.bits = c.bits AND a.doc_id < c.doc_id)
+           SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
+           FROM cand WHERE bit_count(xor(s1, s2)) <= 3"""))
   )
 
   /** The retired four-pass SQL-lambda formulation of m05 — NOT the

@@ -69,6 +69,40 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(ByteFeatures.compute(Array.emptyByteArray) === null)
   }
 
+  test("m07 perceptual near-dup: pairs verified, content-based across container formats") {
+    val rows = Multimodal.all("m07_phash_neardup").fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.nonEmpty, "no near-dup media pairs found on planted data")
+    rows.foreach { case (d1, d2, h) =>
+      assert(d1 < d2, s"unordered pair ($d1, $d2)")
+      assert(h >= 0 && h <= 3, s"unverified hamming $h for ($d1, $d2)")
+    }
+    // the magic bytes are excluded from the grams, so near-dup TEXT
+    // behind DIFFERENT container formats must still collide — the
+    // cross-format property that distinguishes this from m06's
+    // exact frame dedup (modality = doc_id % 3 by construction)
+    assert(rows.exists { case (d1, d2, _) => d1 % 3 != d2 % 3 },
+      "no cross-format pair: the hash is seeing container bytes")
+    // soundness direction (the converse does not hold — simhash is
+    // an order-independent lossy vote): equal byte-4-gram MULTISETS
+    // must hash identically, so every such planted pair appears at
+    // hamming 0
+    val grams = graft.Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val t = r.getString(1)
+        r.getLong(0) -> (if (t.length < 4) Map.empty[String, Int]
+          else t.sliding(4).toSeq.groupBy(identity).view.mapValues(_.size).toMap)
+      }.toMap
+    val found = rows.map(p => (p._1, p._2)).toSet
+    for {
+      (d1, g1) <- grams; (d2, g2) <- grams
+      if d1 < d2 && g1.nonEmpty && g1 == g2
+    } assert(found.contains((d1, d2)) &&
+        rows.find(p => p._1 == d1 && p._2 == d2).get._3 == 0,
+      s"equal gram multisets ($d1, $d2) missing or nonzero")
+  }
+
   test("decode output schema is pinned regardless of codec") {
     val df = Multimodal.decodePipeline(spark, sf, AltCodec)
     assert(df.schema.map(f => (f.name, f.dataType.typeName)) ===
