@@ -389,6 +389,53 @@ object TextOps {
     // TakeOrderedAndProject: each partition keeps its own top-50, the
     // driver merges 50×partitions rows — no global sort at any scale.
     // Deterministic cutoff: ties break on the token string.
+    // ── exact percentile normalization of a quality score — what a
+    // pipeline does before using scores as sampling weights across
+    // corpora with different score distributions (percentile-matched
+    // mixing). percent_rank() itself is a GLOBAL sort of the corpus;
+    // the scale-safe equivalent here is the empirical CDF over the
+    // VALUE-DISTINCT frame: scores are integer basis points, so the
+    // distinct frame is bounded by the score domain (≤10001 rows at
+    // ANY corpus size) — one partial-agg'd count shuffle, a cumsum
+    // window over that provably tiny frame (whitelisted next to
+    // t17's), then a broadcast join back onto the corpus. pct_bp =
+    // floor(10000 · |strictly below| / N), ties sharing one value. ──
+    "t19_score_percentiles" -> Q(
+      (s, d) => {
+        val q = Tables(s, d, "documents")
+          .selectExpr("doc_id",
+            s"(size(array_distinct($toks)) * 10000) div size($toks) as uniq_bp",
+            s"size($toks) as n_tokens")
+          .selectExpr("doc_id",
+            "(uniq_bp + (case when n_tokens >= 15 then 10000 else 0 end)) div 2 as quality_bp")
+          .persistScoped()
+        val total = q.agg(count(lit(1)).as("n"))
+        val cum = q.groupBy("quality_bp").agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum("cnt").over(
+            Window.orderBy("quality_bp")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .selectExpr("quality_bp", "cum - cnt as below")
+        q.join(broadcast(cum), "quality_bp")
+          .crossJoin(broadcast(total))
+          .selectExpr("doc_id", "quality_bp", "below * 10000 div n as pct_bp")
+      },
+      Some("""WITH q AS (
+                SELECT doc_id,
+                       ((len(list_distinct(string_split(text,' '))) * 10000)
+                          // len(string_split(text,' '))
+                        + (CASE WHEN len(string_split(text,' ')) >= 15 THEN 10000 ELSE 0 END)) // 2
+                         AS quality_bp
+                FROM documents),
+              t AS (SELECT count(*) AS n FROM q),
+              d AS (SELECT quality_bp, count(*) AS cnt FROM q GROUP BY 1),
+              c AS (SELECT quality_bp,
+                           sum(cnt) OVER (ORDER BY quality_bp
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS below
+                    FROM d)
+              SELECT doc_id, q.quality_bp,
+                     CAST(below * 10000 // n AS BIGINT) AS pct_bp
+              FROM q JOIN c USING (quality_bp), t""")),
+
     "t06_vocab" -> Q(
       (s, d) => Tables(s, d, "documents")
         .selectExpr(s"explode($toks) as token")

@@ -68,6 +68,28 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
       s"curve does not discriminate: low=$lowRate high=$highRate")
   }
 
+  test("t19 percentiles equal the serial empirical CDF; ties share one percentile") {
+    import org.apache.spark.sql.functions._
+    val quality = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t")).collect()
+      .map { r =>
+        val t = r.getSeq[String](1)
+        val uniq = t.distinct.length * 10000L / t.length
+        r.getLong(0) -> (uniq + (if (t.length >= 15) 10000L else 0L)) / 2
+      }.toMap
+    val n = quality.size
+    val expected = quality.map { case (id, q) =>
+      (id, q, quality.values.count(_ < q) * 10000L / n)
+    }.toSet
+    val got = TextOps.all("t19_score_percentiles").fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    // ties must share one percentile; the extremes bound the range
+    val byScore = got.groupBy(_._2).view.mapValues(_.map(_._3)).toMap
+    assert(byScore.values.forall(_.size == 1), "ties split across percentiles")
+    assert(got.map(_._3).min === 0L && got.map(_._3).max < 10000L)
+  }
+
   test("t15 confusion matrix: cells partition the corpus and label shares sum to ~10000") {
     val docsN = graft.Tables(spark, sf, "documents").count()
     val rows = TextOps.all("t15_langid_confusion").fn(spark, sf).collect()
