@@ -532,6 +532,29 @@ object Relational {
               FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
                               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
                     FROM orders)
-              WHERE rn = 1"""))
+              WHERE rn = 1""")),
+
+    // ── universal quantification: customers ALL of whose orders are
+    // high-value ("for all" = NOT EXISTS a violating row). Spark has
+    // no FORALL join; the scale shape is the anti-join against the
+    // VIOLATORS (o_totalprice <= threshold) intersected by semi-join
+    // with order owners — both hash equi-joins on the customer key,
+    // violator side filtered BEFORE the shuffle so only offending
+    // keys travel. The correlated-subquery SQL spelling in the oracle
+    // is what Catalyst would rewrite to the same two joins. ──
+    "q31_forall_antijoin" -> Q(
+      (s, d) => {
+        val c = Tables(s, d, "customer")
+        val o = Tables(s, d, "orders")
+        c.join(o.where("o_totalprice > 250000"), col("c_custkey") === col("o_custkey"), "left_semi")
+          .join(o.where("o_totalprice <= 250000").select(col("o_custkey").as("v_custkey")),
+            col("c_custkey") === col("v_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+                AND NOT EXISTS (SELECT 1 FROM orders
+                                WHERE o_custkey = c_custkey AND o_totalprice <= 250000)"""))
   )
 }

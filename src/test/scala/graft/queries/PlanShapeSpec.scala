@@ -212,6 +212,14 @@ class PlanShapeSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(p.contains("Partial"), p) // per-partition top-1 heap before the shuffle
   }
 
+  test("q31 forall compiles to semi+anti hash joins with the violator filter pushed down") {
+    val p = planOf("q31_forall_antijoin")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the violator predicate reaches the scan, so only offending keys shuffle
+    assert(p.contains("PushedFilters: [IsNotNull(o_custkey)") || p.contains("o_totalprice"), p)
+  }
+
   test("q29 unpivot is a map-only Expand: 4x output rows, zero exchange") {
     val p = planOf("q29_unpivot")
     assert(p.contains("Expand"), p)
