@@ -368,6 +368,38 @@ object Dedup {
     "d03_lsh_pairs" -> Q((s, d) => lshPairs(s, d), Some(d03Oracle),
       bench = true),
 
+    // ── MinHash MERGEABILITY: sig(A ∪ B) = elementwise min(sig(A),
+    // sig(B)) — the algebra that makes MinHash an incrementally
+    // maintainable index sketch (a new shard's signatures fold into
+    // the corpus sketch with a min; nothing is ever recomputed over
+    // the union). The ENGINE side computes each source's signature
+    // through the MERGE path only — per-doc 16-value sigs, then a
+    // (source, perm)-keyed min aggregate; the source's pooled shingle
+    // set is never materialized (at 100 TB a source's union is
+    // unbounded, per-doc sigs are 16 int64s). The ORACLE rebuilds
+    // every source signature FROM SCRATCH over the pooled distinct
+    // shingle hashes — so the gate's hash compare IS the proof that
+    // merge ≡ rebuild, permutation by permutation. ──
+    "d15_sig_merge" -> Q(
+      (s, d) => {
+        val src = Tables(s, d, "documents").select("doc_id", "source")
+        hashedDocs(s, d).join(src, "doc_id")
+          .selectExpr("source", "posexplode(affine_minhash(hv, 16)) as (perm, v)")
+          .groupBy("source", "perm").agg(min("v").as("v"))
+      },
+      Some {
+        val a = duckLits(graft.functions.MinHash.coefA(16).toSeq)
+        val b = duckLits(graft.functions.MinHash.coefB(16).toSeq)
+        s"""$duckShingles,
+            src AS (SELECT doc_id, source FROM documents),
+            pool AS (SELECT DISTINCT source, unnest(hv) AS h
+                     FROM hs JOIN src USING (doc_id))
+            SELECT source, CAST(j AS INTEGER) AS perm,
+                   min(($a[j+1] * h + $b[j+1]) % $P) AS v
+            FROM pool, (SELECT unnest(generate_series(0, 15)) AS j)
+            GROUP BY 1, 2"""
+      }),
+
     // ── MinHash Jaccard ESTIMATOR audit: for every LSH candidate
     // pair, the signature-agreement estimate (matching perms / 16)
     // against the exact verified Jaccard, with the signed error — the
