@@ -169,6 +169,26 @@ object SinkQueries {
                 AND o_orderdate <= TIMESTAMP '1996-12-31 23:59:59'"""))
       ,
 
+    // ── compressed NDJSON (.jsonl.gz) roundtrip — the exchange
+    // format LLM training corpora actually ship in (one JSON object
+    // per line, no array framing; contrast sink03's single-array
+    // JSON, the reference's geoapi payload shape). Spark's json
+    // writer IS ndjson. gzip members are not splittable, so
+    // parallelism is PER SHARD — one task per .jsonl.gz part, which
+    // is exactly how real corpora are laid out (many ~100 MB-class
+    // shards; sink06's compaction keeps them that size). The
+    // readback pins the schema: training shards are read with a
+    // declared schema so doc_id's int64-ness survives the JSON
+    // number roundtrip and no shard pays an inference pass. ──
+    "sink09_jsonl" -> Q(
+      (s, d) => {
+        val out = scratch("docs-jsonl")
+        val df = Tables(s, d, "documents").select("doc_id", "lang", "source", "text")
+        df.write.option("compression", "gzip").json(out)
+        s.read.schema(df.schema).json(out)
+      },
+      Some("SELECT doc_id, lang, source, text FROM documents")),
+
     // ── Z-order (Morton) layout: multi-column data skipping. sink05's
     // linear sort gives tight file ranges on ONE column; interleaving
     // the bits of (o_custkey, o_orderdate-days) orders the write along
