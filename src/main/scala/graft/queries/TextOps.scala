@@ -389,6 +389,35 @@ object TextOps {
     // TakeOrderedAndProject: each partition keeps its own top-50, the
     // driver merges 50×partitions rows — no global sort at any scale.
     // Deterministic cutoff: ties break on the token string.
+    // ── tokenizer fertility by language: subword tokens emitted per
+    // whitespace word — THE statistic that flags tokenizer bias (a
+    // vocab trained on English fragments other scripts into far more
+    // pieces, inflating their effective sequence cost and shrinking
+    // their effective context). Rides t05's tokenizer verbatim; one
+    // map-only pass into a |langs|-keyed partial aggregate, ≤ a few
+    // rows out at any corpus size. Integer basis points. ──
+    "t20_fertility" -> Q(
+      (s, d) => Tables(s, d, "documents")
+        .selectExpr("lang",
+          s"size($toks) as n_words",
+          """size(flatten(transform(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0), t ->
+               transform(sequence(0, (length(t)-1) div 4), i -> substring(t, i*4+1, 4))))) as n_sub""")
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_words").as("n_words"),
+          sum("n_sub").as("n_subwords"))
+        .selectExpr("lang", "n_docs", "n_words", "n_subwords",
+          "n_subwords * 10000 div n_words as fertility_bp"),
+      Some("""WITH p AS (SELECT lang, len(string_split(text,' ')) AS n_words,
+                 len(flatten(list_transform(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'), t ->
+                   list_transform(generate_series(0, (length(t)-1) // 4), i -> substr(t, i*4+1, 4))))) AS n_sub
+               FROM documents)
+             SELECT lang, count(*) AS n_docs,
+                    CAST(sum(n_words) AS BIGINT) AS n_words,
+                    CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+                    CAST(sum(n_sub) * 10000 // sum(n_words) AS BIGINT) AS fertility_bp
+             FROM p GROUP BY 1""")),
+
     // ── exact percentile normalization of a quality score — what a
     // pipeline does before using scores as sampling weights across
     // corpora with different score distributions (percentile-matched
