@@ -300,16 +300,39 @@ object Dedup {
     * runs in HUGEINT so the mixed-sign sum is exact, and the final
     * BIGINT cast lands on the same two's-complement value Spark's
     * int64 fold produces. */
+  /** The 64-bit simhash bit-fold as a CTE over a `th(doc_id, th)`
+    * frame already in scope (th = list of [h32, h32b] pairs per
+    * gram). Shared by the text oracles here and m07's byte-gram
+    * oracle — ONE copy of the HUGEINT fold and the bit-63
+    * two's-complement trick. */
+  private[queries] val duckSimhashFold: String =
+    """sh AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 63),
+                b -> CASE WHEN 2 * len(list_filter(th, h -> (h[CASE WHEN b < 32 THEN 1 ELSE 2 END] // (1::BIGINT << (b % 32))) % 2 = 1)) >= len(th)
+                          THEN (CASE WHEN b = 63 THEN (-9223372036854775808)::BIGINT ELSE (1::BIGINT << b) END)
+                          ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+             FROM th)"""
+
+  /** [[simhashPairs]]'s oracle mirror over an `sh(doc_id, simhash)`
+    * CTE: 4×16-bit banding, the 64-entry bucket cap, and the
+    * hamming≤3 verify — shared with m07. Ends in a SELECT. */
+  private[queries] val duckBandPairs: String =
+    """b AS (SELECT doc_id, simhash, unnest(generate_series(0, 3)) AS band FROM sh),
+       bk AS (SELECT doc_id, simhash, band, (simhash >> (band*16)) & 65535 AS bits FROM b),
+       capped AS (SELECT * FROM
+                    (SELECT doc_id, simhash, band, bits,
+                            count(*) OVER (PARTITION BY band, bits) AS bsz FROM bk)
+                  WHERE bsz <= 64),
+       cand AS (SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2, a.simhash AS s1, c.simhash AS s2
+                FROM capped a JOIN capped c ON a.band = c.band AND a.bits = c.bits AND a.doc_id < c.doc_id)
+       SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
+       FROM cand WHERE bit_count(xor(s1, s2)) <= 3"""
+
   private val duckSimhash: String =
     s"""WITH th AS (SELECT doc_id,
          list_transform(string_split(text,' '),
            tok -> [${Hashing.duck32("tok")}, ${Hashing.duck32b("tok")}]) AS th
        FROM documents),
-       sh AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 63),
-                b -> CASE WHEN 2 * len(list_filter(th, h -> (h[CASE WHEN b < 32 THEN 1 ELSE 2 END] // (1::BIGINT << (b % 32))) % 2 = 1)) >= len(th)
-                          THEN (CASE WHEN b = 63 THEN (-9223372036854775808)::BIGINT ELSE (1::BIGINT << b) END)
-                          ELSE 0::BIGINT END)) AS BIGINT) AS simhash
-             FROM th)"""
+       $duckSimhashFold"""
 
   /** d03's oracle SQL — also the `p` CTE of d08's cluster oracle. */
   private lazy val d03Oracle: String =
@@ -568,16 +591,7 @@ object Dedup {
     "d06_simhash_pairs" -> Q(
       (s, d) => simhashPairs(simhashed(s, d).persistScoped()),
       Some(s"""$duckSimhash,
-              b AS (SELECT doc_id, simhash, unnest(generate_series(0, 3)) AS band FROM sh),
-              bk AS (SELECT doc_id, simhash, band, (simhash >> (band*16)) & 65535 AS bits FROM b),
-              capped AS (SELECT * FROM
-                           (SELECT doc_id, simhash, band, bits,
-                                   count(*) OVER (PARTITION BY band, bits) AS bsz FROM bk)
-                         WHERE bsz <= 64),
-              cand AS (SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2, a.simhash AS s1, c.simhash AS s2
-                       FROM capped a JOIN capped c ON a.band = c.band AND a.bits = c.bits AND a.doc_id < c.doc_id)
-              SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
-              FROM cand WHERE bit_count(xor(s1, s2)) <= 3""")),
+              $duckBandPairs""")),
 
     // ── asymmetric CONTAINMENT near-dup: |A∩B| / min(|A|,|B|) over
     // the same LSH candidates as d03. Catches a short document quoted

@@ -212,8 +212,12 @@ object Multimodal {
       (s, d) => {
         graft.functions.Hashing.register(s)
         val sh = blobs(s, d)
-          .where("octet_length(blob) >= 8")
           .selectExpr("doc_id", "decode(substring(blob, 5), 'utf-8') as p")
+          // CHARACTER length, mirroring the oracle's length(payload)
+          // unit exactly — a byte-length filter would diverge on
+          // multi-byte payloads (and sequence(1, n) with n < 1 runs
+          // DESCENDING in Spark, yielding garbage grams)
+          .where("length(p) >= 4")
           .selectExpr("doc_id",
             "simhash64(transform(sequence(1, length(p) - 3), i -> substring(p, i, 4))) as simhash")
           .persistScoped()
@@ -225,21 +229,8 @@ object Multimodal {
                       i -> [${graft.functions.Hashing.duck32("substr(payload, CAST(i + 4 AS INTEGER), 4)")},
                             ${graft.functions.Hashing.duck32b("substr(payload, CAST(i + 4 AS INTEGER), 4)")}]) AS th
                   FROM bl WHERE length(payload) >= 8),
-           sh AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 63),
-                    b -> CASE WHEN 2 * len(list_filter(th, h -> (h[CASE WHEN b < 32 THEN 1 ELSE 2 END] // (1::BIGINT << (b % 32))) % 2 = 1)) >= len(th)
-                              THEN (CASE WHEN b = 63 THEN (-9223372036854775808)::BIGINT ELSE (1::BIGINT << b) END)
-                              ELSE 0::BIGINT END)) AS BIGINT) AS simhash
-                  FROM th),
-           b AS (SELECT doc_id, simhash, unnest(generate_series(0, 3)) AS band FROM sh),
-           bk AS (SELECT doc_id, simhash, band, (simhash >> (band*16)) & 65535 AS bits FROM b),
-           capped AS (SELECT * FROM
-                        (SELECT doc_id, simhash, band, bits,
-                                count(*) OVER (PARTITION BY band, bits) AS bsz FROM bk)
-                      WHERE bsz <= 64),
-           cand AS (SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2, a.simhash AS s1, c.simhash AS s2
-                    FROM capped a JOIN capped c ON a.band = c.band AND a.bits = c.bits AND a.doc_id < c.doc_id)
-           SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
-           FROM cand WHERE bit_count(xor(s1, s2)) <= 3"""))
+           ${Dedup.duckSimhashFold},
+           ${Dedup.duckBandPairs}"""))
   )
 
   /** The retired four-pass SQL-lambda formulation of m05 — NOT the

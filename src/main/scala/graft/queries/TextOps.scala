@@ -383,12 +383,6 @@ object TextOps {
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000) // total AS BIGINT) AS cov_bp
               FROM top, t""")),
 
-    // ── vocabulary construction: global top-50 tokens by frequency ──
-    // explode → hash-aggregate (partial count map-side, one shuffle
-    // keyed by token) → orderBy+limit compiles to
-    // TakeOrderedAndProject: each partition keeps its own top-50, the
-    // driver merges 50×partitions rows — no global sort at any scale.
-    // Deterministic cutoff: ties break on the token string.
     // ── tokenizer fertility by language: subword tokens emitted per
     // whitespace word — THE statistic that flags tokenizer bias (a
     // vocab trained on English fragments other scripts into far more
@@ -400,8 +394,11 @@ object TextOps {
       (s, d) => Tables(s, d, "documents")
         .selectExpr("lang",
           s"size($toks) as n_words",
-          """size(flatten(transform(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0), t ->
-               transform(sequence(0, (length(t)-1) div 4), i -> substring(t, i*4+1, 4))))) as n_sub""")
+          // chunk COUNT is pure arithmetic over token lengths —
+          // materializing the substrings just to size() them would
+          // allocate every 4-char chunk on the corpus-wide hot pass
+          """aggregate(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0),
+               0L, (a, t) -> a + (length(t) + 3) div 4) as n_sub""")
         .groupBy("lang").agg(
           count(lit(1)).as("n_docs"),
           sum("n_words").as("n_words"),
@@ -409,8 +406,8 @@ object TextOps {
         .selectExpr("lang", "n_docs", "n_words", "n_subwords",
           "n_subwords * 10000 div n_words as fertility_bp"),
       Some("""WITH p AS (SELECT lang, len(string_split(text,' ')) AS n_words,
-                 len(flatten(list_transform(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'), t ->
-                   list_transform(generate_series(0, (length(t)-1) // 4), i -> substr(t, i*4+1, 4))))) AS n_sub
+                 list_sum(list_transform(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'),
+                   t -> (length(t) + 3) // 4)) AS n_sub
                FROM documents)
              SELECT lang, count(*) AS n_docs,
                     CAST(sum(n_words) AS BIGINT) AS n_words,
@@ -431,7 +428,11 @@ object TextOps {
     // floor(10000 · |strictly below| / N), ties sharing one value. ──
     "t19_score_percentiles" -> Q(
       (s, d) => {
+        // null-text docs are excluded EXPLICITLY on both sides: a null
+        // quality would ride Spark's NULLS FIRST vs DuckDB's NULLS
+        // LAST window default and shift every cumulative count
         val q = Tables(s, d, "documents")
+          .where("text is not null")
           .selectExpr("doc_id",
             s"(size(array_distinct($toks)) * 10000) div size($toks) as uniq_bp",
             s"size($toks) as n_tokens")
@@ -454,7 +455,7 @@ object TextOps {
                           // len(string_split(text,' '))
                         + (CASE WHEN len(string_split(text,' ')) >= 15 THEN 10000 ELSE 0 END)) // 2
                          AS quality_bp
-                FROM documents),
+                FROM documents WHERE text IS NOT NULL),
               t AS (SELECT count(*) AS n FROM q),
               d AS (SELECT quality_bp, count(*) AS cnt FROM q GROUP BY 1),
               c AS (SELECT quality_bp,
@@ -465,6 +466,12 @@ object TextOps {
                      CAST(below * 10000 // n AS BIGINT) AS pct_bp
               FROM q JOIN c USING (quality_bp), t""")),
 
+    // ── vocabulary construction: global top-50 tokens by frequency ──
+    // explode → hash-aggregate (partial count map-side, one shuffle
+    // keyed by token) → orderBy+limit compiles to
+    // TakeOrderedAndProject: each partition keeps its own top-50, the
+    // driver merges 50×partitions rows — no global sort at any scale.
+    // Deterministic cutoff: ties break on the token string.
     "t06_vocab" -> Q(
       (s, d) => Tables(s, d, "documents")
         .selectExpr(s"explode($toks) as token")

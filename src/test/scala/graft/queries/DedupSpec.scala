@@ -239,8 +239,8 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .selectExpr("affine_minhash(hv, 16) as s").collect()(0).getSeq[Long](0)
     val merged = sig(h1).zip(sig(h2)).map { case (x, y) => math.min(x, y) }
     assert(sig(hv) === merged)
-    // and the merge is genuinely lossy-free in both directions: each
-    // half alone differs from the whole (the min actually acted)
-    assert(sig(h1) != sig(hv) || sig(h2) != sig(hv))
+    // and the merge genuinely acted: each half alone differs from
+    // the whole, so the min combined information from BOTH sides
+    assert(sig(h1) != sig(hv) && sig(h2) != sig(hv))
   }
 }

@@ -216,8 +216,10 @@ class PlanShapeSpec extends AnyFunSuite with graft.SparkTestBase {
     val p = planOf("q31_forall_antijoin")
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-    // the violator predicate reaches the scan, so only offending keys shuffle
-    assert(p.contains("PushedFilters: [IsNotNull(o_custkey)") || p.contains("o_totalprice"), p)
+    // BOTH price predicates reach their parquet scans — only
+    // qualifying/offending keys ever shuffle
+    assert(p.contains("GreaterThan(o_totalprice,250000.0)"), p)
+    assert(p.contains("LessThanOrEqual(o_totalprice,250000.0)"), p)
   }
 
   test("q29 unpivot is a map-only Expand: 4x output rows, zero exchange") {
