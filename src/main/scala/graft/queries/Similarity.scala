@@ -509,9 +509,7 @@ object Similarity {
     "s14_ivfpq_recall" -> Q(
       (s, d) => Recall.perProbe(
         bruteTopk(s, d, 3), all("s13_ivfpq").fn(s, d), "probe_id", "cand_id", Some(3)),
-      Some {
-        val dd2 = (a: String, b: String) =>
-          s"(${duckDot(a, a)} - 2 * ${duckDot(a, b)} + ${duckDot(b, b)})"
+      Some(
         s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
             sc AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
                           ${duckDot("p.embedding", "c.embedding")} / (p.nrm * c.nrm) AS cosine
@@ -520,58 +518,59 @@ object Similarity {
                         (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
                          FROM sc)
                       WHERE rnk <= 3),
-            ${duckTrainedCent(ivfIters)},
-            $duckIvfCand,
-            sub AS (SELECT vec_id, s, embedding[s*8+1:s*8+8] AS sv
-                    FROM e, LATERAL (SELECT unnest(generate_series(0, 7)) AS s) g),
-            ${duckTrainedCb(pqIters)},
-            codes AS (SELECT vec_id AS cand_id, s, j AS code FROM (
-                        SELECT sub.vec_id, sub.s, cb.j,
-                               row_number() OVER (PARTITION BY sub.vec_id, sub.s
-                                 ORDER BY ${dd2("sub.sv", "cb.cv")}, cb.j) AS rn
-                        FROM sub JOIN cbl cb ON cb.s = sub.s) WHERE rn = 1),
-            ad AS (SELECT c.probe_id, c.cand_id,
-                          list_sum(list(${dd2("p.sv", "cb.cv")} ORDER BY p.s)) AS adist
-                   FROM cand c
-                   JOIN sub p ON p.vec_id = c.probe_id
-                   JOIN codes co ON co.cand_id = c.cand_id AND co.s = p.s
-                   JOIN cbl cb ON cb.s = co.s AND cb.j = co.code
-                   GROUP BY 1, 2),
-            ann AS (SELECT probe_id, cand_id FROM
-                      (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY adist, cand_id) AS rnk FROM ad)
-                    WHERE rnk <= 3)
+            $duckIvfPqCore
             SELECT x.probe_id,
                    CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
                    (CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 10000) // 3 AS recall_bp
             FROM exact x LEFT JOIN ann a
               ON a.probe_id = x.probe_id AND a.cand_id = x.cand_id
             GROUP BY x.probe_id"""
-      }),
+      )),
 
-    // ── two-stage IVF-PQ ANN (the FAISS IVFPQ shape, s05 × s12): the
+    // ── two-stage IVF-PQ ANN (the FAISS IVFADC shape, s05 × s12): the
     // coarse quantizer prunes the corpus to the probes' nprobe=2
     // cells, and only those candidates are scored — by asymmetric
     // distance against their 8-byte PQ codes, NOT their raw vectors.
     // This is the composition a 1 B-vector index actually runs: the
     // cell join bounds the scan, the code lookup bounds the memory,
     // and nothing ever scores probe × full-corpus. BOTH stages are
-    // TRAINED since r9: the coarse quantizer by [[lloydCents]] and
-    // the per-subspace codebooks by [[pqCodebookTrained]] (2 Lloyd
-    // steps each; the oracle replays the training as CTE chains).
-    // Scoring is s12's (broadcast per-probe distance tables,
-    // sequential subspace fold, bit-identical to the oracle); top-3
-    // is the bounded-heap aggregate. ──
+    // TRAINED (r9): the coarse quantizer by [[lloydCents]] and the
+    // per-subspace codebooks by [[pqCodebookTrained]] (2 Lloyd steps
+    // each; the oracle replays the training as CTE chains). Since r10
+    // the codebooks encode RESIDUALS x − cent[cell]
+    // ([[residualFrame]], Jégou et al. 2011's IVFADC) rather than raw
+    // vectors, and the query runs the paper's §VII refinement
+    // (IVFADC+R): an ADC shortlist of R=10 per probe, then EXACT
+    // re-ranking of that bounded shortlist against raw vectors →
+    // top-3 (s14 gauges the recall gain: 8/30 raw-ADC → 11/30).
+    // Residual ADC keys the probe tables by (probe, CELL): a
+    // candidate's code is scored against the probe's residual in the
+    // candidate's own cell ([[pqProbeTablesRes]] — bounded,
+    // |probes|×nprobe broadcast rows). Candidates join probe cells to
+    // postings on the cell equi-key; both the shortlist and the
+    // re-rank are bounded-heap aggregates, and the re-rank touches
+    // R×|probes| raw vectors — the refine sidecar read, never a
+    // corpus scan. ──
     "s13_ivfpq" -> Q(
       (s, d) => {
         Hashing.register(s)
         val e = Tables(s, d, "embeddings")
           .repartition(s.sparkContext.defaultParallelism)
           .selectExpr("vec_id", "embedding", s"$normE as nrm").persistScoped()
-        val cand = ivfCandidates(e, lloydCents(e, ivfSeeds(e), ivfIters))
-        val cb = pqCodebookTrained(e, pqIters)
-        val codes = pqEncode(e, cb).select(col("vec_id").as("cand_id"), col("codes"))
-        val probes = pqProbeTables(e.where("vec_id < 10"), cb)
-        adcTopk(cand.join(codes, "cand_id").join(broadcast(probes), "probe_id"), 3)
+        val cents = lloydCents(e, ivfSeeds(e), ivfIters)
+        // one corpus pass: cell assignment + residual, feeding both
+        // the codebook trainer and the encode
+        val rf = residualFrame(e, cents).persistScoped()
+        val cb = pqCodebookTrained(rf, pqIters)
+        val codes = pqEncode(rf, cb, keep = Seq("cell"))
+          .select(col("vec_id").as("cand_id"), col("cell"), col("codes"))
+        val probes = e.where("vec_id < 10")
+        val cand = broadcast(probeCells(probes, cents, 2))
+          .join(codes, "cell") // candidate's OWN cell ∈ the probe's cells
+          .where(col("cand_id") =!= col("probe_id"))
+        val short = adcTopk(cand.join(
+          broadcast(pqProbeTablesRes(probes, cents, cb, 2)), Seq("probe_id", "cell")), 10)
+        rerankExact(short, probes, e, 3)
       },
       Some(duckIvfPqSql)),
 
@@ -594,62 +593,11 @@ object Similarity {
     "s16_index_roundtrip" -> Q(
       (s, d) => {
         Hashing.register(s)
-        import s.implicits._
         val e = Tables(s, d, "embeddings")
           .repartition(s.sparkContext.defaultParallelism)
           .selectExpr("vec_id", "embedding", s"$normE as nrm").persistScoped()
-        val ix = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"), "graft-index", "ivfpq").toString
-        // deterministic re-build: drop any prior artifacts first so a
-        // partially-written or older index can never mix into this
-        // run's serve phase (same pre-clean contract as the sink
-        // tier's scratch(); the fixed path means concurrent sessions
-        // must not share one tmpdir, as with every scratch path here)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
-        rm(new java.io.File(ix))
-        // build: train, then write the artifacts
-        val cent = lloydCents(e, ivfSeeds(e), ivfIters)
-        val cb = pqCodebookTrained(e, pqIters)
-        cent.zipWithIndex.flatMap { case (c, cid) =>
-          c.zipWithIndex.map { case (v, pos) => (cid.toLong, pos, v) }
-        }.toDF("cell", "pos", "v")
-          .write.mode("overwrite").parquet(s"$ix/centroids")
-        cb.zipWithIndex.flatMap { case (sub, sp) =>
-          sub.zipWithIndex.flatMap { case (cw, j) =>
-            cw.zipWithIndex.map { case (v, pos) => (sp, j, pos, v) } }
-        }.toDF("s", "j", "pos", "v")
-          .write.mode("overwrite").parquet(s"$ix/codebooks")
-        ivfAssign(e, cent)
-          .join(pqEncode(e, cb).withColumnRenamed("vec_id", "cand_id"),
-            col("vec_id") === col("cand_id"))
-          .select("cell", "cand_id", "codes")
-          // hive-partition the inverted file by cell: a probe read
-          // touches nprobe directories, not the index — the layout
-          // that makes a 1 B-vector index serveable
-          .write.partitionBy("cell").mode("overwrite").parquet(s"$ix/postings")
-        // serve: load the quantizer heads, scan the postings
-        val centBack = {
-          val m = Array.fill(cent.size)(new Array[Float](cent.head.size))
-          s.read.parquet(s"$ix/centroids").collect()
-            .foreach(r => m(r.getLong(0).toInt)(r.getInt(1)) = r.getFloat(2))
-          m.map(_.toSeq: Seq[Float]).toSeq
-        }
-        val cbBack = {
-          val m = Array.fill(8, 16)(new Array[Float](8))
-          s.read.parquet(s"$ix/codebooks").collect()
-            .foreach(r => m(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getFloat(3))
-          m.map(_.map(_.toSeq: Seq[Float]).toSeq: Seq[Seq[Float]]).toSeq
-        }
-        val postings = s.read.parquet(s"$ix/postings")
-        val probes = e.where("vec_id < 10")
-        val cand = broadcast(probeCells(probes, centBack, 2))
-          .join(postings, "cell")
-          .where(col("cand_id") =!= col("probe_id"))
-          .select("probe_id", "cand_id", "codes").distinct()
-        adcTopk(cand.join(broadcast(pqProbeTables(probes, cbBack)), "probe_id"), 3)
+        ivfPqBuild(s, e)
+        ivfPqServe(s, e.where("vec_id < 10"))
       },
       // the roundtrip must reproduce s13's answer exactly
       Some(duckIvfPqSql)),
@@ -750,34 +698,77 @@ object Similarity {
     s"$base,\n$steps\n SELECT probe_id, cand_id, rnk, score AS mmr_score FROM sel5"
   }
 
-  /** s13's full IVF-PQ oracle (trained quantizers replayed CTE-for-
-    * CTE), shared verbatim by s16: the persistence roundtrip must
-    * produce the identical answer. */
-  private lazy val duckIvfPqSql: String = {
+  /** IVFADC+R exact re-rank (Jégou et al. 2011 §VII): re-score the
+    * bounded ADC shortlist by exact cosine against raw vectors and
+    * keep the top-k. `probeVecs`/`candVecs` supply (vec_id,
+    * embedding, nrm) — both the corpus frame in s13; the query frame
+    * and the refine sidecar artifact in s16's serve path. Cost:
+    * |shortlist| raw-vector reads, never a corpus scan. */
+  private[graft] def rerankExact(short: DataFrame, probeVecs: DataFrame,
+      candVecs: DataFrame, k: Int): DataFrame =
+    heapTopk(short.select("probe_id", "cand_id")
+      .join(candVecs.select(col("vec_id").as("cand_id"),
+        col("embedding").as("ce2"), col("nrm").as("cn2")), "cand_id")
+      .join(broadcast(probeVecs.select(col("vec_id").as("probe_id"),
+        col("embedding").as("pe"), col("nrm").as("pn"))), "probe_id")
+      .selectExpr("probe_id", "cand_id", s"${dot("pe", "ce2")} / (pn * cn2) as cosine"), k)
+
+  /** The residual subvector expression shared by the oracle's corpus
+    * and probe sides: subtract in DOUBLE (ce is the exact
+    * float-widened centroid list), round ONCE to FLOAT — the same
+    * double-path [[residualFrame]] takes, so the residual floats are
+    * bit-identical across engines. */
+  private def duckResidSv(emb: String, ce: String): String =
+    s"list_transform(generate_series(1, 8), k -> CAST(CAST($emb[g.s*8+k] AS DOUBLE) - $ce[g.s*8+k] AS FLOAT))"
+
+  /** The IVFADC CTE chain shared by s13/s16/stream10's oracle and
+    * spliced into s14's recall oracle: trained coarse quantizer →
+    * cell assignment + probe cells → RESIDUAL subvectors (`sub` — the
+    * name [[duckTrainedCb]] trains on, so the codebook chain runs on
+    * residuals unchanged) → residual codes → per-(probe, cell)
+    * residual probe subvectors → ADC → `ann(probe_id, cand_id, rnk,
+    * adist)`. Expects `e(vec_id, embedding, nrm)` in scope. */
+  private lazy val duckIvfPqCore: String = {
     val dd2 = (a: String, b: String) =>
       s"(${duckDot(a, a)} - 2 * ${duckDot(a, b)} + ${duckDot(b, b)})"
-    s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
-        ${duckTrainedCent(ivfIters)},
+    s"""${duckTrainedCent(ivfIters)},
         $duckIvfCand,
-        sub AS (SELECT vec_id, s, embedding[s*8+1:s*8+8] AS sv
-                FROM e, LATERAL (SELECT unnest(generate_series(0, 7)) AS s) g),
+        candc AS (SELECT DISTINCT p.probe_id, a.vec_id AS cand_id, p.cell
+                  FROM pcells p JOIN asg a ON a.cell = p.cell AND a.vec_id != p.probe_id),
+        sub AS (SELECT e.vec_id, g.s, ${duckResidSv("e.embedding", "c.ce")} AS sv
+                FROM e JOIN asg a ON a.vec_id = e.vec_id
+                JOIN cent c ON c.cid = a.cell,
+                LATERAL (SELECT unnest(generate_series(0, 7)) AS s) g),
         ${duckTrainedCb(pqIters)},
         codes AS (SELECT vec_id AS cand_id, s, j AS code FROM (
                     SELECT sub.vec_id, sub.s, cb.j,
                            row_number() OVER (PARTITION BY sub.vec_id, sub.s
                              ORDER BY ${dd2("sub.sv", "cb.cv")}, cb.j) AS rn
                     FROM sub JOIN cbl cb ON cb.s = sub.s) WHERE rn = 1),
+        psub AS (SELECT p.probe_id, p.cell, g.s, ${duckResidSv("e.embedding", "c.ce")} AS sv
+                 FROM pcells p JOIN e ON e.vec_id = p.probe_id
+                 JOIN cent c ON c.cid = p.cell,
+                 LATERAL (SELECT unnest(generate_series(0, 7)) AS s) g),
         ad AS (SELECT c.probe_id, c.cand_id,
                       list_sum(list(${dd2("p.sv", "cb.cv")} ORDER BY p.s)) AS adist
-               FROM cand c
-               JOIN sub p ON p.vec_id = c.probe_id
+               FROM candc c
+               JOIN psub p ON p.probe_id = c.probe_id AND p.cell = c.cell
                JOIN codes co ON co.cand_id = c.cand_id AND co.s = p.s
                JOIN cbl cb ON cb.s = co.s AND cb.j = co.code
-               GROUP BY 1, 2)
-        SELECT probe_id, cand_id, rnk, adist FROM
-          (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY adist, cand_id) AS INTEGER) AS rnk FROM ad)
-        WHERE rnk <= 3"""
+               GROUP BY 1, 2),
+        ann AS (SELECT probe_id, cand_id, rnk, adist FROM
+                  (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY adist, cand_id) AS INTEGER) AS rnk FROM ad)
+                WHERE rnk <= 3)"""
   }
+
+  /** s13's full IVFADC oracle (trained quantizers + residual encoding
+    * replayed CTE-for-CTE), shared verbatim by s16 (the persistence
+    * roundtrip must produce the identical answer) and stream10 (the
+    * streaming serve path is the same index). */
+  private[graft] lazy val duckIvfPqSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+        $duckIvfPqCore
+        SELECT probe_id, cand_id, rnk, adist FROM ann"""
 
   /** Seed centroids for [[kmeansStep]]/[[kmeansFit]]: the embeddings
     * of the k smallest vec_ids (deterministic; a bounded k-row
@@ -852,7 +843,7 @@ object Similarity {
     * md5-sample hashes (deterministic spread over the corpus — the
     * same md5-order the untrained r8 index probed directly). Bounded
     * 16-row collect; seed index j is the cell id. */
-  private def ivfSeeds(e: DataFrame): Seq[Seq[Float]] =
+  private[graft] def ivfSeeds(e: DataFrame): Seq[Seq[Float]] =
     e.withColumn("h", expr(Hashing.h32Sql("concat('ivf:', vec_id)")))
       .orderBy(col("h"), col("vec_id")).limit(16)
       .select("embedding").collect().map(_.getSeq[Float](0).toSeq).toSeq
@@ -1006,12 +997,64 @@ object Similarity {
 
   /** MAP-ONLY PQ encoding against the literal codebook: (vec_id,
     * codes) with codes(s) ∈ [0, 16) — argmin by array_position, first
-    * index = min-j tie-break. */
-  private[graft] def pqEncode(e: DataFrame, cb: Seq[Seq[Seq[Float]]]): DataFrame =
+    * index = min-j tie-break. `keep` carries extra input columns
+    * through (the IVFADC path keeps the cell id riding next to the
+    * codes — the postings-row shape). */
+  private[graft] def pqEncode(e: DataFrame, cb: Seq[Seq[Seq[Float]]],
+      keep: Seq[String] = Nil): DataFrame =
     e.withColumn("cb", typedLit(cb))
       .withColumn("codes", expr(
         s"transform(sequence(0, 7), sp -> array_position($pqSubDists, array_min($pqSubDists)) - 1)"))
-      .select("vec_id", "codes")
+      .select("vec_id" +: keep :+ "codes" map col: _*)
+
+  /** IVFADC residual frame (Jégou et al. 2011 §IV): one corpus pass
+    * assigning each vector to its coarse cell AND replacing its
+    * embedding with the residual x − cent[cell] — the quantity the PQ
+    * codebooks encode. Residuals concentrate around 0 regardless of
+    * which cell a vector landed in, so one shared codebook set covers
+    * all cells at the same 8 bytes — the standard recall lever over
+    * raw-vector PQ. MAP-ONLY (argmax + elementwise subtract against
+    * the literal centroid matrix). Precision contract with the
+    * oracle: subtract in DOUBLE (both operands are exact
+    * float-widenings), then round ONCE to float — a float−float
+    * subtraction could double-round differently from DuckDB's
+    * double-path, so both engines take the double path explicitly. */
+  private[graft] def residualFrame(e: DataFrame, cent: Seq[Seq[Float]]): DataFrame =
+    cellScores(e, cent)
+      .withColumn("cell", expr("array_position(scores, array_max(scores)) - 1"))
+      .withColumn("embedding", expr(
+        s"""transform(sequence(0, ${cent.head.size - 1}),
+              i -> cast(cast(embedding[i] as double)
+                        - cast(cents[cast(cell as int)][i] as double) as float))"""))
+      .select("vec_id", "cell", "embedding")
+
+  /** Per-(probe, cell) RESIDUAL ADC tables for the probe's top-nprobe
+    * cells: (probe_id, cell, ptab) where ptab scores the probe's
+    * residual AGAINST THAT CELL, matching the cell-residual codes of
+    * the candidates that live there. Fully MAP-ONLY — the top-nprobe
+    * cell pick is an in-projection array sort (ccos desc, cid asc, the
+    * same tie-break as [[probeCells]]'s rank window), so the one code
+    * path serves batch probes AND a streaming probe frame (stream10),
+    * where a rank window would be unsupported. Bounded: |probes| ×
+    * nprobe rows. */
+  private[graft] def pqProbeTablesRes(probes: DataFrame, cent: Seq[Seq[Float]],
+      cb: Seq[Seq[Seq[Float]]], nprobe: Int): DataFrame =
+    cellScores(probes, cent)
+      .withColumn("tc", expr(
+        s"""slice(array_sort(
+              transform(sequence(0, ${cent.size - 1}), j -> struct(scores[j] as ccos, j as cid)),
+              (a, b) -> case when a.ccos > b.ccos then -1
+                             when a.ccos < b.ccos then 1
+                             else a.cid - b.cid end),
+            1, $nprobe)"""))
+      .selectExpr("vec_id as probe_id", "embedding", "cents", "explode(tc) as t")
+      .selectExpr("probe_id", "cast(t.cid as bigint) as cell",
+        s"""transform(sequence(0, ${cent.head.size - 1}),
+              i -> cast(cast(embedding[i] as double)
+                        - cast(cents[t.cid][i] as double) as float)) as embedding""")
+      .withColumn("cb", typedLit(cb))
+      .withColumn("ptab", expr(s"transform(sequence(0, 7), sp -> $pqSubDists)"))
+      .select("probe_id", "cell", "ptab")
 
   /** TRAINED PQ codebooks: `iters` Lloyd steps in each of the 8
     * subspaces at once, seeded by [[pqCodebook]]. One corpus pass per
@@ -1076,6 +1119,91 @@ object Similarity {
     (seed +: steps :+ fin).mkString(",\n")
   }
 
+  /** s16's artifact root (fixed scratch path — concurrent sessions
+    * must not share one tmpdir, as with every scratch path here). */
+  private[graft] def ivfPqIndexDir: String = java.nio.file.Paths.get(
+    System.getProperty("java.io.tmpdir"), "graft-index", "ivfpq").toString
+
+  /** s16 BUILD: train both quantizers on the corpus and write the
+    * three index artifacts — the centroid matrix (cell, pos, v), the
+    * per-subspace RESIDUAL codebooks (s, j, pos, v), and the inverted
+    * file (cell, cand_id, codes): cell-PARTITIONED postings carrying
+    * 8-byte residual codes, the only corpus-sized artifact. Drops any
+    * prior artifacts first so a partially-written or older index can
+    * never mix into a serve phase (the sink tier's pre-clean
+    * contract). */
+  private[graft] def ivfPqBuild(s: SparkSession, e: DataFrame): Unit = {
+    import s.implicits._
+    val ix = ivfPqIndexDir
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(ix))
+    val cent = lloydCents(e, ivfSeeds(e), ivfIters)
+    val rf = residualFrame(e, cent)
+    val cb = pqCodebookTrained(rf, pqIters)
+    cent.zipWithIndex.flatMap { case (c, cid) =>
+      c.zipWithIndex.map { case (v, pos) => (cid.toLong, pos, v) }
+    }.toDF("cell", "pos", "v")
+      .write.mode("overwrite").parquet(s"$ix/centroids")
+    cb.zipWithIndex.flatMap { case (sub, sp) =>
+      sub.zipWithIndex.flatMap { case (cw, j) =>
+        cw.zipWithIndex.map { case (v, pos) => (sp, j, pos, v) } }
+    }.toDF("s", "j", "pos", "v")
+      .write.mode("overwrite").parquet(s"$ix/codebooks")
+    pqEncode(rf, cb, keep = Seq("cell"))
+      .select(col("cell"), col("vec_id").as("cand_id"), col("codes"))
+      // hive-partition the inverted file by cell: a probe read
+      // touches nprobe directories, not the index — the layout
+      // that makes a 1 B-vector index serveable
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$ix/postings")
+  }
+
+  /** s16 SERVE: answer the ANN query from the artifacts alone. The
+    * quantizer matrices load driver-side (k×dim and 8×16×8 floats —
+    * the bounded in-memory index head); the probes' cells are
+    * resolved against the loaded centroids FIRST (a |probes|-row
+    * job), and the resulting cell set is pushed into the postings
+    * read as a STATIC `isin` filter — so the FileSourceScan lists
+    * only the probed cells' partitions (PartitionFilters, asserted by
+    * IndexPruneSpec), never the index. This is the routing shape a
+    * serving tier actually runs: the router knows the query's cells
+    * before it touches storage. ADC scoring and the bounded-heap
+    * top-3 are s13's. */
+  private[graft] def ivfPqServe(s: SparkSession, probes: DataFrame): DataFrame = {
+    val ix = ivfPqIndexDir
+    val centBack = {
+      val rows = s.read.parquet(s"$ix/centroids").collect()
+      val m = Array.fill(rows.map(_.getLong(0)).max.toInt + 1)(
+        new Array[Float](rows.map(_.getInt(1)).max + 1))
+      rows.foreach(r => m(r.getLong(0).toInt)(r.getInt(1)) = r.getFloat(2))
+      m.map(_.toSeq: Seq[Float]).toSeq
+    }
+    val cbBack = {
+      val m = Array.fill(8, 16)(new Array[Float](8))
+      s.read.parquet(s"$ix/codebooks").collect()
+        .foreach(r => m(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getFloat(3))
+      m.map(_.map(_.toSeq: Seq[Float]).toSeq: Seq[Seq[Float]]).toSeq
+    }
+    val pcells = probeCells(probes, centBack, 2)
+    // bounded |probes|×nprobe collect — the router's cell resolution
+    val probedCells: Seq[Long] =
+      pcells.select("cell").distinct().collect().map(_.getLong(0)).toSeq
+    // filter with literals of the DISCOVERED partition-column type
+    // (hive partition inference types cell as INT): a cast around the
+    // partition column would block pruning; the bigint widening for
+    // the join happens ABOVE the pruned scan
+    val postings = s.read.parquet(s"$ix/postings")
+      .where(col("cell").isin(probedCells.map(_.toInt): _*))
+      .withColumn("cell", col("cell").cast("bigint"))
+    val cand = broadcast(pcells)
+      .join(postings, "cell")
+      .where(col("cand_id") =!= col("probe_id"))
+    adcTopk(cand.join(
+      broadcast(pqProbeTablesRes(probes, centBack, cbBack, 2)), Seq("probe_id", "cell")), 3)
+  }
+
   /** The trained PQ codebook + its oracle chain, shared with the
     * streaming tier (stream09 encodes arriving vectors against the
     * codebook trained offline on the batch corpus). */
@@ -1104,6 +1232,43 @@ object Similarity {
   private[graft] def coarseCents(e: DataFrame): (Seq[Seq[Float]], Seq[Seq[Float]]) = {
     val seeds = ivfSeeds(e)
     (seeds, lloydCents(e, seeds, ivfIters))
+  }
+
+  // temporary experiment entry for Scratch (deleted before commit)
+  private[graft] def scratchRecall(s: SparkSession, d: String): Unit = {
+    Hashing.register(s)
+    val e = Tables(s, d, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
+      .selectExpr("vec_id", "embedding", s"$normE as nrm").persistScoped()
+    e.count()
+    val exact = bruteTopk(s, d, 3).select("probe_id", "cand_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hits(df: org.apache.spark.sql.DataFrame): Int =
+      df.select("probe_id", "cand_id").collect()
+        .count(r => exact((r.getLong(0), r.getLong(1))))
+    for (ivfI <- Seq(2); npr <- Seq(2, 3)) {
+      val cents = lloydCents(e, ivfSeeds(e), ivfI)
+      val ceil = hits(ivfTopk(e, cents, npr, 3))
+      println(s"== ivfIters=$ivfI nprobe=$npr exact-over-cells ceiling: $ceil/30")
+      val rf = residualFrame(e, cents).persistScoped()
+      for (pqI <- Seq(2); rr <- Seq(6, 10, 15)) {
+        val cb = pqCodebookTrained(rf, pqI)
+        val codes = pqEncode(rf, cb, keep = Seq("cell"))
+          .select(col("vec_id").as("cand_id"), col("cell"), col("codes"))
+        val probes = e.where("vec_id < 10")
+        val cand = broadcast(probeCells(probes, cents, npr))
+          .join(codes, "cell")
+          .where(col("cand_id") =!= col("probe_id"))
+        val short = adcTopk(cand.join(
+          broadcast(pqProbeTablesRes(probes, cents, cb, npr)), Seq("probe_id", "cell")), rr)
+        // exact re-rank of the bounded shortlist (IVFADC+R)
+        val rer = heapTopk(short.select("probe_id", "cand_id")
+          .join(e.select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nrm").as("pn")), "probe_id")
+          .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("ce2"), col("nrm").as("cn2")), "cand_id")
+          .selectExpr("probe_id", "cand_id", s"${dot("pe", "ce2")} / (pn * cn2) as cosine"), 3)
+        println(s"== ivfIters=$ivfI nprobe=$npr pqIters=$pqI R=$rr ADC+R recall: ${hits(rer)}/30")
+      }
+    }
   }
 
   /** s04's body: LSH-candidate embedding near-dup pairs, cosine ≥

@@ -168,56 +168,44 @@ object StreamQueries {
             FROM codes GROUP BY vec_id"""
       }),
 
-    // streaming ANN SEARCH (complete): arriving query vectors scored
-    // against the STATIC trained PQ index — the serving-side
-    // complement of stream09's ingestion. The probe's 8×16 ADC
-    // distance table is a stateless map-only projection on the
-    // stream; the stream-static join scans 8-byte codes (never raw
-    // vectors) per micro-batch; the per-probe top-3 is the
-    // bounded-heap aggregate, whose partial buffers are what the
-    // state store carries — k rows per probe, not the score frame.
-    // Same ADC semantics as the batch tier (one adcTopk code path).
+    // streaming ANN SEARCH (complete): arriving query vectors answered
+    // against the STATIC trained IVFADC index — the serving-side
+    // complement of stream09's ingestion, and s13's streaming twin
+    // (same oracle). Everything probe-side is stateless and MAP-ONLY
+    // on the stream: cell scoring against the literal centroids, the
+    // top-nprobe cell pick (an in-projection array sort — a rank
+    // window would be unsupported here, which is why
+    // pqProbeTablesRes avoids one), and the per-(probe, cell)
+    // residual ADC tables. The stream-static equi-join on cell prunes
+    // the candidate scan to the probed cells' postings (8-byte
+    // residual codes, never raw vectors) per micro-batch; the
+    // per-probe top-3 is the bounded-heap aggregate, whose partial
+    // buffers are what the state store carries — k rows per probe,
+    // not the score frame.
     "stream10_ann_search" -> Q(
       (s, d) => {
+        import org.apache.spark.sql.functions.col
         graft.functions.Hashing.register(s)
-        val batch = graft.Tables(s, d, "embeddings").select("vec_id", "embedding")
-        val cb = graft.queries.Similarity.trainedPqCodebook(batch)
-        val codes = graft.queries.Similarity.pqEncode(batch, cb)
-          .select(org.apache.spark.sql.functions.col("vec_id").as("cand_id"),
-            org.apache.spark.sql.functions.col("codes"))
-        val probes = graft.queries.Similarity.pqProbeTables(
-          EventStreams.embeddingsStream(s, d).where("vec_id < 10"), cb)
+        val Sim = graft.queries.Similarity
+        val batch = graft.Tables(s, d, "embeddings")
+          .selectExpr("vec_id", "embedding", "vnorm(embedding) as nrm")
+        val cents = Sim.lloydCents(batch, Sim.ivfSeeds(batch), Sim.ivfIters)
+        val rf = Sim.residualFrame(batch, cents)
+        val cb = Sim.pqCodebookTrained(rf, Sim.pqIters)
+        val codes = Sim.pqEncode(rf, cb, keep = Seq("cell"))
+          .select(col("vec_id").as("cand_id"), col("cell"), col("codes"))
+        val probes = Sim.pqProbeTablesRes(
+          EventStreams.embeddingsStream(s, d).where("vec_id < 10")
+            .selectExpr("vec_id", "embedding", "vnorm(embedding) as nrm"),
+          cents, cb, 2)
         drain(s,
-          graft.queries.Similarity.adcTopk(
-            probes.join(codes,
-              org.apache.spark.sql.functions.expr("cand_id != probe_id")), 3),
+          Sim.adcTopk(
+            probes.join(codes, "cell")
+              .where(org.apache.spark.sql.functions.expr("cand_id != probe_id")), 3),
           "g_stream10", mode = "complete")
       },
-      Some {
-        val duckDotL = (a: String, b: String) =>
-          s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * p[2]))"
-        val dd2 = (a: String, b: String) =>
-          s"(${duckDotL(a, a)} - 2 * ${duckDotL(a, b)} + ${duckDotL(b, b)})"
-        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-            sub AS (SELECT vec_id, s, embedding[s*8+1:s*8+8] AS sv
-                    FROM e, LATERAL (SELECT unnest(generate_series(0, 7)) AS s) g),
-            ${graft.queries.Similarity.duckTrainedCbSql},
-            codes AS (SELECT vec_id AS cand_id, s, j AS code FROM (
-                        SELECT sub.vec_id, sub.s, cb.j,
-                               row_number() OVER (PARTITION BY sub.vec_id, sub.s
-                                 ORDER BY ${dd2("sub.sv", "cb.cv")}, cb.j) AS rn
-                        FROM sub JOIN cbl cb ON cb.s = sub.s) WHERE rn = 1),
-            ad AS (SELECT p.vec_id AS probe_id, co.cand_id,
-                          list_sum(list(${dd2("p.sv", "cb.cv")} ORDER BY p.s)) AS adist
-                   FROM sub p
-                   JOIN codes co ON co.s = p.s
-                   JOIN cbl cb ON cb.s = co.s AND cb.j = co.code
-                   WHERE p.vec_id < 10 AND co.cand_id != p.vec_id
-                   GROUP BY 1, 2)
-            SELECT probe_id, cand_id, rnk, adist FROM
-              (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY adist, cand_id) AS INTEGER) AS rnk FROM ad)
-            WHERE rnk <= 3"""
-      }),
+      // the streaming serve must reproduce the batch index's answer
+      Some(graft.queries.Similarity.duckIvfPqSql)),
 
     // complete mode: the gate reads the full snapshot; a production
     // deployment runs the same plan in update mode and upserts the

@@ -75,11 +75,28 @@ class PlanAuditSpec extends AnyFunSuite with graft.SparkTestBase {
     }
   }
 
-  private def offenders(p: SparkPlan): Seq[String] = flatten(p).collect {
-    case _: CartesianProductExec => "CartesianProduct"
-    case j: BroadcastNestedLoopJoinExec if !scalarBuilt(j) => "BroadcastNestedLoopJoin"
-    case w: WindowExec if w.partitionSpec.isEmpty => "GlobalWindow"
-    case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => "GlobalWindowGroupLimit"
+  private def offenders(p: SparkPlan): Seq[String] = {
+    val nodes = flatten(p)
+    // Non-vacuity meta-guard: the audit below is only meaningful if
+    // the walk actually descended past the adaptive wrappers into real
+    // operators. This spec was silently inspecting NOTHING from
+    // whenever AQE became default until round 9 (the root is an
+    // AdaptiveSparkPlanExec leaf, so `plan.collect` saw one node) —
+    // make that failure mode structurally impossible: zero real
+    // operators for any audited query is itself a failure, not a pass.
+    val real = nodes.filterNot {
+      case _: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => true
+      case _: org.apache.spark.sql.execution.adaptive.QueryStageExec => true
+      case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => true
+      case _ => false
+    }
+    if (real.isEmpty) Seq("AUDIT-VACUOUS: plan walk yielded zero real operators")
+    else nodes.collect {
+      case _: CartesianProductExec => "CartesianProduct"
+      case j: BroadcastNestedLoopJoinExec if !scalarBuilt(j) => "BroadcastNestedLoopJoin"
+      case w: WindowExec if w.partitionSpec.isEmpty => "GlobalWindow"
+      case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => "GlobalWindowGroupLimit"
+    }
   }
 
   test("no registered query plans a cartesian product, stray nested loop, or global window") {

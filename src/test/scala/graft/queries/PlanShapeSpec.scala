@@ -13,7 +13,15 @@ class PlanShapeSpec extends AnyFunSuite with graft.SparkTestBase {
 
   private def planOf(query: String): String = {
     val df = SparkEntry.queries(query)(spark, sf)
-    df.queryExecution.executedPlan.toString
+    val s = df.queryExecution.executedPlan.toString
+    // Non-vacuity: a string-containment guard proves nothing if the
+    // rendered plan is a bare wrapper. Every audited query reads data,
+    // so its plan string must show at least one scan and one child
+    // line — fail loudly if a Spark upgrade ever renders the adaptive
+    // root without its tree (the PlanAuditSpec vacuity bug, string form).
+    assert(s.contains("Scan") && s.linesIterator.size > 1,
+      s"plan string for $query looks vacuous:\n$s")
+    s
   }
 
   test("q01 pushes filters into the parquet scan and prunes columns") {
