@@ -33,8 +33,12 @@ object CacheScope {
     new ThreadLocal[scala.collection.mutable.ArrayBuffer[DataFrame]]
 
   /** Persist `df`; when a scope is active on this thread, the frame
-    * is released at scope exit. */
+    * is released at scope exit. Already-persisted frames pass through
+    * untouched (composed queries — s14 invoking s13's body — would
+    * otherwise re-persist the same plan and trip CacheManager's
+    * "already cached" re-registration on every call). */
   def persist(df: DataFrame): DataFrame = {
+    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) return df
     val reg = active.get()
     if (reg != null) reg += df
     df.persist()

@@ -61,6 +61,11 @@ object Similarity {
   private[graft] val ivfIters = 2
   private[graft] val pqIters = 2
 
+  /** The ADC shortlist size of the IVFADC+R refinement (Jégou et al.
+    * 2011 §VII): the re-rank reads R raw vectors per probe. Same
+    * init-order constraint as the iteration counts above. */
+  private[graft] val rerankR = 10
+
   /** vec_id, embedding, nrm, sig — the 16-bit hyperplane signature via
     * the native [[graft.functions.HyperplaneSig]] kernel (the plane
     * matrix is the same md5-derived literal set; the interpreted
@@ -569,7 +574,7 @@ object Similarity {
           .join(codes, "cell") // candidate's OWN cell ∈ the probe's cells
           .where(col("cand_id") =!= col("probe_id"))
         val short = adcTopk(cand.join(
-          broadcast(pqProbeTablesRes(probes, cents, cb, 2)), Seq("probe_id", "cell")), 10)
+          broadcast(pqProbeTablesRes(probes, cents, cb, 2)), Seq("probe_id", "cell")), rerankR)
         rerankExact(short, probes, e, 3)
       },
       Some(duckIvfPqSql)),
@@ -721,13 +726,18 @@ object Similarity {
   private def duckResidSv(emb: String, ce: String): String =
     s"list_transform(generate_series(1, 8), k -> CAST(CAST($emb[g.s*8+k] AS DOUBLE) - $ce[g.s*8+k] AS FLOAT))"
 
-  /** The IVFADC CTE chain shared by s13/s16/stream10's oracle and
-    * spliced into s14's recall oracle: trained coarse quantizer →
-    * cell assignment + probe cells → RESIDUAL subvectors (`sub` — the
-    * name [[duckTrainedCb]] trains on, so the codebook chain runs on
+  /** The IVFADC+R CTE chain shared by s13/s16's oracle and spliced
+    * into s14's recall oracle (stream10 splices the ADC-only stage —
+    * [[duckIvfAdcSql]]): trained coarse quantizer → cell assignment +
+    * probe cells → RESIDUAL subvectors (`sub` — the name
+    * [[duckTrainedCb]] trains on, so the codebook chain runs on
     * residuals unchanged) → residual codes → per-(probe, cell)
-    * residual probe subvectors → ADC → `ann(probe_id, cand_id, rnk,
-    * adist)`. Expects `e(vec_id, embedding, nrm)` in scope. */
+    * residual probe subvectors → ADC shortlist `short(probe_id,
+    * cand_id, rnk, adist)` of R=[[rerankR]] → exact-cosine re-rank
+    * over the shortlist's raw vectors → `ann(probe_id, cand_id, rnk,
+    * cosine)`, the re-ranked top-3 (cosine desc, cand_id tie-break —
+    * [[rerankExact]]'s heap contract). Expects `e(vec_id, embedding,
+    * nrm)` in scope. */
   private lazy val duckIvfPqCore: String = {
     val dd2 = (a: String, b: String) =>
       s"(${duckDot(a, a)} - 2 * ${duckDot(a, b)} + ${duckDot(b, b)})"
@@ -756,19 +766,38 @@ object Similarity {
                JOIN codes co ON co.cand_id = c.cand_id AND co.s = p.s
                JOIN cbl cb ON cb.s = co.s AND cb.j = co.code
                GROUP BY 1, 2),
-        ann AS (SELECT probe_id, cand_id, rnk, adist FROM
+        short AS (SELECT probe_id, cand_id, rnk, adist FROM
                   (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY adist, cand_id) AS INTEGER) AS rnk FROM ad)
+                WHERE rnk <= $rerankR),
+        rr AS (SELECT sh.probe_id, sh.cand_id,
+                      ${duckDot("p.embedding", "c.embedding")} / (p.nrm * c.nrm) AS cosine
+               FROM short sh JOIN e p ON p.vec_id = sh.probe_id
+                             JOIN e c ON c.vec_id = sh.cand_id),
+        ann AS (SELECT probe_id, cand_id, rnk, cosine FROM
+                  (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS INTEGER) AS rnk FROM rr)
                 WHERE rnk <= 3)"""
   }
 
-  /** s13's full IVFADC oracle (trained quantizers + residual encoding
-    * replayed CTE-for-CTE), shared verbatim by s16 (the persistence
-    * roundtrip must produce the identical answer) and stream10 (the
-    * streaming serve path is the same index). */
+  /** s13's full IVFADC+R oracle (trained quantizers + residual
+    * encoding + exact re-rank replayed CTE-for-CTE), shared verbatim
+    * by s16 (the persistence roundtrip must produce the identical
+    * answer). */
   private[graft] lazy val duckIvfPqSql: String =
     s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
         $duckIvfPqCore
-        SELECT probe_id, cand_id, rnk, adist FROM ann"""
+        SELECT probe_id, cand_id, rnk, cosine FROM ann"""
+
+  /** The ADC stage alone (no re-rank): stream10's oracle. The
+    * streaming serve path is pinned to the ADC stage EXPLICITLY —
+    * the exact re-rank is a second aggregation over the shortlist,
+    * and chaining two aggregations in one streaming query is
+    * unsupported in append/complete micro-batch plans; a production
+    * deployment re-ranks in the request path against the refine
+    * sidecar ([[ivfPqServe]]'s batch shape). */
+  private[graft] lazy val duckIvfAdcSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+        $duckIvfPqCore
+        SELECT probe_id, cand_id, rnk, adist FROM short WHERE rnk <= 3"""
 
   /** Seed centroids for [[kmeansStep]]/[[kmeansFit]]: the embeddings
     * of the k smallest vec_ids (deterministic; a bounded k-row
@@ -1125,13 +1154,17 @@ object Similarity {
     System.getProperty("java.io.tmpdir"), "graft-index", "ivfpq").toString
 
   /** s16 BUILD: train both quantizers on the corpus and write the
-    * three index artifacts — the centroid matrix (cell, pos, v), the
-    * per-subspace RESIDUAL codebooks (s, j, pos, v), and the inverted
+    * FOUR index artifacts — the centroid matrix (cell, pos, v), the
+    * per-subspace RESIDUAL codebooks (s, j, pos, v), the inverted
     * file (cell, cand_id, codes): cell-PARTITIONED postings carrying
-    * 8-byte residual codes, the only corpus-sized artifact. Drops any
-    * prior artifacts first so a partially-written or older index can
-    * never mix into a serve phase (the sink tier's pre-clean
-    * contract). */
+    * 8-byte residual codes, and the REFINE SIDECAR (cell, vec_id,
+    * embedding, nrm): the raw vectors the IVFADC+R re-rank reads,
+    * cell-partitioned like the postings so the serve-path refine read
+    * prunes to the probed cells too. Postings + sidecar are the two
+    * corpus-sized artifacts (8 B codes vs 256 B raw — the sidecar is
+    * the memory-for-recall trade §VII names). Drops any prior
+    * artifacts first so a partially-written or older index can never
+    * mix into a serve phase (the sink tier's pre-clean contract). */
   private[graft] def ivfPqBuild(s: SparkSession, e: DataFrame): Unit = {
     import s.implicits._
     val ix = ivfPqIndexDir
@@ -1158,6 +1191,12 @@ object Similarity {
       // touches nprobe directories, not the index — the layout
       // that makes a 1 B-vector index serveable
       .write.partitionBy("cell").mode("overwrite").parquet(s"$ix/postings")
+    // refine sidecar: raw vectors keyed like the postings — map-only
+    // (argmax against the literal centroids in-projection, no join)
+    cellScores(e, cent)
+      .selectExpr("array_position(scores, array_max(scores)) - 1 as cell",
+        "vec_id", "embedding", "nrm")
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$ix/vectors")
   }
 
   /** s16 SERVE: answer the ANN query from the artifacts alone. The
@@ -1165,12 +1204,14 @@ object Similarity {
     * the bounded in-memory index head); the probes' cells are
     * resolved against the loaded centroids FIRST (a |probes|-row
     * job), and the resulting cell set is pushed into the postings
-    * read as a STATIC `isin` filter — so the FileSourceScan lists
-    * only the probed cells' partitions (PartitionFilters, asserted by
-    * IndexPruneSpec), never the index. This is the routing shape a
-    * serving tier actually runs: the router knows the query's cells
-    * before it touches storage. ADC scoring and the bounded-heap
-    * top-3 are s13's. */
+    * AND sidecar reads as a STATIC `isin` filter — so both
+    * FileSourceScans list only the probed cells' partitions
+    * (PartitionFilters, asserted by IndexPruneSpec), never the index.
+    * This is the routing shape a serving tier actually runs: the
+    * router knows the query's cells before it touches storage. ADC
+    * shortlist (R=[[rerankR]]) and the IVFADC+R exact re-rank against
+    * the refine sidecar are s13's — the roundtrip must reproduce
+    * s13's answer bit-for-bit. */
   private[graft] def ivfPqServe(s: SparkSession, probes: DataFrame): DataFrame = {
     val ix = ivfPqIndexDir
     val centBack = {
@@ -1200,8 +1241,14 @@ object Similarity {
     val cand = broadcast(pcells)
       .join(postings, "cell")
       .where(col("cand_id") =!= col("probe_id"))
-    adcTopk(cand.join(
-      broadcast(pqProbeTablesRes(probes, centBack, cbBack, 2)), Seq("probe_id", "cell")), 3)
+    val short = adcTopk(cand.join(
+      broadcast(pqProbeTablesRes(probes, centBack, cbBack, 2)), Seq("probe_id", "cell")), rerankR)
+    // IVFADC+R refine: every shortlist candidate lives in a probed
+    // cell, so the sidecar read prunes to the same partitions
+    val sidecar = s.read.parquet(s"$ix/vectors")
+      .where(col("cell").isin(probedCells.map(_.toInt): _*))
+      .select("vec_id", "embedding", "nrm")
+    rerankExact(short, probes, sidecar, 3)
   }
 
   /** The trained PQ codebook + its oracle chain, shared with the
@@ -1232,43 +1279,6 @@ object Similarity {
   private[graft] def coarseCents(e: DataFrame): (Seq[Seq[Float]], Seq[Seq[Float]]) = {
     val seeds = ivfSeeds(e)
     (seeds, lloydCents(e, seeds, ivfIters))
-  }
-
-  // temporary experiment entry for Scratch (deleted before commit)
-  private[graft] def scratchRecall(s: SparkSession, d: String): Unit = {
-    Hashing.register(s)
-    val e = Tables(s, d, "embeddings")
-      .repartition(s.sparkContext.defaultParallelism)
-      .selectExpr("vec_id", "embedding", s"$normE as nrm").persistScoped()
-    e.count()
-    val exact = bruteTopk(s, d, 3).select("probe_id", "cand_id")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    def hits(df: org.apache.spark.sql.DataFrame): Int =
-      df.select("probe_id", "cand_id").collect()
-        .count(r => exact((r.getLong(0), r.getLong(1))))
-    for (ivfI <- Seq(2); npr <- Seq(2, 3)) {
-      val cents = lloydCents(e, ivfSeeds(e), ivfI)
-      val ceil = hits(ivfTopk(e, cents, npr, 3))
-      println(s"== ivfIters=$ivfI nprobe=$npr exact-over-cells ceiling: $ceil/30")
-      val rf = residualFrame(e, cents).persistScoped()
-      for (pqI <- Seq(2); rr <- Seq(6, 10, 15)) {
-        val cb = pqCodebookTrained(rf, pqI)
-        val codes = pqEncode(rf, cb, keep = Seq("cell"))
-          .select(col("vec_id").as("cand_id"), col("cell"), col("codes"))
-        val probes = e.where("vec_id < 10")
-        val cand = broadcast(probeCells(probes, cents, npr))
-          .join(codes, "cell")
-          .where(col("cand_id") =!= col("probe_id"))
-        val short = adcTopk(cand.join(
-          broadcast(pqProbeTablesRes(probes, cents, cb, npr)), Seq("probe_id", "cell")), rr)
-        // exact re-rank of the bounded shortlist (IVFADC+R)
-        val rer = heapTopk(short.select("probe_id", "cand_id")
-          .join(e.select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nrm").as("pn")), "probe_id")
-          .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("ce2"), col("nrm").as("cn2")), "cand_id")
-          .selectExpr("probe_id", "cand_id", s"${dot("pe", "ce2")} / (pn * cn2) as cosine"), 3)
-        println(s"== ivfIters=$ivfI nprobe=$npr pqIters=$pqI R=$rr ADC+R recall: ${hits(rer)}/30")
-      }
-    }
   }
 
   /** s04's body: LSH-candidate embedding near-dup pairs, cosine ≥

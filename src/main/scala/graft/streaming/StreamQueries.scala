@@ -170,8 +170,13 @@ object StreamQueries {
 
     // streaming ANN SEARCH (complete): arriving query vectors answered
     // against the STATIC trained IVFADC index — the serving-side
-    // complement of stream09's ingestion, and s13's streaming twin
-    // (same oracle). Everything probe-side is stateless and MAP-ONLY
+    // complement of stream09's ingestion. Pinned EXPLICITLY to the
+    // ADC stage (oracle = duckIvfAdcSql): s13's IVFADC+R exact
+    // re-rank is a second aggregation over the shortlist, and two
+    // chained aggregations in one streaming query are unsupported —
+    // a production deployment re-ranks in the request path against
+    // the refine sidecar (ivfPqServe's batch shape).
+    // Everything probe-side is stateless and MAP-ONLY
     // on the stream: cell scoring against the literal centroids, the
     // top-nprobe cell pick (an in-projection array sort — a rank
     // window would be unsupported here, which is why
@@ -204,8 +209,8 @@ object StreamQueries {
               .where(org.apache.spark.sql.functions.expr("cand_id != probe_id")), 3),
           "g_stream10", mode = "complete")
       },
-      // the streaming serve must reproduce the batch index's answer
-      Some(graft.queries.Similarity.duckIvfPqSql)),
+      // the streaming serve must reproduce the batch ADC stage's answer
+      Some(graft.queries.Similarity.duckIvfAdcSql)),
 
     // complete mode: the gate reads the full snapshot; a production
     // deployment runs the same plan in update mode and upserts the

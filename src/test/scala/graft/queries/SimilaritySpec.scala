@@ -181,14 +181,16 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(clusters.keySet === vertices)
   }
 
-  test("s13 IVF-PQ: ranks contiguous, adist ascending, candidates confined to probed cells") {
+  test("s13 IVF-PQ+R: ranks contiguous, cosine descending, candidates confined to probed cells") {
     val rows = Similarity.all("s13_ivfpq").fn(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
     assert(rows.nonEmpty)
     for ((probe, g) <- rows.groupBy(_._1)) {
       val sorted = g.sortBy(_._3)
       assert(sorted.map(_._3).toSeq === (1 to g.length), s"probe $probe ranks")
-      assert(sorted.map(_._4).toSeq === sorted.map(_._4).sorted.toSeq, s"probe $probe adist order")
+      // re-ranked output orders by EXACT cosine, descending
+      assert(sorted.map(_._4).toSeq === sorted.map(_._4).sorted.reverse.toSeq,
+        s"probe $probe cosine order")
       assert(g.length <= 3 && g.forall(_._2 != probe), s"probe $probe k/self")
     }
     // two-stage pruning really prunes: some probe must see fewer than
@@ -216,5 +218,44 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       .collect().head.toSeq === Seq(8, 8))
     assert(spark.read.parquet(s"$ix/centroids").count() === 16L * 64)
     assert(spark.read.parquet(s"$ix/codebooks").count() === 8L * 16 * 8)
+    // the refine sidecar covers the corpus: one raw vector per id,
+    // partitioned by the same cell key as the postings
+    val side = spark.read.parquet(s"$ix/vectors")
+    assert(side.count() === corpus)
+    assert(side.select("vec_id").distinct().count() === corpus)
+    assert(side.columns.contains("cell"))
+  }
+
+  test("s14 IVFADC+R: exact re-rank lifts recall@3 above the raw ADC shortlist floor") {
+    graft.functions.Hashing.register(spark)
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val Sim = Similarity
+    val e = graft.Tables(spark, sf, "embeddings")
+      .selectExpr("vec_id", "embedding", "vnorm(embedding) as nrm").cache()
+    val exact = Sim.windowTopk(spark, sf, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the ADC stage alone (s13 minus the re-rank), top-3
+    val cents = Sim.lloydCents(e, Sim.ivfSeeds(e), Sim.ivfIters)
+    val rf = Sim.residualFrame(e, cents)
+    val cb = Sim.pqCodebookTrained(rf, Sim.pqIters)
+    val codes = Sim.pqEncode(rf, cb, keep = Seq("cell"))
+      .select(col("vec_id").as("cand_id"), col("cell"), col("codes"))
+    val probes = e.where("vec_id < 10")
+    val cand = broadcast(Sim.probeCells(probes, cents, 2))
+      .join(codes, "cell")
+      .where(col("cand_id") =!= col("probe_id"))
+    val adc3 = Sim.adcTopk(cand.join(
+      broadcast(Sim.pqProbeTablesRes(probes, cents, cb, 2)), Seq("probe_id", "cell")), 3)
+    def hits(df: org.apache.spark.sql.DataFrame): Int =
+      df.select("probe_id", "cand_id").collect()
+        .count(r => exact((r.getLong(0), r.getLong(1))))
+    val adcHits = hits(adc3)
+    val rerankHits = Similarity.all("s14_ivfpq_recall").fn(spark, sf)
+      .collect().map(_.getLong(1)).sum.toInt
+    e.unpersist()
+    assert(rerankHits >= adcHits,
+      s"re-ranking a superset shortlist cannot lose recall: $rerankHits !>= $adcHits")
+    assert(rerankHits > adcHits,
+      s"the R=${Sim.rerankR} refine must lift recall on this corpus: $rerankHits !> $adcHits")
   }
 }
