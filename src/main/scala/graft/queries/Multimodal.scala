@@ -52,6 +52,63 @@ object Multimodal {
     }
   }
 
+  /** REAL image decoder behind the same seam (r10 verdict #5):
+    * `javax.imageio` PNG/JPEG decode — the JDK's built-in codecs, so
+    * no external media libs are needed. m04's stub and this codec
+    * run the IDENTICAL pipeline; only the function body differs. */
+  object ImageIoCodec extends BlobCodec {
+    override def decode(blob: Array[Byte]): (Int, Int) = {
+      val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+      require(im != null, "undecodable image payload")
+      (im.getWidth, im.getHeight)
+    }
+  }
+
+  /** The committed fixture blobs m08 decodes: three formula-pixel
+    * PNGs (pixel (x,y) = ((37x+11y)%256, (59x+3y)%256, (17x+29y)%256)
+    * — lossless, so the decoded stats are derivable from the formula
+    * alone, MultimodalSpec's independent oracle) and one JPEG of the
+    * same formula (lossy; dims exact, stats golden-pinned). Bounded:
+    * 4 rows, ~1.4 KB total — the blobs parallelize to executors and
+    * the decode runs distributed, the m04 plumbing on real bytes. */
+  private[graft] def fixtureImages(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq((0L, "png", "img0.png"), (1L, "png", "img1.png"),
+        (2L, "png", "img2.png"), (3L, "jpg", "img3.jpg"))
+      .map { case (id, fmt, res) =>
+        val in = getClass.getResourceAsStream(s"/graft/fixtures/img/$res")
+        try (id, fmt, in.readAllBytes()) finally in.close()
+      }.toDF("img_id", "fmt", "blob")
+  }
+
+  /** m08's body: decode + one pixel pass per image inside the typed
+    * mapPartitions (the mapInPandas batch shape — schema up front, no
+    * shuffle, blobs never cross an exchange). mean_rgb_bp = floor of
+    * the mean channel byte × 10⁴ — integer, so the gate
+    * hash-compares exactly. */
+  private[graft] def imageDecodeStats(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col("img_id"), col("fmt"), col("blob")).as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, fmt, blob) =>
+        val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+        require(im != null, s"undecodable image payload for img $id")
+        val (w, h) = (im.getWidth, im.getHeight)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = im.getRGB(x, y)
+            sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        (id, fmt, w, h, w.toLong * h, sum * 10000 / (3L * w * h))
+      })
+      .toDF("img_id", "fmt", "width", "height", "n_px", "mean_rgb_bp")
+  }
+
   /** The m04 decode pipeline, parameterized by codec: map-only typed
     * mapPartitions over the binary payload (the Scala analogue of a
     * mapInPandas batch UDF), schema declared up front, no shuffle. */
@@ -130,6 +187,23 @@ object Multimodal {
     // STUB codec behind the [[BlobCodec]] seam — a real codec swaps
     // the one function body; partitioning, schema, and batch shape
     // stay identical (plan-equality spec-asserted).
+    // ── REAL image decode on real bytes (r10 verdict #5): the m04
+    // pipeline with javax.imageio decoding committed PNG/JPEG fixture
+    // blobs, plus a per-image pixel-stat pass. Oracle = golden rows
+    // (the dwca03 golden-hex pattern): widths/heights/pixel means of
+    // the committed files, independently derivable from the PNG
+    // pixel formula (MultimodalSpec re-derives them from the formula,
+    // not from ImageIO). Ignores sfDir — the inputs ARE the committed
+    // artifacts. ──
+    "m08_image_decode" -> Q(
+      (s, _) => imageDecodeStats(fixtureImages(s)),
+      Some("""SELECT * FROM (VALUES
+                (CAST(0 AS BIGINT), 'png', 6, 4, CAST(24 AS BIGINT), CAST(1014444 AS BIGINT)),
+                (CAST(1 AS BIGINT), 'png', 16, 9, CAST(144 AS BIGINT), CAST(1211666 AS BIGINT)),
+                (CAST(2 AS BIGINT), 'png', 1, 1, CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+                (CAST(3 AS BIGINT), 'jpg', 8, 8, CAST(64 AS BIGINT), CAST(1191302 AS BIGINT)))
+              AS t(img_id, fmt, width, height, n_px, mean_rgb_bp)""")),
+
     "m04_decode_stub" -> Q(
       (s, d) => decodePipeline(s, d, StubCodec),
       Some(s"""WITH b AS ($duckBlobs)

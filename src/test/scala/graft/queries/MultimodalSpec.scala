@@ -103,6 +103,37 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       s"equal gram multisets ($d1, $d2) missing or nonzero")
   }
 
+  test("m08 real decode: PNG stats re-derived from the pixel formula, not from ImageIO") {
+    // the fixtures' PNG pixels follow (37x+11y, 59x+3y, 17x+29y) % 256
+    // and PNG is lossless — so the decoded stats are predictable
+    // WITHOUT running the decoder, a genuinely independent oracle
+    def formulaStats(w: Int, h: Int): (Long, Long) = {
+      var sum = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        sum += (37 * x + 11 * y) % 256 + (59 * x + 3 * y) % 256 + (17 * x + 29 * y) % 256
+      (w.toLong * h, sum * 10000 / (3L * w * h))
+    }
+    val got = Multimodal.all("m08_image_decode").fn(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got.size === 4)
+    for ((id, (w, h)) <- Seq(0L -> (6, 4), 1L -> (16, 9), 2L -> (1, 1))) {
+      val (npx, bp) = formulaStats(w, h)
+      assert(got(id) === (("png", w, h, npx, bp)), s"img $id")
+    }
+    // JPEG is lossy: dims exact, mean within 2% of the formula
+    val (jn, jbp) = formulaStats(8, 8)
+    val (jf, jw, jh, jnpx, jgot) = got(3L)
+    assert((jf, jw, jh, jnpx) === (("jpg", 8, 8, jn)))
+    assert(math.abs(jgot - jbp) * 50 < jbp, s"jpeg mean drifted: $jgot vs $jbp")
+  }
+
+  test("m08 ImageIoCodec runs through the m04 BlobCodec seam (dims only, same contract)") {
+    val dims = Multimodal.fixtureImages(spark).collect()
+      .map(r => r.getLong(0) -> Multimodal.ImageIoCodec.decode(r.getAs[Array[Byte]](2))).toMap
+    assert(dims === Map(0L -> ((6, 4)), 1L -> ((16, 9)), 2L -> ((1, 1)), 3L -> ((8, 8))))
+  }
+
   test("decode output schema is pinned regardless of codec") {
     val df = Multimodal.decodePipeline(spark, sf, AltCodec)
     assert(df.schema.map(f => (f.name, f.dataType.typeName)) ===
