@@ -486,41 +486,24 @@ object Dedup {
       (s, d) => {
         Hashing.register(s)
         val docs = Tables(s, d, "documents")
-        val pct = s"${Hashing.h32Sql("concat('shard:', doc_id)")} % 100"
-        val shard = docs.where(s"$pct < 20")
-          .selectExpr("doc_id + 1000000 as doc_id",
-            s"case when $pct < 10 then text else concat(text, ' v2') end as text")
-          .select(col("doc_id"), md5(col("text")).as("fp"))
-        val corpusFps = docs.select(md5(col("text")).as("fp")).distinct()
+        val shard = shardFps(docs)
+        val corpus = corpusFps(docs)
         // One bounded row to the driver (the sketch itself), probed as
         // a codegen'd Literal — the c04 pattern.
-        val bloomRow = corpusFps
-          .agg(expr(s"bloom_agg(fp, ${1 << 20}, ${8 << 20})").as("bf"))
+        val bloomRow = corpus
+          .agg(expr(s"bloom_agg(fp, $bloomItems, $bloomBits)").as("bf"))
           .head()
         val mightHit: org.apache.spark.sql.Column =
           if (bloomRow.isNullAt(0)) lit(false) // empty corpus: everything is new
-          else org.apache.spark.sql.GraftSqlShims.column(
-            org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-              org.apache.spark.sql.catalyst.expressions.Literal(
-                bloomRow.getAs[Array[Byte]](0),
-                org.apache.spark.sql.types.BinaryType),
-              new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
-                org.apache.spark.sql.GraftSqlShims.expression(col("fp"))))))
+          else bloomMight(bloomRow.getAs[Array[Byte]](0), col("fp"))
         val seen = shard.where(mightHit)
-          .join(corpusFps, Seq("fp"), "left_semi")
+          .join(corpus, Seq("fp"), "left_semi")
           .select("doc_id").withColumn("seen", lit(true))
         shard.select("doc_id")
           .join(seen, Seq("doc_id"), "left")
           .selectExpr("doc_id", "coalesce(seen, false) as seen")
       },
-      Some(s"""WITH shard AS (SELECT doc_id + 1000000 AS doc_id,
-                      md5(CASE WHEN ${Hashing.duck32("'shard:' || doc_id")} % 100 < 10
-                               THEN text ELSE text || ' v2' END) AS fp
-                      FROM documents
-                      WHERE ${Hashing.duck32("'shard:' || doc_id")} % 100 < 20),
-               corpus AS (SELECT DISTINCT md5(text) AS fp FROM documents)
-               SELECT s.doc_id, (c.fp IS NOT NULL) AS seen
-               FROM shard s LEFT JOIN corpus c USING (fp)""")),
+      Some(d14Oracle)),
 
     // ── near-dup CLUSTERS: connected components over the d03 pair
     // graph by min-label propagation — the step a dedup pipeline
@@ -814,4 +797,161 @@ object Dedup {
                       CAST((sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT) AS dup_bp
                FROM e JOIN c USING (wh) GROUP BY doc_id"""))
   )
+
+  // ── shard-vs-corpus dedup machinery shared by d14 (one-shot batch)
+  // and stream12 (maintained index + streaming serve) ──
+
+  /** Bloom sizing for the corpus fingerprint sketch (constant-size
+    * regardless of corpus cardinality; ≈fpp 3% at 1M items). */
+  private val bloomItems = 1 << 20
+  private val bloomBits = 8 << 20
+
+  /** The simulated re-crawl shard (same deterministic split in both
+    * engines): 20% of docs under new ids, half verbatim, half
+    * content-edited — reduced to (doc_id, fp = md5(text)). Stateless
+    * projections only, so it runs unchanged on a streaming frame. */
+  private[graft] def shardFps(docs: DataFrame): DataFrame = {
+    val pct = s"${Hashing.h32Sql("concat('shard:', doc_id)")} % 100"
+    docs.where(s"$pct < 20")
+      .selectExpr("doc_id + 1000000 as doc_id",
+        s"case when $pct < 10 then text else concat(text, ' v2') end as text")
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+  }
+
+  /** Distinct corpus fingerprints — the exact side of the index. */
+  private[graft] def corpusFps(docs: DataFrame): DataFrame =
+    docs.select(md5(col("text")).as("fp")).distinct()
+
+  /** Map-side probe of a serialized bloom literal (the c04/d14
+    * codegen'd-Literal pattern). */
+  private def bloomMight(bytes: Array[Byte],
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftSqlShims.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          bytes, org.apache.spark.sql.types.BinaryType),
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+          org.apache.spark.sql.GraftSqlShims.expression(c)))))
+
+  /** d14's oracle, shared verbatim by stream12: `seen` is always
+    * membership in the CORPUS index — exact-join semantics, which the
+    * bloom merely prefilters — so the answer is arrival-order- and
+    * batch-boundary-independent (and the corpus has no duplicate
+    * texts, so intra-shard arrivals cannot flip it either). */
+  private[graft] lazy val d14Oracle: String =
+    s"""WITH shard AS (SELECT doc_id + 1000000 AS doc_id,
+            md5(CASE WHEN ${Hashing.duck32("'shard:' || doc_id")} % 100 < 10
+                     THEN text ELSE text || ' v2' END) AS fp
+            FROM documents
+            WHERE ${Hashing.duck32("'shard:' || doc_id")} % 100 < 20),
+        corpus AS (SELECT DISTINCT md5(text) AS fp FROM documents)
+        SELECT s.doc_id, (c.fp IS NOT NULL) AS seen
+        FROM shard s LEFT JOIN corpus c USING (fp)"""
+
+  /** stream12's maintained-index root (the s16 artifact pattern:
+    * fixed scratch path, pre-cleaned at build). */
+  private[graft] def shardIndexDir: String = java.nio.file.Paths.get(
+    System.getProperty("java.io.tmpdir"), "graft-index", "sharddedup").toString
+
+  private def bloomPath = java.nio.file.Paths.get(shardIndexDir, "bloom", "bloom.bin")
+
+  /** BUILD: write the corpus fingerprint index — the base fps parquet
+    * (exact side) and the serialized mergeable bloom (probe side).
+    * The bloom is ONE bounded binary whatever the corpus size; the
+    * fps table is the corpus-sized artifact, the d14 comment's
+    * "maintained index, not a per-run scan". */
+  private[graft] def shardIndexBuild(s: SparkSession, corpus: DataFrame): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(shardIndexDir))
+    val c = corpus.persist()
+    c.write.mode("overwrite").parquet(s"$shardIndexDir/fps/base")
+    val row = c.agg(expr(s"bloom_agg(fp, $bloomItems, $bloomBits)").as("bf")).head()
+    c.unpersist()
+    val bytes =
+      if (row.isNullAt(0)) Array.emptyByteArray else row.getAs[Array[Byte]](0)
+    java.nio.file.Files.createDirectories(bloomPath.getParent)
+    java.nio.file.Files.write(bloomPath, bytes)
+  }
+
+  /** The index's current exact side: base fps plus every batch's
+    * appended novelties. */
+  private def indexFps(s: SparkSession): DataFrame = {
+    val inc = new java.io.File(s"$shardIndexDir/fps/incoming")
+    val base = s.read.parquet(s"$shardIndexDir/fps/base")
+    if (inc.exists()) base.unionByName(s.read.parquet(inc.toString)) else base
+  }
+
+  /** stream12 SERVE + MAINTAIN — d14's streaming twin over a
+    * maintained index. Per micro-batch of arriving shard docs:
+    * (1) probe the bloom artifact map-side (a codegen'd Literal —
+    * no join, no shuffle for the overwhelming not-in-corpus
+    * majority), (2) exact-verify survivors with a fingerprint-only
+    * semi join against the index fps, (3) emit (doc_id, seen) to the
+    * results sink, and (4) fold the batch's NOVEL fingerprints back
+    * into the index: parquet append + bloom merge (same-parameter
+    * blooms OR together — `BloomFilter.mergeInPlace` — so the update
+    * never rescans the corpus; the artifact swap is an atomic
+    * rename). This is the CDC-ingest dedup loop a training pipeline
+    * runs continuously; re-streaming a shard against the updated
+    * index reports every previously-novel fp as seen
+    * (StreamShardDedupSpec). Returns the drained results frame. */
+  private[graft] def shardDedupStream(s: SparkSession, docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Dataset, Row}
+    val outDir = s"$shardIndexDir/results"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(outDir)) // the query owns its results sink
+    val q = shardFps(docs).writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val sb = batch.sparkSession
+        val b = batch.persist()
+        try {
+          val bytes = java.nio.file.Files.readAllBytes(bloomPath)
+          val cur = indexFps(sb).persist()
+          val mightHit =
+            if (bytes.isEmpty) lit(false) else bloomMight(bytes, col("fp"))
+          val seen = b.where(mightHit).join(cur, Seq("fp"), "left_semi")
+            .select("doc_id").withColumn("seen", lit(true))
+          b.select("doc_id").join(seen, Seq("doc_id"), "left")
+            .selectExpr("doc_id", "coalesce(seen, false) as seen")
+            .write.mode("append").parquet(outDir)
+          val fresh = b.select("fp").distinct()
+            .join(cur, Seq("fp"), "left_anti").persist()
+          val freshRow =
+            fresh.agg(expr(s"bloom_agg(fp, $bloomItems, $bloomBits)").as("bf")).head()
+          if (!freshRow.isNullAt(0)) {
+            fresh.write.mode("append").parquet(s"$shardIndexDir/fps/incoming")
+            import org.apache.spark.util.sketch.BloomFilter
+            def read(x: Array[Byte]) =
+              BloomFilter.readFrom(new java.io.ByteArrayInputStream(x))
+            val add = read(freshRow.getAs[Array[Byte]](0))
+            val merged =
+              if (bytes.isEmpty) add
+              else { val m = read(bytes); m.mergeInPlace(add); m }
+            val bo = new java.io.ByteArrayOutputStream()
+            merged.writeTo(bo)
+            val tmp = bloomPath.resolveSibling("bloom.bin.tmp")
+            java.nio.file.Files.write(tmp, bo.toByteArray)
+            java.nio.file.Files.move(tmp, bloomPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          }
+          fresh.unpersist()
+          cur.unpersist()
+          () // foreachBatch wants Unit; unpersist returns the frame
+        } finally b.unpersist()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(300000)) {
+      q.stop()
+      throw new IllegalStateException("stream12 did not drain within 300s")
+    }
+    s.read.parquet(outDir)
+  }
 }

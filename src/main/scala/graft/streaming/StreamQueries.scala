@@ -212,6 +212,23 @@ object StreamQueries {
       // the streaming serve must reproduce the batch ADC stage's answer
       Some(graft.queries.Similarity.duckIvfAdcSql)),
 
+    // incremental shard dedup against the MAINTAINED bloom index —
+    // d14's streaming twin (same oracle: `seen` is corpus-membership,
+    // batch-boundary-independent). BUILD writes the fps parquet +
+    // mergeable bloom artifacts once; each arriving micro-batch
+    // probes the bloom map-side, exact-verifies survivors, and folds
+    // its novel fingerprints back into the index (parquet append +
+    // bloom OR-merge, atomic swap) — the CDC-ingest dedup loop a
+    // training pipeline runs continuously.
+    "stream12_shard_dedup" -> Q(
+      (s, d) => {
+        graft.functions.Hashing.register(s)
+        val Dd = graft.queries.Dedup
+        Dd.shardIndexBuild(s, Dd.corpusFps(graft.Tables(s, d, "documents")))
+        Dd.shardDedupStream(s, EventStreams.docsStream(s, d))
+      },
+      Some(graft.queries.Dedup.d14Oracle)),
+
     // complete mode: the gate reads the full snapshot; a production
     // deployment runs the same plan in update mode and upserts the
     // changed keys into the serving store per micro-batch
