@@ -711,7 +711,12 @@ object Similarity {
     * |shortlist| raw-vector reads, never a corpus scan. */
   private[graft] def rerankExact(short: DataFrame, probeVecs: DataFrame,
       candVecs: DataFrame, k: Int): DataFrame =
-    heapTopk(short.select("probe_id", "cand_id")
+    // broadcast the SHORTLIST, not the vector side: the shortlist is
+    // bounded (R × |probes|) by construction, while candVecs is the
+    // corpus (s13) or the probed cells' sidecar slice (s16) — at 1 B
+    // vectors a stats-driven plan would shuffle or broadcast it; the
+    // hint pins a BuildLeft BHJ that streams the vectors map-side
+    heapTopk(broadcast(short.select("probe_id", "cand_id"))
       .join(candVecs.select(col("vec_id").as("cand_id"),
         col("embedding").as("ce2"), col("nrm").as("cn2")), "cand_id")
       .join(broadcast(probeVecs.select(col("vec_id").as("probe_id"),

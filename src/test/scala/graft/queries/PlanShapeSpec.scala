@@ -167,6 +167,10 @@ class PlanShapeSpec extends AnyFunSuite with graft.SparkTestBase {
   test("s13 IVF-PQ: cell-bounded candidates, code-table scoring, heap top-k — no cartesian") {
     val p = planOf("s13_ivfpq")
     assert(!p.contains("CartesianProduct"), p)
+    // the IVFADC+R refine must broadcast the bounded shortlist and
+    // stream the vector side — a SortMergeJoin here means the corpus
+    // (or the sidecar slice) is being shuffled for R×|probes| rows
+    assert(!p.contains("SortMergeJoin"), p)
     // the only windows are the bounded probe-side frames (cent pick +
     // pcells), both keyed — never an unpartitioned corpus window
     assert(p.linesIterator.filter(_.contains("windowspecdefinition"))
