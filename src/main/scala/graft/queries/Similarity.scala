@@ -607,6 +607,49 @@ object Similarity {
       // the roundtrip must reproduce s13's answer exactly
       Some(duckIvfPqSql)),
 
+    // ── metadata-FILTERED ANN (the production "similar docs WHERE
+    // lang='en'" shape): IVF top-3 by exact cosine among candidates
+    // satisfying a label predicate, with the filter applied to the
+    // INVERTED LISTS before any scoring — pre-filtering, not the
+    // lossy post-filter of an unfiltered top-k (which returns fewer
+    // than k survivors whenever the unfiltered top-k is predicate-
+    // poor; FilteredAnnSpec demonstrates the divergence). Scale
+    // shape: the label rides in the postings row, so at 1 B vectors
+    // the predicate is a pushed parquet filter on the postings scan
+    // (the s16 artifact layout), the candidate join stays the bounded
+    // cell equi-join, and scoring touches only surviving candidates.
+    // Probes are NOT filtered — the query vector may be anything. ──
+    "s18_filtered_ann" -> Q(
+      (s, d) => {
+        Hashing.register(s)
+        val e = Tables(s, d, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("vec_id", "embedding", s"$normE as nrm", "label").persistScoped()
+        val cents = lloydCents(e, ivfSeeds(e), ivfIters)
+        // pre-filter: only even-label vectors enter the inverted lists
+        val cand = broadcast(probeCells(e.where("vec_id < 10"), cents, 2))
+          .join(ivfAssign(e.where("label % 2 = 0"), cents), "cell")
+          .where(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id").as("cand_id")).distinct()
+        heapTopk(cand
+          .join(e.select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nrm").as("pn")), "probe_id")
+          .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("ce2"), col("nrm").as("cn2")), "cand_id")
+          .selectExpr("probe_id", "cand_id", s"${dot("pe", "ce2")} / (pn * cn2) as cosine"), 3)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm, label FROM embeddings),
+               ${duckTrainedCent(ivfIters)},
+               $duckIvfAsg,
+               ${duckIvfProbe(2)},
+               candf AS (SELECT DISTINCT p.probe_id, a.vec_id AS cand_id
+                         FROM pcells p JOIN asg a ON a.cell = p.cell AND a.vec_id != p.probe_id
+                         JOIN e ce ON ce.vec_id = a.vec_id
+                         WHERE ce.label % 2 = 0),
+               sc AS (SELECT probe_id, cand_id, ${duckDot("x.embedding", "y.embedding")}/(x.nrm*y.nrm) AS cosine
+                      FROM candf JOIN e x ON x.vec_id = probe_id JOIN e y ON y.vec_id = cand_id)
+               SELECT probe_id, cand_id, rnk, cosine FROM
+                 (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS INTEGER) AS rnk FROM sc)
+               WHERE rnk <= 3""")),
+
     // ── MMR diversity re-rank: Maximal Marginal Relevance
     // (Carbonell & Goldstein 1998) over the exact top-10 shortlist —
     // retrieval that penalizes redundancy, the standard fix when the

@@ -226,6 +226,33 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(side.columns.contains("cell"))
   }
 
+  test("s18 filtered ANN: hits satisfy the predicate; pre-filter finds what post-filtering loses") {
+    val rows = Similarity.all("s18_filtered_ann").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val labels = graft.Tables(spark, sf, "embeddings")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    rows.foreach { case (_, c, _, _) =>
+      assert(labels(c) % 2 == 0, s"candidate $c violates the predicate") }
+    for ((probe, g) <- rows.groupBy(_._1)) {
+      val sorted = g.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq === (1 to g.length), s"probe $probe ranks")
+      assert(sorted.map(_._4).toSeq === sorted.map(_._4).sorted.reverse.toSeq,
+        s"probe $probe cosine order")
+    }
+    // the production pitfall this operator exists to avoid: filtering
+    // the UNFILTERED top-3 afterwards returns fewer hits whenever the
+    // unfiltered top-3 is predicate-poor — the pre-filtered search
+    // must beat the post-filter on at least one probe
+    val post = Similarity.all("s05_ivf_topk").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (_, c) => labels(c) % 2 == 0 }
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    val pre = rows.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(pre.exists { case (p, n) => n > post.getOrElse(p, 0) },
+      "pre-filter never beat post-filter — the demo predicate is too weak")
+  }
+
   test("s14 IVFADC+R: exact re-rank lifts recall@3 above the raw ADC shortlist floor") {
     graft.functions.Hashing.register(spark)
     import org.apache.spark.sql.functions.{broadcast, col}
