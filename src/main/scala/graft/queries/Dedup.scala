@@ -44,11 +44,16 @@ object Dedup {
   private def hashedDocs(s: SparkSession, d: String): DataFrame = {
     Hashing.register(s)
     graft.plans.JaccardRewrite.install(s)
-    Tables(s, d, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
-      .where(s"size($toks) >= 3")
-      .selectExpr("doc_id", s"hashed_shingles($toks, 3) as hv")
+    hashedDocsOf(Tables(s, d, "documents")
+      .repartition(s.sparkContext.defaultParallelism))
   }
+
+  /** The shingle-hash projection over an arbitrary (doc_id, text)
+    * frame — shared by the corpus path above and d16's shard side.
+    * Requires [[Hashing.register]] on the session. */
+  private def hashedDocsOf(docs: DataFrame): DataFrame =
+    docs.where(s"size($toks) >= 3")
+      .selectExpr("doc_id", s"hashed_shingles($toks, 3) as hv")
 
   /** MinHash via one base hash per shingle + k affine permutations
     * h_j(x) = (a_j·h(x) + b_j) mod p over the 31-bit field (Mersenne
@@ -118,15 +123,18 @@ object Dedup {
     * logical plans across queries dedupe in the cache manager. */
   private def lshFrames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val hs = hashedDocs(s, d).persistScoped()
-    val sigs = hs.selectExpr("doc_id", "affine_minhash(hv, 16) as sig")
-    // 4 bands of 4 rows: bucket = hash(band, 4 consecutive sig values)
-    val bk = sigs
+    val bk = bandBuckets(hs).persistScoped()
+    (hs, bk)
+  }
+
+  /** MinHash signatures → 4 bands of 4 rows each: bucket = hash(band,
+    * 4 consecutive sig values). Shared by the corpus index and d16's
+    * shard probe — SAME banding, or the probe misses the index. */
+  private def bandBuckets(hs: DataFrame): DataFrame =
+    hs.selectExpr("doc_id", "affine_minhash(hv, 16) as sig")
       .selectExpr("doc_id", "explode(sequence(0, 3)) as band", "sig")
       .selectExpr("doc_id", "band",
         s"${Hashing.h32Sql("concat(band, ':', concat_ws(',', slice(sig, band*4+1, 4)))")} as bucket")
-      .persistScoped()
-    (hs, bk)
-  }
 
   /** The ONE candidate topology every LSH query shares: banded
     * (band, bucket) self-join — optionally bucket-capped for skew —
@@ -421,6 +429,82 @@ object Dedup {
                    min(($a[j+1] * h + $b[j+1]) % $P) AS v
             FROM pool, (SELECT unnest(generate_series(0, 15)) AS j)
             GROUP BY 1, 2"""
+      }),
+
+    // ── incremental shard-vs-corpus NEAR-dup: d14's sibling for the
+    // edited-revision case. d14's exact fingerprints catch only
+    // verbatim re-crawls; here each shard doc probes the corpus's
+    // MAINTAINED MinHash-LSH index — the (band, bucket) table d03
+    // already builds, which at 100 TB is a persisted artifact like
+    // stream12's bloom, updated per shard, never rebuilt — and every
+    // bucket-sharing candidate is exact-Jaccard-verified at ≥ 0.7.
+    // The probe is an equi-join of the SHARD's buckets (20% of a
+    // shard's docs × 4 bands) against the index, so the scan is
+    // bounded by the shard, not the corpus, and there is no
+    // corpus-vs-corpus self-join at all. Output keeps every shard
+    // doc: n_matches = verified near-dup sources in the corpus
+    // (0 for genuinely new content AND for sub-shingle shorts),
+    // best_match = smallest matching corpus id, −1 if none. ──
+    "d16_shard_neardup" -> Q(
+      (s, d) => {
+        val (chs, cbk) = lshFrames(s, d) // the maintained corpus index
+        val shard = shardDocs(Tables(s, d, "documents")).persistScoped()
+        val shs = hashedDocsOf(
+          shard.repartition(s.sparkContext.defaultParallelism)).persistScoped()
+        val cand = bandBuckets(shs)
+          .select(col("doc_id").as("sd"), col("band"), col("bucket"))
+          .join(cbk.select(col("doc_id").as("cd"), col("band").as("b2"), col("bucket").as("k2")),
+            col("band") === col("b2") && col("bucket") === col("k2"))
+          .select("sd", "cd").distinct()
+        val matches = cand
+          .join(shs.select(col("doc_id").as("sd"), col("hv").as("hv1")), "sd")
+          .join(chs.select(col("doc_id").as("cd"), col("hv").as("hv2")), "cd")
+          .selectExpr("sd", "cd", jaccardExpr)
+          .where("jac >= 0.7")
+          .groupBy("sd")
+          .agg(count(lit(1)).as("n_matches"), min("cd").as("best_match"))
+          .withColumnRenamed("sd", "doc_id")
+        shard.select("doc_id")
+          .join(matches, Seq("doc_id"), "left")
+          .selectExpr("doc_id",
+            "coalesce(n_matches, cast(0 as bigint)) as n_matches",
+            "coalesce(best_match, cast(-1 as bigint)) as best_match")
+      },
+      Some {
+        val pct = s"${Hashing.duck32("'shard:' || doc_id")} % 100"
+        s"""$duckShingles,
+            csig AS (SELECT doc_id, ${duckSig(16)} AS sig FROM hs),
+            cb AS (SELECT doc_id, unnest(generate_series(0, 3)) AS band, sig FROM csig),
+            cbk AS (SELECT doc_id, band,
+                      ${Hashing.duck32("band || ':' || array_to_string(sig[band*4+1:band*4+4], ',')")} AS bucket
+                    FROM cb),
+            sdoc AS (SELECT doc_id + 1000000 AS doc_id,
+                            CASE WHEN $pct < 10 THEN text ELSE text || ' v2' END AS text
+                     FROM documents WHERE $pct < 20),
+            st AS (SELECT doc_id, string_split(text,' ') AS t FROM sdoc
+                   WHERE len(string_split(text,' ')) >= 3),
+            ssh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-2),
+                      i -> array_to_string(t[i:i+2], ' '))) AS sh FROM st),
+            shs AS (SELECT doc_id, list_transform(sh,
+                      s -> (('0x' || substr(md5(s), 1, 8))::BIGINT) % 2147483647) AS hv FROM ssh),
+            ssig AS (SELECT doc_id, ${duckSig(16)} AS sig FROM shs),
+            sb AS (SELECT doc_id, unnest(generate_series(0, 3)) AS band, sig FROM ssig),
+            sbk AS (SELECT doc_id, band,
+                      ${Hashing.duck32("band || ':' || array_to_string(sig[band*4+1:band*4+4], ',')")} AS bucket
+                    FROM sb),
+            cand AS (SELECT DISTINCT s.doc_id AS sdid, c.doc_id AS cd
+                     FROM sbk s JOIN cbk c ON s.band = c.band AND s.bucket = c.bucket),
+            ver AS (SELECT sdid, cd FROM
+                      (SELECT sdid, cd,
+                              CAST(len(list_intersect(x.hv, y.hv)) AS DOUBLE)
+                                / len(list_distinct(x.hv || y.hv)) AS jac
+                       FROM cand JOIN shs x ON x.doc_id = sdid JOIN hs y ON y.doc_id = cd)
+                    WHERE jac >= 0.7),
+            agg AS (SELECT sdid, count(*) AS n_matches, min(cd) AS best_match
+                    FROM ver GROUP BY sdid)
+            SELECT s.doc_id, COALESCE(a.n_matches, 0) AS n_matches,
+                   COALESCE(a.best_match, -1) AS best_match
+            FROM sdoc s LEFT JOIN agg a ON a.sdid = s.doc_id"""
       }),
 
     // ── MinHash Jaccard ESTIMATOR audit: for every LSH candidate
@@ -808,15 +892,19 @@ object Dedup {
 
   /** The simulated re-crawl shard (same deterministic split in both
     * engines): 20% of docs under new ids, half verbatim, half
-    * content-edited — reduced to (doc_id, fp = md5(text)). Stateless
-    * projections only, so it runs unchanged on a streaming frame. */
-  private[graft] def shardFps(docs: DataFrame): DataFrame = {
+    * content-edited. Stateless projections only, so it runs unchanged
+    * on a streaming frame. Shared by d14/stream12 (exact fps) and
+    * d16 (near-dup shingles). */
+  private[graft] def shardDocs(docs: DataFrame): DataFrame = {
     val pct = s"${Hashing.h32Sql("concat('shard:', doc_id)")} % 100"
     docs.where(s"$pct < 20")
       .selectExpr("doc_id + 1000000 as doc_id",
         s"case when $pct < 10 then text else concat(text, ' v2') end as text")
-      .select(col("doc_id"), md5(col("text")).as("fp"))
   }
+
+  /** The shard reduced to exact fingerprints (doc_id, fp = md5(text)). */
+  private[graft] def shardFps(docs: DataFrame): DataFrame =
+    shardDocs(docs).select(col("doc_id"), md5(col("text")).as("fp"))
 
   /** Distinct corpus fingerprints — the exact side of the index. */
   private[graft] def corpusFps(docs: DataFrame): DataFrame =

@@ -243,4 +243,49 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     // the whole, so the min combined information from BOTH sides
     assert(sig(h1) != sig(hv) && sig(h2) != sig(hv))
   }
+
+  test("d16 shard near-dup: sound vs a brute-force recompute; exact dups guaranteed found") {
+    graft.functions.Hashing.register(spark)
+    val got = Dedup.all("d16_shard_neardup").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    // independent recompute: word-3-gram shingle sets in plain Scala,
+    // exact Jaccard over ALL shard x corpus pairs (no LSH)
+    def shingles(t: String): Set[String] = {
+      val w = t.split(" ")
+      if (w.length < 3) Set.empty else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val corpus = graft.Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> shingles(r.getString(1))).toMap
+    val shard = Dedup.shardDocs(graft.Tables(spark, sf, "documents"))
+      .collect().map(r => r.getLong(0) -> shingles(r.getString(1))).toMap
+    def jac(a: Set[String], b: Set[String]): Double =
+      if (a.isEmpty || b.isEmpty) 0.0
+      else a.intersect(b).size.toDouble / a.union(b).size
+    val brute = shard.map { case (sid, sh) =>
+      sid -> corpus.filter { case (_, ch) => sh.nonEmpty && jac(sh, ch) >= 0.7 }.keySet
+    }
+    assert(got.map(_._1).toSet === shard.keySet)
+    got.foreach { case (sid, n, best) =>
+      val truth = brute(sid)
+      // soundness: LSH candidates are a subset of all pairs, and the
+      // verify join re-checks the threshold — never MORE matches than
+      // brute force, and the reported best really is a >=0.7 match
+      assert(n <= truth.size, s"doc $sid reported $n > ${truth.size} true matches")
+      if (best != -1L) assert(truth.contains(best), s"doc $sid best_match $best not a true match")
+      // exact-dup guarantee: a verbatim re-crawl has the IDENTICAL
+      // shingle set -> identical signature -> all four bands collide,
+      // so the candidate cannot be missed
+      if (shard(sid).nonEmpty && corpus.get(sid - 1000000).contains(shard(sid)))
+        assert(n >= 1, s"verbatim re-crawl $sid missed")
+      // sub-shingle docs can match nothing
+      if (shard(sid).isEmpty) assert(n === 0L && best === -1L, s"short doc $sid matched")
+    }
+    // the operator must catch EDITED revisions too (the reason it
+    // exists beyond d14): some matched shard doc is not verbatim
+    assert(got.exists { case (sid, n, _) =>
+      n >= 1 && !corpus.get(sid - 1000000).contains(shard(sid)) },
+      "no edited revision was caught - d16 degenerates to d14")
+  }
 }
