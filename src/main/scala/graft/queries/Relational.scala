@@ -555,6 +555,32 @@ object Relational {
               WHERE EXISTS (SELECT 1 FROM orders
                             WHERE o_custkey = c_custkey AND o_totalprice > 250000)
                 AND NOT EXISTS (SELECT 1 FROM orders
-                                WHERE o_custkey = c_custkey AND o_totalprice <= 250000)"""))
+                                WHERE o_custkey = c_custkey AND o_totalprice <= 250000)""")),
+
+    // ── SCD2 interval building: a change log becomes versioned
+    // history rows (valid_from, valid_to, is_current) — the slowly-
+    // changing-dimension type-2 shape every warehouse dimension and
+    // every point-in-time training-data snapshot needs. One lead()
+    // over (key, change-time): each record's validity closes at the
+    // NEXT record's effective date, the newest stays open
+    // (valid_to NULL, is_current). Same scale class as q30: one
+    // exchange on the key, per-key window state bounded by that key's
+    // history, never a self-join on the change table. The
+    // (o_orderdate, o_orderkey) compound order makes same-day
+    // changes deterministic in both engines. ──
+    "q32_scd2" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables(s, d, "orders")
+          .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+          .selectExpr("o_custkey", "o_orderkey", "o_orderdate as valid_from",
+            "valid_to", "valid_to is null as is_current")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
+                     lead(o_orderdate) OVER w AS valid_to,
+                     (lead(o_orderdate) OVER w) IS NULL AS is_current
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""))
   )
 }

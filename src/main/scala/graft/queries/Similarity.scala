@@ -657,6 +657,60 @@ object Similarity {
     // each step selects argmax of 0.7·relevance − 0.3·(max cosine to
     // anything already selected), expressed with integer coefficients
     // (7x−3y)/10 so both engines parse identical double literals.
+    // ── SemDeDup (Abbas et al. 2023): embedding-space SEMANTIC dedup.
+    // Registered in the dedup tier (d-prefix key) but lives here for
+    // the trained-quantizer machinery. All-pairs cosine over a corpus
+    // is quadratic; SemDeDup bounds it by clustering first and
+    // comparing only WITHIN cells: assignment is map-only against the
+    // trained literal centroids (the s05/s13 coarse quantizer,
+    // replayed CTE-for-CTE by the oracle), and the pairwise stage is
+    // an equi-join on the cell id — cost Σ|cell|², dialed by k
+    // (production sizes k ≈ corpus/10k so cells stay ~10k rows; a
+    // skewed cell splits under AQE skew-join). Keep rule,
+    // deterministic in both engines off the bit-identical dotf
+    // cosine: a vector is a semantic duplicate iff a SMALLER-id
+    // vector in the same cell has cosine ≥ 0.4 with it (greedy
+    // keep-first — the paper keeps one representative per similarity
+    // group; smallest-id is the deterministic choice of it). Output
+    // keeps every vector with its verdict, so downstream filters
+    // compose: (vec_id, cell, dup_of = smallest in-cell near-neighbor
+    // or −1, keep). ──
+    "d17_semdedup" -> Q(
+      (s, d) => {
+        Hashing.register(s)
+        val e = Tables(s, d, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("vec_id", "embedding", s"$normE as nrm").persistScoped()
+        val wc = ivfAssign(e, lloydCents(e, ivfSeeds(e), ivfIters))
+          .join(e, "vec_id").persistScoped()
+        val dups = wc.select(col("cell"), col("vec_id").as("a"),
+            col("embedding").as("ea"), col("nrm").as("na"))
+          .join(wc.select(col("cell"), col("vec_id").as("b"),
+            col("embedding").as("eb"), col("nrm").as("nb")), "cell")
+          .where(col("b") < col("a"))
+          .selectExpr("a", "b", s"${dot("ea", "eb")} / (na * nb) as cos")
+          .where("cos >= 0.4")
+          .groupBy("a").agg(min("b").as("dup_of"))
+        wc.select("vec_id", "cell")
+          .join(dups.withColumnRenamed("a", "vec_id"), Seq("vec_id"), "left")
+          .selectExpr("vec_id", "cell",
+            "coalesce(dup_of, cast(-1 as bigint)) as dup_of",
+            "dup_of is null as keep")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+               ${duckTrainedCent(ivfIters)},
+               $duckIvfAsg,
+               wc AS (SELECT a.vec_id, a.cell, e.embedding, e.nrm
+                      FROM asg a JOIN e ON e.vec_id = a.vec_id),
+               prs AS (SELECT x.vec_id AS a, y.vec_id AS b,
+                              ${duckDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cos
+                       FROM wc x JOIN wc y ON y.cell = x.cell AND y.vec_id < x.vec_id),
+               dups AS (SELECT a AS vec_id, min(b) AS dup_of
+                        FROM prs WHERE cos >= 0.4 GROUP BY a)
+               SELECT w.vec_id, w.cell, COALESCE(d.dup_of, -1) AS dup_of,
+                      d.dup_of IS NULL AS keep
+               FROM wc w LEFT JOIN dups d ON d.vec_id = w.vec_id""")),
+
     // Scale shape: the shortlist is s01's bounded-heap top-k (k rows
     // per probe cross the exchange); candidate-candidate sims are an
     // equi-join on probe_id with m²=90 rows per probe; the greedy

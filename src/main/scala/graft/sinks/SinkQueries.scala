@@ -230,6 +230,46 @@ object SinkQueries {
         s.read.parquet(out)
           .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
       },
-      Some("SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM orders"))
+      Some("SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM orders")),
+
+    // ── bucketed tables: the co-located-join layout (SURVEY §4). At
+    // 100 TB a fact-fact equi-join's exchange IS the bottleneck;
+    // pre-bucketing both sides on the join key (same bucket count)
+    // lets the bucket-aware scan satisfy the join's distribution
+    // requirement, so the sort-merge join — AND the downstream
+    // groupBy on the same key — plan with ZERO exchanges: the shuffle
+    // is paid once at write time and amortized over every subsequent
+    // join. Spark honors bucket layout only through the catalog, so
+    // this goes write.bucketBy(...).saveAsTable → table() reads. The
+    // repartition on the bucket key before the write keeps file count
+    // at one per bucket per side, not tasks × buckets (the bucketed-
+    // write small-file trap). BucketingSpec asserts the no-Exchange
+    // plan with broadcast disabled; the oracle pins that the layout
+    // changes no answer. ──
+    "sink10_bucketed_join" -> Q(
+      (s, d) => {
+        val out = scratch("bucketed")
+        s.sql("DROP TABLE IF EXISTS g_orders_bk")
+        s.sql("DROP TABLE IF EXISTS g_customer_bk")
+        Tables(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .repartition(8, col("o_custkey"))
+          .write.format("parquet").bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .option("path", s"$out/orders_bk").saveAsTable("g_orders_bk")
+        Tables(s, d, "customer")
+          .select("c_custkey", "c_name", "c_mktsegment")
+          .repartition(8, col("c_custkey"))
+          .write.format("parquet").bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .option("path", s"$out/customer_bk").saveAsTable("g_customer_bk")
+        s.table("g_customer_bk")
+          .join(s.table("g_orders_bk"), col("c_custkey") === col("o_custkey"))
+          .groupBy("c_custkey", "c_name")
+          .agg(count(lit(1)).as("n_orders"),
+            graft.Det.dsum(col("o_totalprice")).as("total_spend"))
+      },
+      Some(s"""SELECT c_custkey, c_name, count(*) AS n_orders,
+                      ${graft.Det.sqlSum("o_totalprice")} AS total_spend
+               FROM customer JOIN orders ON o_custkey = c_custkey
+               GROUP BY 1, 2"""))
   )
 }

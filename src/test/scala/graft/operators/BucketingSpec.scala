@@ -47,4 +47,29 @@ class BucketingSpec extends AnyFunSuite with SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS bk_orders")
     spark.sql("DROP TABLE IF EXISTS bk_lines")
   }
+
+  test("sink10 gate query: join AND aggregate plan with zero exchanges") {
+    // the gate entry writes both sides bucketed on the join key, then
+    // joins and groupBys on that key — co-location must carry through
+    // BOTH operators (HashPartitioning(c_custkey, 8) satisfies the
+    // aggregate's (c_custkey, c_name) clustering by the subset rule),
+    // or the write-time shuffle bought nothing
+    val savedThreshold =
+      spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.sinks.SinkQueries.all("sink10_bucketed_join")
+        .fn(spark, "/root/testdata/sf0.001")
+      assert(df.count() > 0)
+      val phys = df.queryExecution.executedPlan.toString
+      assert(phys.contains("SortMergeJoin"), phys)
+      assert(!phys.contains("Exchange"),
+        s"bucketed join+agg must not shuffle:\n$phys")
+    } finally savedThreshold match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+    spark.sql("DROP TABLE IF EXISTS g_orders_bk")
+    spark.sql("DROP TABLE IF EXISTS g_customer_bk")
+  }
 }

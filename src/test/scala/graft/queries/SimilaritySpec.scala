@@ -285,4 +285,43 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(rerankHits > adcHits,
       s"the R=${Sim.rerankR} refine must lift recall on this corpus: $rerankHits !> $adcHits")
   }
+
+  test("d17 SemDeDup: verdicts sound against raw cosines, complete within cells") {
+    graft.functions.Hashing.register(spark)
+    val out = Similarity.all("d17_semdedup").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val emb = graft.Tables(spark, sf, "embeddings")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (emb(a), emb(b))
+      var d = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) {
+        d += x(i).toDouble * y(i); nx += x(i).toDouble * x(i)
+        ny += y(i).toDouble * y(i); i += 1
+      }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    assert(out.map(_._1).toSet === emb.keySet) // every vector gets a verdict
+    val cellOf = out.map(t => t._1 -> t._2).toMap
+    out.foreach { case (id, cell, dupOf, keep) =>
+      assert(keep === (dupOf == -1L), s"$id: keep/dup_of disagree")
+      if (dupOf != -1L) {
+        // soundness: the cited duplicate source is a real in-cell
+        // smaller-id neighbor above the threshold
+        assert(dupOf < id, s"$id cites non-smaller $dupOf")
+        assert(cellOf(dupOf) === cell, s"$id cites out-of-cell $dupOf")
+        assert(cos(id, dupOf) >= 0.4, s"$id-$dupOf cos ${cos(id, dupOf)} < 0.4")
+      }
+    }
+    // completeness within the reported cells: any in-cell pair with
+    // cosine >= threshold must mark the larger id a duplicate of an
+    // id no larger than the smaller one
+    for {
+      (a, cellA, _, _) <- out; (b, cellB, dupB, _) <- out
+      if a < b && cellA == cellB && cos(a, b) >= 0.4
+    } assert(dupB != -1L && dupB <= a,
+      s"in-cell pair ($a,$b) cos ${cos(a, b)} missed: dup_of=$dupB")
+    // the operator must actually fire on this corpus
+    assert(out.exists(!_._4), "no semantic duplicate found at all")
+  }
 }
