@@ -229,6 +229,90 @@ object StreamQueries {
       },
       Some(graft.queries.Dedup.d14Oracle)),
 
+    // ── APPEND-mode watermark semantics, pinned exactly: late-data
+    // DROP and watermark-close emission — the part of Structured
+    // Streaming every other stream* entry sidesteps by running
+    // complete mode or stateless append. A tumbling 1h count runs
+    // over a deterministic 4-batch arrival schedule (time-terciles
+    // with a hashed 5% of rows DELAYED one batch — the out-of-order
+    // arrivals real ingest has), watermark 10 minutes. Spark's
+    // contract, replayed by the oracle CTE-for-CTE: the watermark in
+    // force during batch k is max(event-time ms over batches < k) −
+    // delay (a running max, ratcheting only); an arriving row is
+    // DROPPED iff its window END ≤ that watermark (its state is
+    // already evicted — rows merely older than the watermark whose
+    // window is still open DO count); a window EMITS once the
+    // watermark passes its end. A far-future sentinel row in the
+    // final batch pushes the closing watermark past every real
+    // window (its own window stays open and never emits), so
+    // emitted = exactly the windows built from non-dropped rows.
+    // The MemoryStream + per-batch drain here SIMULATES arrival
+    // order at gate scale (one bounded collect); production is the
+    // same plan over a kafka source, where state per key is one
+    // (count, decimal-sum) pair and eviction keeps the store at
+    // O(open windows), not O(history). StreamingSpec pins the
+    // boundary behavior (exact window-end tie) and batch-boundary
+    // dependence explicitly. ──
+    "stream13_watermark" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        graft.functions.Hashing.register(s)
+        val ev = graft.queries.Relational.events(s, d)
+          .selectExpr("event_id", "ts", "value")
+        val ext = ev.agg(min(unix_micros(col("ts"))).as("t0"),
+          max(unix_micros(col("ts"))).as("t1"))
+        val staged = ev.crossJoin(broadcast(ext))
+          .selectExpr("event_id", "ts", "value", "t1",
+            s"""least(2, (3 * (unix_micros(ts) - t0)) div (t1 - t0 + 1))
+                + (case when ${graft.functions.Hashing.h32Sql("concat('late:', event_id)")} % 20 = 0
+                   then 1 else 0 end) as batch""")
+          .collect()
+        require(staged.nonEmpty, "events table is empty")
+        val t1 = staged.head.getAs[Long]("t1")
+        val batches = (0 to 3).map(k => staged.toSeq
+          .filter(_.getAs[Long]("batch") == k)
+          .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2))))
+        // sentinel: event-time 10h past the corpus max — closes every
+        // real window, its own window never closes (never emitted)
+        val sentinel = Seq((-1L, new java.sql.Timestamp((t1 + 36000000000L) / 1000), 0.0))
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val ms = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, java.sql.Timestamp, Double)]
+        val agg = ms.toDF().toDF("event_id", "ts", "value")
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("n"), graft.Det.dsum(col("value")).as("val_sum"))
+          .selectExpr("unix_seconds(window.start) as win_start", "n", "val_sum")
+        val q = agg.writeStream.format("memory").queryName("g_stream13")
+          .outputMode("append").start()
+        try {
+          (batches :+ sentinel).foreach { b => ms.addData(b); q.processAllAvailable() }
+          // one explicit empty batch: emission runs under the watermark
+          // the sentinel batch just ratcheted
+          ms.addData(Seq.empty); q.processAllAvailable()
+        } finally q.stop()
+        s.table("g_stream13")
+      },
+      Some {
+        val h = graft.functions.Hashing.duck32("'late:' || event_id")
+        s"""WITH e AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tu, value FROM events),
+            ext AS (SELECT min(tu) AS t0, max(tu) AS t1 FROM e),
+            b AS (SELECT e.*, LEAST(2, (3 * (tu - t0)) // (t1 - t0 + 1))
+                         + (CASE WHEN ($h) % 20 = 0 THEN 1 ELSE 0 END) AS batch
+                  FROM e CROSS JOIN ext),
+            mx AS (SELECT batch, max(tu) AS mt FROM b GROUP BY batch),
+            wm AS (SELECT batch, (max(mt) OVER (ORDER BY batch
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) // 1000 - 600000) * 1000 AS wm_us
+                   FROM mx),
+            keep AS (SELECT b.tu, b.value FROM b JOIN wm ON wm.batch = b.batch
+                     WHERE wm.wm_us IS NULL
+                        OR ((b.tu // 3600000000) + 1) * 3600000000 > wm.wm_us)
+            SELECT (tu // 3600000000) * 3600 AS win_start, count(*) AS n,
+                   ${graft.Det.sqlSum("value")} AS val_sum
+            FROM keep GROUP BY 1"""
+      }),
+
     // complete mode: the gate reads the full snapshot; a production
     // deployment runs the same plan in update mode and upserts the
     // changed keys into the serving store per micro-batch

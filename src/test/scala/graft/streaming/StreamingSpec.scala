@@ -459,4 +459,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(out.subsetOf(batch),
       s"custom sessions not in batch: ${out.diff(batch).take(5)}")
   }
+
+  test("stream13 watermark contract: open-window stragglers count, closed windows drop, exact tie drops") {
+    // Discriminates three hypotheses about the append-mode late filter
+    // with hand-placed event times (hour0 is an exact UTC hour):
+    //   window-END based (Spark's actual rule, what stream13's oracle
+    //   replays): a row drops iff its window end <= the watermark in
+    //   force — so a straggler OLDER than the watermark still counts
+    //   while its window is open;
+    //   ts-based filtering would drop the straggler (w3 would be 1);
+    //   a strict < on the tie would keep the end==wm row (w3 would be 3).
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val hour0 = 1699999200L // 2023-11-14 22:00:00 UTC
+    def t(offS: Long) = new java.sql.Timestamp((hour0 + offS) * 1000)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val agg = ms.toDF().toDF("event_id", "ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .selectExpr("unix_seconds(window.start) as win_start", "n")
+    val q = agg.writeStream.format("memory").queryName("t_stream13_tie")
+      .outputMode("append").start()
+    try {
+      val batches = Seq(
+        // b0: w1 row + the max-setter in w3 → wm after b0 = hour0+7800 (mid-w3)
+        Seq((1L, t(1800), 1.0), (2L, t(8400), 1.0)),
+        // b1 under wm 7800: straggler ts 7500 < wm but w3 open → COUNTS;
+        // w2 row (end 7200 <= wm) → DROPPED; max-setter 11400 (w4) → wm 10800
+        Seq((3L, t(7500), 1.0), (4L, t(3700), 1.0), (5L, t(11400), 1.0)),
+        // b2 under wm 10800: exact tie — w3 end == wm → DROPPED; w4 row counts
+        Seq((6L, t(9000), 1.0), (7L, t(11000), 1.0)),
+        // b3: far-future sentinel closes every real window; its own never emits
+        Seq((-1L, t(200000), 0.0)),
+        Seq.empty)
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("t_stream13_tie")
+      .collect().map(r => r.getLong(0) - hour0 -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 1L, 7200L -> 2L, 10800L -> 2L),
+      s"watermark contract violated: $got")
+  }
 }
