@@ -109,6 +109,48 @@ object Multimodal {
       .toDF("img_id", "fmt", "width", "height", "n_px", "mean_rgb_bp")
   }
 
+  /** The committed fixture clips m09 decodes: three PCM WAVs (16-bit
+    * little-endian; sample i = ((a·i + b·i² + c) mod 65521) − 32760
+    * interleaved across channels) covering mono/stereo, three sample
+    * rates, and a single-frame edge. Bounded: 3 rows, ~5.7 KB. */
+  private[graft] def fixtureWavs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq((0L, "wav0.wav"), (1L, "wav1.wav"), (2L, "wav2.wav"))
+      .map { case (id, res) =>
+        val in = getClass.getResourceAsStream(s"/graft/fixtures/wav/$res")
+        try (id, in.readAllBytes()) finally in.close()
+      }.toDF("wav_id", "blob")
+  }
+
+  /** m09's body: container parse + one sample pass per clip inside
+    * the typed mapPartitions — javax.sound.sampled runs headless for
+    * PCM WAV parsing; peak/mean are exact integers so the gate
+    * hash-compares exactly. */
+  private[graft] def wavDecodeStats(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col("wav_id"), col("blob")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(blob)))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+          s"unexpected PCM layout for clip $id")
+        val bytes = try ais.readAllBytes() finally ais.close()
+        val sb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+        var peak = 0L; var sumAbs = 0L; var i = 0
+        val n = sb.remaining()
+        while (i < n) {
+          val v = math.abs(sb.get(i).toLong)
+          if (v > peak) peak = v
+          sumAbs += v; i += 1
+        }
+        (id, fmt.getSampleRate.toInt, fmt.getChannels,
+          n.toLong / fmt.getChannels, peak.toInt, sumAbs / n)
+      })
+      .toDF("wav_id", "sample_rate", "channels", "n_frames", "peak_abs", "mean_abs")
+  }
+
   /** The m04 decode pipeline, parameterized by codec: map-only typed
     * mapPartitions over the binary payload (the Scala analogue of a
     * mapInPandas batch UDF), schema declared up front, no shuffle. */
@@ -203,6 +245,26 @@ object Multimodal {
                 (CAST(2 AS BIGINT), 'png', 1, 1, CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
                 (CAST(3 AS BIGINT), 'jpg', 8, 8, CAST(64 AS BIGINT), CAST(1191302 AS BIGINT)))
               AS t(img_id, fmt, width, height, n_px, mean_rgb_bp)""")),
+
+    // ── REAL audio decode: a second modality through the same
+    // BlobCodec-style seam. Committed formula-sample PCM WAVs (16-bit
+    // LE, sample i = ((a·i + b·i² + c) mod 65521) − 32760 — lossless
+    // container, so every decoded int is derivable from the formula;
+    // MultimodalSpec re-derives them independently of javax.sound)
+    // decoded distributed via javax.sound.sampled inside the typed
+    // mapPartitions: container parse → (rate, channels, frames) +
+    // one sample pass (peak, integer mean |amplitude|). The stats a
+    // speech-data pipeline filters on (silence/clipping detection,
+    // duration bucketing) — blobs never cross an exchange, one stat
+    // row leaves per clip. Ignores sfDir — the inputs ARE the
+    // committed artifacts. ──
+    "m09_wav_decode" -> Q(
+      (s, _) => wavDecodeStats(fixtureWavs(s)),
+      Some("""SELECT * FROM (VALUES
+                (CAST(0 AS BIGINT), 8000, 1, CAST(1200 AS BIGINT), 32744, CAST(16380 AS BIGINT)),
+                (CAST(1 AS BIGINT), 16000, 2, CAST(800 AS BIGINT), 32750, CAST(16182 AS BIGINT)),
+                (CAST(2 AS BIGINT), 11025, 1, CAST(1 AS BIGINT), 9304, CAST(9304 AS BIGINT)))
+              AS t(wav_id, sample_rate, channels, n_frames, peak_abs, mean_abs)""")),
 
     "m04_decode_stub" -> Q(
       (s, d) => decodePipeline(s, d, StubCodec),

@@ -140,4 +140,27 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       Seq(("doc_id", "long"), ("width", "integer"),
         ("height", "integer"), ("n_px", "integer")))
   }
+
+  test("m09 real WAV decode: stats re-derived from the sample formula, not from javax.sound") {
+    // the committed clips are PCM (lossless), so every decoded int16
+    // must equal ((a·i + b·i² + c) mod 65521) − 32760 exactly; this
+    // recomputes the stats from the formula alone — if the container
+    // parse, endianness, or channel handling were wrong, peak/mean
+    // could not agree
+    val params = Map( // wav_id -> (rate, ch, frames, a, b, c)
+      0L -> ((8000, 1, 1200, 37L, 11L, 7001L)),
+      1L -> ((16000, 2, 800, 59L, 3L, 12345L)),
+      2L -> ((11025, 1, 1, 17L, 29L, 23456L)))
+    val got = Multimodal.all("m09_wav_decode").fn(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4), r.getLong(5)))).toMap
+    assert(got.keySet === params.keySet)
+    params.foreach { case (id, (rate, ch, frames, a, b, c)) =>
+      val ss = (0L until frames.toLong * ch)
+        .map(i => ((a * i + b * i * i + c) % 65521L - 32760L))
+      val want = (rate, ch, frames.toLong,
+        ss.map(math.abs).max.toInt, ss.map(math.abs).sum / ss.length)
+      assert(got(id) === want, s"clip $id: ${got(id)} vs formula $want")
+    }
+  }
 }
