@@ -759,6 +759,45 @@ object Pipeline {
                SELECT doc_id, phase, quality_bp
                FROM q, cuts, (SELECT unnest(generate_series(1, 3)) AS phase)
                WHERE phase = 1 OR (phase = 2 AND quality_bp >= cut1)
-                  OR (phase = 3 AND quality_bp >= cut2)"""))
+                  OR (phase = 3 AND quality_bp >= cut2)""")),
+
+    // ── the dataset card: the per-language release summary a corpus
+    // ships with (what HF dataset cards / Dolma reports tabulate) —
+    // doc and source counts, size totals, and the exact-duplicate
+    // rate, one row per language. Two shuffles total at any corpus
+    // size: a fingerprint-keyed partial agg to find duplicated
+    // content (|distinct fps| rows cross, counts only — text never
+    // shuffles twice), and the |langs|-keyed summary agg; the dup
+    // verdict joins back fingerprint-keyed before the summary. Output
+    // is |langs| rows — the card itself is driver-safe at 100 TB. ──
+    "p12_dataset_card" -> Q(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+          .selectExpr("doc_id", "lang", "source", "n_chars",
+            s"size($toks) as n_tokens", "md5(text) as fp")
+          .persistScoped()
+        val dupFps = docs.groupBy("fp").agg(count(lit(1)).as("n_copies"))
+          .where("n_copies > 1")
+        docs.join(dupFps, Seq("fp"), "left")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct("source").as("n_sources"),
+            sum("n_chars").as("total_chars"),
+            sum("n_tokens").as("total_tokens"),
+            count(col("n_copies")).as("n_exact_dup"))
+      },
+      Some("""WITH f AS (SELECT doc_id, lang, source, n_chars,
+                                len(string_split(text, ' ')) AS n_tokens,
+                                md5(text) AS fp
+                         FROM documents),
+              dup AS (SELECT fp, count(*) AS n_copies FROM f
+                      GROUP BY fp HAVING count(*) > 1)
+              SELECT lang, count(*) AS n_docs,
+                     count(DISTINCT source) AS n_sources,
+                     CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                     CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                     count(d.n_copies) AS n_exact_dup
+              FROM f LEFT JOIN dup d ON d.fp = f.fp
+              GROUP BY lang"""))
   )
 }
