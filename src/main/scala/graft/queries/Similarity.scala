@@ -650,6 +650,46 @@ object Similarity {
                  (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS INTEGER) AS rnk FROM sc)
                WHERE rnk <= 3""")),
 
+    // ── index DELETE maintenance: tombstoned serving. Production ANN
+    // indexes take deletes (GDPR erasure, re-crawl invalidation)
+    // without retraining or rebuilding: the deleted ids become a
+    // TOMBSTONE set anti-joined against the postings at serve time —
+    // quantizers stay as trained on the full corpus (retraining per
+    // delete would be absurd), so the contract is serve-minus-deleted
+    // under the SAME index, which the oracle mirrors by filtering the
+    // candidate CTE only. At 100 TB the tombstone set is a broadcast
+    // anti-join (or a bloom) riding the pruned postings scan until
+    // the next compaction rewrites the affected cell partitions.
+    // A deterministic ~10% of vectors is deleted; IndexDeleteSpec
+    // pins that no deleted id survives and that the deletion
+    // genuinely changes some answer (backfill from rank > 3). ──
+    "s19_index_delete" -> Q(
+      (s, d) => {
+        Hashing.register(s)
+        val e = Tables(s, d, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("vec_id", "embedding", s"$normE as nrm").persistScoped()
+        val cents = lloydCents(e, ivfSeeds(e), ivfIters)
+        val rf = residualFrame(e, cents).persistScoped()
+        val cb = pqCodebookTrained(rf, pqIters)
+        val tombstones = e.selectExpr("vec_id as cand_id")
+          .where(s"${Hashing.h32Sql("concat('del:', cand_id)")} % 10 = 0")
+        val codes = pqEncode(rf, cb, keep = Seq("cell"))
+          .select(col("vec_id").as("cand_id"), col("cell"), col("codes"))
+          .join(broadcast(tombstones), Seq("cand_id"), "left_anti")
+        val probes = e.where("vec_id < 10")
+        val cand = broadcast(probeCells(probes, cents, 2))
+          .join(codes, "cell")
+          .where(col("cand_id") =!= col("probe_id"))
+        val short = adcTopk(cand.join(
+          broadcast(pqProbeTablesRes(probes, cents, cb, 2)), Seq("probe_id", "cell")), rerankR)
+        rerankExact(short, probes, e, 3)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+               ${duckIvfPqCoreWhere(
+                 s"NOT (${Hashing.duck32("'del:' || a.vec_id")} % 10 = 0)")}
+               SELECT probe_id, cand_id, rnk, cosine FROM ann""")),
+
     // ── MMR diversity re-rank: Maximal Marginal Relevance
     // (Carbonell & Goldstein 1998) over the exact top-10 shortlist —
     // retrieval that penalizes redundancy, the standard fix when the
@@ -840,13 +880,19 @@ object Similarity {
     * cosine)`, the re-ranked top-3 (cosine desc, cand_id tie-break —
     * [[rerankExact]]'s heap contract). Expects `e(vec_id, embedding,
     * nrm)` in scope. */
-  private lazy val duckIvfPqCore: String = {
+  private lazy val duckIvfPqCore: String = duckIvfPqCoreWhere()
+
+  /** The IVFADC+R oracle chain with an optional candidate predicate
+    * (over `a.vec_id`) — `TRUE` is s13/s14/s16; s19 passes the
+    * NOT-deleted tombstone filter. */
+  private def duckIvfPqCoreWhere(candFilter: String = "TRUE"): String = {
     val dd2 = (a: String, b: String) =>
       s"(${duckDot(a, a)} - 2 * ${duckDot(a, b)} + ${duckDot(b, b)})"
     s"""${duckTrainedCent(ivfIters)},
         $duckIvfCand,
         candc AS (SELECT DISTINCT p.probe_id, a.vec_id AS cand_id, p.cell
-                  FROM pcells p JOIN asg a ON a.cell = p.cell AND a.vec_id != p.probe_id),
+                  FROM pcells p JOIN asg a ON a.cell = p.cell AND a.vec_id != p.probe_id
+                  WHERE $candFilter),
         sub AS (SELECT e.vec_id, g.s, ${duckResidSv("e.embedding", "c.ce")} AS sv
                 FROM e JOIN asg a ON a.vec_id = e.vec_id
                 JOIN cent c ON c.cid = a.cell,

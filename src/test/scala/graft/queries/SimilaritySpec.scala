@@ -286,6 +286,34 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       s"the R=${Sim.rerankR} refine must lift recall on this corpus: $rerankHits !> $adcHits")
   }
 
+  test("s19 index delete: no tombstoned id survives, deletion genuinely backfills answers") {
+    graft.functions.Hashing.register(spark)
+    def deleted(id: Long): Boolean = {
+      // mirror of the tombstone predicate (md5-derived h32 % 10 == 0)
+      val rows = spark.sql(
+        s"SELECT ${graft.functions.Hashing.h32Sql(s"concat('del:', ${id}L)")} % 10 = 0").collect()
+      rows.head.getBoolean(0)
+    }
+    val got = Similarity.all("s19_index_delete").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val base = Similarity.all("s13_ivfpq").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.nonEmpty && got.map(_._1).toSet === base.map(_._1).toSet)
+    // no deleted id in any answer
+    val citedIds = got.map(_._2).distinct
+    citedIds.foreach(id => assert(!deleted(id), s"tombstoned $id served"))
+    // ranks stay contiguous top-3 per probe
+    got.groupBy(_._1).foreach { case (p, rs) =>
+      assert(rs.map(_._3).sorted === (1 to rs.length), s"probe $p ranks ${rs.map(_._3)}")
+    }
+    // the deletion must genuinely change some answer (a deleted id
+    // held a top-3 slot in s13 and a survivor backfilled it) — if the
+    // ~10% tombstone set never hit the top-3, the spec proved nothing
+    assert(base.exists { case (_, id, _) => deleted(id) },
+      "no s13 answer was deleted - tombstone set too lucky to test backfill")
+    assert(got.toSet != base.toSet, "deletion changed nothing")
+  }
+
   test("d17 SemDeDup: verdicts sound against raw cosines, complete within cells") {
     graft.functions.Hashing.register(spark)
     val out = Similarity.all("d17_semdedup").fn(spark, sf)
