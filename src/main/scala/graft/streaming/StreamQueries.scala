@@ -313,6 +313,65 @@ object StreamQueries {
             FROM keep GROUP BY 1"""
       }),
 
+    // ── the custom-state sessionizer AS A GATE QUERY: the
+    // flatMapGroupsWithState path (per-session custom accumulators,
+    // emit-on-close — what session_window can't express) answered
+    // against the same sessionization SQL as q16/stream02. Determinism
+    // is engineered at the seams the operator itself leaves open:
+    //   - values fold as WHOLE-NUMBER basis points (floor(v·10⁴), an
+    //     exact double product both engines floor identically), so the
+    //     double sum is order-independent at any arrival order;
+    //   - timestamps truncate to ms BEFORE the feed (the operator
+    //     compares Timestamp.getTime ms; the oracle sessions over
+    //     epoch_ms), so no µs-vs-ms gap-boundary divergence;
+    //   - a per-user far-future sentinel batch closes every real
+    //     session through the NORMAL emit-on-close path (an interval
+    //     with a later interval behind it emits; the sentinel's own
+    //     session stays open and is never emitted) — no reliance on
+    //     timeout/no-data-batch timing.
+    // State per user is ONE in-flight interval; emission is
+    // output-proportional. ──
+    "stream14_custom_session" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        import s.implicits._
+        val staged = graft.queries.Relational.events(s, d)
+          .selectExpr("user_id", "unix_millis(ts) as tms",
+            "cast(floor(value * 10000) as bigint) as vbp").collect()
+        val tmax = staged.map(_.getAs[Long]("tms")).max
+        def ev(u: Long, tms: Long, v: Double) =
+          EventStreams.Event(u, new java.sql.Timestamp(tms), v)
+        val real = staged.toSeq.map(r =>
+          ev(r.getLong(0), r.getLong(1), r.getLong(2).toDouble))
+        val sentinels = staged.map(_.getLong(0)).distinct.toSeq
+          .map(u => ev(u, tmax + 36000000L, 0.0))
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val ms = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[EventStreams.Event]
+        val out = EventStreams.sessionizeCustom(ms.toDS(), gapMs = 1800000L)
+        val q = out.toDF().writeStream.format("memory")
+          .queryName("g_stream14").outputMode("append").start()
+        try Seq(real, sentinels).foreach { b => ms.addData(b); q.processAllAvailable() }
+        finally q.stop()
+        s.table("g_stream14")
+          .selectExpr("user_id", "session_start_ms", "n",
+            "cast(val_sum as bigint) as val_bp")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS tms,
+                                CAST(floor(value * 10000) AS BIGINT) AS vbp
+                         FROM events),
+              marks AS (SELECT user_id, tms, vbp,
+                               CASE WHEN lag(tms) OVER w IS NULL
+                                         OR tms - lag(tms) OVER w >= 1800000
+                                    THEN 1 ELSE 0 END AS new_s
+                        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms)),
+              sess AS (SELECT user_id, tms, vbp,
+                              sum(new_s) OVER (PARTITION BY user_id ORDER BY tms) AS sid
+                       FROM marks)
+              SELECT user_id, min(tms) AS session_start_ms, count(*) AS n,
+                     CAST(sum(vbp) AS BIGINT) AS val_bp
+              FROM sess GROUP BY user_id, sid""")),
+
     // complete mode: the gate reads the full snapshot; a production
     // deployment runs the same plan in update mode and upserts the
     // changed keys into the serving store per micro-batch

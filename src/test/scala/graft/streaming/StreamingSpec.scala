@@ -460,6 +460,49 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       s"custom sessions not in batch: ${out.diff(batch).take(5)}")
   }
 
+  test("stream14 custom sessionizer: time-chunked batch split never changes the emitted sessions") {
+    // The sessionizer emits non-latest intervals eagerly at batch end
+    // (its documented bounded-state trade: a batch delivering events
+    // BEFORE an already-emitted session would split it — the same
+    // class of loss the stream-stream-join spec pins). The invariance
+    // it DOES promise: under time-chunked batch delivery — what a
+    // watermarked source actually provides — with arbitrary DISORDER
+    // inside each batch, the emitted sessions are identical to the
+    // single-batch run, including the sums (whole-number value
+    // staging makes the double fold exact in any order).
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def run(split: Int): Set[(Long, Long, Long, Long)] = {
+      val staged = graft.queries.Relational.events(spark, sf)
+        .selectExpr("user_id", "unix_millis(ts) as tms",
+          "cast(floor(value * 10000) as bigint) as vbp", "event_id").collect()
+      val tmax = staged.map(_.getAs[Long]("tms")).max
+      val real = staged.toSeq
+        .sortBy(r => (r.getLong(1), r.getLong(3))) // global time order...
+        .map(r => (r.getLong(3),
+          EventStreams.Event(r.getLong(0), new java.sql.Timestamp(r.getLong(1)),
+            r.getLong(2).toDouble)))
+      val batches = real.grouped((real.size + split - 1) / split).toSeq
+        // ...then scrambled WITHIN each chunk by event-id hash
+        .map(_.sortBy(_._1.##).map(_._2))
+      val sentinels = staged.map(_.getLong(0)).distinct.toSeq
+        .map(u => EventStreams.Event(u, new java.sql.Timestamp(tmax + 36000000L), 0.0))
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[EventStreams.Event]
+      val q = EventStreams.sessionizeCustom(ms.toDS(), gapMs = 1800000L)
+        .toDF().writeStream.format("memory")
+        .queryName(s"t_stream14_$split").outputMode("append").start()
+      try (batches :+ sentinels).foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(s"t_stream14_$split")
+        .selectExpr("user_id", "session_start_ms", "n", "cast(val_sum as bigint)")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    }
+    val one = run(1)
+    assert(one.nonEmpty)
+    assert(run(3) === one, "3-way time-chunked split changed the emitted sessions")
+  }
+
   test("stream13 watermark contract: open-window stragglers count, closed windows drop, exact tie drops") {
     // Discriminates three hypotheses about the append-mode late filter
     // with hand-placed event times (hour0 is an exact UTC hour):
