@@ -192,6 +192,30 @@ object EventStreams {
       .select("click_id", "purchase_id", "user_id")
   }
 
+  /** [[clickAttribution]]'s LEFT OUTER variant — conversion tracking
+    * that keeps the unconverted clicks. The semantics append mode has
+    * to earn: the inner matches emit eagerly, but an UNMATCHED click
+    * can only emit (with a null purchase) once the watermark proves no
+    * in-window purchase can still arrive — null emission rides state
+    * EXPIRY, which is why the outer side requires both watermarks and
+    * the event-time range bound. */
+  def clickAttributionOuter(events: DataFrame): DataFrame = {
+    val clicks = events.where("event_type = 'click'")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.where("event_type = 'purchase'")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+      .select("click_id", "purchase_id", "user_id")
+  }
+
   final case class Event(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class SessionOut(user_id: Long, session_start_ms: Long, n: Long, val_sum: Double)

@@ -372,6 +372,53 @@ object StreamQueries {
                      CAST(sum(vbp) AS BIGINT) AS val_bp
               FROM sess GROUP BY user_id, sid""")),
 
+    // ── watermarked LEFT OUTER stream-stream join: conversion
+    // tracking that keeps the unconverted clicks. Inner matches emit
+    // eagerly; an unmatched click emits its (click, NULL) row only
+    // when the watermark proves no in-window purchase can still
+    // arrive — null emission rides state EXPIRY, the append-mode
+    // machinery stream04's inner join never exercises. Determinism by
+    // schedule: ALL real events arrive in one batch (so no real match
+    // is ever lost to cross-batch eviction and the answer must equal
+    // the batch left join exactly — one oracle, two tiers), then one
+    // far-future sentinel per side (distinct users, so they cannot
+    // match each other) ratchets both watermarks past every real
+    // click's window, and the closing empty batch runs the expiry
+    // that emits the null rows. The sentinels themselves stay in
+    // live state — the oracle contains no sentinel row, so any leak
+    // is a hash mismatch, not a silent pass. ──
+    "stream15_outer_join" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val staged = graft.queries.Relational.events(s, d)
+          .where("event_type in ('click', 'purchase')")
+          .selectExpr("event_id", "user_id", "event_type", "ts").collect()
+        val tmax = staged.map(_.getTimestamp(3).getTime).max
+        val real = staged.toSeq.map(r =>
+          (r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3)))
+        val far = new java.sql.Timestamp(tmax + 36000000L)
+        val sentinels = Seq((-1L, -101L, "click", far), (-2L, -102L, "purchase", far))
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val ms = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+        val out = EventStreams.clickAttributionOuter(
+          ms.toDF().toDF("event_id", "user_id", "event_type", "ts"))
+        val q = out.writeStream.format("memory")
+          .queryName("g_stream15").outputMode("append").start()
+        try {
+          Seq(real, sentinels).foreach { b => ms.addData(b); q.processAllAvailable() }
+          ms.addData(Seq.empty); q.processAllAvailable()
+        } finally q.stop()
+        s.table("g_stream15")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+                                CAST(ts AS TIMESTAMP) AS ts FROM events)
+              SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+              FROM (SELECT * FROM e WHERE event_type = 'click') c
+              LEFT JOIN (SELECT * FROM e WHERE event_type = 'purchase') p
+                ON p.user_id = c.user_id
+               AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""")),
+
     // complete mode: the gate reads the full snapshot; a production
     // deployment runs the same plan in update mode and upserts the
     // changed keys into the serving store per micro-batch

@@ -460,6 +460,68 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       s"custom sessions not in batch: ${out.diff(batch).take(5)}")
   }
 
+  test("stream15 outer join: null rows emit only on watermark expiry, inner rows eagerly") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val staged = graft.queries.Relational.events(spark, sf)
+      .where("event_type in ('click', 'purchase')")
+      .selectExpr("event_id", "user_id", "event_type", "ts").collect()
+    val tmax = staged.map(_.getTimestamp(3).getTime).max
+    val real = staged.toSeq.map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3)))
+    val far = new java.sql.Timestamp(tmax + 36000000L)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val q = EventStreams.clickAttributionOuter(
+        ms.toDF().toDF("event_id", "user_id", "event_type", "ts"))
+      .writeStream.format("memory").queryName("t_stream15")
+      .outputMode("append").start()
+    try {
+      ms.addData(real); q.processAllAvailable()
+      // after batch 0, its own data has ratcheted the watermark to
+      // tmax − 1h (the trailing no-data batch runs the expiry), so
+      // null rows exist EXACTLY for the unmatched clicks whose 30-min
+      // window closed under that watermark — and for no click inside
+      // the horizon (those could still convert)
+      val wm0 = tmax - 3600000L
+      val clickTs = real.filter(_._3 == "click").map(r => r._1 -> r._4.getTime).toMap
+      val matched = spark.table("t_stream15").collect()
+        .filter(!_.isNullAt(1)).map(_.getLong(0)).toSet
+      val midNulls = spark.table("t_stream15").collect()
+        .filter(_.isNullAt(1)).map(_.getLong(0)).toSet
+      val wantMidNulls = clickTs.collect {
+        case (id, t) if t + 1800000L <= wm0 && !matched(id) => id
+      }.toSet
+      // sound direction, exactly: NO null may emit for a click whose
+      // window the watermark has not closed (it could still convert).
+      // The flush side is asserted as near-complete rather than exact:
+      // the engine may leave a straggler for the next trigger (the
+      // final-equality check below proves nothing is ever lost).
+      assert((midNulls -- wantMidNulls).isEmpty,
+        s"null emitted before expiry: ${(midNulls -- wantMidNulls).take(3)}")
+      assert(midNulls.nonEmpty && midNulls.size >= wantMidNulls.size - 2,
+        s"expiry flush too lazy: ${midNulls.size} of ${wantMidNulls.size}")
+      ms.addData(Seq((-1L, -101L, "click", far), (-2L, -102L, "purchase", far)))
+      q.processAllAvailable()
+      ms.addData(Seq.empty); q.processAllAvailable()
+    } finally q.stop()
+    val fin = spark.table("t_stream15").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    // expiry emitted every unconverted click exactly once; total
+    // equals the batch left join
+    val want = graft.queries.Relational.events(spark, sf).as("c")
+      .where("c.event_type = 'click'")
+      .join(graft.queries.Relational.events(spark, sf).as("p")
+          .where("p.event_type = 'purchase'"),
+        expr("p.user_id = c.user_id and p.ts >= c.ts and p.ts <= c.ts + interval 30 minutes"),
+        "left_outer")
+      .selectExpr("c.event_id", "coalesce(p.event_id, -1)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fin === want)
+    assert(fin.exists(_._2 == -1L), "no unconverted click in the fixture - vacuous")
+    assert(fin.exists(_._2 != -1L), "no conversion in the fixture - vacuous")
+  }
+
   test("stream14 custom sessionizer: time-chunked batch split never changes the emitted sessions") {
     // The sessionizer emits non-latest intervals eagerly at batch end
     // (its documented bounded-state trade: a batch delivering events
