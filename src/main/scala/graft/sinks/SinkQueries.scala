@@ -270,6 +270,80 @@ object SinkQueries {
       Some(s"""SELECT c_custkey, c_name, count(*) AS n_orders,
                       ${graft.Det.sqlSum("o_totalprice")} AS total_spend
                FROM customer JOIN orders ON o_custkey = c_custkey
-               GROUP BY 1, 2"""))
+               GROUP BY 1, 2""")),
+
+    // ── CDC upsert (MERGE) on plain parquet, partition-pruned: the
+    // Delta/Iceberg MERGE INTO shape without a table format. A
+    // year-partitioned base takes a changelog (updates to ~1/37 of
+    // keys + inserts of new keys); the merge reads ONLY the affected
+    // partitions (the changelog's year set — a bounded collect
+    // pushed as a partition filter), resolves key conflicts
+    // changelog-wins via a left-anti + union, and writes back with
+    // DYNAMIC partition overwrite, so untouched partitions' files
+    // are never rewritten (SinksSpec pins their paths+mtimes frozen).
+    // localCheckpoint breaks the plan's file lineage before the
+    // self-overwrite — the gate-scale stand-in for the stage-and-swap
+    // a 100 TB deployment does per partition; cost is
+    // O(affected partitions + changelog), never a base rewrite. ──
+    "sink11_upsert" -> Q(
+      (s, d) => {
+        val out = scratch("upsert")
+        writeBasePartitioned(s, d, out)
+        mergeInto(s, d, out)
+        s.read.parquet(out)
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "yr")
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+                                   year(o_orderdate) AS yr FROM orders),
+              chg AS (SELECT o_orderkey, o_custkey, o_orderdate,
+                             o_totalprice + 1000 AS o_totalprice, yr
+                      FROM base WHERE o_orderkey % 37 = 0 AND yr >= 1996
+                      UNION ALL
+                      SELECT o_orderkey + 100000000, o_custkey, o_orderdate,
+                             o_totalprice, yr
+                      FROM base WHERE o_orderkey % 97 = 0 AND yr >= 1996)
+              SELECT * FROM base
+              WHERE o_orderkey NOT IN (SELECT o_orderkey FROM chg)
+              UNION ALL SELECT * FROM chg"""))
   )
+
+  /** sink11's base snapshot: orders, hive-partitioned by order year. */
+  private[graft] def writeBasePartitioned(s: org.apache.spark.sql.SparkSession,
+      d: String, out: String): Unit =
+    Tables(s, d, "orders")
+      .selectExpr("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
+        "year(o_orderdate) as yr")
+      .write.partitionBy("yr").parquet(out)
+
+  /** sink11's MERGE: apply the deterministic changelog (updates to
+    * ~1/37 of 1996+ keys, inserts of new 1996+ keys) to the
+    * year-partitioned base at `out`, rewriting ONLY the affected
+    * year partitions (dynamic partition overwrite; earlier years'
+    * files must remain byte-identical — SinksSpec pins it). */
+  private[graft] def mergeInto(s: org.apache.spark.sql.SparkSession,
+      d: String, out: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val chg = Tables(s, d, "orders")
+      .where("o_orderkey % 37 = 0 and year(o_orderdate) >= 1996")
+      .selectExpr("o_orderkey", "o_custkey", "o_orderdate",
+        "o_totalprice + 1000 as o_totalprice", "year(o_orderdate) as yr")
+      .unionByName(Tables(s, d, "orders")
+        .where("o_orderkey % 97 = 0 and year(o_orderdate) >= 1996")
+        .selectExpr("o_orderkey + 100000000 as o_orderkey", "o_custkey",
+          "o_orderdate", "o_totalprice", "year(o_orderdate) as yr"))
+    val years = chg.select("yr").distinct().collect().map(_.getInt(0))
+    val merged = s.read.parquet(out)
+      .where(col("yr").isin(years.map(Integer.valueOf).toSeq: _*))
+      .join(chg.select(col("o_orderkey").as("ck")),
+        col("o_orderkey") === col("ck"), "left_anti")
+      .unionByName(chg)
+      .localCheckpoint(true)
+    val saved = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode("overwrite").partitionBy("yr").parquet(out)
+    finally saved match {
+      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
 }

@@ -238,4 +238,35 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"compaction shuffles:\n$plan")
   }
+
+  test("sink11 merge rewrites ONLY the changelog's partitions; earlier years frozen") {
+    val sf = "/root/testdata/sf0.001"
+    val out = tmp("upsert-frozen") + "/base"
+    SinkQueries.writeBasePartitioned(spark, sf, out)
+    def snapshot(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(Paths.get(out).toFile)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> ((f.length, f.lastModified))).toMap
+    }
+    val before = snapshot()
+    val yearsBefore = Paths.get(out).toFile.listFiles()
+      .filter(_.getName.startsWith("yr=")).map(_.getName).toSet
+    assert(yearsBefore.exists(_ < "yr=1996"), "fixture lacks pre-1996 years")
+    SinkQueries.mergeInto(spark, sf, out)
+    val after = snapshot()
+    def yearOf(p: String): Int = p.split("yr=")(1).take(4).toInt
+    val frozen = before.keys.filter(yearOf(_) < 1996)
+    // every pre-1996 file survives byte-for-byte (same path, size, mtime)
+    frozen.foreach { p =>
+      assert(after.contains(p), s"frozen partition file deleted: $p")
+      assert(after(p) === before(p), s"frozen partition file rewritten: $p")
+    }
+    assert(frozen.nonEmpty, "no frozen file to check - vacuous")
+    // and the affected years really were rewritten (new file identities)
+    val touched = before.keys.filter(yearOf(_) >= 1996)
+    assert(touched.nonEmpty && touched.exists(p => !after.contains(p)),
+      "no 1996+ partition file was replaced - dynamic overwrite not exercised")
+  }
 }
