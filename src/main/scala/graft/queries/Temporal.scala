@@ -133,6 +133,56 @@ object Temporal {
                      epoch_us(p.ts) - epoch_us(x.ts) AS gap_us
               FROM p JOIN x ON x.user_id = p.user_id
                 AND x.ts <= p.ts
-                AND epoch_us(p.ts) - epoch_us(x.ts) <= 21600000000"""))
+                AND epoch_us(p.ts) - epoch_us(x.ts) <= 21600000000"""),
+      bench = false),
+
+    // ── interval×interval OVERLAP join (the genomics / uptime /
+    //    temporal-conflict shape): same-supplier shipment pairs whose
+    //    transit intervals overlap, with the overlap length. The
+    //    naive plan is a per-key theta join (per-supplier cartesian —
+    //    |supplier's rows|² comparisons); the scale formulation here
+    //    BUCKETIZES time: each interval explodes to the 8-day buckets
+    //    it touches (intervals are ≤8 days, so ≤2 buckets — the
+    //    width-equals-max-length rule that caps fan-out at 2×), the
+    //    join is an equi-join on (supplier, bucket), a distinct
+    //    collapses pairs that meet in both buckets, and the exact
+    //    overlap predicate verifies survivors. Candidates are pairs
+    //    within one bucket-width — near misses, not a cartesian; skew
+    //    (a hot supplier-week) splits under AQE like any equi-join.
+    //    Transit end = ship + (quantity mod 7 + 1) days — synthesized
+    //    deterministically (the testdata carries no receipt date),
+    //    identical in both engines. ──
+    "j05_interval_overlap" -> Q(
+      (s, d) => {
+        val li = graft.Tables(s, d, "lineitem").selectExpr(
+          "l_orderkey", "l_linenumber", "l_suppkey",
+          "cast(unix_date(cast(l_shipdate as date)) as bigint) as sd",
+          "cast(unix_date(cast(l_shipdate as date)) + (cast(l_quantity as int) % 7 + 1) as bigint) as rd")
+        def side(p: String) = li.selectExpr(
+          s"l_orderkey as ${p}_orderkey", s"l_linenumber as ${p}_linenumber",
+          "l_suppkey", s"sd as ${p}_sd", s"rd as ${p}_rd")
+          .selectExpr("*", s"explode(sequence(${p}_sd div 8, ${p}_rd div 8)) as bk")
+        side("a").join(side("b"), Seq("l_suppkey", "bk"))
+          .where("""(a_orderkey < b_orderkey
+                     or (a_orderkey = b_orderkey and a_linenumber < b_linenumber))
+                    and a_sd <= b_rd and b_sd <= a_rd""")
+          .selectExpr("a_orderkey", "a_linenumber", "b_orderkey", "b_linenumber",
+            "l_suppkey",
+            "least(a_rd, b_rd) - greatest(a_sd, b_sd) + 1 as overlap_days")
+          .distinct()
+      },
+      Some("""WITH li AS (SELECT l_orderkey, l_linenumber, l_suppkey,
+                       datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS sd,
+                       datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+                         + (CAST(l_quantity AS INT) % 7 + 1) AS rd
+                     FROM lineitem)
+              SELECT a.l_orderkey AS a_orderkey, a.l_linenumber AS a_linenumber,
+                     b.l_orderkey AS b_orderkey, b.l_linenumber AS b_linenumber,
+                     a.l_suppkey,
+                     LEAST(a.rd, b.rd) - GREATEST(a.sd, b.sd) + 1 AS overlap_days
+              FROM li a JOIN li b ON a.l_suppkey = b.l_suppkey
+               AND (a.l_orderkey < b.l_orderkey
+                    OR (a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber))
+               AND a.sd <= b.rd AND b.sd <= a.rd"""))
   )
 }

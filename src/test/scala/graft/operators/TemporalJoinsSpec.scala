@@ -82,4 +82,31 @@ class TemporalJoinsSpec extends AnyFunSuite with SparkTestBase {
       .select("p_id", "x_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((1L, 10L), (1L, 11L), (2L, 20L)))
   }
+
+  test("j05 bucketized overlap join equals the direct theta join; plan is an equi-join") {
+    val sf = "/root/testdata/sf0.001"
+    val df = graft.queries.Temporal.all("j05_interval_overlap").fn(spark, sf)
+    // the semantic reference: the same overlap as a per-key theta join
+    val li = graft.Tables(spark, sf, "lineitem").selectExpr(
+      "l_orderkey", "l_linenumber", "l_suppkey",
+      "cast(unix_date(cast(l_shipdate as date)) as bigint) as sd",
+      "cast(unix_date(cast(l_shipdate as date)) + (cast(l_quantity as int) % 7 + 1) as bigint) as rd")
+    val theta = li.as("a").join(li.as("b"),
+        org.apache.spark.sql.functions.expr(
+          """a.l_suppkey = b.l_suppkey
+             and (a.l_orderkey < b.l_orderkey
+                  or (a.l_orderkey = b.l_orderkey and a.l_linenumber < b.l_linenumber))
+             and a.sd <= b.rd and b.sd <= a.rd"""))
+      .selectExpr("a.l_orderkey", "a.l_linenumber", "b.l_orderkey", "b.l_linenumber",
+        "a.l_suppkey", "least(a.rd, b.rd) - greatest(a.sd, b.sd) + 1")
+    val got = df.collect().map(_.toSeq).toSet
+    val want = theta.collect().map(_.toSeq).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    // and the shipped plan must be the equi-join, not the theta shape
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin")
+      || plan.contains("ShuffledHashJoin"), plan)
+  }
 }
