@@ -84,6 +84,8 @@ object Hashing {
       exprs => ByteFeatures(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("duck_type_mask",
       exprs => DuckTypeMask(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("nfc",
+      exprs => NfcNormalize(exprs.head), "built-in")
     // aggregate: the analyzer wraps a bare AggregateFunction into an
     // AggregateExpression, so registration looks like any expression
     reg.createOrReplaceTempFunction("top_k_by_score",

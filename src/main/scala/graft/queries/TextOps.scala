@@ -782,7 +782,45 @@ object TextOps {
                      FROM m)
                SELECT doc_id, n_tokens, mwl_bp, sym_bp, stop_hits, dup_tok_bp,
                       fail_mask, fail_mask = 0 AS keep FROM f"""),
-      bench = true)
+      bench = true),
+
+    // ── Unicode NFC normalization (native [[graft.functions.TextNorm]]
+    // kernel): the canonical-composition pass fingerprint dedup
+    // silently depends on — "Café" with precomposed é and with
+    // e + COMBINING ACUTE are different bytes (different md5, different
+    // shingles, different d01 groups) but the same text; crawls mix
+    // both forms, so dedup without this pass under-merges. The gate
+    // plants both spellings deterministically (doc_id mod 3) since the
+    // fixture corpus is ASCII, and pins that the normalized
+    // fingerprint — not the raw one — is form-invariant. DuckDB's
+    // utf8proc `nfc_normalize` and java.text.Normalizer implement the
+    // same standard algorithm, so fp_nfc hash-compares exactly.
+    // Map-only; the fast path returns already-normalized strings
+    // untouched (ASCII short-circuits), so at 100 TB the pass rides
+    // the existing fingerprint scan for ~free. ──
+    "t21_nfc_fingerprint" -> Q(
+      (s, d) => {
+        Hashing.register(s)
+        val nfd = "Cafe\u0301" // e + combining acute (decomposed)
+        val pre = "Caf\u00e9" // precomposed e-acute
+        Tables(s, d, "documents")
+          .selectExpr("doc_id",
+            s"""concat(text, ' ', case when doc_id % 3 = 0 then '$nfd'
+                                       when doc_id % 3 = 1 then '$pre'
+                                       else 'Cafe' end) as s""")
+          .selectExpr("doc_id", "length(s) as len_raw", "length(nfc(s)) as len_nfc",
+            "md5(nfc(s)) as fp_nfc", "md5(s) != md5(nfc(s)) as changed")
+      },
+      Some("""WITH x AS (SELECT doc_id, text || ' ' ||
+                  CASE WHEN doc_id % 3 = 0 THEN 'Cafe' || chr(769)
+                       WHEN doc_id % 3 = 1 THEN 'Caf' || chr(233)
+                       ELSE 'Cafe' END AS s
+                FROM documents)
+              SELECT doc_id, length(s) AS len_raw,
+                     length(nfc_normalize(s)) AS len_nfc,
+                     md5(nfc_normalize(s)) AS fp_nfc,
+                     md5(s) != md5(nfc_normalize(s)) AS changed
+              FROM x"""))
   )
 
   /** t14's rule evaluation over any (doc_id, text) frame — one

@@ -59,4 +59,23 @@ class HashingSpec extends AnyFunSuite with SparkTestBase {
       assert(h >= 0L && h < (1L << 32))
     }
   }
+
+  test("nfc kernel: composes decomposed forms, idempotent, ASCII fast-path is identity") {
+    Hashing.register(spark)
+    import org.apache.spark.unsafe.types.UTF8String
+    val nfd = "Cafe\u0301" // e + combining acute
+    val pre = "Caf\u00e9" // precomposed
+    assert(nfd != pre && nfd.length == 5 && pre.length == 4)
+    // SQL surface: the two spellings collapse to one fingerprint
+    val r = spark.sql(
+      s"SELECT nfc('$nfd') = nfc('$pre'), nfc('$nfd') = '$pre', " +
+        s"nfc(nfc('$nfd')) = nfc('$nfd'), nfc(cast(null as string))").collect()(0)
+    assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2))
+    assert(r.isNullAt(3))
+    // already-normalized input returns the SAME UTF8String, no copy
+    val ascii = UTF8String.fromString("plain ascii text")
+    assert(TextNorm.nfc(ascii) eq ascii)
+    val emoji = UTF8String.fromString("ok 😀 end") // non-BMP passthrough
+    assert(TextNorm.nfc(emoji) eq emoji)
+  }
 }
