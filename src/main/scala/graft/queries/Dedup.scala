@@ -431,6 +431,73 @@ object Dedup {
             GROUP BY 1, 2"""
       }),
 
+    // ── NEAR-dup decontamination: eval-set leakage removal by
+    // MinHash-LSH — the complement of c02/c04's exact 13-gram
+    // overlap. Exact n-grams miss paraphrased/reformatted eval
+    // leakage; here every TRAIN doc that is a verified near-dup
+    // (Jaccard ≥ 0.7 on word-3-gram shingles) of ANY eval doc is
+    // flagged. The candidate join is train-buckets × eval-buckets on
+    // (band, bucket) — bounded by the EVAL side (10% split here; a
+    // benchmark suite in production), never train×train — and the
+    // shared eval split predicate is c02's, so the two
+    // decontamination tiers compose on the same split. Output keeps
+    // every train doc (leaked, n_eval_matches, best_eval_match) so
+    // downstream filters compose. ──
+    "c07_neardup_decontaminate" -> Q(
+      (s, d) => {
+        val (hs, bk) = lshFrames(s, d)
+        val evalPred = graft.queries.Pipeline.evalPredSql
+        val evalIds = Tables(s, d, "documents")
+          .where(evalPred).select("doc_id").persistScoped()
+        val cand = bk.join(evalIds, Seq("doc_id"), "left_anti")
+          .select(col("doc_id").as("td"), col("band"), col("bucket"))
+          .join(bk.join(evalIds, Seq("doc_id"), "left_semi")
+            .select(col("doc_id").as("ed"), col("band").as("b2"), col("bucket").as("k2")),
+            col("band") === col("b2") && col("bucket") === col("k2"))
+          .select("td", "ed").distinct()
+        val matches = cand
+          .join(hs.select(col("doc_id").as("td"), col("hv").as("hv1")), "td")
+          .join(hs.select(col("doc_id").as("ed"), col("hv").as("hv2")), "ed")
+          .selectExpr("td", "ed", jaccardExpr)
+          .where("jac >= 0.7")
+          .groupBy("td")
+          .agg(count(lit(1)).as("n_eval_matches"), min("ed").as("best_eval_match"))
+          .withColumnRenamed("td", "doc_id")
+        Tables(s, d, "documents").where(s"not ($evalPred)").select("doc_id")
+          .join(matches, Seq("doc_id"), "left")
+          .selectExpr("doc_id",
+            "coalesce(n_eval_matches, cast(0 as bigint)) > 0 as leaked",
+            "coalesce(n_eval_matches, cast(0 as bigint)) as n_eval_matches",
+            "coalesce(best_eval_match, cast(-1 as bigint)) as best_eval_match")
+      },
+      Some {
+        val ev = s"(${Hashing.duck32("'split:' || ('eval:' || doc_id)")} % 100 < 10)"
+        s"""$duckShingles,
+            csig AS (SELECT doc_id, ${duckSig(16)} AS sig FROM hs),
+            cb AS (SELECT doc_id, unnest(generate_series(0, 3)) AS band, sig FROM csig),
+            cbk AS (SELECT doc_id, band,
+                      ${Hashing.duck32("band || ':' || array_to_string(sig[band*4+1:band*4+4], ',')")} AS bucket
+                    FROM cb),
+            ev AS (SELECT doc_id FROM documents WHERE $ev),
+            cand AS (SELECT DISTINCT t.doc_id AS td, e.doc_id AS ed
+                     FROM cbk t JOIN cbk e ON t.band = e.band AND t.bucket = e.bucket
+                     JOIN ev ON ev.doc_id = e.doc_id
+                     WHERE t.doc_id NOT IN (SELECT doc_id FROM ev)),
+            ver AS (SELECT td, ed FROM
+                      (SELECT td, ed,
+                              CAST(len(list_intersect(x.hv, y.hv)) AS DOUBLE)
+                                / len(list_distinct(x.hv || y.hv)) AS jac
+                       FROM cand JOIN hs x ON x.doc_id = td JOIN hs y ON y.doc_id = ed)
+                    WHERE jac >= 0.7),
+            agg AS (SELECT td, count(*) AS n_eval_matches, min(ed) AS best_eval_match
+                    FROM ver GROUP BY td)
+            SELECT d.doc_id, COALESCE(a.n_eval_matches, 0) > 0 AS leaked,
+                   COALESCE(a.n_eval_matches, 0) AS n_eval_matches,
+                   COALESCE(a.best_eval_match, -1) AS best_eval_match
+            FROM documents d LEFT JOIN agg a ON a.td = d.doc_id
+            WHERE NOT $ev"""
+      }),
+
     // ── incremental shard-vs-corpus NEAR-dup: d14's sibling for the
     // edited-revision case. d14's exact fingerprints catch only
     // verbatim re-crawls; here each shard doc probes the corpus's

@@ -244,6 +244,44 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(sig(h1) != sig(hv) && sig(h2) != sig(hv))
   }
 
+  test("c07 near-dup decontamination: sound vs brute force, and real leaks are caught") {
+    graft.functions.Hashing.register(spark)
+    val got = Dedup.all("c07_neardup_decontaminate").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    def shingles(t: String): Set[String] = {
+      val w = t.split(" ")
+      if (w.length < 3) Set.empty else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val all = graft.Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> shingles(r.getString(1))).toMap
+    // the split as the OPERATOR classified it: output rows ARE train
+    val train = got.map(_._1).toSet
+    val eval = all.keySet -- train
+    assert(eval.nonEmpty && train.size > eval.size)
+    def jac(a: Set[String], b: Set[String]): Double =
+      if (a.isEmpty || b.isEmpty) 0.0
+      else a.intersect(b).size.toDouble / a.union(b).size
+    val truth = train.map { t =>
+      t -> eval.filter(e => jac(all(t), all(e)) >= 0.7)
+    }.toMap
+    got.foreach { case (id, leaked, n, best) =>
+      assert(leaked === (n > 0), s"$id: leaked/n disagree")
+      // soundness: banded candidates + exact verify never OVER-report
+      assert(n <= truth(id).size, s"$id: $n > ${truth(id).size} true leaks")
+      if (best != -1L) assert(truth(id).contains(best), s"$id: best $best not a true leak")
+      // recall guarantee: an identical shingle set always collides in
+      // every band, so exact-copy leakage cannot be missed
+      if (all(id).nonEmpty && eval.exists(e => all(e) == all(id)))
+        assert(leaked, s"exact-copy leak $id missed")
+    }
+    // the operator must catch real leakage on this corpus, or the
+    // spec proved nothing
+    assert(truth.values.exists(_.nonEmpty), "no true cross-split near-dup - vacuous")
+    assert(got.exists(_._2), "no leak flagged despite true leaks existing")
+  }
+
   test("d16 shard near-dup: sound vs a brute-force recompute; exact dups guaranteed found") {
     graft.functions.Hashing.register(spark)
     val got = Dedup.all("d16_shard_neardup").fn(spark, sf)
