@@ -946,7 +946,79 @@ object Dedup {
                SELECT doc_id, count(*) AS n_win,
                       CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
                       CAST((sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT) AS dup_bp
-               FROM e JOIN c USING (wh) GROUP BY doc_id"""))
+               FROM e JOIN c USING (wh) GROUP BY doc_id""")),
+
+    // ── exact substring-SPAN dedup (the Lee et al. 2022 "Deduplicating
+    // Training Data Makes Language Models Better" method): every token
+    // position whose 8-gram window occurs MORE THAN ONCE in the corpus
+    // (within- or cross-document, the paper's criterion) is marked
+    // duplicated; overlapping/adjacent marked windows merge into
+    // maximal spans, and each doc reports its span count and
+    // covered-token fraction — the spans a span-level dedup would cut,
+    // where d10 only counts windows. A repeated substring of m ≥ 8
+    // tokens surfaces as m-7 consecutive duplicated window starts
+    // whose merged island covers exactly its m tokens, so with the
+    // window length as the paper's minimum match length the
+    // shingle-position formulation IS the suffix-array answer —
+    // re-expressed as one fp-keyed partial-agg shuffle, one fp-keyed
+    // equi-join (AQE splits hot fps), and a PER-DOC window (bounded by
+    // doc length, never corpus-global) — the shapes that scale on a
+    // cluster where the paper's in-memory suffix array does not.
+    "d18_span_dedup" -> Q(
+      (s, d) => {
+        Hashing.register(s)
+        val pos = Tables(s, d, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .where(s"size($toks) >= 8")
+          .selectExpr("doc_id", s"size($toks) as n_tokens",
+            s"explode(transform(sequence(1, size($toks) - 7), i -> " +
+              s"struct(i as s, h32(concat_ws(' ', slice($toks, i, 8))) as fp))) as w")
+          .selectExpr("doc_id", "n_tokens", "w.s as s", "w.fp as fp")
+          .persistScoped()
+        val dupFp = pos.groupBy("fp").agg(count(lit(1)).as("n_occ"))
+          .where("n_occ >= 2").select("fp")
+        val byDoc = Window.partitionBy("doc_id").orderBy("s")
+        val islands = pos.join(dupFp, "fp")
+          .withColumn("e", col("s") + lit(7))
+          .withColumn("pe",
+            max("e").over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("fl",
+            when(col("pe").isNull || col("s") > col("pe") + 1, 1L).otherwise(0L))
+          .withColumn("grp",
+            sum("fl").over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("doc_id", "n_tokens", "grp")
+          .agg(min("s").as("s0"), max("e").as("e1"))
+        islands.groupBy("doc_id", "n_tokens")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(col("e1") - col("s0") + 1).as("dup_tokens"))
+          .selectExpr("doc_id", "n_spans", "dup_tokens", "n_tokens",
+            "(dup_tokens * 10000) div n_tokens as dup_bp")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
+                          WHERE len(string_split(text,' ')) >= 8),
+               q AS (SELECT doc_id, len(t) AS n_tokens,
+                            unnest(generate_series(1, len(t)-7)) AS s,
+                            unnest(list_transform(generate_series(1, len(t)-7),
+                              i -> ${Hashing.duck32("array_to_string(t[i:i+7], ' ')")})) AS fp
+                     FROM t),
+               c AS (SELECT fp FROM q GROUP BY fp HAVING count(*) >= 2),
+               m AS (SELECT q.doc_id, q.n_tokens, q.s, q.s + 7 AS e
+                     FROM q JOIN c USING (fp)),
+               w AS (SELECT doc_id, n_tokens, s, e,
+                            max(e) OVER (PARTITION BY doc_id ORDER BY s
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+                     FROM m),
+               g AS (SELECT doc_id, n_tokens, s, e,
+                            sum(CASE WHEN pe IS NULL OR s > pe + 1 THEN 1 ELSE 0 END)
+                              OVER (PARTITION BY doc_id ORDER BY s
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+                     FROM w),
+               i AS (SELECT doc_id, n_tokens, grp, min(s) AS s0, max(e) AS e1
+                     FROM g GROUP BY 1, 2, 3)
+               SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                      CAST(sum(e1 - s0 + 1) AS BIGINT) AS dup_tokens, n_tokens,
+                      CAST((sum(e1 - s0 + 1) * 10000) // n_tokens AS BIGINT) AS dup_bp
+               FROM i GROUP BY doc_id, n_tokens"""))
   )
 
   // ── shard-vs-corpus dedup machinery shared by d14 (one-shot batch)

@@ -798,6 +798,67 @@ object Pipeline {
                      CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                      count(d.n_copies) AS n_exact_dup
               FROM f LEFT JOIN dup d ON d.fp = f.fp
-              GROUP BY lang"""))
+              GROUP BY lang""")),
+
+    // ── p13: DoReMi-flavored domain reweighting (Xie et al. 2023) —
+    // one exponentiated-gradient step, linearized into exact integer
+    // arithmetic: per-source mean "loss" (10000 − t12's classifier
+    // score, so hard domains score high), excess over the corpus
+    // mean, multiplicative update raw = max(10000 + excess, 100)
+    // (the floor is DoReMi's uniform smoothing — no domain starves),
+    // normalized to basis points. exp() is deliberately linearized:
+    // IEEE exp differs across engines in the last ulp and the gate's
+    // hash compare needs EXACT arithmetic — integer add/div is the
+    // cross-engine-deterministic EG surrogate, same direction per
+    // step. Topology: the corpus shuffles ONCE (source-keyed partial
+    // agg riding t12's scoring pass); the two corpus-level scalars
+    // attach via crossJoin(broadcast(empty-grouping agg)) — the
+    // audited bounded scalar-attach shape — and everything after the
+    // first agg is |sources|-sized. ──
+    "p13_domain_reweight" -> Q(
+      (s, d) => {
+        val score = TextOps.all("t12_classifier_score").fn(s, d)
+          .select("doc_id", "score_bp")
+        val per = Tables(s, d, "documents").select("doc_id", "source")
+          .join(score, "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(expr("10000 - score_bp")).as("sum_loss"))
+          .persistScoped()
+        val tot = per.agg(sum("n_docs").as("n_tot"),
+          sum("sum_loss").as("loss_tot"))
+        val ex = per.crossJoin(broadcast(tot))
+          .selectExpr("source", "n_docs",
+            "sum_loss div n_docs as loss_bp",
+            "sum_loss div n_docs - loss_tot div n_tot as excess_bp")
+          .selectExpr("source", "n_docs", "loss_bp", "excess_bp",
+            "greatest(10000 + excess_bp, 100L) as raw")
+          .persistScoped()
+        val norm = ex.agg(sum("raw").as("raw_tot"))
+        ex.crossJoin(broadcast(norm))
+          .selectExpr("source", "n_docs", "loss_bp", "excess_bp",
+            "(raw * 10000) div raw_tot as weight_bp")
+      },
+      Some {
+        val t12 = TextOps.all("t12_classifier_score").oracle.get
+        s"""WITH sc AS (SELECT doc_id, score_bp FROM ($t12)),
+            per AS (SELECT source, count(*) AS n_docs,
+                           sum(10000 - score_bp) AS sum_loss
+                    FROM documents d JOIN sc USING (doc_id)
+                    GROUP BY source),
+            tot AS (SELECT sum(n_docs) AS n_tot, sum(sum_loss) AS loss_tot
+                    FROM per),
+            ex AS (SELECT source, n_docs,
+                          sum_loss // n_docs AS loss_bp,
+                          sum_loss // n_docs - loss_tot // n_tot AS excess_bp,
+                          greatest(10000 + (sum_loss // n_docs - loss_tot // n_tot),
+                                   100) AS raw
+                   FROM per, tot),
+            nm AS (SELECT sum(raw) AS raw_tot FROM ex)
+            SELECT source, n_docs, CAST(loss_bp AS BIGINT) AS loss_bp,
+                   CAST(excess_bp AS BIGINT) AS excess_bp,
+                   CAST((raw * 10000) // raw_tot AS BIGINT) AS weight_bp
+            FROM ex, nm"""
+      })
   )
 }

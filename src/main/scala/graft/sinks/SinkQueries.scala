@@ -304,7 +304,64 @@ object SinkQueries {
                       FROM base WHERE o_orderkey % 97 = 0 AND yr >= 1996)
               SELECT * FROM base
               WHERE o_orderkey NOT IN (SELECT o_orderkey FROM chg)
-              UNION ALL SELECT * FROM chg"""))
+              UNION ALL SELECT * FROM chg""")),
+
+    // ── sink12: TIME TRAVEL over the manifest-snapshot table
+    // ([[Sinks.writeManifest]]). The same changelog as sink11 is
+    // merged COPY-ON-WRITE: affected partitions' merged rows are
+    // APPENDED as new files (v1's files are never touched) and
+    // manifest v2 = untouched partitions' v1 files + the new files.
+    // The gate query then reads VERSION 1 — after v2 committed — and
+    // its oracle is the plain pre-merge base: history remains exactly
+    // readable once the table has moved on, which is the entire
+    // snapshot-isolation contract (sink11's dynamic-partition
+    // overwrite, by contrast, deletes the history it replaces).
+    // SinksSpec pins the complementary claims: v2 equals sink11's
+    // merged answer, and the two manifests differ exactly on the
+    // affected partitions. ──
+    "sink12_time_travel" -> Q(
+      (s, d) => {
+        val out = scratch("timetravel")
+        writeBasePartitioned(s, d, out)
+        Sinks.writeManifest(s, out, 1, Sinks.dataFiles(s, out))
+        upsertCow(s, d, out)
+        Sinks.readAtVersion(s, out, 1)
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "yr")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+                     year(o_orderdate) AS yr FROM orders""")),
+
+    // ── sink13: CHANGE FEED between two manifest versions (the Delta
+    // CDF idea): rows in v2-only files minus rows in v1-only files =
+    // net adds, the reverse = net removes; copy-on-write copies of
+    // unchanged rows appear in both reads and cancel in the
+    // exceptAll. Only the CHANGED files are read — the incremental
+    // consumer of a 100 TB table pays for the delta, not the table.
+    // Oracle: adds are exactly the changelog, removes are exactly
+    // the updated keys' pre-merge rows. ──
+    "sink13_change_feed" -> Q(
+      (s, d) => {
+        val out = scratch("changefeed")
+        writeBasePartitioned(s, d, out)
+        Sinks.writeManifest(s, out, 1, Sinks.dataFiles(s, out))
+        upsertCow(s, d, out)
+        Sinks.changeFeed(s, out, 1, 2)
+          .select("action", "o_orderkey", "o_custkey", "o_orderdate",
+            "o_totalprice", "yr")
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+                                   year(o_orderdate) AS yr FROM orders),
+              chg AS (SELECT o_orderkey, o_custkey, o_orderdate,
+                             o_totalprice + 1000 AS o_totalprice, yr
+                      FROM base WHERE o_orderkey % 37 = 0 AND yr >= 1996
+                      UNION ALL
+                      SELECT o_orderkey + 100000000, o_custkey, o_orderdate,
+                             o_totalprice, yr
+                      FROM base WHERE o_orderkey % 97 = 0 AND yr >= 1996)
+              SELECT 'add' AS action, * FROM chg
+              UNION ALL
+              SELECT 'remove' AS action, * FROM base
+              WHERE o_orderkey % 37 = 0 AND yr >= 1996"""))
   )
 
   /** sink11's base snapshot: orders, hive-partitioned by order year. */
@@ -320,10 +377,12 @@ object SinkQueries {
     * year-partitioned base at `out`, rewriting ONLY the affected
     * year partitions (dynamic partition overwrite; earlier years'
     * files must remain byte-identical — SinksSpec pins it). */
-  private[graft] def mergeInto(s: org.apache.spark.sql.SparkSession,
-      d: String, out: String): Unit = {
-    import org.apache.spark.sql.functions.col
-    val chg = Tables(s, d, "orders")
+  /** The deterministic changelog shared by sink11 (in-place merge) and
+    * sink12 (copy-on-write merge): updates to ~1/37 of 1996+ keys,
+    * inserts of new 1996+ keys. */
+  private def changelog(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables(s, d, "orders")
       .where("o_orderkey % 37 = 0 and year(o_orderdate) >= 1996")
       .selectExpr("o_orderkey", "o_custkey", "o_orderdate",
         "o_totalprice + 1000 as o_totalprice", "year(o_orderdate) as yr")
@@ -331,6 +390,11 @@ object SinkQueries {
         .where("o_orderkey % 97 = 0 and year(o_orderdate) >= 1996")
         .selectExpr("o_orderkey + 100000000 as o_orderkey", "o_custkey",
           "o_orderdate", "o_totalprice", "year(o_orderdate) as yr"))
+
+  private[graft] def mergeInto(s: org.apache.spark.sql.SparkSession,
+      d: String, out: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val chg = changelog(s, d)
     val years = chg.select("yr").distinct().collect().map(_.getInt(0))
     val merged = s.read.parquet(out)
       .where(col("yr").isin(years.map(Integer.valueOf).toSeq: _*))
@@ -345,5 +409,31 @@ object SinkQueries {
       case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
+  }
+
+  /** sink12's MERGE, copy-on-write flavor: the same changelog as
+    * sink11, but the merged affected partitions are APPENDED as new
+    * files (v1's files are never deleted or rewritten) and manifest
+    * v2 = v1's files from untouched partitions + the commit's own
+    * appended files (captured as a before/after set difference — at
+    * scale the writer's task-commit file list, never a re-list of
+    * the table). Version 1 therefore remains exactly readable. */
+  private[graft] def upsertCow(s: org.apache.spark.sql.SparkSession,
+      d: String, out: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val chg = changelog(s, d)
+    val years = chg.select("yr").distinct().collect().map(_.getInt(0)).toSet
+    val v1 = Sinks.readManifest(s, out, 1)
+    val before = Sinks.dataFiles(s, out).toSet
+    val merged = Sinks.readAtVersion(s, out, 1)
+      .where(col("yr").isin(years.toSeq.map(Integer.valueOf): _*))
+      .join(chg.select(col("o_orderkey").as("ck")),
+        col("o_orderkey") === col("ck"), "left_anti")
+      .unionByName(chg)
+      .localCheckpoint(true)
+    merged.write.mode("append").partitionBy("yr").parquet(out)
+    val appended = Sinks.dataFiles(s, out).filterNot(before)
+    val keep = v1.filterNot(f => years.exists(y => f.startsWith(s"yr=$y/")))
+    Sinks.writeManifest(s, out, 2, keep ++ appended)
   }
 }

@@ -66,6 +66,108 @@ object Sinks {
   def writeZstd(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(path)
 
+  // ── manifest-based snapshot isolation on plain parquet (the
+  // Delta/Iceberg core contract, minimally; sink12): commits only
+  // APPEND data files — copy-on-write, nothing deleted or rewritten
+  // in place — and `_manifests/v<N>.txt` pins the file set LIVE at
+  // version N (one root-relative path per line, sorted). A reader of
+  // version N loads exactly that manifest's files, so later commits
+  // cannot disturb it and every historical version stays exactly
+  // readable until an explicit vacuum. The manifest is O(live files)
+  // of driver-side text — the same scale contract as a Delta log
+  // entry. The recursive listing below is the plain-parquet
+  // bootstrap; a 100 TB writer records its own written-file set at
+  // commit instead of re-listing (sink12's upsert does exactly that
+  // via a before/after set difference of the affected partitions). ──
+
+  /** Root-relative paths of all parquet data files under `dir`
+    * (manifests and marker files excluded), sorted. */
+  def dataFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val root = new Path(dir)
+    val hfs = fs(spark, root)
+    val it = hfs.listFiles(root, true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val rootUri = root.toUri.getPath.stripSuffix("/")
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+      if (st.isFile && rel.endsWith(".parquet") && !rel.startsWith("_manifests/"))
+        out += rel
+    }
+    out.sorted.toSeq
+  }
+
+  /** Commit version `v`: write `_manifests/v<v>.txt` naming `files`
+    * (root-relative) as the version's live set. */
+  def writeManifest(spark: SparkSession, dir: String, v: Int,
+      files: Seq[String]): Unit = {
+    val p = new Path(dir, s"_manifests/v$v.txt")
+    val hfs = fs(spark, p)
+    val w = new BufferedWriter(new OutputStreamWriter(
+      hfs.create(p, true), StandardCharsets.UTF_8))
+    try files.sorted.foreach { f => w.write(f); w.newLine() }
+    finally w.close()
+  }
+
+  /** The live file set committed for version `v`. */
+  def readManifest(spark: SparkSession, dir: String, v: Int): Seq[String] = {
+    val p = new Path(dir, s"_manifests/v$v.txt")
+    val r = new BufferedReader(new InputStreamReader(
+      fs(spark, p).open(p), StandardCharsets.UTF_8))
+    try Iterator.continually(r.readLine()).takeWhile(_ != null).toVector
+    finally r.close()
+  }
+
+  /** Time-travel read: exactly version `v`'s files, with hive
+    * partition columns recovered via `basePath`. */
+  def readAtVersion(spark: SparkSession, dir: String, v: Int): DataFrame = {
+    val files = readManifest(spark, dir, v).map(f => s"$dir/$f")
+    spark.read.option("basePath", dir).parquet(files: _*)
+  }
+
+  /** Change feed between two committed versions (the Delta CDF idea
+    * on the manifest table): rows in `to`-only files minus rows in
+    * `from`-only files are the net adds, the reverse the net removes
+    * — copy-on-write copies of UNchanged rows appear in both reads
+    * and cancel. The crucial scale property: only the CHANGED files
+    * are ever read — an incremental consumer of a 100 TB table pays
+    * for the delta, not the table. Row-level cancellation is an
+    * exceptAll (hash-keyed on the full row, partial-agg'd); at any
+    * scale its input is bounded by the changed-file bytes. */
+  def changeFeed(spark: SparkSession, dir: String, from: Int, to: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val mFrom = readManifest(spark, dir, from).toSet
+    val mTo = readManifest(spark, dir, to).toSet
+    def read(files: Set[String]): DataFrame = {
+      val paths = files.toSeq.sorted.map(f => s"$dir/$f")
+      if (paths.isEmpty) spark.read.option("basePath", dir)
+        .parquet(s"$dir/${readManifest(spark, dir, to).head}").limit(0)
+      else spark.read.option("basePath", dir).parquet(paths: _*)
+    }
+    val old = read(mFrom -- mTo)
+    val neu = read(mTo -- mFrom)
+    neu.exceptAll(old).withColumn("action", lit("add"))
+      .unionByName(old.exceptAll(neu).withColumn("action", lit("remove")))
+  }
+
+  /** Garbage-collect data files referenced by NO retained manifest
+    * (the vacuum that makes copy-on-write sustainable); non-retained
+    * manifests are dropped too. Returns the deleted-file count.
+    * Driver-side O(files) metadata work, no data read. */
+  def vacuum(spark: SparkSession, dir: String, retain: Seq[Int]): Int = {
+    val live = retain.flatMap(v => readManifest(spark, dir, v)).toSet
+    val root = new Path(dir)
+    val hfs = fs(spark, root)
+    val dead = dataFiles(spark, dir).filterNot(live)
+    dead.foreach(f => hfs.delete(new Path(dir, f), false))
+    val keep = retain.map(v => s"v$v.txt").toSet
+    val mDir = new Path(dir, "_manifests")
+    hfs.listStatus(mDir).map(_.getPath)
+      .filterNot(p => keep(p.getName))
+      .foreach(p => hfs.delete(p, false))
+    dead.size
+  }
+
   /** Small-file compaction: rewrite `inDir`'s parquet parts as
     * ~`targetBytes`-sized files (part count = ceil(observed bytes /
     * target), from a driver-side listing — O(files) statuses, no data

@@ -156,6 +156,42 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(expected.values.exists(_._2 == 0), "no clean docs in testdata")
   }
 
+  test("d18 span dedup equals the serial interval-merge recompute") {
+    val sf01 = "/root/testdata/sf0.01" // sf0.001 has no cross-doc window dups
+    val out = Dedup.all("d18_span_dedup").fn(spark, sf01).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("dup_tokens"),
+          r.getAs[Int]("n_tokens"), r.getAs[Long]("dup_bp"))).toMap
+    // serial model: a window start is duplicated iff its 8-gram occurs
+    // >= 2 times in the corpus (within- or cross-doc); merge
+    // overlapping/adjacent [s, s+7] intervals per doc
+    val docs = graft.Tables(spark, sf01, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(' ').toSeq))
+      .filter(_._2.length >= 8)
+    val occ = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    for ((_, t) <- docs; w <- t.sliding(8)) occ(w.mkString(" ")) += 1
+    val expected = docs.flatMap { case (id, t) =>
+      val starts = t.sliding(8).zipWithIndex.collect {
+        case (w, j) if occ(w.mkString(" ")) >= 2 => j + 1 }.toList
+      val spans = starts.foldLeft(List.empty[(Int, Int)]) {
+        case ((s0, e1) :: rest, s) if s <= e1 + 1 =>
+          (s0, math.max(e1, s + 7)) :: rest
+        case (acc, s) => (s, s + 7) :: acc
+      }.reverse
+      if (spans.isEmpty) None
+      else {
+        val dupTok = spans.map { case (s0, e1) => e1 - s0 + 1 }.sum.toLong
+        Some(id -> (spans.size.toLong, dupTok, t.length,
+          dupTok * 10000 / t.length))
+      }
+    }.toMap
+    assert(out === expected)
+    assert(expected.nonEmpty, "no duplicated spans in testdata")
+    assert(expected.values.exists(_._2 < 30),
+      "want a doc that is only partially covered (span merge is real)")
+  }
+
   test("d12 soft-dedup weights: one row per doc, weight = 10000 div cluster size") {
     val sf01 = "/root/testdata/sf0.01" // sf0.001 has no near-dup pairs
     val rows = Dedup.all("d12_softdedup_weights").fn(spark, sf01).collect()

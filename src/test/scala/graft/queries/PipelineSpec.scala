@@ -8,6 +8,35 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("p13 domain reweight: exact serial EG-step recompute, weights normalize to 10000") {
+    val out = Pipeline.all("p13_domain_reweight").fn(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("loss_bp"),
+          r.getAs[Long]("excess_bp"), r.getAs[Long]("weight_bp"))).toMap
+    val scored = TextOps.all("t12_classifier_score").fn(spark, sf)
+      .select("doc_id", "score_bp").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bySrc = graft.Tables(spark, sf, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).view.mapValues(_.map(x => 10000L - scored(x._1))).toMap
+    val nTot = bySrc.values.map(_.length.toLong).sum
+    val lossTot = bySrc.values.map(_.sum).sum
+    val raw = bySrc.map { case (s, ls) =>
+      s -> math.max(10000L + (ls.sum / ls.length - lossTot / nTot), 100L) }
+    val rawTot = raw.values.sum
+    val expected = bySrc.map { case (s, ls) =>
+      val loss = ls.sum / ls.length
+      s -> (ls.length.toLong, loss, loss - lossTot / nTot,
+        raw(s) * 10000L / rawTot) }
+    assert(out === expected)
+    val wsum = out.values.map(_._4).sum
+    assert(wsum <= 10000 && wsum > 10000L - out.size,
+      s"floor-normalized weights must sum just under 10000, got $wsum")
+    assert(out.values.exists(_._3 > 0) && out.values.exists(_._3 < 0),
+      "want both above- and below-par domains for the step to be non-trivial")
+  }
+
   test("p03 seq packing is range-partition-width invariant") {
     // the two-phase prefix sum must produce the exact single-window
     // answer at ANY width — per-partition offsets compose. Widths 2

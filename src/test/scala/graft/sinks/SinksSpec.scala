@@ -13,6 +13,88 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
     p.toString
   }
 
+  test("sink12 time travel: v2 equals sink11's merge, v1 survives it, manifests differ only on affected partitions") {
+    val d = "/root/testdata/sf0.001"
+    val out = tmp("timetravel") + "/t"
+    SinkQueries.writeBasePartitioned(spark, d, out)
+    graft.sinks.Sinks.writeManifest(spark, out, 1,
+      graft.sinks.Sinks.dataFiles(spark, out))
+    val baseRows = graft.sinks.Sinks.readAtVersion(spark, out, 1)
+      .collect().map(_.toString).sorted
+    SinkQueries.upsertCow(spark, d, out)
+    // v1 read AFTER the v2 commit is byte-for-byte the pre-merge base
+    val v1After = graft.sinks.Sinks.readAtVersion(spark, out, 1)
+      .collect().map(_.toString).sorted
+    assert(v1After === baseRows)
+    // v2 equals sink11's in-place merge semantics on a separate copy
+    val ref = tmp("timetravel-ref") + "/t"
+    SinkQueries.writeBasePartitioned(spark, d, ref)
+    SinkQueries.mergeInto(spark, d, ref)
+    val expected = spark.read.parquet(ref).collect().map(_.toString).sorted
+    val v2 = graft.sinks.Sinks.readAtVersion(spark, out, 2)
+      .collect().map(_.toString).sorted
+    assert(v2 === expected)
+    // manifests: shared files are exactly the untouched partitions';
+    // every affected-partition file in v2 is new (copy-on-write)
+    val m1 = graft.sinks.Sinks.readManifest(spark, out, 1).toSet
+    val m2 = graft.sinks.Sinks.readManifest(spark, out, 2).toSet
+    val affected = spark.read.parquet(ref).selectExpr("yr")
+      .where("yr >= 1996").distinct().collect().map(_.getInt(0)).toSet
+    val (m2Aff, m2Keep) = m2.partition(f => affected.exists(y => f.startsWith(s"yr=$y/")))
+    assert(m2Keep === m1.filterNot(f => affected.exists(y => f.startsWith(s"yr=$y/"))))
+    assert(m2Aff.nonEmpty && m2Aff.intersect(m1).isEmpty,
+      "copy-on-write must append fresh files for affected partitions")
+    // and nothing was deleted: v1's full file set is still on disk
+    assert(m1.subsetOf(graft.sinks.Sinks.dataFiles(spark, out).toSet))
+  }
+
+  test("sink12 vacuum: drops exactly the unreferenced files, retained version intact") {
+    val d = "/root/testdata/sf0.001"
+    val out = tmp("vacuum") + "/t"
+    SinkQueries.writeBasePartitioned(spark, d, out)
+    graft.sinks.Sinks.writeManifest(spark, out, 1,
+      graft.sinks.Sinks.dataFiles(spark, out))
+    SinkQueries.upsertCow(spark, d, out)
+    val v2Before = graft.sinks.Sinks.readAtVersion(spark, out, 2)
+      .collect().map(_.toString).sorted
+    val m1 = graft.sinks.Sinks.readManifest(spark, out, 1).toSet
+    val m2 = graft.sinks.Sinks.readManifest(spark, out, 2).toSet
+    val deleted = graft.sinks.Sinks.vacuum(spark, out, Seq(2))
+    assert(deleted === (m1 -- m2).size, "vacuum must drop exactly v1-only files")
+    assert(graft.sinks.Sinks.dataFiles(spark, out).toSet === m2)
+    // the retained version is bit-identical after the vacuum
+    assert(graft.sinks.Sinks.readAtVersion(spark, out, 2)
+      .collect().map(_.toString).sorted === v2Before)
+    // the dropped version's manifest is gone: history is explicitly vacuumed
+    assertThrows[Exception](graft.sinks.Sinks.readManifest(spark, out, 1))
+  }
+
+  test("sink13 change feed: adds are the changelog, removes the updated keys' old rows, copies cancel") {
+    val d = "/root/testdata/sf0.001"
+    val out = tmp("cdf") + "/t"
+    SinkQueries.writeBasePartitioned(spark, d, out)
+    graft.sinks.Sinks.writeManifest(spark, out, 1,
+      graft.sinks.Sinks.dataFiles(spark, out))
+    val base = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Double]("o_totalprice"), r.getAs[Int]("yr")))
+    SinkQueries.upsertCow(spark, d, out)
+    val feed = graft.sinks.Sinks.changeFeed(spark, out, 1, 2).collect()
+    val adds = feed.filter(_.getAs[String]("action") == "add")
+    val removes = feed.filter(_.getAs[String]("action") == "remove")
+    val updatedKeys = base.collect { case (k, _, yr) if k % 37 == 0 && yr >= 1996 => k }.toSet
+    val insertedKeys = base.collect { case (k, _, yr) if k % 97 == 0 && yr >= 1996 => k + 100000000L }.toSet
+    assert(removes.map(_.getAs[Long]("o_orderkey")).toSet === updatedKeys)
+    assert(adds.map(_.getAs[Long]("o_orderkey")).toSet === updatedKeys ++ insertedKeys)
+    assert(adds.length === updatedKeys.size + insertedKeys.size,
+      "copy-on-write copies of unchanged rows must cancel out of the feed")
+    // an updated key's add carries the +1000 price, its remove the original
+    val k = updatedKeys.head
+    val before = base.collect { case (`k`, p, _) => p }.head
+    val after = adds.find(_.getAs[Long]("o_orderkey") == k).get
+      .getAs[Double]("o_totalprice")
+    assert(after - before === 1000.0)
+  }
+
   test("writeVersioned: double-write then idempotent skip") {
     import spark.implicits._
     val base = tmp("versioned")
