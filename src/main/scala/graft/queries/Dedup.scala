@@ -1018,7 +1018,78 @@ object Dedup {
                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
                       CAST(sum(e1 - s0 + 1) AS BIGINT) AS dup_tokens, n_tokens,
                       CAST((sum(e1 - s0 + 1) * 10000) // n_tokens AS BIGINT) AS dup_bp
-               FROM i GROUP BY doc_id, n_tokens"""))
+               FROM i GROUP BY doc_id, n_tokens""")),
+
+    // ── d19: HyperLogLog cardinality (Flajolet et al. 2007) with an
+    // EXACT cross-engine oracle — the mergeable sketch every 100 TB
+    // profiler runs ("how many distinct shingles per source?")
+    // without a countDistinct shuffle of the full key set. The whole
+    // sketch is builtin-expression arithmetic on the shared md5-h32
+    // hash: bucket = top 10 bits, rho = 1 + leading zeros of the
+    // remaining 22 bits (via length(bin(w)) — identical semantics in
+    // both engines), per-(source,bucket) max, and the harmonic mean
+    // in DYADIC-RATIONAL integer arithmetic: Σ 2^-rho is summed as
+    // integer terms 2^(32-rho) over a common 2^32 denominator — no
+    // float sum order, no transcendental, so the gate's hash compare
+    // is exact. est = α·m²·2^32 // S with α·m² = 755541 (m = 1024,
+    // α = 0.7213/(1+1.079/m), floored once as a shared literal; the
+    // standard small-range correction needs ln() and is deliberately
+    // omitted — bias is part of the pinned contract, and the output
+    // carries the true |err| in basis points against the exact
+    // count). Scale shape: one (source,bucket)-keyed partial agg —
+    // ≤1024 rows per source survive the map side, the classic
+    // sketch-shuffle bound; the exact side is gate evidence only. ──
+    "d19_hll_cardinality" -> Q(
+      (s, d) => {
+        Hashing.register(s)
+        val items = Tables(s, d, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .where(s"size($toks) >= 3")
+          .selectExpr("source",
+            s"explode(transform(sequence(1, size($toks) - 2), " +
+              s"i -> h32(concat_ws(' ', slice($toks, i, 3))))) as h")
+          .persistScoped()
+        val mx = items
+          .selectExpr("source", "h div 4194304 as bucket", "h % 4194304 as w")
+          .selectExpr("source", "bucket",
+            "case when w = 0 then 23 else 23 - length(bin(w)) end as rho")
+          .groupBy("source", "bucket").agg(max("rho").as("m_rho"))
+        val allBuckets = items.select("source").distinct()
+          .selectExpr("source", "explode(sequence(0, 1023)) as bucket")
+        val sums = allBuckets.join(mx, Seq("source", "bucket"), "left")
+          .selectExpr("source", "shiftleft(1L, 32 - coalesce(m_rho, 0)) as term")
+          .groupBy("source").agg(sum("term").as("s_sum"))
+        val exact = items.groupBy("source")
+          .agg(countDistinct("h").as("exact_distinct"))
+        sums.join(exact, "source")
+          .selectExpr("source",
+            "(755541L * 4294967296L) div s_sum as est_distinct",
+            "exact_distinct")
+          .selectExpr("source", "est_distinct", "exact_distinct",
+            "abs(est_distinct - exact_distinct) * 10000 div exact_distinct as err_bp")
+      },
+      Some(s"""WITH t AS (SELECT source, string_split(text,' ') AS t FROM documents
+                          WHERE len(string_split(text,' ')) >= 3),
+               it AS (SELECT source, unnest(list_transform(generate_series(1, len(t)-2),
+                        i -> ${Hashing.duck32("array_to_string(t[i:i+2], ' ')")})) AS h
+                      FROM t),
+               br AS (SELECT source, h // 4194304 AS bucket,
+                             CASE WHEN h % 4194304 = 0 THEN 23
+                                  ELSE 23 - length(bin(h % 4194304)) END AS rho
+                      FROM it),
+               mx AS (SELECT source, bucket, max(rho) AS m_rho FROM br GROUP BY 1, 2),
+               allb AS (SELECT source, unnest(generate_series(0, 1023)) AS bucket
+                        FROM (SELECT DISTINCT source FROM it)),
+               sm AS (SELECT a.source,
+                             sum(1::BIGINT << (32 - coalesce(m_rho, 0))) AS s_sum
+                      FROM allb a LEFT JOIN mx USING (source, bucket) GROUP BY 1),
+               ex AS (SELECT source, count(DISTINCT h) AS exact_distinct FROM it GROUP BY 1),
+               es AS (SELECT source, CAST((755541 * 4294967296) // s_sum AS BIGINT) AS est_distinct
+                      FROM sm)
+               SELECT es.source, est_distinct, exact_distinct,
+                      CAST(abs(est_distinct - exact_distinct) * 10000
+                           // exact_distinct AS BIGINT) AS err_bp
+               FROM es JOIN ex ON ex.source = es.source"""))
   )
 
   // ── shard-vs-corpus dedup machinery shared by d14 (one-shot batch)

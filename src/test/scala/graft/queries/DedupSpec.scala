@@ -192,6 +192,40 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       "want a doc that is only partially covered (span merge is real)")
   }
 
+  test("d19 HLL: engine sketch equals the serial recompute, error inside the envelope") {
+    val sf01 = "/root/testdata/sf0.01"
+    val out = Dedup.all("d19_hll_cardinality").fn(spark, sf01).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("est_distinct"), r.getAs[Long]("exact_distinct"),
+          r.getAs[Long]("err_bp"))).toMap
+    // serial model: same md5-h32 hash, 10-bit buckets, rho over the
+    // remaining 22 bits, dyadic-integer harmonic mean
+    val docs = graft.Tables(spark, sf01, "documents")
+      .selectExpr("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(' ').toSeq))
+      .filter(_._2.length >= 3)
+    val bySrc = docs.groupBy(_._1).view.mapValues(_.flatMap(_._2.sliding(3))
+      .map(w => graft.functions.Hashing.jvm32(w.mkString(" ")))).toMap
+    val expected = bySrc.map { case (src, hs) =>
+      val regs = Array.fill(1024)(0)
+      hs.foreach { h =>
+        val b = (h / 4194304L).toInt
+        val w = h % 4194304L
+        val rho = if (w == 0) 23 else 23 - java.lang.Long.toBinaryString(w).length
+        regs(b) = math.max(regs(b), rho)
+      }
+      val sSum = regs.map(r => 1L << (32 - r)).sum
+      val est = 755541L * 4294967296L / sSum
+      val exact = hs.distinct.size.toLong
+      src -> (est, exact, (est - exact).abs * 10000 / exact)
+    }
+    assert(out === expected)
+    // HLL m=1024 → σ ≈ 3.25%; the small-range correction is omitted by
+    // contract, so allow bias + noise but fail on a broken sketch
+    out.values.foreach { case (_, _, err) => assert(err < 3000, s"err_bp=$err") }
+    assert(out.nonEmpty)
+  }
+
   test("d12 soft-dedup weights: one row per doc, weight = 10000 div cluster size") {
     val sf01 = "/root/testdata/sf0.01" // sf0.001 has no near-dup pairs
     val rows = Dedup.all("d12_softdedup_weights").fn(spark, sf01).collect()
