@@ -1042,33 +1042,103 @@ object Dedup {
     "d19_hll_cardinality" -> Q(
       (s, d) => {
         Hashing.register(s)
-        val items = Tables(s, d, "documents")
-          .repartition(s.sparkContext.defaultParallelism)
-          .where(s"size($toks) >= 3")
-          .selectExpr("source",
-            s"explode(transform(sequence(1, size($toks) - 2), " +
-              s"i -> h32(concat_ws(' ', slice($toks, i, 3))))) as h")
+        val items = hllItems(Tables(s, d, "documents")
+          .repartition(s.sparkContext.defaultParallelism))
           .persistScoped()
-        val mx = items
-          .selectExpr("source", "h div 4194304 as bucket", "h % 4194304 as w")
-          .selectExpr("source", "bucket",
-            "case when w = 0 then 23 else 23 - length(bin(w)) end as rho")
-          .groupBy("source", "bucket").agg(max("rho").as("m_rho"))
-        val allBuckets = items.select("source").distinct()
-          .selectExpr("source", "explode(sequence(0, 1023)) as bucket")
-        val sums = allBuckets.join(mx, Seq("source", "bucket"), "left")
-          .selectExpr("source", "shiftleft(1L, 32 - coalesce(m_rho, 0)) as term")
-          .groupBy("source").agg(sum("term").as("s_sum"))
         val exact = items.groupBy("source")
           .agg(countDistinct("h").as("exact_distinct"))
-        sums.join(exact, "source")
-          .selectExpr("source",
-            "(755541L * 4294967296L) div s_sum as est_distinct",
-            "exact_distinct")
-          .selectExpr("source", "est_distinct", "exact_distinct",
-            "abs(est_distinct - exact_distinct) * 10000 div exact_distinct as err_bp")
+        hllFinish(hllRegisters(items), exact)
       },
-      Some(s"""WITH t AS (SELECT source, string_split(text,' ') AS t FROM documents
+      Some(d19Oracle))
+  )
+
+  // ── HLL machinery shared by d19 (one-shot batch) and stream16
+  // (maintained register artifact + streaming fold) ──
+
+  /** (source, h): every 3-gram shingle occurrence hashed — the HLL
+    * input (no per-doc dedup needed: register max is idempotent, so
+    * the sketch of a multiset is the sketch of its set). */
+  private[graft] def hllItems(docs: DataFrame): DataFrame =
+    docs.where(s"size($toks) >= 3")
+      .selectExpr("source",
+        s"explode(transform(sequence(1, size($toks) - 2), " +
+          s"i -> h32(concat_ws(' ', slice($toks, i, 3))))) as h")
+
+  /** The HLL register state: per (source, bucket = top 10 hash bits)
+    * max rank, rank = 1 + leading zeros of the remaining 22 bits. */
+  private[graft] def hllRegisters(items: DataFrame): DataFrame =
+    items
+      .selectExpr("source", "h div 4194304 as bucket", "h % 4194304 as w")
+      .selectExpr("source", "bucket",
+        "case when w = 0 then 23 else 23 - length(bin(w)) end as rho")
+      .groupBy("source", "bucket").agg(max("rho").as("m_rho"))
+
+  /** Estimator finish over register state (dyadic-rational integer
+    * harmonic mean — see the d19 entry comment), joined with the
+    * exact side for the gate's error evidence. */
+  private[graft] def hllFinish(registers: DataFrame, exact: DataFrame): DataFrame = {
+    val allBuckets = registers.select("source").distinct()
+      .selectExpr("source", "explode(sequence(0, 1023)) as bucket")
+    val sums = allBuckets.join(registers, Seq("source", "bucket"), "left")
+      .selectExpr("source", "shiftleft(1L, 32 - coalesce(m_rho, 0)) as term")
+      .groupBy("source").agg(sum("term").as("s_sum"))
+    sums.join(exact, "source")
+      .selectExpr("source",
+        "(755541L * 4294967296L) div s_sum as est_distinct",
+        "exact_distinct")
+      .selectExpr("source", "est_distinct", "exact_distinct",
+        "abs(est_distinct - exact_distinct) * 10000 div exact_distinct as err_bp")
+  }
+
+  /** stream16: fold each arriving micro-batch's registers into the
+    * persisted (source, bucket, m_rho) artifact by elementwise max —
+    * registers of a union ARE the max of registers (the same
+    * merge≡rebuild algebra d15 proves for MinHash), so arrival order
+    * and batch boundaries cannot change the final sketch. The
+    * artifact is ≤ |sources|×1024 rows at ANY corpus size (the
+    * sketch's entire point); the swap is write-tmp + rename — one
+    * small PUT per batch, object-store-safe. */
+  private[graft] def hllRegistersDir: String = java.nio.file.Paths.get(
+    System.getProperty("java.io.tmpdir"), "graft-hll-registers").toString
+
+  private[graft] def hllStream(s: SparkSession, docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Dataset, Row}
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(hllRegistersDir))
+    val target = new java.io.File(hllRegistersDir, "registers")
+    val q = hllItems(docs).writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val sb = batch.sparkSession
+        val br = hllRegisters(batch)
+        val merged =
+          if (target.exists())
+            br.unionByName(sb.read.parquet(target.toString))
+              .groupBy("source", "bucket").agg(max("m_rho").as("m_rho"))
+          else br
+        // the tmp write materializes the merge BEFORE the old
+        // artifact is dropped; then one atomic-enough rename
+        val tmp = new java.io.File(hllRegistersDir, "registers.tmp")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        rm(target)
+        require(tmp.renameTo(target), "register artifact swap failed")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(300000)) {
+      q.stop()
+      throw new IllegalStateException("stream16 did not drain within 300s")
+    }
+    s.read.parquet(target.toString)
+  }
+
+  /** d19's oracle, shared verbatim by stream16: the artifact-served
+    * streaming profile must reproduce the batch answer exactly. */
+  private[graft] lazy val d19Oracle: String =
+    s"""WITH t AS (SELECT source, string_split(text,' ') AS t FROM documents
                           WHERE len(string_split(text,' ')) >= 3),
                it AS (SELECT source, unnest(list_transform(generate_series(1, len(t)-2),
                         i -> ${Hashing.duck32("array_to_string(t[i:i+2], ' ')")})) AS h
@@ -1089,8 +1159,7 @@ object Dedup {
                SELECT es.source, est_distinct, exact_distinct,
                       CAST(abs(est_distinct - exact_distinct) * 10000
                            // exact_distinct AS BIGINT) AS err_bp
-               FROM es JOIN ex ON ex.source = es.source"""))
-  )
+               FROM es JOIN ex ON ex.source = es.source"""
 
   // ── shard-vs-corpus dedup machinery shared by d14 (one-shot batch)
   // and stream12 (maintained index + streaming serve) ──

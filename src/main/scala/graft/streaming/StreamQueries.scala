@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.Q
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.countDistinct
 import org.apache.spark.sql.streaming.Trigger
 
 /** Streaming tier in the correctness gate: each entry runs a bounded
@@ -451,6 +452,29 @@ object StreamQueries {
                )
                SELECT user_id, epoch_ms(min(ts))::BIGINT AS session_start_ms,
                       count(*) AS n, ${graft.Det.sqlSum("value")} AS val_sum
-               FROM sess GROUP BY user_id, sid"""))
+               FROM sess GROUP BY user_id, sid""")),
+
+    // ── stream16: streaming HLL profile maintenance — d19's sketch
+    // as a MAINTAINED artifact: each arriving micro-batch's registers
+    // fold into the persisted (source, bucket, m_rho) state by
+    // elementwise max (registers of a union = max of registers, the
+    // merge≡rebuild algebra), and the final profile is answered FROM
+    // THE ARTIFACT, pinned to d19's oracle verbatim — streaming
+    // arrival loses nothing. Per-batch cost and state are bounded by
+    // |sources|×1024 register rows at any corpus size. The exact
+    // side is computed post-drain from the (now static) table — gate
+    // error evidence, not maintained state. StreamingSpec proves
+    // multi-batch arrival-order invariance via a 3-file chop. ──
+    "stream16_hll_profile" -> Q(
+      (s, d) => {
+        graft.functions.Hashing.register(s)
+        val Dd = graft.queries.Dedup
+        val reg = Dd.hllStream(s, EventStreams.docsStream(s, d))
+        val exact = Dd.hllItems(graft.Tables(s, d, "documents"))
+          .groupBy("source")
+          .agg(countDistinct("h").as("exact_distinct"))
+        Dd.hllFinish(reg, exact)
+      },
+      Some(graft.queries.Dedup.d19Oracle))
   )
 }

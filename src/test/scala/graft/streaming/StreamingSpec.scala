@@ -606,4 +606,34 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got === Map(0L -> 1L, 7200L -> 2L, 10800L -> 2L),
       s"watermark contract violated: $got")
   }
+
+  test("stream16: chopped multi-batch register fold equals the one-shot sketch; finish matches d19") {
+    graft.functions.Hashing.register(spark)
+    val Dd = graft.queries.Dedup
+    val sf01 = "/root/testdata/sf0.01"
+    val docs = graft.Tables(spark, sf01, "documents")
+    // stage as 3 files; maxFilesPerTrigger=1 → 3 micro-batches with
+    // an uncontrolled doc→batch split (arrival-order invariance)
+    val stage = java.nio.file.Files.createTempDirectory("graft-stream16-").toString
+    docs.repartition(3).write.mode("overwrite").parquet(stage)
+    val schema = spark.read.parquet(stage).schema
+    val chopped = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    def regSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("bucket"),
+        r.getAs[Int]("m_rho"))).toSet
+    val streamed = Dd.hllStream(spark, chopped)
+    val streamedSet = regSet(streamed)
+    assert(streamedSet === regSet(Dd.hllRegisters(Dd.hllItems(docs))),
+      "3-batch folded registers diverged from the one-shot sketch")
+    assert(streamedSet.nonEmpty)
+    // and the artifact-served finish equals d19's batch answer
+    val exact = Dd.hllItems(docs).groupBy("source")
+      .agg(countDistinct("h").as("exact_distinct"))
+    val fromArtifact = Dd.hllFinish(streamed, exact)
+      .collect().map(_.toString).sorted
+    val batch = Dd.all("d19_hll_cardinality").fn(spark, sf01)
+      .collect().map(_.toString).sorted
+    assert(fromArtifact === batch)
+  }
 }
