@@ -859,6 +859,41 @@ object Pipeline {
                    CAST(excess_bp AS BIGINT) AS excess_bp,
                    CAST((raw * 10000) // raw_tot AS BIGINT) AS weight_bp
             FROM ex, nm"""
-      })
+      }),
+
+    // ── p14: exact-k uniform sample via the BOTTOM-K-HASH sketch —
+    // the one-pass, mergeable, without-replacement corpus sample
+    // (tag every doc with a deterministic hash, keep the k smallest
+    // tags; the tags are exchangeable, so the kept set is a uniform
+    // k-subset, and re-running is reproducible bit-for-bit). The
+    // ENGINE side computes it HIERARCHICALLY — per-shard bottom-k
+    // (a shard-partitioned window, every shard in parallel, ≤k rows
+    // survive per shard) then a global bottom-k over the ≤4k
+    // survivors — which is exactly how a maintained per-shard sample
+    // index serves at 100 TB (each shard keeps its own k-sketch; a
+    // corpus sample is the merge of sketches, never a corpus scan).
+    // The ORACLE rebuilds the sample FLAT (one global ORDER BY tag
+    // LIMIT k), so the gate's hash compare IS the proof that
+    // merge ≡ rebuild: bottom-k of a union = bottom-k of the
+    // per-part bottom-k's. ──
+    "p14_bottomk_sample" -> Q(
+      (s, d) => {
+        graft.functions.Hashing.register(s)
+        val tagged = Tables(s, d, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("doc_id", "lang", "source",
+            s"${graft.functions.Hashing.h32Sql("concat('smp:', doc_id)")} as tag",
+            s"${graft.functions.Hashing.h32Sql("concat('shard:', doc_id)")} % 4 as shard")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy(col("tag"), col("doc_id"))
+        tagged.withColumn("rn", row_number().over(w))
+          .where("rn <= 100")
+          .orderBy("tag", "doc_id").limit(100)
+          .select("doc_id", "lang", "source", "tag")
+      },
+      Some(s"""SELECT doc_id, lang, source,
+                      ${graft.functions.Hashing.duck32("'smp:' || doc_id")} AS tag
+               FROM documents
+               ORDER BY tag, doc_id LIMIT 100"""))
   )
 }

@@ -799,7 +799,44 @@ object Similarity {
           .selectExpr("probe_id", "sel.cand as cand_id", "sel.rnk as rnk", "sel.score as mmr_score")
       },
       Some(duckMmrSql),
-      bench = true)
+      bench = true),
+
+    // ── s21: HARD-NEGATIVE mining for contrastive training — per
+    // probe, the top-5 most-similar candidates with a DIFFERENT
+    // label (the pairs that actually move an embedding model: near
+    // the anchor in vector space, on the wrong side of the label).
+    // Same topology as s01 — 10-probe broadcast, linear corpus scan,
+    // bounded-heap top-k so only k rows per probe cross the exchange
+    // — with the label-mismatch predicate fused into the broadcast
+    // join (evaluated before any dot product is computed, so
+    // same-label candidates cost a comparison, not 8 multiplies).
+    // At 1 B vectors the probe side is the training batch (10³-ish):
+    // still a broadcast, still one scan per batch. ──
+    "s21_hard_negatives" -> Q(
+      (s, d) => {
+        Hashing.register(s)
+        val e = Tables(s, d, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("vec_id", "embedding", s"$normE as nrm", "label")
+        val p = e.where("vec_id < 10")
+          .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+            col("nrm").as("pn"), col("label").as("pl"))
+        val scored = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+            col("nrm").as("cn"), col("label").as("cl"))
+          .join(broadcast(p),
+            col("cand_id") =!= col("probe_id") && col("cl") =!= col("pl"))
+          .selectExpr("probe_id", "cand_id", s"${dot("pe", "ce")} / (pn * cn) as cosine")
+        heapTopk(scored, 5)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm, label FROM embeddings),
+               sc AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                             ${duckDot("p.embedding", "c.embedding")} / (p.nrm * c.nrm) AS cosine
+                      FROM e p JOIN e c ON c.vec_id != p.vec_id AND c.label != p.label
+                      WHERE p.vec_id < 10)
+               SELECT probe_id, cand_id, rnk, cosine FROM
+                 (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS INTEGER) AS rnk
+                  FROM sc)
+               WHERE rnk <= 5"""))
   )
 
   /** s17's oracle: the identical greedy MMR unrolled as chained

@@ -37,6 +37,25 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "want both above- and below-par domains for the step to be non-trivial")
   }
 
+  test("p14 bottom-k sample: equals the serial bottom-k, reproducible, WindowGroupLimit in plan") {
+    val sf01 = "/root/testdata/sf0.01"
+    val q = Pipeline.all("p14_bottomk_sample")
+    val out = q.fn(spark, sf01).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("tag")))
+    val expected = graft.Tables(spark, sf01, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+      .map(id => (id, graft.functions.Hashing.jvm32(s"smp:$id")))
+      .sortBy(x => (x._2, x._1)).take(100)
+    assert(out.sortBy(x => (x._2, x._1)).toSeq === expected.toSeq)
+    // rerun is bit-identical (the sketch is deterministic)
+    assert(q.fn(spark, sf01).collect().map(_.toString).sorted.toSeq
+      === q.fn(spark, sf01).collect().map(_.toString).sorted.toSeq)
+    // the rank filter must have been pushed into a WindowGroupLimit
+    // (per-partition heaps before the exchange — the at-scale shape)
+    val plan = q.fn(spark, sf01).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+  }
+
   test("p03 seq packing is range-partition-width invariant") {
     // the two-phase prefix sum must produce the exact single-window
     // answer at ANY width — per-partition offsets compose. Widths 2

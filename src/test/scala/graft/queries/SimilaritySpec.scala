@@ -19,6 +19,38 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("s21 hard negatives: cross-label only, cosine-desc, dominated by the unconstrained top-1") {
+    val labels = graft.Tables(spark, sf, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val neg = Similarity.all("s21_hard_negatives").fn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("cand_id"),
+        r.getAs[Int]("rnk"), r.getAs[Double]("cosine")))
+    assert(neg.nonEmpty)
+    neg.foreach { case (p, c, _, _) =>
+      assert(labels(p) != labels(c), s"same-label pair ($p, $c) in negatives") }
+    // ranks are cosine-desc within probe
+    neg.groupBy(_._1).values.foreach { rs =>
+      val sorted = rs.sortBy(_._3).toList
+      sorted.zip(sorted.drop(1)).foreach {
+        case (a, b) => assert(a._4 >= b._4)
+      }
+    }
+    // the label constraint can only LOWER the best attainable cosine
+    val top1 = Similarity.all("s01_topk_cosine").fn(spark, sf).collect()
+      .filter(_.getAs[Int]("rnk") == 1)
+      .map(r => r.getAs[Long]("probe_id") -> r.getAs[Double]("cosine")).toMap
+    neg.filter(_._3 == 1).foreach { case (p, _, _, cos) =>
+      assert(cos <= top1(p) + 1e-12, s"probe $p: constrained top-1 beats unconstrained") }
+    // and the constraint genuinely bit somewhere: at least one probe's
+    // unconstrained nearest neighbour is same-label (else the test is vacuous)
+    val s01 = Similarity.all("s01_topk_cosine").fn(spark, sf).collect()
+      .filter(_.getAs[Int]("rnk") == 1)
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("cand_id")))
+    assert(s01.exists { case (p, c) => labels(p) == labels(c) },
+      "testdata has no same-label nearest neighbour; constraint untested")
+  }
+
   test("s01 heap-aggregate top-k equals the window formulation on real embeddings") {
     // the window form (row_number over probe_id) is the semantic
     // reference; the shipped bounded-heap aggregate must agree row for
