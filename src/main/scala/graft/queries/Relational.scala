@@ -581,6 +581,52 @@ object Relational {
                      lead(o_orderdate) OVER w AS valid_to,
                      (lead(o_orderdate) OVER w) IS NULL AS is_current
               FROM orders
-              WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""))
+              WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""")),
+
+    // ── q33: ordered conversion FUNNEL (view → click within 6h →
+    // purchase within 6h of the click, strictly increasing
+    // timestamps) — the product-analytics staple. Sequential-
+    // dependency aggregation WITHOUT collecting per-user event lists
+    // (a collect_list fold holds a user's whole history in one
+    // buffer — unbounded for a hot user at 100 TB): each stage is a
+    // partial-aggregated min keyed on user_id, joined to the
+    // previous stage's watermark, filtered BEFORE aggregating.
+    // Three user-keyed exchanges, each carrying one row per
+    // qualifying user, state bounded by one timestamp per user per
+    // stage. AQE reuses the user_id partitioning across the chain. ──
+    "q33_funnel" -> Q(
+      (s, d) => {
+        val e = events(s, d).selectExpr("user_id", "ts", "event_type")
+        val v = e.where("event_type = 'view'")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val c = e.where("event_type = 'click'").join(v, "user_id")
+          .where("ts > t1 and ts <= t1 + interval 6 hour")
+          .groupBy("user_id").agg(min("ts").as("t2"))
+        val p = e.where("event_type = 'purchase'").join(c, "user_id")
+          .where("ts > t2 and ts <= t2 + interval 6 hour")
+          .groupBy("user_id").agg(min("ts").as("t3"))
+        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+          .selectExpr("user_id",
+            "unix_millis(t1) as t_view_ms",
+            "unix_millis(t2) as t_click_ms",
+            "unix_millis(t3) as t_purchase_ms",
+            "cast(1 + if(t2 is not null, 1, 0) + if(t3 is not null, 1, 0) as int) as stage")
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+                         FROM events),
+              v AS (SELECT user_id, min(ts) AS t1 FROM e
+                    WHERE event_type = 'view' GROUP BY 1),
+              c AS (SELECT e.user_id, min(ts) AS t2 FROM e JOIN v USING (user_id)
+                    WHERE event_type = 'click' AND ts > t1
+                      AND ts <= t1 + INTERVAL 6 HOUR GROUP BY 1),
+              p AS (SELECT e.user_id, min(ts) AS t3 FROM e JOIN c USING (user_id)
+                    WHERE event_type = 'purchase' AND ts > t2
+                      AND ts <= t2 + INTERVAL 6 HOUR GROUP BY 1)
+              SELECT v.user_id, epoch_ms(t1)::BIGINT AS t_view_ms,
+                     epoch_ms(t2)::BIGINT AS t_click_ms,
+                     epoch_ms(t3)::BIGINT AS t_purchase_ms,
+                     CAST(1 + (t2 IS NOT NULL)::INT + (t3 IS NOT NULL)::INT AS INTEGER) AS stage
+              FROM v LEFT JOIN c ON c.user_id = v.user_id
+                     LEFT JOIN p ON p.user_id = v.user_id"""))
   )
 }

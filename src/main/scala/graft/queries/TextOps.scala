@@ -820,7 +820,48 @@ object TextOps {
                      length(nfc_normalize(s)) AS len_nfc,
                      md5(nfc_normalize(s)) AS fp_nfc,
                      md5(s) != md5(nfc_normalize(s)) AS changed
-              FROM x"""))
+              FROM x""")),
+
+    // ── t22: n-gram NOVELTY profile by ingestion order — for each
+    // doc, the share of its distinct 8-grams whose FIRST corpus
+    // occurrence (min doc_id) is this doc. The curve every
+    // dataset-ordering/curriculum decision reads: novelty ≈ 10000 bp
+    // early, decaying as the corpus saturates; a doc scoring near 0
+    // adds nothing the corpus hasn't seen. Topology is d10's: one
+    // map-side distinct-shingle explode (native hashed_shingles
+    // kernel), one gram-keyed partial-agg shuffle for the min
+    // (first-seer), one gram-keyed join back, one doc-keyed count —
+    // nothing corpus-global, hot grams AQE-split. ──
+    "t22_ngram_novelty" -> Q(
+      (s, d) => {
+        Hashing.register(s)
+        val grams = Tables(s, d, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .where(s"size($toks) >= 8")
+          .selectExpr("doc_id", s"explode(hashed_shingles($toks, 8)) as g")
+          .persistScoped()
+        val first = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+        grams.join(first, "g")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+          .selectExpr("doc_id", "n_grams", "n_novel",
+            "(n_novel * 10000) div n_grams as novel_bp")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
+                          WHERE len(string_split(text,' ')) >= 8),
+               w AS (SELECT doc_id, list_transform(
+                       list_distinct(list_transform(generate_series(1, len(t)-7),
+                         i -> array_to_string(t[i:i+7], ' '))),
+                       x -> (('0x' || substr(md5(x), 1, 8))::BIGINT) % 2147483647) AS hv
+                     FROM t),
+               e AS (SELECT doc_id, unnest(hv) AS g FROM w),
+               f AS (SELECT g, min(doc_id) AS first_doc FROM e GROUP BY g)
+               SELECT doc_id, count(*) AS n_grams,
+                      CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+                      CAST((sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 10000)
+                           // count(*) AS BIGINT) AS novel_bp
+               FROM e JOIN f USING (g) GROUP BY doc_id"""))
   )
 
   /** t14's rule evaluation over any (doc_id, text) frame — one

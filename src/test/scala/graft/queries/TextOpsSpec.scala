@@ -68,6 +68,35 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
       s"curve does not discriminate: low=$lowRate high=$highRate")
   }
 
+  test("t22 novelty equals the serial first-seer replay; novelty decays with doc_id") {
+    val sf01 = "/root/testdata/sf0.01"
+    val out = TextOps.all("t22_ngram_novelty").fn(spark, sf01).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"),
+          r.getAs[Long]("novel_bp"))).toMap
+    val docs = graft.Tables(spark, sf01, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(' ').toSeq))
+      .filter(_._2.length >= 8)
+    val firstSeer = scala.collection.mutable.Map.empty[String, Long]
+    docs.sortBy(_._1).foreach { case (id, t) =>
+      t.sliding(8).map(_.mkString(" ")).toSet
+        .foreach { g: String => if (!firstSeer.contains(g)) firstSeer(g) = id }
+    }
+    val expected = docs.map { case (id, t) =>
+      val gs = t.sliding(8).map(_.mkString(" ")).toSet
+      val novel = gs.count(firstSeer(_) == id).toLong
+      id -> (gs.size.toLong, novel, novel * 10000 / gs.size)
+    }.toMap
+    assert(out === expected)
+    // early docs skew novel, late docs skew seen (the curve is real)
+    val ids = out.keys.toSeq.sorted
+    val early = ids.take(ids.size / 4).map(out(_)._3)
+    val late = ids.takeRight(ids.size / 4).map(out(_)._3)
+    assert(early.sum / early.size > late.sum / late.size,
+      "novelty did not decay with ingestion order")
+  }
+
   test("t19 percentiles equal the serial empirical CDF; ties share one percentile") {
     import org.apache.spark.sql.functions._
     val quality = graft.Tables(spark, sf, "documents")
