@@ -894,6 +894,42 @@ object Pipeline {
       Some(s"""SELECT doc_id, lang, source,
                       ${graft.functions.Hashing.duck32("'smp:' || doc_id")} AS tag
                FROM documents
-               ORDER BY tag, doc_id LIMIT 100"""))
+               ORDER BY tag, doc_id LIMIT 100""")),
+
+    // ── p15: WEIGHTED sample without replacement — priority sampling
+    // (sequential-Poisson/Ohlsson): each doc draws priority u/w and
+    // the k smallest win, so inclusion odds scale with weight while
+    // the draw stays one-pass, mergeable and reproducible (same
+    // bottom-k algebra as p14, same TakeOrderedAndProject shape).
+    // The textbook priority is -ln(u)/w — transcendental, and IEEE
+    // ln differs across engines in the last ulp — so the priority is
+    // the INTEGER surrogate (u * 10000) div w_bp over the md5 tag:
+    // same ordering statistics family, exact in both engines, no
+    // parity bet. Weights are t12's classifier score shifted
+    // positive — the "sample what the quality model likes, but keep
+    // tail mass" resampling a curriculum builder runs. ──
+    "p15_weighted_sample" -> Q(
+      (s, d) => {
+        graft.functions.Hashing.register(s)
+        val score = TextOps.all("t12_classifier_score").fn(s, d)
+          .select("doc_id", "score_bp")
+        Tables(s, d, "documents").select("doc_id", "lang", "source")
+          .join(score, "doc_id")
+          .selectExpr("doc_id", "lang", "source", "score_bp + 1001 as w_bp",
+            s"${graft.functions.Hashing.h32Sql("concat('wsmp:', doc_id)")} as u")
+          .selectExpr("doc_id", "lang", "source", "w_bp",
+            "(u * 10000) div w_bp as tag")
+          .orderBy("tag", "doc_id").limit(100)
+          .select("doc_id", "lang", "source", "w_bp", "tag")
+      },
+      Some {
+        val t12 = TextOps.all("t12_classifier_score").oracle.get
+        s"""WITH sc AS (SELECT doc_id, score_bp FROM ($t12)),
+            x AS (SELECT d.doc_id, lang, source, score_bp + 1001 AS w_bp,
+                         ${graft.functions.Hashing.duck32("'wsmp:' || doc_id")} AS u
+                  FROM documents d JOIN sc USING (doc_id))
+            SELECT doc_id, lang, source, w_bp, (u * 10000) // w_bp AS tag
+            FROM x ORDER BY tag, doc_id LIMIT 100"""
+      })
   )
 }

@@ -361,7 +361,36 @@ object SinkQueries {
               SELECT 'add' AS action, * FROM chg
               UNION ALL
               SELECT 'remove' AS action, * FROM base
-              WHERE o_orderkey % 37 = 0 AND yr >= 1996"""))
+              WHERE o_orderkey % 37 = 0 AND yr >= 1996""")),
+
+    // ── sink14: SCHEMA EVOLUTION on an appended parquet table — a
+    // later ingest adds a column; the unified read widens the schema
+    // and back-fills the pre-evolution rows with NULL (the
+    // Delta/Iceberg add-column contract on plain parquet).
+    // mergeSchema is a PER-READ opt-in deliberately: it reconciles
+    // every part file's footer — O(files) metadata work a 100 TB
+    // table pays only when the reader actually spans an evolution
+    // boundary; steady-state readers keep the single-footer fast
+    // path. The oracle rebuilds the widened table relationally
+    // (old slice with NULL, new slice with values). ──
+    "sink14_schema_evolution" -> Q(
+      (s, d) => {
+        val out = scratch("schemaevo")
+        val o = Tables(s, d, "orders")
+        o.where("year(o_orderdate) < 1996")
+          .select("o_orderkey", "o_totalprice")
+          .write.parquet(out)
+        o.where("year(o_orderdate) >= 1996")
+          .selectExpr("o_orderkey", "o_totalprice",
+            "o_orderpriority as priority")
+          .write.mode("append").parquet(out)
+        s.read.option("mergeSchema", "true").parquet(out)
+      },
+      Some("""SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS priority
+              FROM orders WHERE year(o_orderdate) < 1996
+              UNION ALL
+              SELECT o_orderkey, o_totalprice, o_orderpriority
+              FROM orders WHERE year(o_orderdate) >= 1996"""))
   )
 
   /** sink11's base snapshot: orders, hive-partitioned by order year. */

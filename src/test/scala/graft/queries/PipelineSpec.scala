@@ -56,6 +56,24 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
   }
 
+  test("p15 weighted sample: equals the serial priority draw; selection skews toward weight") {
+    val sf01 = "/root/testdata/sf0.01"
+    val out = Pipeline.all("p15_weighted_sample").fn(spark, sf01).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("w_bp"), r.getAs[Long]("tag")))
+    val weights = TextOps.all("t12_classifier_score").fn(spark, sf01)
+      .selectExpr("doc_id", "score_bp + 1001 as w").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = weights.toSeq.map { case (id, w) =>
+      (id, w, graft.functions.Hashing.jvm32(s"wsmp:$id") * 10000L / w) }
+      .sortBy(x => (x._3, x._1)).take(100)
+    assert(out.sortBy(x => (x._3, x._1)).toSeq === expected)
+    // inclusion skews toward heavy docs: sample mean weight beats corpus mean
+    val sampleMean = out.map(_._2).sum.toDouble / out.length
+    val corpusMean = weights.values.sum.toDouble / weights.size
+    assert(sampleMean > corpusMean,
+      s"weighted draw shows no selection bias: $sampleMean <= $corpusMean")
+  }
+
   test("p03 seq packing is range-partition-width invariant") {
     // the two-phase prefix sum must produce the exact single-window
     // answer at ANY width — per-partition offsets compose. Widths 2
