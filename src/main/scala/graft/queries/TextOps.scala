@@ -861,7 +861,72 @@ object TextOps {
                       CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
                       CAST((sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 10000)
                            // count(*) AS BIGINT) AS novel_bp
-               FROM e JOIN f USING (g) GROUP BY doc_id"""))
+               FROM e JOIN f USING (g) GROUP BY doc_id""")),
+
+    // ── t23: Count-Min heavy hitters (Cormode & Muthukrishnan 2005)
+    // with an EXACT cross-engine oracle — the φ-frequent-token
+    // profile ("which tokens exceed 0.1% of the stream?") without
+    // keeping the full token dictionary. The sketch is depth×width =
+    // 4×1024 integer counters REGARDLESS of corpus size: cell =
+    // h32('cms:' r ':' tok) % 1024 on the shared md5 hash, the
+    // estimate is the min over the 4 row counters — never below the
+    // true count (each counter holds the token's full count plus
+    // non-negative collision mass), and the output pins the realized
+    // overestimate in basis points against the exact side. Scale
+    // shape: one (r,cell)-keyed partial agg — ≤4096 rows survive the
+    // map side at ANY corpus size (the sketch's entire point; d19 is
+    // the same argument for distinct counting) — then the φ-heavy
+    // probes join the BROADCAST counter table; n_total and the exact
+    // counts are d19-style gate evidence (the φ cut itself needs
+    // exact counts only because the gate pins them — a production
+    // profiler cuts on est_cnt alone and drops the exact pass). The
+    // sketch is mergeable by counter-wise ADD, the d15/stream16
+    // algebra with + for max. ──
+    "t23_heavy_hitters" -> Q(
+      (s, d) => {
+        Hashing.register(s)
+        val tok = Tables(s, d, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr(s"explode($toks) as tok")
+          .persistScoped()
+        val counters = tok
+          .selectExpr("tok", "explode(sequence(0, 3)) as r")
+          .selectExpr("r",
+            s"${Hashing.h32Sql("concat('cms:', cast(r as string), ':', tok)")} % 1024 as cell")
+          .groupBy("r", "cell").agg(count(lit(1)).as("cnt"))
+        val total = tok.agg(count(lit(1)).as("n_total"))
+        val heavy = tok.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+          .crossJoin(broadcast(total))
+          .where("exact_cnt * 1000 >= n_total")
+        heavy
+          .selectExpr("tok", "exact_cnt", "n_total", "explode(sequence(0, 3)) as r")
+          .selectExpr("tok", "exact_cnt", "n_total", "r",
+            s"${Hashing.h32Sql("concat('cms:', cast(r as string), ':', tok)")} % 1024 as cell")
+          .join(broadcast(counters), Seq("r", "cell"))
+          .groupBy("tok", "exact_cnt", "n_total")
+          .agg(min("cnt").as("est_cnt"))
+          .selectExpr("tok", "exact_cnt", "est_cnt", "n_total",
+            "(est_cnt - exact_cnt) * 10000 div exact_cnt as over_bp")
+      },
+      Some(s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+               c AS (SELECT r, ${Hashing.duck32("'cms:' || r || ':' || tok")} % 1024 AS cell,
+                            count(*) AS cnt
+                     FROM (SELECT tok, unnest(generate_series(0, 3)) AS r FROM t)
+                     GROUP BY 1, 2),
+               n AS (SELECT count(*) AS n_total FROM t),
+               h AS (SELECT tok, count(*) AS exact_cnt FROM t GROUP BY 1),
+               hv AS (SELECT tok, exact_cnt, n_total FROM h, n
+                      WHERE exact_cnt * 1000 >= n_total),
+               p AS (SELECT tok, exact_cnt, n_total, unnest(generate_series(0, 3)) AS r
+                     FROM hv),
+               pc AS (SELECT tok, exact_cnt, n_total, r,
+                             ${Hashing.duck32("'cms:' || r || ':' || tok")} % 1024 AS cell
+                      FROM p),
+               est AS (SELECT tok, exact_cnt, n_total, min(cnt) AS est_cnt
+                       FROM pc JOIN c USING (r, cell) GROUP BY 1, 2, 3)
+               SELECT tok, exact_cnt, est_cnt, n_total,
+                      CAST((est_cnt - exact_cnt) * 10000 // exact_cnt AS BIGINT) AS over_bp
+               FROM est"""))
   )
 
   /** t14's rule evaluation over any (doc_id, text) frame — one

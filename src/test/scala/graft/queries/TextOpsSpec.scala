@@ -223,4 +223,32 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.values.exists(_._2) && got.values.exists(!_._2),
       "the filter must discriminate on real data, not rubber-stamp")
   }
+
+  test("t23 CMS estimates equal the serial sketch, never underestimate, and the φ cut is exact") {
+    import org.apache.spark.sql.functions._
+    val toks = graft.Tables(spark, sf, "documents")
+      .select(split(col("text"), " ").as("t")).collect()
+      .flatMap(_.getSeq[String](0))
+    val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // serial CMS with the query's exact parameters and hash
+    def cell(r: Int, tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cms:$r:$tok".getBytes("UTF-8"))
+      val h = ((md(0) & 0xffL) << 24) | ((md(1) & 0xffL) << 16) |
+        ((md(2) & 0xffL) << 8) | (md(3) & 0xffL)
+      h % 1024
+    }
+    val counters = toks.flatMap(t => (0 until 4).map(r => (r, cell(r, t))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = toks.length.toLong
+    val expected = exact.collect { case (t, c) if c * 1000 >= total =>
+      t -> ((c, (0 until 4).map(r => counters((r, cell(r, t)))).min))
+    }
+    val got = TextOps.all("t23_heavy_hitters").fn(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected)
+    assert(got.nonEmpty, "the φ cut must select something on real data")
+    assert(got.values.forall { case (ex, est) => est >= ex },
+      "Count-Min is conservative: an estimate below the true count is a broken sketch")
+  }
 }
