@@ -751,6 +751,79 @@ object Similarity {
                       d.dup_of IS NULL AS keep
                FROM wc w LEFT JOIN dups d ON d.vec_id = w.vec_id""")),
 
+    // ── s20: RANGE search — all neighbors within a cosine RADIUS
+    // (τ = 0.3), the other half of the similarity API surface
+    // (top-k answers "the best k", range answers "everything this
+    // close": dedup candidates, retrieval recall pools, positive
+    // mining all cut on a threshold, not a count). Served from the
+    // same 4-band LSH bucket index as s03 — the candidate set is the
+    // bucket-share EQUI-join, so the scan is bounded by bucket
+    // occupancy, never probe×corpus — with the exact broadcast-scan
+    // side computed once off the same persisted signature frame as
+    // the per-probe evidence denominator (index hits ⊆ exact hits by
+    // construction, so recall_bp ≤ 10000 — the spec pins it). Unlike
+    // top-k, output size is data-dependent; the per-probe COUNT
+    // grain keeps the gate output bounded while still pinning both
+    // sides' exact cardinalities. At 100 TB the exact side drops and
+    // the index side IS the query — same plan, minus one branch. ──
+    "s20_range_search" -> Q(
+      (s, d) => {
+        val sigs = signed(s, d).persistScoped()
+        val bk = banded(sigs)
+        val cand = broadcast(bk.where("vec_id < 10")
+            .select(col("vec_id").as("probe_id"), col("band"), col("bits")))
+          .join(bk.select(col("vec_id").as("cand_id"), col("band").as("b2"), col("bits").as("k2")),
+            col("band") === col("b2") && col("bits") === col("k2") && col("probe_id") =!= col("cand_id"))
+          .select("probe_id", "cand_id").distinct()
+        val e = sigs.select("vec_id", "embedding", "nrm")
+        val idx = cand
+          .join(e.select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nrm").as("pn")), "probe_id")
+          .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("nrm").as("cn")), "cand_id")
+          .selectExpr("probe_id", "cand_id", s"${dot("pe", "ce")} / (pn * cn) as cosine")
+          .where("cosine >= 0.3")
+          .groupBy("probe_id").agg(count(lit(1)).as("n_index"))
+        val p = e.where("vec_id < 10")
+          .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nrm").as("pn"))
+        val exact = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+          .join(broadcast(p), col("cand_id") =!= col("probe_id"))
+          .selectExpr("probe_id", s"${dot("pe", "ce")} / (pn * cn) as cosine")
+          .where("cosine >= 0.3")
+          .groupBy("probe_id").agg(count(lit(1)).as("n_exact"))
+        e.where("vec_id < 10").select(col("vec_id").as("probe_id"))
+          .join(exact, Seq("probe_id"), "left")
+          .join(idx, Seq("probe_id"), "left")
+          .selectExpr("probe_id",
+            "coalesce(n_exact, cast(0 as bigint)) as n_exact",
+            "coalesce(n_index, cast(0 as bigint)) as n_index",
+            "coalesce(n_index, cast(0 as bigint)) * 10000" +
+              " div greatest(coalesce(n_exact, cast(0 as bigint)), 1) as recall_bp")
+      },
+      Some(s"""WITH sigs AS ($duckSigned),
+               $duckBanded,
+               cand AS (SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id
+                        FROM bk p JOIN bk c
+                        ON p.band = c.band AND p.bits = c.bits AND c.vec_id != p.vec_id
+                        WHERE p.vec_id < 10),
+               idx AS (SELECT probe_id, count(*) AS n_index FROM
+                         (SELECT probe_id,
+                                 ${duckDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cosine
+                          FROM cand JOIN sigs x ON x.vec_id = probe_id
+                                    JOIN sigs y ON y.vec_id = cand_id)
+                       WHERE cosine >= 0.3 GROUP BY 1),
+               ex AS (SELECT p.vec_id AS probe_id, count(*) AS n_exact
+                      FROM sigs p JOIN sigs c ON c.vec_id != p.vec_id
+                      WHERE p.vec_id < 10
+                        AND ${duckDot("p.embedding", "c.embedding")} / (p.nrm * c.nrm) >= 0.3
+                      GROUP BY 1)
+               SELECT s.vec_id AS probe_id,
+                      coalesce(n_exact, 0) AS n_exact,
+                      coalesce(n_index, 0) AS n_index,
+                      CAST(coalesce(n_index, 0) * 10000 //
+                           greatest(coalesce(n_exact, 0), 1) AS BIGINT) AS recall_bp
+               FROM (SELECT vec_id FROM sigs WHERE vec_id < 10) s
+               LEFT JOIN ex ON ex.probe_id = s.vec_id
+               LEFT JOIN idx ON idx.probe_id = s.vec_id""")),
+
     // Scale shape: the shortlist is s01's bounded-heap top-k (k rows
     // per probe cross the exchange); candidate-candidate sims are an
     // equi-join on probe_id with m²=90 rows per probe; the greedy

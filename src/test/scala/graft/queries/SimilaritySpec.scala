@@ -384,4 +384,37 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     // the operator must actually fire on this corpus
     assert(out.exists(!_._4), "no semantic duplicate found at all")
   }
+
+  test("s20 range search: exact side equals the serial radius count, index side never exceeds it") {
+    val e = graft.Tables(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Long, b: Long): Double = {
+      // the kernels' sequential-fold double sum, replayed serially
+      val (x, y) = (e(a), e(b))
+      var dp = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- x.indices) {
+        dp += x(i).toDouble * y(i).toDouble
+        nx += x(i).toDouble * x(i).toDouble
+        ny += y(i).toDouble * y(i).toDouble
+      }
+      dp / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val expected = e.keys.filter(_ < 10).map { p =>
+      p -> e.keys.count(c => c != p && cos(p, c) >= 0.3).toLong
+    }.toMap
+    val out = Similarity.all("s20_range_search").fn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("n_exact"),
+        r.getAs[Long]("n_index"), r.getAs[Long]("recall_bp")))
+    assert(out.map(_._1).toSet === expected.keySet, "one row per probe")
+    out.foreach { case (p, nExact, nIndex, bp) =>
+      assert(nExact === expected(p), s"probe $p exact radius count")
+      assert(nIndex <= nExact, s"probe $p: index found $nIndex > exact $nExact " +
+        "— index hits must be a subset of the radius set")
+      assert(bp === nIndex * 10000 / math.max(nExact, 1L), s"probe $p recall_bp")
+    }
+    // the radius cut and the index must both fire on real data
+    assert(out.exists(_._2 > 0), "no probe has any exact radius neighbor")
+    assert(out.exists(_._3 > 0), "the bucket index found nothing anywhere")
+  }
 }
