@@ -342,6 +342,19 @@ object Dedup {
        FROM documents),
        $duckSimhashFold"""
 
+  /** The d08 component chain — recursive transitive closure over
+    * d03's verified pairs — as a reusable CTE prefix ending in
+    * `cl(doc_id, cluster)`. Shared by the d08/d12 oracles and by
+    * p16's leakage-free split (group = near-dup component). */
+  private[queries] lazy val duckClusters: String =
+    s"""WITH RECURSIVE p AS ($d03Oracle),
+       edges AS (SELECT d1 AS a, d2 AS b FROM p
+                 UNION SELECT d2, d1 FROM p),
+       reach AS (SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges)
+                 UNION
+                 SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       cl AS (SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a)"""
+
   /** d03's oracle SQL — also the `p` CTE of d08's cluster oracle. */
   private lazy val d03Oracle: String =
     s"""$duckShingles,
@@ -664,13 +677,8 @@ object Dedup {
     "d08_dup_clusters" -> Q(
       (s, d) => connectedComponents(
         lshPairs(s, d).select(col("d1").as("a"), col("d2").as("b"))),
-      Some(s"""WITH RECURSIVE p AS ($d03Oracle),
-               edges AS (SELECT d1 AS a, d2 AS b FROM p
-                         UNION SELECT d2, d1 FROM p),
-               reach AS (SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges)
-                         UNION
-                         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-               SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a""")),
+      Some(s"""$duckClusters
+               SELECT doc_id, cluster FROM cl""")),
 
     // ── capped-bucket LSH pairs: the 100 TB skew path ──
     // Identical to d03 except buckets with more than CAP members are
@@ -849,13 +857,7 @@ object Dedup {
             "coalesce(csz, 1L) as cluster_size",
             "10000 div coalesce(csz, 1L) as weight_bp")
       },
-      Some(s"""WITH RECURSIVE p AS ($d03Oracle),
-               edges AS (SELECT d1 AS a, d2 AS b FROM p
-                         UNION SELECT d2, d1 FROM p),
-               reach AS (SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges)
-                         UNION
-                         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-               cl AS (SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a),
+      Some(s"""$duckClusters,
                sz AS (SELECT cluster, count(*) AS csz FROM cl GROUP BY cluster)
                SELECT d.doc_id,
                       COALESCE(sz.csz, 1) AS cluster_size,

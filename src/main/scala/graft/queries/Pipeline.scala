@@ -930,6 +930,41 @@ object Pipeline {
                   FROM documents d JOIN sc USING (doc_id))
             SELECT doc_id, lang, source, w_bp, (u * 10000) // w_bp AS tag
             FROM x ORDER BY tag, doc_id LIMIT 100"""
-      })
+      }),
+
+    // ── p16: LEAKAGE-FREE train/eval split. p01's id-keyed split has
+    // a failure mode every eval number inherits: two near-duplicate
+    // documents hash to different sides, and the eval set silently
+    // contains the training set's paraphrases (Lee et al. 2022
+    // measure the inflation). The unit of assignment must be the
+    // near-dup COMPONENT, not the document: group = d08's connected
+    // component over the verified MinHash-LSH pair graph (singletons
+    // = the doc itself), side = hash of the GROUP id — membership is
+    // a pure function of the component, so a group structurally
+    // cannot straddle the cut. Scale shape: d08's component labels
+    // (large-star/small-star, checkpoint-cut) plus ONE left join of
+    // the corpus against the bounded cluster frame and a map-only
+    // hash — no new corpus shuffle beyond the labeling it reuses;
+    // the spec demonstrates the id-keyed counterfactual would have
+    // split a real dup group. ──
+    "p16_leakfree_split" -> Q(
+      (s, d) => {
+        graft.functions.Hashing.register(s)
+        val clusters = Dedup.all("d08_dup_clusters").fn(s, d)
+        Tables(s, d, "documents").select("doc_id")
+          .join(clusters, Seq("doc_id"), "left")
+          .selectExpr("doc_id", "coalesce(cluster, doc_id) as grp")
+          .selectExpr("doc_id", "grp",
+            s"""case when ${graft.functions.Hashing.h32Sql(
+              "concat('gsplit:', cast(grp as string))")} % 100 < 90
+                  then 'train' else 'eval' end as split""")
+      },
+      Some(s"""${Dedup.duckClusters}
+               SELECT d.doc_id,
+                      coalesce(cl.cluster, d.doc_id) AS grp,
+                      CASE WHEN ${graft.functions.Hashing.duck32(
+                        "'gsplit:' || coalesce(cl.cluster, d.doc_id)")} % 100 < 90
+                           THEN 'train' ELSE 'eval' END AS split
+               FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id"""))
   )
 }

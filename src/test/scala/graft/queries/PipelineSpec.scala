@@ -306,4 +306,39 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       cum += n
     }
   }
+
+  test("p16 leak-free split: groups are side-constant where the id-keyed split would leak") {
+    val out = Pipeline.all("p16_leakfree_split").fn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("grp"), r.getAs[String]("split")))
+    assert(out.length === 500 && out.map(_._1).distinct.length === 500)
+    // the invariant this operator exists for: a near-dup group never
+    // straddles the cut
+    out.groupBy(_._2).values.foreach { g =>
+      assert(g.map(_._3).distinct.length === 1,
+        s"group ${g.head._2} spans both splits: ${g.toList}")
+    }
+    // groups are d08's components (singletons = own id)
+    val clusters = Dedup.all("d08_dup_clusters").fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (id, grp, _) =>
+      assert(grp === clusters.getOrElse(id, id), s"doc $id group") }
+    // counterfactual: the p01-style id-keyed hash lands members of a
+    // real multi-doc group in DIFFERENT buckets — an id-keyed split
+    // leaks for some cut, which is why assignment must key on grp
+    def idBucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split:$id".getBytes("UTF-8"))
+      val h = ((md(0) & 0xffL) << 24) | ((md(1) & 0xffL) << 16) |
+        ((md(2) & 0xffL) << 8) | (md(3) & 0xffL)
+      h % 100
+    }
+    val multi = out.groupBy(_._2).values.filter(_.length > 1)
+    assert(multi.nonEmpty, "no multi-doc near-dup group on this corpus")
+    assert(multi.exists(g => g.map(x => idBucket(x._1)).distinct.length > 1),
+      "id-keyed buckets agree on every dup group — counterfactual is vacuous here")
+    // both sides populated, ~90/10 by construction
+    val nTrain = out.count(_._3 == "train")
+    assert(nTrain > 0 && nTrain < out.length)
+    assert(math.abs(nTrain - 450) < 75, s"train share $nTrain far from 90%")
+  }
 }
