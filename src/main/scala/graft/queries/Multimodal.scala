@@ -151,6 +151,41 @@ object Multimodal {
       .toDF("wav_id", "sample_rate", "channels", "n_frames", "peak_abs", "mean_abs")
   }
 
+  /** m10's body: the m09 container parse plus a channel-0 framing
+    * pass — frameLen-sample frames, tail dropped; per frame the
+    * mean-square energy (integer), zero-crossing count (sign change
+    * between consecutive samples), and peak. All exact integers, so
+    * the golden-row oracle hash-compares exactly. */
+  private[graft] def wavFrameFeatures(df: DataFrame, frameLen: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col("wav_id"), col("blob")).as[(Long, Array[Byte])]
+      .flatMap { case (id, blob) =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(blob)))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+          s"unexpected PCM layout for clip $id")
+        val bytes = try ais.readAllBytes() finally ais.close()
+        val sb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+        val ch = fmt.getChannels
+        val n = sb.remaining() / ch
+        (0 until n / frameLen).map { f =>
+          var k = 0; var energy = 0L; var zcr = 0L; var peak = 0L
+          while (k < frameLen) {
+            val v = sb.get((f * frameLen + k) * ch).toLong
+            if (math.abs(v) > peak) peak = math.abs(v)
+            energy += v * v
+            if (k > 0 &&
+              ((sb.get((f * frameLen + k - 1) * ch) < 0) != (v < 0))) zcr += 1
+            k += 1
+          }
+          (id, f, energy / frameLen, zcr, peak)
+        }
+      }
+      .toDF("wav_id", "frame_id", "energy_ms", "zcr", "peak_abs")
+  }
+
   /** The m04 decode pipeline, parameterized by codec: map-only typed
     * mapPartitions over the binary payload (the Scala analogue of a
     * mapInPandas batch UDF), schema declared up front, no shuffle. */
@@ -265,6 +300,39 @@ object Multimodal {
                 (CAST(1 AS BIGINT), 16000, 2, CAST(800 AS BIGINT), 32750, CAST(16182 AS BIGINT)),
                 (CAST(2 AS BIGINT), 11025, 1, CAST(1 AS BIGINT), 9304, CAST(9304 AS BIGINT)))
               AS t(wav_id, sample_rate, channels, n_frames, peak_abs, mean_abs)""")),
+
+    // ── m10: FRAMED audio features over the decoded PCM — the
+    // speech-pipeline front end (VAD energy gating, silence trimming,
+    // diarization pre-pass all consume per-frame stats, not per-clip
+    // ones). Channel-0 samples are cut into 160-sample frames (20 ms
+    // at 8 kHz, the standard VAD hop); per frame: mean-square energy
+    // (integer div — exact), zero-crossing count, and peak. The tail
+    // partial frame is dropped (each emitted frame aggregates exactly
+    // frameLen samples), so wav2's single-frame clip contributes zero
+    // rows — the boundary the spec pins. Scale shape: same BlobCodec
+    // seam as m09 — the clip bytes decode inside the typed
+    // mapPartitions and never cross an exchange; ~n_samples/160
+    // fixed-width stat rows leave per clip, linear in audio bytes
+    // with a frame-count output bound. Oracle = golden rows derived
+    // from the fixtures' sample formula (the m08/m09 pattern);
+    // MultimodalSpec re-derives them from the formula independently
+    // of javax.sound. ──
+    "m10_audio_features" -> Q(
+      (s, _) => wavFrameFeatures(fixtureWavs(s), 160),
+      Some("""SELECT * FROM (VALUES
+                (CAST(0 AS BIGINT), 0, CAST(351981347 AS BIGINT), CAST(8 AS BIGINT), CAST(32319 AS BIGINT)),
+                (CAST(0 AS BIGINT), 1, CAST(358872746 AS BIGINT), CAST(26 AS BIGINT), CAST(32744 AS BIGINT)),
+                (CAST(0 AS BIGINT), 2, CAST(354880778 AS BIGINT), CAST(43 AS BIGINT), CAST(32374 AS BIGINT)),
+                (CAST(0 AS BIGINT), 3, CAST(358039312 AS BIGINT), CAST(60 AS BIGINT), CAST(32498 AS BIGINT)),
+                (CAST(0 AS BIGINT), 4, CAST(357488287 AS BIGINT), CAST(77 AS BIGINT), CAST(32654 AS BIGINT)),
+                (CAST(0 AS BIGINT), 5, CAST(360349892 AS BIGINT), CAST(94 AS BIGINT), CAST(32576 AS BIGINT)),
+                (CAST(0 AS BIGINT), 6, CAST(358314495 AS BIGINT), CAST(111 AS BIGINT), CAST(32513 AS BIGINT)),
+                (CAST(1 AS BIGINT), 0, CAST(324031695 AS BIGINT), CAST(10 AS BIGINT), CAST(32517 AS BIGINT)),
+                (CAST(1 AS BIGINT), 1, CAST(352730158 AS BIGINT), CAST(28 AS BIGINT), CAST(32750 AS BIGINT)),
+                (CAST(1 AS BIGINT), 2, CAST(358231792 AS BIGINT), CAST(47 AS BIGINT), CAST(32630 AS BIGINT)),
+                (CAST(1 AS BIGINT), 3, CAST(359862022 AS BIGINT), CAST(66 AS BIGINT), CAST(32573 AS BIGINT)),
+                (CAST(1 AS BIGINT), 4, CAST(351167338 AS BIGINT), CAST(85 AS BIGINT), CAST(32479 AS BIGINT)))
+              AS t(wav_id, frame_id, energy_ms, zcr, peak_abs)""")),
 
     "m04_decode_stub" -> Q(
       (s, d) => decodePipeline(s, d, StubCodec),

@@ -163,4 +163,30 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       assert(got(id) === want, s"clip $id: ${got(id)} vs formula $want")
     }
   }
+
+  test("m10 framed features: re-derived from the sample formula; tail frames dropped") {
+    val params = Map( // wav_id -> (ch, frames, a, b, c)
+      0L -> ((1, 1200, 37L, 11L, 7001L)),
+      1L -> ((2, 800, 59L, 3L, 12345L)),
+      2L -> ((1, 1, 17L, 29L, 23456L)))
+    val expected = params.flatMap { case (id, (ch, frames, a, b, c)) =>
+      val ch0 = (0L until frames.toLong * ch)
+        .map(i => ((a * i + b * i * i + c) % 65521L - 32760L))
+        .grouped(ch).map(_.head).toVector
+      (0 until ch0.length / 160).map { f =>
+        val w = ch0.slice(f * 160, (f + 1) * 160)
+        (id, f) -> ((w.map(v => v * v).sum / 160,
+          w.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)).toLong,
+          w.map(math.abs).max))
+      }
+    }
+    val got = Multimodal.all("m10_audio_features").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === expected)
+    // the single-frame clip must emit nothing (tail-drop contract),
+    // and the multi-frame clips must emit exactly n/160 frames
+    assert(!got.keySet.exists(_._1 == 2L), "wav2 leaked a partial frame")
+    assert(got.keys.count(_._1 == 0L) === 7 && got.keys.count(_._1 == 1L) === 5)
+  }
 }
