@@ -885,30 +885,97 @@ object TextOps {
     "t23_heavy_hitters" -> Q(
       (s, d) => {
         Hashing.register(s)
-        val tok = Tables(s, d, "documents")
-          .repartition(s.sparkContext.defaultParallelism)
-          .selectExpr(s"explode($toks) as tok")
+        val tok = cmsItems(Tables(s, d, "documents")
+          .repartition(s.sparkContext.defaultParallelism))
           .persistScoped()
-        val counters = tok
-          .selectExpr("tok", "explode(sequence(0, 3)) as r")
-          .selectExpr("r",
-            s"${Hashing.h32Sql("concat('cms:', cast(r as string), ':', tok)")} % 1024 as cell")
-          .groupBy("r", "cell").agg(count(lit(1)).as("cnt"))
-        val total = tok.agg(count(lit(1)).as("n_total"))
-        val heavy = tok.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
-          .crossJoin(broadcast(total))
-          .where("exact_cnt * 1000 >= n_total")
-        heavy
-          .selectExpr("tok", "exact_cnt", "n_total", "explode(sequence(0, 3)) as r")
-          .selectExpr("tok", "exact_cnt", "n_total", "r",
-            s"${Hashing.h32Sql("concat('cms:', cast(r as string), ':', tok)")} % 1024 as cell")
-          .join(broadcast(counters), Seq("r", "cell"))
-          .groupBy("tok", "exact_cnt", "n_total")
-          .agg(min("cnt").as("est_cnt"))
-          .selectExpr("tok", "exact_cnt", "est_cnt", "n_total",
-            "(est_cnt - exact_cnt) * 10000 div exact_cnt as over_bp")
+        cmsFinish(cmsCounters(tok), tok)
       },
-      Some(s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      Some(t23Oracle))
+  )
+
+  // ── Count-Min machinery shared by t23 (one-shot batch) and
+  // stream17 (maintained counter artifact + streaming fold) ──
+
+  /** One row per token OCCURRENCE — the CMS input stream. */
+  private[graft] def cmsItems(docs: DataFrame): DataFrame =
+    docs.selectExpr(s"explode($toks) as tok")
+
+  /** The 4×1024 counter state: cell = h32('cms:' r ':' tok) % 1024
+    * per depth row r; ≤4096 rows survive the partial agg at any
+    * corpus size. Caller must have run [[Hashing.register]]. */
+  private[graft] def cmsCounters(items: DataFrame): DataFrame =
+    items
+      .selectExpr("tok", "explode(sequence(0, 3)) as r")
+      .selectExpr("r",
+        s"${Hashing.h32Sql("concat('cms:', cast(r as string), ':', tok)")} % 1024 as cell")
+      .groupBy("r", "cell").agg(count(lit(1)).as("cnt"))
+
+  /** Estimator finish: probe the counter table with the φ=0.1%-heavy
+    * tokens (exact side = gate evidence, as in d19) and publish the
+    * conservative min-over-rows estimate + realized overestimate. */
+  private[graft] def cmsFinish(counters: DataFrame, items: DataFrame): DataFrame = {
+    val total = items.agg(count(lit(1)).as("n_total"))
+    items.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+      .crossJoin(broadcast(total))
+      .where("exact_cnt * 1000 >= n_total")
+      .selectExpr("tok", "exact_cnt", "n_total", "explode(sequence(0, 3)) as r")
+      .selectExpr("tok", "exact_cnt", "n_total", "r",
+        s"${Hashing.h32Sql("concat('cms:', cast(r as string), ':', tok)")} % 1024 as cell")
+      .join(broadcast(counters), Seq("r", "cell"))
+      .groupBy("tok", "exact_cnt", "n_total")
+      .agg(min("cnt").as("est_cnt"))
+      .selectExpr("tok", "exact_cnt", "est_cnt", "n_total",
+        "(est_cnt - exact_cnt) * 10000 div exact_cnt as over_bp")
+  }
+
+  /** stream17: fold each arriving micro-batch's counters into the
+    * persisted (r, cell, cnt) artifact by counter-wise ADD — counts
+    * of a disjoint union are the sum of counts, so the CMS of the
+    * stream equals the CMS of the batch rebuild regardless of batch
+    * boundaries or arrival order (the d15/stream16 merge≡rebuild
+    * algebra with + in place of max/min). Artifact is ≤4096 rows at
+    * ANY corpus size; the swap is write-tmp + rename — one small PUT
+    * per batch, object-store-safe. */
+  private[graft] def cmsCountersDir: String = java.nio.file.Paths.get(
+    System.getProperty("java.io.tmpdir"), "graft-cms-counters").toString
+
+  private[graft] def cmsStream(s: SparkSession, docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Dataset, Row}
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(cmsCountersDir))
+    val target = new java.io.File(cmsCountersDir, "counters")
+    val q = cmsItems(docs).writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val sb = batch.sparkSession
+        Hashing.register(sb)
+        val bc = cmsCounters(batch)
+        val merged =
+          if (target.exists())
+            bc.unionByName(sb.read.parquet(target.toString))
+              .groupBy("r", "cell").agg(sum("cnt").as("cnt"))
+          else bc
+        val tmp = new java.io.File(cmsCountersDir, "counters.tmp")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        rm(target)
+        require(tmp.renameTo(target), "counter artifact swap failed")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(300000)) {
+      q.stop()
+      throw new IllegalStateException("stream17 did not drain within 300s")
+    }
+    s.read.parquet(target.toString)
+  }
+
+  /** t23's oracle, shared verbatim by stream17: the artifact-served
+    * streaming profile must reproduce the batch answer exactly. */
+  private[graft] lazy val t23Oracle: String =
+    s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
                c AS (SELECT r, ${Hashing.duck32("'cms:' || r || ':' || tok")} % 1024 AS cell,
                             count(*) AS cnt
                      FROM (SELECT tok, unnest(generate_series(0, 3)) AS r FROM t)
@@ -926,8 +993,7 @@ object TextOps {
                        FROM pc JOIN c USING (r, cell) GROUP BY 1, 2, 3)
                SELECT tok, exact_cnt, est_cnt, n_total,
                       CAST((est_cnt - exact_cnt) * 10000 // exact_cnt AS BIGINT) AS over_bp
-               FROM est"""))
-  )
+               FROM est"""
 
   /** t14's rule evaluation over any (doc_id, text) frame — one
     * map-only codegen'd projection, shared verbatim by the batch

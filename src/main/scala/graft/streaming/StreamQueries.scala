@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.Q
+import graft.CacheScope.PersistScopedOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.countDistinct
 import org.apache.spark.sql.streaming.Trigger
@@ -475,6 +476,27 @@ object StreamQueries {
           .agg(countDistinct("h").as("exact_distinct"))
         Dd.hllFinish(reg, exact)
       },
-      Some(graft.queries.Dedup.d19Oracle))
+      Some(graft.queries.Dedup.d19Oracle)),
+
+    // ── stream17: streaming Count-Min maintenance — t23's sketch as
+    // a MAINTAINED artifact: each micro-batch's 4×1024 counters fold
+    // into the persisted (r, cell, cnt) state by counter-wise ADD
+    // (counts of a disjoint union = sum of counts — stream16's
+    // merge≡rebuild algebra with + in place of max), and the heavy-
+    // hitter profile is answered FROM THE ARTIFACT, pinned to t23's
+    // oracle verbatim. Per-batch cost and state are counter-bounded
+    // (≤4096 rows) at any corpus size; the exact/φ side is computed
+    // post-drain from the static table — gate evidence, not
+    // maintained state. StreamingSpec proves batch-boundary
+    // invariance via the 3-chop fold. ──
+    "stream17_cms_profile" -> Q(
+      (s, d) => {
+        graft.functions.Hashing.register(s)
+        val T = graft.queries.TextOps
+        val counters = T.cmsStream(s, EventStreams.docsStream(s, d))
+        T.cmsFinish(counters,
+          T.cmsItems(graft.Tables(s, d, "documents")).persistScoped())
+      },
+      Some(graft.queries.TextOps.t23Oracle))
   )
 }

@@ -636,4 +636,32 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(_.toString).sorted
     assert(fromArtifact === batch)
   }
+
+  test("stream17: chopped multi-batch counter fold equals the one-shot CMS; finish matches t23") {
+    graft.functions.Hashing.register(spark)
+    val T = graft.queries.TextOps
+    val sf01 = "/root/testdata/sf0.01"
+    val docs = graft.Tables(spark, sf01, "documents")
+    // 3 files, one per micro-batch: the counter-wise ADD fold must be
+    // invariant to the uncontrolled doc→batch split
+    val stage = java.nio.file.Files.createTempDirectory("graft-stream17-").toString
+    docs.repartition(3).write.mode("overwrite").parquet(stage)
+    val schema = spark.read.parquet(stage).schema
+    val chopped = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    def cSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Number]("r").longValue, r.getAs[Number]("cell").longValue,
+        r.getAs[Number]("cnt").longValue)).toSet
+    val streamed = T.cmsStream(spark, chopped)
+    val streamedSet = cSet(streamed)
+    assert(streamedSet === cSet(T.cmsCounters(T.cmsItems(docs))),
+      "3-batch summed counters diverged from the one-shot sketch")
+    assert(streamedSet.nonEmpty)
+    // and the artifact-served profile equals t23's batch answer
+    val fromArtifact = T.cmsFinish(streamed, T.cmsItems(docs))
+      .collect().map(_.toString).sorted
+    val batch = T.all("t23_heavy_hitters").fn(spark, sf01)
+      .collect().map(_.toString).sorted
+    assert(fromArtifact === batch)
+  }
 }
