@@ -390,7 +390,36 @@ object SinkQueries {
               FROM orders WHERE year(o_orderdate) < 1996
               UNION ALL
               SELECT o_orderkey, o_totalprice, o_orderpriority
-              FROM orders WHERE year(o_orderdate) >= 1996"""))
+              FROM orders WHERE year(o_orderdate) >= 1996""")),
+
+    // ── sink15: row-level DELETE as a positional delete sidecar
+    // (merge-on-read — the Iceberg positional-delete / Delta
+    // deletion-vector contract), completing the mutation triangle:
+    // sink11 rewrites affected partitions (copy-on-write, partition
+    // grain), sink12 appends + re-manifests (copy-on-write, file
+    // grain), sink15 rewrites NOTHING — the delete is a hidden
+    // `_deletes/` sidecar of (file_path, row_index) pairs, O(deleted
+    // rows), and readers subtract it with a broadcast anti-join on
+    // the position key ([[Sinks.positionalDelete]] /
+    // [[Sinks.readWithDeletes]]). This is the shape that makes
+    // frequent small deletes (GDPR erasure, retraction feeds)
+    // affordable on a 100 TB immutable table: delete cost is one
+    // stats-prunable predicate scan + a tiny sidecar write, read
+    // cost one anti-join, and compaction can fold DVs in whenever
+    // it was going to rewrite anyway. SinksSpec pins the no-rewrite
+    // claim (base paths + mtimes frozen through the delete) and
+    // sidecar-equals-predicate. ──
+    "sink15_deletion_vectors" -> Q(
+      (s, d) => {
+        val out = scratch("deletevec")
+        writeBasePartitioned(s, d, out)
+        Sinks.positionalDelete(s, out, "o_orderkey % 13 = 0")
+        Sinks.readWithDeletes(s, out)
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "yr")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+                     year(o_orderdate) AS yr FROM orders
+              WHERE o_orderkey % 13 != 0"""))
   )
 
   /** sink11's base snapshot: orders, hive-partitioned by order year. */

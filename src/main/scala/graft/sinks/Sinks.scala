@@ -168,6 +168,50 @@ object Sinks {
     dead.size
   }
 
+  // ── positional deletes (merge-on-read; sink15): the Iceberg
+  // positional-delete / Delta deletion-vector contract — row-level
+  // DELETE against an immutable parquet table without rewriting any
+  // data file. The delete records (file_path, row_index) pairs in a
+  // hidden `_deletes/` sidecar — O(deleted rows), never O(table) —
+  // and readers subtract them with an anti-join on the position key.
+  // `_metadata.row_index` is the row's physical ordinal within its
+  // file: stable across reads, filters, and schedulers, which is
+  // what makes the position a durable address. ──
+
+  /** Record the rows matching `predicate` as a positional delete
+    * sidecar under `dir/_deletes` (append — deletes accumulate across
+    * commits). The scan is one predicate-filtered pass; at scale,
+    * file skipping limits it to files whose stats overlap the
+    * predicate. Returns the number of newly recorded positions. */
+  def positionalDelete(spark: SparkSession, dir: String, predicate: String): Long = {
+    val dv = spark.read.parquet(dir)
+      .selectExpr("_metadata.file_path as file_path",
+        "_metadata.row_index as row_index", s"($predicate) as del")
+      .where("del").select("file_path", "row_index")
+    dv.write.mode(SaveMode.Append).parquet(s"$dir/_deletes/dv")
+    spark.read.parquet(s"$dir/_deletes/dv").count()
+  }
+
+  /** Merge-on-read: the table minus its recorded positional deletes.
+    * The sidecar is broadcast (deleted positions are a vanishing
+    * fraction of a healthy table); a deployment whose DVs outgrow a
+    * broadcast shards them by file_path — the join key already leads
+    * with it, so the plan degrades to a co-partitioned equi-join,
+    * never a rewrite. A `_deletes`-less table reads as-is. */
+  def readWithDeletes(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val base = spark.read.parquet(dir)
+      .selectExpr("*", "_metadata.file_path as __f", "_metadata.row_index as __i")
+    val dvPath = new Path(dir, "_deletes/dv")
+    val out =
+      if (fs(spark, dvPath).exists(dvPath)) {
+        val dv = spark.read.parquet(dvPath.toString)
+          .select(col("file_path").as("__f"), col("row_index").as("__i"))
+        base.join(broadcast(dv), Seq("__f", "__i"), "left_anti")
+      } else base
+    out.drop("__f", "__i")
+  }
+
   /** Small-file compaction: rewrite `inDir`'s parquet parts as
     * ~`targetBytes`-sized files (part count = ceil(observed bytes /
     * target), from a driver-side listing — O(files) statuses, no data

@@ -351,4 +351,38 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
     assert(touched.nonEmpty && touched.exists(p => !after.contains(p)),
       "no 1996+ partition file was replaced - dynamic overwrite not exercised")
   }
+
+  test("sink15 positional delete: NO data file rewritten, sidecar = predicate rows exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val out = tmp("deletevec-frozen") + "/base"
+    SinkQueries.writeBasePartitioned(spark, sf, out)
+    def snapshot(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(Paths.get(out).toFile)
+        .filter(f => f.getName.endsWith(".parquet") &&
+          !f.getAbsolutePath.contains("_deletes"))
+        .map(f => f.getAbsolutePath -> ((f.length, f.lastModified))).toMap
+    }
+    val total = spark.read.parquet(out).count()
+    val expectDel = spark.read.parquet(out).where("o_orderkey % 13 = 0").count()
+    assert(expectDel > 0, "predicate deletes nothing - vacuous")
+    val before = snapshot()
+    val recorded = graft.sinks.Sinks.positionalDelete(spark, out, "o_orderkey % 13 = 0")
+    // merge-on-read's whole point: every base file survives byte-for-byte
+    val after = snapshot()
+    assert(after === before, "a data file changed under a positional delete")
+    assert(recorded === expectDel, "sidecar positions != predicate row count")
+    // the merged read subtracts exactly the deleted rows...
+    val served = graft.sinks.Sinks.readWithDeletes(spark, out)
+    assert(served.count() === total - expectDel)
+    assert(served.where("o_orderkey % 13 = 0").count() === 0L,
+      "a deleted row survived the merge-on-read")
+    // ...while the raw table still holds them (history intact until compaction)
+    assert(spark.read.parquet(out).count() === total)
+    // deletes accumulate: a second commit against another predicate composes
+    graft.sinks.Sinks.positionalDelete(spark, out, "o_orderkey % 17 = 0")
+    val twice = graft.sinks.Sinks.readWithDeletes(spark, out)
+    assert(twice.where("o_orderkey % 13 = 0 or o_orderkey % 17 = 0").count() === 0L)
+  }
 }
