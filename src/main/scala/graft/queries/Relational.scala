@@ -627,6 +627,43 @@ object Relational {
                      epoch_ms(t3)::BIGINT AS t_purchase_ms,
                      CAST(1 + (t2 IS NOT NULL)::INT + (t3 IS NOT NULL)::INT AS INTEGER) AS stage
               FROM v LEFT JOIN c ON c.user_id = v.user_id
-                     LEFT JOIN p ON p.user_id = v.user_id"""))
+                     LEFT JOIN p ON p.user_id = v.user_id""")),
+
+    // ── q34: cohort retention matrix — the other staple of product
+    // analytics next to q33's funnel: cohort = a user's first-seen
+    // DAY, and for each (cohort, day-offset k) the share of the
+    // cohort active k days later. Scale shape: one user-keyed min
+    // (partial-agg'd) for cohort assignment, one distinct over
+    // (user, day) — NEVER the raw event grain past the first
+    // exchange — then a user-keyed equi-join (co-partitioned with
+    // the min's shuffle) and a cohort-keyed two-phase distinct
+    // count. Output is |days|² at most — bounded by the calendar,
+    // not the corpus; retention in integer basis points so the
+    // compare is exact. No per-user event history is ever
+    // collected: a hot user costs one extra row per active day. ──
+    "q34_cohort_retention" -> Q(
+      (s, d) => {
+        val ev = events(s, d).selectExpr("user_id", "to_date(ts) as day").distinct()
+        val first = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+        val sizes = first.groupBy("cohort_day").agg(count(lit(1)).as("cohort_size"))
+        ev.join(first, "user_id")
+          .selectExpr("cohort_day",
+            "cast(datediff(day, cohort_day) as bigint) as k", "user_id")
+          .groupBy("cohort_day", "k")
+          .agg(countDistinct("user_id").as("n_active"))
+          .join(sizes, "cohort_day")
+          .selectExpr("cohort_day", "k", "n_active", "cohort_size",
+            "n_active * 10000 div cohort_size as retention_bp")
+      },
+      Some("""WITH ev AS (SELECT DISTINCT user_id,
+                                 CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+              f AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1),
+              sz AS (SELECT cohort_day, count(*) AS cohort_size FROM f GROUP BY 1),
+              mat AS (SELECT cohort_day, CAST(day - cohort_day AS BIGINT) AS k,
+                             count(DISTINCT ev.user_id) AS n_active
+                      FROM ev JOIN f USING (user_id) GROUP BY 1, 2)
+              SELECT m.cohort_day, k, n_active, cohort_size,
+                     CAST(n_active * 10000 // cohort_size AS BIGINT) AS retention_bp
+              FROM mat m JOIN sz USING (cohort_day)"""))
   )
 }
