@@ -183,6 +183,67 @@ object Temporal {
               FROM li a JOIN li b ON a.l_suppkey = b.l_suppkey
                AND (a.l_orderkey < b.l_orderkey
                     OR (a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber))
-               AND a.sd <= b.rd AND b.sd <= a.rd"""))
+               AND a.sd <= b.rd AND b.sd <= a.rd""")),
+
+    // ── j06: NEAREST as-of join (pandas merge_asof
+    // direction='nearest'): each purchase pairs with the temporally
+    // closest same-user click in EITHER direction — the feature-join
+    // sensor fusion and label attribution actually want when "at or
+    // before" is too strict. Composed from the single-exchange asOf
+    // primitive run twice: once backward (latest click ≤ t, ties →
+    // greatest event_id), once FORWARD by negating the time axis
+    // (latest −t quote ≤ −t probe ⇔ earliest click ≥ t; tie-break on
+    // −event_id so equal-ts forward ties resolve to the SMALLEST id)
+    // — then a purchase-keyed equi-join of the two 1-row-per-probe
+    // sides and a codegen'd CASE picks the smaller |Δ|, backward
+    // winning exact ties. Cost: exactly two of j01's plans plus a
+    // bounded join — still linear in |probes|+|quotes|, no
+    // probe×quote blowup, no per-user history collected. The oracle
+    // is the naive all-pairs window rank with the identical
+    // (|Δ|, direction, id) ordering. ──
+    "j06_nearest_join" -> Q(
+      (s, d) => {
+        val e = Relational.events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        val probes = e.where("event_type = 'purchase'")
+          .selectExpr("user_id", "unix_micros(ts) as us", "event_id as purchase_id")
+        val quotes = e.where("event_type = 'click'")
+          .selectExpr("user_id", "unix_micros(ts) as us", "event_id", "value")
+        val back = TemporalJoins.asOf(probes, quotes,
+          key = "user_id", ts = "us", quoteTieBreak = "event_id",
+          payload = Seq("event_id" -> "b_id", "value" -> "b_value", "us" -> "b_us"))
+        val fwd = TemporalJoins.asOf(
+            probes.selectExpr("user_id", "-us as nus", "purchase_id"),
+            quotes.selectExpr("user_id", "-us as nus", "-event_id as neg_id",
+              "event_id", "value", "us"),
+            key = "user_id", ts = "nus", quoteTieBreak = "neg_id",
+            payload = Seq("event_id" -> "f_id", "value" -> "f_value", "us" -> "f_us"))
+          .select("purchase_id", "f_id", "f_value", "f_us")
+        back.join(fwd, "purchase_id")
+          .selectExpr("purchase_id", "user_id",
+            """case when f_id is null then b_id
+                    when b_id is null then f_id
+                    when us - b_us <= f_us - us then b_id else f_id end as click_id""",
+            """case when f_id is null then b_value
+                    when b_id is null then f_value
+                    when us - b_us <= f_us - us then b_value else f_value end as click_value""",
+            """case when f_id is null then us - b_us
+                    when b_id is null then us - f_us
+                    when us - b_us <= f_us - us then us - b_us else us - f_us end as delta_us""")
+      },
+      Some("""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events),
+              p AS (SELECT event_id, ts, user_id FROM e WHERE event_type = 'purchase'),
+              q AS (SELECT event_id, ts, user_id, value FROM e WHERE event_type = 'click'),
+              j AS (SELECT p.event_id AS purchase_id, p.user_id,
+                           q.event_id AS click_id, q.value AS click_value,
+                           epoch_us(p.ts) - epoch_us(q.ts) AS delta_us,
+                           row_number() OVER (PARTITION BY p.event_id
+                             ORDER BY abs(epoch_us(p.ts) - epoch_us(q.ts)) ASC NULLS LAST,
+                                      (CASE WHEN q.ts <= p.ts THEN 0 ELSE 1 END) ASC,
+                                      (CASE WHEN q.ts <= p.ts THEN -q.event_id
+                                            ELSE q.event_id END) ASC) AS rn
+                    FROM p LEFT JOIN q ON q.user_id = p.user_id)
+              SELECT purchase_id, user_id, click_id, click_value, delta_us
+              FROM j WHERE rn = 1"""))
   )
 }

@@ -109,4 +109,34 @@ class TemporalJoinsSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin")
       || plan.contains("ShuffledHashJoin"), plan)
   }
+
+  test("j06 nearest equals the serial nearest with the pinned tie order; both directions win somewhere") {
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.queries.Relational.events(spark, sf)
+      .selectExpr("event_id", "unix_micros(ts) as us", "user_id", "event_type", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val clicks = ev.filter(_._4 == "click").groupBy(_._3)
+    val expected = ev.filter(_._4 == "purchase").map { case (pid, pus, u, _, _) =>
+      val cs = clicks.getOrElse(u, Array.empty)
+      if (cs.isEmpty) pid -> None
+      else {
+        // the pinned order: |Δ| asc, backward before forward, then
+        // greatest id (backward) / smallest id (forward)
+        val best = cs.minBy { case (cid, cus, _, _, _) =>
+          val back = cus <= pus
+          (math.abs(pus - cus), if (back) 0 else 1, if (back) -cid else cid)
+        }
+        pid -> Some((best._1, best._5, pus - best._2))
+      }
+    }.toMap
+    val got = graft.queries.Temporal.all("j06_nearest_join").fn(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None
+         else Some((r.getLong(2), r.getDouble(3), r.getLong(4))))).toMap
+    assert(got === expected)
+    // the corpus must exercise both directions, or the CASE is untested
+    val deltas = got.values.flatten.map(_._3)
+    assert(deltas.exists(_ > 0) && deltas.exists(_ < 0),
+      "nearest never chose one of the two directions on this corpus")
+  }
 }
