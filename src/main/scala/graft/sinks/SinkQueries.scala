@@ -423,6 +423,43 @@ object SinkQueries {
   )
 
   /** sink11's base snapshot: orders, hive-partitioned by order year. */
+  /** stream18's body: stage `orders` as 3 parquet files, replay them
+    * as a 3-batch file stream, and commit ONE manifest snapshot per
+    * micro-batch — version = batchId + 1, cumulative file set, so a
+    * retried batch recommits the same version idempotently instead
+    * of forking history (the exactly-once contract a transaction log
+    * gives writeStream). Returns the table dir; the caller reads
+    * whichever version it wants. */
+  private[graft] def streamIngest(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    import org.apache.spark.sql.{Dataset, Row}
+    val stage = scratch("stream18-stage")
+    val out = scratch("stream18-table")
+    Tables(s, d, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .repartition(3).write.parquet(stage)
+    val stream = s.readStream.schema(s.read.parquet(stage).schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val sb = batch.sparkSession
+        val before = Sinks.dataFiles(sb, out).toSet
+        batch.write.mode("append").parquet(out)
+        val appended = Sinks.dataFiles(sb, out).filterNot(before)
+        val prev =
+          if (id == 0) Nil else Sinks.readManifest(sb, out, id.toInt)
+        Sinks.writeManifest(sb, out, id.toInt + 1, prev ++ appended)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(300000)) {
+      q.stop()
+      throw new IllegalStateException("stream18 did not drain within 300s")
+    }
+    out
+  }
+
   private[graft] def writeBasePartitioned(s: org.apache.spark.sql.SparkSession,
       d: String, out: String): Unit =
     Tables(s, d, "orders")

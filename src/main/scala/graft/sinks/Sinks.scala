@@ -85,6 +85,7 @@ object Sinks {
   def dataFiles(spark: SparkSession, dir: String): Seq[String] = {
     val root = new Path(dir)
     val hfs = fs(spark, root)
+    if (!hfs.exists(root)) return Nil // a table before its first commit
     val it = hfs.listFiles(root, true)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val rootUri = root.toUri.getPath.stripSuffix("/")
@@ -107,6 +108,18 @@ object Sinks {
       hfs.create(p, true), StandardCharsets.UTF_8))
     try files.sorted.foreach { f => w.write(f); w.newLine() }
     finally w.close()
+  }
+
+  /** Committed manifest versions under `dir`, ascending (empty when
+    * the table has no `_manifests` yet). */
+  def manifestVersions(spark: SparkSession, dir: String): Seq[Int] = {
+    val mDir = new Path(dir, "_manifests")
+    val hfs = fs(spark, mDir)
+    if (!hfs.exists(mDir)) Nil
+    else hfs.listStatus(mDir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".txt") =>
+        n.stripPrefix("v").stripSuffix(".txt").toInt }
+      .sorted.toSeq
   }
 
   /** The live file set committed for version `v`. */

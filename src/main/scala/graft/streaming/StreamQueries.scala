@@ -497,6 +497,30 @@ object StreamQueries {
         T.cmsFinish(counters,
           T.cmsItems(graft.Tables(s, d, "documents")).persistScoped())
       },
-      Some(graft.queries.TextOps.t23Oracle))
+      Some(graft.queries.TextOps.t23Oracle)),
+
+    // ── stream18: EXACTLY-ONCE streaming ingest into the manifest
+    // table — the bridge between the streaming tier and the sink12
+    // snapshot contract (what Delta's transaction log does for
+    // writeStream): each micro-batch appends its rows as new data
+    // files and commits manifest v<batch+1> = the cumulative file
+    // set, so every batch boundary becomes a READABLE SNAPSHOT with
+    // time travel across the ingest history, and a re-delivered
+    // batch re-commits the same version idempotently instead of
+    // double-appending blind. The gate reads the LATEST version —
+    // equal to the full input regardless of how the file source
+    // chopped it — and StreamingSpec pins the per-version contract:
+    // one snapshot per batch, manifests strictly grow, each version
+    // stays exactly readable after later commits. Per-batch cost:
+    // the batch's own write + one O(live files) manifest PUT —
+    // nothing rescans the table. ──
+    "stream18_manifest_ingest" -> Q(
+      (s, d) => {
+        val out = graft.sinks.SinkQueries.streamIngest(s, d)
+        val latest = graft.sinks.Sinks.manifestVersions(s, out).max
+        graft.sinks.Sinks.readAtVersion(s, out, latest)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+      },
+      Some("SELECT o_orderkey, o_custkey, o_totalprice FROM orders"))
   )
 }

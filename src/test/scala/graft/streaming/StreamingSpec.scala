@@ -664,4 +664,31 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(_.toString).sorted
     assert(fromArtifact === batch)
   }
+
+  test("stream18: one snapshot per batch, versions nest, history stays readable after the drain") {
+    val Sk = graft.sinks.Sinks
+    val sf01 = "/root/testdata/sf0.01"
+    val out = graft.sinks.SinkQueries.streamIngest(spark, sf01)
+    val versions = Sk.manifestVersions(spark, out)
+    assert(versions === Seq(1, 2, 3), s"expected one snapshot per staged file: $versions")
+    // manifests strictly grow: every version's file set nests in the next
+    val sets = versions.map(v => v -> Sk.readManifest(spark, out, v).toSet).toMap
+    versions.sliding(2).foreach { case Seq(a, b) =>
+      assert(sets(a).subsetOf(sets(b)) && sets(a) != sets(b),
+        s"v$a does not nest strictly in v$b")
+    }
+    // each version is exactly its cumulative rows — counts ascend to the
+    // full table, and row multisets nest (earlier snapshots untouched by
+    // later commits)
+    def keys(v: Int) = Sk.readAtVersion(spark, out, v)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq.sorted
+    val k1 = keys(1); val k2 = keys(2); val k3 = keys(3)
+    assert(k1.nonEmpty && k1.size < k2.size && k2.size < k3.size)
+    assert(k3.size === graft.Tables(spark, sf01, "orders").count())
+    def isSubMultiset(a: Seq[Long], b: Seq[Long]) = {
+      val cb = b.groupBy(identity).view.mapValues(_.size)
+      a.groupBy(identity).forall { case (k, v) => cb.getOrElse(k, 0) >= v.size }
+    }
+    assert(isSubMultiset(k1, k2) && isSubMultiset(k2, k3))
+  }
 }
