@@ -965,6 +965,50 @@ object Pipeline {
                       CASE WHEN ${graft.functions.Hashing.duck32(
                         "'gsplit:' || coalesce(cl.cluster, d.doc_id)")} % 100 < 90
                            THEN 'train' ELSE 'eval' END AS split
-               FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id"""))
+               FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id""")),
+
+    // ── p17: deterministic mid-epoch RESUME — the property that makes
+    // a 10k-GPU run restartable: the epoch order is a pure function
+    // (p08's md5 shuffle key), so "continue after checkpoint cursor
+    // K" is a FILTER + bounded top-k on (shuffle_key, doc_id) — one
+    // scan, per-partition heap heads merged on the driver
+    // (TakeOrderedAndProject) — never a global sort of the epoch and
+    // never a replay of consumed examples. The cursor here is the
+    // keyspace midpoint (a checkpoint stores the last consumed
+    // (shuffle_key, doc_id) pair; the literal stands in for it);
+    // the post-limit position stamp is a ≤100-row window —
+    // calendar-bounded, whitelisted like t17's. ──
+    "p17_epoch_resume" -> Q(
+      (s, d) => {
+        graft.functions.Hashing.register(s)
+        val ep2 = all("p08_epoch_schedule").fn(s, d)
+          .where("epoch = 2").select("doc_id", "shuffle_key")
+        ep2.where("shuffle_key >= 2147483648")
+          .orderBy(col("shuffle_key"), col("doc_id")).limit(100)
+          .withColumn("pos", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("shuffle_key"), col("doc_id"))))
+          .select("pos", "doc_id", "shuffle_key")
+      },
+      Some(s"""WITH q AS (
+                 SELECT doc_id,
+                        ((len(list_distinct(string_split(text,' '))) * 10000)
+                           // len(string_split(text,' '))
+                         + (CASE WHEN len(string_split(text,' ')) >= 15 THEN 10000 ELSE 0 END)) // 2
+                          AS quality_bp
+                 FROM documents),
+               t AS (SELECT doc_id,
+                            CASE WHEN quality_bp >= 7600 THEN 3
+                                 WHEN quality_bp >= 7000 THEN 2 ELSE 1 END AS n_epochs
+                     FROM q),
+               e2 AS (SELECT doc_id,
+                             ${graft.functions.Hashing.duck32("'ep:2:' || doc_id")} AS shuffle_key
+                      FROM t WHERE n_epochs >= 2),
+               nxt AS (SELECT doc_id, shuffle_key FROM e2
+                       WHERE shuffle_key >= 2147483648
+                       ORDER BY shuffle_key, doc_id LIMIT 100)
+               SELECT CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS INTEGER) AS pos,
+                      doc_id, shuffle_key
+               FROM nxt"""))
   )
 }

@@ -664,6 +664,47 @@ object Relational {
                       FROM ev JOIN f USING (user_id) GROUP BY 1, 2)
               SELECT m.cohort_day, k, n_active, cohort_size,
                      CAST(n_active * 10000 // cohort_size AS BIGINT) AS retention_bp
-              FROM mat m JOIN sz USING (cohort_day)"""))
+              FROM mat m JOIN sz USING (cohort_day)""")),
+
+    // ── q35: event-type TRANSITION matrix (first-order Markov counts
+    // over session-linked steps) — the "what do users do next"
+    // navigation profile. A step links consecutive same-user events
+    // ≤6h apart (the testdata's per-user spacing, as in j02); counts
+    // aggregate per (from_type, to_type) with the share in basis
+    // points. Scale shape: ONE user-keyed window for the lag (state
+    // = one previous row per user — Spark's running window frame,
+    // never a collected history), then a |types|²-bounded partial
+    // agg; the total attaches via the audited
+    // crossJoin(broadcast(scalar)) shape. A hot user costs a wider
+    // sort partition in the lag exchange, splittable by AQE. ──
+    "q35_event_transitions" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val tr = events(s, d)
+          .select("user_id", "ts", "event_id", "event_type")
+          .withColumn("from_type", lag("event_type", 1).over(w))
+          .withColumn("gap_us",
+            expr("unix_micros(ts) - unix_micros(lag(ts, 1) over " +
+              "(partition by user_id order by ts, event_id))"))
+          .where("from_type is not null and gap_us <= 21600000000")
+          .selectExpr("from_type", "event_type as to_type")
+          .groupBy("from_type", "to_type")
+          .agg(count(lit(1)).as("n"))
+        tr.crossJoin(broadcast(tr.agg(sum("n").as("n_tot"))))
+          .selectExpr("from_type", "to_type", "n",
+            "n * 10000 div n_tot as share_bp")
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events),
+              t AS (SELECT user_id, event_type,
+                           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+                           epoch_us(ts) - lag(epoch_us(ts)) OVER
+                             (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+                    FROM e),
+              c AS (SELECT from_type, event_type AS to_type, count(*) AS n FROM t
+                    WHERE from_type IS NOT NULL AND gap <= 21600000000 GROUP BY 1, 2),
+              tot AS (SELECT sum(n) AS n_tot FROM c)
+              SELECT from_type, to_type, n,
+                     CAST(n * 10000 // n_tot AS BIGINT) AS share_bp
+              FROM c, tot"""))
   )
 }

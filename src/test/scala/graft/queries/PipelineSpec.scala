@@ -341,4 +341,24 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(nTrain > 0 && nTrain < out.length)
     assert(math.abs(nTrain - 450) < 75, s"train share $nTrain far from 90%")
   }
+
+  test("p17 resume: slice equals the serial epoch order after the cursor; plan is a bounded top-k") {
+    val df = Pipeline.all("p17_epoch_resume").fn(spark, sf)
+    // the serial truth: epoch-2 members in (shuffle_key, doc_id) order,
+    // everything after the cursor, first 100
+    val ep2 = Pipeline.all("p08_epoch_schedule").fn(spark, sf)
+      .where("epoch = 2").select("doc_id", "shuffle_key").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = ep2.filter(_._2 >= 2147483648L)
+      .sortBy { case (id, k) => (k, id) }.take(100).zipWithIndex
+      .map { case ((id, k), i) => (i + 1, id, k) }.toSeq
+    val got = df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    assert(got.size === 100, "cursor left fewer than a full fetch — weak fixture")
+    // no consumed example is replayed, no future key skipped
+    assert(got.forall(_._3 >= 2147483648L))
+    // the epoch must NOT be globally sorted: the fetch is a top-k
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }

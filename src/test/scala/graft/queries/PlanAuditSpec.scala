@@ -38,7 +38,8 @@ class PlanAuditSpec extends AnyFunSuite with graft.SparkTestBase {
   private val globalWindowOk = Set(
     "s05_ivf_topk", // 16-row centroid selection via row_number over h
     "t17_vocab_coverage", // cumulative share over the top-50 AFTER the limit
-    "t19_score_percentiles") // CDF cumsum over the value-distinct frame (≤10001 rows by domain)
+    "t19_score_percentiles", // CDF cumsum over the value-distinct frame (≤10001 rows by domain)
+    "p17_epoch_resume") // position stamp over the ≤100-row post-limit resume slice
 
   /** Walk ACROSS adaptive-execution boundaries: under AQE (on by
     * default) the root is AdaptiveSparkPlanExec — a leaf node whose

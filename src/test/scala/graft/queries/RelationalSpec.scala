@@ -64,4 +64,27 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       "no cohort ever loses a user - matrix is vacuous here")
     assert(got.keys.map(_._2).max >= 7, "no week-deep offset in the matrix")
   }
+
+  test("q35 transitions equal the serial Markov counts; shares sum to ~10000") {
+    val ev = Relational.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(ts) as us", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expected = ev.groupBy(_._1).values.flatMap { es =>
+      val s = es.sortBy(e => (e._2, e._3))
+      s.zip(s.drop(1)).collect {
+        case (a, b) if b._2 - a._2 <= 21600000000L => (a._4, b._4)
+      }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Relational.all("q35_event_transitions").fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got.view.mapValues(_._1).toMap === expected)
+    val total = expected.values.sum
+    got.foreach { case (k, (n, bp)) =>
+      assert(bp === n * 10000 / total, s"share of $k") }
+    // floor-rounded shares undershoot by < |cells|
+    val shareSum = got.values.map(_._2).sum
+    assert(shareSum <= 10000 && shareSum > 10000 - got.size,
+      s"share sum $shareSum implausible")
+    assert(got.size > 1, "degenerate single-transition matrix")
+  }
 }
