@@ -690,6 +690,45 @@ object Similarity {
                  s"NOT (${Hashing.duck32("'del:' || a.vec_id")} % 10 = 0)")}
                SELECT probe_id, cand_id, rnk, cosine FROM ann""")),
 
+    // ── s22: index INSERT without retraining — s19's twin, closing
+    // the index lifecycle (build → serve → delete → insert →
+    // stream). The quantizer heads are FROZEN (trained once); a
+    // newly arriving vector shard encodes against them in its own
+    // pass and its postings UNION into the inverted file — legal
+    // because cell assignment and residual encoding are pure per-row
+    // functions of the frozen heads, so postings-of-union ≡
+    // union-of-postings (the d15/stream16 merge≡rebuild algebra,
+    // here with set union as the merge). The gate serves the
+    // incrementally-built index and must reproduce the from-scratch
+    // s13 answer bit-for-bit (same oracle); the spec additionally
+    // pins artifact-level equality of the two build routes. At 1 B
+    // vectors this is the nightly ingest: the new shard's encode is
+    // one map-only pass over the SHARD, the union is an append to
+    // the cell-partitioned postings — the base index is never
+    // touched, no retrain, no rebuild. ──
+    "s22_index_insert" -> Q(
+      (s, d) => {
+        Hashing.register(s)
+        val e = Tables(s, d, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("vec_id", "embedding", s"$normE as nrm").persistScoped()
+        val cents = lloydCents(e, ivfSeeds(e), ivfIters)
+        val cb = pqCodebookTrained(residualFrame(e, cents).persistScoped(), pqIters)
+        def shardCodes(part: DataFrame) =
+          pqEncode(residualFrame(part, cents), cb, keep = Seq("cell"))
+            .select(col("vec_id").as("cand_id"), col("cell"), col("codes"))
+        val codes = shardCodes(e.where("vec_id < 400"))
+          .unionByName(shardCodes(e.where("vec_id >= 400")))
+        val probes = e.where("vec_id < 10")
+        val cand = broadcast(probeCells(probes, cents, 2))
+          .join(codes, "cell")
+          .where(col("cand_id") =!= col("probe_id"))
+        val short = adcTopk(cand.join(
+          broadcast(pqProbeTablesRes(probes, cents, cb, 2)), Seq("probe_id", "cell")), rerankR)
+        rerankExact(short, probes, e, 3)
+      },
+      Some(duckIvfPqSql)),
+
     // ── MMR diversity re-rank: Maximal Marginal Relevance
     // (Carbonell & Goldstein 1998) over the exact top-10 shortlist —
     // retrieval that penalizes redundancy, the standard fix when the

@@ -417,4 +417,31 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(out.exists(_._2 > 0), "no probe has any exact radius neighbor")
     assert(out.exists(_._3 > 0), "the bucket index found nothing anywhere")
   }
+
+  test("s22 insert: shard-encoded postings equal the one-shot encode; answer equals s13 verbatim") {
+    graft.functions.Hashing.register(spark)
+    val e = graft.Tables(spark, sf, "embeddings")
+      .selectExpr("vec_id", "embedding", "vnorm(embedding) as nrm").cache()
+    val cents = Similarity.lloydCents(e, Similarity.ivfSeeds(e), Similarity.ivfIters)
+    val rf = Similarity.residualFrame(e, cents)
+    val cb = Similarity.pqCodebookTrained(rf, Similarity.pqIters)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSet
+    val oneShot = rows(Similarity.pqEncode(rf, cb, keep = Seq("cell"))
+      .select("vec_id", "cell", "codes"))
+    val incremental = rows(
+      Similarity.pqEncode(Similarity.residualFrame(e.where("vec_id < 400"), cents), cb, keep = Seq("cell"))
+        .select("vec_id", "cell", "codes")
+        .unionByName(Similarity.pqEncode(
+          Similarity.residualFrame(e.where("vec_id >= 400"), cents), cb, keep = Seq("cell"))
+          .select("vec_id", "cell", "codes")))
+    assert(incremental === oneShot,
+      "per-shard encode against frozen heads diverged from the one-shot index")
+    assert(e.where("vec_id >= 400").count() > 0, "arriving shard empty - vacuous")
+    // and the served answer is exactly s13's
+    val a = Similarity.all("s22_index_insert").fn(spark, sf).collect().map(_.toString).sorted
+    val b = Similarity.all("s13_ivfpq").fn(spark, sf).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    e.unpersist()
+  }
 }
