@@ -890,7 +890,77 @@ object TextOps {
           .persistScoped()
         cmsFinish(cmsCounters(tok), tok)
       },
-      Some(t23Oracle))
+      Some(t23Oracle)),
+
+    // ── t24: RAKE keyphrase extraction (Rose et al. 2010) — the
+    // topic-tagging pass a corpus card / dataset search index runs.
+    // Candidate phrases are maximal stopword-free token runs (the
+    // segmentation is a per-DOC running stop count — bounded by doc
+    // length, d18's window discipline, never corpus-global); word
+    // scores are corpus-wide degree/frequency in integer basis
+    // points (deg = Σ phrase-length over the word's occurrences —
+    // RAKE's co-occurrence degree; integer div keeps both engines
+    // exact), and a phrase scores the sum of its members' scores.
+    // Top-3 phrases per doc by (score desc, phrase, grp). Scale
+    // shape: posexplode is map-side linear in tokens; the word
+    // table is one vocabulary-keyed partial agg; the phrase score
+    // is one tok-keyed equi-join back plus a doc-keyed agg; the
+    // top-3 is a doc-partitioned WindowGroupLimit. Nothing holds
+    // more than a doc's positions in one place. ──
+    "t24_rake_keyphrases" -> Q(
+      (s, d) => {
+        val pos = Tables(s, d, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("doc_id", s"posexplode($toks) as (i, tok)")
+          .withColumn("is_stop", col("tok").isin(enStops: _*))
+        val byDoc = Window.partitionBy("doc_id").orderBy("i")
+        val ph = pos
+          .withColumn("grp", sum(when(col("is_stop"), 1L).otherwise(0L)).over(byDoc))
+          .where(!col("is_stop"))
+          .groupBy("doc_id", "grp")
+          .agg(
+            expr("transform(array_sort(collect_list(struct(i, tok))), x -> x.tok)").as("ptoks"),
+            count(lit(1)).as("plen"))
+          .selectExpr("doc_id", "grp", "concat_ws(' ', ptoks) as phrase", "ptoks", "plen")
+          .persistScoped()
+        val occ = ph.selectExpr("doc_id", "grp", "plen", "explode(ptoks) as tok")
+        val wf = occ.groupBy("tok")
+          .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+          .selectExpr("tok", "deg * 10000 div freq as ws")
+        occ.join(wf, "tok")
+          .groupBy("doc_id", "grp").agg(sum("ws").as("score"))
+          .join(ph.select("doc_id", "grp", "phrase"), Seq("doc_id", "grp"))
+          .withColumn("rnk", row_number().over(Window.partitionBy("doc_id")
+            .orderBy(col("score").desc, col("phrase").asc, col("grp").asc)))
+          .where("rnk <= 3")
+          .select("doc_id", "rnk", "phrase", "score")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              pos AS (SELECT doc_id, i, t[i] AS tok,
+                             t[i] IN ('the','a','of','and','to','in') AS is_stop
+                      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM t)),
+              g AS (SELECT doc_id, i, tok, is_stop,
+                           sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY doc_id ORDER BY i
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+                    FROM pos),
+              ph AS (SELECT doc_id, grp, string_agg(tok, ' ' ORDER BY i) AS phrase,
+                            list(tok ORDER BY i) AS ptoks,
+                            count(*) AS plen
+                     FROM g WHERE NOT is_stop GROUP BY 1, 2),
+              occ AS (SELECT doc_id, grp, plen, unnest(ptoks) AS tok FROM ph),
+              wf AS (SELECT tok,
+                            CAST(CAST(sum(plen) AS BIGINT) * 10000
+                                 // count(*) AS BIGINT) AS ws
+                     FROM occ GROUP BY tok),
+              ps AS (SELECT doc_id, grp, CAST(sum(ws) AS BIGINT) AS score
+                     FROM occ JOIN wf USING (tok) GROUP BY 1, 2)
+              SELECT doc_id, rnk, phrase, score FROM
+                (SELECT ps.doc_id, ps.score, ph.phrase,
+                        CAST(row_number() OVER (PARTITION BY ps.doc_id
+                          ORDER BY ps.score DESC, ph.phrase ASC, ps.grp ASC) AS INTEGER) AS rnk
+                 FROM ps JOIN ph ON ph.doc_id = ps.doc_id AND ph.grp = ps.grp)
+              WHERE rnk <= 3"""))
   )
 
   // ── Count-Min machinery shared by t23 (one-shot batch) and

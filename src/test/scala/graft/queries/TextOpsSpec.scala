@@ -251,4 +251,36 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.values.forall { case (ex, est) => est >= ex },
       "Count-Min is conservative: an estimate below the true count is a broken sketch")
   }
+
+  test("t24 RAKE equals the serial recompute; multi-word phrases surface") {
+    import org.apache.spark.sql.functions._
+    val stops = Set("the", "a", "of", "and", "to", "in")
+    val docs = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+    // phrases: maximal stop-free runs, keyed by (doc, running stop count)
+    val phrases = docs.flatMap { case (id, toks) =>
+      var grp = 0L
+      val buf = scala.collection.mutable.Map.empty[Long, Vector[String]]
+      toks.foreach { w =>
+        if (stops(w)) grp += 1
+        else buf(grp) = buf.getOrElse(grp, Vector.empty) :+ w
+      }
+      buf.map { case (g, ws) => (id, g, ws) }
+    }
+    val occ = phrases.flatMap { case (_, _, ws) => ws.map(_ -> ws.length.toLong) }
+    val wScore = occ.groupBy(_._1).map { case (w, xs) =>
+      w -> xs.map(_._2).sum * 10000 / xs.length
+    }
+    val expected = phrases.groupBy(_._1).toSeq.flatMap { case (id, phs) =>
+      phs.toSeq.map { case (_, g, ws) => (g, ws.mkString(" "), ws.map(wScore).sum) }
+        .sortBy { case (g, p, sc) => (-sc, p, g) }.take(3).zipWithIndex
+        .map { case ((_, p, sc), i) => (id, i + 1) -> ((p, sc)) }
+    }.toMap
+    val got = TextOps.all("t24_rake_keyphrases").fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getString(2), r.getLong(3)))).toMap
+    assert(got === expected)
+    // degree/frequency must reward collocation: multi-word phrases win somewhere
+    assert(got.values.exists(_._1.contains(" ")), "no multi-word keyphrase ranked")
+  }
 }
