@@ -151,6 +151,39 @@ object Multimodal {
       .toDF("wav_id", "sample_rate", "channels", "n_frames", "peak_abs", "mean_abs")
   }
 
+  /** m11's body: difference hash (dHash) over DECODED pixels — the
+    * perceptual fingerprint m07 approximates from payload bytes, now
+    * computed from real image content: nearest-neighbor sample onto
+    * a 9×8 grid, integer grayscale (r+g+b)/3, bit (y,x) set iff the
+    * right neighbor is brighter. 64 bits as a 16-hex-char string
+    * (hex sidesteps BIGINT sign arithmetic in the oracle compare).
+    * Map-only typed mapPartitions; one 17-byte row leaves per image. */
+  private[graft] def imageDHash(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col("img_id"), col("fmt"), col("blob")).as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, fmt, blob) =>
+        val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+        require(im != null, s"undecodable image payload for img $id")
+        val (w, h) = (im.getWidth, im.getHeight)
+        def gray(gx: Int, gy: Int): Int = {
+          val px = im.getRGB(gx * w / 9, gy * h / 8)
+          (((px >> 16) & 0xff) + ((px >> 8) & 0xff) + (px & 0xff)) / 3
+        }
+        var v = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (gray(x + 1, y) > gray(x, y)) v |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        (id, fmt, f"$v%016x")
+      })
+      .toDF("img_id", "fmt", "dhash")
+  }
+
   /** m10's body: the m09 container parse plus a channel-0 framing
     * pass — frameLen-sample frames, tail dropped; per frame the
     * mean-square energy (integer), zero-crossing count (sign change
@@ -317,6 +350,30 @@ object Multimodal {
     // from the fixtures' sample formula (the m08/m09 pattern);
     // MultimodalSpec re-derives them from the formula independently
     // of javax.sound. ──
+    // ── m11: perceptual dHash on DECODED pixels — the real-content
+    // twin of m07's payload-byte SimHash: near-dup detection that
+    // survives re-encoding, where any byte-level hash breaks. The
+    // JPEG fixture is the lossy re-encode of the same pixel formula,
+    // and its decoded dHash lands Hamming distance 2 from the
+    // formula's lossless 8×8 hash (spec-pinned ≤ 8) while the two
+    // FILES share no bytes — exactly the gap between content
+    // fingerprints and payload fingerprints. 9×8 nearest-neighbor
+    // sample → integer grayscale → 64 brightness-gradient bits,
+    // hex-encoded (hex sidesteps BIGINT sign arithmetic in the
+    // compare). PNG golden rows derive from the pixel formula
+    // independently of ImageIO (spec re-derives); the JPEG row is
+    // golden-pinned like m08's mean. Same scale shape as every
+    // decode op: blobs never cross an exchange, 17 bytes leave per
+    // image. ──
+    "m11_image_dhash" -> Q(
+      (s, _) => imageDHash(fixtureImages(s)),
+      Some("""SELECT * FROM (VALUES
+                (CAST(0 AS BIGINT), 'png', '3636363636363636'),
+                (CAST(1 AS BIGINT), 'png', '1b53535353135353'),
+                (CAST(2 AS BIGINT), 'png', '0000000000000000'),
+                (CAST(3 AS BIGINT), 'jpg', 'ce8e9e9e5e5e5e5e'))
+              AS t(img_id, fmt, dhash)""")),
+
     "m10_audio_features" -> Q(
       (s, _) => wavFrameFeatures(fixtureWavs(s), 160),
       Some("""SELECT * FROM (VALUES

@@ -189,4 +189,27 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(!got.keySet.exists(_._1 == 2L), "wav2 leaked a partial frame")
     assert(got.keys.count(_._1 == 0L) === 7 && got.keys.count(_._1 == 1L) === 5)
   }
+
+  test("m11 dHash: PNGs re-derived from the formula; JPEG re-encode stays Hamming-near") {
+    def formulaHash(w: Int, h: Int): Long = {
+      def gray(gx: Int, gy: Int): Int = {
+        val x = gx * w / 9; val y = gy * h / 8
+        ((37 * x + 11 * y) % 256 + (59 * x + 3 * y) % 256 + (17 * x + 29 * y) % 256) / 3
+      }
+      (for (y <- 0 until 8; x <- 0 until 8 if gray(x + 1, y) > gray(x, y))
+        yield 1L << (y * 8 + x)).foldLeft(0L)(_ | _)
+    }
+    val got = Multimodal.all("m11_image_dhash").fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    for ((id, (w, h)) <- Seq(0L -> (6, 4), 1L -> (16, 9), 2L -> (1, 1)))
+      assert(got(id) === (("png", f"${formulaHash(w, h)}%016x")), s"img $id")
+    // the lossy re-encode of the same content must stay perceptually
+    // close to the lossless formula hash — the property m07's
+    // byte-level fingerprint cannot have (the FILES share no bytes)
+    val jpegHash = java.lang.Long.parseUnsignedLong(got(3L)._2, 16)
+    val hamming = java.lang.Long.bitCount(jpegHash ^ formulaHash(8, 8))
+    assert(hamming <= 8, s"JPEG drifted $hamming bits from the content hash")
+    // and the hashes genuinely discriminate across different content
+    assert(got.values.map(_._2).toSet.size === 4)
+  }
 }
