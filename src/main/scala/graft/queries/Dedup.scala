@@ -1051,7 +1051,66 @@ object Dedup {
           .agg(countDistinct("h").as("exact_distinct"))
         hllFinish(hllRegisters(items), exact)
       },
-      Some(d19Oracle))
+      Some(d19Oracle)),
+
+    // ── d20: EXACT similarity join via prefix filtering (AllPairs /
+    // PPJoin, Bayardo et al. 2007 / Xiao et al. 2008) — the
+    // zero-false-negative complement to d03's MinHash-LSH: same
+    // shingle sets, same τ=0.7 Jaccard, but candidates come from an
+    // exact-by-theorem filter instead of a probabilistic one. Order
+    // the universe by global rarity (df asc, hash asc); a doc of set
+    // size n indexes only its first n − ⌈0.7n⌉ + 1 rarest elements —
+    // any pair with J ≥ 0.7 MUST collide inside these prefixes, so
+    // the prefix-token equi-join loses nothing and joins only on
+    // RARE elements (tiny posting lists — the skew profile is the
+    // inverse of a full inverted-index join; a hot prefix token
+    // splits under AQE). Verify is the d03 integer-exact cut
+    // 10·inter ≥ 7·union. Scale: one vocabulary-keyed df agg, one
+    // per-doc bounded sort window, an equi-join on prefix elements,
+    // exact verify on candidates only. The oracle is the NAIVE
+    // all-shared-element join — the gate equality IS the
+    // completeness theorem, checked on real data; the spec adds
+    // LSH ⊆ exact against d03. ──
+    "d20_prefix_join" -> Q(
+      (s, d) => {
+        val hs = hashedDocs(s, d)
+          .selectExpr("doc_id", "array_distinct(hv) as hv")
+          .selectExpr("doc_id", "hv", "size(hv) as sz").persistScoped()
+        val df = hs.selectExpr("explode(hv) as g")
+          .groupBy("g").agg(count(lit(1)).as("df"))
+        val pref = hs.selectExpr("doc_id", "sz", "explode(hv) as g")
+          .join(df, "g")
+          .groupBy("doc_id", "sz")
+          .agg(expr("transform(array_sort(collect_list(struct(df, g))), x -> x.g)").as("sorted"))
+          .selectExpr("doc_id",
+            "explode(slice(sorted, 1, sz - ((7 * sz + 9) div 10) + 1)) as g")
+        val cand = pref.select(col("doc_id").as("d1"), col("g"))
+          .join(pref.select(col("doc_id").as("d2"), col("g").as("g2")),
+            col("g") === col("g2") && col("d1") < col("d2"))
+          .select("d1", "d2").distinct()
+        cand
+          .join(hs.select(col("doc_id").as("d1"), col("hv").as("hv1"), col("sz").as("s1")), "d1")
+          .join(hs.select(col("doc_id").as("d2"), col("hv").as("hv2"), col("sz").as("s2")), "d2")
+          .selectExpr("d1", "d2",
+            "cast(size(array_intersect(hv1, hv2)) as bigint) as inter",
+            "cast(s1 + s2 as bigint) as ssum")
+          .selectExpr("d1", "d2", "inter", "ssum - inter as n_union")
+          .where("10 * inter >= 7 * n_union")
+          .selectExpr("d1", "d2", "inter", "n_union",
+            "inter * 10000 div n_union as jac_bp")
+      },
+      Some(s"""$duckShingles,
+               ds AS (SELECT doc_id, list_distinct(hv) AS hv FROM hs),
+               e AS (SELECT doc_id, unnest(hv) AS g FROM ds),
+               p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+                     FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2),
+               sz AS (SELECT doc_id, len(hv) AS sz FROM ds)
+               SELECT d1, d2, CAST(inter AS BIGINT) AS inter,
+                      CAST(s1.sz + s2.sz - inter AS BIGINT) AS n_union,
+                      CAST(inter * 10000 // (s1.sz + s2.sz - inter) AS BIGINT) AS jac_bp
+               FROM p JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2
+               WHERE 10 * inter >= 7 * (s1.sz + s2.sz - inter)"""))
   )
 
   // ── HLL machinery shared by d19 (one-shot batch) and stream16

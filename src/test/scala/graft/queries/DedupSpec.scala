@@ -226,6 +226,22 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(out.nonEmpty)
   }
 
+  test("d20 exact prefix join: LSH pairs are a subset; thresholds agree pair-by-pair") {
+    val sf01 = "/root/testdata/sf0.01"
+    val exact = Dedup.all("d20_prefix_join").fn(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(exact.nonEmpty, "no exact pair at τ=0.7 - vacuous")
+    // zero false negatives is the prefix filter's theorem; LSH can only
+    // miss, never find more — every d03 pair must be in the exact set
+    val lsh = Dedup.all("d03_lsh_pairs").fn(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty)
+    val missed = lsh -- exact.keySet
+    assert(missed.isEmpty, s"d03 'found' pairs the exact join disproves: $missed")
+    // jac_bp is a genuine ratio: within (7000, 10000]
+    exact.values.foreach(bp => assert(bp >= 7000 && bp <= 10000, s"jac_bp $bp"))
+  }
+
   test("d12 soft-dedup weights: one row per doc, weight = 10000 div cluster size") {
     val sf01 = "/root/testdata/sf0.01" // sf0.001 has no near-dup pairs
     val rows = Dedup.all("d12_softdedup_weights").fn(spark, sf01).collect()
