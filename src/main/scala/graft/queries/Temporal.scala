@@ -244,6 +244,49 @@ object Temporal {
                                             ELSE q.event_id END) ASC) AS rn
                     FROM p LEFT JOIN q ON q.user_id = p.user_id)
               SELECT purchase_id, user_id, click_id, click_value, delta_us
+              FROM j WHERE rn = 1""")),
+
+    // ── j07: POINT-IN-TIME join (the feature-store operator): each
+    // fact row attaches its key's latest STRICTLY-EARLIER version —
+    // "features as they were at prediction time", the strictness
+    // being the whole point (an at-or-before join leaks the label
+    // row itself into its own features; merge_asof
+    // allow_exact_matches=False). Here every order attaches its
+    // customer's latest prior order (key, price, staleness in days)
+    // — the prior-state snapshot a training-set builder joins.
+    // Strict < on DAILY grain reduces to ≤ on (day − 1), so the
+    // whole query IS the single-exchange asOf primitive — one
+    // union+sort per key, linear state, while the oracle pays the
+    // per-key history blowup join. Same-day earlier versions are
+    // excluded (they are not strictly earlier); ties among
+    // same-PRIOR-day versions resolve to the greatest key (the asOf
+    // contract). ──
+    "j07_pit_join" -> Q(
+      (s, d) => {
+        val o = graft.Tables(s, d, "orders")
+        val probes = o.selectExpr("o_custkey as ck",
+          "cast(unix_date(cast(o_orderdate as date)) - 1 as bigint) as pd",
+          "o_orderkey as fact_key",
+          "cast(unix_date(cast(o_orderdate as date)) as bigint) as fact_day")
+        val quotes = o.selectExpr("o_custkey as ck",
+          "cast(unix_date(cast(o_orderdate as date)) as bigint) as pd",
+          "o_orderkey", "o_totalprice")
+        TemporalJoins.asOf(probes, quotes, key = "ck", ts = "pd",
+            quoteTieBreak = "o_orderkey",
+            payload = Seq("o_orderkey" -> "prior_key",
+              "o_totalprice" -> "prior_price", "pd" -> "prior_day"))
+          .selectExpr("fact_key", "ck as o_custkey", "prior_key", "prior_price",
+            "fact_day - prior_day as staleness_days")
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS d,
+                                o_totalprice FROM orders),
+              j AS (SELECT f.o_orderkey AS fact_key, f.o_custkey,
+                           p.o_orderkey AS prior_key, p.o_totalprice AS prior_price,
+                           datediff('day', p.d, f.d) AS staleness_days,
+                           row_number() OVER (PARTITION BY f.o_orderkey
+                             ORDER BY p.d DESC NULLS LAST, p.o_orderkey DESC NULLS LAST) AS rn
+                    FROM o f LEFT JOIN o p ON p.o_custkey = f.o_custkey AND p.d < f.d)
+              SELECT fact_key, o_custkey, prior_key, prior_price, staleness_days
               FROM j WHERE rn = 1"""))
   )
 }

@@ -139,4 +139,31 @@ class TemporalJoinsSpec extends AnyFunSuite with SparkTestBase {
     assert(deltas.exists(_ > 0) && deltas.exists(_ < 0),
       "nearest never chose one of the two directions on this corpus")
   }
+
+  test("j07 point-in-time: strictly earlier only — no same-day leakage, serial agreement") {
+    val sf = "/root/testdata/sf0.001"
+    val orders = graft.Tables(spark, sf, "orders")
+      .selectExpr("o_orderkey", "o_custkey",
+        "cast(unix_date(cast(o_orderdate as date)) as bigint) as day", "o_totalprice")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byCust = orders.groupBy(_._2)
+    val expected = orders.map { case (k, c, day, _) =>
+      val prior = byCust(c).filter(_._3 < day)
+      k -> (if (prior.isEmpty) None
+            else {
+              val best = prior.maxBy(p => (p._3, p._1))
+              Some((best._1, best._4, day - best._3))
+            })
+    }.toMap
+    val got = graft.queries.Temporal.all("j07_pit_join").fn(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None
+         else Some((r.getLong(2), r.getDouble(3), r.getLong(4))))).toMap
+    assert(got === expected)
+    // leakage guard: staleness is strictly positive everywhere
+    assert(got.values.flatten.forall(_._3 >= 1))
+    // the corpus exercises the interesting cases: repeat customers with
+    // real priors AND first orders with none
+    assert(got.values.exists(_.isDefined) && got.values.exists(_.isEmpty))
+  }
 }
