@@ -863,6 +863,66 @@ object Similarity {
                LEFT JOIN ex ON ex.probe_id = s.vec_id
                LEFT JOIN idx ON idx.probe_id = s.vec_id""")),
 
+    // ── s23: MATRYOSHKA truncation audit (Kusupati et al. 2022) —
+    // how much top-3 recall survives keeping only the first 16 of 64
+    // dims? The dial every embedding-storage budget turns (4× less
+    // vector memory, 4× less ADC work) measured the same way every
+    // index dial here is: the shared probe-bounded Recall harness
+    // (s09/s14/d11's code path) with the truncated ranking as
+    // `retrieved` and the full-dim ranking as truth. One persisted
+    // broadcast probe scan feeds BOTH rankings (full and truncated
+    // cosines off the same pair rows — the truncation costs a slice,
+    // not a second corpus pass); both top-3s are bounded-heap
+    // aggregates. Verdicts stay gate-exact: cosines are the same
+    // sequential-fold doubles, recall is integer bp. ──
+    "s23_matryoshka_recall" -> Q(
+      (s, d) => {
+        Hashing.register(s)
+        val e = Tables(s, d, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("vec_id", "embedding", s"$normE as nrm",
+            "slice(embedding, 1, 16) as emb16")
+          .selectExpr("vec_id", "embedding", "nrm", "emb16", "vnorm(emb16) as nrm16")
+        val p = e.where("vec_id < 10").select(col("vec_id").as("probe_id"),
+          col("embedding").as("pe"), col("nrm").as("pn"),
+          col("emb16").as("pe16"), col("nrm16").as("pn16"))
+        val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+          col("nrm").as("cn"), col("emb16").as("ce16"), col("nrm16").as("cn16"))
+        val pairs = c.join(broadcast(p), col("cand_id") =!= col("probe_id"))
+          .selectExpr("probe_id", "cand_id",
+            s"${dot("pe", "ce")} / (pn * cn) as cf",
+            s"${dot("pe16", "ce16")} / (pn16 * cn16) as ct")
+          .persistScoped()
+        Recall.perProbe(
+          heapTopk(pairs.selectExpr("probe_id", "cand_id", "cf as cosine"), 3),
+          heapTopk(pairs.selectExpr("probe_id", "cand_id", "ct as cosine"), 3),
+          "probe_id", "cand_id", Some(3))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm,
+                                 embedding[1:16] AS emb16,
+                                 sqrt(list_sum(list_transform(embedding[1:16],
+                                   x -> CAST(x AS DOUBLE) * x))) AS nrm16
+                          FROM embeddings),
+               sc AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                             ${duckDot("p.embedding", "c.embedding")} / (p.nrm * c.nrm) AS cf,
+                             ${duckDot("p.emb16", "c.emb16")} / (p.nrm16 * c.nrm16) AS ct
+                      FROM e p JOIN e c ON c.vec_id != p.vec_id
+                      WHERE p.vec_id < 10),
+               f3 AS (SELECT probe_id, cand_id FROM
+                        (SELECT *, row_number() OVER (PARTITION BY probe_id
+                           ORDER BY cf DESC, cand_id) AS rnk FROM sc)
+                      WHERE rnk <= 3),
+               t3 AS (SELECT probe_id, cand_id FROM
+                        (SELECT *, row_number() OVER (PARTITION BY probe_id
+                           ORDER BY ct DESC, cand_id) AS rnk FROM sc)
+                      WHERE rnk <= 3)
+               SELECT f.probe_id,
+                      CAST(sum(CASE WHEN t.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+                      (CAST(sum(CASE WHEN t.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 10000) // 3 AS recall_bp
+               FROM f3 f LEFT JOIN t3 t
+                 ON t.probe_id = f.probe_id AND t.cand_id = f.cand_id
+               GROUP BY f.probe_id""")),
+
     // Scale shape: the shortlist is s01's bounded-heap top-k (k rows
     // per probe cross the exchange); candidate-candidate sims are an
     // equi-join on probe_id with m²=90 rows per probe; the greedy

@@ -31,6 +31,7 @@ class PlanAuditSpec extends AnyFunSuite with graft.SparkTestBase {
     "s17_mmr_rerank", // re-ranks s01's 10-probe bounded shortlist
     "s21_hard_negatives", // s01's scan with the label!=label non-equi predicate
     "s20_range_search", // 10-probe broadcast exact-evidence scan (index side is equi)
+    "s23_matryoshka_recall", // one 10-probe broadcast scan feeding both rankings
     "d11_lsh_recall") // 50-probe broadcast exact-baseline scan
 
   /** Queries where an unpartitioned window runs over a PROVABLY tiny

@@ -444,4 +444,19 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(a.sameElements(b))
     e.unpersist()
   }
+
+  test("s23 matryoshka: per-probe recall well-formed; truncation measurably imperfect but nonzero") {
+    val rows = Similarity.all("s23_matryoshka_recall").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSet === (0L until 10L).toSet, "one row per probe")
+    rows.foreach { case (p, hits, bp) =>
+      assert(hits >= 0 && hits <= 3, s"probe $p hits $hits")
+      assert(bp === hits * 10000 / 3, s"probe $p recall_bp")
+    }
+    // the audit must MEASURE something: 16 of 64 dims keeps some but
+    // not all of the top-3 on this corpus (all-0 or all-10000 would
+    // mean the dial reads nothing)
+    assert(rows.exists(_._2 > 0), "truncated ranking lost everything - suspicious")
+    assert(rows.exists(_._2 < 3), "truncated ranking lost nothing - audit is vacuous here")
+  }
 }
