@@ -960,7 +960,55 @@ object TextOps {
                         CAST(row_number() OVER (PARTITION BY ps.doc_id
                           ORDER BY ps.score DESC, ph.phrase ASC, ps.grp ASC) AS INTEGER) AS rnk
                  FROM ps JOIN ph ON ph.doc_id = ps.doc_id AND ph.grp = ps.grp)
-              WHERE rnk <= 3"""))
+              WHERE rnk <= 3""")),
+
+    // ── t25: BPE TOKENIZER TRAINING — three byte-pair-encoding merge
+    // steps learned from the corpus (Sennrich et al. 2016), the step
+    // every "train a tokenizer on your data" pipeline runs before
+    // anything else tokenizes. See [[bpeTrain]] for the distributed
+    // shape (pair counts are word-frequency-weighted partial aggs;
+    // one merge rule per step crosses the driver; the merge applies
+    // as a codegen'd leftmost-nonoverlapping list fold). Determinism
+    // contract, identical in both engines: overlap-counted pair
+    // stats, argmax tie-break (cnt desc, lhs, rhs), greedy
+    // leftmost-nonoverlapping application — the ORACLE RE-LEARNS the
+    // merges itself as an unrolled CTE chain (the duckTrainedCent
+    // pattern: per iteration a count CTE, a LIMIT-1 argmax CTE, and
+    // a fold-apply CTE), so the gate proves two independent trainers
+    // converge to the same learned vocabulary. ──
+    "t25_bpe_train" -> Q(
+      (s, d) => {
+        import s.implicits._
+        bpeTrain(s, d, 3).zipWithIndex
+          .map { case ((a, b, c), i) => (i + 1, a, b, a + b, c) }
+          .toDF("iter", "lhs", "rhs", "merged", "cnt")
+      },
+      Some {
+        def cnt(i: Int) =
+          s"""c$i AS (SELECT a, b, CAST(sum(f) AS BIGINT) AS cnt FROM
+                        (SELECT f, syms[j] AS a, syms[j+1] AS b FROM
+                           (SELECT f, syms, unnest(generate_series(1, len(syms) - 1)) AS j
+                            FROM w${i - 1}))
+                      GROUP BY a, b),
+              b$i AS (SELECT a, b, cnt FROM c$i ORDER BY cnt DESC, a, b LIMIT 1)"""
+        def app(i: Int) =
+          s"""w$i AS (SELECT f, reduce(list_transform(syms, x -> [x]),
+                        (acc, x) -> CASE WHEN acc[-1] = b$i.a AND x[1] = b$i.b
+                                         THEN list_append(acc[1:len(acc)-1], b$i.a || b$i.b)
+                                         ELSE list_append(acc, x[1]) END) AS syms
+                      FROM w${i - 1}, b$i)"""
+        s"""WITH wf AS (SELECT tok, count(*) AS f FROM
+                          (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+                        WHERE length(tok) >= 1 GROUP BY tok),
+            w0 AS (SELECT f, list_transform(generate_series(1, length(tok)),
+                     i -> substr(tok, CAST(i AS INTEGER), 1)) AS syms FROM wf),
+            ${cnt(1)}, ${app(1)},
+            ${cnt(2)}, ${app(2)},
+            ${cnt(3)}
+            SELECT 1 AS iter, a AS lhs, b AS rhs, a || b AS merged, cnt FROM b1
+            UNION ALL SELECT 2, a, b, a || b, cnt FROM b2
+            UNION ALL SELECT 3, a, b, a || b, cnt FROM b3"""
+      })
   )
 
   // ── Count-Min machinery shared by t23 (one-shot batch) and
@@ -996,6 +1044,53 @@ object TextOps {
       .agg(min("cnt").as("est_cnt"))
       .selectExpr("tok", "exact_cnt", "est_cnt", "n_total",
         "(est_cnt - exact_cnt) * 10000 div exact_cnt as over_bp")
+  }
+
+  /** t25's trainer: `iters` BPE merge steps (Sennrich et al. 2016)
+    * over the corpus word-frequency table. Each step is one
+    * distributed pass: adjacent symbol pairs explode map-side
+    * weighted by word frequency (overlap-counting, the reference
+    * implementation's get_stats), a pair-keyed partial agg, and a
+    * driver-side argmax of ONE row (cnt desc, lhs, rhs — the same
+    * bounded-constant collect discipline as the Lloyd trainers: one
+    * merge rule, not the corpus, crosses the driver). The merge then
+    * applies as a leftmost-nonoverlapping left fold over each word's
+    * symbols — `aggregate` with a list accumulator, codegen'd, no
+    * UDF — and the next iteration trains on the merged symbols.
+    * Returns (lhs, rhs, pre-merge weighted count) per step. */
+  private[graft] def bpeTrain(s: SparkSession, d: String, iters: Int): Seq[(String, String, Long)] = {
+    var cur = Tables(s, d, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .selectExpr(s"explode($toks) as tok")
+      .where("length(tok) >= 1")
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+      .selectExpr("f",
+        "transform(sequence(1, length(tok)), i -> substring(tok, i, 1)) as syms")
+      .persistScoped()
+    val out = Seq.newBuilder[(String, String, Long)]
+    for (_ <- 1 to iters) {
+      val best = cur
+        // guard: Spark's sequence(1, 0) DESCENDS rather than being
+        // empty, so a single-symbol word would index past its array
+        .where("size(syms) >= 2")
+        .select(col("f"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+             j -> struct(element_at(syms, j) as a, element_at(syms, j + 1) as b))""")).as("p"))
+        .groupBy("p.a", "p.b").agg(sum("f").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        .collect()(0)
+      val (a, b) = (best.getString(0), best.getString(1))
+      out += ((a, b, best.getLong(2)))
+      val (la, lb, lab) = (lit(a), lit(b), lit(a + b))
+      cur = cur.select(col("f"),
+        aggregate(col("syms"), array().cast("array<string>"),
+          (acc, x) => when(size(acc) > 0 &&
+              element_at(acc, lit(-1)) === la && x === lb,
+            concat(slice(acc, lit(1), size(acc) - 1), array(lab)))
+            .otherwise(concat(acc, array(x)))).as("syms"))
+        .persistScoped()
+    }
+    out.result()
   }
 
   /** stream17: fold each arriving micro-batch's counters into the

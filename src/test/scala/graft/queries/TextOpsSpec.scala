@@ -283,4 +283,37 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     // degree/frequency must reward collocation: multi-word phrases win somewhere
     assert(got.values.exists(_._1.contains(" ")), "no multi-word keyphrase ranked")
   }
+
+  test("t25 BPE: three merges equal the serial trainer (overlap stats, leftmost-greedy apply)") {
+    import org.apache.spark.sql.functions._
+    val words = graft.Tables(spark, sf, "documents")
+      .select(split(col("text"), " ").as("t")).collect()
+      .flatMap(_.getSeq[String](0)).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var syms: Map[Vector[String], Long] =
+      words.map { case (w, f) => w.map(_.toString).toVector -> f }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val expected = (1 to 3).map { i =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      syms.foreach { case (ss, f) =>
+        ss.zip(ss.drop(1)).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + f
+        }
+      }
+      val ((a, b), c) = counts.minBy { case ((x, y), n) => (-n, x, y) }
+      syms = syms.toSeq.map { case (ss, f) =>
+        val out = ss.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+          else acc :+ x
+        }
+        out -> f
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      (i, a, b, a + b, c)
+    }
+    val got = TextOps.all("t25_bpe_train").fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(got === expected)
+    assert(got.forall(_._5 > 0))
+  }
 }
