@@ -1110,8 +1110,95 @@ object Dedup {
                       CAST(s1.sz + s2.sz - inter AS BIGINT) AS n_union,
                       CAST(inter * 10000 // (s1.sz + s2.sz - inter) AS BIGINT) AS jac_bp
                FROM p JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2
-               WHERE 10 * inter >= 7 * (s1.sz + s2.sz - inter)"""))
+               WHERE 10 * inter >= 7 * (s1.sz + s2.sz - inter)""")),
+
+    // ── d21: mergeable histogram QUANTILE sketch — the distribution
+    // profiler next to d19's cardinality and t23's frequency: "what
+    // are the p50/p90/p99 document lengths?" answered from a
+    // 128-bucket integer histogram instead of a global sort. Two
+    // cheap passes (the production shape when the domain is unknown:
+    // an extents partial-agg, then a bucket-keyed partial agg — ≤128
+    // rows survive the map side at ANY corpus size), and the sketch
+    // carries the fourth instance of the merge≡rebuild algebra:
+    // extents merge by min/max, bucket counts by +, so per-shard
+    // histograms fold into the corpus histogram with no re-scan
+    // (DedupSpec proves the 3-chop fold equals the one-shot sketch).
+    // Estimate contract, identical in both engines and fully
+    // integer: width w = (hi-lo) div 128 + 1, bucket b(x) =
+    // (x-lo) div w, est(q) = upper value of the first bucket whose
+    // cumulative count reaches rank ⌈qN/100⌉ — so the true rank-q
+    // value lives in that bucket and 0 ≤ est − exact ≤ w−1 by
+    // construction (spec-pinned). The exact side is gate evidence in
+    // the d19/t23 discipline (TakeOrdered rank statistics, never a
+    // global sort; a production profiler publishes est alone), and
+    // the output carries the realized err_bp. The cumulative pass
+    // runs over the ≤128-row histogram — the t17-class provably-tiny
+    // global window, whitelisted in PlanAuditSpec. ──
+    "d21_hist_quantiles" -> Q(
+      (s, d) => {
+        val x = Tables(s, d, "documents").select(col("n_chars")).persistScoped()
+        val rng = x.agg(min("n_chars").as("lo"), max("n_chars").as("hi"),
+          count(lit(1)).as("n"))
+        val cum = histBuckets(x, rng)
+          .withColumn("cum", sum("cnt").over(org.apache.spark.sql.expressions.Window
+            .orderBy("b").rowsBetween(Long.MinValue, 0)))
+        val qs = s.range(1).selectExpr("explode(array(25, 50, 75, 90, 99)) as q")
+        val est = qs.crossJoin(broadcast(cum))
+          .where("cum >= (q * n + 99) div 100")
+          .groupBy("q").agg(min("b").as("b"), min("lo").as("lo"),
+            min("w").as("w"), min("n").as("n_total"))
+        val n = x.count()
+        val exact = Seq(25, 50, 75, 90, 99).map { q =>
+          val k = (q * n + 99) / 100
+          // exact rank-k is Int-bounded (t16's guard): past that a
+          // production profiler publishes the sketch estimate alone
+          require(k <= Int.MaxValue,
+            s"corpus too large for exact rank-$k evidence; publish est alone")
+          x.orderBy(col("n_chars").asc).limit(k.toInt)
+            .agg(max("n_chars").as("exact"))
+            .selectExpr(s"cast($q as int) as q", "exact")
+        }.reduce(_.union(_))
+        est.join(exact, "q")
+          .selectExpr("q", "n_total", "w as width", "b as bucket",
+            "lo + b * w + (w - 1) as est", "exact",
+            "(lo + b * w + (w - 1) - exact) * 10000 div exact as err_bp")
+      },
+      Some("""WITH x AS (SELECT n_chars FROM documents),
+              r AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi, count(*) AS n FROM x),
+              hw AS (SELECT lo, n, (hi - lo) // 128 + 1 AS w FROM r),
+              h AS (SELECT (n_chars - lo) // w AS b, count(*) AS cnt
+                    FROM x CROSS JOIN hw GROUP BY 1),
+              c AS (SELECT b, sum(cnt) OVER (ORDER BY b
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h),
+              qs AS (SELECT unnest([25, 50, 75, 90, 99]) AS q),
+              est AS (SELECT q, min(b) AS b FROM qs CROSS JOIN c CROSS JOIN hw
+                      WHERE cum >= (q * n + 99) // 100 GROUP BY q),
+              rk AS (SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS rn FROM x),
+              ex AS (SELECT q, max(CASE WHEN rn <= (q * n + 99) // 100
+                                        THEN n_chars END) AS exact
+                     FROM qs CROSS JOIN hw CROSS JOIN rk GROUP BY q)
+              SELECT CAST(est.q AS INTEGER) AS q, CAST(n AS BIGINT) AS n_total,
+                     CAST(w AS BIGINT) AS width, CAST(est.b AS BIGINT) AS bucket,
+                     CAST(lo + est.b * w + (w - 1) AS BIGINT) AS est,
+                     CAST(exact AS BIGINT) AS exact,
+                     CAST((lo + est.b * w + (w - 1) - exact) * 10000
+                          // exact AS BIGINT) AS err_bp
+              FROM est JOIN ex ON ex.q = est.q CROSS JOIN hw"""))
   )
+
+  /** d21's bucketing pass: count `x` (a 1-column n_chars frame) into
+    * 128 equal-width integer buckets against the extents frame
+    * `rng(lo, hi, n)`. Carries the sketch constants (lo, w, n) on
+    * every surviving row; ≤128 rows leave the partial agg at any
+    * corpus size. The extents attach is the audited scalar
+    * crossJoin(broadcast(empty-grouping agg)) shape. Counts merge
+    * across shards by +, extents by min/max — [[graft.queries]]'
+    * fourth merge≡rebuild algebra instance (DedupSpec). */
+  private[graft] def histBuckets(x: DataFrame, rng: DataFrame): DataFrame =
+    x.crossJoin(broadcast(rng))
+      .selectExpr("lo", "n", "(hi - lo) div 128 + 1 as w", "n_chars")
+      .selectExpr("lo", "n", "w", "(n_chars - lo) div w as b")
+      .groupBy("lo", "n", "w", "b").agg(count(lit(1)).as("cnt"))
 
   // ── HLL machinery shared by d19 (one-shot batch) and stream16
   // (maintained register artifact + streaming fold) ──

@@ -412,4 +412,49 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       n >= 1 && !corpus.get(sid - 1000000).contains(shard(sid)) },
       "no edited revision was caught - d16 degenerates to d14")
   }
+
+  test("d21 histogram quantiles: error inside one bucket width, monotone, merge == rebuild") {
+    import org.apache.spark.sql.functions._
+    val sf01 = "/root/testdata/sf0.01"
+    val out = Dedup.all("d21_hist_quantiles").fn(spark, sf01).collect()
+      .map(r => r.getAs[Int]("q") ->
+        (r.getAs[Long]("width"), r.getAs[Long]("est"), r.getAs[Long]("exact")))
+      .toMap
+    assert(out.keySet === Set(25, 50, 75, 90, 99))
+    // est = upper value of the bucket holding the true rank-q value,
+    // so 0 <= est - exact <= w - 1 by construction
+    out.foreach { case (q, (w, est, exact)) =>
+      assert(est >= exact && est - exact <= w - 1,
+        s"q=$q est=$est exact=$exact w=$w outside the pinned envelope")
+    }
+    // quantile estimates are monotone in q (cum is monotone in b)
+    val byQ = out.toSeq.sortBy(_._1).map(_._2._2)
+    assert(byQ === byQ.sorted, s"non-monotone estimates: $byQ")
+
+    // merge == rebuild: shard histograms fold into the corpus
+    // histogram with no re-scan — extents merge by min/max, bucket
+    // counts by + (the fourth merge≡rebuild algebra instance)
+    val x = graft.Tables(spark, sf01, "documents").select("doc_id", "n_chars")
+    val chopExtents = (0 until 3).map { c =>
+      x.where(s"doc_id % 3 = $c")
+        .agg(min("n_chars").as("lo"), max("n_chars").as("hi"),
+          count(lit(1)).as("n")).head
+    }
+    val mergedRng = spark.sql(
+      s"""SELECT ${chopExtents.map(_.getLong(0)).min}L as lo,
+                 ${chopExtents.map(_.getLong(1)).max}L as hi,
+                 ${chopExtents.map(_.getLong(2)).sum}L as n""")
+    val oneShotRng = x.agg(min("n_chars").as("lo"), max("n_chars").as("hi"),
+      count(lit(1)).as("n"))
+    assert(mergedRng.head === oneShotRng.head, "extents merge != rebuild")
+    val oneShot = Dedup.histBuckets(x.select("n_chars"), oneShotRng)
+      .collect().map(r => r.getAs[Long]("b") -> r.getAs[Long]("cnt")).toMap
+    val folded = (0 until 3)
+      .map(c => Dedup.histBuckets(
+        x.where(s"doc_id % 3 = $c").select("n_chars"), mergedRng)
+        .collect().map(r => r.getAs[Long]("b") -> r.getAs[Long]("cnt")).toMap)
+      .reduce((a, b) => (a.keySet ++ b.keySet)
+        .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap)
+    assert(folded === oneShot, "3-chop histogram fold != one-shot histogram")
+  }
 }

@@ -40,7 +40,8 @@ class PlanAuditSpec extends AnyFunSuite with graft.SparkTestBase {
     "s05_ivf_topk", // 16-row centroid selection via row_number over h
     "t17_vocab_coverage", // cumulative share over the top-50 AFTER the limit
     "t19_score_percentiles", // CDF cumsum over the value-distinct frame (≤10001 rows by domain)
-    "p17_epoch_resume") // position stamp over the ≤100-row post-limit resume slice
+    "p17_epoch_resume", // position stamp over the ≤100-row post-limit resume slice
+    "d21_hist_quantiles") // cumulative counts over the ≤128-bucket histogram
 
   /** Walk ACROSS adaptive-execution boundaries: under AQE (on by
     * default) the root is AdaptiveSparkPlanExec — a leaf node whose
