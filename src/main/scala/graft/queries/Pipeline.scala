@@ -1009,6 +1009,76 @@ object Pipeline {
                        ORDER BY shuffle_key, doc_id LIMIT 100)
                SELECT CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS INTEGER) AS pos,
                       doc_id, shuffle_key
-               FROM nxt"""))
+               FROM nxt""")),
+
+    // ── c08: CANARY-string scan — the benchmark-leakage tripwire
+    // next to c02/c04's n-gram overlap and c07's near-dup sweep:
+    // eval suites embed unique canary GUIDs (the BIG-bench practice)
+    // precisely so a training pipeline can detect verbatim benchmark
+    // ingestion with an exact substring scan, no gram machinery.
+    // The registry is a tiny literal struct array, so the whole scan
+    // is ONE codegen'd map pass — `filter(canaries, p ->
+    // contains(text, p.c))` per row, no join, no shuffle until the
+    // |suites|-sized hit agg; corpus text never moves. (Thousands of
+    // canaries would swap the per-row filter walk for a single
+    // multi-pattern automaton in a native expression — same plan
+    // shape, different kernel.) Leaked docs are PLANTED via a
+    // bounded literal union (the t21 planting pattern: the gate must
+    // exercise both verdict classes; the synthetic corpus cannot
+    // contain a GUID by chance), including a suite with zero leaks —
+    // the all-clear row a real scan report must still publish. ──
+    "c08_canary_scan" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val litArr = canarySuites.map { case (su, c) =>
+          s"named_struct('suite', '$su', 'c', '$c')"
+        }.mkString("array(", ", ", ")")
+        val corpus = Tables(s, d, "documents").select("doc_id", "text")
+          .union(plantedLeaks.toDF("doc_id", "text"))
+        val hits = corpus
+          .selectExpr("doc_id",
+            s"explode(filter($litArr, p -> contains(text, p.c))) as p")
+          .selectExpr("doc_id", "p.suite as suite")
+          .groupBy("suite")
+          .agg(count(lit(1)).as("n_hits"), min("doc_id").as("first_doc"))
+        canarySuites.toDF("suite", "canary")
+          .join(broadcast(hits), Seq("suite"), "left")
+          .selectExpr("suite", "canary",
+            "coalesce(n_hits, 0L) as n_hits",
+            "coalesce(first_doc, -1L) as first_doc")
+      },
+      Some {
+        val vals = plantedLeaks.map { case (id, t) =>
+          s"(CAST($id AS BIGINT), '$t')"
+        }.mkString(", ")
+        val cans = canarySuites.map { case (su, c) => s"('$su', '$c')" }
+          .mkString(", ")
+        s"""WITH corpus AS (SELECT doc_id, text FROM documents
+                            UNION ALL
+                            SELECT * FROM (VALUES $vals) p(doc_id, text)),
+            can AS (SELECT * FROM (VALUES $cans) c(suite, canary)),
+            h AS (SELECT suite, count(*) AS n_hits, min(doc_id) AS first_doc
+                  FROM corpus JOIN can ON contains(text, canary)
+                  GROUP BY suite)
+            SELECT suite, canary,
+                   CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+                   CAST(coalesce(first_doc, -1) AS BIGINT) AS first_doc
+            FROM can LEFT JOIN h USING (suite)"""
+      })
   )
+
+  /** c08's canary registry: (suite, canary GUID). Deterministic
+    * literals standing in for the GUIDs real eval suites embed. */
+  private[graft] lazy val canarySuites = Seq(
+    ("mmlu_stub", "canary-3f8a1c2e-77d2-4f6b-9b1a-bench-mmlu"),
+    ("gsm_stub", "canary-9d41b7aa-0c3e-4e55-8f20-bench-gsm"),
+    ("held_out", "canary-5e2c90fd-6a11-4b77-a3dd-bench-heldout"))
+
+  /** c08's planted leaked docs (ids clear of the corpus and the d14
+    * shard range): two mmlu leaks at different positions, one gsm
+    * leak; held_out stays clean by design. */
+  private[graft] lazy val plantedLeaks = Seq(
+    (2000001L, s"prefix text ${canarySuites(0)._2} suffix text"),
+    (2000002L, s"${canarySuites(0)._2} at document start"),
+    (2000003L, s"document ending with ${canarySuites(1)._2}"))
 }

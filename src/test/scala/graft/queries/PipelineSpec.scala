@@ -361,4 +361,27 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("c08 canary scan: planted leaks found exactly, clean suite and clean corpus all-clear") {
+    val got = Pipeline.all("c08_canary_scan").fn(spark, sf).collect()
+      .map(r => r.getAs[String]("suite") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Long]("first_doc"))).toMap
+    // hit counts are exactly the planted docs — no false positives
+    // anywhere in the corpus, and the zero-leak suite still reports
+    assert(got === Map(
+      "mmlu_stub" -> ((2L, 2000001L)),
+      "gsm_stub" -> ((1L, 2000003L)),
+      "held_out" -> ((0L, -1L))))
+    // clean-corpus evidence: without the planted union, every suite
+    // is all-clear (a GUID cannot occur in the synthetic corpus)
+    import spark.implicits._
+    val litArr = Pipeline.canarySuites.map { case (su, c) =>
+      s"named_struct('suite', '$su', 'c', '$c')"
+    }.mkString("array(", ", ", ")")
+    val cleanHits = graft.Tables(spark, sf, "documents")
+      .selectExpr("doc_id",
+        s"explode(filter($litArr, p -> contains(text, p.c))) as p")
+      .count()
+    assert(cleanHits === 0L)
+  }
 }
