@@ -1008,7 +1008,49 @@ object Similarity {
                SELECT probe_id, cand_id, rnk, cosine FROM
                  (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS INTEGER) AS rnk
                   FROM sc)
-               WHERE rnk <= 5"""))
+               WHERE rnk <= 5""")),
+
+    // ── s24: IVF index HEALTH audit — the occupancy report every ANN
+    // ops runbook reads before deciding to retrain: per-cell vector
+    // count against the ideal n/k load, in integer basis points, with
+    // empty cells reported explicitly (an empty or hot cell is the
+    // rebalance/retrain trigger; FAISS calls this the imbalance
+    // factor). Completes the index lifecycle tier: build (s16) →
+    // serve (s13) → delete (s19) → insert (s22) → AUDIT (s24).
+    // Scale shape: assignment is the shared map-only argmax against
+    // the literal trained centroids (zero exchanges), the occupancy
+    // is one cell-keyed partial agg to ≤k rows, and the scalar total
+    // attaches via the audited crossJoin(broadcast(count)) shape —
+    // the audit costs one corpus pass at any index size. Oracle
+    // replays the identical trained quantizer CTE-for-CTE. ──
+    "s24_cell_health" -> Q(
+      (s, d) => {
+        Hashing.register(s)
+        val e = Tables(s, d, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("vec_id", "embedding", s"$normE as nrm").persistScoped()
+        val occ = ivfAssign(e, lloydCents(e, ivfSeeds(e), ivfIters))
+          .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+        val tot = e.agg(count(lit(1)).as("n_total"))
+        s.range(16).selectExpr("id as cell")
+          .join(broadcast(occ), Seq("cell"), "left")
+          .selectExpr("cell", "coalesce(n_vecs, 0L) as n_vecs")
+          .crossJoin(broadcast(tot))
+          .selectExpr("cell", "n_vecs",
+            "n_vecs * 16 * 10000 div n_total as load_bp",
+            "n_vecs * 16 * 10000 div n_total >= 20000 as hot")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+               ${duckTrainedCent(ivfIters)},
+               $duckIvfAsg,
+               occ AS (SELECT cell, count(*) AS n_vecs FROM asg GROUP BY cell),
+               tot AS (SELECT count(*) AS n_total FROM e),
+               cells AS (SELECT unnest(generate_series(0, 15)) AS cell)
+               SELECT CAST(cells.cell AS BIGINT) AS cell,
+                      CAST(coalesce(n_vecs, 0) AS BIGINT) AS n_vecs,
+                      CAST(coalesce(n_vecs, 0) * 16 * 10000 // n_total AS BIGINT) AS load_bp,
+                      coalesce(n_vecs, 0) * 16 * 10000 // n_total >= 20000 AS hot
+               FROM cells LEFT JOIN occ ON occ.cell = cells.cell CROSS JOIN tot"""))
   )
 
   /** s17's oracle: the identical greedy MMR unrolled as chained

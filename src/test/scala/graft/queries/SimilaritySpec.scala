@@ -459,4 +459,22 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(rows.exists(_._2 > 0), "truncated ranking lost everything - suspicious")
     assert(rows.exists(_._2 < 3), "truncated ranking lost nothing - audit is vacuous here")
   }
+
+  test("s24 cell health: occupancy partitions the corpus; load/hot are consistent; imbalance is real") {
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = Similarity.all("s24_cell_health").fn(spark, sf01).collect()
+      .map(r => (r.getAs[Long]("cell"), r.getAs[Long]("n_vecs"),
+        r.getAs[Long]("load_bp"), r.getAs[Boolean]("hot")))
+    assert(rows.map(_._1).sorted.toSeq === (0L until 16L), "one row per cell, empties included")
+    val total = graft.Tables(spark, sf01, "embeddings").count()
+    assert(rows.map(_._2).sum === total, "cell counts must partition the corpus exactly")
+    rows.foreach { case (c, n, bp, hot) =>
+      assert(bp === n * 16 * 10000 / total, s"cell $c load_bp")
+      assert(hot === (bp >= 20000), s"cell $c hot flag")
+    }
+    // the audit must measure real imbalance on this corpus: a trained
+    // quantizer never yields perfectly uniform cells
+    assert(rows.exists(_._3 > 10000) && rows.exists(_._3 < 10000),
+      "all cells at exactly ideal load - audit reads nothing")
+  }
 }
