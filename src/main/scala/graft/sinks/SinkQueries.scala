@@ -419,7 +419,40 @@ object SinkQueries {
       },
       Some("""SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
                      year(o_orderdate) AS yr FROM orders
-              WHERE o_orderkey % 13 != 0"""))
+              WHERE o_orderkey % 13 != 0""")),
+
+    // ── sink16: WRITE-AUDIT-PUBLISH on the manifest table — the
+    // commit protocol that keeps a bad ingest out of every reader's
+    // view (the Iceberg WAP / Delta "stage then swap" practice, and
+    // what a training pipeline runs between "the crawler wrote
+    // files" and "the corpus advanced a version"). A candidate batch
+    // is STAGED — files appended + a staging manifest invisible to
+    // version readers ([[Sinks.writeStaged]]) — audited against the
+    // staged snapshot (here: no NULL keys, no duplicate keys), and
+    // only on audit pass promoted by ONE manifest PUT
+    // ([[Sinks.publishStaged]]). The gate run stages a POISONED
+    // batch (NULL custkeys — rejected, published history left
+    // byte-untouched, its orphans left to vacuum) and a good batch
+    // (published as v2), then reads the latest published version;
+    // the oracle rebuilds base + good batch relationally. Scale
+    // shape: stage cost is the batch's own write + an O(live files)
+    // manifest; the audit reads the staged snapshot (a delta-only
+    // audit would read just the staged files — both are
+    // partition-parallel scans); publish is one PUT, atomic at the
+    // object store's rename grain. SinksSpec pins the reject path:
+    // versions stay [1] until the good publish, rejected files are
+    // referenced by no version, and vacuum removes exactly them. ──
+    "sink16_wap" -> Q(
+      (s, d) => {
+        val out = wapRun(s, d)
+        val latest = Sinks.manifestVersions(s, out).max
+        Sinks.readAtVersion(s, out, latest)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+              UNION ALL
+              SELECT o_orderkey + 300000000, o_custkey, o_totalprice
+              FROM orders WHERE o_orderkey % 89 = 0"""))
   )
 
   /** sink11's base snapshot: orders, hive-partitioned by order year. */
@@ -530,5 +563,54 @@ object SinkQueries {
     val appended = Sinks.dataFiles(s, out).filterNot(before)
     val keep = v1.filterNot(f => years.exists(y => f.startsWith(s"yr=$y/")))
     Sinks.writeManifest(s, out, 2, keep ++ appended)
+  }
+
+  /** sink16's full WAP lifecycle (factored so SinksSpec can replay
+    * it and inspect the table): base → v1; stage POISONED batch `a`
+    * (NULL custkeys) → audit rejects, nothing published; stage good
+    * batch `b` from the published head → audit passes → publish v2.
+    * Returns the table dir. */
+  private[graft] def wapRun(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val out = scratch("wap")
+    Tables(s, d, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.parquet(out)
+    Sinks.writeManifest(s, out, 1, Sinks.dataFiles(s, out))
+    val poisoned = Tables(s, d, "orders")
+      .where("o_orderkey % 101 = 0")
+      .selectExpr("o_orderkey + 200000000 as o_orderkey",
+        "cast(null as bigint) as o_custkey", "o_totalprice")
+    val good = Tables(s, d, "orders")
+      .where("o_orderkey % 89 = 0")
+      .selectExpr("o_orderkey + 300000000 as o_orderkey", "o_custkey",
+        "o_totalprice")
+    require(!stageAndAudit(s, out, "a", poisoned),
+      "poisoned batch passed the WAP audit - the gate has no teeth")
+    require(Sinks.manifestVersions(s, out) == Seq(1),
+      "a rejected stage must not advance the published history")
+    require(stageAndAudit(s, out, "b", good),
+      "good batch failed the WAP audit")
+    Sinks.publishStaged(s, out, "b", 2)
+    out
+  }
+
+  /** Stage `batch` on top of the latest PUBLISHED version under
+    * `tag`, then audit the staged snapshot: no NULL o_custkey, no
+    * duplicate o_orderkey. Returns the audit verdict; publishes
+    * nothing either way. */
+  private def stageAndAudit(s: org.apache.spark.sql.SparkSession,
+      out: String, tag: String,
+      batch: org.apache.spark.sql.DataFrame): Boolean = {
+    val head = Sinks.manifestVersions(s, out).max
+    val published = Sinks.readManifest(s, out, head)
+    val before = Sinks.dataFiles(s, out).toSet
+    batch.write.mode("append").parquet(out)
+    val appended = Sinks.dataFiles(s, out).filterNot(before)
+    Sinks.writeStaged(s, out, tag, published ++ appended)
+    val staged = Sinks.readAtStaged(s, out, tag)
+    val nulls = staged.where("o_custkey is null").count()
+    val dups = staged.groupBy("o_orderkey").count().where("count > 1").count()
+    nulls == 0 && dups == 0
   }
 }

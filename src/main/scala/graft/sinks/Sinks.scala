@@ -163,6 +163,47 @@ object Sinks {
       .unionByName(old.exceptAll(neu).withColumn("action", lit("remove")))
   }
 
+  // ── write-audit-publish (WAP; sink16): a candidate snapshot is
+  // STAGED as `_manifests/staging-<tag>.txt` — a name
+  // [[manifestVersions]] cannot see, so readers of the published
+  // table are unaffected — audited in place, and only then promoted
+  // to the next version by one manifest PUT. A rejected stage leaves
+  // the published history byte-untouched; its orphaned data files
+  // fall to [[vacuum]]. ──
+
+  /** Stage a candidate snapshot's file set under `tag` (not a
+    * readable version until [[publishStaged]]). */
+  def writeStaged(spark: SparkSession, dir: String, tag: String,
+      files: Seq[String]): Unit = {
+    val p = new Path(dir, s"_manifests/staging-$tag.txt")
+    val hfs = fs(spark, p)
+    val w = new BufferedWriter(new OutputStreamWriter(
+      hfs.create(p, true), StandardCharsets.UTF_8))
+    try files.sorted.foreach { f => w.write(f); w.newLine() }
+    finally w.close()
+  }
+
+  /** The staged file set recorded under `tag`. */
+  def readStaged(spark: SparkSession, dir: String, tag: String): Seq[String] = {
+    val p = new Path(dir, s"_manifests/staging-$tag.txt")
+    val r = new BufferedReader(new InputStreamReader(
+      fs(spark, p).open(p), StandardCharsets.UTF_8))
+    try Iterator.continually(r.readLine()).takeWhile(_ != null).toVector
+    finally r.close()
+  }
+
+  /** Audit-time read of a staged snapshot: exactly the staged files. */
+  def readAtStaged(spark: SparkSession, dir: String, tag: String): DataFrame = {
+    val files = readStaged(spark, dir, tag).map(f => s"$dir/$f")
+    spark.read.option("basePath", dir).parquet(files: _*)
+  }
+
+  /** Promote the staged snapshot `tag` to version `v` — one manifest
+    * PUT; the data files were already written at stage time. */
+  def publishStaged(spark: SparkSession, dir: String, tag: String,
+      v: Int): Unit =
+    writeManifest(spark, dir, v, readStaged(spark, dir, tag))
+
   /** Garbage-collect data files referenced by NO retained manifest
     * (the vacuum that makes copy-on-write sustainable); non-retained
     * manifests are dropped too. Returns the deleted-file count.

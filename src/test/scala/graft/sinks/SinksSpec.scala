@@ -385,4 +385,30 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
     val twice = graft.sinks.Sinks.readWithDeletes(spark, out)
     assert(twice.where("o_orderkey % 13 = 0 or o_orderkey % 17 = 0").count() === 0L)
   }
+
+  test("sink16 WAP: rejected stage invisible and vacuumable; publish is the staged set verbatim") {
+    import graft.sinks.Sinks
+    val out = SinkQueries.wapRun(spark, "/root/testdata/sf0.001")
+    // only the good batch was published; staging manifests are not versions
+    assert(Sinks.manifestVersions(spark, out) === Seq(1, 2))
+    // publish promoted the staged set verbatim (one manifest PUT)
+    assert(Sinks.readManifest(spark, out, 2) === Sinks.readStaged(spark, out, "b").sorted)
+    // the poisoned batch's files exist on disk but NO version references them
+    val referenced = (Sinks.readManifest(spark, out, 1) ++
+      Sinks.readManifest(spark, out, 2)).toSet
+    val orphans = Sinks.dataFiles(spark, out).filterNot(referenced)
+    assert(orphans.nonEmpty, "rejected stage left no files - reject path untested")
+    val stagedA = Sinks.readStaged(spark, out, "a").toSet
+    assert(orphans.forall(stagedA), "an orphan not from the rejected stage")
+    // no reader path can see a poisoned row
+    assert(Sinks.readAtVersion(spark, out, 2)
+      .where("o_custkey is null").count() === 0L)
+    // vacuum removes exactly the rejected orphans, and the published
+    // version reads identically afterwards
+    val v2Before = Sinks.readAtVersion(spark, out, 2).count()
+    val deleted = Sinks.vacuum(spark, out, Seq(1, 2))
+    assert(deleted === orphans.size)
+    assert(Sinks.dataFiles(spark, out).toSet === referenced)
+    assert(Sinks.readAtVersion(spark, out, 2).count() === v2Before)
+  }
 }
