@@ -968,55 +968,13 @@ object Dedup {
     // cluster where the paper's in-memory suffix array does not.
     "d18_span_dedup" -> Q(
       (s, d) => {
-        Hashing.register(s)
-        val pos = Tables(s, d, "documents")
-          .repartition(s.sparkContext.defaultParallelism)
-          .where(s"size($toks) >= 8")
-          .selectExpr("doc_id", s"size($toks) as n_tokens",
-            s"explode(transform(sequence(1, size($toks) - 7), i -> " +
-              s"struct(i as s, h32(concat_ws(' ', slice($toks, i, 8))) as fp))) as w")
-          .selectExpr("doc_id", "n_tokens", "w.s as s", "w.fp as fp")
-          .persistScoped()
-        val dupFp = pos.groupBy("fp").agg(count(lit(1)).as("n_occ"))
-          .where("n_occ >= 2").select("fp")
-        val byDoc = Window.partitionBy("doc_id").orderBy("s")
-        val islands = pos.join(dupFp, "fp")
-          .withColumn("e", col("s") + lit(7))
-          .withColumn("pe",
-            max("e").over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
-          .withColumn("fl",
-            when(col("pe").isNull || col("s") > col("pe") + 1, 1L).otherwise(0L))
-          .withColumn("grp",
-            sum("fl").over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
-          .groupBy("doc_id", "n_tokens", "grp")
-          .agg(min("s").as("s0"), max("e").as("e1"))
-        islands.groupBy("doc_id", "n_tokens")
+        dupSpans(s, d).groupBy("doc_id", "n_tokens")
           .agg(count(lit(1)).as("n_spans"),
             sum(col("e1") - col("s0") + 1).as("dup_tokens"))
           .selectExpr("doc_id", "n_spans", "dup_tokens", "n_tokens",
             "(dup_tokens * 10000) div n_tokens as dup_bp")
       },
-      Some(s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
-                          WHERE len(string_split(text,' ')) >= 8),
-               q AS (SELECT doc_id, len(t) AS n_tokens,
-                            unnest(generate_series(1, len(t)-7)) AS s,
-                            unnest(list_transform(generate_series(1, len(t)-7),
-                              i -> ${Hashing.duck32("array_to_string(t[i:i+7], ' ')")})) AS fp
-                     FROM t),
-               c AS (SELECT fp FROM q GROUP BY fp HAVING count(*) >= 2),
-               m AS (SELECT q.doc_id, q.n_tokens, q.s, q.s + 7 AS e
-                     FROM q JOIN c USING (fp)),
-               w AS (SELECT doc_id, n_tokens, s, e,
-                            max(e) OVER (PARTITION BY doc_id ORDER BY s
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
-                     FROM m),
-               g AS (SELECT doc_id, n_tokens, s, e,
-                            sum(CASE WHEN pe IS NULL OR s > pe + 1 THEN 1 ELSE 0 END)
-                              OVER (PARTITION BY doc_id ORDER BY s
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
-                     FROM w),
-               i AS (SELECT doc_id, n_tokens, grp, min(s) AS s0, max(e) AS e1
-                     FROM g GROUP BY 1, 2, 3)
+      Some(s"""WITH $duckSpanIslands
                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
                       CAST(sum(e1 - s0 + 1) AS BIGINT) AS dup_tokens, n_tokens,
                       CAST((sum(e1 - s0 + 1) * 10000) // n_tokens AS BIGINT) AS dup_bp
@@ -1183,8 +1141,122 @@ object Dedup {
                      CAST(exact AS BIGINT) AS exact,
                      CAST((lo + est.b * w + (w - 1) - exact) * 10000
                           // exact AS BIGINT) AS err_bp
-              FROM est JOIN ex ON ex.q = est.q CROSS JOIN hw"""))
+              FROM est JOIN ex ON ex.q = est.q CROSS JOIN hw""")),
+
+    // ── c09: span STRIP — the rewrite step on d18's duplicated-span
+    // report: d18 says where the corpus repeats itself, c09 produces
+    // the cleaned corpus a pipeline actually trains on, excising
+    // every token covered by a corpus-repeated 8-gram span (the
+    // boilerplate-removal semantics of C4's line dedup and the
+    // cut-all-occurrences variant of Lee et al. 2022 — over-frequent
+    // content like license headers and nav chrome is removed
+    // EVERYWHERE, not kept once). Per doc: new_text (survivors
+    // rejoined in order), n_kept, n_removed; short (<8-token) and
+    // span-free docs pass through unchanged, a fully-covered doc
+    // emits an empty string. Scale shape: the spans are d18's shared
+    // machinery (fp-keyed partial agg + equi-join + per-doc window);
+    // the strip itself is a per-doc left join against the
+    // islands-per-doc frame (rows = docs WITH spans ≪ corpus) and a
+    // map-side filter of each doc's positions against its own
+    // bounded island list — text shuffles once, on doc_id. ──
+    "c09_span_strip" -> Q(
+      (s, d) => {
+        val cover = dupSpans(s, d)
+          .groupBy("doc_id")
+          .agg(expr("sort_array(collect_list(struct(s0, e1)))").as("iv"),
+            sum(col("e1") - col("s0") + 1).as("n_rm"))
+        Tables(s, d, "documents")
+          .selectExpr("doc_id", s"$toks as t")
+          .join(cover, Seq("doc_id"), "left")
+          .selectExpr("doc_id",
+            """case when iv is null then t
+                    else transform(
+                      filter(transform(sequence(1, size(t)),
+                               i -> struct(i as i, element_at(t, i) as tok)),
+                             p -> !exists(iv, v -> p.i >= v.s0 and p.i <= v.e1)),
+                      x -> x.tok) end as kept""",
+            "coalesce(n_rm, 0L) as n_removed")
+          .selectExpr("doc_id", "concat_ws(' ', kept) as new_text",
+            "cast(size(kept) as bigint) as n_kept", "n_removed")
+      },
+      Some(s"""WITH $duckSpanIslands,
+               t0 AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+               posx AS (SELECT doc_id, ix, t[ix] AS tok FROM
+                          (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS ix
+                           FROM t0)),
+               rem AS (SELECT DISTINCT p.doc_id, p.ix FROM posx p
+                       JOIN i ON i.doc_id = p.doc_id AND p.ix BETWEEN i.s0 AND i.e1),
+               kept AS (SELECT p.doc_id,
+                               string_agg(p.tok, ' ' ORDER BY p.ix) AS new_text,
+                               count(*) AS n_kept
+                        FROM posx p LEFT JOIN rem
+                          ON rem.doc_id = p.doc_id AND rem.ix = p.ix
+                        WHERE rem.ix IS NULL GROUP BY p.doc_id),
+               rm AS (SELECT doc_id, sum(e1 - s0 + 1) AS n_removed FROM i GROUP BY doc_id)
+               SELECT d.doc_id,
+                      coalesce(k.new_text, '') AS new_text,
+                      CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+                      CAST(coalesce(rm.n_removed, 0) AS BIGINT) AS n_removed
+               FROM documents d
+               LEFT JOIN kept k ON k.doc_id = d.doc_id
+               LEFT JOIN rm ON rm.doc_id = d.doc_id"""))
   )
+
+  /** d18/c09's shared span machinery: the maximal duplicated-span
+    * islands of Lee et al. 2022 — (doc_id, n_tokens, grp, s0, e1),
+    * one row per maximal span of token positions covered by an
+    * 8-gram occurring ≥2× corpus-wide. One fp-keyed partial-agg
+    * shuffle, one fp equi-join, and a per-DOC window (bounded by
+    * document length, never corpus-global). */
+  private[graft] def dupSpans(s: SparkSession, d: String): DataFrame = {
+    Hashing.register(s)
+    val pos = Tables(s, d, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .where(s"size($toks) >= 8")
+      .selectExpr("doc_id", s"size($toks) as n_tokens",
+        s"explode(transform(sequence(1, size($toks) - 7), i -> " +
+          s"struct(i as s, h32(concat_ws(' ', slice($toks, i, 8))) as fp))) as w")
+      .selectExpr("doc_id", "n_tokens", "w.s as s", "w.fp as fp")
+      .persistScoped()
+    val dupFp = pos.groupBy("fp").agg(count(lit(1)).as("n_occ"))
+      .where("n_occ >= 2").select("fp")
+    val byDoc = Window.partitionBy("doc_id").orderBy("s")
+    pos.join(dupFp, "fp")
+      .withColumn("e", col("s") + lit(7))
+      .withColumn("pe",
+        max("e").over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("fl",
+        when(col("pe").isNull || col("s") > col("pe") + 1, 1L).otherwise(0L))
+      .withColumn("grp",
+        sum("fl").over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "n_tokens", "grp")
+      .agg(min("s").as("s0"), max("e").as("e1"))
+  }
+
+  /** DuckDB mirror of [[dupSpans]] — CTE chain ending in
+    * `i(doc_id, n_tokens, grp, s0, e1)`; shared by d18 and c09. */
+  private lazy val duckSpanIslands: String =
+    s"""t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
+              WHERE len(string_split(text,' ')) >= 8),
+        q AS (SELECT doc_id, len(t) AS n_tokens,
+                     unnest(generate_series(1, len(t)-7)) AS s,
+                     unnest(list_transform(generate_series(1, len(t)-7),
+                       i -> ${Hashing.duck32("array_to_string(t[i:i+7], ' ')")})) AS fp
+              FROM t),
+        c AS (SELECT fp FROM q GROUP BY fp HAVING count(*) >= 2),
+        m AS (SELECT q.doc_id, q.n_tokens, q.s, q.s + 7 AS e
+              FROM q JOIN c USING (fp)),
+        w AS (SELECT doc_id, n_tokens, s, e,
+                     max(e) OVER (PARTITION BY doc_id ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+              FROM m),
+        g AS (SELECT doc_id, n_tokens, s, e,
+                     sum(CASE WHEN pe IS NULL OR s > pe + 1 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY s
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+              FROM w),
+        i AS (SELECT doc_id, n_tokens, grp, min(s) AS s0, max(e) AS e1
+              FROM g GROUP BY 1, 2, 3)"""
 
   /** d21's bucketing pass: count `x` (a 1-column n_chars frame) into
     * 128 equal-width integer buckets against the extents frame

@@ -457,4 +457,41 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
         .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap)
     assert(folded === oneShot, "3-chop histogram fold != one-shot histogram")
   }
+
+  test("c09 span strip: equals the serial strip; counts complement; pass-through intact") {
+    val sf01 = "/root/testdata/sf0.01"
+    val got = Dedup.all("c09_span_strip").fn(spark, sf01).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("new_text"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("n_removed"))).toMap
+    // serial model: count 8-gram occurrences corpus-wide, mark every
+    // covered position, strip marked tokens — independent of the
+    // engine's fp/window machinery (plain strings, no hashing)
+    val docs = graft.Tables(spark, sf01, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(' ').toSeq).toMap
+    val gramCounts = docs.values.toSeq
+      .flatMap(t => if (t.length >= 8) t.sliding(8).map(_.mkString(" ")).toSeq else Nil)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val expected = docs.map { case (id, t) =>
+      val covered = Array.fill(t.length)(false)
+      if (t.length >= 8)
+        for (i <- 0 to t.length - 8
+             if gramCounts(t.slice(i, i + 8).mkString(" ")) >= 2;
+             j <- i until i + 8) covered(j) = true
+      val kept = t.indices.filterNot(covered).map(t)
+      id -> ((kept.mkString(" "), kept.size.toLong, covered.count(identity).toLong))
+    }
+    assert(got === expected)
+    // every doc: kept + removed partition the token count
+    docs.foreach { case (id, t) =>
+      val (_, k, rm) = got(id)
+      assert(k + rm === t.length.toLong, s"doc $id kept+removed != n_tokens")
+    }
+    // non-vacuous both ways: some doc stripped, some doc untouched
+    assert(got.values.exists(_._3 > 0), "nothing stripped - testdata has no repeated spans?")
+    assert(got.exists { case (id, (nt, _, rm)) =>
+      rm === 0L && nt === docs(id).mkString(" ") },
+      "no pass-through doc survived verbatim")
+  }
 }
