@@ -184,6 +184,75 @@ object Multimodal {
       .toDF("img_id", "fmt", "dhash")
   }
 
+  /** m12's synthetic frame sequences: two "videos" of 8 formula-pixel
+    * 64×48 PNG frames each, encoded in-memory (lossless, so every
+    * frame's dHash derives from [[framePixel]] alone —
+    * MultimodalSpec's decoder-independent oracle). The scene params
+    * (a, b) switch at a known cut frame while brightness drifts
+    * 3·frame across the whole video — the drift is continuous through
+    * the cut, so only the CONTENT change may trip the detector.
+    * Bounded: 16 frames, ~10 KB total. */
+  private[graft] def framePixel(v: Long, f: Int, x: Int, y: Int): Int = {
+    val (a, b) =
+      if (v == 0L) { if (f < 4) (7, 3) else (11, 5) }
+      else { if (f < 5) (13, 2) else (5, 9) }
+    (a * x + b * y + 3 * f) % 256
+  }
+
+  private[graft] def fixtureFrameSeq(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val rows = for (v <- Seq(0L, 1L); f <- 0 until 8) yield {
+      val im = new java.awt.image.BufferedImage(
+        64, 48, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 48; x <- 0 until 64) {
+        val g = framePixel(v, f, x, y)
+        im.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      (v, f, bos.toByteArray)
+    }
+    rows.toDF("video_id", "frame_idx", "blob")
+  }
+
+  /** m12's body: decode each frame inside the typed mapPartitions,
+    * compute the m11 9×8 gradient dHash, then ONE per-video lag
+    * window for the consecutive-frame Hamming distance — state is a
+    * single previous hash per video, never a collected frame
+    * history; frame blobs never cross an exchange (17 bytes of hash
+    * leave per frame before the video-keyed shuffle). */
+  private[graft] def shotBoundaries(df: DataFrame, tau: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    val hashed = df.select(col("video_id"), col("frame_idx"), col("blob"))
+      .as[(Long, Int, Array[Byte])]
+      .mapPartitions(_.map { case (v, f, blob) =>
+        val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+        require(im != null, s"undecodable frame $v/$f")
+        val (w, h) = (im.getWidth, im.getHeight)
+        def gray(gx: Int, gy: Int): Int = {
+          val px = im.getRGB(gx * w / 9, gy * h / 8)
+          (((px >> 16) & 0xff) + ((px >> 8) & 0xff) + (px & 0xff)) / 3
+        }
+        var bits = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (gray(x + 1, y) > gray(x, y)) bits |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        (v, f, bits)
+      }).toDF("video_id", "frame_idx", "dh")
+    val byVid = org.apache.spark.sql.expressions.Window
+      .partitionBy("video_id").orderBy("frame_idx")
+    hashed.withColumn("prev", lag("dh", 1).over(byVid))
+      .selectExpr("video_id", "frame_idx",
+        "case when prev is null then -1 else cast(bit_count(dh ^ prev) as int) end as dist",
+        s"prev is not null and bit_count(dh ^ prev) > $tau as is_cut")
+  }
+
   /** m10's body: the m09 container parse plus a channel-0 framing
     * pass — frameLen-sample frames, tail dropped; per frame the
     * mean-square energy (integer), zero-crossing count (sign change
@@ -373,6 +442,42 @@ object Multimodal {
                 (CAST(2 AS BIGINT), 'png', '0000000000000000'),
                 (CAST(3 AS BIGINT), 'jpg', 'ce8e9e9e5e5e5e5e'))
               AS t(img_id, fmt, dhash)""")),
+
+    // ── m12: SHOT-BOUNDARY detection on decoded frame sequences —
+    // the keyframe/scene segmentation pass a video training pipeline
+    // runs before sampling frames for a VLM (m02 samples at fixed
+    // stride; m12 finds where sampling at stride is wrong): per
+    // video, consecutive frames' decoded-pixel dHash Hamming
+    // distance, a cut flagged where it exceeds τ=10 while
+    // within-scene brightness drift stays under it (the fixture's
+    // drift is continuous through the cut, so only the content
+    // change can trip the detector — MultimodalSpec re-derives every
+    // hash from the pixel formula, decoder-independent). Scale
+    // shape: decode + hash inside the typed mapPartitions (frame
+    // blobs never cross an exchange, 17 bytes leave per frame), then
+    // one video-keyed lag window holding a single previous hash per
+    // video — never a collected frame history. First frame reports
+    // dist = -1, is_cut = false. ──
+    "m12_shot_boundary" -> Q(
+      (s, _) => shotBoundaries(fixtureFrameSeq(s), 10),
+      Some("""SELECT * FROM (VALUES
+                (CAST(0 AS BIGINT), 0, -1, false),
+                (CAST(0 AS BIGINT), 1, 2, false),
+                (CAST(0 AS BIGINT), 2, 2, false),
+                (CAST(0 AS BIGINT), 3, 0, false),
+                (CAST(0 AS BIGINT), 4, 26, true),
+                (CAST(0 AS BIGINT), 5, 0, false),
+                (CAST(0 AS BIGINT), 6, 0, false),
+                (CAST(0 AS BIGINT), 7, 4, false),
+                (CAST(1 AS BIGINT), 0, -1, false),
+                (CAST(1 AS BIGINT), 1, 2, false),
+                (CAST(1 AS BIGINT), 2, 1, false),
+                (CAST(1 AS BIGINT), 3, 2, false),
+                (CAST(1 AS BIGINT), 4, 0, false),
+                (CAST(1 AS BIGINT), 5, 23, true),
+                (CAST(1 AS BIGINT), 6, 1, false),
+                (CAST(1 AS BIGINT), 7, 0, false))
+              AS t(video_id, frame_idx, dist, is_cut)""")),
 
     "m10_audio_features" -> Q(
       (s, _) => wavFrameFeatures(fixtureWavs(s), 160),

@@ -212,4 +212,32 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     // and the hashes genuinely discriminate across different content
     assert(got.values.map(_._2).toSet.size === 4)
   }
+
+  test("m12 shot boundaries equal the formula-derived distances; cuts land exactly at scene changes") {
+    // re-derive every frame hash from the pixel formula — no ImageIO,
+    // so the golden oracle is proven decoder-independent
+    def hashOf(v: Long, f: Int): Long = {
+      def gray(gx: Int, gy: Int): Int =
+        Multimodal.framePixel(v, f, gx * 64 / 9, gy * 48 / 8)
+      (for (y <- 0 until 8; x <- 0 until 8 if gray(x + 1, y) > gray(x, y))
+        yield 1L << (y * 8 + x)).foldLeft(0L)(_ | _)
+    }
+    val expected = (for (v <- Seq(0L, 1L); f <- 0 until 8) yield {
+      val dist =
+        if (f == 0) -1
+        else java.lang.Long.bitCount(hashOf(v, f) ^ hashOf(v, f - 1))
+      ((v, f), (dist, f > 0 && dist > 10))
+    }).toMap
+    val got = Multimodal.all("m12_shot_boundary").fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getInt(2), r.getBoolean(3)))).toMap
+    assert(got === expected)
+    // exactly one cut per video, at the designed scene change
+    val cuts = got.collect { case ((v, f), (_, true)) => (v, f) }.toSet
+    assert(cuts === Set((0L, 4), (1L, 5)))
+    // within-scene brightness drift stays well under the threshold
+    got.foreach { case ((v, f), (dist, cut)) =>
+      if (!cut && f > 0) assert(dist <= 8, s"drift too large at $v/$f: $dist")
+    }
+  }
 }
