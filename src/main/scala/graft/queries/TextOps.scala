@@ -983,32 +983,50 @@ object TextOps {
           .map { case ((a, b, c), i) => (i + 1, a, b, a + b, c) }
           .toDF("iter", "lhs", "rhs", "merged", "cnt")
       },
-      Some {
-        def cnt(i: Int) =
-          s"""c$i AS (SELECT a, b, CAST(sum(f) AS BIGINT) AS cnt FROM
-                        (SELECT f, syms[j] AS a, syms[j+1] AS b FROM
-                           (SELECT f, syms, unnest(generate_series(1, len(syms) - 1)) AS j
-                            FROM w${i - 1}))
-                      GROUP BY a, b),
-              b$i AS (SELECT a, b, cnt FROM c$i ORDER BY cnt DESC, a, b LIMIT 1)"""
-        def app(i: Int) =
-          s"""w$i AS (SELECT f, reduce(list_transform(syms, x -> [x]),
-                        (acc, x) -> CASE WHEN acc[-1] = b$i.a AND x[1] = b$i.b
-                                         THEN list_append(acc[1:len(acc)-1], b$i.a || b$i.b)
-                                         ELSE list_append(acc, x[1]) END) AS syms
-                      FROM w${i - 1}, b$i)"""
-        s"""WITH wf AS (SELECT tok, count(*) AS f FROM
-                          (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
-                        WHERE length(tok) >= 1 GROUP BY tok),
-            w0 AS (SELECT f, list_transform(generate_series(1, length(tok)),
-                     i -> substr(tok, CAST(i AS INTEGER), 1)) AS syms FROM wf),
-            ${cnt(1)}, ${app(1)},
-            ${cnt(2)}, ${app(2)},
-            ${cnt(3)}
+      Some(s"""WITH ${duckBpeChain(3)}
             SELECT 1 AS iter, a AS lhs, b AS rhs, a || b AS merged, cnt FROM b1
             UNION ALL SELECT 2, a, b, a || b, cnt FROM b2
-            UNION ALL SELECT 3, a, b, a || b, cnt FROM b3"""
-      })
+            UNION ALL SELECT 3, a, b, a || b, cnt FROM b3""")),
+
+    // ── t26: BPE tokenizer APPLY — the other half of t25: tokenize
+    // the corpus WITH the learned vocabulary and publish what
+    // tokenizer choice actually costs, per document (n_words,
+    // n_subtokens, fertility_bp — the sequence-length inflation that
+    // sizes every training batch; t20 estimates fertility by
+    // arithmetic chunking, t26 measures it under the real learned
+    // merges). Distributed shape — the production tokenize-by-lookup
+    // topology: training's end state IS the per-word-type
+    // segmentation ([[bpeTrainVocab]]'s vocab frame, |vocab| rows ≪
+    // corpus and bounded by the type count at any scale), so
+    // application is a map-side explode of the corpus joined against
+    // the BROADCAST vocabulary and one doc-keyed partial agg — no
+    // per-occurrence fold, no corpus-sized state. The oracle
+    // re-learns the merges through the shared CTE chain and reads
+    // the same final segmentation, so the gate proves both the
+    // trainers AND the appliers agree. ──
+    "t26_bpe_apply" -> Q(
+      (s, d) => {
+        val vocab = bpeTrainVocab(s, d, 3)._2
+        val seg = vocab.selectExpr("tok", "cast(size(syms) as bigint) as n_sub")
+        Tables(s, d, "documents")
+          .selectExpr("doc_id", s"explode($toks) as tok")
+          .where("length(tok) >= 1")
+          .join(broadcast(seg), "tok")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_subtokens"))
+          .selectExpr("doc_id", "n_words", "n_subtokens",
+            "n_subtokens * 10000 div n_words as fertility_bp")
+      },
+      Some(s"""WITH ${duckBpeChain(3)},
+            seg AS (SELECT tok, len(syms) AS n_sub FROM w3),
+            occ AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(n_sub) AS BIGINT) AS n_subtokens,
+                   CAST(sum(n_sub) * 10000 // count(*) AS BIGINT) AS fertility_bp
+            FROM occ JOIN seg USING (tok)
+            WHERE length(tok) >= 1
+            GROUP BY doc_id"""))
   )
 
   // ── Count-Min machinery shared by t23 (one-shot batch) and
@@ -1058,13 +1076,20 @@ object TextOps {
     * symbols — `aggregate` with a list accumulator, codegen'd, no
     * UDF — and the next iteration trains on the merged symbols.
     * Returns (lhs, rhs, pre-merge weighted count) per step. */
-  private[graft] def bpeTrain(s: SparkSession, d: String, iters: Int): Seq[(String, String, Long)] = {
+  private[graft] def bpeTrain(s: SparkSession, d: String, iters: Int): Seq[(String, String, Long)] =
+    bpeTrainVocab(s, d, iters)._1
+
+  /** The trainer plus its end state: the learned merges AND the final
+    * per-word-type segmentation `vocab(tok, f, syms)` — what t26
+    * tokenizes the corpus with (t25 publishes only the merges). */
+  private[graft] def bpeTrainVocab(s: SparkSession, d: String,
+      iters: Int): (Seq[(String, String, Long)], DataFrame) = {
     var cur = Tables(s, d, "documents")
       .repartition(s.sparkContext.defaultParallelism)
       .selectExpr(s"explode($toks) as tok")
       .where("length(tok) >= 1")
       .groupBy("tok").agg(count(lit(1)).as("f"))
-      .selectExpr("f",
+      .selectExpr("tok", "f",
         "transform(sequence(1, length(tok)), i -> substring(tok, i, 1)) as syms")
       .persistScoped()
     val out = Seq.newBuilder[(String, String, Long)]
@@ -1082,7 +1107,7 @@ object TextOps {
       val (a, b) = (best.getString(0), best.getString(1))
       out += ((a, b, best.getLong(2)))
       val (la, lb, lab) = (lit(a), lit(b), lit(a + b))
-      cur = cur.select(col("f"),
+      cur = cur.select(col("tok"), col("f"),
         aggregate(col("syms"), array().cast("array<string>"),
           (acc, x) => when(size(acc) > 0 &&
               element_at(acc, lit(-1)) === la && x === lb,
@@ -1090,7 +1115,34 @@ object TextOps {
             .otherwise(concat(acc, array(x)))).as("syms"))
         .persistScoped()
     }
-    out.result()
+    (out.result(), cur)
+  }
+
+  /** DuckDB mirror of [[bpeTrainVocab]]'s CTE chain: wf → w0 →
+    * (c_i, b_i, w_i) per step, each w_i carrying (tok, f, syms) —
+    * shared by t25 (reads the b_i argmax rows) and t26 (reads the
+    * final w_iters segmentation). */
+  private[graft] def duckBpeChain(iters: Int): String = {
+    def cnt(i: Int) =
+      s"""c$i AS (SELECT a, b, CAST(sum(f) AS BIGINT) AS cnt FROM
+                    (SELECT f, syms[j] AS a, syms[j+1] AS b FROM
+                       (SELECT f, syms, unnest(generate_series(1, len(syms) - 1)) AS j
+                        FROM w${i - 1}))
+                  GROUP BY a, b),
+          b$i AS (SELECT a, b, cnt FROM c$i ORDER BY cnt DESC, a, b LIMIT 1)"""
+    def app(i: Int) =
+      s"""w$i AS (SELECT tok, f, reduce(list_transform(syms, x -> [x]),
+                    (acc, x) -> CASE WHEN acc[-1] = b$i.a AND x[1] = b$i.b
+                                     THEN list_append(acc[1:len(acc)-1], b$i.a || b$i.b)
+                                     ELSE list_append(acc, x[1]) END) AS syms
+                  FROM w${i - 1}, b$i)"""
+    val head =
+      s"""wf AS (SELECT tok, count(*) AS f FROM
+                   (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+                 WHERE length(tok) >= 1 GROUP BY tok),
+          w0 AS (SELECT tok, f, list_transform(generate_series(1, length(tok)),
+                   i -> substr(tok, CAST(i AS INTEGER), 1)) AS syms FROM wf)"""
+    (head +: (1 to iters).map(i => s"${cnt(i)}, ${app(i)}")).mkString(",\n")
   }
 
   /** stream17: fold each arriving micro-batch's counters into the

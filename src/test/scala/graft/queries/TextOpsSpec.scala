@@ -316,4 +316,43 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got === expected)
     assert(got.forall(_._5 > 0))
   }
+
+  test("t26 BPE apply: per-doc fertility equals the serial tokenize; merges genuinely compress") {
+    import org.apache.spark.sql.functions._
+    // serial trainer tracking each word TYPE's segmentation (the
+    // third independent implementation, next to the engine and the
+    // oracle's CTE chain)
+    val docs = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).filter(_.nonEmpty))
+    val freq = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var seg: Map[String, Vector[String]] =
+      freq.keys.map(w => w -> w.map(_.toString).toVector).toMap
+    for (_ <- 1 to 3) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      seg.foreach { case (w, ss) =>
+        ss.zip(ss.drop(1)).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + freq(w)
+        }
+      }
+      val ((a, b), _) = counts.minBy { case ((x, y), n) => (-n, x, y) }
+      seg = seg.view.mapValues(_.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+        else acc :+ x
+      }).toMap
+    }
+    val expected = docs.map { case (id, t) =>
+      val nw = t.size.toLong
+      val ns = t.map(w => seg(w).size.toLong).sum
+      id -> ((nw, ns, ns * 10000 / nw))
+    }.toMap
+    val got = TextOps.all("t26_bpe_apply").fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+    // the learned merges must compress somewhere: some doc's subtoken
+    // count is strictly below its character count
+    val chars = docs.map { case (id, t) => id -> t.map(_.length.toLong).sum }.toMap
+    assert(got.exists { case (id, (_, ns, _)) => ns < chars(id) },
+      "no document compressed below character-level - merges applied nowhere")
+  }
 }
