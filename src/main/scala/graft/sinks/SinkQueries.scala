@@ -493,6 +493,57 @@ object SinkQueries {
     out
   }
 
+  /** stream19's body: stream18's manifest ingest with sink16's WAP
+    * gate in the commit path — each micro-batch STAGES (append + a
+    * staging manifest cut from the latest PUBLISHED head), AUDITS
+    * the staged snapshot (no NULL keys, no duplicate keys), and
+    * publishes version batchId+1 only on pass; a rejected batch's
+    * files stay orphaned for vacuum and its version number is
+    * skipped — an honest hole in the history, never a poisoned
+    * snapshot. The poison rides IN the data (one staged file
+    * carries NULL custkeys), so the reject is deterministic in
+    * content, not arrival order, and later batches stage from the
+    * last GOOD head. Returns the table dir. */
+  private[graft] def auditedStreamIngest(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    import org.apache.spark.sql.{Dataset, Row}
+    val stage = scratch("stream19-stage")
+    val out = scratch("stream19-table")
+    val o = Tables(s, d, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    o.where("o_orderkey % 4 != 0").repartition(3).write.parquet(stage)
+    o.where("o_orderkey % 4 = 0")
+      .selectExpr("o_orderkey", "cast(null as bigint) as o_custkey",
+        "o_totalprice")
+      .coalesce(1).write.mode("append").parquet(stage)
+    val stream = s.readStream.schema(s.read.parquet(stage).schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val sb = batch.sparkSession
+        val heads = Sinks.manifestVersions(sb, out)
+        val published =
+          if (heads.isEmpty) Nil else Sinks.readManifest(sb, out, heads.max)
+        val before = Sinks.dataFiles(sb, out).toSet
+        batch.write.mode("append").parquet(out)
+        val appended = Sinks.dataFiles(sb, out).filterNot(before)
+        val tag = s"b$id"
+        Sinks.writeStaged(sb, out, tag, published ++ appended)
+        val staged = Sinks.readAtStaged(sb, out, tag)
+        val ok = staged.where("o_custkey is null").count() == 0L &&
+          staged.groupBy("o_orderkey").count().where("count > 1").count() == 0L
+        if (ok) Sinks.publishStaged(sb, out, tag, id.toInt + 1)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(300000)) {
+      q.stop()
+      throw new IllegalStateException("stream19 did not drain within 300s")
+    }
+    out
+  }
+
   private[graft] def writeBasePartitioned(s: org.apache.spark.sql.SparkSession,
       d: String, out: String): Unit =
     Tables(s, d, "orders")

@@ -521,6 +521,30 @@ object StreamQueries {
         graft.sinks.Sinks.readAtVersion(s, out, latest)
           .select("o_orderkey", "o_custkey", "o_totalprice")
       },
-      Some("SELECT o_orderkey, o_custkey, o_totalprice FROM orders"))
+      Some("SELECT o_orderkey, o_custkey, o_totalprice FROM orders")),
+
+    // ── stream19: AUDITED streaming ingest — stream18's manifest
+    // commit with sink16's write-audit-publish gate in the path:
+    // every micro-batch stages, audits the staged snapshot, and
+    // publishes only on pass, so a poisoned batch (one staged file
+    // carries NULL custkeys) is REJECTED at the commit boundary and
+    // no reader-visible snapshot ever contains it — the quality
+    // gate a production streaming ingest runs between "the source
+    // delivered bytes" and "the table advanced". The rejected
+    // batch's version number is skipped (an honest hole, not a bad
+    // snapshot) and later batches stage from the last GOOD head.
+    // The gate reads the latest published version = input minus the
+    // poisoned slice, content-deterministic regardless of file
+    // arrival order; StreamingSpec pins one-rejection, no-null at
+    // every published version, and orphans-exactly-the-poison. ──
+    "stream19_audited_ingest" -> Q(
+      (s, d) => {
+        val out = graft.sinks.SinkQueries.auditedStreamIngest(s, d)
+        val latest = graft.sinks.Sinks.manifestVersions(s, out).max
+        graft.sinks.Sinks.readAtVersion(s, out, latest)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+              WHERE o_orderkey % 4 != 0"""))
   )
 }

@@ -691,4 +691,36 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(isSubMultiset(k1, k2) && isSubMultiset(k2, k3))
   }
+
+  test("stream19: poisoned batch rejected at the commit boundary, no published snapshot sees it") {
+    val Sk = graft.sinks.Sinks
+    val sf01 = "/root/testdata/sf0.01"
+    val out = graft.sinks.SinkQueries.auditedStreamIngest(spark, sf01)
+    val versions = Sk.manifestVersions(spark, out)
+    // 4 staged files, exactly one rejected: 3 published versions
+    // (the rejected batch's number is a hole unless it was last)
+    assert(versions.size === 3, s"expected 3 published versions: $versions")
+    assert(versions.toSet.subsetOf(Set(1, 2, 3, 4)))
+    // NO published snapshot contains a poisoned row
+    versions.foreach { v =>
+      assert(Sk.readAtVersion(spark, out, v)
+        .where("o_custkey is null").count() === 0L,
+        s"published v$v leaked a poisoned row")
+    }
+    // the latest snapshot is exactly the good slice
+    val latest = Sk.readAtVersion(spark, out, versions.max)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val expected = graft.Tables(spark, sf01, "orders")
+      .where("o_orderkey % 4 != 0")
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    assert(latest.toSeq === expected.toSeq)
+    // orphans are exactly the poisoned batch's files, and vacuuming
+    // the published history removes them without touching a snapshot
+    val referenced = versions.flatMap(v => Sk.readManifest(spark, out, v)).toSet
+    val orphans = Sk.dataFiles(spark, out).filterNot(referenced)
+    assert(orphans.nonEmpty, "reject path produced no orphans - vacuous")
+    val latestCount = Sk.readAtVersion(spark, out, versions.max).count()
+    assert(Sk.vacuum(spark, out, versions) === orphans.size)
+    assert(Sk.readAtVersion(spark, out, versions.max).count() === latestCount)
+  }
 }
