@@ -288,6 +288,79 @@ object Multimodal {
       .toDF("wav_id", "frame_id", "energy_ms", "zcr", "peak_abs")
   }
 
+  /** m13's synthetic clips, WAV-encoded in-memory (RIFF header +
+    * 16-bit LE mono PCM at 8 kHz — the m09 container, built not
+    * committed): three distinct-content clips from the m09 sample
+    * formula and one VOLUME-HALVED copy of clip 0 — same content,
+    * different bytes, the audio analogue of m11's lossy re-encode.
+    * Bounded: 4 clips × 4000 samples ≈ 32 KB. */
+  private[graft] def clipSample(c: Long, i: Int): Int = {
+    val (a, b, off) = c match {
+      case 0L | 3L => (1234L, 7L, 99L)
+      case 1L => (2345L, 11L, 17L)
+      case _ => (3456L, 13L, 5L)
+    }
+    val v = ((a * i + b * i.toLong * i + off) % 65521L - 32760L).toInt
+    if (c == 3L) v / 2 else v
+  }
+
+  private[graft] def fixtureClips(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val n = 4000
+    val rows = (0L to 3L).map { c =>
+      val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + n * 2)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+      bb.putShort(1); bb.putShort(1); bb.putInt(8000); bb.putInt(16000)
+      bb.putShort(2); bb.putShort(16)
+      bb.put("data".getBytes("US-ASCII")); bb.putInt(n * 2)
+      (0 until n).foreach(i => bb.putShort(clipSample(c, i).toShort))
+      (c, bb.array())
+    }
+    rows.toDF("clip_id", "blob")
+  }
+
+  /** m13's fingerprint: sign-of-delta over the m10 frame energies —
+    * bit k set iff frame k+1 is louder than frame k (24 bits from 25
+    * frames of 160 samples). Volume scaling multiplies every energy
+    * by the same factor, so the DELTA SIGNS — and the fingerprint —
+    * survive what byte hashes and absolute-energy features cannot.
+    * Per clip the energies reduce to one fingerprint row; the
+    * collect is per-CLIP bounded (25 frames), never corpus-wide. */
+  private[graft] def audioFingerprints(df: DataFrame): DataFrame =
+    wavFrameFeatures(df.selectExpr("clip_id as wav_id", "blob"), 160)
+      .groupBy("wav_id")
+      .agg(expr("transform(array_sort(collect_list(struct(frame_id, energy_ms)))," +
+        " x -> x.energy_ms)").as("es"))
+      .selectExpr("wav_id as clip_id",
+        """aggregate(sequence(1, size(es) - 1), 0L,
+             (acc, k) -> acc + if(element_at(es, k + 1) > element_at(es, k),
+                                  shiftleft(1L, cast(k - 1 as int)), 0L)) as fp""")
+
+  /** m13's body: fingerprints → banded candidate pairs (6 bands of
+    * 4 bits — pigeonhole: any pair within Hamming 5 shares an exact
+    * band, so the τ=4 duplicate cut loses nothing and candidates
+    * come from an EQUI-join on (band, value), the d06 simhash
+    * topology — never an all-pairs scan) → exact Hamming verify. */
+  private[graft] def audioDupPairs(df: DataFrame): DataFrame = {
+    val fps = audioFingerprints(df)
+    val banded = fps.selectExpr("clip_id", "fp", "explode(sequence(0, 5)) as band")
+      .selectExpr("clip_id", "band",
+        "(fp div shiftleft(1L, cast(band * 4 as int))) % 16 as bv")
+    val cand = banded.select(col("clip_id").as("c1"), col("band"), col("bv"))
+      .join(banded.select(col("clip_id").as("c2"), col("band"), col("bv")),
+        Seq("band", "bv"))
+      .where(col("c1") < col("c2"))
+      .select("c1", "c2").distinct()
+    cand
+      .join(fps.select(col("clip_id").as("c1"), col("fp").as("f1")), "c1")
+      .join(fps.select(col("clip_id").as("c2"), col("fp").as("f2")), "c2")
+      .selectExpr("c1", "c2", "cast(bit_count(f1 ^ f2) as int) as dist",
+        "bit_count(f1 ^ f2) <= 4 as is_dup")
+  }
+
   /** The m04 decode pipeline, parameterized by codec: map-only typed
     * mapPartitions over the binary payload (the Scala analogue of a
     * mapInPandas batch UDF), schema declared up front, no shuffle. */
@@ -478,6 +551,29 @@ object Multimodal {
                 (CAST(1 AS BIGINT), 6, 1, false),
                 (CAST(1 AS BIGINT), 7, 0, false))
               AS t(video_id, frame_idx, dist, is_cut)""")),
+
+    // ── m13: perceptual AUDIO fingerprint dedup — the audio member
+    // of the content-fingerprint family (m11 images, m12 frame
+    // sequences): sign-of-delta over frame energies, 24 bits per
+    // clip, so a VOLUME-SCALED re-master of the same recording
+    // (clip 3 = clip 0 at half gain — zero shared bytes) lands
+    // within Hamming τ=4 of its original while distinct content
+    // stays far — the robustness no payload hash has. Candidates
+    // come from 6×4-bit band collisions (equi-join, the d06 simhash
+    // topology; pigeonhole covers every pair within Hamming 5), so
+    // the plan is corpus-linear: decode + frame energies map-side,
+    // one per-clip bounded energy fold, band-keyed join, exact
+    // verify on colliding pairs only. Clips are in-memory formula
+    // WAVs; MultimodalSpec re-derives every fingerprint from the
+    // sample formula independently of javax.sound. ──
+    "m13_audio_fingerprint" -> Q(
+      (s, _) => audioDupPairs(fixtureClips(s)),
+      Some("""SELECT * FROM (VALUES
+                (CAST(0 AS BIGINT), CAST(1 AS BIGINT), 14, false),
+                (CAST(0 AS BIGINT), CAST(3 AS BIGINT), 0, true),
+                (CAST(1 AS BIGINT), CAST(2 AS BIGINT), 8, false),
+                (CAST(1 AS BIGINT), CAST(3 AS BIGINT), 14, false))
+              AS t(c1, c2, dist, is_dup)""")),
 
     "m10_audio_features" -> Q(
       (s, _) => wavFrameFeatures(fixtureWavs(s), 160),

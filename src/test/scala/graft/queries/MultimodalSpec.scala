@@ -240,4 +240,36 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       if (!cut && f > 0) assert(dist <= 8, s"drift too large at $v/$f: $dist")
     }
   }
+
+  test("m13 audio fingerprints: formula-derived, volume-invariant, banding finds the re-master") {
+    // re-derive every fingerprint from the sample formula — no
+    // javax.sound, so the goldens are proven decoder-independent
+    def fpOf(c: Long): Long = {
+      val energies = (0 until 25).map { f =>
+        (0 until 160).map { k =>
+          val v = Multimodal.clipSample(c, f * 160 + k).toLong; v * v
+        }.sum / 160
+      }
+      (1 until 25).foldLeft(0L) { (acc, k) =>
+        if (energies(k) > energies(k - 1)) acc | (1L << (k - 1)) else acc
+      }
+    }
+    val fps = (0L to 3L).map(c => c -> fpOf(c)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // the engine's verified pairs equal the formula's distances
+    val got = Multimodal.all("m13_audio_fingerprint").fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(2), r.getBoolean(3)))).toMap
+    got.foreach { case ((a, b), (dist, dup)) =>
+      assert(dist === ham(fps(a), fps(b)), s"pair ($a,$b)")
+      assert(dup === (dist <= 4), s"pair ($a,$b) flag")
+    }
+    // volume invariance: the half-gain re-master is a fingerprint
+    // match; distinct content is far
+    assert(ham(fps(0L), fps(3L)) <= 4, "re-master drifted past the dup cut")
+    for (a <- Seq(0L, 3L); b <- Seq(1L, 2L))
+      assert(ham(fps(a), fps(b)) > 4, s"distinct clips $a/$b collide")
+    // the banded candidate stage kept the true duplicate pair
+    assert(got.contains((0L, 3L)) && got((0L, 3L))._2, "banding lost the re-master pair")
+  }
 }
