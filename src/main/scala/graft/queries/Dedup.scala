@@ -1199,7 +1199,88 @@ object Dedup {
                       CAST(coalesce(rm.n_removed, 0) AS BIGINT) AS n_removed
                FROM documents d
                LEFT JOIN kept k ON k.doc_id = d.doc_id
-               LEFT JOIN rm ON rm.doc_id = d.doc_id"""))
+               LEFT JOIN rm ON rm.doc_id = d.doc_id""")),
+
+    // ── d22: LSH PARAMETER SWEEP — the tune-your-index query for
+    // the dedup tier, s15's nprobe sweep transplanted to MinHash
+    // banding: the same 16-perm signatures cut as (16 bands × 1
+    // row) … (2 × 8), each config's banded candidates scored for
+    // PRECISION (what fraction of the verify join's input is real —
+    // the cost dial) and RECALL (what fraction of the true ≥0.7
+    // pairs the banding surfaces — the quality dial) against d20's
+    // exact prefix-join ground truth (zero false negatives by
+    // theorem, so the denominator is the real pair population).
+    // More rows per band → fewer, cleaner candidates: the
+    // precision/recall trade the S-curve predicts, measured on real
+    // data. Scale shape: ONE signature pass shared by all configs
+    // (the sweep re-bands 16 ints per doc, not the corpus), each
+    // config one (band,bucket) equi-self-join bounded by bucket
+    // occupancy, tp by an id-pair join against the bounded truth
+    // frame; output is 4 rows. ──
+    "d22_lsh_param_sweep" -> Q(
+      (s, d) => {
+        Hashing.register(s)
+        val sigs = hashedDocs(s, d)
+          .selectExpr("doc_id", "affine_minhash(hv, 16) as sig").persistScoped()
+        val truth = all("d20_prefix_join").fn(s, d)
+          .select("d1", "d2").persistScoped()
+        val nTrue = truth.agg(count(lit(1)).as("n_true"))
+        Seq((16, 1), (8, 2), (4, 4), (2, 8)).map { case (b, r) =>
+          val bk = sigs
+            .selectExpr("doc_id", s"explode(sequence(0, ${b - 1})) as band", "sig")
+            .selectExpr("doc_id", "band",
+              s"${Hashing.h32Sql(s"concat(band, ':', concat_ws(',', slice(sig, band*$r+1, $r)))")} as bucket")
+          val cand = bk.select(col("doc_id").as("d1"), col("band"), col("bucket"))
+            .join(bk.select(col("doc_id").as("d2"), col("band"), col("bucket")),
+              Seq("band", "bucket"))
+            .where(col("d1") < col("d2"))
+            .select("d1", "d2").distinct()
+          cand.join(truth.withColumn("is_tp", lit(true)), Seq("d1", "d2"), "left")
+            .agg(count(lit(1)).as("n_cand"),
+              sum(when(col("is_tp"), 1L).otherwise(0L)).as("tp"))
+            .crossJoin(broadcast(nTrue))
+            .selectExpr(s"$b as bands", s"$r as rows_per_band",
+              "n_cand", "tp", "n_true",
+              "tp * 10000 div greatest(n_cand, cast(1 as bigint)) as precision_bp",
+              "tp * 10000 div greatest(n_true, cast(1 as bigint)) as recall_bp")
+        }.reduce(_.union(_))
+      },
+      Some {
+        val configs = Seq((16, 1), (8, 2), (4, 4), (2, 8))
+        val perCfg = configs.map { case (b, r) =>
+          s"""bk${b}_$r AS (SELECT doc_id, band,
+                ${Hashing.duck32(s"band || ':' || array_to_string(sig[band*$r+1:band*$r+$r], ',')")} AS bucket
+              FROM (SELECT doc_id, unnest(generate_series(0, ${b - 1})) AS band, sig
+                    FROM sigs)),
+              cd${b}_$r AS (SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+                FROM bk${b}_$r a JOIN bk${b}_$r c
+                ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id),
+              st${b}_$r AS (SELECT count(*) AS n_cand,
+                       CAST(sum(CASE WHEN t.d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp
+                FROM cd${b}_$r c LEFT JOIN truth t ON t.d1 = c.d1 AND t.d2 = c.d2)"""
+        }.mkString(",\n")
+        val sel = configs.map { case (b, r) =>
+          s"""SELECT $b AS bands, $r AS rows_per_band,
+                CAST(n_cand AS BIGINT) AS n_cand, tp, CAST(n_true AS BIGINT) AS n_true,
+                CAST(tp * 10000 // greatest(n_cand, 1) AS BIGINT) AS precision_bp,
+                CAST(tp * 10000 // greatest(n_true, 1) AS BIGINT) AS recall_bp
+              FROM st${b}_$r CROSS JOIN nt"""
+        }.mkString("\nUNION ALL ")
+        s"""$duckShingles,
+            sigs AS (SELECT doc_id, ${duckSig(16)} AS sig FROM hs),
+            ds AS (SELECT doc_id, list_distinct(hv) AS hv FROM hs),
+            sz AS (SELECT doc_id, len(hv) AS sz FROM ds),
+            e AS (SELECT doc_id, unnest(hv) AS g FROM ds),
+            p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+                  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+            truth AS (SELECT d1, d2 FROM p
+                      JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2
+                      WHERE 10 * inter >= 7 * (s1.sz + s2.sz - inter)),
+            nt AS (SELECT count(*) AS n_true FROM truth),
+            $perCfg
+            $sel"""
+      })
   )
 
   /** d18/c09's shared span machinery: the maximal duplicated-span

@@ -494,4 +494,30 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       rm === 0L && nt === docs(id).mkString(" ") },
       "no pass-through doc survived verbatim")
   }
+
+  test("d22 LSH sweep: candidates shrink and precision rises with rows per band; trade is real") {
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = Dedup.all("d22_lsh_param_sweep").fn(spark, sf01).collect()
+      .map(r => (r.getAs[Int]("rows_per_band"),
+        (r.getAs[Long]("n_cand"), r.getAs[Long]("tp"), r.getAs[Long]("n_true"),
+          r.getAs[Long]("precision_bp"), r.getAs[Long]("recall_bp"))))
+      .sortBy(_._1)
+    assert(rows.map(_._1) === Seq(1, 2, 4, 8))
+    val nTrue = rows.head._2._3
+    assert(nTrue > 0, "no true pairs at tau=0.7 - sweep is vacuous")
+    // more rows per band -> fewer candidates (monotone cost dial)
+    // and never a recall gain (candidate sets only shrink)
+    rows.sliding(2).foreach { case Array((_, a), (_, b)) =>
+      assert(b._1 <= a._1, "candidate count rose with rows per band")
+      assert(b._5 <= a._5, "recall rose as bands got stricter")
+    }
+    // the trade must be measured, not degenerate: the loosest config
+    // over-generates (precision < 100%) and some config is clean
+    assert(rows.head._2._4 < 10000, "1-row bands did not over-generate - suspicious")
+    assert(rows.exists(_._2._4 === 10000L), "no config reached full precision on this corpus")
+    // tp never exceeds either denominator
+    rows.foreach { case (_, (nc, tp, nt, _, _)) =>
+      assert(tp <= nc && tp <= nt)
+    }
+  }
 }
