@@ -705,6 +705,61 @@ object Relational {
               tot AS (SELECT sum(n) AS n_tot FROM c)
               SELECT from_type, to_type, n,
                      CAST(n * 10000 // n_tot AS BIGINT) AS share_bp
-              FROM c, tot"""))
+              FROM c, tot""")),
+
+    // ── q36: time-series RESAMPLE + forward fill — the pandas
+    // `resample('D').ffill()` primitive as a distributed query: per
+    // user a daily grid spanning their observed range, each grid day
+    // carrying the LAST observed value at or before its end (basis-
+    // point integer so the compare is exact) and that day's
+    // observation count — the gap-free regular series feature
+    // pipelines and dashboards consume where raw events are sparse
+    // and irregular. Scale shape: one user-keyed partial agg to a
+    // (user, day) grain, the grid explode is bounded by each user's
+    // own day span (never the global calendar × users), and the fill
+    // is a user-partitioned last-non-null window — one previous value
+    // of state per user, the q30/stream11 class. The last-of-day pick
+    // is the lexicographic struct-max (ts, event_id, v) argmax, tie-
+    // deterministic in both engines. ──
+    "q36_resample_ffill" -> Q(
+      (s, d) => {
+        val e = events(s, d).selectExpr("user_id", "ts", "event_id",
+          "cast(floor(value * 10000) as bigint) as v_bp")
+        val daily = e
+          .groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_obs"),
+            max(struct(col("ts"), col("event_id"), col("v_bp"))).as("m"))
+          .selectExpr("user_id", "day", "n_obs", "m.v_bp as v_last")
+        val grid = e.groupBy("user_id")
+          .agg(min(date_trunc("DAY", col("ts"))).as("d0"),
+            max(date_trunc("DAY", col("ts"))).as("d1"))
+          .selectExpr("user_id", "explode(sequence(d0, d1, interval 1 day)) as day")
+        grid.join(daily, Seq("user_id", "day"), "left")
+          .withColumn("v_ffill", last("v_last", ignoreNulls = true).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+              .orderBy("day").rowsBetween(Long.MinValue, 0)))
+          .selectExpr("user_id", "day", "coalesce(n_obs, 0L) as n_obs", "v_ffill")
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                                CAST(floor(value * 10000) AS BIGINT) AS v_bp
+                         FROM events),
+              daily AS (SELECT user_id, date_trunc('day', ts) AS day,
+                               count(*) AS n_obs,
+                               (max(struct_pack(ts := ts, eid := event_id,
+                                                v := v_bp))).v AS v_last
+                        FROM e GROUP BY 1, 2),
+              ext AS (SELECT user_id, min(date_trunc('day', ts)) AS d0,
+                             max(date_trunc('day', ts)) AS d1
+                      FROM e GROUP BY 1),
+              grid AS (SELECT user_id,
+                              unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+                       FROM ext)
+              SELECT g.user_id, g.day,
+                     CAST(coalesce(n_obs, 0) AS BIGINT) AS n_obs,
+                     last_value(v_last IGNORE NULLS) OVER (
+                       PARTITION BY g.user_id ORDER BY g.day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+              FROM grid g LEFT JOIN daily dd
+                ON dd.user_id = g.user_id AND dd.day = g.day"""))
   )
 }

@@ -87,4 +87,40 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       s"share sum $shareSum implausible")
     assert(got.size > 1, "degenerate single-transition matrix")
   }
+
+  test("q36 resample: contiguous per-user grid, fill carries the last observation, gaps are real") {
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = Relational.all("q36_resample_ffill").fn(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getLong(2), r.getLong(3)))
+    val byUser = rows.groupBy(_._1)
+    val dayMs = 86400000L
+    byUser.foreach { case (u, rs) =>
+      val days = rs.map(_._2).sorted
+      // contiguous daily grid from first to last observed day
+      assert(days.zip(days.drop(1)).forall { case (a, b) => b - a == dayMs },
+        s"user $u grid has holes or duplicates")
+      // first grid day is observed (fill has a value from day one)
+      assert(rs.minBy(_._2)._3 > 0, s"user $u grid starts before first observation")
+    }
+    // serial fill replay from the raw events
+    val ev = Relational.events(spark, sf01)
+      .selectExpr("user_id", "ts", "event_id", "cast(floor(value * 10000) as bigint) as v")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getLong(3)))
+    val expected = ev.groupBy(_._1).flatMap { case (u, es) =>
+      def dayOf(t: java.sql.Timestamp) = t.getTime - Math.floorMod(t.getTime, dayMs)
+      val byDay = es.groupBy(e => dayOf(e._2))
+      val d0 = byDay.keys.min; val d1 = byDay.keys.max
+      var lastV = 0L
+      (d0 to d1 by dayMs).map { day =>
+        val obs = byDay.getOrElse(day, Array.empty[(Long, java.sql.Timestamp, Long, Long)])
+        if (obs.nonEmpty)
+          lastV = obs.maxBy(e => (e._2.getTime, e._3))._4
+        (u, day, obs.length.toLong, lastV)
+      }
+    }.toSet
+    assert(rows.map(t => (t._1, t._2, t._3, t._4)).toSet === expected)
+    // the fill must DO something: some gap day exists
+    assert(rows.exists(_._3 == 0L), "no gap day anywhere - resample is vacuous here")
+  }
 }
