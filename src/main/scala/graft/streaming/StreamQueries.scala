@@ -545,6 +545,51 @@ object StreamQueries {
           .select("o_orderkey", "o_custkey", "o_totalprice")
       },
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-              WHERE o_orderkey % 4 != 0"""))
+              WHERE o_orderkey % 4 != 0""")),
+
+    // ── stream20: streaming POINT-IN-TIME enrichment — the request-
+    // path half of j07's feature-store join: each arriving event
+    // attaches the dimension version IN FORCE AT ITS EVENT TIME
+    // (stream05 enriches against a snapshot — correct only until the
+    // dim changes; stream20 joins the SCD2-style validity intervals,
+    // so late events get the version that was true THEN, not now).
+    // The versioned dim is a deterministic weekly-tier table (one
+    // row per user-week with [valid_from, valid_to)); the join is
+    // stateless stream-static per micro-batch with the dim
+    // broadcast: equi-join on the key, the interval containment as
+    // the residual filter — versions partition time, so exactly one
+    // version survives per event. At scale the dim is the broadcast-
+    // able current SCD2 table (or a bucketed join when it outgrows
+    // one); no stream-stream state is ever held. ──
+    "stream20_pit_enrich" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{broadcast, col}
+        val dim = graft.Tables(s, d, "events").select("user_id").distinct()
+          .selectExpr("user_id as dk", "explode(sequence(0, 4)) as k")
+          .selectExpr("dk",
+            "cast(date_add(date'2024-01-01', k * 7) as timestamp) as valid_from",
+            "cast(date_add(date'2024-01-01', (k + 1) * 7) as timestamp) as valid_to",
+            "(dk * 7 + k * 13) % 5 as tier")
+        drain(s,
+          EventStreams.eventsStream(s, d)
+            .join(broadcast(dim), col("user_id") === col("dk")
+              && col("ts") >= col("valid_from") && col("ts") < col("valid_to"))
+            .selectExpr("event_id", "user_id",
+              "cast(unix_timestamp(valid_from) as bigint) as vf", "tier"),
+          "g_stream20", mode = "append")
+      },
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+              dim AS (SELECT user_id, k,
+                             (DATE '2024-01-01' + CAST(k * 7 AS INTEGER))::TIMESTAMP AS vf_ts,
+                             (DATE '2024-01-01' + CAST((k + 1) * 7 AS INTEGER))::TIMESTAMP AS vt_ts,
+                             (user_id * 7 + k * 13) % 5 AS tier
+                      FROM u CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS k))
+              SELECT e.event_id, e.user_id,
+                     CAST(epoch(vf_ts) AS BIGINT) AS vf,
+                     CAST(tier AS BIGINT) AS tier
+              FROM events e JOIN dim
+                ON dim.user_id = e.user_id
+               AND CAST(e.ts AS TIMESTAMP) >= vf_ts
+               AND CAST(e.ts AS TIMESTAMP) < vt_ts"""))
   )
 }

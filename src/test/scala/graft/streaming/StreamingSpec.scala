@@ -723,4 +723,30 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(Sk.vacuum(spark, out, versions) === orphans.size)
     assert(Sk.readAtVersion(spark, out, versions.max).count() === latestCount)
   }
+
+  test("stream20: every event enriched with the version in force at ITS time, exactly once") {
+    val sf01 = "/root/testdata/sf0.01"
+    val got = StreamQueries.all("stream20_pit_enrich").fn(spark, sf01).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+    // exactly one enrichment per event (versions partition time)
+    assert(got.length === got.map(_._1).distinct.length, "an event matched two versions")
+    val events = graft.queries.Relational.events(spark, sf01)
+      .selectExpr("event_id", "user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime))
+    assert(got.length === events.length, "an event was dropped by the enrichment")
+    // serial model: week k of an event = floor(days since 2024-01-01 / 7),
+    // tier = (user*7 + k*13) % 5, valid_from = epoch of week start
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    val gotMap = got.toMap
+    events.foreach { case (eid, u, ts) =>
+      val k = (ts - t0) / (7L * 86400000L)
+      val (gu, vf, tier) = gotMap(eid)
+      assert(gu === u)
+      assert(vf === (t0 + k * 7L * 86400000L) / 1000L, s"event $eid version window")
+      assert(tier === (u * 7 + k * 13) % 5, s"event $eid tier")
+    }
+    // the dim must genuinely be versioned: some user's tier changes
+    val tiersByUser = got.groupBy(_._2._1).view.mapValues(_.map(_._2._3).distinct.size)
+    assert(tiersByUser.values.exists(_ > 1), "no user changed tier - PIT join is vacuous")
+  }
 }
