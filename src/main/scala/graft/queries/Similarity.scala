@@ -1050,7 +1050,36 @@ object Similarity {
                       CAST(coalesce(n_vecs, 0) AS BIGINT) AS n_vecs,
                       CAST(coalesce(n_vecs, 0) * 16 * 10000 // n_total AS BIGINT) AS load_bp,
                       coalesce(n_vecs, 0) * 16 * 10000 // n_total >= 20000 AS hot
-               FROM cells LEFT JOIN occ ON occ.cell = cells.cell CROSS JOIN tot"""))
+               FROM cells LEFT JOIN occ ON occ.cell = cells.cell CROSS JOIN tot""")),
+
+    // ── s25: index COMPACTION — the maintenance pass that closes
+    // s19's delete story: tombstones are cheap at delete time
+    // precisely because they defer work, and this is the deferred
+    // work — [[compactIndex]] rewrites ONLY the cell partitions
+    // containing a tombstoned id (postings + refine sidecar),
+    // leaves every other cell's files byte-untouched (spec-pinned),
+    // and the index then serves with NO tombstone anti-join in the
+    // request path. Same tombstone set and oracle as s19: the gate
+    // proves compacted-serve ≡ tombstone-filtered-serve bit-for-bit
+    // — compaction changes the cost model, never the answer. At 1 B
+    // vectors: quantizer heads untouched, rewrite bounded by
+    // affected partitions, the nightly maintenance job next to
+    // s22's insert. ──
+    "s25_index_compact" -> Q(
+      (s, d) => {
+        Hashing.register(s)
+        val e = Tables(s, d, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("vec_id", "embedding", s"$normE as nrm").persistScoped()
+        ivfPqBuild(s, e)
+        compactIndex(s, e.selectExpr("vec_id as cand_id")
+          .where(s"${Hashing.h32Sql("concat('del:', cand_id)")} % 10 = 0"))
+        ivfPqServe(s, e.where("vec_id < 10"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+               ${duckIvfPqCoreWhere(
+                 s"NOT (${Hashing.duck32("'del:' || a.vec_id")} % 10 = 0)")}
+               SELECT probe_id, cand_id, rnk, cosine FROM ann"""))
   )
 
   /** s17's oracle: the identical greedy MMR unrolled as chained
@@ -1648,6 +1677,36 @@ object Similarity {
       .where(col("cell").isin(probedCells.map(_.toInt): _*))
       .select("vec_id", "embedding", "nrm")
     rerankExact(short, probes, sidecar, 3)
+  }
+
+  /** s25 COMPACTION: fold a tombstone set into the persisted index —
+    * rewrite ONLY the cell partitions that contain a tombstoned id
+    * (postings and refine sidecar both), leaving every other cell's
+    * files byte-untouched; after it, serving needs no tombstone
+    * anti-join at all. This is the maintenance pass that keeps s19's
+    * cheap deletes from accumulating forever: delete cost stays
+    * O(tombstones) at delete time, and the rewrite is paid once,
+    * bounded by affected partitions — never an index rebuild (the
+    * quantizer heads are untouched). Returns the affected cells. */
+  private[graft] def compactIndex(s: SparkSession,
+      tombstones: DataFrame): Seq[Long] = {
+    val ix = ivfPqIndexDir
+    val tomb = broadcast(tombstones.select("cand_id"))
+    val affected = s.read.parquet(s"$ix/postings")
+      .join(tomb, "cand_id").select("cell").distinct()
+      .collect().map(_.get(0).asInstanceOf[Number].longValue).sorted.toSeq
+    affected.foreach { c =>
+      val pDir = s"$ix/postings/cell=$c"
+      val keptP = s.read.parquet(pDir)
+        .join(tomb, Seq("cand_id"), "left_anti").localCheckpoint(true)
+      keptP.write.mode("overwrite").parquet(pDir)
+      val vDir = s"$ix/vectors/cell=$c"
+      val keptV = s.read.parquet(vDir)
+        .join(tomb.select(col("cand_id").as("vec_id")), Seq("vec_id"), "left_anti")
+        .localCheckpoint(true)
+      keptV.write.mode("overwrite").parquet(vDir)
+    }
+    affected
   }
 
   /** The trained PQ codebook + its oracle chain, shared with the

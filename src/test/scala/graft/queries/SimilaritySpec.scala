@@ -477,4 +477,46 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(rows.exists(_._3 > 10000) && rows.exists(_._3 < 10000),
       "all cells at exactly ideal load - audit reads nothing")
   }
+
+  test("s25 compaction: tombstoned ids gone, untouched cells byte-frozen, affected set minimal") {
+    import spark.implicits._
+    graft.functions.Hashing.register(spark)
+    val sf01 = "/root/testdata/sf0.01"
+    val e = graft.Tables(spark, sf01, "embeddings")
+      .selectExpr("vec_id", "embedding", "vnorm(embedding) as nrm").cache()
+    Similarity.ivfPqBuild(spark, e)
+    val ix = Similarity.ivfPqIndexDir
+    val before = spark.read.parquet(s"$ix/postings")
+      .select("cand_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.get(1).asInstanceOf[Number].longValue).toMap
+    // a TINY tombstone set so most cells stay untouched
+    val victims = Seq(before.keys.min, before.keys.max)
+    val victimCells = victims.map(before).distinct.sorted
+    def snapshot(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      (walk(new java.io.File(s"$ix/postings")) ++ walk(new java.io.File(s"$ix/vectors")))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> ((f.length, f.lastModified))).toMap
+    }
+    val snapBefore = snapshot()
+    val affected = Similarity.compactIndex(spark, victims.toDF("cand_id"))
+    assert(affected === victimCells, "compaction touched cells the tombstones don't live in")
+    // untouched cells' files are byte-frozen
+    val snapAfter = snapshot()
+    val frozen = snapBefore.keys.filterNot(p =>
+      victimCells.exists(c => p.contains(s"cell=$c")))
+    frozen.foreach { p =>
+      assert(snapAfter.get(p).contains(snapBefore(p)), s"untouched file changed: $p")
+    }
+    // tombstoned ids are gone from BOTH artifacts; survivors intact
+    val postsAfter = spark.read.parquet(s"$ix/postings")
+      .select("cand_id").collect().map(_.getLong(0)).toSet
+    assert(victims.forall(!postsAfter.contains(_)), "a tombstoned id survived compaction")
+    assert(postsAfter.size === before.size - victims.size)
+    val vecsAfter = spark.read.parquet(s"$ix/vectors")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(victims.forall(!vecsAfter.contains(_)), "a tombstoned vector survived in the sidecar")
+    e.unpersist()
+  }
 }
