@@ -421,6 +421,40 @@ object SinkQueries {
                      year(o_orderdate) AS yr FROM orders
               WHERE o_orderkey % 13 != 0""")),
 
+    // ── sink17: INCREMENTAL statistics maintenance — sink07's
+    // file-skipping manifest kept fresh across appends WITHOUT
+    // rescanning the table: the append's new files get their
+    // (lo, hi, n_rows) stats from a scan of ONLY those files, and
+    // the new manifest is prior-rows ∪ new-rows — the Delta/Iceberg
+    // stats-collection contract (stats are computed at write time,
+    // once per file, forever). At 100 TB the difference is a 100 TB
+    // rescan per ingest vs a batch-sized one. The gate prunes a
+    // date-window query spanning the append boundary with the
+    // incrementally-maintained manifest (both old and new files must
+    // be skippable) and answers against the plain relational oracle;
+    // SinksSpec pins incremental ≡ full-rebuild row-for-row and that
+    // prior files' stats rows pass through verbatim. ──
+    "sink17_stats_incremental" -> Q(
+      (s, d) => {
+        val (out, man2) = statsIncrementalRun(s, d)
+        val (qlo, qhi) = ("1995-07-01", "1996-06-30 23:59:59")
+        val manifest = s.read.parquet(man2)
+        val total = manifest.count()
+        val surviving = manifest
+          .where(col("hi") >= lit(qlo).cast("timestamp") &&
+            col("lo") <= lit(qhi).cast("timestamp"))
+          .select("file").collect().map(_.getString(0))
+        require(surviving.nonEmpty && surviving.length < total,
+          s"incremental manifest pruned nothing: ${surviving.length} of $total")
+        s.read.parquet(surviving: _*)
+          .where(col("o_orderdate") >= lit(qlo).cast("timestamp") &&
+            col("o_orderdate") <= lit(qhi).cast("timestamp"))
+          .select("o_orderkey", "o_orderdate", "o_totalprice")
+      },
+      Some("""SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+                AND o_orderdate <= TIMESTAMP '1996-06-30 23:59:59'""")),
+
     // ── sink16: WRITE-AUDIT-PUBLISH on the manifest table — the
     // commit protocol that keeps a bad ingest out of every reader's
     // view (the Iceberg WAP / Delta "stage then swap" practice, and
@@ -614,6 +648,40 @@ object SinkQueries {
     val appended = Sinks.dataFiles(s, out).filterNot(before)
     val keep = v1.filterNot(f => years.exists(y => f.startsWith(s"yr=$y/")))
     Sinks.writeManifest(s, out, 2, keep ++ appended)
+  }
+
+  /** sink17's lifecycle (factored for SinksSpec): base (pre-1996,
+    * date-sorted) written + stats manifest v1 from a base scan; a
+    * 1996+ batch appended; manifest v2 = v1 rows ∪ stats of ONLY the
+    * appended files (the incremental scan reads just those paths).
+    * Returns (table dir, v2 manifest dir). */
+  private[graft] def statsIncrementalRun(
+      s: org.apache.spark.sql.SparkSession, d: String): (String, String) = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+    val out = scratch("statsinc")
+    val man1 = scratch("statsinc-man1")
+    val man2 = scratch("statsinc-man2")
+    val o = Tables(s, d, "orders").select("o_orderkey", "o_orderdate", "o_totalprice")
+    def stats(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(input_file_name().as("file"))
+      .agg(min("o_orderdate").as("lo"), max("o_orderdate").as("hi"),
+        count(lit(1)).as("n_rows"))
+    o.where("year(o_orderdate) < 1996")
+      .repartitionByRange(4, col("o_orderdate"))
+      .sortWithinPartitions("o_orderdate", "o_orderkey")
+      .write.parquet(out)
+    stats(s.read.parquet(out)).write.parquet(man1)
+    val before = Sinks.dataFiles(s, out).toSet
+    o.where("year(o_orderdate) >= 1996")
+      .repartitionByRange(3, col("o_orderdate"))
+      .sortWithinPartitions("o_orderdate", "o_orderkey")
+      .write.mode("append").parquet(out)
+    val appended = Sinks.dataFiles(s, out).filterNot(before).map(f => s"$out/$f")
+    // the incremental scan: ONLY the appended files are read
+    s.read.parquet(man1)
+      .unionByName(stats(s.read.parquet(appended: _*)))
+      .write.parquet(man2)
+    (out, man2)
   }
 
   /** sink16's full WAP lifecycle (factored so SinksSpec can replay

@@ -411,4 +411,25 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
     assert(Sinks.dataFiles(spark, out).toSet === referenced)
     assert(Sinks.readAtVersion(spark, out, 2).count() === v2Before)
   }
+
+  test("sink17 incremental stats: equals the full rebuild; prior rows pass through verbatim") {
+    import org.apache.spark.sql.functions.{count, input_file_name, lit, max, min}
+    val (out, man2) = SinkQueries.statsIncrementalRun(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame): Map[String, (String, String, Long)] =
+      df.collect().map(r => r.getString(0) ->
+        ((r.get(1).toString, r.get(2).toString, r.getLong(3)))).toMap
+    val incremental = rows(spark.read.parquet(man2))
+    // the incremental manifest equals a from-scratch rebuild of the
+    // whole table, file for file, stat for stat
+    val rebuild = rows(spark.read.parquet(out)
+      .groupBy(input_file_name().as("file"))
+      .agg(min("o_orderdate").as("lo"), max("o_orderdate").as("hi"),
+        count(lit(1)).as("n_rows")))
+    assert(incremental === rebuild, "incremental manifest diverged from full rebuild")
+    // both tiers are present and every file is covered
+    assert(incremental.size === graft.sinks.Sinks.dataFiles(spark, out).size)
+    val years = incremental.values.map(_._1.take(4).toInt).toSet
+    assert(years.exists(_ < 1996) && years.exists(_ >= 1996),
+      "append boundary not represented - increment is vacuous")
+  }
 }
