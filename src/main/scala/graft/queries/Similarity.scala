@@ -1079,7 +1079,59 @@ object Similarity {
       Some(s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
                ${duckIvfPqCoreWhere(
                  s"NOT (${Hashing.duck32("'del:' || a.vec_id")} % 10 = 0)")}
-               SELECT probe_id, cand_id, rnk, cosine FROM ann"""))
+               SELECT probe_id, cand_id, rnk, cosine FROM ann""")),
+
+    // ── s26: CONTRASTIVE TRIPLET mining — the query that produces
+    // actual training data from the similarity tier: per anchor, the
+    // nearest SAME-label neighbor (the positive) and the nearest
+    // CROSS-label neighbor (the hard negative, s21's top-1), plus
+    // whether the pair is margin-consistent (pos_cos > neg_cos —
+    // anchors violating it are the hard examples a contrastive run
+    // upweights). One corpus scan scores every candidate against the
+    // broadcast anchors; the label predicate splits the stream and
+    // two bounded heaps keep ONE row per anchor per side — k rows
+    // cross the exchange map-side, never a per-anchor sort. The
+    // margin flag is a join of two 1-row-per-anchor frames. ──
+    "s26_contrastive_triplets" -> Q(
+      (s, d) => {
+        Hashing.register(s)
+        val e = Tables(s, d, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("vec_id", "embedding", s"$normE as nrm", "label")
+        val p = e.where("vec_id < 10")
+          .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+            col("nrm").as("pn"), col("label").as("pl"))
+        val scored = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+            col("nrm").as("cn"), col("label").as("cl"))
+          .join(broadcast(p), col("cand_id") =!= col("probe_id"))
+          .selectExpr("probe_id", "cand_id", "cl = pl as same_label",
+            s"${dot("pe", "ce")} / (pn * cn) as cosine")
+          .persistScoped()
+        val pos = heapTopk(scored.where("same_label"), 1)
+          .selectExpr("probe_id", "cand_id as pos_id", "cosine as pos_cos")
+        val neg = heapTopk(scored.where("not same_label"), 1)
+          .selectExpr("probe_id", "cand_id as neg_id", "cosine as neg_cos")
+        pos.join(neg, "probe_id")
+          .selectExpr("probe_id as anchor_id", "pos_id", "neg_id",
+            "pos_cos", "neg_cos", "pos_cos > neg_cos as margin_ok")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm, label FROM embeddings),
+               sc AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                             c.label = p.label AS same_label,
+                             ${duckDot("p.embedding", "c.embedding")} / (p.nrm * c.nrm) AS cosine
+                      FROM e p JOIN e c ON c.vec_id != p.vec_id
+                      WHERE p.vec_id < 10),
+               pos AS (SELECT probe_id, cand_id AS pos_id, cosine AS pos_cos FROM
+                         (SELECT *, row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cosine DESC, cand_id) AS rn
+                          FROM sc WHERE same_label) WHERE rn = 1),
+               neg AS (SELECT probe_id, cand_id AS neg_id, cosine AS neg_cos FROM
+                         (SELECT *, row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cosine DESC, cand_id) AS rn
+                          FROM sc WHERE NOT same_label) WHERE rn = 1)
+               SELECT pos.probe_id AS anchor_id, pos_id, neg_id,
+                      pos_cos, neg_cos, pos_cos > neg_cos AS margin_ok
+               FROM pos JOIN neg ON neg.probe_id = pos.probe_id"""))
   )
 
   /** s17's oracle: the identical greedy MMR unrolled as chained

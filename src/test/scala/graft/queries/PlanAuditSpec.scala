@@ -30,6 +30,7 @@ class PlanAuditSpec extends AnyFunSuite with graft.SparkTestBase {
     "s15_nprobe_sweep", // same 10-probe exact baseline via bruteTopk
     "s17_mmr_rerank", // re-ranks s01's 10-probe bounded shortlist
     "s21_hard_negatives", // s01's scan with the label!=label non-equi predicate
+    "s26_contrastive_triplets", // one 10-anchor broadcast scan feeding both heaps
     "s20_range_search", // 10-probe broadcast exact-evidence scan (index side is equi)
     "s23_matryoshka_recall", // one 10-probe broadcast scan feeding both rankings
     "d11_lsh_recall") // 50-probe broadcast exact-baseline scan

@@ -519,4 +519,40 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(victims.forall(!vecsAfter.contains(_)), "a tombstoned vector survived in the sidecar")
     e.unpersist()
   }
+
+  test("s26 triplets: one per anchor, sides obey the label split, margin flags are honest") {
+    val sf01 = "/root/testdata/sf0.01"
+    val got = Similarity.all("s26_contrastive_triplets").fn(spark, sf01).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(got.keySet === (0L until 10L).toSet, "one triplet per anchor")
+    val labels = graft.Tables(spark, sf01, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach { case (a, (pos, neg, pc, nc, ok)) =>
+      assert(pos != a && neg != a, s"anchor $a self-paired")
+      assert(labels(pos) === labels(a), s"anchor $a positive crosses labels")
+      assert(labels(neg) !== labels(a), s"anchor $a negative shares the label")
+      assert(ok === (pc > nc), s"anchor $a margin flag")
+    }
+    // serial argmax replay: each side's pick is the true nearest
+    // under the (cosine desc, cand_id asc) order
+    val vecs = graft.Tables(spark, sf01, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    (0L until 10L).foreach { a =>
+      val cands = vecs.keys.filter(_ != a).toSeq
+      def best(pred: Long => Boolean) =
+        cands.filter(pred).map(c => (c, cos(vecs(a), vecs(c))))
+          .minBy { case (c, s) => (-s, c) }._1
+      val (pos, neg, _, _, _) = got(a)
+      assert(pos === best(c => labels(c) == labels(a)), s"anchor $a positive not the argmax")
+      assert(neg === best(c => labels(c) != labels(a)), s"anchor $a negative not the argmax")
+    }
+  }
 }
