@@ -1011,6 +1011,63 @@ object Pipeline {
                       doc_id, shuffle_key
                FROM nxt""")),
 
+    // ── p18: CURRICULUM ordering — the easiest→hardest global
+    // training order (curriculum learning's data schedule): every
+    // doc ranked by the shared corpus quality signal (p06/p09's
+    // uniq-ratio + length floor), contiguously and deterministically,
+    // and cut into warmup/main/hard phase terciles by RANK (exact,
+    // not score quantiles — phases are equal-sized by construction).
+    // The global rank is the p03/p05 two-phase prefix sum: range
+    // partition on (−quality, doc_id), one count row per partition
+    // to the driver, offset + within-partition row_number — never a
+    // single-partition window, at any corpus size. ──
+    "p18_curriculum_order" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val width = s.sparkContext.defaultParallelism
+        val scored = Tables(s, d, "documents")
+          .selectExpr("doc_id",
+            s"size($toks) as n_tokens",
+            s"(size(array_distinct($toks)) * 10000) div size($toks) as uniq_bp")
+          .selectExpr("doc_id",
+            "(uniq_bp + (case when n_tokens >= 15 then 10000 else 0 end)) div 2 as q")
+          .selectExpr("doc_id", "q", "-q as nq")
+          .repartitionByRange(width, col("nq"), col("doc_id"))
+          .sortWithinPartitions("nq", "doc_id")
+          .withColumn("pid", spark_partition_id())
+          .persistScoped()
+        val counts = scored.groupBy("pid").count()
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+        val total = counts.map(_._2).sum
+        val offsets = counts
+          .scanLeft((0, 0L)) { case ((_, acc), (pid, n)) => (pid, acc + n) }
+          .sliding(2).collect { case Array((_, off), (pid, _)) => (pid, off) }.toSeq
+        import s.implicits._
+        scored.join(broadcast(offsets.toDF("pid", "off")), "pid")
+          .withColumn("rank", col("off") + row_number().over(
+            Window.partitionBy("pid").orderBy("nq", "doc_id")) - 1)
+          .selectExpr("doc_id", "q as quality_bp", "rank",
+            s"""case when rank * 3 < $total then 'warmup'
+                     when rank * 3 < 2 * $total then 'main'
+                     else 'hard' end as phase""")
+      },
+      Some("""WITH q AS (
+                SELECT doc_id,
+                       ((len(list_distinct(string_split(text,' '))) * 10000)
+                          // len(string_split(text,' '))
+                        + (CASE WHEN len(string_split(text,' ')) >= 15 THEN 10000 ELSE 0 END)) // 2
+                         AS quality_bp
+                FROM documents),
+              r AS (SELECT doc_id, quality_bp,
+                           row_number() OVER (ORDER BY quality_bp DESC, doc_id) - 1 AS rank,
+                           count(*) OVER () AS n
+                    FROM q)
+              SELECT doc_id, quality_bp, CAST(rank AS BIGINT) AS rank,
+                     CASE WHEN rank * 3 < n THEN 'warmup'
+                          WHEN rank * 3 < 2 * n THEN 'main'
+                          ELSE 'hard' END AS phase
+              FROM r""")),
+
     // ── c08: CANARY-string scan — the benchmark-leakage tripwire
     // next to c02/c04's n-gram overlap and c07's near-dup sweep:
     // eval suites embed unique canary GUIDs (the BIG-bench practice)
