@@ -1201,6 +1201,53 @@ object Dedup {
                LEFT JOIN kept k ON k.doc_id = d.doc_id
                LEFT JOIN rm ON rm.doc_id = d.doc_id""")),
 
+    // ── d23: TYPO join — exact edit-distance-≤1 pairs over the
+    // corpus vocabulary via DELETION NEIGHBORHOODS (the SymSpell
+    // method): each word emits itself plus its |w| one-character-
+    // deletion variants; two words within edit distance 1 MUST share
+    // a variant (w1=w2 del, w2=w1 del, or same-length substitution →
+    // both delete the differing position to the same string), so the
+    // variant equi-join is complete BY THEOREM and candidates are
+    // verified with the built-in levenshtein — never the |V|²
+    // all-pairs scan (the oracle runs exactly that naive join, so
+    // gate equality IS the completeness proof on real data). The
+    // fuzzy-match primitive behind query/title dedup and typo
+    // normalization. Scale: the explode is Σ|w| variants (≈ corpus
+    // vocab bytes), one variant-keyed equi-join bounded by
+    // neighborhood collisions, verify on candidates only. ──
+    "d23_typo_join" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val vocab = Tables(s, d, "documents").select("text")
+          .union(typoDocs.toDF("text"))
+          .selectExpr(s"explode($toks) as w")
+          .where("length(w) >= 3")
+          .groupBy("w").agg(count(lit(1)).as("freq"))
+          .persistScoped()
+        val variants = vocab.selectExpr("w",
+          """explode(concat(array(w),
+               transform(sequence(1, length(w)),
+                 i -> concat(substring(w, 1, i - 1), substring(w, i + 1))))) as v""")
+        val cand = variants.select(col("w").as("w1"), col("v"))
+          .join(variants.select(col("w").as("w2"), col("v")), Seq("v"))
+          .where(col("w1") < col("w2"))
+          .select("w1", "w2").distinct()
+        cand.where(levenshtein(col("w1"), col("w2")) <= 1)
+          .join(vocab.select(col("w").as("w1"), col("freq").as("f1")), "w1")
+          .join(vocab.select(col("w").as("w2"), col("freq").as("f2")), "w2")
+          .select("w1", "w2", "f1", "f2")
+      },
+      Some {
+        val vals = typoDocs.map(t => s"('$t')").mkString(", ")
+        s"""WITH corpus AS (SELECT text FROM documents
+                            UNION ALL SELECT * FROM (VALUES $vals) p(text)),
+            v AS (SELECT w, count(*) AS freq FROM
+                    (SELECT unnest(string_split(text, ' ')) AS w FROM corpus)
+                  WHERE length(w) >= 3 GROUP BY w)
+            SELECT a.w AS w1, b.w AS w2, a.freq AS f1, b.freq AS f2
+            FROM v a JOIN v b ON a.w < b.w AND levenshtein(a.w, b.w) <= 1"""
+      }),
+
     // ── d22: LSH PARAMETER SWEEP — the tune-your-index query for
     // the dedup tier, s15's nprobe sweep transplanted to MinHash
     // banding: the same 16-perm signatures cut as (16 bands × 1
@@ -1282,6 +1329,15 @@ object Dedup {
             $sel"""
       })
   )
+
+  /** d23's planted typo docs — the synthetic vocabulary has no
+    * natural edit-distance-1 neighbors, so the gate plants one
+    * deletion ("tble"~table), one insertion ("scann"~scan), and one
+    * substitution ("windoq"~window), exercising all three edit kinds
+    * the deletion-neighborhood theorem covers. */
+  private[graft] lazy val typoDocs = Seq(
+    "tble scan filter row",
+    "scann the windoq value")
 
   /** d18/c09's shared span machinery: the maximal duplicated-span
     * islands of Lee et al. 2022 — (doc_id, n_tokens, grp, s0, e1),

@@ -520,4 +520,24 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       assert(tp <= nc && tp <= nt)
     }
   }
+
+  test("d23 typo join: neighborhood theorem holds for every edit kind; planted pairs found exactly") {
+    // the prefix of the proof the gate can't see: for ANY word and
+    // ANY single edit, the deletion neighborhoods intersect
+    def neigh(w: String): Set[String] =
+      Set(w) ++ (1 to w.length).map(i => w.substring(0, i - 1) + w.substring(i))
+    val w = "abcdef"
+    val edits =
+      (1 to w.length).map(i => w.substring(0, i - 1) + w.substring(i)) ++ // deletions
+      (0 to w.length).map(i => w.substring(0, i) + "z" + w.substring(i)) ++ // insertions
+      (1 to w.length).map(i => w.substring(0, i - 1) + "z" + w.substring(i)) // substitutions
+    edits.foreach { e =>
+      assert(neigh(w).intersect(neigh(e)).nonEmpty, s"neighborhoods miss edit $e")
+    }
+    // the engine finds exactly the planted pairs on the corpus
+    val sf01 = "/root/testdata/sf0.01"
+    val got = Dedup.all("d23_typo_join").fn(spark, sf01).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("scan", "scann"), ("table", "tble"), ("windoq", "window")))
+  }
 }
