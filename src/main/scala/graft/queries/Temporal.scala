@@ -185,6 +185,57 @@ object Temporal {
                     OR (a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber))
                AND a.sd <= b.rd AND b.sd <= a.rd""")),
 
+    // ── j08: interval COALESCE (Teradata NORMALIZE / SQL:2011
+    // temporal packing): per supplier, overlapping-or-adjacent
+    // transit intervals merge into maximal busy spans — the other
+    // half of j05's overlap join (j05 finds pairwise conflicts; j08
+    // produces the packed timeline capacity planning and SLA
+    // reporting read). Same gaps-and-islands sweep as d18's span
+    // merge, here over j05's interval source: per-KEY window ordered
+    // by (start, end), island break where start > running-max-end+1,
+    // one keyed partial agg per island. State is one running max per
+    // supplier — never a collected interval list; the span partition
+    // is order-robust (ties on (start, end) cannot split an island).
+    // ──
+    "j08_interval_coalesce" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = graft.Tables(s, d, "lineitem").selectExpr(
+          "l_suppkey",
+          "cast(unix_date(cast(l_shipdate as date)) as bigint) as sd",
+          "cast(unix_date(cast(l_shipdate as date)) + (cast(l_quantity as int) % 7 + 1) as bigint) as rd")
+        val bySupp = Window.partitionBy("l_suppkey").orderBy("sd", "rd")
+        li.withColumn("pe",
+            max("rd").over(bySupp.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("fl",
+            when(col("pe").isNull || col("sd") > col("pe") + 1, 1L).otherwise(0L))
+          .withColumn("grp", sum("fl").over(bySupp.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("l_suppkey", "grp")
+          .agg(min("sd").as("span_start"), max("rd").as("span_end"),
+            count(lit(1)).as("n_intervals"))
+          .selectExpr("l_suppkey", "span_start", "span_end", "n_intervals",
+            "span_end - span_start + 1 as busy_days")
+      },
+      Some("""WITH li AS (SELECT l_suppkey,
+                       datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS sd,
+                       datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+                         + (CAST(l_quantity AS INT) % 7 + 1) AS rd
+                     FROM lineitem),
+              w AS (SELECT l_suppkey, sd, rd,
+                           max(rd) OVER (PARTITION BY l_suppkey ORDER BY sd, rd
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+                    FROM li),
+              g AS (SELECT l_suppkey, sd, rd,
+                           sum(CASE WHEN pe IS NULL OR sd > pe + 1 THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY l_suppkey ORDER BY sd, rd
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+                    FROM w)
+              SELECT l_suppkey, CAST(min(sd) AS BIGINT) AS span_start,
+                     CAST(max(rd) AS BIGINT) AS span_end,
+                     count(*) AS n_intervals,
+                     CAST(max(rd) - min(sd) + 1 AS BIGINT) AS busy_days
+              FROM g GROUP BY l_suppkey, grp""")),
+
     // ── j06: NEAREST as-of join (pandas merge_asof
     // direction='nearest'): each purchase pairs with the temporally
     // closest same-user click in EITHER direction — the feature-join

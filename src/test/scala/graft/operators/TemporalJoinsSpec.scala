@@ -166,4 +166,38 @@ class TemporalJoinsSpec extends AnyFunSuite with SparkTestBase {
     // real priors AND first orders with none
     assert(got.values.exists(_.isDefined) && got.values.exists(_.isEmpty))
   }
+
+  test("j08 coalesce: spans equal the serial interval merge, are disjoint, and count every interval") {
+    val sf01 = "/root/testdata/sf0.01"
+    val spans = graft.queries.Temporal.all("j08_interval_coalesce").fn(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ivs = graft.Tables(spark, sf01, "lineitem").selectExpr(
+        "l_suppkey",
+        "cast(unix_date(cast(l_shipdate as date)) as bigint) as sd",
+        "cast(unix_date(cast(l_shipdate as date)) + (cast(l_quantity as int) % 7 + 1) as bigint) as rd")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // serial sweep per supplier
+    val expected = ivs.groupBy(_._1).flatMap { case (k, xs) =>
+      val sorted = xs.map(t => (t._2, t._3)).sortBy(identity).toList
+      val merged = sorted.drop(1).foldLeft(List((sorted.head._1, sorted.head._2, 1L))) {
+        case ((s0, e0, n) :: rest, (s1, e1)) =>
+          if (s1 <= e0 + 1) (s0, math.max(e0, e1), n + 1) :: rest
+          else (s1, e1, 1L) :: (s0, e0, n) :: rest
+        case (Nil, _) => Nil
+      }
+      merged.map { case (s0, e0, n) => (k, s0, e0, n) }
+    }.toSet
+    assert(spans.toSet === expected)
+    // spans per supplier are disjoint with real gaps between them
+    spans.groupBy(_._1).foreach { case (k, ss) =>
+      val ordered = ss.sortBy(_._2)
+      ordered.zip(ordered.drop(1)).foreach { case (a, b) =>
+        assert(b._2 > a._3 + 1, s"supplier $k spans touch or overlap")
+      }
+    }
+    // every interval is counted exactly once
+    assert(spans.map(_._4).sum === ivs.length.toLong)
+    // the merge must merge: some span holds many intervals
+    assert(spans.exists(_._4 > 1), "no interval ever merged - vacuous")
+  }
 }
