@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.CacheScope.PersistScopedOps
 import graft.{Det, Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -706,6 +707,48 @@ object Relational {
               SELECT from_type, to_type, n,
                      CAST(n * 10000 // n_tot AS BIGINT) AS share_bp
               FROM c, tot""")),
+
+    // ── q37: rolling DISTINCT-user reach — DAU/WAU and the
+    // stickiness ratio (the product-analytics vital sign next to
+    // q34's retention): for every day in the event range, the
+    // distinct users active that day and in the trailing 7 days.
+    // Sliding DISTINCT cannot ride a window frame (distinct doesn't
+    // decompose over frames), so the exact shape is membership
+    // expansion: the event grain dies at the FIRST exchange
+    // (distinct (user, day)), each user-day then fans out map-side
+    // into the ≤7 window-ends it can serve (bounded ×7, the q26
+    // hopping expansion), and one day-keyed distinct-agg finishes —
+    // state per day is its distinct user set, never the event
+    // stream. Days beyond the observed range are clipped so every
+    // output day is a real day. ──
+    "q37_rolling_reach" -> Q(
+      (s, d) => {
+        val ud = events(s, d)
+          .selectExpr("user_id", "cast(unix_date(cast(ts as date)) as bigint) as day")
+          .distinct().persistScoped()
+        val ext = ud.agg(max("day").as("dmax"))
+        val dau = ud.groupBy("day").agg(countDistinct("user_id").as("dau"))
+        val wau = ud.crossJoin(broadcast(ext))
+          .selectExpr("user_id", "explode(sequence(day, least(day + 6, dmax))) as wday")
+          .groupBy("wday").agg(countDistinct("user_id").as("wau"))
+          .selectExpr("wday as day", "wau")
+        dau.join(wau, "day")
+          .selectExpr("day", "dau", "wau", "dau * 10000 div wau as stickiness_bp")
+      },
+      Some("""WITH ud AS (SELECT DISTINCT user_id,
+                            datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+                          FROM events),
+              ext AS (SELECT max(day) AS dmax FROM ud),
+              dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY day),
+              wau AS (SELECT wday AS day, count(DISTINCT user_id) AS wau FROM
+                        (SELECT user_id,
+                                unnest(generate_series(day, least(day + 6, dmax))) AS wday
+                         FROM ud CROSS JOIN ext)
+                      GROUP BY wday)
+              SELECT day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+                     CAST(dau * 10000 // wau AS BIGINT) AS stickiness_bp
+              FROM dau JOIN wau USING (day)"""))
+      ,
 
     // ── q36: time-series RESAMPLE + forward fill — the pandas
     // `resample('D').ffill()` primitive as a distributed query: per

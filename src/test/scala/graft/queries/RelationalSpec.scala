@@ -123,4 +123,27 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     // the fill must DO something: some gap day exists
     assert(rows.exists(_._3 == 0L), "no gap day anywhere - resample is vacuous here")
   }
+
+  test("q37 rolling reach: equals the serial sliding distinct; wau bounds dau; stickiness sane") {
+    val sf01 = "/root/testdata/sf0.01"
+    val got = Relational.all("q37_rolling_reach").fn(spark, sf01).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val ud = Relational.events(spark, sf01)
+      .selectExpr("user_id", "cast(unix_date(cast(ts as date)) as bigint) as day")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val days = ud.map(_._2).distinct.sorted
+    val expected = days.map { d =>
+      val dau = ud.collect { case (u, dd) if dd == d => u }.distinct.size.toLong
+      val wau = ud.collect { case (u, dd) if dd >= d - 6 && dd <= d => u }.distinct.size.toLong
+      d -> ((dau, wau, dau * 10000 / wau))
+    }.toMap
+    assert(got === expected)
+    got.foreach { case (d, (dau, wau, st)) =>
+      assert(wau >= dau, s"day $d wau < dau")
+      assert(st <= 10000 && st > 0, s"day $d stickiness $st")
+    }
+    // the window must widen reach somewhere (wau > dau), or the
+    // rolling union measured nothing
+    assert(got.values.exists(v => v._2 > v._1), "wau never exceeds dau - vacuous")
+  }
 }
