@@ -1201,6 +1201,109 @@ object Dedup {
                LEFT JOIN kept k ON k.doc_id = d.doc_id
                LEFT JOIN rm ON rm.doc_id = d.doc_id""")),
 
+    // ── d24: HLL SET ALGEBRA — pairwise source-overlap estimates
+    // from the d19 register sketches ALONE: est|A∩B| = est(A) +
+    // est(B) − est(A∪B) (inclusion–exclusion), where the union's
+    // registers are the bucket-wise MAX of the pair's registers — no
+    // corpus re-scan, which is the entire point of sketch algebra
+    // (a 100 TB overlap matrix from KB-sized artifacts). Same d19
+    // exactness discipline: dyadic-rational integer estimator, so
+    // both engines agree bit-for-bit; the exact intersection is gate
+    // evidence only (a production profiler publishes the estimate).
+    // Restricted to a 5-source slice (10 pairs) — the pair grid is
+    // quadratic by nature and the slice is the audit's dial. Scale:
+    // registers are ≤1024 rows/source; everything downstream is
+    // pair×bucket-bounded, corpus-size-independent. Honest accuracy
+    // note, pinned by spec: inclusion–exclusion error scales with
+    // the UNION (each estimate's σ ≈ 3.25% of its set), so a small
+    // true intersection under big sets reads a large RELATIVE error
+    // while |est−exact| stays a few percent of the union — the
+    // documented reason theta sketches exist for intersection-heavy
+    // workloads; err_bp publishes the realized relative error. ──
+    "d24_hll_setops" -> Q(
+      (s, d) => {
+        Hashing.register(s)
+        val five = Seq("src0", "src1", "src2", "src3", "src4")
+        val items = hllItems(Tables(s, d, "documents")
+            .where(col("source").isin(five: _*))
+            .repartition(s.sparkContext.defaultParallelism))
+          .persistScoped()
+        val regs = hllRegisters(items).persistScoped()
+        val srcs = regs.select("source").distinct()
+        val pairs = srcs.select(col("source").as("sa"))
+          .join(srcs.select(col("source").as("sb")), col("sa") < col("sb"))
+        val estS = hllEst(regs, Seq("source"))
+        val ru = pairs.join(regs, col("source") === col("sa"))
+          .select("sa", "sb", "bucket", "m_rho")
+          .union(pairs.join(regs, col("source") === col("sb"))
+            .select("sa", "sb", "bucket", "m_rho"))
+          .groupBy("sa", "sb", "bucket").agg(max("m_rho").as("m_rho"))
+        val estU = hllEst(ru, Seq("sa", "sb"))
+          .withColumnRenamed("est", "est_union")
+        val dh = items.distinct()
+        val exact = dh.select(col("source").as("sa"), col("h"))
+          .join(dh.select(col("source").as("sb"), col("h")), Seq("h"))
+          .where(col("sa") < col("sb"))
+          .groupBy("sa", "sb").agg(count(lit(1)).as("exact_inter"))
+        pairs
+          .join(estS.select(col("source").as("sa"), col("est").as("est_a")), "sa")
+          .join(estS.select(col("source").as("sb"), col("est").as("est_b")), "sb")
+          .join(estU, Seq("sa", "sb"))
+          .join(exact, Seq("sa", "sb"), "left")
+          .selectExpr("sa", "sb", "est_a", "est_b", "est_union",
+            "est_a + est_b - est_union as est_inter",
+            "coalesce(exact_inter, 0L) as exact_inter",
+            """abs(est_a + est_b - est_union - coalesce(exact_inter, 0L)) * 10000
+               div greatest(coalesce(exact_inter, 0L), cast(1 as bigint)) as err_bp""")
+      },
+      Some(s"""WITH t AS (SELECT source, string_split(text,' ') AS t FROM documents
+                          WHERE source IN ('src0','src1','src2','src3','src4')
+                            AND len(string_split(text,' ')) >= 3),
+               it AS (SELECT source, unnest(list_transform(generate_series(1, len(t)-2),
+                        i -> ${Hashing.duck32("array_to_string(t[i:i+2], ' ')")})) AS h
+                      FROM t),
+               br AS (SELECT source, h // 4194304 AS bucket,
+                             CASE WHEN h % 4194304 = 0 THEN 23
+                                  ELSE 23 - length(bin(h % 4194304)) END AS rho
+                      FROM it),
+               mx AS (SELECT source, bucket, max(rho) AS m_rho FROM br GROUP BY 1, 2),
+               srcs AS (SELECT DISTINCT source FROM mx),
+               pr AS (SELECT a.source AS sa, b.source AS sb
+                      FROM srcs a JOIN srcs b ON a.source < b.source),
+               allb AS (SELECT source, unnest(generate_series(0, 1023)) AS bucket FROM srcs),
+               sm AS (SELECT a.source, sum(1::BIGINT << (32 - coalesce(m_rho, 0))) AS s_sum
+                      FROM allb a LEFT JOIN mx USING (source, bucket) GROUP BY 1),
+               es AS (SELECT source, CAST((755541 * 4294967296) // s_sum AS BIGINT) AS est
+                      FROM sm),
+               ru AS (SELECT sa, sb, bucket, max(m_rho) AS m_rho FROM (
+                        SELECT pr.sa, pr.sb, mx.bucket, mx.m_rho
+                        FROM pr JOIN mx ON mx.source = pr.sa
+                        UNION ALL
+                        SELECT pr.sa, pr.sb, mx.bucket, mx.m_rho
+                        FROM pr JOIN mx ON mx.source = pr.sb)
+                      GROUP BY 1, 2, 3),
+               allbu AS (SELECT sa, sb, unnest(generate_series(0, 1023)) AS bucket FROM pr),
+               smu AS (SELECT a.sa, a.sb,
+                              sum(1::BIGINT << (32 - coalesce(m_rho, 0))) AS s_sum
+                       FROM allbu a LEFT JOIN ru USING (sa, sb, bucket) GROUP BY 1, 2),
+               esu AS (SELECT sa, sb,
+                              CAST((755541 * 4294967296) // s_sum AS BIGINT) AS est_union
+                       FROM smu),
+               dh AS (SELECT DISTINCT source, h FROM it),
+               ex AS (SELECT a.source AS sa, b.source AS sb, count(*) AS exact_inter
+                      FROM dh a JOIN dh b ON a.h = b.h AND a.source < b.source
+                      GROUP BY 1, 2)
+               SELECT pr.sa, pr.sb, ea.est AS est_a, eb.est AS est_b, est_union,
+                      ea.est + eb.est - est_union AS est_inter,
+                      CAST(coalesce(exact_inter, 0) AS BIGINT) AS exact_inter,
+                      CAST(abs(ea.est + eb.est - est_union - coalesce(exact_inter, 0))
+                           * 10000 // greatest(coalesce(exact_inter, 0), 1) AS BIGINT) AS err_bp
+               FROM pr
+               JOIN es ea ON ea.source = pr.sa
+               JOIN es eb ON eb.source = pr.sb
+               JOIN esu ON esu.sa = pr.sa AND esu.sb = pr.sb
+               LEFT JOIN ex ON ex.sa = pr.sa AND ex.sb = pr.sb""")),
+
     // ── d23: TYPO join — exact edit-distance-≤1 pairs over the
     // corpus vocabulary via DELETION NEIGHBORHOODS (the SymSpell
     // method): each word emits itself plus its |w| one-character-
@@ -1445,6 +1548,19 @@ object Dedup {
         "exact_distinct")
       .selectExpr("source", "est_distinct", "exact_distinct",
         "abs(est_distinct - exact_distinct) * 10000 div exact_distinct as err_bp")
+  }
+
+  /** Generalized HLL estimator over a register frame keyed by
+    * `keys` (d19 uses the (source) grain via [[hllFinish]]; d24 the
+    * (sa, sb) union grain): fill the 1024-bucket grid per key,
+    * dyadic-rational integer harmonic mean, est column out. */
+  private[graft] def hllEst(regs: DataFrame, keys: Seq[String]): DataFrame = {
+    val allB = regs.select(keys.map(col): _*).distinct()
+      .selectExpr(keys :+ "explode(sequence(0, 1023)) as bucket": _*)
+    allB.join(regs, keys :+ "bucket", "left")
+      .selectExpr(keys :+ "shiftleft(1L, 32 - coalesce(m_rho, 0)) as term": _*)
+      .groupBy(keys.map(col): _*).agg(sum("term").as("s_sum"))
+      .selectExpr(keys :+ "(755541L * 4294967296L) div s_sum as est": _*)
   }
 
   /** stream16: fold each arriving micro-batch's registers into the

@@ -540,4 +540,35 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(got === Set(("scan", "scann"), ("table", "tble"), ("windoq", "window")))
   }
+
+  test("d24 HLL set algebra: union merge equals rebuild; intersection error bounded by the union") {
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = Dedup.all("d24_hll_setops").fn(spark, sf01).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(rows.size === 10, "5-source slice must yield 10 pairs")
+    // merge == rebuild for the union estimate: max-merged registers
+    // must give the same estimate as sketching the pooled slice
+    graft.functions.Hashing.register(spark)
+    val five = Seq("src0", "src1")
+    import org.apache.spark.sql.functions._
+    val pooled = Dedup.hllEst(
+      Dedup.hllRegisters(Dedup.hllItems(
+        graft.Tables(spark, sf01, "documents")
+          .where(col("source").isin(five: _*))
+          .withColumn("source", lit("pool")))),
+      Seq("source")).collect()(0).getLong(1)
+    assert(rows(("src0", "src1"))._3 === pooled,
+      "register-max union estimate != pooled rebuild - the algebra is broken")
+    // bounds: union >= each side's estimate; the intersection's
+    // ABSOLUTE error stays within 20% of the union — three combined
+    // 3.25%-sigma estimates plus the pinned-contract bias of the
+    // omitted small-range correction; the honest inclusion-exclusion
+    // envelope, whatever the relative error reads
+    rows.foreach { case ((a, b), (ea, eb, eu, ei, exact)) =>
+      assert(eu >= math.max(ea, eb), s"pair $a/$b union below a side")
+      assert(math.abs(ei - exact) <= eu * 20 / 100,
+        s"pair $a/$b |est_inter-exact|=${math.abs(ei - exact)} vs union $eu")
+    }
+  }
 }
