@@ -421,6 +421,49 @@ object SinkQueries {
                      year(o_orderdate) AS yr FROM orders
               WHERE o_orderkey % 13 != 0""")),
 
+    // ── sink18: RFC-4180 CSV export roundtrip — the exchange-format
+    // guarantee on the WRITE side (the reference's world reads CSV;
+    // an engine that exports corpora must produce CSV other engines
+    // parse identically): delimiters, embedded quotes (doubled, not
+    // backslashed — Spark's default escape is backslash, which
+    // DuckDB's RFC reader would mis-parse; the writer pins
+    // escape = quote), embedded NEWLINES inside quoted fields, and
+    // padded whitespace all survive byte-level export. The GATE
+    // compare is the claim itself: Spark re-reads its own files
+    // (multiLine for the quoted newlines) while the DuckDB oracle
+    // parses THE SAME FILES independently — two parsers, one byte
+    // stream, identical rows. Nasty rows are planted (the c08
+    // pattern); the write is a plain distributed CSV sink, one file
+    // per partition at any scale. ──
+    "sink18_csv_roundtrip" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val out = scratch("csvround")
+        Tables(s, d, "documents").where("doc_id < 20")
+          .selectExpr("doc_id", "text as payload")
+          .union(csvNastyRows.toDF("doc_id", "payload"))
+          .repartition(2)
+          .write.option("header", "true")
+          .option("quote", "\"").option("escape", "\"")
+          // the WRITER trims padding by default — disable both sides
+          // so whitespace-significant payloads export verbatim
+          .option("ignoreLeadingWhiteSpace", "false")
+          .option("ignoreTrailingWhiteSpace", "false")
+          .csv(out)
+        s.read.option("header", "true").option("multiLine", "true")
+          .option("quote", "\"").option("escape", "\"")
+          .schema("doc_id LONG, payload STRING")
+          .csv(out)
+      },
+      Some {
+        val dir = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft-sinks", "csvround")
+        s"""SELECT doc_id, payload
+            FROM read_csv('$dir/*.csv', header = true, delim = ',', quote = '"',
+                          escape = '"',
+                          columns = {'doc_id': 'BIGINT', 'payload': 'VARCHAR'})"""
+      }),
+
     // ── sink17: INCREMENTAL statistics maintenance — sink07's
     // file-skipping manifest kept fresh across appends WITHOUT
     // rescanning the table: the append's new files get their
@@ -649,6 +692,16 @@ object SinkQueries {
     val keep = v1.filterNot(f => years.exists(y => f.startsWith(s"yr=$y/")))
     Sinks.writeManifest(s, out, 2, keep ++ appended)
   }
+
+  /** sink18's planted adversarial payloads — every RFC-4180 escape
+    * case: delimiter, embedded quotes, embedded newline, padding,
+    * and the all-three mix. */
+  private[graft] lazy val csvNastyRows: Seq[(Long, String)] = Seq(
+    (9000001L, "a,b,c"),
+    (9000002L, "say \"hi\" twice"),
+    (9000003L, "line1\nline2"),
+    (9000004L, "  padded  "),
+    (9000005L, "mix, of \"all\"\nthree"))
 
   /** sink17's lifecycle (factored for SinksSpec): base (pre-1996,
     * date-sorted) written + stats manifest v1 from a base scan; a

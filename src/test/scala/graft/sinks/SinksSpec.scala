@@ -432,4 +432,22 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
     assert(years.exists(_ < 1996) && years.exists(_ >= 1996),
       "append boundary not represented - increment is vacuous")
   }
+
+  test("sink18 CSV: nasty payloads roundtrip verbatim and the bytes are RFC (doubled quotes)") {
+    val got = SinkQueries.all("sink18_csv_roundtrip").fn(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    SinkQueries.csvNastyRows.foreach { case (id, payload) =>
+      assert(got(id) === payload, s"row $id mutated through the roundtrip")
+    }
+    // the on-disk form is RFC 4180: quotes doubled, never backslashed
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-sinks", "csvround").toFile
+    val raw = dir.listFiles().filter(_.getName.endsWith(".csv"))
+      .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      .mkString
+    assert(raw.contains("\"\"hi\"\""), "embedded quotes are not doubled")
+    assert(!raw.contains("\\\""), "backslash escaping leaked into the export")
+    // the embedded newline is inside a quoted field, not a row break
+    assert(raw.contains("\"line1\nline2\""), "newline not carried inside quotes")
+  }
 }
