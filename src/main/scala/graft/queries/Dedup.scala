@@ -1229,9 +1229,12 @@ object Dedup {
             .repartition(s.sparkContext.defaultParallelism))
           .persistScoped()
         val regs = hllRegisters(items).persistScoped()
-        val srcs = regs.select("source").distinct()
-        val pairs = srcs.select(col("source").as("sa"))
-          .join(srcs.select(col("source").as("sb")), col("sa") < col("sb"))
+        // the audited slice is a literal, so the pair grid is too —
+        // no self-join materializes it (an UNBOUNDED source list
+        // would build pairs from a keyed distinct+join instead)
+        import s.implicits._
+        val pairs = (for (a <- five; b <- five if a < b) yield (a, b))
+          .toDF("sa", "sb")
         val estS = hllEst(regs, Seq("source"))
         val ru = pairs.join(regs, col("source") === col("sa"))
           .select("sa", "sb", "bucket", "m_rho")
