@@ -1011,6 +1011,75 @@ object Pipeline {
                       doc_id, shuffle_key
                FROM nxt""")),
 
+    // ── p19: DRIFT monitor — the ingest-time distribution-shift
+    // alarm every continuously-fed corpus needs (a crawler that
+    // silently starts returning truncated pages shifts the length
+    // distribution long before any per-doc filter fires): the
+    // d14 re-crawl shard's document-length histogram compared
+    // against the corpus baseline on the SAME bucket grid (d21's
+    // integer histogram, baseline extents frozen; shard values
+    // outside the baseline range clamp to the edge buckets — the
+    // out-of-range mass is exactly what drift looks like), per
+    // bucket the share delta, and the total-variation distance in
+    // basis points as the alarm dial (TV = Σ|Δshare| / 2 — fully
+    // integer, no ln(), so the cross-engine compare is exact where
+    // a PSI's logarithm could never be). Scale: two bucket-keyed
+    // partial aggs (corpus + shard) to ≤128 rows each, everything
+    // downstream bucket-bounded; the baseline histogram is the d21
+    // artifact a production monitor reads, not recomputes. ──
+    "p19_drift_monitor" -> Q(
+      (s, d) => {
+        graft.functions.Hashing.register(s)
+        val docs = Tables(s, d, "documents")
+        val base = docs.selectExpr("length(text) as n_chars")
+        val rng = base.agg(min("n_chars").as("lo"), max("n_chars").as("hi"),
+          count(lit(1)).as("n"))
+        def hist(x: org.apache.spark.sql.DataFrame) = x.crossJoin(broadcast(rng))
+          .selectExpr("lo", "n", "(hi - lo) div 128 + 1 as w", "n_chars")
+          .selectExpr("least(127L, greatest(0L, (n_chars - lo) div w)) as b")
+          .groupBy("b").agg(count(lit(1)).as("cnt"))
+        val shard = graft.queries.Dedup.shardDocs(docs)
+          .selectExpr("length(text) as n_chars")
+        val nb = base.count()
+        val ns = shard.count()
+        val grid = hist(base).selectExpr("b", s"cnt * 10000 div $nb as base_bp")
+          .join(hist(shard).selectExpr("b", s"cnt * 10000 div $ns as shard_bp"),
+            Seq("b"), "full_outer")
+          .selectExpr("b", "coalesce(base_bp, 0L) as base_bp",
+            "coalesce(shard_bp, 0L) as shard_bp")
+          .withColumn("delta_bp", abs(col("base_bp") - col("shard_bp")))
+        val tv = grid.agg((sum("delta_bp") / 2).cast("long").as("tv_bp"))
+        grid.crossJoin(broadcast(tv))
+          .selectExpr("b", "base_bp", "shard_bp", "delta_bp", "tv_bp",
+            "tv_bp >= 1000 as drifted")
+      },
+      Some(s"""WITH base AS (SELECT length(text) AS n_chars FROM documents),
+               r AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi, count(*) AS n FROM base),
+               hw AS (SELECT lo, n, (hi - lo) // 128 + 1 AS w FROM r),
+               shard AS (SELECT length(CASE WHEN ${graft.functions.Hashing.duck32("'shard:' || doc_id")} % 100 < 10
+                                            THEN text ELSE text || ' v2' END) AS n_chars
+                         FROM documents
+                         WHERE ${graft.functions.Hashing.duck32("'shard:' || doc_id")} % 100 < 20),
+               nb AS (SELECT count(*) AS nb FROM base),
+               ns AS (SELECT count(*) AS ns FROM shard),
+               hb AS (SELECT least(127, greatest(0, (n_chars - lo) // w)) AS b,
+                             count(*) AS cnt
+                      FROM base CROSS JOIN hw GROUP BY 1),
+               hs AS (SELECT least(127, greatest(0, (n_chars - lo) // w)) AS b,
+                             count(*) AS cnt
+                      FROM shard CROSS JOIN hw GROUP BY 1),
+               g AS (SELECT coalesce(hb.b, hs.b) AS b,
+                            coalesce(hb.cnt * 10000 // nb, 0) AS base_bp,
+                            coalesce(hs.cnt * 10000 // ns, 0) AS shard_bp
+                     FROM hb FULL OUTER JOIN hs ON hs.b = hb.b
+                     CROSS JOIN nb CROSS JOIN ns),
+               tv AS (SELECT CAST(sum(abs(base_bp - shard_bp)) / 2 AS BIGINT) AS tv_bp FROM g)
+               SELECT CAST(b AS BIGINT) AS b, CAST(base_bp AS BIGINT) AS base_bp,
+                      CAST(shard_bp AS BIGINT) AS shard_bp,
+                      CAST(abs(base_bp - shard_bp) AS BIGINT) AS delta_bp,
+                      tv_bp, tv_bp >= 1000 AS drifted
+               FROM g CROSS JOIN tv""")),
+
     // ── p18: CURRICULUM ordering — the easiest→hardest global
     // training order (curriculum learning's data schedule): every
     // doc ranked by the shared corpus quality signal (p06/p09's

@@ -409,4 +409,38 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(2))).toMap
     assert(rows.map(t => (t._1, t._3)).toMap === again, "rank not deterministic across runs")
   }
+
+  test("p19 drift monitor: equals the serial TV computation; shares and flags are consistent") {
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = Pipeline.all("p19_drift_monitor").fn(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    // serial replay: same hash split, same clamped histogram, same TV
+    val docs = graft.Tables(spark, sf01, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val baseLens = docs.map(_._2.length.toLong)
+    val (lo, hi) = (baseLens.min, baseLens.max)
+    val w = (hi - lo) / 128 + 1
+    def bucket(len: Long) = math.min(127L, math.max(0L, (len - lo) / w))
+    val shardLens = docs.flatMap { case (id, t) =>
+      val pct = graft.functions.Hashing.jvm32(s"shard:$id") % 100
+      if (pct < 20) Some(if (pct < 10) t.length.toLong else t.length + 3L) else None
+    }
+    def shares(lens: Seq[Long]) = lens.groupBy(bucket).view
+      .mapValues(_.size.toLong * 10000 / lens.size).toMap
+    val (bs, ss) = (shares(baseLens.toSeq), shares(shardLens.toSeq))
+    val expected = (bs.keySet ++ ss.keySet).map { b =>
+      (b, bs.getOrElse(b, 0L), ss.getOrElse(b, 0L))
+    }
+    val expTv = expected.toSeq.map(t => math.abs(t._2 - t._3)).sum / 2
+    assert(rows.map(t => (t._1, t._2, t._3)).toSet === expected)
+    rows.foreach { case (b, bbp, sbp, d, tv, fl) =>
+      assert(d === math.abs(bbp - sbp), s"bucket $b delta")
+      assert(tv === expTv, s"bucket $b tv")
+      assert(fl === (tv >= 1000), s"bucket $b flag")
+    }
+    // the edited shard must genuinely drift on this corpus
+    assert(expTv >= 1000, "no drift measured from the edited shard - vacuous")
+  }
 }
