@@ -1032,53 +1032,17 @@ object Pipeline {
         graft.functions.Hashing.register(s)
         val docs = Tables(s, d, "documents")
         val base = docs.selectExpr("length(text) as n_chars")
-        val rng = base.agg(min("n_chars").as("lo"), max("n_chars").as("hi"),
-          count(lit(1)).as("n"))
-        def hist(x: org.apache.spark.sql.DataFrame) = x.crossJoin(broadcast(rng))
-          .selectExpr("lo", "n", "(hi - lo) div 128 + 1 as w", "n_chars")
-          .selectExpr("least(127L, greatest(0L, (n_chars - lo) div w)) as b")
-          .groupBy("b").agg(count(lit(1)).as("cnt"))
+        val (lo, hi, nb) = {
+          val r = base.agg(min("n_chars").as("lo"), max("n_chars").as("hi"),
+            count(lit(1)).as("n")).head
+          (r.getInt(0).toLong, r.getInt(1).toLong, r.getLong(2))
+        }
+        val w = (hi - lo) / 128 + 1
         val shard = graft.queries.Dedup.shardDocs(docs)
           .selectExpr("length(text) as n_chars")
-        val nb = base.count()
-        val ns = shard.count()
-        val grid = hist(base).selectExpr("b", s"cnt * 10000 div $nb as base_bp")
-          .join(hist(shard).selectExpr("b", s"cnt * 10000 div $ns as shard_bp"),
-            Seq("b"), "full_outer")
-          .selectExpr("b", "coalesce(base_bp, 0L) as base_bp",
-            "coalesce(shard_bp, 0L) as shard_bp")
-          .withColumn("delta_bp", abs(col("base_bp") - col("shard_bp")))
-        val tv = grid.agg((sum("delta_bp") / 2).cast("long").as("tv_bp"))
-        grid.crossJoin(broadcast(tv))
-          .selectExpr("b", "base_bp", "shard_bp", "delta_bp", "tv_bp",
-            "tv_bp >= 1000 as drifted")
+        driftFinish(lenHist(base, lo, w), lenHist(shard, lo, w), nb, shard.count())
       },
-      Some(s"""WITH base AS (SELECT length(text) AS n_chars FROM documents),
-               r AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi, count(*) AS n FROM base),
-               hw AS (SELECT lo, n, (hi - lo) // 128 + 1 AS w FROM r),
-               shard AS (SELECT length(CASE WHEN ${graft.functions.Hashing.duck32("'shard:' || doc_id")} % 100 < 10
-                                            THEN text ELSE text || ' v2' END) AS n_chars
-                         FROM documents
-                         WHERE ${graft.functions.Hashing.duck32("'shard:' || doc_id")} % 100 < 20),
-               nb AS (SELECT count(*) AS nb FROM base),
-               ns AS (SELECT count(*) AS ns FROM shard),
-               hb AS (SELECT least(127, greatest(0, (n_chars - lo) // w)) AS b,
-                             count(*) AS cnt
-                      FROM base CROSS JOIN hw GROUP BY 1),
-               hs AS (SELECT least(127, greatest(0, (n_chars - lo) // w)) AS b,
-                             count(*) AS cnt
-                      FROM shard CROSS JOIN hw GROUP BY 1),
-               g AS (SELECT coalesce(hb.b, hs.b) AS b,
-                            coalesce(hb.cnt * 10000 // nb, 0) AS base_bp,
-                            coalesce(hs.cnt * 10000 // ns, 0) AS shard_bp
-                     FROM hb FULL OUTER JOIN hs ON hs.b = hb.b
-                     CROSS JOIN nb CROSS JOIN ns),
-               tv AS (SELECT CAST(sum(abs(base_bp - shard_bp)) / 2 AS BIGINT) AS tv_bp FROM g)
-               SELECT CAST(b AS BIGINT) AS b, CAST(base_bp AS BIGINT) AS base_bp,
-                      CAST(shard_bp AS BIGINT) AS shard_bp,
-                      CAST(abs(base_bp - shard_bp) AS BIGINT) AS delta_bp,
-                      tv_bp, tv_bp >= 1000 AS drifted
-               FROM g CROSS JOIN tv""")),
+      Some(driftOracle)),
 
     // ── p18: CURRICULUM ordering — the easiest→hardest global
     // training order (curriculum learning's data schedule): every
@@ -1192,6 +1156,109 @@ object Pipeline {
             FROM can LEFT JOIN h USING (suite)"""
       })
   )
+
+  // ── drift machinery shared by p19 (one-shot batch) and stream21
+  // (maintained shard-histogram artifact + streaming fold) ──
+
+  /** Clamped 128-bucket length histogram against FROZEN baseline
+    * constants (lo, w) — (b, cnt), ≤128 rows at any input size.
+    * Works on batch and streaming frames (stateless projection +
+    * keyed partial agg). */
+  private[graft] def lenHist(x: org.apache.spark.sql.DataFrame,
+      lo: Long, w: Long): org.apache.spark.sql.DataFrame =
+    x.selectExpr(s"least(127L, greatest(0L, (n_chars - $lo) div $w)) as b")
+      .groupBy("b").agg(count(lit(1)).as("cnt"))
+
+  /** p19's finish over two bucket-count frames: per-bucket shares,
+    * deltas, and the integer total-variation distance + alarm. */
+  private[graft] def driftFinish(baseH: org.apache.spark.sql.DataFrame,
+      shardH: org.apache.spark.sql.DataFrame, nb: Long,
+      ns: Long): org.apache.spark.sql.DataFrame = {
+    val grid = baseH.selectExpr("b", s"cnt * 10000 div $nb as base_bp")
+      .join(shardH.selectExpr("b", s"cnt * 10000 div $ns as shard_bp"),
+        Seq("b"), "full_outer")
+      .selectExpr("b", "coalesce(base_bp, 0L) as base_bp",
+        "coalesce(shard_bp, 0L) as shard_bp")
+      .withColumn("delta_bp", abs(col("base_bp") - col("shard_bp")))
+    val tv = grid.agg((sum("delta_bp") / 2).cast("long").as("tv_bp"))
+    grid.crossJoin(broadcast(tv))
+      .selectExpr("b", "base_bp", "shard_bp", "delta_bp", "tv_bp",
+        "tv_bp >= 1000 as drifted")
+  }
+
+  /** stream21: fold each arriving micro-batch's shard histogram into
+    * the persisted (b, cnt) artifact by counter-wise ADD — counts of
+    * a disjoint union are the sum of counts (the d21 merge algebra
+    * in streaming form, the same template as stream16/17), so the
+    * maintained histogram equals the batch rebuild regardless of
+    * batch boundaries. Artifact ≤128 rows at any corpus size; swap
+    * is write-tmp + rename. */
+  private[graft] def histArtifactDir: String = java.nio.file.Paths.get(
+    System.getProperty("java.io.tmpdir"), "graft-drift-hist").toString
+
+  private[graft] def histStream(s: org.apache.spark.sql.SparkSession,
+      lens: org.apache.spark.sql.DataFrame, lo: Long,
+      w: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{Dataset, Row}
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(histArtifactDir))
+    val target = new java.io.File(histArtifactDir, "hist")
+    val q = lens.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val sb = batch.sparkSession
+        val bh = lenHist(batch, lo, w)
+        val merged =
+          if (target.exists())
+            bh.unionByName(sb.read.parquet(target.toString))
+              .groupBy("b").agg(sum("cnt").as("cnt"))
+          else bh
+        val tmp = new java.io.File(histArtifactDir, "hist.tmp")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        rm(target)
+        require(tmp.renameTo(target), "histogram artifact swap failed")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(300000)) {
+      q.stop()
+      throw new IllegalStateException("stream21 did not drain within 300s")
+    }
+    s.read.parquet(target.toString)
+  }
+
+  /** p19's oracle, shared verbatim by stream21: the artifact-served
+    * streaming drift report must reproduce the batch answer. */
+  private[graft] lazy val driftOracle: String =
+    s"""WITH base AS (SELECT length(text) AS n_chars FROM documents),
+        r AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi, count(*) AS n FROM base),
+        hw AS (SELECT lo, n, (hi - lo) // 128 + 1 AS w FROM r),
+        shard AS (SELECT length(CASE WHEN ${graft.functions.Hashing.duck32("'shard:' || doc_id")} % 100 < 10
+                                     THEN text ELSE text || ' v2' END) AS n_chars
+                  FROM documents
+                  WHERE ${graft.functions.Hashing.duck32("'shard:' || doc_id")} % 100 < 20),
+        nb AS (SELECT count(*) AS nb FROM base),
+        ns AS (SELECT count(*) AS ns FROM shard),
+        hb AS (SELECT least(127, greatest(0, (n_chars - lo) // w)) AS b,
+                      count(*) AS cnt
+               FROM base CROSS JOIN hw GROUP BY 1),
+        hs AS (SELECT least(127, greatest(0, (n_chars - lo) // w)) AS b,
+                      count(*) AS cnt
+               FROM shard CROSS JOIN hw GROUP BY 1),
+        g AS (SELECT coalesce(hb.b, hs.b) AS b,
+                     coalesce(hb.cnt * 10000 // nb, 0) AS base_bp,
+                     coalesce(hs.cnt * 10000 // ns, 0) AS shard_bp
+              FROM hb FULL OUTER JOIN hs ON hs.b = hb.b
+              CROSS JOIN nb CROSS JOIN ns),
+        tv AS (SELECT CAST(sum(abs(base_bp - shard_bp)) / 2 AS BIGINT) AS tv_bp FROM g)
+        SELECT CAST(b AS BIGINT) AS b, CAST(base_bp AS BIGINT) AS base_bp,
+               CAST(shard_bp AS BIGINT) AS shard_bp,
+               CAST(abs(base_bp - shard_bp) AS BIGINT) AS delta_bp,
+               tv_bp, tv_bp >= 1000 AS drifted
+        FROM g CROSS JOIN tv"""
 
   /** c08's canary registry: (suite, canary GUID). Deterministic
     * literals standing in for the GUIDs real eval suites embed. */

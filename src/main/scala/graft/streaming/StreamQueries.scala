@@ -590,6 +590,34 @@ object StreamQueries {
               FROM events e JOIN dim
                 ON dim.user_id = e.user_id
                AND CAST(e.ts AS TIMESTAMP) >= vf_ts
-               AND CAST(e.ts AS TIMESTAMP) < vt_ts"""))
+               AND CAST(e.ts AS TIMESTAMP) < vt_ts""")),
+
+    // ── stream21: streaming DRIFT monitor — p19's alarm maintained
+    // over an arriving shard: each micro-batch's clamped length
+    // histogram folds into the persisted (b, cnt) artifact by
+    // counter-wise ADD (the d21 merge algebra in streaming form —
+    // the stream16/17 template's fourth instance), and the drift
+    // report is answered FROM the artifact against the FROZEN
+    // baseline grid, pinned to p19's oracle verbatim: batch
+    // boundaries cannot change the alarm. Per-batch cost and state
+    // are ≤128 counter rows at any corpus size. ──
+    "stream21_drift_monitor" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{count, lit, max, min}
+        graft.functions.Hashing.register(s)
+        val P = graft.queries.Pipeline
+        val base = graft.Tables(s, d, "documents")
+          .selectExpr("length(text) as n_chars")
+        val r = base.agg(min("n_chars").as("lo"), max("n_chars").as("hi"),
+          count(lit(1)).as("n")).head
+        val (lo, nb) = (r.getInt(0).toLong, r.getLong(2))
+        val w = (r.getInt(1).toLong - lo) / 128 + 1
+        val shardH = P.histStream(s,
+          graft.queries.Dedup.shardDocs(EventStreams.docsStream(s, d))
+            .selectExpr("length(text) as n_chars"), lo, w)
+        val ns = shardH.agg(org.apache.spark.sql.functions.sum("cnt")).head.getLong(0)
+        P.driftFinish(P.lenHist(base, lo, w), shardH, nb, ns)
+      },
+      Some(graft.queries.Pipeline.driftOracle))
   )
 }

@@ -749,4 +749,30 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val tiersByUser = got.groupBy(_._2._1).view.mapValues(_.map(_._2._3).distinct.size)
     assert(tiersByUser.values.exists(_ > 1), "no user changed tier - PIT join is vacuous")
   }
+
+  test("stream21: histogram fold equals the one-shot build; streamed drift equals batch p19") {
+    val sf01 = "/root/testdata/sf0.01"
+    // the full streaming answer equals the batch twin row-for-row
+    val streamed = StreamQueries.all("stream21_drift_monitor").fn(spark, sf01)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = graft.queries.Pipeline.all("p19_drift_monitor").fn(spark, sf01)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed === batch, "artifact-served drift diverged from the batch answer")
+    // the + fold is batch-boundary-invariant: a 3-chop fold of the
+    // shard equals the one-shot histogram (the merge algebra itself)
+    import org.apache.spark.sql.functions.sum
+    graft.functions.Hashing.register(spark)
+    val P = graft.queries.Pipeline
+    val shard = graft.queries.Dedup.shardDocs(graft.Tables(spark, sf01, "documents"))
+      .selectExpr("doc_id", "length(text) as n_chars").cache()
+    val oneShot = P.lenHist(shard, 40, 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val folded = (0 until 3)
+      .map(c => P.lenHist(shard.where(s"doc_id % 3 = $c"), 40, 5).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+      .reduce((a, b) => (a.keySet ++ b.keySet)
+        .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap)
+    assert(folded === oneShot, "3-chop histogram fold != one-shot")
+    shard.unpersist()
+  }
 }
