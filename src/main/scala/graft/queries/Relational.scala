@@ -708,6 +708,57 @@ object Relational {
                      CAST(n * 10000 // n_tot AS BIGINT) AS share_bp
               FROM c, tot""")),
 
+    // ── q38: ROBUST outlier detection via median absolute deviation
+    // — the anomaly cut that survives what mean±kσ cannot (one whale
+    // drags a mean; the median and MAD ignore it): corpus median of
+    // integer-cent values, MAD = median of |v − med|, outliers at
+    // dev > 3·MAD, published as counts and share. Pinned rank
+    // contract (value at rank ⌈N/2⌉ ascending — NOT the midpoint
+    // average, which DuckDB's median() would compute differently),
+    // both rank statistics via TakeOrderedAndProject (per-partition
+    // heap heads, driver merge, never a global sort; the t16 Int
+    // guard names the sketch fallback past 2³¹), the scalar attaches
+    // via the audited crossJoin(broadcast(1-row agg)) shape, and the
+    // flags fold map-side into one summary row. ──
+    "q38_robust_outliers" -> Q(
+      (s, d) => {
+        val v = events(s, d)
+          .selectExpr("cast(floor(value * 100) as bigint) as v").persistScoped()
+        val n = v.count()
+        val kL = (n + 1) / 2
+        require(kL <= Int.MaxValue,
+          s"corpus too large for exact rank-$kL; use the d21 sketch estimate")
+        val k = kL.toInt
+        val med = v.orderBy(col("v").asc).limit(k).agg(max("v").as("med"))
+        val dev = v.crossJoin(broadcast(med))
+          .selectExpr("abs(v - med) as dev", "med").persistScoped()
+        val mad = dev.orderBy(col("dev").asc).limit(k).agg(max("dev").as("mad"))
+        dev.crossJoin(broadcast(mad))
+          .selectExpr("med", "mad",
+            "case when dev > 3 * mad then 1L else 0L end as o")
+          .agg(count(lit(1)).as("n_total"), min("med").as("median_c"),
+            min("mad").as("mad_c"), sum("o").as("n_outliers"))
+          .selectExpr("n_total", "median_c", "mad_c", "n_outliers",
+            "n_outliers * 10000 div n_total as outlier_bp")
+      },
+      Some("""WITH c AS (SELECT CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+              nn AS (SELECT count(*) AS n FROM c),
+              rk AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM c),
+              m AS (SELECT max(CASE WHEN rn <= (n + 1) // 2 THEN v END) AS med
+                    FROM rk CROSS JOIN nn),
+              dv AS (SELECT abs(v - med) AS dev, med FROM c CROSS JOIN m),
+              rkd AS (SELECT dev, row_number() OVER (ORDER BY dev) AS rn FROM dv),
+              md AS (SELECT max(CASE WHEN rn <= (n + 1) // 2 THEN dev END) AS mad
+                     FROM rkd CROSS JOIN nn)
+              SELECT CAST(n AS BIGINT) AS n_total, CAST(med AS BIGINT) AS median_c,
+                     CAST(mad AS BIGINT) AS mad_c,
+                     CAST(sum(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_outliers,
+                     CAST(sum(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) * 10000 // n
+                          AS BIGINT) AS outlier_bp
+              FROM dv CROSS JOIN md CROSS JOIN nn
+              GROUP BY n, med, mad""")),
+
     // ── q37: rolling DISTINCT-user reach — DAU/WAU and the
     // stickiness ratio (the product-analytics vital sign next to
     // q34's retention): for every day in the event range, the

@@ -146,4 +146,28 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     // rolling union measured nothing
     assert(got.values.exists(v => v._2 > v._1), "wau never exceeds dau - vacuous")
   }
+
+  test("q38 MAD outliers: equals the serial robust statistics; cut is real and resistant") {
+    val sf01 = "/root/testdata/sf0.01"
+    val r = Relational.all("q38_robust_outliers").fn(spark, sf01).head
+    val (n, med, mad, out, bp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    // serial replay with the pinned rank-ceil(N/2) contract
+    val vs = Relational.events(spark, sf01)
+      .selectExpr("cast(floor(value * 100) as bigint) as v")
+      .collect().map(_.getLong(0)).sorted
+    val k = ((vs.length + 1) / 2) - 1
+    val expMed = vs(k)
+    val devs = vs.map(x => math.abs(x - expMed)).sorted
+    val expMad = devs(k)
+    val expOut = devs.count(_ > 3 * expMad).toLong
+    assert((n, med, mad, out) === ((vs.length.toLong, expMed, expMad, expOut)))
+    assert(bp === out * 10000 / n)
+    // non-vacuous: the cut fires on this corpus but not on everything
+    assert(out > 0 && out < n / 4, s"outlier count $out of $n implausible")
+    // robustness: corrupting the top value by 1000x cannot move the
+    // median or MAD (the reason this beats mean±kσ)
+    val corrupted = (vs.dropRight(1) :+ vs.last * 1000).sorted
+    assert(corrupted(k) === expMed, "median moved under a single whale")
+  }
 }
