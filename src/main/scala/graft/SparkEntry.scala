@@ -29,6 +29,7 @@ object SparkEntry {
     graft.queries.Multimodal.all,
     graft.queries.Pipeline.all,
     graft.queries.Temporal.all,
+    graft.queries.Graph.all,
     graft.streaming.StreamQueries.all,
     graft.dwca.DwcaQueries.all,
     graft.sinks.SinkQueries.all,

@@ -1,0 +1,66 @@
+package graft.queries
+
+import graft.SparkTestBase
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Graph-tier semantics: the distributed formulations must equal a
+  * serial single-threaded replay on the sf0.001 graph, bit-for-bit
+  * (integer arithmetic — no tolerance anywhere). */
+class GraphSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("g01 pagerank equals the serial integer Pregel replay") {
+    val edges = Graph.tradeEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
+    var rank: Map[Long, Long] = deg.map { case (n, _) => n -> 1000000L }.toMap
+    for (_ <- 1 to 5) {
+      val sums = new scala.collection.mutable.HashMap[Long, Long]()
+      edges.foreach { case (src, dst) =>
+        sums(dst) = sums.getOrElse(dst, 0L) + rank(src) / deg(src)
+      }
+      rank = deg.map { case (n, _) =>
+        n -> (150000L + (85L * sums.getOrElse(n, 0L)) / 100L)
+      }.toMap
+    }
+    val got = graft.SparkEntry.queries("g01_pagerank")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.keySet === rank.keySet)
+    got.foreach { case (n, r) => assert(r === rank(n), s"node $n") }
+    // sanity on the result itself: kind split is genuine and damped
+    // ranks stay above the teleport floor
+    assert(got.keys.exists(_ % 2 == 0) && got.keys.exists(_ % 2 == 1))
+    assert(got.values.forall(_ >= 150000L))
+  }
+
+  test("g02 triangles equal the serial count; orientation covers each edge once") {
+    val e = Graph.copurchaseEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // serial: adjacency sets, count each unordered triangle once
+    val adj = new scala.collection.mutable.HashMap[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    e.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    val perNode = new scala.collection.mutable.HashMap[Long, Long]()
+      .withDefaultValue(0L)
+    e.foreach { case (a, b) =>
+      (adj(a) & adj(b)).foreach { c =>
+        if (c > b) { // a<b<c by id — each triangle once
+          perNode(a) += 1; perNode(b) += 1; perNode(c) += 1
+        }
+      }
+    }
+    // e has p1<p2, so requiring c>b above needs a<b too: guaranteed.
+    val got = graft.SparkEntry.queries("g02_triangles")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === perNode.toMap)
+
+    // the degree-orientation emits exactly one directed edge per
+    // undirected edge, and never both directions
+    val o = Graph.orient(Graph.copurchaseEdges(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(o.length === e.length)
+    val undirected = o.map { case (s, d) => if (s < d) (s, d) else (d, s) }
+    assert(undirected.toSet === e.toSet)
+  }
+}
