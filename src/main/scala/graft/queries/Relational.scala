@@ -854,6 +854,86 @@ object Relational {
                        PARTITION BY g.user_id ORDER BY g.day
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
               FROM grid g LEFT JOIN daily dd
-                ON dd.user_id = g.user_id AND dd.day = g.day"""))
+                ON dd.user_id = g.user_id AND dd.day = g.day""")),
+
+    // ── q39: data-quality CONSTRAINT AUDIT (the Deequ shape) — the
+    // pre-ingest contract check every production pipeline runs before
+    // a table is allowed downstream: primary-key uniqueness,
+    // completeness, domain membership, numeric ranges, and
+    // referential integrity, each published as an integer metric plus
+    // a pass/fail verdict. Scale shape: ONE scan of the fact table
+    // computes every row-local metric in a single partial-aggregate
+    // (Deequ's core trick — k constraints never cost k scans), the
+    // referential check is a left-anti count against the projected
+    // key column of the dimension (a broadcast at dim «fact, a
+    // shuffle join past that), and the constraint rows are unpivoted
+    // from the ONE aggregated row driver-free via stack(). The
+    // qty_max_le_30 rule fails by design, and pk_unique genuinely
+    // fails on this corpus (the generator densifies line numbers) — the audit's job is to
+    // SURFACE violations, and a suite that cannot show a red row is
+    // the vacuity pattern PlanAuditSpec exists to kill. ──
+    "q39_constraint_audit" -> Q(
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+        val core = li.agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("l_orderkey"), col("l_linenumber")).as("n_pk"),
+          countDistinct(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey")).as("n_key"),
+          count(col("l_shipdate")).as("n_ship"),
+          expr("cast(round(min(l_quantity) * 100) as bigint)").as("qmin_c"),
+          expr("cast(round(max(l_quantity) * 100) as bigint)").as("qmax_c"),
+          expr("cast(round(min(l_discount) * 10000) as bigint)").as("dmin_bp"),
+          expr("cast(round(max(l_discount) * 10000) as bigint)").as("dmax_bp"),
+          sum(expr("case when l_returnflag in ('R','A','N') then 0L else 1L end"))
+            .as("bad_flag"))
+        val orphans = li.select("l_orderkey")
+          .join(Tables(s, d, "orders").select("o_orderkey"),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n_orphan"))
+        core.crossJoin(broadcast(orphans)).selectExpr(
+          """stack(7,
+               'pk_unique',         n_pk * 10000 div n,    n_pk = n,
+               'line_key_unique',   n_key * 10000 div n,   n_key = n,
+               'shipdate_complete', n_ship * 10000 div n,  n_ship = n,
+               'qty_min_ge_1',      qmin_c,                qmin_c >= 100,
+               'qty_max_le_30',     qmax_c,                qmax_c <= 3000,
+               'discount_in_0_10pct', dmax_bp,
+                 dmin_bp >= 0 and dmax_bp <= 1000,
+               'returnflag_domain', bad_flag, bad_flag = 0
+             ) as (rule, metric, passed)""")
+          .unionAll(orphans.selectExpr("'orders_referential' as rule",
+            "n_orphan as metric", "n_orphan = 0 as passed"))
+      },
+      Some("""WITH core AS (
+                SELECT count(*) AS n,
+                       count(DISTINCT (l_orderkey, l_linenumber)) AS n_pk,
+                       count(DISTINCT (l_orderkey, l_linenumber,
+                                       l_partkey, l_suppkey)) AS n_key,
+                       count(l_shipdate) AS n_ship,
+                       CAST(round(min(l_quantity) * 100) AS BIGINT) AS qmin_c,
+                       CAST(round(max(l_quantity) * 100) AS BIGINT) AS qmax_c,
+                       CAST(round(min(l_discount) * 10000) AS BIGINT) AS dmin_bp,
+                       CAST(round(max(l_discount) * 10000) AS BIGINT) AS dmax_bp,
+                       sum(CASE WHEN l_returnflag IN ('R','A','N')
+                                THEN 0 ELSE 1 END) AS bad_flag
+                FROM lineitem),
+              orph AS (SELECT count(*) AS n_orphan FROM lineitem
+                       WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+              SELECT rule, CAST(metric AS BIGINT) AS metric, passed FROM (
+                SELECT 'pk_unique' AS rule, n_pk * 10000 // n AS metric,
+                       n_pk = n AS passed FROM core
+                UNION ALL SELECT 'line_key_unique', n_key * 10000 // n,
+                       n_key = n FROM core
+                UNION ALL SELECT 'shipdate_complete', n_ship * 10000 // n,
+                       n_ship = n FROM core
+                UNION ALL SELECT 'qty_min_ge_1', qmin_c, qmin_c >= 100 FROM core
+                UNION ALL SELECT 'qty_max_le_30', qmax_c, qmax_c <= 3000 FROM core
+                UNION ALL SELECT 'discount_in_0_10pct', dmax_bp,
+                       dmin_bp >= 0 AND dmax_bp <= 1000 FROM core
+                UNION ALL SELECT 'returnflag_domain', bad_flag, bad_flag = 0
+                       FROM core
+                UNION ALL SELECT 'orders_referential', n_orphan, n_orphan = 0
+                       FROM orph)"""))
   )
 }

@@ -170,4 +170,22 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     val corrupted = (vs.dropRight(1) :+ vs.last * 1000).sorted
     assert(corrupted(k) === expMed, "median moved under a single whale")
   }
+
+  test("q39 constraint audit: one scan, every rule adjudicated, the planted violation red") {
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = graft.SparkEntry.queries("q39_constraint_audit")(spark, sf01)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(rows.size === 8)
+    // the suite can show red: qty_max_le_30 is violated by the data
+    // (max quantity is 50) and must surface as a failed rule
+    assert(!rows("qty_max_le_30")._2 && rows("qty_max_le_30")._1 > 3000)
+    // ...as must the naive (orderkey, linenumber) pk this corpus breaks
+    assert(!rows("pk_unique")._2 && rows("pk_unique")._1 < 10000)
+    // clean-by-construction rules pass with their metrics at the contract
+    assert(rows("line_key_unique") === ((10000L, true)))
+    assert(rows("shipdate_complete") === ((10000L, true)))
+    assert(rows("orders_referential") === ((0L, true)))
+    assert(rows("returnflag_domain") === ((0L, true)))
+    assert(rows("discount_in_0_10pct")._2)
+  }
 }
