@@ -1230,6 +1230,55 @@ object Pipeline {
     s.read.parquet(target.toString)
   }
 
+  /** stream22: fold each arriving micro-batch into the maintained
+    * BOTTOM-K SAMPLE artifact — bottom-k of a union is the bottom-k
+    * of per-part bottom-k's (p14's mergeable order-statistics
+    * algebra, the stream16/17 artifact template's fifth instance):
+    * per batch, take the batch's own bottom-100 by the deterministic
+    * tag, union the persisted sample, and keep the 100 smallest —
+    * so the maintained sample is ALWAYS a uniform exact-100 sample
+    * of everything that has arrived, at ≤100 rows of state and
+    * O(batch) fold cost regardless of corpus size. The swap is
+    * write-tmp + rename, one small PUT per batch. */
+  private[graft] def sampleArtifactDir: String = java.nio.file.Paths.get(
+    System.getProperty("java.io.tmpdir"), "graft-bottomk-sample").toString
+
+  private[graft] def sampleStream(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{Dataset, Row}
+    graft.functions.Hashing.register(s)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(sampleArtifactDir))
+    val target = new java.io.File(sampleArtifactDir, "sample")
+    val tagged = docs.selectExpr("doc_id", "lang", "source",
+      s"${graft.functions.Hashing.h32Sql("concat('smp:', doc_id)")} as tag")
+    val q = tagged.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val sb = batch.sparkSession
+        val bk = batch.orderBy(col("tag"), col("doc_id")).limit(100)
+        val merged =
+          if (target.exists())
+            bk.unionByName(sb.read.parquet(target.toString))
+              .orderBy(col("tag"), col("doc_id")).limit(100)
+          else bk
+        val tmp = new java.io.File(sampleArtifactDir, "sample.tmp")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        rm(target)
+        require(tmp.renameTo(target), "sample artifact swap failed")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(300000)) {
+      q.stop()
+      throw new IllegalStateException("stream22 did not drain within 300s")
+    }
+    s.read.parquet(target.toString)
+  }
+
   /** p19's oracle, shared verbatim by stream21: the artifact-served
     * streaming drift report must reproduce the batch answer. */
   private[graft] lazy val driftOracle: String =

@@ -618,6 +618,22 @@ object StreamQueries {
         val ns = shardH.agg(org.apache.spark.sql.functions.sum("cnt")).head.getLong(0)
         P.driftFinish(P.lenHist(base, lo, w), shardH, nb, ns)
       },
-      Some(graft.queries.Pipeline.driftOracle))
+      Some(graft.queries.Pipeline.driftOracle)),
+
+    // ── stream22: streaming SAMPLE maintenance — p14's exact-100
+    // bottom-k-hash sample as a MAINTAINED artifact: each arriving
+    // micro-batch's bottom-100 folds into the persisted sample by
+    // union + re-cut (bottom-k of a union = bottom-k of the merges —
+    // the order-statistics twin of stream16's max and stream17's
+    // add), and the sample is answered FROM the artifact, pinned to
+    // p14's flat-rebuild oracle verbatim: at every moment of a
+    // 100 TB/day ingest the artifact IS a uniform exact-k sample of
+    // everything seen so far, at ≤100 rows of state. StreamingSpec
+    // proves the 3-chop fold equals the one-shot batch sample. ──
+    "stream22_sample_maintain" -> Q(
+      (s, d) => graft.queries.Pipeline
+        .sampleStream(s, EventStreams.docsStream(s, d))
+        .select("doc_id", "lang", "source", "tag"),
+      graft.queries.Pipeline.all("p14_bottomk_sample").oracle)
   )
 }

@@ -637,6 +637,27 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(fromArtifact === batch)
   }
 
+  test("stream22: chopped multi-batch sample fold equals the one-shot bottom-k sample") {
+    graft.functions.Hashing.register(spark)
+    val sf01 = "/root/testdata/sf0.01"
+    val docs = graft.Tables(spark, sf01, "documents")
+    // 3 files, one per micro-batch: bottom-k of the union must equal
+    // the fold of per-batch bottom-k's whatever the doc->batch split
+    val stage = java.nio.file.Files.createTempDirectory("graft-stream22-").toString
+    docs.repartition(3).write.mode("overwrite").parquet(stage)
+    val schema = spark.read.parquet(stage).schema
+    val chopped = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val streamed = graft.queries.Pipeline.sampleStream(spark, chopped)
+      .select("doc_id", "lang", "source", "tag")
+      .collect().map(_.toString).sorted
+    val batch = graft.queries.Pipeline.all("p14_bottomk_sample").fn(spark, sf01)
+      .collect().map(_.toString).sorted
+    assert(streamed.length === 100)
+    assert(streamed === batch,
+      "3-batch folded sample diverged from the one-shot bottom-k")
+  }
+
   test("stream17: chopped multi-batch counter fold equals the one-shot CMS; finish matches t23") {
     graft.functions.Hashing.register(spark)
     val T = graft.queries.TextOps
