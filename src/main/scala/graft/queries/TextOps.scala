@@ -1026,7 +1026,76 @@ object TextOps {
                    CAST(sum(n_sub) * 10000 // count(*) AS BIGINT) AS fertility_bp
             FROM occ JOIN seg USING (tok)
             WHERE length(tok) >= 1
-            GROUP BY doc_id"""))
+            GROUP BY doc_id""")),
+
+    // ── t27: HEAPS-LAW vocabulary-growth curve — the corpus-health
+    // audit a crawl pipeline reads before trusting its dedup and
+    // tokenizer budgets: as the corpus grows (doc_id IS the ingestion
+    // sequence in an append-only log), how fast does the distinct
+    // vocabulary grow against total tokens? A flattening curve means
+    // diminishing novel content (more dup/boilerplate mass); a curve
+    // that refuses to flatten means a vocabulary budget (t06/t25)
+    // sized on a prefix will under-cover the tail. Checkpoints are
+    // the 10 VALUE-deciles of the doc_id range (bucket arithmetic on
+    // (lo, hi) scalars — no global rank, no sort): per token ONE
+    // min-agg finds its first-bearer doc, each token then lands
+    // map-side in the bucket of that first doc, per-doc token counts
+    // land in their own bucket, and the cumulative curve is a window
+    // over the 10-ROW bucket frame — nothing corpus-sized past the
+    // two keyed partial aggs at any scale. All-integer output: the
+    // type-token ratio is published in basis points. ──
+    "t27_heaps_curve" -> Q(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+          .selectExpr("doc_id", s"$toks as t")
+        val ext = docs.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+        val bucketed = docs.crossJoin(broadcast(ext))
+          .selectExpr("doc_id", "t",
+            "((doc_id - lo) * 10) div (hi - lo + 1) as b")
+          .persistScoped()
+        val tokB = bucketed
+          .selectExpr("b", "size(t) as n_tok", "explode(t) as token")
+        val vocabNew = tokB
+          .groupBy("token").agg(min("b").as("fb"))
+          .groupBy("fb").agg(count(lit(1)).as("v_new"))
+          .selectExpr("fb as b", "v_new")
+        val perB = bucketed
+          .selectExpr("b", "size(t) as n_tok")
+          .groupBy("b").agg(count(lit(1)).as("d_new"), sum("n_tok").as("t_new"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy("b").rowsBetween(Long.MinValue, 0)
+        perB.join(vocabNew, Seq("b"), "left")
+          .select(col("b"), col("d_new"), col("t_new"),
+            coalesce(col("v_new"), lit(0L)).as("v_new"))
+          .withColumn("n_docs", sum("d_new").over(w))
+          .withColumn("n_tokens", sum("t_new").over(w))
+          .withColumn("vocab", sum("v_new").over(w))
+          .selectExpr("b as decile", "n_docs", "n_tokens", "vocab",
+            "vocab * 10000 div n_tokens as ttr_bp")
+      },
+      Some("""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              ext AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM docs),
+              bk AS (SELECT doc_id, t,
+                            ((doc_id - lo) * 10) // (hi - lo + 1) AS b
+                     FROM docs CROSS JOIN ext),
+              vocab_new AS (SELECT fb AS b, count(*) AS v_new FROM
+                              (SELECT token, min(b) AS fb FROM
+                                (SELECT b, unnest(t) AS token FROM bk)
+                               GROUP BY token)
+                            GROUP BY fb),
+              per_b AS (SELECT b, count(*) AS d_new, sum(len(t)) AS t_new
+                        FROM bk GROUP BY b),
+              cum AS (SELECT p.b, p.d_new, p.t_new, coalesce(v.v_new, 0) AS v_new
+                      FROM per_b p LEFT JOIN vocab_new v ON v.b = p.b)
+              SELECT b AS decile,
+                     CAST(sum(d_new) OVER win AS BIGINT) AS n_docs,
+                     CAST(sum(t_new) OVER win AS BIGINT) AS n_tokens,
+                     CAST(sum(v_new) OVER win AS BIGINT) AS vocab,
+                     CAST((sum(v_new) OVER win) * 10000
+                          // (sum(t_new) OVER win) AS BIGINT) AS ttr_bp
+              FROM cum
+              WINDOW win AS (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)"""))
   )
 
   // ── Count-Min machinery shared by t23 (one-shot batch) and

@@ -355,4 +355,33 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.exists { case (id, (_, ns, _)) => ns < chars(id) },
       "no document compressed below character-level - merges applied nowhere")
   }
+
+  test("t27 heaps curve equals the serial replay and is monotone-flattening") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val lo = docs.map(_._1).min
+    val hi = docs.map(_._1).max
+    def bucket(id: Long) = ((id - lo) * 10) / (hi - lo + 1)
+    // serial: walk buckets in order, grow the vocabulary set
+    val seen = scala.collection.mutable.Set[String]()
+    var (nd, nt) = (0L, 0L)
+    val expected = (0L to 9L).map { b =>
+      val in = docs.filter(d => bucket(d._1) == b)
+      nd += in.length; nt += in.map(_._2.length.toLong).sum
+      in.foreach(_._2.foreach(seen += _))
+      b -> ((nd, nt, seen.size.toLong, seen.size.toLong * 10000 / nt))
+    }.toMap
+    val got = graft.SparkEntry.queries("t27_heaps_curve")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === expected)
+    // Heaps: vocabulary grows every decile but the type-token ratio
+    // falls (novelty per token shrinks as the corpus accumulates)
+    val curve = (0L to 9L).map(got)
+    assert(curve.map(_._3) === curve.map(_._3).sorted)
+    assert(curve.head._4 > curve.last._4,
+      "type-token ratio did not fall across the corpus - no flattening")
+  }
 }
