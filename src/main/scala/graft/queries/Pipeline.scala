@@ -1154,6 +1154,55 @@ object Pipeline {
                    CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
                    CAST(coalesce(first_doc, -1) AS BIGINT) AS first_doc
             FROM can LEFT JOIN h USING (suite)"""
+      }),
+
+    // ── p20: PREFERENCE-PAIR mining — the DPO/RLHF dataset builder
+    // that needs no human labels: inside each near-dup cluster the
+    // members are the same content in different states of decay
+    // (boilerplate-injected, truncated, re-encoded), so (best, worst)
+    // by the quality classifier is a meaningful (chosen, rejected)
+    // pair with a real margin — the weak-supervision trick of
+    // mining preference structure from redundancy the crawl already
+    // paid for. Composition: d08's connected components (the verified
+    // near-dup groups) ⋈ t12's classifier scores, then ONE
+    // cluster-keyed agg whose (score, id) struct-extremes pick both
+    // poles tie-deterministically; zero-margin clusters are dropped
+    // (no learning signal). Scale shape: the cluster frame is
+    // pair-graph-bounded (a vanishing fraction of the corpus), the
+    // join is cluster-member-sized, and the agg holds two structs per
+    // cluster — nothing corpus-global beyond the labeling d08
+    // already computed. ──
+    "p20_preference_pairs" -> Q(
+      (s, d) => {
+        val clusters = Dedup.all("d08_dup_clusters").fn(s, d)
+        val scores = TextOps.all("t12_classifier_score").fn(s, d)
+          .select("doc_id", "score_bp")
+        clusters.join(scores, "doc_id")
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n_members"),
+            max(struct(col("score_bp"), col("doc_id"))).as("hi"),
+            min(struct(col("score_bp"), col("doc_id"))).as("lo"))
+          .where("hi.score_bp > lo.score_bp")
+          .selectExpr("cluster", "n_members",
+            "hi.doc_id as chosen_id", "lo.doc_id as rejected_id",
+            "hi.score_bp - lo.score_bp as margin_bp")
+      },
+      Some {
+        val t12 = TextOps.all("t12_classifier_score").oracle.get
+        s"""${Dedup.duckClusters},
+            sc AS (SELECT doc_id, score_bp FROM ($t12)),
+            j AS (SELECT cluster, c.doc_id, score_bp
+                  FROM cl c JOIN sc USING (doc_id)),
+            g AS (SELECT cluster, count(*) AS n_members,
+                         (max(struct_pack(s := score_bp, id := doc_id))).id AS chosen_id,
+                         (max(struct_pack(s := score_bp, id := doc_id))).s AS hi_s,
+                         (min(struct_pack(s := score_bp, id := doc_id))).id AS rejected_id,
+                         (min(struct_pack(s := score_bp, id := doc_id))).s AS lo_s
+                  FROM j GROUP BY cluster)
+            SELECT cluster, CAST(n_members AS BIGINT) AS n_members,
+                   chosen_id, rejected_id,
+                   CAST(hi_s - lo_s AS BIGINT) AS margin_bp
+            FROM g WHERE hi_s > lo_s"""
       })
   )
 

@@ -443,4 +443,29 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     // the edited shard must genuinely drift on this corpus
     assert(expTv >= 1000, "no drift measured from the edited shard - vacuous")
   }
+
+  test("p20 preference pairs: exactly one pair per spread cluster, poles exact") {
+    val sf = "/root/testdata/sf0.01"
+    val clusters = Dedup.all("d08_dup_clusters").fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val scores = TextOps.all("t12_classifier_score").fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // serial: per cluster, (max, min) by (score, id); keep spread > 0
+    val expected = clusters.groupBy(_._2).flatMap { case (cl, ms) =>
+      val ranked = ms.map { case (id, _) => (scores(id), id) }
+      val hi = ranked.max
+      val lo = ranked.min
+      if (hi._1 > lo._1) Some(cl -> ((ms.length.toLong, hi._2, lo._2, hi._1 - lo._1)))
+      else None
+    }
+    val got = graft.SparkEntry.queries("p20_preference_pairs")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === expected)
+    // non-vacuous on this corpus, and every margin is a real signal
+    assert(got.nonEmpty)
+    assert(got.values.forall(_._4 > 0))
+    // chosen and rejected are genuinely different documents of one cluster
+    got.foreach { case (_, (_, c, r, _)) => assert(c !== r) }
+  }
 }
