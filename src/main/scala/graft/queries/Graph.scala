@@ -176,8 +176,74 @@ object Graph {
       |      UNION ALL SELECT c FROM tri) u
       |GROUP BY 1""".stripMargin
 
+  /** Link prediction by common-neighbor/Jaccard similarity: which
+    * suppliers serve the most-overlapping customer sets? (The "users
+    * who bought X also bought Y" primitive, and the domain-similarity
+    * signal a crawl curator reads off the link graph.)
+    *
+    * Wedge enumeration at the CUSTOMER center: one self-join of the
+    * (customer, supplier) edge list on the customer key (s1 < s2
+    * canonical), one pair-keyed partial agg to common-neighbor
+    * counts, degrees attached from a |suppliers|-sized frame, and the
+    * exact-Jaccard top-50 via TakeOrderedAndProject — per-partition
+    * heaps, never a global sort. Scale: wedge fan-out is Σ deg(c)²
+    * over CENTERS — bounded by the low-degree side of the bipartite
+    * graph (customers hold tens of suppliers while suppliers hold
+    * thousands of customers; centering on customers is the cheap
+    * orientation, the g02 argument in bipartite form) — and a hub
+    * center (one customer buying from everyone) gets the d07
+    * deterministic cap treatment: the `deg_c <= 256` predicate is
+    * replayed verbatim in the oracle, so the bound is part of the
+    * operator's contract, not a silent truncation. Jaccard is exact
+    * integer basis points — |A∩B| and |A|+|B|-|A∩B| are counts. */
+  private def linkPredict(s: SparkSession, d: String): DataFrame =
+    linkPredictFrom(
+      Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .distinct().persistScoped())
+
+  /** Core of g03 over an arbitrary (c, sp) bipartite edge frame —
+    * split out so the hub-cap contract is testable on planted
+    * graphs. */
+  private[queries] def linkPredictFrom(e: DataFrame, cap: Int = 256,
+      k: Int = 50): DataFrame = {
+    val degC = e.groupBy("c").agg(count(lit(1)).as("deg_c"))
+    val degS = e.groupBy("sp").agg(count(lit(1)).as("deg"))
+    val centered = e.join(degC, "c").where(s"deg_c <= $cap")
+    val cn = centered.as("a").join(centered.as("b"),
+        col("a.c") === col("b.c") && col("a.sp") < col("b.sp"))
+      .select(col("a.sp").as("s1"), col("b.sp").as("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("cn"))
+    cn.join(degS.select(col("sp").as("s1"), col("deg").as("deg1")), "s1")
+      .join(degS.select(col("sp").as("s2"), col("deg").as("deg2")), "s2")
+      .selectExpr("s1", "s2", "cn", "deg1", "deg2",
+        "cn * 10000 div (deg1 + deg2 - cn) as jaccard_bp")
+      .orderBy(col("jaccard_bp").desc, col("s1"), col("s2"))
+      .limit(k)
+  }
+
+  private val linkPredictSql =
+    """WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+      |           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |degc AS (SELECT c, COUNT(*) AS deg_c FROM e GROUP BY 1),
+      |degs AS (SELECT sp, COUNT(*) AS deg FROM e GROUP BY 1),
+      |ctr AS (SELECT e.c, e.sp FROM e JOIN degc USING (c) WHERE deg_c <= 256),
+      |cn AS (SELECT a.sp AS s1, b.sp AS s2, COUNT(*) AS cn
+      |       FROM ctr a JOIN ctr b ON a.c = b.c AND a.sp < b.sp
+      |       GROUP BY 1, 2)
+      |SELECT s1, s2, CAST(cn AS BIGINT) AS cn,
+      |       d1.deg AS deg1, d2.deg AS deg2,
+      |       CAST(cn * 10000 // (d1.deg + d2.deg - cn) AS BIGINT) AS jaccard_bp
+      |FROM cn JOIN degs d1 ON d1.sp = cn.s1
+      |        JOIN degs d2 ON d2.sp = cn.s2
+      |ORDER BY jaccard_bp DESC, s1, s2
+      |LIMIT 50""".stripMargin
+
   val all: Map[String, Q] = Map(
     "g01_pagerank" -> Q(pagerank, Some(pagerankSql)),
-    "g02_triangles" -> Q(triangles, Some(trianglesSql))
+    "g02_triangles" -> Q(triangles, Some(trianglesSql)),
+    "g03_link_predict" -> Q(linkPredict, Some(linkPredictSql))
   )
 }

@@ -63,4 +63,46 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     val undirected = o.map { case (s, d) => if (s < d) (s, d) else (d, s) }
     assert(undirected.toSet === e.toSet)
   }
+
+  test("g03 link prediction equals the serial jaccard replay") {
+    val edges = graft.Tables(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey")
+      .join(graft.Tables(spark, sf, "lineitem").select("l_orderkey", "l_suppkey"),
+        org.apache.spark.sql.functions.expr("o_orderkey = l_orderkey"))
+      .selectExpr("o_custkey as c", "l_suppkey as sp").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bySupp = edges.groupBy(_._2).map { case (sp, es) =>
+      sp -> es.map(_._1).toSet
+    }
+    val pairs = for {
+      s1 <- bySupp.keys.toSeq; s2 <- bySupp.keys.toSeq if s1 < s2
+      cn = (bySupp(s1) & bySupp(s2)).size if cn > 0
+    } yield (s1, s2, cn.toLong,
+      cn.toLong * 10000 / (bySupp(s1).size + bySupp(s2).size - cn))
+    val expected = pairs
+      .sortBy { case (s1, s2, _, j) => (-j, s1, s2) }.take(50)
+      .map { case (s1, s2, cn, j) => (s1, s2, cn, j) }
+    val got = graft.SparkEntry.queries("g03_link_predict")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+      .toSeq
+    assert(got === expected)
+    assert(got.nonEmpty && got.forall(_._4 > 0))
+  }
+
+  test("g03 hub-cap contract: an over-cap center contributes no wedges") {
+    import spark.implicits._
+    // 3 suppliers fully shared by a hub customer with deg 4 (> cap 3)
+    // plus two honest centers; only the honest wedges survive
+    val e = Seq(
+      (100L, 1L), (100L, 2L), (100L, 3L), (100L, 4L), // hub, deg 4
+      (200L, 1L), (200L, 2L),                          // honest center
+      (300L, 2L), (300L, 3L)                           // honest center
+    ).toDF("c", "sp")
+    val got = Graph.linkPredictFrom(e, cap = 3, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // degrees INCLUDE the hub's edges (degree is a property of the
+    // graph; the cap bounds wedge enumeration only)
+    assert(got === Set((1L, 2L, 1L), (2L, 3L, 1L)))
+  }
 }
