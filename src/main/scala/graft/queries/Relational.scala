@@ -934,6 +934,63 @@ object Relational {
                 UNION ALL SELECT 'returnflag_domain', bad_flag, bad_flag = 0
                        FROM core
                 UNION ALL SELECT 'orders_referential', n_orphan, n_orphan = 0
-                       FROM orph)"""))
+                       FROM orph)""")),
+
+    // ── q40: MULTI-TOUCH revenue attribution — the marketing-
+    // analytics allocator (linear model): each purchase's value, in
+    // integer cents, splits EQUALLY across the user's clicks in the
+    // prior 6 hours, exactly — cents div n to every credit, the
+    // remainder cents mod n distributed one cent each to the MOST
+    // RECENT clicks (rank by recency, tie on event_id), so the
+    // allocation sums to the purchase total to the cent, always —
+    // the invariant an accounting pipeline is audited on, and why
+    // float shares are not an option. Scale shape: the touch join is
+    // a user-keyed equi-join with the 6 h lag as a residual predicate
+    // (fan-out bounded by a user's clicks-per-window), the recency
+    // rank is a purchase-partitioned window (state = one purchase's
+    // touches), and the final click-keyed partial agg folds credits
+    // across purchases. Unattributed purchases (no prior click) are
+    // excluded by the inner join — q33's funnel counts those. ──
+    "q40_attribution" -> Q(
+      (s, d) => {
+        val e = events(s, d).persistScoped()
+        val p = e.where("event_type = 'purchase'")
+          .selectExpr("event_id as pid", "user_id", "unix_micros(ts) as pus",
+            "cast(floor(value * 100) as bigint) as cents")
+        val c = e.where("event_type = 'click'")
+          .selectExpr("event_id as cid", "user_id as cuid",
+            "unix_micros(ts) as cus")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("pid")
+        val wr = w.orderBy(col("cus").desc, col("cid").desc)
+        p.join(c, col("user_id") === col("cuid")
+            && col("cus") <= col("pus")
+            && col("cus") > col("pus") - lit(21600000000L))
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("rn", row_number().over(wr))
+          .selectExpr("cid", "user_id",
+            "cents div n + case when rn <= cents % n then 1L else 0L end as credit")
+          .groupBy("cid", "user_id")
+          .agg(count(lit(1)).as("n_credits"),
+            sum("credit").as("attributed_cents"))
+      },
+      Some("""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                                event_type, value FROM events),
+              p AS (SELECT event_id AS pid, user_id, epoch_us(ts) AS pus,
+                           CAST(floor(value * 100) AS BIGINT) AS cents
+                    FROM e WHERE event_type = 'purchase'),
+              c AS (SELECT event_id AS cid, user_id AS cuid, epoch_us(ts) AS cus
+                    FROM e WHERE event_type = 'click'),
+              j AS (SELECT pid, user_id, cents, cid, cus,
+                           count(*) OVER (PARTITION BY pid) AS n,
+                           row_number() OVER (PARTITION BY pid
+                             ORDER BY cus DESC, cid DESC) AS rn
+                    FROM p JOIN c ON cuid = user_id
+                                 AND cus <= pus
+                                 AND cus > pus - 21600000000)
+              SELECT cid, user_id, count(*) AS n_credits,
+                     CAST(sum(cents // n + CASE WHEN rn <= cents % n
+                                                THEN 1 ELSE 0 END) AS BIGINT)
+                       AS attributed_cents
+              FROM j GROUP BY cid, user_id"""))
   )
 }

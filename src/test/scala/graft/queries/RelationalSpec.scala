@@ -188,4 +188,29 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(rows("returnflag_domain") === ((0L, true)))
     assert(rows("discount_in_0_10pct")._2)
   }
+
+  test("q40 attribution: every purchase's cents are conserved to the cent") {
+    val sf01 = "/root/testdata/sf0.01"
+    // total attributed must equal the exact cent total of purchases
+    // that have at least one qualifying click (the allocator's audit)
+    val e = Relational.events(spark, sf01)
+      .selectExpr("event_id", "user_id", "event_type",
+        "unix_micros(ts) as us", "cast(floor(value * 100) as bigint) as cents")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    val clicks = e.filter(_._3 == "click")
+    val attributable = e.filter(_._3 == "purchase").filter { p =>
+      clicks.exists(c => c._2 == p._2 && c._4 <= p._4
+        && c._4 > p._4 - 21600000000L)
+    }
+    val expTotal = attributable.map(_._5).sum
+    val got = graft.SparkEntry.queries("q40_attribution")(spark, sf01)
+      .selectExpr("sum(attributed_cents) as t", "sum(n_credits) as n")
+      .head
+    assert(got.getLong(0) === expTotal,
+      "attributed cents diverged from the purchase total - allocation leak")
+    assert(got.getLong(1) > attributable.length,
+      "no purchase split across multiple touches - linear model vacuous")
+  }
 }
