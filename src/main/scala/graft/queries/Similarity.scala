@@ -923,6 +923,79 @@ object Similarity {
                  ON t.probe_id = f.probe_id AND t.cand_id = f.cand_id
                GROUP BY f.probe_id""")),
 
+    // ── s27: SCALAR-QUANTIZATION (int8) recall audit — the OTHER
+    // standard compression dial next to s23's dimension truncation
+    // and s12's product quantization: each vector rescales to 8-bit
+    // codes by its own max-abs (q_i = floor(x_i·127/‖x‖∞) — floor,
+    // not round, so no rounding-rule parity bet), and the audit
+    // measures how much exact-top-3 recall the int8 ranking keeps.
+    // The quantized score is an INTEGER dot product (exact in both
+    // engines — no float fold anywhere in the approximate ranking's
+    // numerator) over the same persisted broadcast probe scan that
+    // feeds the exact ranking; both top-3s are bounded-heap
+    // aggregates through the shared Recall harness. At scale the
+    // int8 codes are 4× smaller than float32 — the memory-bandwidth
+    // dial — and the scan shape is unchanged from s01. ──
+    "s27_sq8_recall" -> Q(
+      (s, d) => {
+        Hashing.register(s)
+        val qExpr = "transform(embedding, x -> " +
+          "cast(floor(cast(x as double) * 127.0 / ma) as bigint))"
+        val e = Tables(s, d, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("vec_id", "embedding", s"$normE as nrm",
+            "array_max(transform(embedding, x -> abs(cast(x as double)))) as ma")
+          .selectExpr("vec_id", "embedding", "nrm", s"$qExpr as q")
+          .selectExpr("vec_id", "embedding", "nrm", "q",
+            "sqrt(cast(aggregate(transform(q, x -> x * x), 0L, (a, x) -> a + x) as double)) as qn")
+        val p = e.where("vec_id < 10").select(col("vec_id").as("probe_id"),
+          col("embedding").as("pe"), col("nrm").as("pn"),
+          col("q").as("pq"), col("qn").as("pqn"))
+        val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+          col("nrm").as("cn"), col("q").as("cq"), col("qn").as("cqn"))
+        val pairs = c.join(broadcast(p), col("cand_id") =!= col("probe_id"))
+          .selectExpr("probe_id", "cand_id",
+            s"${dot("pe", "ce")} / (pn * cn) as cf",
+            "cast(aggregate(zip_with(pq, cq, (a, b) -> a * b), 0L, (acc, x) -> acc + x) as double)" +
+              " / (pqn * cqn) as ca")
+          .persistScoped()
+        Recall.perProbe(
+          heapTopk(pairs.selectExpr("probe_id", "cand_id", "cf as cosine"), 3),
+          heapTopk(pairs.selectExpr("probe_id", "cand_id", "ca as cosine"), 3),
+          "probe_id", "cand_id", Some(3))
+      },
+      Some(s"""WITH e0 AS (SELECT vec_id, embedding, $duckNorm AS nrm,
+                                  list_max(list_transform(embedding,
+                                    x -> abs(CAST(x AS DOUBLE)))) AS ma
+                           FROM embeddings),
+               e AS (SELECT vec_id, embedding, nrm,
+                            list_transform(embedding, x ->
+                              CAST(floor(CAST(x AS DOUBLE) * 127.0 / ma) AS BIGINT)) AS q
+                     FROM e0),
+               eq AS (SELECT vec_id, embedding, nrm, q,
+                             sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE)) AS qn
+                      FROM e),
+               sc AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                             ${duckDot("p.embedding", "c.embedding")} / (p.nrm * c.nrm) AS cf,
+                             CAST(list_sum(list_transform(list_zip(p.q, c.q),
+                                    z -> z[1] * z[2])) AS DOUBLE) / (p.qn * c.qn) AS ca
+                      FROM eq p JOIN eq c ON c.vec_id != p.vec_id
+                      WHERE p.vec_id < 10),
+               f3 AS (SELECT probe_id, cand_id FROM
+                        (SELECT *, row_number() OVER (PARTITION BY probe_id
+                           ORDER BY cf DESC, cand_id) AS rnk FROM sc)
+                      WHERE rnk <= 3),
+               t3 AS (SELECT probe_id, cand_id FROM
+                        (SELECT *, row_number() OVER (PARTITION BY probe_id
+                           ORDER BY ca DESC, cand_id) AS rnk FROM sc)
+                      WHERE rnk <= 3)
+               SELECT f.probe_id,
+                      CAST(sum(CASE WHEN t.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+                      (CAST(sum(CASE WHEN t.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 10000) // 3 AS recall_bp
+               FROM f3 f LEFT JOIN t3 t
+                 ON t.probe_id = f.probe_id AND t.cand_id = f.cand_id
+               GROUP BY f.probe_id""")),
+
     // Scale shape: the shortlist is s01's bounded-heap top-k (k rows
     // per probe cross the exchange); candidate-candidate sims are an
     // equi-join on probe_id with m²=90 rows per probe; the greedy

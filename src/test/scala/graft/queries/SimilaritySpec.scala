@@ -555,4 +555,44 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       assert(neg === best(c => labels(c) != labels(a)), s"anchor $a negative not the argmax")
     }
   }
+
+  test("s27 sq8 recall equals the serial int8 replay and stays high-fidelity") {
+    val sf = "/root/testdata/sf0.001"
+    val vecs = graft.Tables(spark, sf, "embeddings")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def q8(v: Array[Float]): Array[Long] = {
+      val ma = v.map(x => math.abs(x.toDouble)).max
+      v.map(x => math.floor(x.toDouble * 127.0 / ma).toLong)
+    }
+    def top3(score: (Long, Long) => Double, p: Long): Set[Long] =
+      vecs.keys.filter(_ != p).toSeq
+        .map(c => (c, score(p, c))).sortBy { case (c, s) => (-s, c) }
+        .take(3).map(_._1).toSet
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val q = vecs.map { case (id, v) => id -> q8(v) }
+    def qcos(a: Array[Long], b: Array[Long]): Double = {
+      val d = a.indices.map(i => a(i) * b(i)).sum
+      d / (math.sqrt(a.map(x => x * x).sum.toDouble)
+        * math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val expected = (0L until 10L).map { p =>
+      val exact = top3((x, y) => cos(vecs(x), vecs(y)), p)
+      val approx = top3((x, y) => qcos(q(x), q(y)), p)
+      p -> (exact & approx).size.toLong
+    }.toMap
+    val got = graft.SparkEntry.queries("s27_sq8_recall")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    // int8 against float32 should be near-lossless at top-3: strictly
+    // better than half the hits overall on this corpus
+    assert(got.values.sum * 2 > 30, s"sq8 recall implausibly low: $got")
+  }
 }
