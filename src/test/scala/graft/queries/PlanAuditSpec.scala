@@ -33,6 +33,7 @@ class PlanAuditSpec extends AnyFunSuite with graft.SparkTestBase {
     "s26_contrastive_triplets", // one 10-anchor broadcast scan feeding both heaps
     "s20_range_search", // 10-probe broadcast exact-evidence scan (index side is equi)
     "s23_matryoshka_recall", // one 10-probe broadcast scan feeding both rankings
+    "s27_sq8_recall", // one 10-probe broadcast scan feeding both rankings
     "d11_lsh_recall") // 50-probe broadcast exact-baseline scan
 
   /** Queries where an unpartitioned window runs over a PROVABLY tiny
@@ -42,7 +43,8 @@ class PlanAuditSpec extends AnyFunSuite with graft.SparkTestBase {
     "t17_vocab_coverage", // cumulative share over the top-50 AFTER the limit
     "t19_score_percentiles", // CDF cumsum over the value-distinct frame (≤10001 rows by domain)
     "p17_epoch_resume", // position stamp over the ≤100-row post-limit resume slice
-    "d21_hist_quantiles") // cumulative counts over the ≤128-bucket histogram
+    "d21_hist_quantiles", // cumulative counts over the ≤128-bucket histogram
+    "t27_heaps_curve") // cumulative curve over the 10-row decile frame
 
   /** Walk ACROSS adaptive-execution boundaries: under AQE (on by
     * default) the root is AdaptiveSparkPlanExec — a leaf node whose
