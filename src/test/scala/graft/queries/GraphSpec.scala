@@ -105,4 +105,37 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     // graph; the cap bounds wedge enumeration only)
     assert(got === Set((1L, 2L, 1L), (2L, 3L, 1L)))
   }
+
+  test("g04 kcore equals the serial peel and has converged by round 8") {
+    val e = Graph.copurchaseEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg0 = new scala.collection.mutable.HashMap[Long, Long]()
+      .withDefaultValue(0L)
+    e.foreach { case (a, b) => deg0(a) += 1; deg0(b) += 1 }
+    val n = deg0.size
+    val ds = deg0.values.toSeq.sorted
+    val k = ds((n + 1) / 2 - 1) * 7 / 10
+    var surv = deg0.keySet.toSet
+    var prev = Set.empty[Long]
+    var degs = Map.empty[Long, Long]
+    for (_ <- 1 to 8) {
+      prev = surv
+      val dd = new scala.collection.mutable.HashMap[Long, Long]()
+        .withDefaultValue(0L)
+      e.foreach { case (a, b) =>
+        if (surv(a) && surv(b)) { dd(a) += 1; dd(b) += 1 }
+      }
+      surv = surv.filter(x => dd(x) >= k)
+      degs = dd.toMap
+    }
+    // fixpoint reached: round 8 changed nothing, so this IS the k-core
+    assert(surv === prev, "peel did not converge within 8 rounds")
+    assert(surv.nonEmpty && surv.size < n, "core trivial - peel vacuous")
+    val expected = surv.map(x => x -> degs(x)).toMap
+    val got = graft.SparkEntry.queries("g04_kcore")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    // the defining property: every member keeps >= k in-core neighbors
+    assert(got.values.forall(_ >= k))
+  }
 }
