@@ -320,10 +320,68 @@ object Graph {
        |GROUP BY 1""".stripMargin
   }
 
+  private val Hops = 4
+
+  /** BFS seed distance — the TrustRank-style propagation primitive
+    * (how many link hops is each node from a trusted seed set?): the
+    * deterministic seed set is every 7th supplier, and exactly
+    * [[Hops]] frontier expansions run. Per hop: ONE semi-join sends
+    * the frontier over the persisted edge list, one distinct, one
+    * anti-join against the visited set — the textbook distributed BFS
+    * where per-hop cost is frontier-edge-bounded and state is one
+    * (node, dist) row per reached node. The same lineage-cut
+    * discipline as g04 (visited and frontier are each referenced
+    * by the next round twice). Nodes unreached within [[Hops]] hops
+    * are absent — at 100 TB the hop budget IS the operator contract
+    * (TrustRank truncates identically); the spec pins layer sizes
+    * against a serial BFS. */
+  private def seedDistance(s: SparkSession, d: String): DataFrame = {
+    val e = tradeEdges(s, d).persistScoped()
+    val seeds = e.select(col("src").as("node")).distinct()
+      .where("node % 2 = 1 and ((node - 1) div 2) % 7 = 0")
+    var visited = seeds.withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = seeds.localCheckpoint()
+    for (i <- 1 to Hops) {
+      val nxt = e.join(frontier, e("src") === frontier("node"), "left_semi")
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .localCheckpoint()
+      visited = visited
+        .unionByName(nxt.withColumn("dist", lit(i.toLong)))
+        .localCheckpoint()
+      frontier = nxt
+    }
+    visited.selectExpr("node",
+      "case when node % 2 = 0 then 'customer' else 'supplier' end as kind",
+      "dist")
+  }
+
+  private def seedDistanceSql: String = {
+    val rounds = (1 to Hops).map { i =>
+      s"""f$i AS MATERIALIZED (SELECT DISTINCT e.dst AS node
+         |  FROM e JOIN f${i - 1} f ON f.node = e.src
+         |  WHERE e.dst NOT IN (SELECT node FROM v${i - 1})),
+         |v$i AS MATERIALIZED (SELECT node, dist FROM v${i - 1}
+         |  UNION ALL SELECT node, $i FROM f$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |e AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |f0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e
+       |                    WHERE src % 2 = 1 AND ((src - 1) // 2) % 7 = 0),
+       |v0 AS MATERIALIZED (SELECT node, 0 AS dist FROM f0),
+       |$rounds
+       |SELECT node,
+       |       CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       |       CAST(dist AS BIGINT) AS dist
+       |FROM v$Hops""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "g01_pagerank" -> Q(pagerank, Some(pagerankSql)),
     "g02_triangles" -> Q(triangles, Some(trianglesSql)),
     "g03_link_predict" -> Q(linkPredict, Some(linkPredictSql)),
-    "g04_kcore" -> Q(kcore, Some(kcoreSql))
+    "g04_kcore" -> Q(kcore, Some(kcoreSql)),
+    "g05_seed_distance" -> Q(seedDistance, Some(seedDistanceSql))
   )
 }

@@ -138,4 +138,25 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     // the defining property: every member keeps >= k in-core neighbors
     assert(got.values.forall(_ >= k))
   }
+
+  test("g05 seed distance equals the serial BFS; layers are genuine") {
+    val edges = Graph.tradeEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val seeds = adj.keySet.filter(n => n % 2 == 1 && ((n - 1) / 2) % 7 == 0)
+    val dist = scala.collection.mutable.HashMap[Long, Long]()
+    seeds.foreach(dist(_) = 0L)
+    var frontier = seeds
+    for (i <- 1 to 4) {
+      val nxt = frontier.flatMap(adj).diff(dist.keySet)
+      nxt.foreach(dist(_) = i.toLong)
+      frontier = nxt
+    }
+    val got = graft.SparkEntry.queries("g05_seed_distance")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === dist.toMap)
+    // the BFS genuinely layers: seeds at 0 and at least two more hops
+    val layers = got.values.toSeq.distinct.sorted
+    assert(layers.head === 0L && layers.length >= 3, s"degenerate layers $layers")
+  }
 }
