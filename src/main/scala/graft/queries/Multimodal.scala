@@ -109,6 +109,47 @@ object Multimodal {
       .toDF("img_id", "fmt", "width", "height", "n_px", "mean_rgb_bp")
   }
 
+  /** m14's body: decode + one pixel pass builds a 64-bin joint color
+    * histogram (8 levels per channel, 512 bins) per image; pairwise similarity
+    * is HISTOGRAM INTERSECTION (Swain & Ballard 1991) in integer
+    * arithmetic — Σ min(hA, hB) over bins, normalized by the smaller
+    * pixel count, in basis points. The near-dup signal that survives
+    * resize and re-encode where byte hashes break, and is robust to
+    * small occlusion where dHash (m11) flips gradient bits. Scale
+    * shape: blobs decode inside the typed mapPartitions and never
+    * cross an exchange — 512 longs leave per image; the pair join is
+    * |images|² only on the bounded histogram frame (production runs
+    * band the histograms LSH-style first; the fixture set is 4). */
+  private[graft] def colorHistSim(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    val hists = df.select(col("img_id"), col("fmt"), col("blob"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, _, blob) =>
+        val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+        require(im != null, s"undecodable image payload for img $id")
+        val (w, h) = (im.getWidth, im.getHeight)
+        val hist = new Array[Long](512)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = im.getRGB(x, y)
+            val bin = (((p >> 16) & 0xff) / 32) * 64 +
+              ((((p >> 8) & 0xff) / 32) * 8) + ((p & 0xff) / 32)
+            hist(bin) += 1
+            x += 1
+          }
+          y += 1
+        }
+        (id, w.toLong * h, hist)
+      }).toDF("img_id", "px", "hist")
+    hists.as("a").join(hists.as("b"), col("a.img_id") < col("b.img_id"))
+      .selectExpr("a.img_id as id_a", "b.img_id as id_b",
+        "aggregate(zip_with(a.hist, b.hist, (x, y) -> least(x, y)), 0L, (acc, v) -> acc + v) as inter",
+        "least(a.px, b.px) as denom")
+      .selectExpr("id_a", "id_b", "inter", "inter * 10000 div denom as inter_bp")
+  }
+
   /** The committed fixture clips m09 decodes: three PCM WAVs (16-bit
     * little-endian; sample i = ((a·i + b·i² + c) mod 65521) − 32760
     * interleaved across channels) covering mono/stereo, three sample
@@ -468,6 +509,29 @@ object Multimodal {
     // duration bucketing) — blobs never cross an exchange, one stat
     // row leaves per clip. Ignores sfDir — the inputs ARE the
     // committed artifacts. ──
+    // ── m14: color-histogram near-dup similarity on DECODED pixels
+    // — histogram intersection (Swain & Ballard 1991) over 512-bin
+    // joint color histograms, the content-level signal that is
+    // robust where m11's dHash is brittle (small occlusions flip
+    // gradient bits; they barely dent a histogram) and vice versa.
+    // Integer end-to-end: bin counts, Σ min, basis points against
+    // the smaller image. The PNG pairs' values are derivable from
+    // the fixture pixel formula (the spec re-derives them
+    // decoder-independently — img0's grid is a sub-grid of img1's,
+    // so their 10000 bp intersection is true CONTAINMENT, not
+    // saturation); the JPEG pairs are golden-pinned (lossy). Ignores
+    // sfDir — the inputs ARE the committed artifacts. ──
+    "m14_color_hist" -> Q(
+      (s, _) => colorHistSim(fixtureImages(s)),
+      Some("""SELECT * FROM (VALUES
+                (CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(24 AS BIGINT), CAST(10000 AS BIGINT)),
+                (CAST(0 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(10000 AS BIGINT)),
+                (CAST(0 AS BIGINT), CAST(3 AS BIGINT), CAST(9 AS BIGINT), CAST(3750 AS BIGINT)),
+                (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(10000 AS BIGINT)),
+                (CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(24 AS BIGINT), CAST(3750 AS BIGINT)),
+                (CAST(2 AS BIGINT), CAST(3 AS BIGINT), CAST(1 AS BIGINT), CAST(10000 AS BIGINT)))
+              AS t(id_a, id_b, inter, inter_bp)""")),
+
     "m09_wav_decode" -> Q(
       (s, _) => wavDecodeStats(fixtureWavs(s)),
       Some("""SELECT * FROM (VALUES

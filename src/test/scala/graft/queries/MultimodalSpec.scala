@@ -272,4 +272,33 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     // the banded candidate stage kept the true duplicate pair
     assert(got.contains((0L, 3L)) && got((0L, 3L))._2, "banding lost the re-master pair")
   }
+
+  test("m14 color-hist: PNG pair intersections re-derived from the pixel formula") {
+    def hist(w: Int, h: Int): Map[Int, Long] = {
+      val m = scala.collection.mutable.HashMap[Int, Long]().withDefaultValue(0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) =
+          ((37 * x + 11 * y) % 256, (59 * x + 3 * y) % 256, (17 * x + 29 * y) % 256)
+        m((r / 32) * 64 + (g / 32) * 8 + b / 32) += 1
+      }
+      m.toMap.withDefaultValue(0L)
+    }
+    val dims = Map(0L -> ((6, 4)), 1L -> ((16, 9)), 2L -> ((1, 1)))
+    def inter(a: Long, b: Long): (Long, Long) = {
+      val (ha, hb) = (hist(dims(a)._1, dims(a)._2), hist(dims(b)._1, dims(b)._2))
+      val i = (ha.keySet ++ hb.keySet).toSeq.map(k => math.min(ha(k), hb(k))).sum
+      val denom = math.min(dims(a)._1 * dims(a)._2, dims(b)._1 * dims(b)._2).toLong
+      (i, i * 10000 / denom)
+    }
+    val got = graft.SparkEntry.queries("m14_color_hist")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // every PNG-PNG pair equals the formula derivation (decoder-independent)
+    for (a <- Seq(0L, 1L, 2L); b <- Seq(0L, 1L, 2L) if a < b)
+      assert(got((a, b)) === inter(a, b), s"pair ($a,$b)")
+    // img0's grid is a sub-grid of img1's: 10000 bp is true containment
+    assert(got((0L, 1L))._2 === 10000L)
+    // the lossy JPEG pairs are genuinely below containment (the metric
+    // discriminates) while staying well above zero (content survives)
+    assert(got((1L, 3L))._2 > 1000L && got((1L, 3L))._2 < 10000L)
+  }
 }
