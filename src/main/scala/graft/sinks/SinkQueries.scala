@@ -529,7 +529,39 @@ object SinkQueries {
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
               UNION ALL
               SELECT o_orderkey + 300000000, o_custkey, o_totalprice
-              FROM orders WHERE o_orderkey % 89 = 0"""))
+              FROM orders WHERE o_orderkey % 89 = 0""")),
+
+    // ── sink19: PARTITION-SPEC EVOLUTION (the Iceberg contract on
+    // plain parquet): the table starts year-partitioned, then the
+    // spec evolves to (year, month) for NEW data — old files are
+    // NEVER rewritten (the entire point: a spec change on a 100 TB
+    // table must cost zero data movement). Each layout lives under
+    // its own spec root because hive-style discovery cannot mix
+    // directory depths (that reconciliation is exactly what Iceberg
+    // moves into per-file metadata); the unified read runs each spec
+    // with its own partition schema and derives the missing `mo`
+    // for spec-1 rows from the data column, so consumers see ONE
+    // evolved schema. Pruning semantics (SinksSpec pins them): a
+    // month-filtered read prunes spec-2 files by directory and must
+    // scan spec-1 files and filter on the derived column — the safe
+    // superset a spec boundary costs, paid only by readers that
+    // cross it. ──
+    "sink19_partition_evolution" -> Q(
+      (s, d) => {
+        val out = partitionEvolutionRun(s, d)
+        val r1 = s.read.option("basePath", s"$out/spec1")
+          .parquet(s"$out/spec1")
+          .withColumn("mo", org.apache.spark.sql.functions
+            .expr("month(o_orderdate)"))
+        val r2 = s.read.option("basePath", s"$out/spec2")
+          .parquet(s"$out/spec2")
+        r1.unionByName(r2)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "yr", "mo")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+                     CAST(year(o_orderdate) AS INTEGER) AS yr,
+                     CAST(month(o_orderdate) AS INTEGER) AS mo
+              FROM orders"""))
   )
 
   /** sink11's base snapshot: orders, hive-partitioned by order year. */
@@ -618,6 +650,22 @@ object SinkQueries {
       q.stop()
       throw new IllegalStateException("stream19 did not drain within 300s")
     }
+    out
+  }
+
+  /** sink19's two-spec table: spec1 holds the pre-evolution slice
+    * year-partitioned; spec2 holds the post-evolution slice
+    * (year, month)-partitioned. Returns the table root. */
+  private[graft] def partitionEvolutionRun(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val out = scratch("partevo")
+    val o = Tables(s, d, "orders").selectExpr(
+      "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+      "year(o_orderdate) as yr", "month(o_orderdate) as mo")
+    o.where("o_orderkey % 3 != 0").drop("mo")
+      .write.partitionBy("yr").parquet(s"$out/spec1")
+    o.where("o_orderkey % 3 = 0")
+      .write.partitionBy("yr", "mo").parquet(s"$out/spec2")
     out
   }
 

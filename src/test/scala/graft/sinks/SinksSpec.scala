@@ -450,4 +450,56 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
     // the embedded newline is inside a quoted field, not a row break
     assert(raw.contains("\"line1\nline2\""), "newline not carried inside quotes")
   }
+
+  test("sink19 partition evolution: layouts coexist, month pruning hits only the evolved spec") {
+    val sf = "/root/testdata/sf0.001"
+    val out = SinkQueries.partitionEvolutionRun(spark, sf)
+    def files(root: String): Seq[String] = {
+      val it = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      try {
+        import scala.jdk.CollectionConverters._
+        it.iterator().asScala.filter(p => p.toString.endsWith(".parquet"))
+          .map(_.toString.stripPrefix(root)).toVector
+      } finally it.close()
+    }
+    val f1 = files(s"$out/spec1")
+    val f2 = files(s"$out/spec2")
+    // spec1 files carry ONLY yr= in their path; spec2 files carry both
+    assert(f1.nonEmpty && f1.forall(p => p.contains("yr=") && !p.contains("mo=")))
+    assert(f2.nonEmpty && f2.forall(p => p.contains("yr=") && p.contains("mo=")))
+    // a month-filtered read of the evolved spec prunes by directory:
+    // the scan's static partition listing covers only mo=3 dirs
+    val pruned = spark.read.option("basePath", s"$out/spec2")
+      .parquet(s"$out/spec2").where("mo = 3")
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansOf(a.inputPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => (other.children ++ other.subqueries).flatMap(scansOf)
+    }
+    val scan = scansOf(pruned.queryExecution.executedPlan).head
+    val mo3Dirs = f2.map(_.split("/part-").head).distinct.count(_.contains("mo=3"))
+    val allDirs = f2.map(_.split("/part-").head).distinct.size
+    assert(scan.partitionFilters.nonEmpty,
+      "month filter did not reach the scan as a PartitionFilter")
+    assert(scan.selectedPartitions.partitionCount === mo3Dirs)
+    assert(mo3Dirs < allDirs, "pruning precondition vacuous")
+    // evolution never rewrites: the reconciled read (spec1 with the
+    // derived month + spec2 as written) leaves spec1 bytes alone
+    val before = f1.map(p => p -> java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$out/spec1$p")).toMillis).toMap
+    val reconciled = spark.read.option("basePath", s"$out/spec1")
+      .parquet(s"$out/spec1")
+      .withColumn("mo", org.apache.spark.sql.functions.expr("month(o_orderdate)"))
+      .unionByName(spark.read.option("basePath", s"$out/spec2")
+        .parquet(s"$out/spec2"))
+    val expected = graft.Tables(spark, sf, "orders").count()
+    assert(reconciled.count() === expected)
+    f1.foreach { p =>
+      val now = java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(s"$out/spec1$p")).toMillis
+      assert(now === before(p), s"spec1 file $p was touched by the read")
+    }
+  }
 }
