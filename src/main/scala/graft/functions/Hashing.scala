@@ -76,6 +76,8 @@ object Hashing {
       exprs => AffineMinHash(exprs(0), litInt(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction("dotf",
       exprs => DotF(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("dotl",
+      exprs => DotL(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("vnorm",
       exprs => VNorm(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("hyperplane_sig",

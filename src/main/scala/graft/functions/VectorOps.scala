@@ -34,6 +34,20 @@ object VectorOps {
     s
   }
 
+  /** Integer dot product of two long vectors — exact by nature
+    * (integer addition is associative; there is no fold-order parity
+    * concern, only the boxed-lambda cost this kernel removes). */
+  def dotL(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    s
+  }
+
   /** sqrt of the sequential-fold sum of squares. */
   def vnorm(a: ArrayData): Double = {
     val n = a.numElements()
@@ -108,6 +122,34 @@ case class DotF(left: Expression, right: Expression)
       }""")
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotF =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `dotl(a, b)` → bigint: integer dot product (s27's quantized
+  * scoring path). NULL when the lengths differ, like [[DotF]]. */
+case class DotL(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dotl"
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // mismatched lengths → null
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null else VectorOps.dotL(x, y)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if ($a.numElements() != $b.numElements()) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.VectorOps.dotL($a, $b);
+      }""")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotL =
     copy(left = newLeft, right = newRight)
 }
 

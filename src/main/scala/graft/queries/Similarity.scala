@@ -947,7 +947,7 @@ object Similarity {
             "array_max(transform(embedding, x -> abs(cast(x as double)))) as ma")
           .selectExpr("vec_id", "embedding", "nrm", s"$qExpr as q")
           .selectExpr("vec_id", "embedding", "nrm", "q",
-            "sqrt(cast(aggregate(transform(q, x -> x * x), 0L, (a, x) -> a + x) as double)) as qn")
+            "sqrt(cast(dotl(q, q) as double)) as qn")
         val p = e.where("vec_id < 10").select(col("vec_id").as("probe_id"),
           col("embedding").as("pe"), col("nrm").as("pn"),
           col("q").as("pq"), col("qn").as("pqn"))
@@ -956,8 +956,7 @@ object Similarity {
         val pairs = c.join(broadcast(p), col("cand_id") =!= col("probe_id"))
           .selectExpr("probe_id", "cand_id",
             s"${dot("pe", "ce")} / (pn * cn) as cf",
-            "cast(aggregate(zip_with(pq, cq, (a, b) -> a * b), 0L, (acc, x) -> acc + x) as double)" +
-              " / (pqn * cqn) as ca")
+            "cast(dotl(pq, cq) as double) / (pqn * cqn) as ca")
           .persistScoped()
         Recall.perProbe(
           heapTopk(pairs.selectExpr("probe_id", "cand_id", "cf as cosine"), 3),

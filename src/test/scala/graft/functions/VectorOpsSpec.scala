@@ -77,4 +77,22 @@ class VectorOpsSpec extends AnyFunSuite with SparkTestBase {
     // signatures are non-degenerate on this input
     assert(rows.map(_.getLong(0)).distinct.length > 1)
   }
+
+  test("dotl equals the SQL-lambda integer fold; length mismatch is NULL") {
+    graft.functions.Hashing.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1L, -2L, 3L), Seq(4L, 5L, -6L)),
+      (Seq(127L, 127L), Seq(127L, -127L)),
+      (Seq.empty[Long], Seq.empty[Long])
+    ).toDF("a", "b")
+    val rows = df.selectExpr(
+      "dotl(a, b) as native",
+      "aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v) as lambda"
+    ).collect()
+    rows.foreach(r => assert(r.get(0) === r.get(1)))
+    val mism = Seq((Seq(1L, 2L), Seq(1L)))
+      .toDF("a", "b").selectExpr("dotl(a, b) as d").head
+    assert(mism.isNullAt(0), "length mismatch must be NULL, not a truncated product")
+  }
 }
