@@ -35,6 +35,32 @@ object Relational {
     }
   }
 
+  /** q40's allocation core, shared by stream23's per-batch fold: each
+    * purchase's integer cents split cents-div-n across the user's
+    * clicks in the prior 6 h, remainder cents one each to the most
+    * recent touches — so every purchase's allocation sums to its
+    * total exactly. Inputs are event-shaped frames (event_id, ts,
+    * user_id, value); output is the per-click ledger. */
+  private[graft] def attributionCredits(purchases: DataFrame,
+      clicks: DataFrame): DataFrame = {
+    val p = purchases.selectExpr("event_id as pid", "user_id",
+      "unix_micros(ts) as pus", "cast(floor(value * 100) as bigint) as cents")
+    val c = clicks.selectExpr("event_id as cid", "user_id as cuid",
+      "unix_micros(ts) as cus")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("pid")
+    val wr = w.orderBy(col("cus").desc, col("cid").desc)
+    p.join(c, col("user_id") === col("cuid")
+        && col("cus") <= col("pus")
+        && col("cus") > col("pus") - lit(21600000000L))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(wr))
+      .selectExpr("cid", "user_id",
+        "cents div n + case when rn <= cents % n then 1L else 0L end as credit")
+      .groupBy("cid", "user_id")
+      .agg(count(lit(1)).as("n_credits"),
+        sum("credit").as("attributed_cents"))
+  }
+
   val all: Map[String, Q] = Map(
     // ── P4: filter + pruned projection (pushes to the parquet scan) ──
     "q01_filter_scan" -> Q(
@@ -954,24 +980,9 @@ object Relational {
     "q40_attribution" -> Q(
       (s, d) => {
         val e = events(s, d).persistScoped()
-        val p = e.where("event_type = 'purchase'")
-          .selectExpr("event_id as pid", "user_id", "unix_micros(ts) as pus",
-            "cast(floor(value * 100) as bigint) as cents")
-        val c = e.where("event_type = 'click'")
-          .selectExpr("event_id as cid", "user_id as cuid",
-            "unix_micros(ts) as cus")
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("pid")
-        val wr = w.orderBy(col("cus").desc, col("cid").desc)
-        p.join(c, col("user_id") === col("cuid")
-            && col("cus") <= col("pus")
-            && col("cus") > col("pus") - lit(21600000000L))
-          .withColumn("n", count(lit(1)).over(w))
-          .withColumn("rn", row_number().over(wr))
-          .selectExpr("cid", "user_id",
-            "cents div n + case when rn <= cents % n then 1L else 0L end as credit")
-          .groupBy("cid", "user_id")
-          .agg(count(lit(1)).as("n_credits"),
-            sum("credit").as("attributed_cents"))
+        attributionCredits(
+          e.where("event_type = 'purchase'"),
+          e.where("event_type = 'click'"))
       },
       Some("""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
                                 event_type, value FROM events),

@@ -634,6 +634,74 @@ object StreamQueries {
       (s, d) => graft.queries.Pipeline
         .sampleStream(s, EventStreams.docsStream(s, d))
         .select("doc_id", "lang", "source", "tag"),
-      graft.queries.Pipeline.all("p14_bottomk_sample").oracle)
+      graft.queries.Pipeline.all("p14_bottomk_sample").oracle),
+
+    // ── stream23: streaming ATTRIBUTION-LEDGER maintenance — q40's
+    // per-click revenue ledger as a MAINTAINED artifact: purchases
+    // ARRIVE (the conversion stream), clicks are the static touch
+    // history, and each micro-batch's exact allocations fold into the
+    // persisted (cid, user_id, n_credits, cents) ledger by
+    // counter-wise ADD — each purchase is allocated exactly once and
+    // ledger entries are sums over purchases, so batch boundaries
+    // cannot change a cent (the stream16/17 fold algebra carrying an
+    // ACCOUNTING invariant: the maintained ledger's total equals the
+    // arrived purchases' cent total, always). Answered FROM the
+    // artifact against q40's batch oracle verbatim. Per-batch cost is
+    // the batch's own touch join; state is one row per credited
+    // click. ──
+    "stream23_attribution_ledger" -> Q(
+      (s, d) => {
+        val clicks = graft.queries.Relational.events(s, d)
+          .where("event_type = 'click'").persistScoped()
+        val pstream = EventStreams.eventsStream(s, d)
+          .where("event_type = 'purchase'")
+        ledgerStream(s, pstream, clicks)
+          .select("cid", "user_id", "n_credits", "attributed_cents")
+      },
+      graft.queries.Relational.all("q40_attribution").oracle)
   )
+
+  /** stream23's fold: per batch, q40's exact allocation of the
+    * batch's purchases against the static click history, added into
+    * the persisted ledger (write-tmp + rename, the artifact
+    * template). */
+  private def ledgerDir: String = java.nio.file.Paths.get(
+    System.getProperty("java.io.tmpdir"), "graft-attr-ledger").toString
+
+  private[graft] def ledgerStream(s: org.apache.spark.sql.SparkSession,
+      purchases: org.apache.spark.sql.DataFrame,
+      clicks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{Dataset, Row}
+    import org.apache.spark.sql.functions.sum
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(ledgerDir))
+    val target = new java.io.File(ledgerDir, "ledger")
+    val q = purchases.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val sb = batch.sparkSession
+        val credits = graft.queries.Relational.attributionCredits(batch, clicks)
+        val merged =
+          if (target.exists())
+            credits.unionByName(sb.read.parquet(target.toString))
+              .groupBy("cid", "user_id")
+              .agg(sum("n_credits").as("n_credits"),
+                sum("attributed_cents").as("attributed_cents"))
+          else credits
+        val tmp = new java.io.File(ledgerDir, "ledger.tmp")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        rm(target)
+        require(tmp.renameTo(target), "ledger artifact swap failed")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(300000)) {
+      q.stop()
+      throw new IllegalStateException("stream23 did not drain within 300s")
+    }
+    s.read.parquet(target.toString)
+  }
 }

@@ -658,6 +658,30 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "3-batch folded sample diverged from the one-shot bottom-k")
   }
 
+  test("stream23: chopped purchase arrival folds to q40's exact ledger, cents conserved") {
+    val sf01 = "/root/testdata/sf0.01"
+    val clicks = graft.queries.Relational.events(spark, sf01)
+      .where("event_type = 'click'")
+    val purchases = graft.queries.Relational.events(spark, sf01)
+      .where("event_type = 'purchase'")
+    // 3 files, one per micro-batch: purchases split arbitrarily
+    val stage = java.nio.file.Files.createTempDirectory("graft-stream23-").toString
+    purchases.repartition(3).write.mode("overwrite").parquet(stage)
+    val schema = spark.read.parquet(stage).schema
+    val chopped = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val streamed = graft.streaming.StreamQueries
+      .ledgerStream(spark, chopped, clicks)
+      .collect().map(r => (r.getAs[Long]("cid"), r.getAs[Long]("user_id")) ->
+        ((r.getAs[Long]("n_credits"), r.getAs[Long]("attributed_cents")))).toMap
+    val batch = graft.queries.Relational.all("q40_attribution").fn(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(streamed === batch,
+      "3-batch folded ledger diverged from the one-shot allocation")
+    assert(streamed.nonEmpty)
+  }
+
   test("stream17: chopped multi-batch counter fold equals the one-shot CMS; finish matches t23") {
     graft.functions.Hashing.register(spark)
     val T = graft.queries.TextOps
