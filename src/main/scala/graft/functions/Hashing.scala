@@ -88,6 +88,12 @@ object Hashing {
       exprs => DuckTypeMask(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("nfc",
       exprs => NfcNormalize(exprs.head), "built-in")
+    def litStr(e: Expression): String = {
+      require(e.foldable, s"argument must be a string literal, got: ${e.sql}")
+      e.eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    }
+    reg.createOrReplaceTempFunction("multi_find",
+      exprs => MultiFind(exprs.head, exprs.tail.map(litStr)), "built-in")
     // aggregate: the analyzer wraps a bare AggregateFunction into an
     // AggregateExpression, so registration looks like any expression
     reg.createOrReplaceTempFunction("top_k_by_score",

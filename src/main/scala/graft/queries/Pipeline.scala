@@ -1106,13 +1106,13 @@ object Pipeline {
     // eval suites embed unique canary GUIDs (the BIG-bench practice)
     // precisely so a training pipeline can detect verbatim benchmark
     // ingestion with an exact substring scan, no gram machinery.
-    // The registry is a tiny literal struct array, so the whole scan
-    // is ONE codegen'd map pass — `filter(canaries, p ->
-    // contains(text, p.c))` per row, no join, no shuffle until the
-    // |suites|-sized hit agg; corpus text never moves. (Thousands of
-    // canaries would swap the per-row filter walk for a single
-    // multi-pattern automaton in a native expression — same plan
-    // shape, different kernel.) Leaked docs are PLANTED via a
+    // The whole scan is ONE codegen'd map pass through the native
+    // multi_find Aho-Corasick kernel — each row's text is walked ONCE
+    // regardless of how many canaries are registered (O(|text|+hits),
+    // vs the O(|text|·k) per-pattern contains() walk this replaced),
+    // no join, no shuffle until the |suites|-sized hit agg; corpus
+    // text never moves, and the automaton is a plan-time constant
+    // cached per pattern set. Leaked docs are PLANTED via a
     // bounded literal union (the t21 planting pattern: the gate must
     // exercise both verdict classes; the synthetic corpus cannot
     // contain a GUID by chance), including a suite with zero leaks —
@@ -1120,15 +1120,15 @@ object Pipeline {
     "c08_canary_scan" -> Q(
       (s, d) => {
         import s.implicits._
-        val litArr = canarySuites.map { case (su, c) =>
-          s"named_struct('suite', '$su', 'c', '$c')"
-        }.mkString("array(", ", ", ")")
+        graft.functions.Hashing.register(s)
+        val pats = canarySuites.map { case (_, c) => s"'$c'" }.mkString(", ")
+        val suiteArr = canarySuites.map { case (su, _) => s"'$su'" }
+          .mkString("array(", ", ", ")")
         val corpus = Tables(s, d, "documents").select("doc_id", "text")
           .union(plantedLeaks.toDF("doc_id", "text"))
         val hits = corpus
-          .selectExpr("doc_id",
-            s"explode(filter($litArr, p -> contains(text, p.c))) as p")
-          .selectExpr("doc_id", "p.suite as suite")
+          .selectExpr("doc_id", s"explode(multi_find(text, $pats)) as pidx")
+          .selectExpr("doc_id", s"element_at($suiteArr, pidx + 1) as suite")
           .groupBy("suite")
           .agg(count(lit(1)).as("n_hits"), min("doc_id").as("first_doc"))
         canarySuites.toDF("suite", "canary")

@@ -93,4 +93,33 @@ object KernelProps extends Properties("graft.kernels") {
       java.lang.Double.doubleToLongBits(dot) == java.lang.Double.doubleToLongBits(wantDot) &&
         java.lang.Double.doubleToLongBits(nrm) == java.lang.Double.doubleToLongBits(wantNrm)
     }
+
+  property("multi_find automaton equals per-pattern contains on random inputs") = {
+    val abGen = Gen.listOfN(24, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    val patGen = Gen.nonEmptyListOf(
+      Gen.choose(1, 4).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))
+      .map(_.distinct.take(8))
+    Prop.forAll(abGen, patGen) { (text, pats) =>
+      val ac = new MultiPattern.AC(pats.toArray)
+      val got = ac.findDistinct(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text))
+        .toIntArray().toSeq
+      val want = pats.zipWithIndex.collect {
+        case (p, i) if text.contains(p) => i
+      }
+      got == want
+    }
+  }
+
+  property("multi_find: overlapping and nested patterns all fire") =
+    Prop.forAll(Gen.const(())) { _ =>
+      // "abcd" carries abc and bcd (overlap), "aa" in "aaa" (nested
+      // repeats), and a pattern that is a suffix of another
+      val ac = new MultiPattern.AC(Array("abc", "bcd", "aa", "cd", "zzz"))
+      val got = ac.findDistinct(
+        org.apache.spark.unsafe.types.UTF8String.fromString("aaa abcd"))
+        .toIntArray().toSeq
+      got == Seq(0, 1, 2, 3)
+    }
 }

@@ -34,6 +34,7 @@ class PlanAuditSpec extends AnyFunSuite with graft.SparkTestBase {
     "s20_range_search", // 10-probe broadcast exact-evidence scan (index side is equi)
     "s23_matryoshka_recall", // one 10-probe broadcast scan feeding both rankings
     "s27_sq8_recall", // one 10-probe broadcast scan feeding both rankings
+    "m14_color_hist", // 4-row fixture histogram frame, id< pair self-join
     "d11_lsh_recall") // 50-probe broadcast exact-baseline scan
 
   /** Queries where an unpartitioned window runs over a PROVABLY tiny
