@@ -1002,6 +1002,66 @@ object Relational {
                      CAST(sum(cents // n + CASE WHEN rn <= cents % n
                                                 THEN 1 ELSE 0 END) AS BIGINT)
                        AS attributed_cents
-              FROM j GROUP BY cid, user_id"""))
+              FROM j GROUP BY cid, user_id""")),
+
+    // ── q41: SPATIAL distance self-join via grid bucketing — the
+    // distributed spatial-join shape (GeoSpark/Sedona's core plan,
+    // j05's interval trick in 2D): find all point pairs within
+    // distance 2.0° without the O(n²) cross join. Deterministic
+    // integer point set (coordinates in TENTHS of a degree, spread by
+    // multiplicative hashing so the predicate is exact integer
+    // arithmetic — dist² ≤ 400 tenths²); each point lands in its
+    // 2°×2° grid cell (cell width = radius, the 3×3 correctness
+    // precondition), ONE side explodes to its 3×3 cell
+    // neighborhood (bounded ×9, the q26/q37 expansion), the join is
+    // a plain (cx, cy) equi-join — shuffle-partitioned, AQE-
+    // splittable where a city-dense cell skews — and the exact
+    // predicate verifies survivors. Nothing is ever compared outside
+    // a 3×3 neighborhood, which is the entire scale argument; a
+    // hub cell gets the d07/g03 cap treatment in production. ──
+    "q41_spatial_grid_join" -> Q(
+      (s, d) => {
+        val pts = Tables(s, d, "customer")
+          .selectExpr("c_custkey as id",
+            "(c_custkey * 2654435761L) % 600 as x10",
+            "(c_custkey * 40503L) % 300 as y10")
+          .persistScoped()
+        val probe = pts.selectExpr("id", "x10", "y10",
+          "x10 div 20 as cx", "y10 div 20 as cy")
+        val build = pts
+          .selectExpr("id", "x10", "y10",
+            "explode(sequence(x10 div 20 - 1, x10 div 20 + 1)) as cx",
+            "y10 div 20 as cy0")
+          .selectExpr("id", "x10", "y10", "cx",
+            "explode(sequence(cy0 - 1, cy0 + 1)) as cy")
+        probe.as("a").join(build.as("b"),
+            col("a.cx") === col("b.cx") && col("a.cy") === col("b.cy")
+              && col("a.id") < col("b.id"))
+          .selectExpr("a.id as id_a", "b.id as id_b",
+            "(a.x10 - b.x10) * (a.x10 - b.x10)" +
+              " + (a.y10 - b.y10) * (a.y10 - b.y10) as d2")
+          .where("d2 <= 400")
+      },
+      Some("""WITH pts AS (SELECT c_custkey AS id,
+                                  (c_custkey * 2654435761) % 600 AS x10,
+                                  (c_custkey * 40503) % 300 AS y10
+                           FROM customer),
+              probe AS (SELECT id, x10, y10,
+                               x10 // 20 AS cx, y10 // 20 AS cy FROM pts),
+              build AS (SELECT id, x10, y10, cx, cy FROM
+                          (SELECT id, x10, y10,
+                                  unnest(generate_series(x10 // 20 - 1,
+                                                         x10 // 20 + 1)) AS cx,
+                                  y10 // 20 AS cy0
+                           FROM pts),
+                          LATERAL (SELECT unnest(generate_series(cy0 - 1,
+                                                                 cy0 + 1)) AS cy))
+              SELECT a.id AS id_a, b.id AS id_b,
+                     CAST((a.x10 - b.x10) * (a.x10 - b.x10)
+                          + (a.y10 - b.y10) * (a.y10 - b.y10) AS BIGINT) AS d2
+              FROM probe a JOIN build b
+                ON a.cx = b.cx AND a.cy = b.cy AND a.id < b.id
+              WHERE (a.x10 - b.x10) * (a.x10 - b.x10)
+                    + (a.y10 - b.y10) * (a.y10 - b.y10) <= 400"""))
   )
 }

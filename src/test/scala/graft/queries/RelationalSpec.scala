@@ -213,4 +213,28 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(got.getLong(1) > attributable.length,
       "no purchase split across multiple touches - linear model vacuous")
   }
+
+  test("q41 spatial grid join equals the brute-force pairs; no neighborhood is skipped") {
+    val sf = "/root/testdata/sf0.001"
+    val pts = graft.Tables(spark, sf, "customer")
+      .selectExpr("c_custkey", "(c_custkey * 2654435761L) % 600",
+        "(c_custkey * 40503L) % 300")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = (for {
+      (a, ax, ay) <- pts; (b, bx, by) <- pts if a < b
+      d2 = (ax - bx) * (ax - bx) + (ay - by) * (ay - by) if d2 <= 400
+    } yield (a, b, d2)).toSet
+    val got = graft.SparkEntry.queries("q41_spatial_grid_join")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === brute)
+    // non-vacuous: the grid actually prunes (pairs exist, and far
+    // pairs outnumber near ones so brute != all-pairs)
+    assert(got.nonEmpty && got.size < pts.length.toLong * (pts.length - 1) / 2)
+    // boundary honesty: some found pair must CROSS a cell boundary
+    // (caught only via the 3x3 neighborhood, not same-cell matches)
+    assert(got.exists { case (a, b, _) =>
+      val pa = pts.find(_._1 == a).get; val pb = pts.find(_._1 == b).get
+      pa._2 / 20 != pb._2 / 20 || pa._3 / 20 != pb._3 / 20
+    }, "all pairs share a cell - the neighborhood expansion is untested")
+  }
 }
