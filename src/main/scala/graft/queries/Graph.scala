@@ -377,7 +377,64 @@ object Graph {
        |FROM v$Hops""".stripMargin
   }
 
+  private val LpaRounds = 3
+
+  /** Synchronous label propagation (Raghavan et al. 2007) — community
+    * detection on the SPATIAL proximity graph (q41's within-2° pairs;
+    * geographic clusters are what LPA should find, and unlike the
+    * near-clique co-purchase graph the proximity graph has real
+    * community structure). Exactly [[LpaRounds]] synchronous rounds:
+    * every node adopts its neighbors' most frequent label, ties to
+    * the SMALLEST label (the determinism knob async LPA lacks);
+    * isolated nodes keep their own id as a singleton community. Per
+    * round: one src-keyed join sends labels, one (dst, lbl) partial
+    * agg counts them, one dst-keyed struct-extreme argmax picks, one
+    * left join carries untouched nodes — all label-frame-sized state,
+    * the g01 BSP class. The oracle replays every round CTE-for-CTE
+    * (MATERIALIZED — each round references its predecessor twice). */
+  private def labelProp(s: SparkSession, d: String): DataFrame = {
+    val pairs = Relational.all("q41_spatial_grid_join").fn(s, d)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val e = pairs
+      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .persistScoped()
+    val nodes = Tables.customer(s, d).select(col("c_custkey").as("node"))
+    var lbl = nodes.withColumn("lbl", col("node")).persistScoped()
+    for (_ <- 1 to LpaRounds) {
+      val pick = e.join(lbl, e("src") === lbl("node"))
+        .groupBy(col("dst"), col("lbl").as("nl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("dst")
+        .agg(max(struct(col("cnt"), (-col("nl")).as("mnl"))).as("m"))
+        .selectExpr("dst as node", "-m.mnl as newlbl")
+      lbl = lbl.join(pick, Seq("node"), "left")
+        .selectExpr("node", "coalesce(newlbl, lbl) as lbl")
+        .persistScoped()
+    }
+    lbl.selectExpr("node", "lbl as community")
+  }
+
+  private def labelPropSql: String = {
+    val q41 = Relational.all("q41_spatial_grid_join").oracle.get
+    val rounds = (1 to LpaRounds).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT dst AS node,
+         |    -((max(struct_pack(c := cnt, mnl := -lbl))).mnl) AS newlbl
+         |  FROM (SELECT e.dst, l.lbl, COUNT(*) AS cnt
+         |        FROM e JOIN l${i - 1} l ON l.node = e.src GROUP BY 1, 2)
+         |  GROUP BY dst),
+         |l$i AS MATERIALIZED (SELECT l.node, coalesce(p.newlbl, l.lbl) AS lbl
+         |  FROM l${i - 1} l LEFT JOIN p$i p ON p.node = l.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED ($q41),
+       |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
+       |      UNION ALL SELECT id_b, id_a FROM pairs),
+       |l0 AS (SELECT c_custkey AS node, c_custkey AS lbl FROM customer),
+       |$rounds
+       |SELECT node, CAST(lbl AS BIGINT) AS community FROM l$LpaRounds""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "g06_label_prop" -> Q(labelProp, Some(labelPropSql)),
     "g01_pagerank" -> Q(pagerank, Some(pagerankSql)),
     "g02_triangles" -> Q(triangles, Some(trianglesSql)),
     "g03_link_predict" -> Q(linkPredict, Some(linkPredictSql)),

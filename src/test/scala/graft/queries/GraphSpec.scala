@@ -159,4 +159,31 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     val layers = got.values.toSeq.distinct.sorted
     assert(layers.head === 0L && layers.length >= 3, s"degenerate layers $layers")
   }
+
+  test("g06 label propagation equals the serial synchronous replay") {
+    val pairs = Relational.all("q41_spatial_grid_join").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = graft.Tables(spark, sf, "customer")
+      .select("c_custkey").collect().map(_.getLong(0))
+    val adj = new scala.collection.mutable.HashMap[Long, List[Long]]()
+      .withDefaultValue(Nil)
+    pairs.foreach { case (a, b) => adj(a) ::= b; adj(b) ::= a }
+    var lbl: Map[Long, Long] = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lbl = nodes.map { n =>
+        val ns = adj(n)
+        if (ns.isEmpty) n -> lbl(n)
+        else {
+          val cnt = ns.groupBy(lbl).map { case (l, xs) => l -> xs.size }
+          n -> cnt.minBy { case (l, c) => (-c, l) }._1
+        }
+      }.toMap
+    }
+    val got = graft.SparkEntry.queries("g06_label_prop")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === lbl)
+    // community structure is genuine: fewer labels than nodes, more than one
+    val k = got.values.toSet.size
+    assert(k > 1 && k < nodes.length, s"degenerate community count $k")
+  }
 }
