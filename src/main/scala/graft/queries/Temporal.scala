@@ -154,22 +154,34 @@ object Temporal {
     //    identical in both engines. ──
     "j05_interval_overlap" -> Q(
       (s, d) => {
+        // ROW IDENTITY: (orderkey, linenumber) is NOT unique in this
+        // corpus (q39's red pk rule) — two same-numbered lines of one
+        // order can both overlap the same partner with the same
+        // overlap, and the oracle's bag semantics keeps both rows.
+        // The bucket dedup must therefore run on the FULL row key
+        // (partkey included) and only then project it away, or the
+        // distinct over-collapses those honest duplicates (found by
+        // the sf0.1 sweep: one pair in 641k).
         val li = graft.Tables(s, d, "lineitem").selectExpr(
-          "l_orderkey", "l_linenumber", "l_suppkey",
+          "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
           "cast(unix_date(cast(l_shipdate as date)) as bigint) as sd",
           "cast(unix_date(cast(l_shipdate as date)) + (cast(l_quantity as int) % 7 + 1) as bigint) as rd")
         def side(p: String) = li.selectExpr(
           s"l_orderkey as ${p}_orderkey", s"l_linenumber as ${p}_linenumber",
+          s"l_partkey as ${p}_partkey",
           "l_suppkey", s"sd as ${p}_sd", s"rd as ${p}_rd")
           .selectExpr("*", s"explode(sequence(${p}_sd div 8, ${p}_rd div 8)) as bk")
         side("a").join(side("b"), Seq("l_suppkey", "bk"))
           .where("""(a_orderkey < b_orderkey
                      or (a_orderkey = b_orderkey and a_linenumber < b_linenumber))
                     and a_sd <= b_rd and b_sd <= a_rd""")
+          .select("a_orderkey", "a_linenumber", "a_partkey", "a_sd", "a_rd",
+            "b_orderkey", "b_linenumber", "b_partkey", "b_sd", "b_rd",
+            "l_suppkey")
+          .distinct()
           .selectExpr("a_orderkey", "a_linenumber", "b_orderkey", "b_linenumber",
             "l_suppkey",
             "least(a_rd, b_rd) - greatest(a_sd, b_sd) + 1 as overlap_days")
-          .distinct()
       },
       Some("""WITH li AS (SELECT l_orderkey, l_linenumber, l_suppkey,
                        datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS sd,
@@ -200,11 +212,18 @@ object Temporal {
     "j08_interval_coalesce" -> Q(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        // The island flag and the running group sum are two window
+        // evaluations; ordering by (sd, rd) alone is not TOTAL (tied
+        // intervals exist), and an engine may permute ties
+        // differently between the two sorts — the flag then rides the
+        // wrong row and an island splits (found by the sf0.1 sweep).
+        // The full row key makes both sorts identical everywhere.
         val li = graft.Tables(s, d, "lineitem").selectExpr(
-          "l_suppkey",
+          "l_suppkey", "l_orderkey", "l_linenumber", "l_partkey",
           "cast(unix_date(cast(l_shipdate as date)) as bigint) as sd",
           "cast(unix_date(cast(l_shipdate as date)) + (cast(l_quantity as int) % 7 + 1) as bigint) as rd")
-        val bySupp = Window.partitionBy("l_suppkey").orderBy("sd", "rd")
+        val bySupp = Window.partitionBy("l_suppkey")
+          .orderBy("sd", "rd", "l_orderkey", "l_linenumber", "l_partkey")
         li.withColumn("pe",
             max("rd").over(bySupp.rowsBetween(Window.unboundedPreceding, -1)))
           .withColumn("fl",
@@ -216,18 +235,20 @@ object Temporal {
           .selectExpr("l_suppkey", "span_start", "span_end", "n_intervals",
             "span_end - span_start + 1 as busy_days")
       },
-      Some("""WITH li AS (SELECT l_suppkey,
+      Some("""WITH li AS (SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey,
                        datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS sd,
                        datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
                          + (CAST(l_quantity AS INT) % 7 + 1) AS rd
                      FROM lineitem),
-              w AS (SELECT l_suppkey, sd, rd,
-                           max(rd) OVER (PARTITION BY l_suppkey ORDER BY sd, rd
+              w AS (SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey, sd, rd,
+                           max(rd) OVER (PARTITION BY l_suppkey
+                             ORDER BY sd, rd, l_orderkey, l_linenumber, l_partkey
                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
                     FROM li),
               g AS (SELECT l_suppkey, sd, rd,
                            sum(CASE WHEN pe IS NULL OR sd > pe + 1 THEN 1 ELSE 0 END)
-                             OVER (PARTITION BY l_suppkey ORDER BY sd, rd
+                             OVER (PARTITION BY l_suppkey
+                               ORDER BY sd, rd, l_orderkey, l_linenumber, l_partkey
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
                     FROM w)
               SELECT l_suppkey, CAST(min(sd) AS BIGINT) AS span_start,
