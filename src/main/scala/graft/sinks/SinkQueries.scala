@@ -531,6 +531,61 @@ object SinkQueries {
               SELECT o_orderkey + 300000000, o_custkey, o_totalprice
               FROM orders WHERE o_orderkey % 89 = 0""")),
 
+    // ── sink20: INCREMENTAL VIEW MAINTENANCE — the materialized
+    // per-year aggregate maintained under sink11's CDC changelog
+    // WITHOUT recomputing the base (what Delta/Materialize call IVM,
+    // and what every 100 TB rollup table actually runs: the base
+    // scan happened once, forever ago; each merge ships only its
+    // DELTA into the aggregate). Updates contribute their exact
+    // integer-cent price delta (the +1000.00 changelog bump is
+    // +100000 cents — floor distributes over integer shifts, so the
+    // delta is exact) and zero count; inserts contribute their cents
+    // and +1. The maintained result is agg0 + delta on the affected
+    // years ONLY — untouched years' rows pass through bit-identical
+    // (SinksSpec pins it) — while the oracle pays the full recompute
+    // over the merged table, so the gate compare proves
+    // maintain ≡ recompute. Cost shape: O(|changelog| + |groups|),
+    // never O(base). ──
+    "sink20_agg_maintain" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum}
+        val o = Tables(s, d, "orders").selectExpr(
+          "o_orderkey", "year(o_orderdate) as yr",
+          "cast(floor(o_totalprice * 100) as bigint) as cents")
+        val agg0 = o.groupBy("yr")
+          .agg(count(lit(1)).as("n0"), sum("cents").as("c0"))
+        val upd = Tables(s, d, "orders")
+          .where("o_orderkey % 37 = 0 and year(o_orderdate) >= 1996")
+          .selectExpr("year(o_orderdate) as yr", "0L as dn", "100000L as dc")
+        val ins = Tables(s, d, "orders")
+          .where("o_orderkey % 97 = 0 and year(o_orderdate) >= 1996")
+          .selectExpr("year(o_orderdate) as yr", "1L as dn",
+            "cast(floor(o_totalprice * 100) as bigint) as dc")
+        val delta = upd.unionByName(ins).groupBy("yr")
+          .agg(sum("dn").as("dn"), sum("dc").as("dc"))
+        agg0.join(delta, Seq("yr"), "left")
+          .select(col("yr"),
+            (col("n0") + coalesce(col("dn"), lit(0L))).as("n_orders"),
+            (col("c0") + coalesce(col("dc"), lit(0L))).as("total_cents"))
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_custkey, o_orderdate,
+                                   o_totalprice, year(o_orderdate) AS yr
+                            FROM orders),
+              chg AS (SELECT o_orderkey, o_custkey, o_orderdate,
+                             o_totalprice + 1000 AS o_totalprice, yr
+                      FROM base WHERE o_orderkey % 37 = 0 AND yr >= 1996
+                      UNION ALL
+                      SELECT o_orderkey + 100000000, o_custkey, o_orderdate,
+                             o_totalprice, yr
+                      FROM base WHERE o_orderkey % 97 = 0 AND yr >= 1996),
+              merged AS (SELECT * FROM base
+                         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM chg)
+                         UNION ALL SELECT * FROM chg)
+              SELECT CAST(yr AS INTEGER) AS yr, count(*) AS n_orders,
+                     CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS total_cents
+              FROM merged GROUP BY yr""")),
+
     // ── sink19: PARTITION-SPEC EVOLUTION (the Iceberg contract on
     // plain parquet): the table starts year-partitioned, then the
     // spec evolves to (year, month) for NEW data — old files are

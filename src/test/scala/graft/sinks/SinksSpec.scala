@@ -502,4 +502,28 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
       assert(now === before(p), s"spec1 file $p was touched by the read")
     }
   }
+
+  test("sink20 IVM: untouched years ride through unchanged; affected years move by the delta") {
+    val sf = "/root/testdata/sf0.01"
+    val o = graft.Tables(spark, sf, "orders").selectExpr(
+      "year(o_orderdate) as yr",
+      "cast(floor(o_totalprice * 100) as bigint) as cents")
+    val agg0 = o.groupBy("yr")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("cents").as("c"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val got = graft.SparkEntry.queries("sink20_agg_maintain")(spark, sf)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet === agg0.keySet)
+    // the changelog is confined to 1996+: earlier years must be
+    // BIT-identical to the unmaintained aggregate
+    got.filter(_._1 < 1996).foreach { case (yr, v) =>
+      assert(v === agg0(yr), s"untouched year $yr moved under maintenance")
+    }
+    // and at least one affected year genuinely moved in both measures
+    assert(got.exists { case (yr, (n, c)) =>
+      yr >= 1996 && n > agg0(yr)._1 && c > agg0(yr)._2
+    }, "no year moved - the changelog delta was lost")
+  }
 }
