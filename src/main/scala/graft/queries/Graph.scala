@@ -433,7 +433,61 @@ object Graph {
        |SELECT node, CAST(lbl AS BIGINT) AS community FROM l$LpaRounds""".stripMargin
   }
 
+  /** One-row graph-health summary of the co-purchase graph — the
+    * dashboard line a link-graph pipeline alarms on: node/edge
+    * counts, wedge count Σ deg·(deg−1)/2, triangle count (the g02
+    * oriented join, counted once each), and the global clustering
+    * coefficient 3·triangles/wedges in integer basis points (how
+    * clique-like the graph is — spam farms push it up, scattered
+    * crawl noise pulls it down). All counts are exchanges over
+    * node-/edge-sized frames; the two scalars meet through the
+    * audited crossJoin(broadcast(1-row agg)) shape. */
+  private def graphStats(s: SparkSession, d: String): DataFrame = {
+    val e = copurchaseEdges(s, d).persistScoped()
+    val deg = e.select(col("p1").as("node"))
+      .union(e.select(col("p2").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .persistScoped()
+    val o = orient(e).persistScoped()
+    val tri = o.as("e1")
+      .join(o.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(o.as("e3"),
+        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val base = deg.agg(count(lit(1)).as("n_nodes"),
+      expr("sum(deg) div 2").as("n_edges"),
+      expr("sum(deg * (deg - 1) div 2)").as("n_wedges"))
+    base.crossJoin(broadcast(tri))
+      .selectExpr("n_nodes", "n_edges", "n_wedges", "n_triangles",
+        "(3 * n_triangles * 10000) div n_wedges as clustering_bp")
+  }
+
+  private val graphStatsSql =
+    """WITH e AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+      |           FROM lineitem a
+      |           JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      |                          AND a.l_partkey < b.l_partkey),
+      |deg AS (SELECT node, COUNT(*) AS deg
+      |        FROM (SELECT p1 AS node FROM e UNION ALL SELECT p2 AS node FROM e) u
+      |        GROUP BY 1),
+      |o AS (SELECT CASE WHEN d1.deg <= d2.deg THEN e.p1 ELSE e.p2 END AS src,
+      |             CASE WHEN d1.deg <= d2.deg THEN e.p2 ELSE e.p1 END AS dst
+      |      FROM e JOIN deg d1 ON d1.node = e.p1
+      |             JOIN deg d2 ON d2.node = e.p2),
+      |tri AS (SELECT COUNT(*) AS n_triangles
+      |        FROM o e1 JOIN o e2 ON e2.src = e1.dst
+      |                  JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+      |base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |                CAST(sum(deg) // 2 AS BIGINT) AS n_edges,
+      |                CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+      |         FROM deg)
+      |SELECT n_nodes, n_edges, n_wedges,
+      |       CAST(n_triangles AS BIGINT) AS n_triangles,
+      |       CAST((3 * n_triangles * 10000) // n_wedges AS BIGINT) AS clustering_bp
+      |FROM base CROSS JOIN tri""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "g07_graph_stats" -> Q(graphStats, Some(graphStatsSql)),
     "g06_label_prop" -> Q(labelProp, Some(labelPropSql)),
     "g01_pagerank" -> Q(pagerank, Some(pagerankSql)),
     "g02_triangles" -> Q(triangles, Some(trianglesSql)),

@@ -186,4 +186,25 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     val k = got.values.toSet.size
     assert(k > 1 && k < nodes.length, s"degenerate community count $k")
   }
+
+  test("g07 graph stats: consistent with g02 and the serial wedge count") {
+    val e = Graph.copurchaseEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = new scala.collection.mutable.HashMap[Long, Long]()
+      .withDefaultValue(0L)
+    e.foreach { case (a, b) => deg(a) += 1; deg(b) += 1 }
+    val wedges = deg.values.map(d => d * (d - 1) / 2).sum
+    // triangle total from g02's per-node counts (each triangle
+    // credited to 3 corners)
+    val triSum = graft.SparkEntry.queries("g02_triangles")(spark, sf)
+      .selectExpr("sum(n_triangles)").head.getLong(0)
+    val r = graft.SparkEntry.queries("g07_graph_stats")(spark, sf).head
+    assert(r.getLong(0) === deg.size.toLong)
+    assert(r.getLong(1) === e.length.toLong)
+    assert(r.getLong(2) === wedges)
+    assert(r.getLong(3) === triSum / 3)
+    assert(r.getLong(4) === 3 * r.getLong(3) * 10000 / wedges)
+    // sane range: a clustering coefficient is a fraction
+    assert(r.getLong(4) > 0 && r.getLong(4) <= 10000)
+  }
 }
