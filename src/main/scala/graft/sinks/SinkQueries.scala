@@ -536,11 +536,14 @@ object SinkQueries {
     // WITHOUT recomputing the base (what Delta/Materialize call IVM,
     // and what every 100 TB rollup table actually runs: the base
     // scan happened once, forever ago; each merge ships only its
-    // DELTA into the aggregate). Updates contribute their exact
-    // integer-cent price delta (the +1000.00 changelog bump is
-    // +100000 cents — floor distributes over integer shifts, so the
-    // delta is exact) and zero count; inserts contribute their cents
-    // and +1. The maintained result is agg0 + delta on the affected
+    // DELTA into the aggregate). Updates contribute
+    // f(after) − f(before) computed from the changelog's two row
+    // images — the before/after pair every real CDC feed carries, and
+    // the only delta that is EXACT: the tempting algebraic shortcut
+    // "+1000.00 is +100000 cents" is false in IEEE doubles
+    // (floor((p+1000)·100) ≠ floor(p·100)+100000 for some p — the
+    // sf0.1 sweep caught the one cent in 3.3 billion that proves it).
+    // Inserts contribute their cents and +1. The maintained result is agg0 + delta on the affected
     // years ONLY — untouched years' rows pass through bit-identical
     // (SinksSpec pins it) — while the oracle pays the full recompute
     // over the merged table, so the gate compare proves
@@ -556,7 +559,9 @@ object SinkQueries {
           .agg(count(lit(1)).as("n0"), sum("cents").as("c0"))
         val upd = Tables(s, d, "orders")
           .where("o_orderkey % 37 = 0 and year(o_orderdate) >= 1996")
-          .selectExpr("year(o_orderdate) as yr", "0L as dn", "100000L as dc")
+          .selectExpr("year(o_orderdate) as yr", "0L as dn",
+            "cast(floor((o_totalprice + 1000) * 100) as bigint)" +
+              " - cast(floor(o_totalprice * 100) as bigint) as dc")
         val ins = Tables(s, d, "orders")
           .where("o_orderkey % 97 = 0 and year(o_orderdate) >= 1996")
           .selectExpr("year(o_orderdate) as yr", "1L as dn",
