@@ -658,8 +658,89 @@ object StreamQueries {
         ledgerStream(s, pstream, clicks)
           .select("cid", "user_id", "n_credits", "attributed_cents")
       },
-      graft.queries.Relational.all("q40_attribution").oracle)
+      graft.queries.Relational.all("q40_attribution").oracle),
+
+    // ── stream24: STREAMING incremental view maintenance — sink20's
+    // rollup maintained CONTINUOUSLY under an arriving CDC changelog:
+    // each micro-batch's delta rows (updates as before/after-image
+    // cent differences, inserts as their cents and +1 — sink20's
+    // exact-delta discipline) fold into the persisted (yr, dn, dc)
+    // artifact by counter-wise ADD, and the view is answered as
+    // base-aggregate + artifact, pinned to sink20's full-recompute
+    // oracle verbatim: at every batch boundary the maintained rollup
+    // IS the recompute, at O(batch + groups) per batch and |groups|
+    // rows of state — the Materialize/Delta-IVM contract in the
+    // stream16/17 fold template. ──
+    "stream24_ivm" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum}
+        val o = graft.Tables(s, d, "orders")
+        val deltaRows = o
+          .where("o_orderkey % 37 = 0 and year(o_orderdate) >= 1996")
+          .selectExpr("year(o_orderdate) as yr", "0L as dn",
+            "cast(floor((o_totalprice + 1000) * 100) as bigint)" +
+              " - cast(floor(o_totalprice * 100) as bigint) as dc")
+          .unionByName(o
+            .where("o_orderkey % 97 = 0 and year(o_orderdate) >= 1996")
+            .selectExpr("year(o_orderdate) as yr", "1L as dn",
+              "cast(floor(o_totalprice * 100) as bigint) as dc"))
+        val stage = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft-ivm-changelog").toString
+        deltaRows.write.mode("overwrite").parquet(stage)
+        val schema = s.read.parquet(stage).schema
+        val artifact = deltaStream(s,
+          s.readStream.schema(schema).parquet(stage))
+        val agg0 = o.selectExpr("year(o_orderdate) as yr",
+            "cast(floor(o_totalprice * 100) as bigint) as cents")
+          .groupBy("yr")
+          .agg(count(lit(1)).as("n0"), sum("cents").as("c0"))
+        agg0.join(artifact, Seq("yr"), "left")
+          .select(col("yr"),
+            (col("n0") + coalesce(col("dn"), lit(0L))).as("n_orders"),
+            (col("c0") + coalesce(col("dc"), lit(0L))).as("total_cents"))
+      },
+      graft.sinks.SinkQueries.all("sink20_agg_maintain").oracle)
   )
+
+  /** stream24's fold: per batch, sum the arriving delta rows by year
+    * and ADD into the persisted (yr, dn, dc) artifact. */
+  private def ivmDir: String = java.nio.file.Paths.get(
+    System.getProperty("java.io.tmpdir"), "graft-ivm-artifact").toString
+
+  private[graft] def deltaStream(s: org.apache.spark.sql.SparkSession,
+      deltas: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{Dataset, Row}
+    import org.apache.spark.sql.functions.sum
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(ivmDir))
+    val target = new java.io.File(ivmDir, "agg")
+    val q = deltas.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val sb = batch.sparkSession
+        val bd = batch.groupBy("yr")
+          .agg(sum("dn").as("dn"), sum("dc").as("dc"))
+        val merged =
+          if (target.exists())
+            bd.unionByName(sb.read.parquet(target.toString))
+              .groupBy("yr").agg(sum("dn").as("dn"), sum("dc").as("dc"))
+          else bd
+        val tmp = new java.io.File(ivmDir, "agg.tmp")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        rm(target)
+        require(tmp.renameTo(target), "IVM artifact swap failed")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(300000)) {
+      q.stop()
+      throw new IllegalStateException("stream24 did not drain within 300s")
+    }
+    s.read.parquet(target.toString)
+  }
 
   /** stream23's fold: per batch, q40's exact allocation of the
     * batch's purchases against the static click history, added into

@@ -682,6 +682,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("stream24: chopped changelog arrival maintains exactly sink20's rollup") {
+    val sf01 = "/root/testdata/sf0.01"
+    val o = graft.Tables(spark, sf01, "orders")
+    val deltas = o
+      .where("o_orderkey % 37 = 0 and year(o_orderdate) >= 1996")
+      .selectExpr("year(o_orderdate) as yr", "0L as dn",
+        "cast(floor((o_totalprice + 1000) * 100) as bigint)" +
+          " - cast(floor(o_totalprice * 100) as bigint) as dc")
+      .unionByName(o
+        .where("o_orderkey % 97 = 0 and year(o_orderdate) >= 1996")
+        .selectExpr("year(o_orderdate) as yr", "1L as dn",
+          "cast(floor(o_totalprice * 100) as bigint) as dc"))
+    val stage = java.nio.file.Files.createTempDirectory("graft-stream24-").toString
+    deltas.repartition(3).write.mode("overwrite").parquet(stage)
+    val schema = spark.read.parquet(stage).schema
+    val chopped = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val artifact = graft.streaming.StreamQueries.deltaStream(spark, chopped)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // the folded artifact equals the one-shot delta aggregation
+    val oneShot = deltas.groupBy("yr")
+      .agg(org.apache.spark.sql.functions.sum("dn").as("dn"),
+        org.apache.spark.sql.functions.sum("dc").as("dc"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(artifact === oneShot,
+      "3-batch folded deltas diverged from the one-shot aggregation")
+    assert(artifact.nonEmpty && artifact.keys.forall(_ >= 1996))
+  }
+
   test("stream17: chopped multi-batch counter fold equals the one-shot CMS; finish matches t23") {
     graft.functions.Hashing.register(spark)
     val T = graft.queries.TextOps
