@@ -89,8 +89,12 @@ object Hashing {
     reg.createOrReplaceTempFunction("nfc",
       exprs => NfcNormalize(exprs.head), "built-in")
     def litStr(e: Expression): String = {
-      require(e.foldable, s"argument must be a string literal, got: ${e.sql}")
-      e.eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      require(e.foldable && e.dataType ==
+        org.apache.spark.sql.types.StringType,
+        s"argument must be a string literal, got: ${e.sql}")
+      val v = e.eval()
+      require(v != null, s"argument must be a non-null string literal, got: ${e.sql}")
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
     }
     reg.createOrReplaceTempFunction("multi_find",
       exprs => MultiFind(exprs.head, exprs.tail.map(litStr)), "built-in")

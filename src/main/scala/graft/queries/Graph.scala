@@ -264,11 +264,14 @@ object Graph {
     val e = e0.select(col("p1").as("src"), col("p2").as("dst"))
       .union(e0.select(col("p2").as("src"), col("p1").as("dst")))
       .persistScoped()
-    val deg0 = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val deg0 = e.groupBy("src").agg(count(lit(1)).as("deg")).persistScoped()
     val n = deg0.count()
     val rank = ((n + 1) / 2).toInt
-    val kF = deg0.orderBy(col("deg").asc).limit(rank)
-      .agg(expr("max(deg) * 7 div 10").as("k"))
+    // k is a run-constant scalar: resolve it ONCE (one TakeOrdered
+    // job over the persisted degree frame) rather than re-running
+    // the cutpoint lineage inside all 8 eagerly-materialized rounds
+    val k = deg0.orderBy(col("deg").asc).limit(rank)
+      .agg(expr("max(deg) * 7 div 10").as("k")).head.getLong(0)
     // Each round references the previous survivor frame TWICE (both
     // semi-joins), so without a lineage cut the logical plan grows
     // ~3^rounds copies of the base scan and planning itself OOMs the
@@ -282,8 +285,7 @@ object Graph {
         .join(surv, col("src") === col("node"), "left_semi")
         .join(surv, col("dst") === col("node"), "left_semi")
       surv = live.groupBy("src").agg(count(lit(1)).as("c"))
-        .crossJoin(broadcast(kF))
-        .where("c >= k")
+        .where(s"c >= $k")
         .select(col("src").as("node"))
         .localCheckpoint()
     }

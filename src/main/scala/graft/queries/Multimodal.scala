@@ -109,7 +109,7 @@ object Multimodal {
       .toDF("img_id", "fmt", "width", "height", "n_px", "mean_rgb_bp")
   }
 
-  /** m14's body: decode + one pixel pass builds a 64-bin joint color
+  /** m14's body: decode + one pixel pass builds a 512-bin joint color
     * histogram (8 levels per channel, 512 bins) per image; pairwise similarity
     * is HISTOGRAM INTERSECTION (Swain & Ballard 1991) in integer
     * arithmetic — Σ min(hA, hB) over bins, normalized by the smaller

@@ -55,7 +55,12 @@ object Relational {
       .withColumn("n", count(lit(1)).over(w))
       .withColumn("rn", row_number().over(wr))
       .selectExpr("cid", "user_id",
-        "cents div n + case when rn <= cents % n then 1L else 0L end as credit")
+        // sign-correct remainder: for a refund (cents < 0) div
+        // truncates toward zero, the remainder is <= 0, and the most
+        // recent |rem| touches each absorb one NEGATIVE cent — the
+        // conservation invariant holds for both signs
+        "cents div n + case when rn <= abs(cents % n) then" +
+          " (case when cents < 0 then -1L else 1L end) else 0L end as credit")
       .groupBy("cid", "user_id")
       .agg(count(lit(1)).as("n_credits"),
         sum("credit").as("attributed_cents"))
@@ -924,7 +929,8 @@ object Relational {
                'shipdate_complete', n_ship * 10000 div n,  n_ship = n,
                'qty_min_ge_1',      qmin_c,                qmin_c >= 100,
                'qty_max_le_30',     qmax_c,                qmax_c <= 3000,
-               'discount_in_0_10pct', dmax_bp,
+               'discount_in_0_10pct',
+                 case when dmin_bp < 0 then dmin_bp else dmax_bp end,
                  dmin_bp >= 0 and dmax_bp <= 1000,
                'returnflag_domain', bad_flag, bad_flag = 0
              ) as (rule, metric, passed)""")
@@ -955,7 +961,8 @@ object Relational {
                        n_ship = n FROM core
                 UNION ALL SELECT 'qty_min_ge_1', qmin_c, qmin_c >= 100 FROM core
                 UNION ALL SELECT 'qty_max_le_30', qmax_c, qmax_c <= 3000 FROM core
-                UNION ALL SELECT 'discount_in_0_10pct', dmax_bp,
+                UNION ALL SELECT 'discount_in_0_10pct',
+                       CASE WHEN dmin_bp < 0 THEN dmin_bp ELSE dmax_bp END,
                        dmin_bp >= 0 AND dmax_bp <= 1000 FROM core
                 UNION ALL SELECT 'returnflag_domain', bad_flag, bad_flag = 0
                        FROM core
@@ -999,8 +1006,10 @@ object Relational {
                                  AND cus <= pus
                                  AND cus > pus - 21600000000)
               SELECT cid, user_id, count(*) AS n_credits,
-                     CAST(sum(cents // n + CASE WHEN rn <= cents % n
-                                                THEN 1 ELSE 0 END) AS BIGINT)
+                     CAST(sum(cents // n + CASE WHEN rn <= abs(cents % n)
+                                                THEN (CASE WHEN cents < 0
+                                                      THEN -1 ELSE 1 END)
+                                                ELSE 0 END) AS BIGINT)
                        AS attributed_cents
               FROM j GROUP BY cid, user_id""")),
 

@@ -214,6 +214,24 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       "no purchase split across multiple touches - linear model vacuous")
   }
 
+  test("attribution conserves cents for refunds (negative values) too") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    def t(mins: Int) = new java.sql.Timestamp(ts0.getTime + mins * 60000L)
+    // one refund of -0.05 (= -5 cents) split across 2 clicks: the
+    // truncating div gives -2 each, and the most recent click must
+    // absorb the remaining -1 cent
+    val purchases = Seq((100L, t(60), 1L, -0.05))
+      .toDF("event_id", "ts", "user_id", "value")
+    val clicks = Seq((1L, t(10), 1L, 0.0), (2L, t(20), 1L, 0.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val got = Relational.attributionCredits(purchases, clicks)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got.values.sum === -5L, s"refund leaked a cent: $got")
+    assert(got(2L) === -3L && got(1L) === -2L,
+      "the most recent touch must absorb the remainder cent")
+  }
+
   test("q41 spatial grid join equals the brute-force pairs; no neighborhood is skipped") {
     val sf = "/root/testdata/sf0.001"
     val pts = graft.Tables(spark, sf, "customer")
