@@ -21,11 +21,14 @@ object MultiPattern {
     * closure. Matching collects the DISTINCT pattern indices present
     * anywhere in the text, ascending. */
   final class AC(val patterns: Array[String]) extends Serializable {
-    private val children: Array[java.util.HashMap[Character, Integer]] = {
+    // build-time only (matching uses the frozen arrays below):
+    // @transient so the reference object shipped to executors carries
+    // the flat tables, not the boxed trie
+    @transient private val children: Array[java.util.HashMap[Character, Integer]] = {
       val cap = patterns.map(_.length).sum + 1
       Array.fill(cap)(new java.util.HashMap[Character, Integer]())
     }
-    private val outBuild = Array.fill(children.length)(List.empty[Int])
+    @transient private val outBuild = Array.fill(children.length)(List.empty[Int])
     private var nNodes = 1
     patterns.zipWithIndex.foreach { case (p, pi) =>
       var cur = 0
@@ -62,16 +65,37 @@ object MultiPattern {
     private val outputs: Array[Array[Int]] =
       outBuild.take(nNodes).map(_.distinct.sorted.toArray)
 
+    // The HashMap trie exists only during construction; matching runs
+    // once per ROW over the whole corpus, so the hot loop must be
+    // allocation- and boxing-free: per node, parallel sorted
+    // (char, next-state) arrays probed by binary search.
+    private val transChar: Array[Array[Char]] = Array.tabulate(nNodes) { u =>
+      val ks = new Array[Char](children(u).size())
+      val it = children(u).keySet().iterator()
+      var i = 0
+      while (it.hasNext) { ks(i) = it.next(); i += 1 }
+      java.util.Arrays.sort(ks)
+      ks
+    }
+    private val transNext: Array[Array[Int]] = Array.tabulate(nNodes) { u =>
+      transChar(u).map(ch => children(u).get(ch).intValue())
+    }
+
+    private def step(node: Int, ch: Char): Int = {
+      val i = java.util.Arrays.binarySearch(transChar(node), ch)
+      if (i >= 0) transNext(node)(i) else -1
+    }
+
     def findDistinct(text: UTF8String): ArrayData = {
       val s = text.toString
       val hit = new Array[Boolean](patterns.length)
       var cur = 0
       var i = 0
       while (i < s.length) {
-        val ch = Character.valueOf(s.charAt(i))
-        var c = children(cur).get(ch)
-        while (c == null && cur != 0) { cur = fail(cur); c = children(cur).get(ch) }
-        cur = if (c != null) c.intValue() else 0
+        val ch = s.charAt(i)
+        var c = step(cur, ch)
+        while (c < 0 && cur != 0) { cur = fail(cur); c = step(cur, ch) }
+        cur = if (c >= 0) c else 0
         val os = outputs(cur)
         var j = 0
         while (j < os.length) { hit(os(j)) = true; j += 1 }

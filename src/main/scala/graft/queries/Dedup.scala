@@ -1578,37 +1578,12 @@ object Dedup {
     System.getProperty("java.io.tmpdir"), "graft-hll-registers").toString
 
   private[graft] def hllStream(s: SparkSession, docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.{Dataset, Row}
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
+    graft.streaming.ArtifactFold.fold(s, hllItems(docs), hllRegistersDir,
+        "registers") { (batch, prior) =>
+      val br = hllRegisters(batch)
+      prior.fold(br)(br.unionByName(_)
+        .groupBy("source", "bucket").agg(max("m_rho").as("m_rho")))
     }
-    rm(new java.io.File(hllRegistersDir))
-    val target = new java.io.File(hllRegistersDir, "registers")
-    val q = hllItems(docs).writeStream
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        val sb = batch.sparkSession
-        val br = hllRegisters(batch)
-        val merged =
-          if (target.exists())
-            br.unionByName(sb.read.parquet(target.toString))
-              .groupBy("source", "bucket").agg(max("m_rho").as("m_rho"))
-          else br
-        // the tmp write materializes the merge BEFORE the old
-        // artifact is dropped; then one atomic-enough rename
-        val tmp = new java.io.File(hllRegistersDir, "registers.tmp")
-        merged.write.mode("overwrite").parquet(tmp.toString)
-        rm(target)
-        require(tmp.renameTo(target), "register artifact swap failed")
-        ()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    if (!q.awaitTermination(300000)) {
-      q.stop()
-      throw new IllegalStateException("stream16 did not drain within 300s")
-    }
-    s.read.parquet(target.toString)
   }
 
   /** d19's oracle, shared verbatim by stream16: the artifact-served

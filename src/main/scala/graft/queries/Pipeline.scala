@@ -1248,35 +1248,12 @@ object Pipeline {
   private[graft] def histStream(s: org.apache.spark.sql.SparkSession,
       lens: org.apache.spark.sql.DataFrame, lo: Long,
       w: Long): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.{Dataset, Row}
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
+    graft.streaming.ArtifactFold.fold(s, lens, histArtifactDir,
+        "hist") { (batch, prior) =>
+      val bh = lenHist(batch, lo, w)
+      prior.fold(bh)(bh.unionByName(_)
+        .groupBy("b").agg(sum("cnt").as("cnt")))
     }
-    rm(new java.io.File(histArtifactDir))
-    val target = new java.io.File(histArtifactDir, "hist")
-    val q = lens.writeStream
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        val sb = batch.sparkSession
-        val bh = lenHist(batch, lo, w)
-        val merged =
-          if (target.exists())
-            bh.unionByName(sb.read.parquet(target.toString))
-              .groupBy("b").agg(sum("cnt").as("cnt"))
-          else bh
-        val tmp = new java.io.File(histArtifactDir, "hist.tmp")
-        merged.write.mode("overwrite").parquet(tmp.toString)
-        rm(target)
-        require(tmp.renameTo(target), "histogram artifact swap failed")
-        ()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    if (!q.awaitTermination(300000)) {
-      q.stop()
-      throw new IllegalStateException("stream21 did not drain within 300s")
-    }
-    s.read.parquet(target.toString)
   }
 
   /** stream22: fold each arriving micro-batch into the maintained
@@ -1294,38 +1271,15 @@ object Pipeline {
 
   private[graft] def sampleStream(s: org.apache.spark.sql.SparkSession,
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.{Dataset, Row}
     graft.functions.Hashing.register(s)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    rm(new java.io.File(sampleArtifactDir))
-    val target = new java.io.File(sampleArtifactDir, "sample")
     val tagged = docs.selectExpr("doc_id", "lang", "source",
       s"${graft.functions.Hashing.h32Sql("concat('smp:', doc_id)")} as tag")
-    val q = tagged.writeStream
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        val sb = batch.sparkSession
-        val bk = batch.orderBy(col("tag"), col("doc_id")).limit(100)
-        val merged =
-          if (target.exists())
-            bk.unionByName(sb.read.parquet(target.toString))
-              .orderBy(col("tag"), col("doc_id")).limit(100)
-          else bk
-        val tmp = new java.io.File(sampleArtifactDir, "sample.tmp")
-        merged.write.mode("overwrite").parquet(tmp.toString)
-        rm(target)
-        require(tmp.renameTo(target), "sample artifact swap failed")
-        ()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    if (!q.awaitTermination(300000)) {
-      q.stop()
-      throw new IllegalStateException("stream22 did not drain within 300s")
+    graft.streaming.ArtifactFold.fold(s, tagged, sampleArtifactDir,
+        "sample") { (batch, prior) =>
+      val bk = batch.orderBy(col("tag"), col("doc_id")).limit(100)
+      prior.fold(bk)(bk.unionByName(_)
+        .orderBy(col("tag"), col("doc_id")).limit(100))
     }
-    s.read.parquet(target.toString)
   }
 
   /** p19's oracle, shared verbatim by stream21: the artifact-served

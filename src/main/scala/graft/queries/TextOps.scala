@@ -1226,36 +1226,13 @@ object TextOps {
     System.getProperty("java.io.tmpdir"), "graft-cms-counters").toString
 
   private[graft] def cmsStream(s: SparkSession, docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.{Dataset, Row}
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
+    graft.streaming.ArtifactFold.fold(s, cmsItems(docs), cmsCountersDir,
+        "counters") { (batch, prior) =>
+      Hashing.register(batch.sparkSession)
+      val bc = cmsCounters(batch)
+      prior.fold(bc)(bc.unionByName(_)
+        .groupBy("r", "cell").agg(sum("cnt").as("cnt")))
     }
-    rm(new java.io.File(cmsCountersDir))
-    val target = new java.io.File(cmsCountersDir, "counters")
-    val q = cmsItems(docs).writeStream
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        val sb = batch.sparkSession
-        Hashing.register(sb)
-        val bc = cmsCounters(batch)
-        val merged =
-          if (target.exists())
-            bc.unionByName(sb.read.parquet(target.toString))
-              .groupBy("r", "cell").agg(sum("cnt").as("cnt"))
-          else bc
-        val tmp = new java.io.File(cmsCountersDir, "counters.tmp")
-        merged.write.mode("overwrite").parquet(tmp.toString)
-        rm(target)
-        require(tmp.renameTo(target), "counter artifact swap failed")
-        ()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    if (!q.awaitTermination(300000)) {
-      q.stop()
-      throw new IllegalStateException("stream17 did not drain within 300s")
-    }
-    s.read.parquet(target.toString)
   }
 
   /** t23's oracle, shared verbatim by stream17: the artifact-served

@@ -551,27 +551,10 @@ object SinkQueries {
     // never O(base). ──
     "sink20_agg_maintain" -> Q(
       (s, d) => {
-        import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum}
-        val o = Tables(s, d, "orders").selectExpr(
-          "o_orderkey", "year(o_orderdate) as yr",
-          "cast(floor(o_totalprice * 100) as bigint) as cents")
-        val agg0 = o.groupBy("yr")
-          .agg(count(lit(1)).as("n0"), sum("cents").as("c0"))
-        val upd = Tables(s, d, "orders")
-          .where("o_orderkey % 37 = 0 and year(o_orderdate) >= 1996")
-          .selectExpr("year(o_orderdate) as yr", "0L as dn",
-            "cast(floor((o_totalprice + 1000) * 100) as bigint)" +
-              " - cast(floor(o_totalprice * 100) as bigint) as dc")
-        val ins = Tables(s, d, "orders")
-          .where("o_orderkey % 97 = 0 and year(o_orderdate) >= 1996")
-          .selectExpr("year(o_orderdate) as yr", "1L as dn",
-            "cast(floor(o_totalprice * 100) as bigint) as dc")
-        val delta = upd.unionByName(ins).groupBy("yr")
+        import org.apache.spark.sql.functions.sum
+        val delta = cdcDeltaRows(s, d).groupBy("yr")
           .agg(sum("dn").as("dn"), sum("dc").as("dc"))
-        agg0.join(delta, Seq("yr"), "left")
-          .select(col("yr"),
-            (col("n0") + coalesce(col("dn"), lit(0L))).as("n_orders"),
-            (col("c0") + coalesce(col("dc"), lit(0L))).as("total_cents"))
+        maintainedRollup(s, d, delta)
       },
       Some("""WITH base AS (SELECT o_orderkey, o_custkey, o_orderdate,
                                    o_totalprice, year(o_orderdate) AS yr
@@ -711,6 +694,42 @@ object SinkQueries {
       throw new IllegalStateException("stream19 did not drain within 300s")
     }
     out
+  }
+
+  /** The deterministic CDC delta rows shared by sink20 (one-shot
+    * maintenance), stream24 (streaming fold), and their specs — ONE
+    * definition of the exact-delta discipline: updates ship
+    * f(after) − f(before) computed from the changelog's two row
+    * images (the only delta exact under IEEE doubles — see sink20's
+    * entry comment); inserts ship their cents and +1. */
+  private[graft] def cdcDeltaRows(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val o = Tables(s, d, "orders")
+    o.where("o_orderkey % 37 = 0 and year(o_orderdate) >= 1996")
+      .selectExpr("year(o_orderdate) as yr", "0L as dn",
+        "cast(floor((o_totalprice + 1000) * 100) as bigint)" +
+          " - cast(floor(o_totalprice * 100) as bigint) as dc")
+      .unionByName(o
+        .where("o_orderkey % 97 = 0 and year(o_orderdate) >= 1996")
+        .selectExpr("year(o_orderdate) as yr", "1L as dn",
+          "cast(floor(o_totalprice * 100) as bigint) as dc"))
+  }
+
+  /** base per-year aggregate + a (yr, dn, dc) delta frame → the
+    * maintained rollup (sink20's join, shared with stream24). */
+  private[graft] def maintainedRollup(s: org.apache.spark.sql.SparkSession,
+      d: String,
+      delta: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum}
+    Tables(s, d, "orders")
+      .selectExpr("year(o_orderdate) as yr",
+        "cast(floor(o_totalprice * 100) as bigint) as cents")
+      .groupBy("yr")
+      .agg(count(lit(1)).as("n0"), sum("cents").as("c0"))
+      .join(delta, Seq("yr"), "left")
+      .select(col("yr"),
+        (col("n0") + coalesce(col("dn"), lit(0L))).as("n_orders"),
+        (col("c0") + coalesce(col("dc"), lit(0L))).as("total_cents"))
   }
 
   /** sink19's two-spec table: spec1 holds the pre-evolution slice

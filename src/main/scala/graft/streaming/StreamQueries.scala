@@ -673,31 +673,14 @@ object StreamQueries {
     // stream16/17 fold template. ──
     "stream24_ivm" -> Q(
       (s, d) => {
-        import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum}
-        val o = graft.Tables(s, d, "orders")
-        val deltaRows = o
-          .where("o_orderkey % 37 = 0 and year(o_orderdate) >= 1996")
-          .selectExpr("year(o_orderdate) as yr", "0L as dn",
-            "cast(floor((o_totalprice + 1000) * 100) as bigint)" +
-              " - cast(floor(o_totalprice * 100) as bigint) as dc")
-          .unionByName(o
-            .where("o_orderkey % 97 = 0 and year(o_orderdate) >= 1996")
-            .selectExpr("year(o_orderdate) as yr", "1L as dn",
-              "cast(floor(o_totalprice * 100) as bigint) as dc"))
         val stage = java.nio.file.Paths.get(
           System.getProperty("java.io.tmpdir"), "graft-ivm-changelog").toString
-        deltaRows.write.mode("overwrite").parquet(stage)
+        graft.sinks.SinkQueries.cdcDeltaRows(s, d)
+          .write.mode("overwrite").parquet(stage)
         val schema = s.read.parquet(stage).schema
         val artifact = deltaStream(s,
           s.readStream.schema(schema).parquet(stage))
-        val agg0 = o.selectExpr("year(o_orderdate) as yr",
-            "cast(floor(o_totalprice * 100) as bigint) as cents")
-          .groupBy("yr")
-          .agg(count(lit(1)).as("n0"), sum("cents").as("c0"))
-        agg0.join(artifact, Seq("yr"), "left")
-          .select(col("yr"),
-            (col("n0") + coalesce(col("dn"), lit(0L))).as("n_orders"),
-            (col("c0") + coalesce(col("dc"), lit(0L))).as("total_cents"))
+        graft.sinks.SinkQueries.maintainedRollup(s, d, artifact)
       },
       graft.sinks.SinkQueries.all("sink20_agg_maintain").oracle)
   )
@@ -709,37 +692,13 @@ object StreamQueries {
 
   private[graft] def deltaStream(s: org.apache.spark.sql.SparkSession,
       deltas: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.{Dataset, Row}
     import org.apache.spark.sql.functions.sum
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
+    ArtifactFold.fold(s, deltas, ivmDir, "agg") { (batch, prior) =>
+      val bd = batch.groupBy("yr")
+        .agg(sum("dn").as("dn"), sum("dc").as("dc"))
+      prior.fold(bd)(bd.unionByName(_)
+        .groupBy("yr").agg(sum("dn").as("dn"), sum("dc").as("dc")))
     }
-    rm(new java.io.File(ivmDir))
-    val target = new java.io.File(ivmDir, "agg")
-    val q = deltas.writeStream
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        val sb = batch.sparkSession
-        val bd = batch.groupBy("yr")
-          .agg(sum("dn").as("dn"), sum("dc").as("dc"))
-        val merged =
-          if (target.exists())
-            bd.unionByName(sb.read.parquet(target.toString))
-              .groupBy("yr").agg(sum("dn").as("dn"), sum("dc").as("dc"))
-          else bd
-        val tmp = new java.io.File(ivmDir, "agg.tmp")
-        merged.write.mode("overwrite").parquet(tmp.toString)
-        rm(target)
-        require(tmp.renameTo(target), "IVM artifact swap failed")
-        ()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    if (!q.awaitTermination(300000)) {
-      q.stop()
-      throw new IllegalStateException("stream24 did not drain within 300s")
-    }
-    s.read.parquet(target.toString)
   }
 
   /** stream23's fold: per batch, q40's exact allocation of the
@@ -752,37 +711,13 @@ object StreamQueries {
   private[graft] def ledgerStream(s: org.apache.spark.sql.SparkSession,
       purchases: org.apache.spark.sql.DataFrame,
       clicks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.{Dataset, Row}
     import org.apache.spark.sql.functions.sum
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
+    ArtifactFold.fold(s, purchases, ledgerDir, "ledger") { (batch, prior) =>
+      val credits = graft.queries.Relational.attributionCredits(batch, clicks)
+      prior.fold(credits)(credits.unionByName(_)
+        .groupBy("cid", "user_id")
+        .agg(sum("n_credits").as("n_credits"),
+          sum("attributed_cents").as("attributed_cents")))
     }
-    rm(new java.io.File(ledgerDir))
-    val target = new java.io.File(ledgerDir, "ledger")
-    val q = purchases.writeStream
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        val sb = batch.sparkSession
-        val credits = graft.queries.Relational.attributionCredits(batch, clicks)
-        val merged =
-          if (target.exists())
-            credits.unionByName(sb.read.parquet(target.toString))
-              .groupBy("cid", "user_id")
-              .agg(sum("n_credits").as("n_credits"),
-                sum("attributed_cents").as("attributed_cents"))
-          else credits
-        val tmp = new java.io.File(ledgerDir, "ledger.tmp")
-        merged.write.mode("overwrite").parquet(tmp.toString)
-        rm(target)
-        require(tmp.renameTo(target), "ledger artifact swap failed")
-        ()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    if (!q.awaitTermination(300000)) {
-      q.stop()
-      throw new IllegalStateException("stream23 did not drain within 300s")
-    }
-    s.read.parquet(target.toString)
   }
 }

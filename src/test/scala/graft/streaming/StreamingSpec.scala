@@ -684,16 +684,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
 
   test("stream24: chopped changelog arrival maintains exactly sink20's rollup") {
     val sf01 = "/root/testdata/sf0.01"
-    val o = graft.Tables(spark, sf01, "orders")
-    val deltas = o
-      .where("o_orderkey % 37 = 0 and year(o_orderdate) >= 1996")
-      .selectExpr("year(o_orderdate) as yr", "0L as dn",
-        "cast(floor((o_totalprice + 1000) * 100) as bigint)" +
-          " - cast(floor(o_totalprice * 100) as bigint) as dc")
-      .unionByName(o
-        .where("o_orderkey % 97 = 0 and year(o_orderdate) >= 1996")
-        .selectExpr("year(o_orderdate) as yr", "1L as dn",
-          "cast(floor(o_totalprice * 100) as bigint) as dc"))
+    val deltas = graft.sinks.SinkQueries.cdcDeltaRows(spark, sf01)
     val stage = java.nio.file.Files.createTempDirectory("graft-stream24-").toString
     deltas.repartition(3).write.mode("overwrite").parquet(stage)
     val schema = spark.read.parquet(stage).schema
