@@ -1096,6 +1096,69 @@ object TextOps {
               FROM cum
               WINDOW win AS (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
                              AND CURRENT ROW)"""))
+  ,
+
+    // ── t28: near-dup pair TRIAGE — for every verified LSH pair
+    // (d03's output), WHERE do the two documents actually differ?
+    // The longest common token prefix and suffix bracket the edit,
+    // and the residual middles are each side's changed region — the
+    // counts a dedup reviewer (or a span-level cleaner choosing
+    // between d18-style excision and whole-doc dropping) reads
+    // before trusting a 0.7-Jaccard verdict. Exact integer output:
+    // first-mismatch scan via a higher-order filter/min over the
+    // bounded token arrays (per-pair work is O(|doc|), pair count is
+    // d03-bounded — a vanishing fraction of the corpus); the suffix
+    // run is capped at n − lcp so overlapping prefix/suffix claims
+    // cannot double-count a fully-contained doc. ──
+    "t28_dup_explain" -> Q(
+      (s, d) => {
+        val pairs = Dedup.all("d03_lsh_pairs").fn(s, d).select("d1", "d2")
+        val t = Tables(s, d, "documents").selectExpr("doc_id", s"$toks as t")
+        pairs
+          .join(t.selectExpr("doc_id as d1", "t as ta"), "d1")
+          .join(t.selectExpr("doc_id as d2", "t as tb"), "d2")
+          .selectExpr("d1", "d2", "size(ta) as la", "size(tb) as lb",
+            "least(size(ta), size(tb)) as n", "ta", "tb")
+          .selectExpr("d1", "d2", "la", "lb", "n",
+            """coalesce(array_min(filter(transform(sequence(1, n),
+                 i -> if(element_at(ta, i) = element_at(tb, i), null, i)),
+                 v -> v is not null)) - 1, n) as lcp""",
+            """coalesce(array_min(filter(transform(sequence(1, n),
+                 i -> if(element_at(ta, la - i + 1) = element_at(tb, lb - i + 1),
+                         null, i)),
+                 v -> v is not null)) - 1, n) as lcs0""")
+          .selectExpr("d1", "d2",
+            "cast(lcp as bigint) as lcp_tokens",
+            "cast(least(lcs0, n - lcp) as bigint) as lcs_tokens",
+            "cast(la - lcp - least(lcs0, n - lcp) as bigint) as a_mid_tokens",
+            "cast(lb - lcp - least(lcs0, n - lcp) as bigint) as b_mid_tokens")
+      },
+      Some {
+        val d03 = Dedup.all("d03_lsh_pairs").oracle.get
+        s"""WITH pairs AS (SELECT d1, d2 FROM ($d03)),
+            tt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            j AS (SELECT d1, d2, a.t AS ta, b.t AS tb
+                  FROM pairs JOIN tt a ON a.doc_id = d1
+                             JOIN tt b ON b.doc_id = d2),
+            m AS (SELECT d1, d2, len(ta) AS la, len(tb) AS lb,
+                         least(len(ta), len(tb)) AS n, ta, tb FROM j),
+            x AS (SELECT d1, d2, la, lb, n,
+                         coalesce(list_min(list_filter(list_transform(
+                           generate_series(1, n),
+                           i -> CASE WHEN ta[i] = tb[i] THEN NULL ELSE i END),
+                           v -> v IS NOT NULL)) - 1, n) AS lcp,
+                         coalesce(list_min(list_filter(list_transform(
+                           generate_series(1, n),
+                           i -> CASE WHEN ta[la - i + 1] = tb[lb - i + 1]
+                                THEN NULL ELSE i END),
+                           v -> v IS NOT NULL)) - 1, n) AS lcs0
+                  FROM m)
+            SELECT d1, d2, CAST(lcp AS BIGINT) AS lcp_tokens,
+                   CAST(least(lcs0, n - lcp) AS BIGINT) AS lcs_tokens,
+                   CAST(la - lcp - least(lcs0, n - lcp) AS BIGINT) AS a_mid_tokens,
+                   CAST(lb - lcp - least(lcs0, n - lcp) AS BIGINT) AS b_mid_tokens
+            FROM x"""
+      })
   )
 
   // ── Count-Min machinery shared by t23 (one-shot batch) and

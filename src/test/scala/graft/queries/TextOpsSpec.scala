@@ -356,6 +356,34 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
       "no document compressed below character-level - merges applied nowhere")
   }
 
+  test("t28 dup triage equals the serial prefix/suffix scan; bounds hold") {
+    val sf = "/root/testdata/sf0.01"
+    val texts = graft.Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val pairs = Dedup.all("d03_lsh_pairs").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def runLen(a: Seq[String], b: Seq[String]): Int =
+      a.zip(b).takeWhile { case (x, y) => x == y }.size
+    val expected = pairs.map { case (d1, d2) =>
+      val (ta, tb) = (texts(d1), texts(d2))
+      val n = math.min(ta.length, tb.length)
+      val lcp = runLen(ta, tb)
+      val lcs = math.min(runLen(ta.reverse, tb.reverse), n - lcp)
+      (d1, d2) -> ((lcp.toLong, lcs.toLong,
+        (ta.length - lcp - lcs).toLong, (tb.length - lcp - lcs).toLong))
+    }.toMap
+    val got = graft.SparkEntry.queries("t28_dup_explain")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got === expected)
+    // structure: middles never negative, and the near-dup pairs
+    // genuinely share a common frame somewhere
+    assert(got.values.forall { case (_, _, am, bm) => am >= 0 && bm >= 0 })
+    assert(got.values.exists { case (lcp, lcs, _, _) => lcp + lcs > 0 },
+      "no pair shares any prefix or suffix - triage vacuous on this corpus")
+  }
+
   test("t27 heaps curve equals the serial replay and is monotone-flattening") {
     val sf = "/root/testdata/sf0.001"
     val docs = graft.Tables(spark, sf, "documents")
