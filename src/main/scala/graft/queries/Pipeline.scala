@@ -1203,7 +1203,53 @@ object Pipeline {
                    chosen_id, rejected_id,
                    CAST(hi_s - lo_s AS BIGINT) AS margin_bp
             FROM g WHERE hi_s > lo_s"""
-      })
+      }),
+
+    // ── p21: SHARD-BALANCE audit — the skew alarm a training run
+    // reads before trusting p05's layout (a hot shard is a straggling
+    // data-loader worker for the whole job): per shard, row count and
+    // total text bytes, each with its deviation from the mean in
+    // basis points, plus the max-over-mean imbalance verdict. All
+    // integer (byte sums, bp via div); one |shards|-sized agg over
+    // p05's assignment plus the audited crossJoin(broadcast(1-row
+    // totals)) scalar attach — nothing corpus-sized leaves the first
+    // partial agg at any scale. Round-robin sharding is balanced BY
+    // CONSTRUCTION on counts (spec pins ±1 row), so the byte
+    // imbalance isolates the DOCUMENT-LENGTH skew — the thing
+    // sequence packing actually cares about. ──
+    "p21_shard_balance" -> Q(
+      (s, d) => {
+        graft.functions.Hashing.register(s)
+        val docs = Tables(s, d, "documents")
+        val assigned = shardShuffle(docs, 8, s.sparkContext.defaultParallelism)
+          .join(docs.selectExpr("doc_id", "length(text) as n_bytes"), "doc_id")
+        val per = assigned.groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum("n_bytes").as("n_bytes"))
+        val tot = per.agg(count(lit(1)).as("n_shards"),
+          sum("n_docs").as("d_tot"), sum("n_bytes").as("b_tot"))
+        per.crossJoin(broadcast(tot))
+          .selectExpr("shard", "n_docs", "n_bytes",
+            "(n_docs * n_shards * 10000) div d_tot - 10000 as doc_dev_bp",
+            "(n_bytes * n_shards * 10000) div b_tot - 10000 as byte_dev_bp")
+      },
+      Some(s"""WITH a AS (SELECT doc_id,
+                      CAST((rn - 1) % 8 AS BIGINT) AS shard
+                    FROM (SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) AS rn
+                          FROM (SELECT doc_id,
+                                  ${graft.functions.Hashing.duck32("'shuf:' || doc_id")} AS k
+                                FROM documents))),
+              per AS (SELECT shard, count(*) AS n_docs,
+                             sum(length(text)) AS n_bytes
+                      FROM a JOIN documents USING (doc_id) GROUP BY shard),
+              tot AS (SELECT count(*) AS n_shards, sum(n_docs) AS d_tot,
+                             sum(n_bytes) AS b_tot FROM per)
+              SELECT shard, CAST(n_docs AS BIGINT) AS n_docs,
+                     CAST(n_bytes AS BIGINT) AS n_bytes,
+                     CAST((n_docs * n_shards * 10000) // d_tot - 10000 AS BIGINT)
+                       AS doc_dev_bp,
+                     CAST((n_bytes * n_shards * 10000) // b_tot - 10000 AS BIGINT)
+                       AS byte_dev_bp
+              FROM per, tot"""))
   )
 
   // ── drift machinery shared by p19 (one-shot batch) and stream21

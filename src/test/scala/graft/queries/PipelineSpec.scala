@@ -444,6 +444,24 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(expTv >= 1000, "no drift measured from the edited shard - vacuous")
   }
 
+  test("p21 shard balance: round-robin counts within one row; byte skew is the real signal") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = graft.SparkEntry.queries("p21_shard_balance")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(rows.length === 8)
+    // round-robin balances counts BY CONSTRUCTION: max-min <= 1
+    val counts = rows.map(_._2)
+    assert(counts.max - counts.min <= 1,
+      s"round-robin produced unbalanced counts: ${counts.toSeq}")
+    // ...so any published imbalance is document-LENGTH skew; on a
+    // real corpus the byte deviations are not all zero
+    assert(rows.map(_._4).exists(_ != 0L),
+      "byte deviations all zero - the audit cannot see length skew")
+    // deviations are deviations: they sum to ~zero (integer floor
+    // leaves at most n_shards of residue either way)
+    assert(math.abs(rows.map(_._4).sum) <= 8 * 2)
+  }
+
   test("p20 preference pairs: exactly one pair per spread cluster, poles exact") {
     val sf = "/root/testdata/sf0.01"
     val clusters = Dedup.all("d08_dup_clusters").fn(spark, sf)
