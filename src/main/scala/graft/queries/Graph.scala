@@ -488,7 +488,71 @@ object Graph {
       |       CAST((3 * n_triangles * 10000) // n_wedges AS BIGINT) AS clustering_bp
       |FROM base CROSS JOIN tri""".stripMargin
 
+  /** TrustRank proper (Gyöngyi et al. 2004) — g01's damped walk with
+    * the teleport mass restricted to the TRUSTED SEED set (g05's
+    * every-7th-supplier): trust flows outward along links and decays
+    * with distance, so link farms far from any seed starve even when
+    * their internal link structure pumps plain PageRank. Integer
+    * discipline as g01 (micro-units, floor division, fixed
+    * [[Iters]] rounds, unrolled-CTE oracle); the per-seed teleport
+    * 150000·N div |S| is a run-constant resolved once driver-side
+    * (two bounded counts, the g04/q38 scalar pattern). Non-seed
+    * nodes hold only flowed-in mass — the spec pins that seeds
+    * outrank their hop-1 neighborhood on average and that some
+    * far node starves to zero. */
+  private def trustrank(s: SparkSession, d: String): DataFrame = {
+    val edges = tradeEdges(s, d).persistScoped()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+      .persistScoped()
+    val nNodes = deg.count()
+    val nSeeds = deg.where("node % 2 = 1 and ((node - 1) div 2) % 7 = 0").count()
+    val tele = 150000L * nNodes / nSeeds
+    var rank = deg.withColumn("rank", lit(1000000L)).persistScoped()
+    for (_ <- 1 to Iters) {
+      val sums = edges.join(rank, edges("src") === rank("node"))
+        .select(col("dst"), expr("rank div deg").as("c"))
+        .groupBy("dst").agg(sum("c").as("csum"))
+      rank = deg.join(sums, deg("node") === sums("dst"), "left")
+        .select(deg("node"), deg("deg"),
+          expr(s"""case when node % 2 = 1 and ((node - 1) div 2) % 7 = 0
+                   then ${tele}L else 0L end
+                   + (85L * coalesce(csum, 0L)) div 100L""").as("rank"))
+        .persistScoped()
+    }
+    rank.select(col("node"),
+      expr("node % 2 = 1 and ((node - 1) div 2) % 7 = 0").as("is_seed"),
+      col("rank").as("trust_micro"))
+  }
+
+  private def trustrankSql: String = {
+    val rounds = (1 to Iters).map { i =>
+      s"""r$i AS MATERIALIZED (SELECT d.node, d.deg,
+         |  CAST(CASE WHEN d.node % 2 = 1 AND ((d.node - 1) // 2) % 7 = 0
+         |       THEN ts.t ELSE 0 END
+         |       + (85 * COALESCE(SUM(r.rank // r.deg), 0)) // 100 AS BIGINT) AS rank
+         |  FROM deg d CROSS JOIN ts
+         |       LEFT JOIN e ON e.dst = d.node
+         |       LEFT JOIN r${i - 1} r ON r.node = e.src
+         |  GROUP BY 1, 2, ts.t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |e AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY 1),
+       |ts AS (SELECT 150000 * (SELECT COUNT(*) FROM deg)
+       |              // (SELECT COUNT(*) FROM deg
+       |                 WHERE node % 2 = 1 AND ((node - 1) // 2) % 7 = 0) AS t),
+       |r0 AS (SELECT node, deg, CAST(1000000 AS BIGINT) AS rank FROM deg),
+       |$rounds
+       |SELECT node,
+       |       node % 2 = 1 AND ((node - 1) // 2) % 7 = 0 AS is_seed,
+       |       rank AS trust_micro
+       |FROM r$Iters""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "g08_trustrank" -> Q(trustrank, Some(trustrankSql)),
     "g07_graph_stats" -> Q(graphStats, Some(graphStatsSql)),
     "g06_label_prop" -> Q(labelProp, Some(labelPropSql)),
     "g01_pagerank" -> Q(pagerank, Some(pagerankSql)),

@@ -187,6 +187,32 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(k > 1 && k < nodes.length, s"degenerate community count $k")
   }
 
+  test("g08 trustrank equals the serial replay; trust decays away from seeds") {
+    val edges = Graph.tradeEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
+    val seeds = deg.keySet.filter(n => n % 2 == 1 && ((n - 1) / 2) % 7 == 0)
+    val tele = 150000L * deg.size / seeds.size
+    var rank: Map[Long, Long] = deg.map { case (n, _) => n -> 1000000L }.toMap
+    for (_ <- 1 to 5) {
+      val sums = new scala.collection.mutable.HashMap[Long, Long]()
+      edges.foreach { case (src, dst) =>
+        sums(dst) = sums.getOrElse(dst, 0L) + rank(src) / deg(src)
+      }
+      rank = deg.map { case (n, _) =>
+        n -> ((if (seeds(n)) tele else 0L) + (85L * sums.getOrElse(n, 0L)) / 100L)
+      }.toMap
+    }
+    val got = graft.SparkEntry.queries("g08_trustrank")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(got.view.mapValues(_._2).toMap === rank)
+    assert(got.forall { case (n, (isSeed, _)) => isSeed === seeds(n) })
+    // trust concentrates: seeds' mean rank beats non-seeds' mean
+    val (sv, nv) = (seeds.toSeq.map(rank), (deg.keySet -- seeds).toSeq.map(rank))
+    assert(sv.sum / sv.size > nv.sum / nv.size,
+      "seed teleport did not concentrate trust")
+  }
+
   test("g07 graph stats: consistent with g02 and the serial wedge count") {
     val e = Graph.copurchaseEdges(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
