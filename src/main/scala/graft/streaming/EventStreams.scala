@@ -66,6 +66,12 @@ object EventStreams {
   def docsStream(spark: SparkSession, dir: String): DataFrame =
     tableStream(spark, dir, "documents")
 
+  /** The customer table as a bounded stream — the site-registration
+    * shape (new locations arrive continuously; each micro-batch is
+    * geo-probed against the static corpus on the way in). */
+  def customersStream(spark: SparkSession, dir: String): DataFrame =
+    tableStream(spark, dir, "customer")
+
   /** The embeddings table as a bounded stream — the ANN-index-ingest
     * shape (vectors arrive continuously; each micro-batch is encoded
     * against the offline-trained codebook on the way in). */

@@ -682,7 +682,65 @@ object StreamQueries {
           s.readStream.schema(schema).parquet(stage))
         graft.sinks.SinkQueries.maintainedRollup(s, d, artifact)
       },
-      graft.sinks.SinkQueries.all("sink20_agg_maintain").oracle)
+      graft.sinks.SinkQueries.all("sink20_agg_maintain").oracle),
+
+    // ── stream25: streaming SPATIAL probe — q41's grid join in the
+    // d14/d16 shard-vs-corpus shape: newly-arriving sites (a
+    // deterministic 20% re-registration shard under new ids, their
+    // coordinates nudged) probe the STATIC corpus grid for
+    // within-2° neighbors. Per micro-batch the probe is stateless:
+    // arriving points explode to their 3×3 cell neighborhoods
+    // map-side and equi-join the static cell-keyed frame (broadcast
+    // at gate scale; cell-bucketed at 100 TB), the exact integer
+    // dist² predicate verifies, matches append — nothing ever
+    // compares outside a 3×3 neighborhood and no probe-probe state
+    // exists. The oracle replays the shard derivation and the
+    // neighborhood join relationally; batch boundaries cannot
+    // change a stateless join's output. ──
+    "stream25_geo_probe" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{broadcast, col}
+        val corpus = graft.Tables(s, d, "customer")
+          .selectExpr("c_custkey as site_id",
+            "(c_custkey * 2654435761L) % 600 as x10",
+            "(c_custkey * 40503L) % 300 as y10")
+          .selectExpr("site_id", "x10", "y10",
+            "x10 div 20 as cx", "y10 div 20 as cy")
+          .persistScoped()
+        val probes = EventStreams.customersStream(s, d)
+          .where("c_custkey % 5 = 0")
+          .selectExpr("c_custkey + 9000000 as probe_id",
+            "((c_custkey * 2654435761L) + 7) % 600 as x10",
+            "((c_custkey * 40503L) + 3) % 300 as y10")
+        val exploded = probes
+          .selectExpr("probe_id", "x10", "y10",
+            "explode(sequence(x10 div 20 - 1, x10 div 20 + 1)) as cx",
+            "y10 div 20 as cy0")
+          .selectExpr("probe_id", "x10 as px", "y10 as py", "cx",
+            "explode(sequence(cy0 - 1, cy0 + 1)) as cy")
+        drain(s,
+          exploded.join(broadcast(corpus), Seq("cx", "cy"))
+            .selectExpr("probe_id", "site_id",
+              "(px - x10) * (px - x10) + (py - y10) * (py - y10) as d2")
+            .where("d2 <= 400"),
+          "g_stream25", mode = "append")
+      },
+      Some("""WITH corpus AS (SELECT c_custkey AS site_id,
+                                     (c_custkey * 2654435761) % 600 AS x10,
+                                     (c_custkey * 40503) % 300 AS y10
+                              FROM customer),
+              probes AS (SELECT c_custkey + 9000000 AS probe_id,
+                                ((c_custkey * 2654435761) + 7) % 600 AS px,
+                                ((c_custkey * 40503) + 3) % 300 AS py
+                         FROM customer WHERE c_custkey % 5 = 0)
+              SELECT probe_id, site_id,
+                     CAST((px - x10) * (px - x10)
+                          + (py - y10) * (py - y10) AS BIGINT) AS d2
+              FROM probes JOIN corpus
+                ON abs(px // 20 - x10 // 20) <= 1
+               AND abs(py // 20 - y10 // 20) <= 1
+              WHERE (px - x10) * (px - x10)
+                    + (py - y10) * (py - y10) <= 400"""))
   )
 
   /** stream24's fold: per batch, sum the arriving delta rows by year
