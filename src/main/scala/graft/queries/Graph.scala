@@ -266,6 +266,13 @@ object Graph {
       .persistScoped()
     val deg0 = e.groupBy("src").agg(count(lit(1)).as("deg")).persistScoped()
     val n = deg0.count()
+    // limit() takes an Int; a node count past 2^31 would silently
+    // truncate the median rank and corrupt k. Fail loudly instead —
+    // at that scale switch to the pinned-rank window (q38 pattern)
+    // which stays in Long end to end.
+    require(n < Int.MaxValue,
+      s"kcore median rank overflows Int at n=$n nodes; use the " +
+        "pinned-rank window variant for graphs beyond 2^31 nodes")
     val rank = ((n + 1) / 2).toInt
     // k is a run-constant scalar: resolve it ONCE (one TakeOrdered
     // job over the persisted degree frame) rather than re-running
@@ -461,7 +468,11 @@ object Graph {
       expr("sum(deg * (deg - 1) div 2)").as("n_wedges"))
     base.crossJoin(broadcast(tri))
       .selectExpr("n_nodes", "n_edges", "n_wedges", "n_triangles",
-        "(3 * n_triangles * 10000) div n_wedges as clustering_bp")
+        // zero-wedge guard: Spark's `div` NULLs on /0 while DuckDB's
+        // `//` errors — define 0 wedges → 0 bp identically in both
+        // engines so a degenerate corpus can't diverge
+        "case when n_wedges = 0 then 0L " +
+          "else (3 * n_triangles * 10000) div n_wedges end as clustering_bp")
   }
 
   private val graphStatsSql =
@@ -485,7 +496,8 @@ object Graph {
       |         FROM deg)
       |SELECT n_nodes, n_edges, n_wedges,
       |       CAST(n_triangles AS BIGINT) AS n_triangles,
-      |       CAST((3 * n_triangles * 10000) // n_wedges AS BIGINT) AS clustering_bp
+      |       CAST(CASE WHEN n_wedges = 0 THEN 0
+      |                 ELSE (3 * n_triangles * 10000) // n_wedges END AS BIGINT) AS clustering_bp
       |FROM base CROSS JOIN tri""".stripMargin
 
   /** TrustRank proper (Gyöngyi et al. 2004) — g01's damped walk with

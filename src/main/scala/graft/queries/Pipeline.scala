@@ -1222,7 +1222,10 @@ object Pipeline {
         graft.functions.Hashing.register(s)
         val docs = Tables(s, d, "documents")
         val assigned = shardShuffle(docs, 8, s.sparkContext.defaultParallelism)
-          .join(docs.selectExpr("doc_id", "length(text) as n_bytes"), "doc_id")
+          // octet_length, not length: the audit is BYTE skew (what a
+          // data-loader actually reads), and char counts understate
+          // non-ASCII shards; DuckDB's strlen is the same byte count
+          .join(docs.selectExpr("doc_id", "octet_length(text) as n_bytes"), "doc_id")
         val per = assigned.groupBy("shard")
           .agg(count(lit(1)).as("n_docs"), sum("n_bytes").as("n_bytes"))
         val tot = per.agg(count(lit(1)).as("n_shards"),
@@ -1239,7 +1242,7 @@ object Pipeline {
                                   ${graft.functions.Hashing.duck32("'shuf:' || doc_id")} AS k
                                 FROM documents))),
               per AS (SELECT shard, count(*) AS n_docs,
-                             sum(length(text)) AS n_bytes
+                             sum(strlen(text)) AS n_bytes
                       FROM a JOIN documents USING (doc_id) GROUP BY shard),
               tot AS (SELECT count(*) AS n_shards, sum(n_docs) AS d_tot,
                              sum(n_bytes) AS b_tot FROM per)
