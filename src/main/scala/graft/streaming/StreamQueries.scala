@@ -697,34 +697,36 @@ object StreamQueries {
     // exists. The oracle replays the shard derivation and the
     // neighborhood join relationally; batch boundaries cannot
     // change a stateless join's output. ──
-    "stream25_geo_probe" -> Q(
+    // ── stream26: FILE-ARRIVAL ingestion — the same maintained-
+    // sample fold as stream22, but driven by files ARRIVING in a
+    // monitored directory (3 parquet files, maxFilesPerTrigger=1 →
+    // 3 real micro-batches), so the FileStreamSource's own surface —
+    // directory discovery, file ordering, schema application,
+    // per-file batch planning, exactly-once file tracking — is
+    // exercised inside the GATE, not only in the spec tier. The
+    // staging write is gate-scale fixture simulation (production
+    // feeds are directories already — a crawler drops shards, this
+    // source picks them up); the fold algebra is split-invariant, so
+    // the answer is pinned to p14's flat-rebuild oracle verbatim
+    // whatever the uncontrolled doc→file assignment. ──
+    "stream26_file_arrival" -> Q(
       (s, d) => {
-        import org.apache.spark.sql.functions.{broadcast, col}
-        val corpus = graft.Tables(s, d, "customer")
-          .selectExpr("c_custkey as site_id",
-            "(c_custkey * 2654435761L) % 600 as x10",
-            "(c_custkey * 40503L) % 300 as y10")
-          .selectExpr("site_id", "x10", "y10",
-            "x10 div 20 as cx", "y10 div 20 as cy")
-          .persistScoped()
-        val probes = EventStreams.customersStream(s, d)
-          .where("c_custkey % 5 = 0")
-          .selectExpr("c_custkey + 9000000 as probe_id",
-            "((c_custkey * 2654435761L) + 7) % 600 as x10",
-            "((c_custkey * 40503L) + 3) % 300 as y10")
-        val exploded = probes
-          .selectExpr("probe_id", "x10", "y10",
-            "explode(sequence(x10 div 20 - 1, x10 div 20 + 1)) as cx",
-            "y10 div 20 as cy0")
-          .selectExpr("probe_id", "x10 as px", "y10 as py", "cx",
-            "explode(sequence(cy0 - 1, cy0 + 1)) as cy")
-        drain(s,
-          exploded.join(broadcast(corpus), Seq("cx", "cy"))
-            .selectExpr("probe_id", "site_id",
-              "(px - x10) * (px - x10) + (py - y10) * (py - y10) as d2")
-            .where("d2 <= 400"),
-          "g_stream25", mode = "append")
+        graft.functions.Hashing.register(s)
+        val stage = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft-stream26-arrivals").toString
+        graft.Tables(s, d, "documents")
+          .repartition(3).write.mode("overwrite").parquet(stage)
+        val schema = s.read.parquet(stage).schema
+        val arriving = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage)
+        graft.queries.Pipeline.sampleStream(s, arriving)
+          .select("doc_id", "lang", "source", "tag")
       },
+      graft.queries.Pipeline.all("p14_bottomk_sample").oracle),
+
+    "stream25_geo_probe" -> Q(
+      (s, d) => geoProbeStream(s, d, EventStreams.customersStream(s, d),
+        "g_stream25"),
       Some("""WITH corpus AS (SELECT c_custkey AS site_id,
                                      (c_custkey * 2654435761) % 600 AS x10,
                                      (c_custkey * 40503) % 300 AS y10
@@ -742,6 +744,43 @@ object StreamQueries {
               WHERE (px - x10) * (px - x10)
                     + (py - y10) * (py - y10) <= 400"""))
   )
+
+  /** stream25's probe path over any customer-shaped stream (the
+    * registered query feeds the table stream; StreamingSpec feeds a
+    * 3-file chopped readStream to prove batch-boundary invariance):
+    * build the static cell-keyed corpus grid, derive the 20%
+    * re-registration shard from arriving rows, explode each probe to
+    * its 3×3 cell neighborhood map-side, equi-join the grid
+    * (broadcast at gate scale; cell-bucketed at 100 TB), verify the
+    * exact integer dist² predicate, append matches. */
+  private[graft] def geoProbeStream(s: SparkSession, d: String,
+      custStream: DataFrame, table: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val corpus = graft.Tables(s, d, "customer")
+      .selectExpr("c_custkey as site_id",
+        "(c_custkey * 2654435761L) % 600 as x10",
+        "(c_custkey * 40503L) % 300 as y10")
+      .selectExpr("site_id", "x10", "y10",
+        "x10 div 20 as cx", "y10 div 20 as cy")
+      .persistScoped()
+    val probes = custStream
+      .where("c_custkey % 5 = 0")
+      .selectExpr("c_custkey + 9000000 as probe_id",
+        "((c_custkey * 2654435761L) + 7) % 600 as x10",
+        "((c_custkey * 40503L) + 3) % 300 as y10")
+    val exploded = probes
+      .selectExpr("probe_id", "x10", "y10",
+        "explode(sequence(x10 div 20 - 1, x10 div 20 + 1)) as cx",
+        "y10 div 20 as cy0")
+      .selectExpr("probe_id", "x10 as px", "y10 as py", "cx",
+        "explode(sequence(cy0 - 1, cy0 + 1)) as cy")
+    drain(s,
+      exploded.join(broadcast(corpus), Seq("cx", "cy"))
+        .selectExpr("probe_id", "site_id",
+          "(px - x10) * (px - x10) + (py - y10) * (py - y10) as d2")
+        .where("d2 <= 400"),
+      table, mode = "append")
+  }
 
   /** stream24's fold: per batch, sum the arriving delta rows by year
     * and ADD into the persisted (yr, dn, dc) artifact. */

@@ -684,17 +684,26 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
 
   test("stream25: chopped site arrival probes equal the batch spatial join") {
     val sf01 = "/root/testdata/sf0.01"
-    // the registered query already drains via availableNow over the
-    // symlinked table dir; here the PROBES arrive in 3 separate
-    // micro-batches and the stateless join must produce the same
-    // match set (no probe-probe state exists to be order-sensitive)
+    // the PROBES arrive in 3 separate micro-batches
+    // (maxFilesPerTrigger=1 over 3 staged files) and the stateless
+    // probe/explode/grid-join path must produce the same match set
+    // as the one-shot drain (no probe-probe state exists to be
+    // order-sensitive)
     val probes = graft.Tables(spark, sf01, "customer")
       .where("c_custkey % 5 = 0")
     val stage = java.nio.file.Files.createTempDirectory("graft-stream25-").toString
     probes.repartition(3).write.mode("overwrite").parquet(stage)
+    val schema = spark.read.parquet(stage).schema
+    val chopped = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val streamed = graft.streaming.StreamQueries
+      .geoProbeStream(spark, sf01, chopped, "g_stream25_chop")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val batch = graft.SparkEntry.queries("stream25_geo_probe")(spark, sf01)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(batch.nonEmpty)
+    assert(streamed === batch,
+      "3-batch chopped probe arrival diverged from the one-shot drain")
     // every probe id is from the shard range and every match is
     // within the radius
     assert(batch.forall { case (p, _, d2) => p >= 9000000L && d2 <= 400L })
