@@ -49,20 +49,57 @@ object ConvertJob {
     }
   }
 
-  /** Catalog-driven fleet conversion — the reference's per-request RQ
-    * loop (`resources.py:46-75` over the RSS datasets) as one driver
-    * loop: each dataset is an independent skip-or-convert. Failures
-    * are isolated per archive (one bad zip must not sink the fleet);
+  /** One fleet conversion's outcome: `ran`/`skipped`/`error: …` plus
+    * the wall interval, so concurrency is an observable property
+    * (ConvertJobSpec asserts ≥2 conversions overlap) rather than a
+    * reading of the code. */
+  final case class Outcome(status: String, startNs: Long, endNs: Long)
+
+  /** Catalog-driven fleet conversion — the reference's RQ tier
+    * (`resources.py:46-75` enqueues one job per dataset;
+    * `docker-compose.yml:28-30` scales by adding queue workers) as
+    * CONCURRENT driver submissions: each archive's convert runs on
+    * its own driver thread under a FAIR scheduler pool, so N small
+    * per-archive Spark jobs share the cluster instead of serializing
+    * behind each other — at thousands-of-archives scale the driver
+    * loop, not the executors, was the throughput ceiling. Bounded by
+    * [[maxConcurrent]] (a fleet of tiny jobs must not starve the
+    * scheduler or OOM the driver with queued plans); failures stay
+    * isolated per archive (one bad zip must not sink the fleet);
     * returns (resourceId → ran|skipped|error). */
   def runCatalog(spark: SparkSession, datasets: Seq[graft.meta.IptDataset],
       archiveUrlOf: graft.meta.IptDataset => String, outBase: String,
-      singleFile: Boolean = true): Map[String, String] =
-    datasets.map { ds =>
-      ds.id -> (try {
-        if (run(spark, archiveUrlOf(ds), outBase, ds.id, ds.version, singleFile))
-          "ran" else "skipped"
-      } catch {
-        case e: Exception => s"error: ${e.getMessage}"
-      })
-    }.toMap
+      singleFile: Boolean = true, maxConcurrent: Int = 4): Map[String, String] =
+    runCatalogTimed(spark, datasets, archiveUrlOf, outBase, singleFile,
+      maxConcurrent).map { case (id, o) => id -> o.status }
+
+  /** [[runCatalog]] with per-archive wall intervals. */
+  def runCatalogTimed(spark: SparkSession, datasets: Seq[graft.meta.IptDataset],
+      archiveUrlOf: graft.meta.IptDataset => String, outBase: String,
+      singleFile: Boolean = true, maxConcurrent: Int = 4): Map[String, Outcome] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(maxConcurrent, datasets.size)))
+    try {
+      val futures = datasets.map { ds =>
+        ds.id -> pool.submit(new java.util.concurrent.Callable[Outcome] {
+          def call(): Outcome = {
+            // local properties are thread-local: every job this
+            // conversion submits lands in the shared FAIR pool (a
+            // no-op under FIFO scheduling — concurrency still holds,
+            // fairness across archives is what FAIR adds)
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", "fleet")
+            val t0 = System.nanoTime()
+            val status = try {
+              if (run(spark, archiveUrlOf(ds), outBase, ds.id, ds.version,
+                  singleFile)) "ran" else "skipped"
+            } catch {
+              case e: Exception => s"error: ${e.getMessage}"
+            }
+            Outcome(status, t0, System.nanoTime())
+          }
+        })
+      }
+      futures.map { case (id, f) => id -> f.get() }.toMap
+    } finally pool.shutdown()
+  }
 }

@@ -188,6 +188,40 @@ object DwcaQueries {
       Some(s"""SELECT id, scientificName, individualCount, catalogNumber
                FROM read_csv('${SampleDriftFixture.extractedDir}/occurrence.txt', sample_size=-1)""")),
 
+    // ── FLEET conversion: the reference's horizontally-scaled RQ
+    // tier (one enqueued job per catalog dataset, workers scale by
+    // replica count — docker-compose.yml:28-30, resources.py:73) as
+    // ConvertJob.runCatalog's CONCURRENT bounded-pool submissions.
+    // Four archives convert in parallel through the FULL production
+    // path (fetch → meta.xml → sniffer scan → versioned zstd sink →
+    // GeoParquet footer); the gate unions the four outputs tagged by
+    // archive and the oracle replays each archive's conversion from
+    // the same extracted bytes — a hash mismatch in ANY archive (a
+    // cross-thread scramble, a lost row, a wrong-archive write)
+    // fails the gate. Geometry is WKB (engine-faithful run path);
+    // the hash compares the relational columns, dwca03 pins WKB
+    // bytes. ConvertJobSpec asserts the concurrency itself (≥2
+    // conversions overlap in wall time). ──
+    "dwca11_fleet" -> Q(
+      (s, _) => {
+        FleetFixture.ensure()
+        val outBase = FleetFixture.freshOutBase()
+        val res = ConvertJob.runCatalog(s, FleetFixture.datasets,
+          FleetFixture.urlOf, outBase)
+        require(res.values.forall(_ == "ran"), s"fleet statuses: $res")
+        FleetFixture.datasets.map { ds =>
+          s.read.parquet(s"$outBase/${ds.id}.parquet")
+            .selectExpr("id", "scientificName", "decimalLatitude",
+              "decimalLongitude", "fid", s"'${ds.id}' as archive")
+        }.reduce(_ unionByName _)
+      },
+      Some((1 to FleetFixture.nArchives).map { k =>
+        s"""SELECT id, scientificName, decimalLatitude, decimalLongitude,
+                   id AS fid, 'fleet$k' AS archive
+            FROM read_csv('${FleetFixture.extractedDir(k)}/occurrence.txt',
+                          sample_size=-1)"""
+      }.mkString("\nUNION ALL\n"))),
+
     // ── engine-faithful conversion: WKB geometry via native ST_* ──
     // DuckDB spatial is unavailable offline, so the oracle is golden
     // VALUES: the WKB hex for each fixture geometry, independently

@@ -1,0 +1,98 @@
+package graft.dwca
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+/** Four small generated DwC-A archives for the FLEET conversion gate
+  * (dwca11) — the reference's RQ tier converts a whole IPT catalog,
+  * one enqueued job per dataset (`resources.py:46-75`); the gate
+  * needs N ≥ 4 independent archives whose concurrent conversion
+  * hash-matches the per-archive DuckDB oracles. Core-only archives
+  * (zero extensions — the star join's empty fold, a path no other
+  * gate exercises), content seeded per archive so the four outputs
+  * are pairwise distinct. */
+object FleetFixture {
+
+  val nArchives = 4
+  val rowsPer = 2000
+  private val dir: Path =
+    Paths.get(System.getProperty("java.io.tmpdir"), "graft-fleet-v1")
+
+  def zipPath(k: Int): String = dir.resolve(s"fleet$k.zip").toString
+  def extractedDir(k: Int): String = dir.resolve(s"extracted$k").toString
+
+  def datasets: Seq[graft.meta.IptDataset] =
+    (1 to nArchives).map(k => graft.meta.IptDataset(
+      s"fleet$k", s"Fleet archive $k", "1", s"fleet/$k", ""))
+
+  def urlOf(ds: graft.meta.IptDataset): String =
+    Paths.get(zipPath(ds.id.stripPrefix("fleet").toInt)).toUri.toString
+
+  private val vocab =
+    Array("Vulpes vulpes", "Lynx lynx", "Parus major", "Falco peregrinus", "Alces alces")
+
+  private def occurrenceTxt(k: Int): Array[Byte] = {
+    val sb = new java.lang.StringBuilder(rowsPer * 60)
+    sb.append("id\tscientificName\tdecimalLatitude\tdecimalLongitude\n")
+    var i = 1
+    while (i <= rowsPer) {
+      // every 53rd row loses its coordinates → the null-geom branch
+      val lat = if ((i + k) % 53 == 0) "" else f"${50 + ((i * 7 + k * 13) % 9000) * 0.001}%.3f"
+      val lon = if ((i + k) % 53 == 0) "" else f"${10 + ((i * 11 + k * 17) % 7000) * 0.001}%.3f"
+      sb.append('a').append(k).append('r').append(i).append('\t')
+        .append(vocab((i * k) % 5)).append('\t')
+        .append(lat).append('\t').append(lon).append('\n')
+      i += 1
+    }
+    sb.toString.getBytes(StandardCharsets.UTF_8)
+  }
+
+  private val metaXml =
+    """<?xml version="1.0" encoding="utf-8"?>
+      |<archive xmlns="http://rs.tdwg.org/dwc/text/" metadata="eml.xml">
+      |  <core encoding="UTF-8" fieldsTerminatedBy="\t" linesTerminatedBy="\n" fieldsEnclosedBy="" ignoreHeaderLines="1" rowType="http://rs.tdwg.org/dwc/terms/Occurrence">
+      |    <files><location>occurrence.txt</location></files>
+      |    <id index="0" />
+      |    <field index="1" term="http://rs.tdwg.org/dwc/terms/scientificName"/>
+      |    <field index="2" term="http://rs.tdwg.org/dwc/terms/decimalLatitude"/>
+      |    <field index="3" term="http://rs.tdwg.org/dwc/terms/decimalLongitude"/>
+      |  </core>
+      |</archive>
+      |""".stripMargin.getBytes(StandardCharsets.UTF_8)
+
+  /** Idempotent: generates the archives + extracted members once
+    * (marker-gated); later calls return immediately. */
+  def ensure(): Unit = synchronized {
+    val marker = dir.resolve("_READY")
+    if (Files.exists(marker)) return
+    (1 to nArchives).foreach { k =>
+      val ex = dir.resolve(s"extracted$k")
+      Files.createDirectories(ex)
+      val members = Seq(
+        "occurrence.txt" -> occurrenceTxt(k), "meta.xml" -> metaXml)
+      members.foreach { case (n, b) => Files.write(ex.resolve(n), b) }
+      val zos = new ZipOutputStream(
+        Files.newOutputStream(dir.resolve(s"fleet$k.zip")))
+      try members.foreach { case (n, b) =>
+        zos.putNextEntry(new ZipEntry(n)); zos.write(b); zos.closeEntry()
+      } finally zos.close()
+    }
+    Files.createFile(marker)
+  }
+
+  /** A clean fleet output root: prior outputs deleted so the gate
+    * always exercises a real concurrent conversion, never the
+    * skip-if-exists fast path over stale bytes. */
+  def freshOutBase(): String = {
+    val out = dir.resolve("out")
+    def rm(p: Path): Unit = {
+      if (Files.isDirectory(p))
+        Files.list(p).forEach(c => rm(c))
+      Files.deleteIfExists(p)
+    }
+    rm(out)
+    Files.createDirectories(out)
+    out.toString
+  }
+}
