@@ -607,6 +607,40 @@ object Similarity {
       // the roundtrip must reproduce s13's answer exactly
       Some(duckIvfPqSql)),
 
+    // ── SERVE-ONLY ANN latency (the number the s16 watch item was
+    // missing): s16's wall time is train+search — 4 driver-iterated
+    // Lloyd passes the oracle must replay — but production builds
+    // ONCE and serves forever, so the latency that matters is the
+    // serve path alone. The index builds lazily (marker-gated, keyed
+    // by corpus dir so sf0.01 and sf0.1 never share artifacts) on
+    // the FIRST invocation — in the bench that is the untimed
+    // per-query warmup — and every later run is pure serve: load the
+    // bounded quantizer heads, resolve probe cells driver-side, read
+    // postings + refine sidecar with the static `cell isin` filter
+    // (FileSourceScan lists only the probed cells' partitions —
+    // IndexPruneSpec's property, now with a tracked number), ADC
+    // shortlist, exact re-rank. Must still equal s13/s16 bit-for-bit
+    // (same oracle). ──
+    "s28_serve_only" -> Q(
+      (s, d) => {
+        Hashing.register(s)
+        val ix = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft-index",
+          s"serve-${d.replaceAll("[^A-Za-z0-9]", "_")}").toString
+        val marker = new java.io.File(ix, "_READY")
+        if (!marker.exists()) graft.CacheScope.scoped {
+          val e = Tables(s, d, "embeddings")
+            .repartition(s.sparkContext.defaultParallelism)
+            .selectExpr("vec_id", "embedding", s"$normE as nrm").persistScoped()
+          ivfPqBuild(s, e, ix)
+          marker.createNewFile()
+          ()
+        }
+        ivfPqServe(s, Tables(s, d, "embeddings").where("vec_id < 10")
+          .selectExpr("vec_id", "embedding", s"$normE as nrm"), ix)
+      },
+      Some(duckIvfPqSql), bench = true),
+
     // ── metadata-FILTERED ANN (the production "similar docs WHERE
     // lang='en'" shape): IVF top-3 by exact cosine among candidates
     // satisfying a label predicate, with the filter applied to the
@@ -1717,9 +1751,9 @@ object Similarity {
     * the memory-for-recall trade §VII names). Drops any prior
     * artifacts first so a partially-written or older index can never
     * mix into a serve phase (the sink tier's pre-clean contract). */
-  private[graft] def ivfPqBuild(s: SparkSession, e: DataFrame): Unit = {
+  private[graft] def ivfPqBuild(s: SparkSession, e: DataFrame,
+      ix: String = ivfPqIndexDir): Unit = {
     import s.implicits._
-    val ix = ivfPqIndexDir
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete()
@@ -1764,8 +1798,8 @@ object Similarity {
     * shortlist (R=[[rerankR]]) and the IVFADC+R exact re-rank against
     * the refine sidecar are s13's — the roundtrip must reproduce
     * s13's answer bit-for-bit. */
-  private[graft] def ivfPqServe(s: SparkSession, probes: DataFrame): DataFrame = {
-    val ix = ivfPqIndexDir
+  private[graft] def ivfPqServe(s: SparkSession, probes: DataFrame,
+      ix: String = ivfPqIndexDir): DataFrame = {
     val centBack = {
       val rows = s.read.parquet(s"$ix/centroids").collect()
       val m = Array.fill(rows.map(_.getLong(0)).max.toInt + 1)(
