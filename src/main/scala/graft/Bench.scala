@@ -56,7 +56,13 @@ object Bench {
     // 2× its standalone cost; medians put regressions back above the
     // noise floor.
     val loadStart = load()
-    val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the set (local iteration
+    // on one query's number; the driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val results = SparkEntry.benchQueries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+      .map { case (name, fn) =>
       if (isolate) spark.catalog.clearCache()
       val times =
         try CacheScope.scoped {

@@ -636,8 +636,12 @@ object Similarity {
           marker.createNewFile()
           ()
         }
+        // the probe frame is touched three times (cell routing, ADC
+        // tables, exact re-rank) — persist the 10 rows so the serve
+        // path scans the corpus parquet once, not thrice
         ivfPqServe(s, Tables(s, d, "embeddings").where("vec_id < 10")
-          .selectExpr("vec_id", "embedding", s"$normE as nrm"), ix)
+          .selectExpr("vec_id", "embedding", s"$normE as nrm")
+          .persistScoped(), ix)
       },
       Some(duckIvfPqSql), bench = true),
 
@@ -1759,6 +1763,8 @@ object Similarity {
       f.delete()
     }
     rm(new java.io.File(ix))
+    indexHeads.remove(ix)
+    indexScans.keySet.removeIf(_._2 == ix)
     val cent = lloydCents(e, ivfSeeds(e), ivfIters)
     val rf = residualFrame(e, cent)
     val cb = pqCodebookTrained(rf, pqIters)
@@ -1798,30 +1804,65 @@ object Similarity {
     * shortlist (R=[[rerankR]]) and the IVFADC+R exact re-rank against
     * the refine sidecar are s13's — the roundtrip must reproduce
     * s13's answer bit-for-bit. */
+  /** Loaded quantizer heads by index root — the in-memory state a
+    * serving tier holds between queries (k×dim + 8×16×8 floats,
+    * constant in corpus size). [[ivfPqBuild]] invalidates its root's
+    * entry, so a rebuilt index never serves stale heads. */
+  private val indexHeads = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[Seq[Float]], Seq[Seq[Seq[Float]]])]()
+
+  /** Un-filtered postings/sidecar scan frames by (session, root) —
+    * the other piece of serving state: building them re-lists the
+    * hive partition tree (O(cells) directory statuses per query);
+    * a server does that once and plans every query against the
+    * cached FileIndex. Partition PRUNING is per-query (the `isin`
+    * filter stacks on top and prunes at planning) — only the
+    * listing is reused. Keyed by session too, so a fresh session
+    * never plans against a stopped one's state. */
+  private val indexScans = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), (DataFrame, DataFrame)]()
+
   private[graft] def ivfPqServe(s: SparkSession, probes: DataFrame,
       ix: String = ivfPqIndexDir): DataFrame = {
-    val centBack = {
-      val rows = s.read.parquet(s"$ix/centroids").collect()
-      val m = Array.fill(rows.map(_.getLong(0)).max.toInt + 1)(
-        new Array[Float](rows.map(_.getInt(1)).max + 1))
-      rows.foreach(r => m(r.getLong(0).toInt)(r.getInt(1)) = r.getFloat(2))
-      m.map(_.toSeq: Seq[Float]).toSeq
+    val (centBack, cbBack) = indexHeads.computeIfAbsent(ix, _ => {
+      val cent = {
+        val rows = s.read.parquet(s"$ix/centroids").collect()
+        val m = Array.fill(rows.map(_.getLong(0)).max.toInt + 1)(
+          new Array[Float](rows.map(_.getInt(1)).max + 1))
+        rows.foreach(r => m(r.getLong(0).toInt)(r.getInt(1)) = r.getFloat(2))
+        m.map(_.toSeq: Seq[Float]).toSeq
+      }
+      val cb = {
+        val m = Array.fill(8, 16)(new Array[Float](8))
+        s.read.parquet(s"$ix/codebooks").collect()
+          .foreach(r => m(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getFloat(3))
+        m.map(_.map(_.toSeq: Seq[Float]).toSeq: Seq[Seq[Float]]).toSeq
+      }
+      (cent, cb)
+    })
+    // bounded |probes|×nprobe collect — the router's cell resolution,
+    // run ONCE and reused both ways: the cell set becomes the static
+    // partition filter, the rows become a LOCAL relation for the
+    // candidate join (re-deriving pcells inside the join would run
+    // the routing job a second time per query)
+    val pcellRows = probeCells(probes, centBack, 2).collect().toIndexedSeq
+    val probedCells: Seq[Long] = pcellRows.map(_.getLong(1)).distinct.sorted
+    val pcells = {
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(pcellRows.asJava, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("probe_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.LongType, nullable = false))))
     }
-    val cbBack = {
-      val m = Array.fill(8, 16)(new Array[Float](8))
-      s.read.parquet(s"$ix/codebooks").collect()
-        .foreach(r => m(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getFloat(3))
-      m.map(_.map(_.toSeq: Seq[Float]).toSeq: Seq[Seq[Float]]).toSeq
-    }
-    val pcells = probeCells(probes, centBack, 2)
-    // bounded |probes|×nprobe collect — the router's cell resolution
-    val probedCells: Seq[Long] =
-      pcells.select("cell").distinct().collect().map(_.getLong(0)).toSeq
     // filter with literals of the DISCOVERED partition-column type
     // (hive partition inference types cell as INT): a cast around the
     // partition column would block pruning; the bigint widening for
     // the join happens ABOVE the pruned scan
-    val postings = s.read.parquet(s"$ix/postings")
+    val (postingsBase, sidecarBase) = indexScans.computeIfAbsent(
+      (System.identityHashCode(s), ix), _ =>
+        (s.read.parquet(s"$ix/postings"), s.read.parquet(s"$ix/vectors")))
+    val postings = postingsBase
       .where(col("cell").isin(probedCells.map(_.toInt): _*))
       .withColumn("cell", col("cell").cast("bigint"))
     val cand = broadcast(pcells)
@@ -1831,7 +1872,7 @@ object Similarity {
       broadcast(pqProbeTablesRes(probes, centBack, cbBack, 2)), Seq("probe_id", "cell")), rerankR)
     // IVFADC+R refine: every shortlist candidate lives in a probed
     // cell, so the sidecar read prunes to the same partitions
-    val sidecar = s.read.parquet(s"$ix/vectors")
+    val sidecar = sidecarBase
       .where(col("cell").isin(probedCells.map(_.toInt): _*))
       .select("vec_id", "embedding", "nrm")
     rerankExact(short, probes, sidecar, 3)
@@ -1849,6 +1890,8 @@ object Similarity {
   private[graft] def compactIndex(s: SparkSession,
       tombstones: DataFrame): Seq[Long] = {
     val ix = ivfPqIndexDir
+    // partition rewrites invalidate any cached serve-scan FileIndex
+    indexScans.keySet.removeIf(_._2 == ix)
     val tomb = broadcast(tombstones.select("cand_id"))
     val affected = s.read.parquet(s"$ix/postings")
       .join(tomb, "cand_id").select("cell").distinct()

@@ -58,6 +58,46 @@ object SinkQueries {
                 '{"version":"1.0.0","primary_column":"geom","columns":{"geom":{"encoding":"WKB","geometry_types":["Point","Polygon"],"crs":null,"bbox":[10.0,5.73,60.79,70.0]}}}'))
               AS t(part_ix, geo_json)""")),
 
+    // ── sink21: GeoParquet 1.1 `covering` bbox column — the
+    // read-side complement of sink02's per-part footer bbox: each
+    // row carries its own (xmin, ymin, xmax, ymax) envelope struct,
+    // declared by a 1.1.0 footer's `covering` key, so a 1.1 reader
+    // prunes ROW GROUPS from the struct fields' parquet min/max
+    // stats before touching any WKB. Version decision: 1.0.0 stays
+    // the default footer everywhere (covering is the single 1.1
+    // feature, opt-in per sink — 1.0-only consumers are unaffected).
+    // The gate round-trips the written struct against the fixture
+    // geometries' known envelopes; the footer shape is require()d in
+    // the fn and byte-pinned in SinksSpec. ──
+    "sink21_geoparquet_covering" -> Q(
+      (s, d) => {
+        val out = scratch("geocovering")
+        val df = DwcaConvert.convert(s, graft.dwca.DwcaQueries.fixtureZip,
+          DwcaConvert.GeomWkb)
+        Sinks.writeZstd(Sinks.withBboxColumn(s, df, "geom").coalesce(1), out)
+        Sinks.patchGeoFooter(s, out, "geom", covering = Some("bbox"))
+        val footers = Sinks.readFooterKey(s, out, "geo")
+        require(footers.nonEmpty && footers.forall { case (_, j) =>
+          j.contains(""""version":"1.1.0"""") &&
+            j.contains(""""covering":{"bbox":{"xmin":["bbox","xmin"]""")
+        }, s"covering footer malformed: $footers")
+        s.read.parquet(out)
+          .selectExpr("id", "bbox.xmin as xmin", "bbox.ymin as ymin",
+            "bbox.xmax as xmax", "bbox.ymax as ymax")
+          .distinct()
+      },
+      // the fixture geometries' envelopes, coordinate order as stored
+      // (x = latitude — the reference's ST_POINT(lat, lon) axis order)
+      Some("""SELECT * FROM (VALUES
+                ('occ1', 59.91, 10.75, 59.91, 10.75),
+                ('occ2', 10.0, 63.0, 11.0, 64.0),
+                ('occ3', CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)),
+                ('occ4', 60.79, 11.08, 60.79, 11.08),
+                ('occ5', 18.0, 69.0, 19.0, 70.0),
+                ('occ7', 58.97, 5.73, 58.97, 5.73))
+              AS t(id, xmin, ymin, xmax, ymax)""")),
+
     // ── S9: JSON array file (ARRAY true semantics) + readback ──
     "sink03_json_array" -> Q(
       (s, d) => {

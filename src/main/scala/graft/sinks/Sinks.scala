@@ -295,10 +295,39 @@ object Sinks {
     * `geometry_types` is populated from the written data via
     * [[geomTypes]]; optional per-column bbox [xmin, ymin, xmax, ymax]. */
   def geoMetadataJson(geomColumn: String, bbox: Option[Seq[Double]] = None,
-      geometryTypes: Seq[String] = Nil): String = {
+      geometryTypes: Seq[String] = Nil, covering: Option[String] = None): String = {
     val bboxJson = bbox.map(b => s""","bbox":[${b.mkString(",")}]""").getOrElse("")
     val types = geometryTypes.map(t => s""""$t"""").mkString(",")
-    s"""{"version":"1.0.0","primary_column":"$geomColumn","columns":{"$geomColumn":{"encoding":"WKB","geometry_types":[$types],"crs":null$bboxJson}}}"""
+    // GeoParquet 1.1 `covering`: declares the per-row bbox struct
+    // column ([[withBboxColumn]]) so readers prune ROW GROUPS from
+    // the struct fields' parquet min/max stats — the read-side
+    // complement of the per-part footer bbox. 1.0.0 footers stay the
+    // default (covering is the only 1.1 feature emitted; consumers
+    // that only speak 1.0 keep working on default output).
+    val cov = covering.map(c =>
+      s""","covering":{"bbox":{"xmin":["$c","xmin"],"ymin":["$c","ymin"],"xmax":["$c","xmax"],"ymax":["$c","ymax"]}}""").getOrElse("")
+    val version = if (covering.isDefined) "1.1.0" else "1.0.0"
+    s"""{"version":"$version","primary_column":"$geomColumn","columns":{"$geomColumn":{"encoding":"WKB","geometry_types":[$types],"crs":null$bboxJson$cov}}}"""
+  }
+
+  /** GeoParquet 1.1 per-row bbox struct for a WKB geometry column —
+    * one `st_envelope` per row, projected map-side into the
+    * (xmin, ymin, xmax, ymax) struct the `covering` footer declares.
+    * DOUBLE fields: exact, so no float-rounding direction rules
+    * apply; null geometry → null struct (spec-legal, and the row
+    * then never survives a bbox predicate). Written alongside the
+    * data, the struct's parquet column stats give any 1.1 reader
+    * row-group-level spatial pruning with zero extra passes. */
+  def withBboxColumn(spark: SparkSession, df: DataFrame, geomColumn: String,
+      bboxColumn: String = "bbox"): DataFrame = {
+    graft.functions.GeoFunctions.register(spark)
+    df.withColumn("__env", org.apache.spark.sql.functions.expr(
+        s"st_envelope($geomColumn)"))
+      .withColumn(bboxColumn, org.apache.spark.sql.functions.expr(
+        """case when __env is null then null else
+             named_struct('xmin', __env[0], 'ymin', __env[1],
+                          'xmax', __env[2], 'ymax', __env[3]) end"""))
+      .drop("__env")
   }
 
   /** Distinct geometry type names of a WKB column — one partial-agg'd
@@ -391,7 +420,8 @@ object Sinks {
   def patchGeoFooter(spark: SparkSession, dir: String, geomColumn: String,
       bbox: Option[Seq[Double]] = None,
       geometryTypes: Option[Seq[String]] = None,
-      partBboxes: Option[Map[String, Seq[Double]]] = None): Unit = {
+      partBboxes: Option[Map[String, Seq[Double]]] = None,
+      covering: Option[String] = None): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val d = new Path(dir)
     val hfs = fs(spark, d)
@@ -403,18 +433,20 @@ object Sinks {
     val parts = hfs.listStatus(d).map(_.getPath)
       .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
     parts.foreach(p =>
-      patchOneFooter(conf, p, geomColumn, bbox.orElse(perPart.get(p.getName)), types))
+      patchOneFooter(conf, p, geomColumn, bbox.orElse(perPart.get(p.getName)),
+        types, covering))
   }
 
   private def patchOneFooter(conf: Configuration, file: Path, geomColumn: String,
-      bbox: Option[Seq[Double]], geometryTypes: Seq[String]): Unit = {
+      bbox: Option[Seq[Double]], geometryTypes: Seq[String],
+      covering: Option[String] = None): Unit = {
     val in = HadoopInputFile.fromPath(file, conf)
     val reader = ParquetFileReader.open(in)
     val fileMeta =
       try reader.getFooter.getFileMetaData
       finally reader.close()
     val extra = new java.util.HashMap[String, String](fileMeta.getKeyValueMetaData)
-    extra.put("geo", geoMetadataJson(geomColumn, bbox, geometryTypes))
+    extra.put("geo", geoMetadataJson(geomColumn, bbox, geometryTypes, covering))
 
     val tmp = new Path(file.getParent, file.getName + ".geo.tmp")
     val writer = new ParquetFileWriter(

@@ -202,6 +202,39 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
     assert(pb.waitFor() !== 0, s"geocheck.py accepted a geo-less footer:\n$badLog")
   }
 
+  test("GeoParquet 1.1 covering: external reader verifies per-row bbox against each WKB") {
+    assume(
+      new ProcessBuilder("python3", "-c", "import pyarrow.parquet").start().waitFor() == 0,
+      "python3+pyarrow unavailable")
+    val out = tmp("geocov") + "/conv.parquet"
+    val df = graft.dwca.DwcaConvert.convert(
+      spark, graft.dwca.DwcaQueries.fixtureZip, graft.dwca.DwcaConvert.GeomWkb)
+    Sinks.writeZstd(Sinks.withBboxColumn(spark, df, "geom").coalesce(1), out)
+    Sinks.patchGeoFooter(spark, out, "geom", covering = Some("bbox"))
+    // footer byte shape pinned: 1.1.0 + the four covering paths
+    Sinks.readFooterKey(spark, out, "geo").foreach { case (_, j) =>
+      assert(j.contains(""""version":"1.1.0""""), j)
+      assert(j.contains(
+        """"covering":{"bbox":{"xmin":["bbox","xmin"],"ymin":["bbox","ymin"],"xmax":["bbox","xmax"],"ymax":["bbox","ymax"]}}"""), j)
+    }
+    val repoRoot = new java.io.File(".").getCanonicalPath
+    val p = new ProcessBuilder("python3", s"$repoRoot/tools/geocheck.py", out, "geom")
+      .redirectErrorStream(true).start()
+    val log = new String(p.getInputStream.readAllBytes())
+    assert(p.waitFor() === 0, s"geocheck.py rejected the covering output:\n$log")
+
+    // not a rubber stamp: a covering footer whose declared struct
+    // column is absent from the schema must fail
+    val bad = tmp("geocov-bad") + "/conv.parquet"
+    Sinks.writeZstd(df.coalesce(1), bad) // no bbox column written
+    Sinks.patchGeoFooter(spark, bad, "geom", covering = Some("bbox"))
+    val pb = new ProcessBuilder("python3", s"$repoRoot/tools/geocheck.py", bad, "geom")
+      .redirectErrorStream(true).start()
+    val badLog = new String(pb.getInputStream.readAllBytes())
+    assert(pb.waitFor() !== 0,
+      s"geocheck.py accepted covering without the struct column:\n$badLog")
+  }
+
   test("writeJsonArray emits one parseable JSON array") {
     import spark.implicits._
     val out = tmp("json") + "/a.json"

@@ -111,6 +111,32 @@ def check_part(path, geom_col):
 
     declared = set(colmeta.get("geometry_types", []))
     assert declared == seen, f"{path}: geometry_types {sorted(declared)} != data {sorted(seen)}"
+
+    # GeoParquet 1.1 covering: the declared bbox struct column must
+    # exist with the four named fields, each row's struct must equal
+    # the envelope recomputed from its own WKB (exact doubles, null
+    # geom -> null struct)
+    covering = colmeta.get("covering")
+    if covering is not None:
+        assert meta["version"] >= "1.1.0", \
+            f"{path}: covering declared by a {meta['version']} footer"
+        paths = covering["bbox"]
+        bcol = paths["xmin"][0]
+        assert all(paths[k][0] == bcol for k in ("ymin", "xmax", "ymax")), \
+            f"{path}: covering fields span columns: {paths}"
+        names = [c.name for c in table.schema]
+        assert bcol in names, f"{path}: covering column {bcol!r} not in schema"
+        brows = table.column(bcol).to_pylist()
+        grows = table.column(pc).to_pylist()
+        for i, (b, g) in enumerate(zip(brows, grows)):
+            if g is None:
+                assert b is None, f"{path} row {i}: bbox on null geometry"
+                continue
+            assert b is not None, f"{path} row {i}: bbox struct missing"
+            _, x0, y0, x1, y1, _ = wkb_envelope(g)
+            got = [b[paths[k][1]] for k in ("xmin", "ymin", "xmax", "ymax")]
+            assert got == [x0, y0, x1, y1], \
+                f"{path} row {i}: covering {got} != envelope {[x0, y0, x1, y1]}"
     bbox = colmeta.get("bbox")
     if n_geoms == 0:
         assert bbox is None, f"{path}: bbox declared on a geometry-less part"
