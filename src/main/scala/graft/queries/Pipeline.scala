@@ -1217,6 +1217,60 @@ object Pipeline {
     // CONSTRUCTION on counts (spec pins ±1 row), so the byte
     // imbalance isolates the DOCUMENT-LENGTH skew — the thing
     // sequence packing actually cares about. ──
+    // ── p22: TEMPERED MIXTURE WEIGHTS — the data-mixing step before
+    // any multilingual/multi-source training run (mT5's α-tempered
+    // language sampling): raw per-language counts are α=0.5-tempered
+    // (w ∝ n^α boosts the tail without letting the head starve it),
+    // normalized to integer basis points, and a 100k-sample budget is
+    // allocated integer-EXACTLY by largest-remainder (Hamilton)
+    // apportionment — base = B·w div W, then the leftover units go
+    // one each to the largest remainders (lang asc on ties), so
+    // Σ n_samples == B always, the invariant a sampler downstream
+    // asserts. Cross-engine exactness: the only float op is sqrt,
+    // which IEEE 754 requires correctly rounded — identical doubles
+    // in both engines — immediately floored to BIGINT (×10^6 scale
+    // keeps 3 tempered digits); everything after is integer. Scale:
+    // one lang-keyed partial agg over the corpus; every later frame
+    // is |langs| rows (windows included) + the audited
+    // crossJoin(broadcast(1-row)) scalar attach. ──
+    "p22_mixture_weights" -> Q(
+      (s, d) => {
+        val budget = 100000L
+        // |langs|-row frame persisted: tot/leftover/final all derive
+        // from it, so the corpus is scanned once, not per consumer
+        val per = Tables(s, d, "documents")
+          .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+          .withColumn("w", expr("cast(floor(sqrt(n_docs * 1000000)) as bigint)"))
+          .persistScoped()
+        val tot = per.agg(sum("w").as("w_tot"))
+        val based = per.crossJoin(broadcast(tot))
+          .withColumn("mix_bp", expr("w * 10000 div w_tot"))
+          .withColumn("base", expr(s"w * $budget div w_tot"))
+          .withColumn("rem", expr(s"w * $budget - base * w_tot"))
+        val leftover = based.agg(sum("base").as("b_sum"))
+          .selectExpr(s"$budget - b_sum as leftover")
+        based.crossJoin(broadcast(leftover))
+          .withColumn("rk", row_number().over(org.apache.spark.sql.expressions
+            .Window.orderBy(col("rem").desc, col("lang").asc)))
+          .selectExpr("lang", "n_docs", "w", "mix_bp",
+            "base + cast(rk <= leftover as bigint) as n_samples")
+      },
+      Some("""WITH per AS (SELECT lang, count(*) AS n_docs,
+                                  CAST(floor(sqrt(n_docs * 1000000)) AS BIGINT) AS w
+                           FROM documents GROUP BY lang),
+              tot AS (SELECT sum(w) AS w_tot FROM per),
+              based AS (SELECT lang, n_docs, w,
+                               w * 10000 // w_tot AS mix_bp,
+                               w * 100000 // w_tot AS base,
+                               w * 100000 - (w * 100000 // w_tot) * w_tot AS rem
+                        FROM per CROSS JOIN tot),
+              lf AS (SELECT 100000 - sum(base) AS leftover FROM based)
+              SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, w,
+                     CAST(mix_bp AS BIGINT) AS mix_bp,
+                     CAST(base + CAST(row_number() OVER (ORDER BY rem DESC, lang ASC)
+                                      <= leftover AS BIGINT) AS BIGINT) AS n_samples
+              FROM based CROSS JOIN lf""")),
+
     "p21_shard_balance" -> Q(
       (s, d) => {
         graft.functions.Hashing.register(s)

@@ -37,6 +37,35 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "want both above- and below-par domains for the step to be non-trivial")
   }
 
+  test("p22 mixture: budget conserved exactly; tempering moves share from head to tail") {
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = Pipeline.all("p22_mixture_weights").fn(spark, sf01).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("mix_bp"), r.getAs[Long]("n_samples")))
+    // the Hamilton-apportionment invariant a downstream sampler asserts
+    assert(rows.map(_._4).sum === 100000L,
+      s"largest-remainder allocation must hit the budget exactly: $rows")
+    // serial recompute of the whole chain (isqrt weights + floor bp +
+    // base + largest-remainder top-up)
+    val w = rows.map(r => r._1 -> math.sqrt(r._2.toDouble * 1e6).floor.toLong).toMap
+    val wTot = w.values.sum
+    val base = rows.map(r => r._1 -> w(r._1) * 100000L / wTot).toMap
+    val rem = rows.map(r => r._1 -> (w(r._1) * 100000L - base(r._1) * wTot)).toMap
+    val leftover = 100000L - base.values.sum
+    val topped = rows.map(_._1).sortBy(l => (-rem(l), l)).take(leftover.toInt).toSet
+    rows.foreach { case (l, _, bp, n) =>
+      assert(bp === w(l) * 10000L / wTot, s"mix_bp diverged for $l")
+      assert(n === base(l) + (if (topped(l)) 1L else 0L), s"n_samples diverged for $l")
+    }
+    // α=0.5 direction: the most-common lang gives up share, the
+    // rarest gains, and nobody is starved
+    val nTot = rows.map(_._2).sum
+    val head = rows.maxBy(_._2); val tail = rows.minBy(_._2)
+    assert(head._3 < head._2 * 10000L / nTot, s"head not tempered down: $head")
+    assert(tail._3 > tail._2 * 10000L / nTot, s"tail not boosted: $tail")
+    assert(rows.forall(_._4 > 0L))
+  }
+
   test("p14 bottom-k sample: equals the serial bottom-k, reproducible, WindowGroupLimit in plan") {
     val sf01 = "/root/testdata/sf0.01"
     val q = Pipeline.all("p14_bottomk_sample")
