@@ -46,6 +46,34 @@ object CacheScope {
 
   implicit final class PersistScopedOps(private val df: DataFrame) extends AnyVal {
     def persistScoped(): DataFrame = CacheScope.persist(df)
+    def localCheckpointScoped(): DataFrame = CacheScope.localCheckpoint(df)
+  }
+
+  private val activeRdds =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]]
+
+  /** Eager `localCheckpoint` whose materialized blocks are RELEASED at
+    * scope exit. `catalog.clearCache()` never touches checkpoint
+    * blocks (they are RDD-level, not catalog entries), so a plain
+    * `localCheckpoint` at a lineage-cut site (graph rounds, index
+    * compaction, sink rewrites) strands executor memory until the
+    * frame happens to be GC'd — unbounded across a long session of
+    * iterative queries. Scope-released blocks make the cut's
+    * lifetime the query's lifetime. NOTE: unlike a persist, a
+    * released checkpoint is NOT recomputable (the lineage was
+    * truncated — that is the point of the cut), so the caller must
+    * consume derived results inside the scope, which every harness
+    * consumer (Verify write, Bench count, spec collect) does.
+    * Outside a scope: a plain eager localCheckpoint, caller-owned. */
+  def localCheckpoint(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint(true)
+    val reg = activeRdds.get()
+    if (reg != null)
+      org.apache.spark.sql.GraftSqlShims.analyzed(cp) match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => reg += lr.rdd
+        case _ => ()
+      }
+    cp
   }
 
   /** Run build-and-consume `body` in a fresh scope, then unpersist
@@ -55,12 +83,17 @@ object CacheScope {
     * consumers do — actions may of course run cluster-side). */
   def scoped[T](body: => T): T = {
     val prev = active.get()
+    val prevR = activeRdds.get()
     val reg = new scala.collection.mutable.ArrayBuffer[DataFrame]
+    val regR = new scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]
     active.set(reg)
+    activeRdds.set(regR)
     try body
     finally {
       if (prev == null) active.remove() else active.set(prev)
+      if (prevR == null) activeRdds.remove() else activeRdds.set(prevR)
       reg.foreach(_.unpersist())
+      regR.foreach(_.unpersist(false))
     }
   }
 }

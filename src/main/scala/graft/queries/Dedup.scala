@@ -255,7 +255,7 @@ object Dedup {
         prevRound.foreach(old => old.getFileSystem(hconf).delete(old, true))
         prevRound = Some(p)
         back
-      case None => df.localCheckpoint()
+      case None => df.localCheckpointScoped()
     }
     // bit_xor, not sum: order-independent, and immune to ANSI int64
     // overflow no matter how many edges

@@ -286,7 +286,7 @@ object Graph {
     // lineage at gate scale; a multi-hour production run uses the
     // reliable parquet-round cuts ccWithRounds documents (same
     // failure-tolerance argument).
-    var surv = deg0.select(col("src").as("node")).localCheckpoint()
+    var surv = deg0.select(col("src").as("node")).localCheckpointScoped()
     for (_ <- 1 to PeelRounds) {
       val live = e
         .join(surv, col("src") === col("node"), "left_semi")
@@ -294,7 +294,7 @@ object Graph {
       surv = live.groupBy("src").agg(count(lit(1)).as("c"))
         .where(s"c >= $k")
         .select(col("src").as("node"))
-        .localCheckpoint()
+        .localCheckpointScoped()
     }
     e.join(surv, col("src") === col("node"), "left_semi")
       .join(surv, col("dst") === col("node"), "left_semi")
@@ -348,16 +348,16 @@ object Graph {
     val e = tradeEdges(s, d).persistScoped()
     val seeds = e.select(col("src").as("node")).distinct()
       .where("node % 2 = 1 and ((node - 1) div 2) % 7 = 0")
-    var visited = seeds.withColumn("dist", lit(0L)).localCheckpoint()
-    var frontier = seeds.localCheckpoint()
+    var visited = seeds.withColumn("dist", lit(0L)).localCheckpointScoped()
+    var frontier = seeds.localCheckpointScoped()
     for (i <- 1 to Hops) {
       val nxt = e.join(frontier, e("src") === frontier("node"), "left_semi")
         .select(col("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
-        .localCheckpoint()
+        .localCheckpointScoped()
       visited = visited
         .unionByName(nxt.withColumn("dist", lit(i.toLong)))
-        .localCheckpoint()
+        .localCheckpointScoped()
       frontier = nxt
     }
     visited.selectExpr("node",

@@ -1899,12 +1899,12 @@ object Similarity {
     affected.foreach { c =>
       val pDir = s"$ix/postings/cell=$c"
       val keptP = s.read.parquet(pDir)
-        .join(tomb, Seq("cand_id"), "left_anti").localCheckpoint(true)
+        .join(tomb, Seq("cand_id"), "left_anti").localCheckpointScoped()
       keptP.write.mode("overwrite").parquet(pDir)
       val vDir = s"$ix/vectors/cell=$c"
       val keptV = s.read.parquet(vDir)
         .join(tomb.select(col("cand_id").as("vec_id")), Seq("vec_id"), "left_anti")
-        .localCheckpoint(true)
+        .localCheckpointScoped()
       keptV.write.mode("overwrite").parquet(vDir)
     }
     affected

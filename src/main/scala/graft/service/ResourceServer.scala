@@ -66,10 +66,16 @@ final class ResourceServer(
     bindHost: String = "127.0.0.1",
     bindPort: Int = 0,
     maxJobEntries: Int = 1024,
-    journalPath: Option[String] = None) {
+    journalPath: Option[String] = None,
+    workers: Int = 1) {
 
   private val server = HttpServer.create(new InetSocketAddress(bindHost, bindPort), 0)
-  private val worker = Executors.newSingleThreadExecutor(r => {
+  // `workers` is the reference's RQ replica count
+  // (docker-compose.yml:28-30 scales conversion throughput by adding
+  // queue workers): N worker threads drain the same queue, each job
+  // still runs alone on one thread. Default 1 = the reference's
+  // single-replica default (and strict FIFO).
+  private val worker = Executors.newFixedThreadPool(math.max(1, workers), r => {
     val t = new Thread(r, "graft-service-worker"); t.setDaemon(true); t
   })
   private val jobSeq = new AtomicLong(0)
@@ -90,7 +96,9 @@ final class ResourceServer(
     while (jobs.size > maxJobEntries) {
       val oldest = jobOrder.peek()
       // Never evict a live job: stop pruning at the first non-terminal
-      // entry (FIFO worker ⇒ everything behind it is younger).
+      // entry. Under one worker (FIFO) everything behind it is
+      // younger; under N workers this is merely conservative — a
+      // stalled old job delays pruning but never evicts a live one.
       if (oldest == null || !isTerminal(jobs.getOrDefault(oldest, "done"))) return
       jobOrder.poll(); jobs.remove(oldest); jobMeta.remove(oldest)
     }

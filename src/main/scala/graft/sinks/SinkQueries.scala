@@ -3,6 +3,7 @@ package graft.sinks
 import java.nio.file.{Files, Paths}
 
 import graft.{Q, Tables}
+import graft.CacheScope.PersistScopedOps
 import graft.dwca.DwcaConvert
 import org.apache.spark.sql.functions._
 
@@ -824,7 +825,7 @@ object SinkQueries {
       .join(chg.select(col("o_orderkey").as("ck")),
         col("o_orderkey") === col("ck"), "left_anti")
       .unionByName(chg)
-      .localCheckpoint(true)
+      .localCheckpointScoped()
     val saved = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try merged.write.mode("overwrite").partitionBy("yr").parquet(out)
@@ -853,7 +854,7 @@ object SinkQueries {
       .join(chg.select(col("o_orderkey").as("ck")),
         col("o_orderkey") === col("ck"), "left_anti")
       .unionByName(chg)
-      .localCheckpoint(true)
+      .localCheckpointScoped()
     merged.write.mode("append").partitionBy("yr").parquet(out)
     val appended = Sinks.dataFiles(s, out).filterNot(before)
     val keep = v1.filterNot(f => years.exists(y => f.startsWith(s"yr=$y/")))

@@ -734,7 +734,8 @@ object StreamQueries {
               probes AS (SELECT c_custkey + 9000000 AS probe_id,
                                 ((c_custkey * 2654435761) + 7) % 600 AS px,
                                 ((c_custkey * 40503) + 3) % 300 AS py
-                         FROM customer WHERE c_custkey % 5 = 0)
+                         FROM customer
+                         WHERE c_custkey % 5 = 0 AND c_custkey <= 1000)
               SELECT probe_id, site_id,
                      CAST((px - x10) * (px - x10)
                           + (py - y10) * (py - y10) AS BIGINT) AS d2
@@ -763,8 +764,14 @@ object StreamQueries {
       .selectExpr("site_id", "x10", "y10",
         "x10 div 20 as cx", "y10 div 20 as cy")
       .persistScoped()
+    // probe shard bounded by an ABSOLUTE key cut, not a modulus: the
+    // arriving batch is a fixed-size registration wave at every SF,
+    // so the match set grows linearly with corpus density — the r13
+    // sf1 sweep caught the modulus-only variant returning an
+    // SF²-sized match set (fixed 600×300 coordinate space ⇒ density
+    // ∝ SF, probes ∝ SF) that no sink should have to absorb
     val probes = custStream
-      .where("c_custkey % 5 = 0")
+      .where("c_custkey % 5 = 0 and c_custkey <= 1000")
       .selectExpr("c_custkey + 9000000 as probe_id",
         "((c_custkey * 2654435761L) + 7) % 600 as x10",
         "((c_custkey * 40503L) + 3) % 300 as y10")

@@ -13,7 +13,12 @@ class CacheScopeSpec extends AnyFunSuite with SparkTestBase {
   private val sf = "/root/testdata/sf0.001"
 
   test("no cached RDD survives a scoped gate query; three back-to-back leave a clean session") {
-    spark.catalog.clearCache() // a known-clean baseline for the assert below
+    // a known-clean baseline: clearCache drops catalog entries, and
+    // any checkpoint RDD a previous suite built OUTSIDE a scope
+    // (spec-direct fn calls) is released explicitly — suite order
+    // must not decide this test
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
 
     // d03 (LSH pair frames), t07 (term-frequency frame), s13 (ANN

@@ -45,7 +45,8 @@ class PlanAuditSpec extends AnyFunSuite with graft.SparkTestBase {
     "t19_score_percentiles", // CDF cumsum over the value-distinct frame (≤10001 rows by domain)
     "p17_epoch_resume", // position stamp over the ≤100-row post-limit resume slice
     "d21_hist_quantiles", // cumulative counts over the ≤128-bucket histogram
-    "t27_heaps_curve") // cumulative curve over the 10-row decile frame
+    "t27_heaps_curve", // cumulative curve over the 10-row decile frame
+    "p22_mixture_weights") // largest-remainder rank over the ≤|langs| weight frame
 
   /** Walk ACROSS adaptive-execution boundaries: under AQE (on by
     * default) the root is AdaptiveSparkPlanExec — a leaf node whose
@@ -111,9 +112,15 @@ class PlanAuditSpec extends AnyFunSuite with graft.SparkTestBase {
   test("no registered query plans a cartesian product, stray nested loop, or global window") {
     val bad = SparkEntry.registry.toSeq.sortBy(_._1).flatMap { case (name, q) =>
       val found = Try {
-        val df = q.fn(spark, sf)
-        spark.catalog.clearCache() // queries persist; isolate like Verify
-        offenders(df.queryExecution.executedPlan)
+        // full Verify isolation: the scope releases persists AND
+        // checkpoint blocks eagerly-built fns create (clearCache
+        // alone leaves checkpoint RDDs stranded for later suites)
+        graft.CacheScope.scoped {
+          val df = q.fn(spark, sf)
+          val o = offenders(df.queryExecution.executedPlan)
+          spark.catalog.clearCache()
+          o
+        }
       } match {
         case Success(o) => o
         case Failure(e) => Seq(s"PLAN-FAILED: ${e.getMessage.take(120)}")

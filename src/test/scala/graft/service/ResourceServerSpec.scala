@@ -89,6 +89,36 @@ class ResourceServerSpec extends AnyFunSuite with SparkTestBase {
     } finally srv.stop()
   }
 
+  test("N workers drain the queue concurrently (the RQ replica analog)") {
+    val out = Files.createTempDirectory("graft-svc-fleet").toString
+    // both jobs must be INSIDE their first fetch at the same moment:
+    // each counts the latch down and waits for the other — reachable
+    // only when two worker threads run jobs concurrently (under one
+    // worker the second job never starts and the await times out)
+    val latch = new java.util.concurrent.CountDownLatch(2)
+    val gated: String => String = { url =>
+      if (url == s"$ipt/rss.do") {
+        latch.countDown()
+        assert(latch.await(60, java.util.concurrent.TimeUnit.SECONDS),
+          "second worker never reached fetch - jobs serialized")
+      }
+      fixtureFetch(url)
+    }
+    val srv = new ResourceServer(spark, ipt, out, "https://s3.example/bucket",
+      fetch = gated,
+      archiveUrlOf = (_, _) => graft.dwca.DwcaQueries.fixtureZip,
+      workers = 2)
+    val port = srv.start()
+    try {
+      assert(get(port, "/resources/csw", post = true)._1 === 200)
+      assert(get(port, "/resources/geoapi", post = true)._1 === 200)
+      srv.drain()
+      assert(srv.jobStatuses.values.forall(_ == "done"), srv.jobStatuses)
+      assert(Files.exists(java.nio.file.Paths.get(out, "csw-records.parquet")))
+      assert(Files.exists(java.nio.file.Paths.get(out, "geoapi-config.json")))
+    } finally srv.stop()
+  }
+
   test("hostile resource ids are 404, not path/query injection") {
     val out = Files.createTempDirectory("graft-svc-sec").toString
     val srv = new ResourceServer(spark, ipt, out, "https://s3.example/bucket",
