@@ -48,6 +48,9 @@ def main():
     for name in names:
         if only and name not in only:
             continue
+        import time as _t
+        print(f"[check] {name} ...", file=sys.stderr, flush=True)
+        _t0 = _t.time()
         spark_rel = con.sql(
             f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
         s_cols = [c for c in spark_rel.columns]
