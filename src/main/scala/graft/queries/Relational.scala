@@ -1071,6 +1071,64 @@ object Relational {
               FROM probe a JOIN build b
                 ON a.cx = b.cx AND a.cy = b.cy AND a.id < b.id
               WHERE (a.x10 - b.x10) * (a.x10 - b.x10)
-                    + (a.y10 - b.y10) * (a.y10 - b.y10) <= 400"""))
+                    + (a.y10 - b.y10) * (a.y10 - b.y10) <= 400""")),
+
+    // ── q42: GAPS-AND-ISLANDS sessionization of a purchase history —
+    // the classic "merge consecutive activity into bursts" operator
+    // (subscription churn, buying sprees, machine up-intervals):
+    // per customer, orders ≤ 30 days apart coalesce into one island;
+    // each island reports its order count, span, and spend. Scale
+    // shape: ONE customer-keyed sort-window computes the break flags
+    // and the running island id (state = one previous date per
+    // customer, the q30/q36 class), and the island rollup is a keyed
+    // partial agg on (custkey, island) — a strict refinement of the
+    // window's partitioning, so AQE coalesces the second exchange's
+    // already-clustered input; nothing is ever driver-side. Spend is
+    // integer cents and the island id an integer running sum, so both
+    // engines agree bit-for-bit; ties (same-day orders) break on
+    // o_orderkey in the window order, and a 0-day gap never splits. ──
+    "q42_gaps_islands" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+        Tables(s, d, "orders")
+          .selectExpr("o_custkey", "o_orderkey",
+            "cast(o_orderdate as date) as o_orderdate",
+            "cast(round(o_totalprice * 100) as bigint) as price_c")
+          .withColumn("gap",
+            datediff(col("o_orderdate"), lag("o_orderdate", 1).over(w)))
+          .withColumn("brk",
+            when(col("gap").isNull || col("gap") > 30, 1L).otherwise(0L))
+          .withColumn("island",
+            sum("brk").over(w.rowsBetween(Long.MinValue, 0)))
+          .groupBy("o_custkey", "island")
+          .agg(count(lit(1)).as("n_orders"),
+            min("o_orderdate").as("first_day"),
+            max("o_orderdate").as("last_day"),
+            sum("price_c").as("sum_price_c"))
+          .selectExpr("o_custkey", "island", "n_orders",
+            "first_day", "last_day",
+            "cast(datediff(last_day, first_day) as bigint) as span_days",
+            "sum_price_c")
+      },
+      Some("""WITH o AS (SELECT o_custkey, o_orderkey,
+                                CAST(o_orderdate AS DATE) AS d,
+                                CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+                         FROM orders),
+              f AS (SELECT *, CASE WHEN lag(d) OVER w IS NULL
+                                     OR datediff('day', lag(d) OVER w, d) > 30
+                                   THEN 1 ELSE 0 END AS brk
+                    FROM o WINDOW w AS (PARTITION BY o_custkey
+                                        ORDER BY d, o_orderkey)),
+              i AS (SELECT *, sum(brk) OVER (
+                      PARTITION BY o_custkey ORDER BY d, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+                    FROM f)
+              SELECT o_custkey, CAST(island AS BIGINT) AS island,
+                     count(*) AS n_orders,
+                     min(d) AS first_day, max(d) AS last_day,
+                     CAST(datediff('day', min(d), max(d)) AS BIGINT) AS span_days,
+                     CAST(sum(price_c) AS BIGINT) AS sum_price_c
+              FROM i GROUP BY 1, 2"""))
   )
 }

@@ -645,7 +645,54 @@ object SinkQueries {
       Some("""SELECT o_orderkey, o_custkey, o_totalprice,
                      CAST(year(o_orderdate) AS INTEGER) AS yr,
                      CAST(month(o_orderdate) AS INTEGER) AS mo
-              FROM orders"""))
+              FROM orders""")),
+
+    // ── sink22: the FULL tri-clause MERGE (Delta/Iceberg `MERGE INTO`
+    // with every clause sink11 lacks): WHEN MATCHED AND op='U' THEN
+    // UPDATE, WHEN MATCHED AND op='D' THEN DELETE, WHEN NOT MATCHED
+    // THEN INSERT, and WHEN NOT MATCHED BY SOURCE AND <cond> THEN
+    // DELETE — the last clause is what sync-to-source replication
+    // needs (rows that vanished upstream vanish downstream). One
+    // FULL OUTER join per merge scoped to the source's partitions
+    // resolves every clause in a single pass (matched, source-only,
+    // target-only all present); only affected year partitions are
+    // rewritten (dynamic partition overwrite — untouched years'
+    // files stay byte-identical), and the by-source delete is
+    // bounded to those partitions, exactly Delta's semantics when
+    // the merge condition carries a partition predicate. Overlap
+    // rule: a key that is both update- and delete-eligible takes
+    // DELETE (clause order), pinned in both engines. ──
+    "sink22_merge_full" -> Q(
+      (s, d) => {
+        val out = scratch("merge_full")
+        writeBasePartitioned(s, d, out)
+        mergeFull(s, d, out)
+        s.read.parquet(out)
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "yr")
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+                                   year(o_orderdate) AS yr FROM orders),
+              src AS (SELECT o_orderkey AS k,
+                             CASE WHEN o_orderkey % 41 = 0 THEN 'D' ELSE 'U' END AS op,
+                             o_custkey AS s_custkey, o_orderdate AS s_orderdate,
+                             o_totalprice + 1000 AS s_price, yr AS s_yr
+                      FROM base
+                      WHERE (o_orderkey % 41 = 0 OR o_orderkey % 37 = 0) AND yr >= 1996
+                      UNION ALL
+                      SELECT o_orderkey + 200000000, 'I', o_custkey, o_orderdate,
+                             o_totalprice, yr
+                      FROM base WHERE o_orderkey % 97 = 0 AND yr >= 1996)
+              SELECT b.o_orderkey, b.o_custkey, b.o_orderdate,
+                     CASE WHEN coalesce(s.op, '') = 'U' THEN s.s_price
+                          ELSE b.o_totalprice END AS o_totalprice,
+                     b.yr
+              FROM base b LEFT JOIN src s ON s.k = b.o_orderkey
+              WHERE NOT (b.yr >= 1996
+                         AND (coalesce(s.op, '') = 'D'
+                              OR (s.k IS NULL AND b.o_orderkey % 53 = 0)))
+              UNION ALL
+              SELECT k, s_custkey, s_orderdate, s_price, s_yr
+              FROM src WHERE op = 'I'"""))
   )
 
   /** sink11's base snapshot: orders, hive-partitioned by order year. */
@@ -825,6 +872,52 @@ object SinkQueries {
       .join(chg.select(col("o_orderkey").as("ck")),
         col("o_orderkey") === col("ck"), "left_anti")
       .unionByName(chg)
+      .localCheckpointScoped()
+    val saved = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode("overwrite").partitionBy("yr").parquet(out)
+    finally saved match {
+      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** sink22's FULL MERGE: updates (~1/37 of 1996+ keys), deletes
+    * (~1/41, winning on overlap), inserts (new 1996+ keys), and a
+    * by-source delete of unmatched %53 keys — all resolved by ONE
+    * full-outer join over the affected year partitions, rewritten
+    * with dynamic partition overwrite (earlier years untouched). */
+  private[graft] def mergeFull(s: org.apache.spark.sql.SparkSession,
+      d: String, out: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val base = Tables(s, d, "orders")
+      .selectExpr("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
+        "year(o_orderdate) as yr")
+    val src = base
+      .where("(o_orderkey % 41 = 0 or o_orderkey % 37 = 0) and yr >= 1996")
+      .selectExpr("o_orderkey as k",
+        "case when o_orderkey % 41 = 0 then 'D' else 'U' end as op",
+        "o_custkey as s_custkey", "o_orderdate as s_orderdate",
+        "o_totalprice + 1000 as s_price", "yr as s_yr")
+      .unionByName(base.where("o_orderkey % 97 = 0 and yr >= 1996")
+        .selectExpr("o_orderkey + 200000000 as k", "'I' as op",
+          "o_custkey as s_custkey", "o_orderdate as s_orderdate",
+          "o_totalprice as s_price", "yr as s_yr"))
+    val years = src.select("s_yr").distinct().collect().map(_.getInt(0))
+    val merged = s.read.parquet(out)
+      .where(col("yr").isin(years.map(Integer.valueOf).toSeq: _*))
+      .join(src, col("o_orderkey") === col("k"), "full_outer")
+      // clause resolution: matched-D drops, target-only %53 drops
+      // (not-matched-by-source), source-only keeps only inserts
+      .where("""not (coalesce(op, '') = 'D'
+                     or (k is null and o_orderkey % 53 = 0)
+                     or (o_orderkey is null and op <> 'I'))""")
+      .selectExpr("coalesce(o_orderkey, k) as o_orderkey",
+        "coalesce(o_custkey, s_custkey) as o_custkey",
+        "coalesce(o_orderdate, s_orderdate) as o_orderdate",
+        "case when coalesce(op, '') in ('U', 'I') then s_price" +
+          " else o_totalprice end as o_totalprice",
+        "coalesce(yr, s_yr) as yr")
       .localCheckpointScoped()
     val saved = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -571,4 +571,48 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
         s"pair $a/$b |est_inter-exact|=${math.abs(ei - exact)} vs union $eu")
     }
   }
+
+  test("d25 CDC chunks: equals the serial chunker; boundaries survive a prefix insertion") {
+    val sf = "/root/testdata/sf0.001"
+    def h32(t: String): Long =
+      graft.functions.Hashing.h32Bytes(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+    // serial content-defined chunker: boundary AFTER tokens with h32 % 8 == 0
+    def chunk(text: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var cur = scala.collection.mutable.ArrayBuffer[String]()
+      for (t <- text.split(" ", -1)) {
+        cur += t
+        if (h32(t) % 8 == 0) { out += cur.mkString(" "); cur.clear() }
+      }
+      if (cur.nonEmpty) out += cur.mkString(" ")
+      out.toSeq
+    }
+    val docs = graft.Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // expected per-doc stats from the serial chunker
+    val perDoc = docs.map { case (id, txt) => id -> chunk(txt) }
+    val docsPerFp = perDoc.toSeq
+      .flatMap { case (id, cs) => cs.map(c => (h32(c), id)) }
+      .distinct.groupBy(_._1).map { case (fp, v) => fp -> v.size }
+    val expect = perDoc.map { case (id, cs) =>
+      val shared = cs.count(c => docsPerFp(h32(c)) >= 2).toLong
+      id -> (cs.size.toLong, shared, shared * 10000 / cs.size)
+    }
+    val got = graft.SparkEntry.queries("d25_cdc_chunks")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === expect)
+    // the CDC property: prepend a token to the longest doc — every
+    // chunk after the first boundary is IDENTICAL (fixed-size windows
+    // would shift all of them)
+    val (id0, txt) = docs.maxBy(_._2.length)
+    val orig = chunk(txt)
+    val shifted = chunk("INSERTED " + txt)
+    assert(orig.size > 2, s"doc $id0 too short to exercise the property")
+    assert(orig.toSet.diff(shifted.toSet).size <= 1,
+      "content-defined boundaries did not survive a prefix insertion")
+    // non-vacuous: some chunk really is shared across docs
+    assert(expect.values.exists(_._2 > 0), "no shared chunk anywhere in the corpus")
+  }
 }

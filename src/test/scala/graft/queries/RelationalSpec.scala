@@ -255,4 +255,40 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       pa._2 / 20 != pb._2 / 20 || pa._3 / 20 != pb._3 / 20
     }, "all pairs share a cell - the neighborhood expansion is untested")
   }
+
+  test("q42 islands: serial re-derivation agrees; gaps split, 30-day gaps don't") {
+    val sf = "/root/testdata/sf0.001"
+    val hist = graft.Tables(spark, sf, "orders")
+      .selectExpr("o_custkey", "o_orderkey", "cast(o_orderdate as date) as d",
+        "cast(round(o_totalprice * 100) as bigint) as price_c")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDate(2).toLocalDate, r.getLong(3)))
+      .groupBy(_._1)
+    // serial single-threaded gaps-and-islands per customer
+    val expect = hist.flatMap { case (cust, rows) =>
+      val sorted = rows.sortBy(t => (t._3.toEpochDay, t._2))
+      var island = 0L
+      var prev: Option[java.time.LocalDate] = None
+      val tagged = sorted.map { case (_, _, d, p) =>
+        val gap = prev.map(pd => java.time.temporal.ChronoUnit.DAYS.between(pd, d))
+        if (gap.forall(_ > 30)) island += 1
+        prev = Some(d)
+        (island, d, p)
+      }
+      tagged.groupBy(_._1).map { case (isl, g) =>
+        val days = g.map(_._2)
+        ((cust, isl), (g.size.toLong, days.minBy(_.toEpochDay), days.maxBy(_.toEpochDay),
+          g.map(_._3).sum))
+      }
+    }
+    val got = graft.SparkEntry.queries("q42_gaps_islands")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDate(3).toLocalDate, r.getDate(4).toLocalDate, r.getLong(6))))
+      .toMap
+    assert(got === expect)
+    // non-vacuous: at least one customer has MULTIPLE islands (a real gap
+    // split) and at least one island has MULTIPLE orders (a real merge)
+    assert(got.keys.groupBy(_._1).exists(_._2.size > 1), "no customer ever split")
+    assert(got.values.exists(_._1 > 1), "no island ever merged two orders")
+  }
 }
