@@ -1306,7 +1306,62 @@ object Pipeline {
                        AS doc_dev_bp,
                      CAST((n_bytes * n_shards * 10000) // b_tot - 10000 AS BIGINT)
                        AS byte_dev_bp
-              FROM per, tot"""))
+              FROM per, tot""")),
+
+    // ── p23: CORPUS SNAPSHOT DIFF — the data-versioning primitive
+    // (what changed between dataset v1 and v2?) every reproducible
+    // training run needs before it trusts a refresh: the manifest of
+    // added / removed / CONTENT-changed documents, where "changed"
+    // means the fingerprint moved, not merely that the id exists in
+    // both. v2 is a deterministic perturbation of v1 (drops %17,
+    // edits %13, adds new %29-derived ids) so the gate exercises all
+    // three statuses against the oracle. Scale shape: each side is
+    // projected to (doc_id, 8-byte h32 fingerprint) BEFORE the join —
+    // document text never crosses an exchange — and the diff is one
+    // id-keyed full-outer join; unchanged rows (the overwhelming
+    // majority at 100 TB) are filtered before anything is returned. ──
+    "p23_snapshot_diff" -> Q(
+      (s, d) => {
+        graft.functions.Hashing.register(s)
+        val v1 = Tables(s, d, "documents").selectExpr("doc_id", "h32(text) as fp1")
+        val v2 = Tables(s, d, "documents")
+          .where("doc_id % 17 != 0")
+          .selectExpr("doc_id",
+            """case when doc_id % 13 = 0 then h32(concat(text, ' EDITED'))
+                    else h32(text) end as fp2""")
+          .unionByName(Tables(s, d, "documents").where("doc_id % 29 = 0")
+            .selectExpr("doc_id + 10000000 as doc_id",
+              "h32(concat('NEW ', text)) as fp2"))
+        v1.join(v2, Seq("doc_id"), "full_outer")
+          .selectExpr("doc_id",
+            """case when fp2 is null then 'removed'
+                    when fp1 is null then 'added'
+                    when fp1 != fp2 then 'changed'
+                    else 'unchanged' end as status""")
+          .where("status != 'unchanged'")
+      },
+      Some(s"""WITH v1 AS (SELECT doc_id,
+                                  ${graft.functions.Hashing.duck32("text")} AS fp1
+                           FROM documents),
+               v2 AS (SELECT doc_id,
+                             CASE WHEN doc_id % 13 = 0
+                               THEN ${graft.functions.Hashing.duck32("text || ' EDITED'")}
+                               ELSE ${graft.functions.Hashing.duck32("text")} END AS fp2
+                      FROM documents WHERE doc_id % 17 != 0
+                      UNION ALL
+                      SELECT doc_id + 10000000,
+                             ${graft.functions.Hashing.duck32("'NEW ' || text")}
+                      FROM documents WHERE doc_id % 29 = 0)
+               SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+                      CASE WHEN fp2 IS NULL THEN 'removed'
+                           WHEN fp1 IS NULL THEN 'added'
+                           WHEN fp1 != fp2 THEN 'changed'
+                           ELSE 'unchanged' END AS status
+               FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+               WHERE (CASE WHEN fp2 IS NULL THEN 'removed'
+                           WHEN fp1 IS NULL THEN 'added'
+                           WHEN fp1 != fp2 THEN 'changed'
+                           ELSE 'unchanged' END) != 'unchanged'"""))
   )
 
   // ── drift machinery shared by p19 (one-shot batch) and stream21

@@ -1158,7 +1158,47 @@ object TextOps {
                    CAST(la - lcp - least(lcs0, n - lcp) AS BIGINT) AS a_mid_tokens,
                    CAST(lb - lcp - least(lcs0, n - lcp) AS BIGINT) AS b_mid_tokens
             FROM x"""
-      })
+      }),
+
+    // ── t29: ZIPF RANK-FREQUENCY audit — the companion to t27's
+    // Heaps curve: does the corpus's head follow the power law a
+    // natural-language corpus should (freq ∝ 1/rank), or is the head
+    // flattened by boilerplate/template spam? Published as the top-100
+    // (rank, token, freq) with zipf_ratio_bp = f₁·10⁴ / (rank·f_rank)
+    // — exactly 10000 under ideal Zipf, drifting low where the head
+    // is heavier than the law predicts. All-integer arithmetic, so
+    // both engines agree bit-for-bit. Scale shape: ONE token-keyed
+    // partial agg builds the frequency table, the head is a
+    // TakeOrderedAndProject top-100 (never a global sort), and the
+    // rank window + f₁ broadcast run over the bounded 100-row frame. ──
+    "t29_zipf_rankfreq" -> Q(
+      (s, d) => {
+        val freq = Tables(s, d, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr(s"explode($toks) as tok")
+          .groupBy("tok").agg(count(lit(1)).as("freq"))
+        val top = freq.orderBy(col("freq").desc, col("tok")).limit(100)
+          .persistScoped()
+        val ranked = top.withColumn("rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("freq").desc, col("tok"))).cast("long"))
+        ranked.crossJoin(broadcast(top.agg(max("freq").as("f1"))))
+          .selectExpr("rank", "tok", "freq",
+            "f1 * 10000 div (rank * freq) as zipf_ratio_bp")
+      },
+      Some("""WITH f AS (SELECT tok, count(*) AS freq FROM
+                           (SELECT unnest(string_split(text, ' ')) AS tok
+                            FROM documents)
+                         GROUP BY tok),
+              r AS (SELECT tok, freq,
+                           row_number() OVER (ORDER BY freq DESC, tok) AS rank
+                    FROM f),
+              t AS (SELECT * FROM r WHERE rank <= 100),
+              m AS (SELECT max(freq) AS f1 FROM t)
+              SELECT CAST(rank AS BIGINT) AS rank, tok,
+                     CAST(freq AS BIGINT) AS freq,
+                     CAST(f1 * 10000 // (rank * freq) AS BIGINT) AS zipf_ratio_bp
+              FROM t CROSS JOIN m"""))
   )
 
   // ── Count-Min machinery shared by t23 (one-shot batch) and

@@ -515,4 +515,19 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     // chosen and rejected are genuinely different documents of one cluster
     got.foreach { case (_, (_, c, r, _)) => assert(c !== r) }
   }
+
+  test("p23 snapshot diff: serial re-derivation agrees; all three statuses occur; unchanged absent") {
+    val sf = "/root/testdata/sf0.001"
+    val ids = graft.Tables(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expect: Map[Long, String] =
+      ids.filter(_ % 17 == 0).map(_ -> "removed").toMap ++
+        ids.filter(id => id % 17 != 0 && id % 13 == 0).map(_ -> "changed").toMap ++
+        ids.filter(_ % 29 == 0).map(id => (id + 10000000L) -> "added").toMap
+    val got = graft.SparkEntry.queries("p23_snapshot_diff")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === expect)
+    assert(Set("added", "removed", "changed").subsetOf(got.values.toSet),
+      "a diff status never occurred - the perturbation is not exercising the operator")
+  }
 }

@@ -412,4 +412,23 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(curve.head._4 > curve.last._4,
       "type-token ratio did not fall across the corpus - no flattening")
   }
+
+  test("t29 zipf: equals the serial top-100; rank-1 ratio is exactly 10000; freq monotone") {
+    val sf = "/root/testdata/sf0.001"
+    val counts = graft.Tables(spark, sf, "documents")
+      .select("text").collect().iterator
+      .flatMap(_.getString(0).split(" ", -1))
+      .foldLeft(Map.empty[String, Long]) { (m, t) => m.updated(t, m.getOrElse(t, 0L) + 1) }
+    val serial = counts.toSeq.sortBy { case (t, f) => (-f, t) }.take(100)
+      .zipWithIndex.map { case ((t, f), i) => (i + 1L, t, f) }
+    val f1 = serial.head._3
+    val expect = serial.map { case (r, t, f) => (r, t, f, f1 * 10000 / (r * f)) }
+    val got = graft.SparkEntry.queries("t29_zipf_rankfreq")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got === expect)
+    assert(got.head._4 === 10000L, "rank-1 ratio must be exactly 10000 by construction")
+    val freqs = got.map(_._3)
+    assert(freqs === freqs.sorted.reverse, "frequency not monotone in rank")
+  }
 }
