@@ -1241,7 +1241,47 @@ object Similarity {
                           FROM sc WHERE NOT same_label) WHERE rn = 1)
                SELECT pos.probe_id AS anchor_id, pos_id, neg_id,
                       pos_cos, neg_cos, pos_cos > neg_cos AS margin_ok
-               FROM pos JOIN neg ON neg.probe_id = pos.probe_id"""))
+               FROM pos JOIN neg ON neg.probe_id = pos.probe_id""")),
+
+    // ── c10: SEMANTIC decontamination — the fourth member of the
+    // decontamination quartet (c02 exact n-gram, c04 bloom-prefilter,
+    // c07 near-dup LSH): training vectors whose embedding cosine
+    // against ANY eval-set vector clears the threshold are flagged
+    // with their hit count and worst offender score — the check that
+    // catches PARAPHRASED eval leakage no lexical matcher can see
+    // (Yang et al. 2023, "Rethinking Benchmark and Contamination").
+    // Threshold 0.38 is calibrated to this synthetic corpus (max
+    // cross-split cosine ≈0.44; real deployments use ~0.95 on real
+    // embeddings — the knob, not the machinery). Scale shape: the
+    // eval set is small by definition → broadcast nested-loop against
+    // it, map-side only (no exchange before the flag filter), cosines
+    // via the codegen'd dotf/vnorm kernels, and only flagged rows
+    // (≪ corpus) reach the final vec-keyed agg. ──
+    "c10_semantic_decontaminate" -> Q(
+      (s, d) => {
+        Hashing.register(s)
+        val e = Tables(s, d, "embeddings")
+          .selectExpr("vec_id", "embedding", s"$normE as nrm")
+        val ev = e.where("vec_id % 101 = 0")
+          .selectExpr("vec_id as ev_id", "embedding as ev_emb", "nrm as ev_nrm")
+        e.where("vec_id % 101 != 0")
+          .repartition(s.sparkContext.defaultParallelism)
+          .crossJoin(broadcast(ev))
+          .selectExpr("vec_id",
+            s"${dot("embedding", "ev_emb")} / (nrm * ev_nrm) as cosine")
+          .where("cosine >= 0.38")
+          .groupBy("vec_id")
+          .agg(count(lit(1)).as("n_eval_hits"), max("cosine").as("max_cosine"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm
+                          FROM embeddings),
+               ev AS (SELECT vec_id AS ev_id, embedding AS ev_emb, nrm AS ev_nrm
+                      FROM e WHERE vec_id % 101 = 0),
+               sc AS (SELECT t.vec_id,
+                             ${duckDot("t.embedding", "ev_emb")} / (t.nrm * ev_nrm) AS cosine
+                      FROM e t CROSS JOIN ev WHERE t.vec_id % 101 != 0)
+               SELECT vec_id, count(*) AS n_eval_hits, max(cosine) AS max_cosine
+               FROM sc WHERE cosine >= 0.38 GROUP BY 1"""))
   )
 
   /** s17's oracle: the identical greedy MMR unrolled as chained

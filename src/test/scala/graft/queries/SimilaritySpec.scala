@@ -595,4 +595,28 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     // better than half the hits overall on this corpus
     assert(got.values.sum * 2 > 30, s"sq8 recall implausibly low: $got")
   }
+
+  test("c10 semantic decontamination: equals the serial brute force; eval side never flagged") {
+    val sf = "/root/testdata/sf0.01"
+    val vecs = graft.Tables(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def nrm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+    val ev = vecs.filter(_._1 % 101 == 0)
+    val expect = vecs.filter(_._1 % 101 != 0).flatMap { case (id, v) =>
+      val hits = ev.map { case (_, e) => dot(v, e) / (nrm(v) * nrm(e)) }
+        .filter(_ >= 0.38)
+      if (hits.isEmpty) None else Some(id -> (hits.length.toLong, hits.max))
+    }.toMap
+    val got = graft.SparkEntry.queries("c10_semantic_decontaminate")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got === expect)
+    assert(got.nonEmpty, "no training vector flagged - threshold not exercised")
+    assert(got.keys.forall(_ % 101 != 0), "an eval vector leaked into the flag set")
+  }
 }
