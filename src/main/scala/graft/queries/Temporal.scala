@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Q
+import graft.CacheScope.PersistScopedOps
 import graft.operators.TemporalJoins
 import org.apache.spark.sql.functions._
 
@@ -359,6 +360,58 @@ object Temporal {
                              ORDER BY p.d DESC NULLS LAST, p.o_orderkey DESC NULLS LAST) AS rn
                     FROM o f LEFT JOIN o p ON p.o_custkey = f.o_custkey AND p.d < f.d)
               SELECT fact_key, o_custkey, prior_key, prior_price, staleness_days
-              FROM j WHERE rn = 1"""))
+              FROM j WHERE rn = 1""")),
+
+    // ── j09: SWEEP-LINE peak concurrency — "what was the maximum
+    // number of simultaneously-open orders per nation, and when was
+    // it first reached?" (capacity planning / staffing / connection-
+    // pool sizing — the interval-stabbing max no join formulation
+    // answers). Each order is an interval [orderdate, orderdate+30d);
+    // the sweep is +1/-1 events under ONE nation-keyed sort-window
+    // running sum — state per key is a single counter, never the
+    // interval set. End events sort BEFORE start events at the same
+    // date (delta asc: back-to-back intervals do not overlap), with
+    // the orderkey as the final tiebreak so the running values are
+    // deterministic row-for-row in both engines. The peak and its
+    // first date come from a per-nation agg + a 25-row broadcast-back
+    // join — never a second global pass. ──
+    "j09_max_concurrent" -> Q(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("nk").orderBy("day", "delta", "okey")
+          .rowsBetween(Long.MinValue, 0)
+        val o = graft.Tables(s, d, "orders")
+          .join(graft.Tables(s, d, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .selectExpr("c_nationkey as nk", "o_orderkey as okey",
+            "cast(o_orderdate as date) as d0",
+            "date_add(cast(o_orderdate as date), 30) as d1")
+        val run = o.selectExpr("nk", "okey", "d0 as day", "1 as delta")
+          .unionByName(o.selectExpr("nk", "okey", "d1 as day", "-1 as delta"))
+          .withColumn("run", sum("delta").over(w))
+          .persistScoped()
+        val peaks = run.groupBy("nk").agg(max("run").as("peak"))
+        run.join(broadcast(peaks), Seq("nk"))
+          .where(col("run") === col("peak"))
+          .groupBy("nk", "peak")
+          .agg(min("day").as("first_peak_day"))
+          .selectExpr("nk", "cast(peak as bigint) as peak", "first_peak_day")
+      },
+      Some("""WITH o AS (SELECT c_nationkey AS nk, o_orderkey AS okey,
+                                CAST(o_orderdate AS DATE) AS d0,
+                                CAST(o_orderdate AS DATE) + 30 AS d1
+                         FROM orders JOIN customer ON o_custkey = c_custkey),
+              ev AS (SELECT nk, okey, d0 AS day, 1 AS delta FROM o
+                     UNION ALL
+                     SELECT nk, okey, d1, -1 FROM o),
+              r AS (SELECT nk, day, sum(delta) OVER (
+                      PARTITION BY nk ORDER BY day, delta, okey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+                    FROM ev),
+              pk AS (SELECT nk, max(run) AS peak FROM r GROUP BY nk)
+              SELECT r.nk, CAST(pk.peak AS BIGINT) AS peak,
+                     min(day) AS first_peak_day
+              FROM r JOIN pk ON r.nk = pk.nk AND r.run = pk.peak
+              GROUP BY r.nk, pk.peak"""))
   )
 }

@@ -200,4 +200,34 @@ class TemporalJoinsSpec extends AnyFunSuite with SparkTestBase {
     // the merge must merge: some span holds many intervals
     assert(spans.exists(_._4 > 1), "no interval ever merged - vacuous")
   }
+
+  test("j09 peak concurrency: equals the serial sweep; end-before-start at equal dates") {
+    val sf = "/root/testdata/sf0.001"
+    val ivs = graft.Tables(spark, sf, "orders")
+      .join(graft.Tables(spark, sf, "customer"),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+      .selectExpr("c_nationkey", "o_orderkey", "cast(o_orderdate as date) as d")
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getDate(2).toLocalDate))
+    // serial sweep per nation: (+1 at d, -1 at d+30), ends before starts
+    val expect = ivs.groupBy(_._1).map { case (nk, rows) =>
+      val ev = rows.flatMap { case (_, k, d) =>
+        Seq((d, 1, k), (d.plusDays(30), -1, k))
+      }.sortBy { case (d, delta, k) => (d.toEpochDay, delta, k) }
+      var run = 0L; var peak = Long.MinValue
+      var firstPeak: java.time.LocalDate = null
+      ev.foreach { case (d, delta, _) =>
+        run += delta
+        if (run > peak) { peak = run; firstPeak = d }
+      }
+      nk -> (peak, firstPeak)
+    }
+    val got = graft.SparkEntry.queries("j09_max_concurrent")(spark, sf).collect()
+      .map(r => r.getAs[Number](0).longValue -> (r.getLong(1), r.getDate(2).toLocalDate))
+      .toMap
+    assert(got === expect)
+    // non-vacuous: some nation genuinely overlaps orders
+    assert(got.values.exists(_._1 > 1), "no nation ever had 2 concurrent orders")
+  }
 }
