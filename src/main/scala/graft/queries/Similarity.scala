@@ -1281,7 +1281,111 @@ object Similarity {
                              ${duckDot("t.embedding", "ev_emb")} / (t.nrm * ev_nrm) AS cosine
                       FROM e t CROSS JOIN ev WHERE t.vec_id % 101 != 0)
                SELECT vec_id, count(*) AS n_eval_hits, max(cosine) AS max_cosine
-               FROM sc WHERE cosine >= 0.38 GROUP BY 1"""))
+               FROM sc WHERE cosine >= 0.38 GROUP BY 1""")),
+
+    // ── s29: HYBRID RETRIEVAL via Reciprocal-Rank Fusion — the
+    // modern RAG / curation shape: one query (document 0, query-by-
+    // example), TWO independent rankers — BM25 over its distinct
+    // tokens (t08's exact formula) and embedding cosine against its
+    // vector — fused by RRF: score = Σ 1/(60 + rank), top-20
+    // (Cormack et al., SIGIR'09). Scale shape: each arm ends in a
+    // TakeOrderedAndProject top-50 (never a global sort of the
+    // corpus); the fusion full-outer join, rank windows, and final
+    // top-20 all run on the bounded ≤100-row shortlist union.
+    // Cross-engine determinism: lexical scores are floor-scaled to
+    // exact BIGINT basis points BEFORE the per-doc sum (a double sum
+    // over terms would be aggregation-order-sensitive); cosines are
+    // bit-identical by this module's sequential-fold contract; the
+    // RRF double is a fixed two-term sum of 1/(60+rank) with ranks
+    // exact — so %.6f strings and rank order agree exactly. ──
+    "s29_hybrid_rrf" -> Q(
+      (s, d) => {
+        Hashing.register(s)
+        val docs = Tables(s, d, "documents")
+        val toks = "split(text, ' ')"
+        val qt = docs.where("doc_id = 0")
+          .selectExpr(s"explode($toks) as tok").distinct()
+        val tf = docs.where("doc_id > 0")
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("doc_id", s"explode($toks) as tok")
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val qtf = tf.join(broadcast(qt), "tok").persistScoped()
+        val dl = docs.where("doc_id > 0")
+          .selectExpr("doc_id", s"cast(size($toks) as bigint) as dl")
+        val st = dl.agg(count(lit(1)).cast("double").as("n"), avg("dl").as("avgdl"))
+        val df = qtf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val lex = qtf.join(broadcast(df), "tok").join(dl, "doc_id")
+          .crossJoin(broadcast(st))
+          .selectExpr("doc_id",
+            "cast(floor(ln(1 + (n - df + 0.5)/(df + 0.5)) * (tf * 2.2)" +
+              " / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) * 1000000) as bigint) as s_bp")
+          .groupBy("doc_id").agg(sum("s_bp").as("lex"))
+        val lt = lex.orderBy(col("lex").desc, col("doc_id")).limit(50)
+          .withColumn("lex_rnk", row_number().over(
+            Window.orderBy(col("lex").desc, col("doc_id"))))
+          .select("doc_id", "lex_rnk")
+        val e = Tables(s, d, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("vec_id", "embedding", s"$normE as nrm")
+        val p = e.where("vec_id = 0")
+          .select(col("embedding").as("pe"), col("nrm").as("pn"))
+        val vsc = e.where("vec_id > 0").crossJoin(broadcast(p))
+          .selectExpr("vec_id as doc_id", s"${dot("pe", "embedding")} / (pn * nrm) as cosine")
+        val vt = vsc.orderBy(col("cosine").desc, col("doc_id")).limit(50)
+          .withColumn("vec_rnk", row_number().over(
+            Window.orderBy(col("cosine").desc, col("doc_id"))))
+          .select("doc_id", "vec_rnk")
+        lt.join(vt, Seq("doc_id"), "full_outer")
+          // cast(1.0 as double): DuckDB parses a bare 1.0 as DECIMAL
+          // and would divide in decimal arithmetic — the explicit
+          // cast (same text both engines) pins the division to
+          // IEEE double everywhere
+          .selectExpr("doc_id", "lex_rnk", "vec_rnk",
+            "coalesce(cast(1.0 as double)/(60 + lex_rnk), cast(0.0 as double))" +
+              " + coalesce(cast(1.0 as double)/(60 + vec_rnk), cast(0.0 as double)) as rrf")
+          .withColumn("fused_rnk", row_number().over(
+            Window.orderBy(col("rrf").desc, col("doc_id"))))
+          .where("fused_rnk <= 20")
+          .selectExpr("doc_id", "lex_rnk", "vec_rnk", "fused_rnk",
+            "format_string('%.6f', rrf) as rrf")
+      },
+      Some(s"""WITH qt AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+                           FROM documents WHERE doc_id = 0),
+               t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                     FROM documents WHERE doc_id > 0),
+               tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+               qtf AS (SELECT tf.* FROM tf JOIN qt USING (tok)),
+               dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+                      FROM documents WHERE doc_id > 0),
+               st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+               df AS (SELECT tok, count(*) AS df FROM qtf GROUP BY 1),
+               lex AS (SELECT doc_id, CAST(sum(CAST(floor(
+                           ln(1 + (n - df + 0.5)/(df + 0.5)) * (tf * 2.2)
+                             / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) * 1000000)
+                           AS BIGINT)) AS BIGINT) AS lex
+                       FROM qtf JOIN df USING (tok) JOIN dl USING (doc_id), st
+                       GROUP BY doc_id),
+               lt AS (SELECT doc_id, lex_rnk FROM
+                        (SELECT doc_id, CAST(row_number() OVER (ORDER BY lex DESC, doc_id) AS INTEGER) AS lex_rnk
+                         FROM lex)
+                      WHERE lex_rnk <= 50),
+               e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+               p AS (SELECT embedding AS pe, nrm AS pn FROM e WHERE vec_id = 0),
+               vsc AS (SELECT c.vec_id AS doc_id,
+                              ${duckDot("pe", "c.embedding")} / (pn * c.nrm) AS cosine
+                       FROM e c, p WHERE c.vec_id > 0),
+               vt AS (SELECT doc_id, vec_rnk FROM
+                        (SELECT doc_id, CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS INTEGER) AS vec_rnk
+                         FROM vsc)
+                      WHERE vec_rnk <= 50),
+               f AS (SELECT doc_id, lex_rnk, vec_rnk,
+                            coalesce(cast(1.0 as double)/(60 + lex_rnk), cast(0.0 as double))
+                              + coalesce(cast(1.0 as double)/(60 + vec_rnk), cast(0.0 as double)) AS rrf
+                     FROM lt FULL JOIN vt USING (doc_id))
+               SELECT doc_id, lex_rnk, vec_rnk, fused_rnk, printf('%.6f', rrf) AS rrf FROM
+                 (SELECT *, CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER) AS fused_rnk
+                  FROM f)
+               WHERE fused_rnk <= 20"""))
   )
 
   /** s17's oracle: the identical greedy MMR unrolled as chained

@@ -28,6 +28,71 @@ object Temporal {
        SELECT purchase_id, user_id, click_id, click_value, lag_us
        FROM j WHERE rn = 1"""
 
+  /** Same-supplier shipment-interval pairs that OVERLAP — the shared
+    * candidate frame of j05 (overlap length) and j10 (Allen-relation
+    * classification). One semantics, one truth: the bucketized
+    * equi-join, the full-row-key dedup, and the exact overlap
+    * predicate live here.
+    *
+    * ROW IDENTITY: (orderkey, linenumber) is NOT unique in this
+    * corpus (q39's red pk rule) — two same-numbered lines of one
+    * order can both overlap the same partner with the same overlap,
+    * and the oracle's bag semantics keeps both rows. The bucket dedup
+    * must therefore run on the FULL row key (partkey included) and
+    * only then project it away, or the distinct over-collapses those
+    * honest duplicates (found by the sf0.1 sweep: one pair in 641k).
+    */
+  private def overlapPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val li = graft.Tables(s, d, "lineitem").selectExpr(
+      "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+      "cast(unix_date(cast(l_shipdate as date)) as bigint) as sd",
+      "cast(unix_date(cast(l_shipdate as date)) + (cast(l_quantity as int) % 7 + 1) as bigint) as rd")
+    def side(p: String) = li.selectExpr(
+      s"l_orderkey as ${p}_orderkey", s"l_linenumber as ${p}_linenumber",
+      s"l_partkey as ${p}_partkey",
+      "l_suppkey", s"sd as ${p}_sd", s"rd as ${p}_rd")
+      .selectExpr("*", s"explode(sequence(${p}_sd div 8, ${p}_rd div 8)) as bk")
+    side("a").join(side("b"), Seq("l_suppkey", "bk"))
+      .where("""(a_orderkey < b_orderkey
+                 or (a_orderkey = b_orderkey and a_linenumber < b_linenumber))
+                and a_sd <= b_rd and b_sd <= a_rd""")
+      .select("a_orderkey", "a_linenumber", "a_partkey", "a_sd", "a_rd",
+        "b_orderkey", "b_linenumber", "b_partkey", "b_sd", "b_rd",
+        "l_suppkey")
+      .distinct()
+  }
+
+  /** DuckDB mirror of [[overlapPairs]]'s interval source — shared by
+    * the j05 and j10 oracles. */
+  private val duckLi =
+    """li AS (SELECT l_orderkey, l_linenumber, l_suppkey,
+              datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS sd,
+              datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+                + (CAST(l_quantity AS INT) % 7 + 1) AS rd
+       FROM lineitem)"""
+
+  /** The Allen-relation CASE over an overlapping pair (a, b) — a/b
+    * ordered by ROW KEY, so every inverse relation occurs. Intervals
+    * are CLOSED day ranges, so the continuous-time `meets` (end =
+    * start) appears here as a one-day-shared-boundary overlap and is
+    * classified before the general `overlaps` arm. `precedes` /
+    * `preceded_by` (disjoint pairs) are excluded BY DESIGN: the
+    * candidate frame is overlap-bucketed precisely so the quadratic
+    * disjoint-pair space is never enumerated. Identical text in both
+    * engines. */
+  private val allenCase =
+    """case when a_sd = b_sd and a_rd = b_rd then 'equals'
+            when a_sd = b_sd and a_rd < b_rd then 'starts'
+            when a_sd = b_sd then 'started_by'
+            when a_rd = b_rd and a_sd < b_sd then 'finished_by'
+            when a_rd = b_rd then 'finishes'
+            when a_sd < b_sd and a_rd > b_rd then 'contains'
+            when a_sd > b_sd and a_rd < b_rd then 'during'
+            when a_sd < b_sd and a_rd = b_sd then 'meets'
+            when a_sd > b_sd and b_rd = a_sd then 'met_by'
+            when a_sd < b_sd then 'overlaps'
+            else 'overlapped_by' end"""
+
   val all: Map[String, Q] = Map(
     // ── as-of join: each purchase picks up the user's latest click at
     //    or before it (union+tag single-sort plan — see TemporalJoins) ──
@@ -154,41 +219,11 @@ object Temporal {
     //    deterministically (the testdata carries no receipt date),
     //    identical in both engines. ──
     "j05_interval_overlap" -> Q(
-      (s, d) => {
-        // ROW IDENTITY: (orderkey, linenumber) is NOT unique in this
-        // corpus (q39's red pk rule) — two same-numbered lines of one
-        // order can both overlap the same partner with the same
-        // overlap, and the oracle's bag semantics keeps both rows.
-        // The bucket dedup must therefore run on the FULL row key
-        // (partkey included) and only then project it away, or the
-        // distinct over-collapses those honest duplicates (found by
-        // the sf0.1 sweep: one pair in 641k).
-        val li = graft.Tables(s, d, "lineitem").selectExpr(
-          "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
-          "cast(unix_date(cast(l_shipdate as date)) as bigint) as sd",
-          "cast(unix_date(cast(l_shipdate as date)) + (cast(l_quantity as int) % 7 + 1) as bigint) as rd")
-        def side(p: String) = li.selectExpr(
-          s"l_orderkey as ${p}_orderkey", s"l_linenumber as ${p}_linenumber",
-          s"l_partkey as ${p}_partkey",
-          "l_suppkey", s"sd as ${p}_sd", s"rd as ${p}_rd")
-          .selectExpr("*", s"explode(sequence(${p}_sd div 8, ${p}_rd div 8)) as bk")
-        side("a").join(side("b"), Seq("l_suppkey", "bk"))
-          .where("""(a_orderkey < b_orderkey
-                     or (a_orderkey = b_orderkey and a_linenumber < b_linenumber))
-                    and a_sd <= b_rd and b_sd <= a_rd""")
-          .select("a_orderkey", "a_linenumber", "a_partkey", "a_sd", "a_rd",
-            "b_orderkey", "b_linenumber", "b_partkey", "b_sd", "b_rd",
-            "l_suppkey")
-          .distinct()
-          .selectExpr("a_orderkey", "a_linenumber", "b_orderkey", "b_linenumber",
-            "l_suppkey",
-            "least(a_rd, b_rd) - greatest(a_sd, b_sd) + 1 as overlap_days")
-      },
-      Some("""WITH li AS (SELECT l_orderkey, l_linenumber, l_suppkey,
-                       datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS sd,
-                       datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
-                         + (CAST(l_quantity AS INT) % 7 + 1) AS rd
-                     FROM lineitem)
+      (s, d) => overlapPairs(s, d)
+        .selectExpr("a_orderkey", "a_linenumber", "b_orderkey", "b_linenumber",
+          "l_suppkey",
+          "least(a_rd, b_rd) - greatest(a_sd, b_sd) + 1 as overlap_days"),
+      Some(s"""WITH $duckLi
               SELECT a.l_orderkey AS a_orderkey, a.l_linenumber AS a_linenumber,
                      b.l_orderkey AS b_orderkey, b.l_linenumber AS b_linenumber,
                      a.l_suppkey,
@@ -412,6 +447,30 @@ object Temporal {
               SELECT r.nk, CAST(pk.peak AS BIGINT) AS peak,
                      min(day) AS first_peak_day
               FROM r JOIN pk ON r.nk = pk.nk AND r.run = pk.peak
-              GROUP BY r.nk, pk.peak"""))
+              GROUP BY r.nk, pk.peak""")),
+
+    // ── j10: ALLEN INTERVAL-ALGEBRA relation census — classify every
+    // overlapping same-supplier shipment pair (j05's verified
+    // candidate frame) into Allen's relations and count each
+    // (temporal-reasoning dataset labeling / schedule-conflict
+    // taxonomy: "how many conflicts are full containments vs partial
+    // overlaps?"). 11 of the 13 relations are reachable — the two
+    // disjoint ones are excluded by the bucketized candidate frame's
+    // design (see [[allenCase]]). Scale shape: the classification is
+    // a codegen'd CASE over j05's bounded bucket join, and the census
+    // is one ≤11-group partial agg — nothing new crosses an exchange
+    // beyond j05's own plan. ──
+    "j10_allen_relations" -> Q(
+      (s, d) => overlapPairs(s, d)
+        .selectExpr(s"$allenCase as relation")
+        .groupBy("relation").agg(count(lit(1)).as("n_pairs")),
+      Some(s"""WITH $duckLi,
+              pr AS (SELECT a.sd AS a_sd, a.rd AS a_rd, b.sd AS b_sd, b.rd AS b_rd
+                     FROM li a JOIN li b ON a.l_suppkey = b.l_suppkey
+                      AND (a.l_orderkey < b.l_orderkey
+                           OR (a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber))
+                      AND a.sd <= b.rd AND b.sd <= a.rd)
+              SELECT $allenCase AS relation, count(*) AS n_pairs
+              FROM pr GROUP BY 1"""))
   )
 }

@@ -230,4 +230,42 @@ class TemporalJoinsSpec extends AnyFunSuite with SparkTestBase {
     // non-vacuous: some nation genuinely overlaps orders
     assert(got.values.exists(_._1 > 1), "no nation ever had 2 concurrent orders")
   }
+
+  test("j10 Allen census: equals the serial classification; partitions j05's pair set") {
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.queries.Temporal.all("j10_allen_relations").fn(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // serial reference: classify every theta-join overlap pair
+    val li = graft.Tables(spark, sf, "lineitem").selectExpr(
+        "l_orderkey", "l_linenumber", "l_suppkey",
+        "cast(unix_date(cast(l_shipdate as date)) as bigint) as sd",
+        "cast(unix_date(cast(l_shipdate as date)) + (cast(l_quantity as int) % 7 + 1) as bigint) as rd")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    def rel(as: Long, ar: Long, bs: Long, br: Long): String =
+      if (as == bs && ar == br) "equals"
+      else if (as == bs && ar < br) "starts"
+      else if (as == bs) "started_by"
+      else if (ar == br && as < bs) "finished_by"
+      else if (ar == br) "finishes"
+      else if (as < bs && ar > br) "contains"
+      else if (as > bs && ar < br) "during"
+      else if (as < bs && ar == bs) "meets"
+      else if (as > bs && br == as) "met_by"
+      else if (as < bs) "overlaps"
+      else "overlapped_by"
+    val bySupp = li.groupBy(_._3)
+    val expect = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    bySupp.values.foreach { rows =>
+      for {
+        a <- rows; b <- rows
+        if (a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)) && a._4 <= b._5 && b._4 <= a._5
+      } expect(rel(a._4, a._5, b._4, b._5)) += 1L
+    }
+    assert(got === expect.toMap)
+    // the census partitions j05's candidate set exactly
+    val j05n = graft.queries.Temporal.all("j05_interval_overlap").fn(spark, sf).count()
+    assert(got.values.sum === j05n)
+    // non-degenerate: more than one relation occurs in the corpus
+    assert(got.size > 1, s"only relations: ${got.keySet}")
+  }
 }

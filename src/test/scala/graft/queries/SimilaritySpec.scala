@@ -619,4 +619,31 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(got.nonEmpty, "no training vector flagged - threshold not exercised")
     assert(got.keys.forall(_ % 101 != 0), "an eval vector leaked into the flag set")
   }
+
+  test("s29 hybrid RRF: score recomputes from the arm ranks; order and bounds hold") {
+    val rows = graft.SparkEntry.queries("s29_hybrid_rrf")(spark, sf).collect().map { r =>
+      (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        r.getInt(3), r.getString(4))
+    }
+    assert(rows.length === 20)
+    assert(rows.map(_._4).sorted.toSeq === (1 to 20), "fused_rnk is not 1..20")
+    // the published score IS the RRF of the published ranks
+    def arm(r: Option[Int]) = r.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+    rows.foreach { case (id, lr, vr, _, s) =>
+      assert(s === f"${arm(lr) + arm(vr)}%.6f", s"doc $id score mismatch")
+      assert(lr.isDefined || vr.isDefined, s"doc $id in neither shortlist")
+      lr.foreach(x => assert(x >= 1 && x <= 50)); vr.foreach(x => assert(x >= 1 && x <= 50))
+    }
+    // fused order is non-increasing in recomputed score, doc_id tie-break
+    val scored = rows.sortBy(_._4).map(t => (arm(t._2) + arm(t._3), t._1))
+    scored.sliding(2).foreach { case Array((s1, d1), (s2, d2)) =>
+      assert(s1 > s2 || (s1 == s2 && d1 < d2), s"order violated at $d1 -> $d2")
+    }
+    // the doc appearing in BOTH arms at better combined rank leads; a
+    // doc present in both shortlists must out-rank one absent from both
+    assert(rows.count(t => t._2.isDefined && t._3.isDefined) >= 1,
+      "no document survived in both arms - fusion is vacuous")
+  }
 }
