@@ -179,6 +179,93 @@ object Similarity {
       .where(s"rnk <= $k")
       .select("probe_id", "cand_id", "rnk", "cosine")
 
+  /** The LEXICAL arm of the hybrid tier (s29/s30): BM25 top-50 for
+    * the query-by-example document 0 — t08's exact formula over doc
+    * 0's distinct tokens, scores floor-scaled to exact BIGINT basis
+    * points BEFORE the per-doc sum (a double sum over terms would be
+    * aggregation-order-sensitive), corpus pruned by a
+    * TakeOrderedAndProject top-50, ranks assigned on the bounded
+    * shortlist. Returns (doc_id, lex_rnk). */
+  private def lexTop50(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d, "documents")
+    val toks = "split(text, ' ')"
+    val qt = docs.where("doc_id = 0")
+      .selectExpr(s"explode($toks) as tok").distinct()
+    val tf = docs.where("doc_id > 0")
+      .repartition(s.sparkContext.defaultParallelism)
+      .selectExpr("doc_id", s"explode($toks) as tok")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val qtf = tf.join(broadcast(qt), "tok").persistScoped()
+    val dl = docs.where("doc_id > 0")
+      .selectExpr("doc_id", s"cast(size($toks) as bigint) as dl")
+    val st = dl.agg(count(lit(1)).cast("double").as("n"), avg("dl").as("avgdl"))
+    val df = qtf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val lex = qtf.join(broadcast(df), "tok").join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .selectExpr("doc_id",
+        "cast(floor(ln(1 + (n - df + 0.5)/(df + 0.5)) * (tf * 2.2)" +
+          " / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) * 1000000) as bigint) as s_bp")
+      .groupBy("doc_id").agg(sum("s_bp").as("lex"))
+    lex.orderBy(col("lex").desc, col("doc_id")).limit(50)
+      .withColumn("lex_rnk", row_number().over(
+        Window.orderBy(col("lex").desc, col("doc_id"))))
+      .select("doc_id", "lex_rnk")
+  }
+
+  /** The VECTOR arm (s29/s30): cosine-to-embedding-0 top-50 with the
+    * same shortlist discipline. Returns (doc_id, vec_rnk). */
+  private def vecTop50(s: SparkSession, d: String): DataFrame = {
+    Hashing.register(s)
+    val e = Tables(s, d, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
+      .selectExpr("vec_id", "embedding", s"$normE as nrm")
+    val p = e.where("vec_id = 0")
+      .select(col("embedding").as("pe"), col("nrm").as("pn"))
+    e.where("vec_id > 0").crossJoin(broadcast(p))
+      .selectExpr("vec_id as doc_id", s"${dot("pe", "embedding")} / (pn * nrm) as cosine")
+      .orderBy(col("cosine").desc, col("doc_id")).limit(50)
+      .withColumn("vec_rnk", row_number().over(
+        Window.orderBy(col("cosine").desc, col("doc_id"))))
+      .select("doc_id", "vec_rnk")
+  }
+
+  /** DuckDB mirror of [[lexTop50]] — CTE chain ending in
+    * lt(doc_id, lex_rnk). */
+  private val duckLexTop =
+    """qt AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+             FROM documents WHERE doc_id = 0),
+       t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             FROM documents WHERE doc_id > 0),
+       tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+       qtf AS (SELECT tf.* FROM tf JOIN qt USING (tok)),
+       dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+              FROM documents WHERE doc_id > 0),
+       st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+       df AS (SELECT tok, count(*) AS df FROM qtf GROUP BY 1),
+       lex AS (SELECT doc_id, CAST(sum(CAST(floor(
+                   ln(1 + (n - df + 0.5)/(df + 0.5)) * (tf * 2.2)
+                     / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) * 1000000)
+                   AS BIGINT)) AS BIGINT) AS lex
+               FROM qtf JOIN df USING (tok) JOIN dl USING (doc_id), st
+               GROUP BY doc_id),
+       lt AS (SELECT doc_id, lex_rnk FROM
+                (SELECT doc_id, CAST(row_number() OVER (ORDER BY lex DESC, doc_id) AS INTEGER) AS lex_rnk
+                 FROM lex)
+              WHERE lex_rnk <= 50)"""
+
+  /** DuckDB mirror of [[vecTop50]] — CTE chain ending in
+    * vt(doc_id, vec_rnk). */
+  private lazy val duckVecTop =
+    s"""e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+        p AS (SELECT embedding AS pe, nrm AS pn FROM e WHERE vec_id = 0),
+        vsc AS (SELECT c.vec_id AS doc_id,
+                       ${duckDot("pe", "c.embedding")} / (pn * c.nrm) AS cosine
+                FROM e c, p WHERE c.vec_id > 0),
+        vt AS (SELECT doc_id, vec_rnk FROM
+                 (SELECT doc_id, CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS INTEGER) AS vec_rnk
+                  FROM vsc)
+               WHERE vec_rnk <= 50)"""
+
   val all: Map[String, Q] = Map(
     // ── brute-force cosine top-5 per probe ──
     // Bounded-heap aggregate since r7: top_k_by_score is a
@@ -1299,43 +1386,7 @@ object Similarity {
     // RRF double is a fixed two-term sum of 1/(60+rank) with ranks
     // exact — so %.6f strings and rank order agree exactly. ──
     "s29_hybrid_rrf" -> Q(
-      (s, d) => {
-        Hashing.register(s)
-        val docs = Tables(s, d, "documents")
-        val toks = "split(text, ' ')"
-        val qt = docs.where("doc_id = 0")
-          .selectExpr(s"explode($toks) as tok").distinct()
-        val tf = docs.where("doc_id > 0")
-          .repartition(s.sparkContext.defaultParallelism)
-          .selectExpr("doc_id", s"explode($toks) as tok")
-          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        val qtf = tf.join(broadcast(qt), "tok").persistScoped()
-        val dl = docs.where("doc_id > 0")
-          .selectExpr("doc_id", s"cast(size($toks) as bigint) as dl")
-        val st = dl.agg(count(lit(1)).cast("double").as("n"), avg("dl").as("avgdl"))
-        val df = qtf.groupBy("tok").agg(count(lit(1)).as("df"))
-        val lex = qtf.join(broadcast(df), "tok").join(dl, "doc_id")
-          .crossJoin(broadcast(st))
-          .selectExpr("doc_id",
-            "cast(floor(ln(1 + (n - df + 0.5)/(df + 0.5)) * (tf * 2.2)" +
-              " / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) * 1000000) as bigint) as s_bp")
-          .groupBy("doc_id").agg(sum("s_bp").as("lex"))
-        val lt = lex.orderBy(col("lex").desc, col("doc_id")).limit(50)
-          .withColumn("lex_rnk", row_number().over(
-            Window.orderBy(col("lex").desc, col("doc_id"))))
-          .select("doc_id", "lex_rnk")
-        val e = Tables(s, d, "embeddings")
-          .repartition(s.sparkContext.defaultParallelism)
-          .selectExpr("vec_id", "embedding", s"$normE as nrm")
-        val p = e.where("vec_id = 0")
-          .select(col("embedding").as("pe"), col("nrm").as("pn"))
-        val vsc = e.where("vec_id > 0").crossJoin(broadcast(p))
-          .selectExpr("vec_id as doc_id", s"${dot("pe", "embedding")} / (pn * nrm) as cosine")
-        val vt = vsc.orderBy(col("cosine").desc, col("doc_id")).limit(50)
-          .withColumn("vec_rnk", row_number().over(
-            Window.orderBy(col("cosine").desc, col("doc_id"))))
-          .select("doc_id", "vec_rnk")
-        lt.join(vt, Seq("doc_id"), "full_outer")
+      (s, d) => lexTop50(s, d).join(vecTop50(s, d), Seq("doc_id"), "full_outer")
           // cast(1.0 as double): DuckDB parses a bare 1.0 as DECIMAL
           // and would divide in decimal arithmetic — the explicit
           // cast (same text both engines) pins the division to
@@ -1347,37 +1398,9 @@ object Similarity {
             Window.orderBy(col("rrf").desc, col("doc_id"))))
           .where("fused_rnk <= 20")
           .selectExpr("doc_id", "lex_rnk", "vec_rnk", "fused_rnk",
-            "format_string('%.6f', rrf) as rrf")
-      },
-      Some(s"""WITH qt AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
-                           FROM documents WHERE doc_id = 0),
-               t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-                     FROM documents WHERE doc_id > 0),
-               tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
-               qtf AS (SELECT tf.* FROM tf JOIN qt USING (tok)),
-               dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-                      FROM documents WHERE doc_id > 0),
-               st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
-               df AS (SELECT tok, count(*) AS df FROM qtf GROUP BY 1),
-               lex AS (SELECT doc_id, CAST(sum(CAST(floor(
-                           ln(1 + (n - df + 0.5)/(df + 0.5)) * (tf * 2.2)
-                             / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) * 1000000)
-                           AS BIGINT)) AS BIGINT) AS lex
-                       FROM qtf JOIN df USING (tok) JOIN dl USING (doc_id), st
-                       GROUP BY doc_id),
-               lt AS (SELECT doc_id, lex_rnk FROM
-                        (SELECT doc_id, CAST(row_number() OVER (ORDER BY lex DESC, doc_id) AS INTEGER) AS lex_rnk
-                         FROM lex)
-                      WHERE lex_rnk <= 50),
-               e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
-               p AS (SELECT embedding AS pe, nrm AS pn FROM e WHERE vec_id = 0),
-               vsc AS (SELECT c.vec_id AS doc_id,
-                              ${duckDot("pe", "c.embedding")} / (pn * c.nrm) AS cosine
-                       FROM e c, p WHERE c.vec_id > 0),
-               vt AS (SELECT doc_id, vec_rnk FROM
-                        (SELECT doc_id, CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS INTEGER) AS vec_rnk
-                         FROM vsc)
-                      WHERE vec_rnk <= 50),
+            "format_string('%.6f', rrf) as rrf"),
+      Some(s"""WITH $duckLexTop,
+               $duckVecTop,
                f AS (SELECT doc_id, lex_rnk, vec_rnk,
                             coalesce(cast(1.0 as double)/(60 + lex_rnk), cast(0.0 as double))
                               + coalesce(cast(1.0 as double)/(60 + vec_rnk), cast(0.0 as double)) AS rrf
@@ -1385,7 +1408,53 @@ object Similarity {
                SELECT doc_id, lex_rnk, vec_rnk, fused_rnk, printf('%.6f', rrf) AS rrf FROM
                  (SELECT *, CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER) AS fused_rnk
                   FROM f)
-               WHERE fused_rnk <= 20"""))
+               WHERE fused_rnk <= 20""")),
+
+    // ── s30: RANKING AGREEMENT — Kendall's τ between s29's two arms
+    // over their common shortlist (the retrieval-eval diagnostic:
+    // "do lexical and semantic search even agree on this corpus?" —
+    // low τ is the empirical justification for running hybrid fusion
+    // at all, high τ means one arm is redundant). Ranks are distinct
+    // integers (row_number), so plain τ = (C − D) / (n(n−1)/2) with
+    // no tie correction; reported in exact integer basis points.
+    // Scale shape: both arms are corpus-pruned top-50s, so the
+    // concordance self-join is a broadcast over a ≤50-row frame —
+    // ≤1225 pairs at ANY corpus size; nothing corpus-sized reaches
+    // the pair stage. ──
+    "s30_rank_tau" -> Q(
+      (s, d) => {
+        val both = lexTop50(s, d).join(vecTop50(s, d), "doc_id").persistScoped()
+        val a = both.selectExpr("doc_id as a_id", "lex_rnk as a_l", "vec_rnk as a_v")
+        val b = both.selectExpr("doc_id as b_id", "lex_rnk as b_l", "vec_rnk as b_v")
+        a.join(broadcast(b), col("a_id") < col("b_id"))
+          .selectExpr(
+            "case when (a_l - b_l) * (a_v - b_v) > 0 then 1L else 0L end as c",
+            "case when (a_l - b_l) * (a_v - b_v) < 0 then 1L else 0L end as dd")
+          .agg(count(lit(1)).as("n_pairs"), sum("c").as("concordant"),
+            sum("dd").as("discordant"))
+          // τ may be negative; engines disagree on how integral
+          // division rounds negative numerators, so compute it as a
+          // difference of two NON-NEGATIVE divisions — well-defined
+          // and identical everywhere
+          .selectExpr("n_pairs", "concordant", "discordant",
+            "case when n_pairs > 0 then concordant * 10000 div n_pairs" +
+              " - discordant * 10000 div n_pairs end as tau_bp")
+      },
+      Some(s"""WITH $duckLexTop,
+               $duckVecTop,
+               both_t AS (SELECT lt.doc_id, lex_rnk, vec_rnk FROM lt JOIN vt USING (doc_id)),
+               pr AS (SELECT CASE WHEN (a.lex_rnk - b.lex_rnk) * (a.vec_rnk - b.vec_rnk) > 0
+                                  THEN 1 ELSE 0 END AS c,
+                             CASE WHEN (a.lex_rnk - b.lex_rnk) * (a.vec_rnk - b.vec_rnk) < 0
+                                  THEN 1 ELSE 0 END AS dd
+                      FROM both_t a JOIN both_t b ON a.doc_id < b.doc_id)
+               SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                      CAST(sum(c) AS BIGINT) AS concordant,
+                      CAST(sum(dd) AS BIGINT) AS discordant,
+                      CASE WHEN count(*) > 0
+                           THEN CAST(sum(c) * 10000 // count(*)
+                                  - sum(dd) * 10000 // count(*) AS BIGINT) END AS tau_bp
+               FROM pr"""))
   )
 
   /** s17's oracle: the identical greedy MMR unrolled as chained

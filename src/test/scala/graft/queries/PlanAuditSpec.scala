@@ -35,7 +35,16 @@ class PlanAuditSpec extends AnyFunSuite with graft.SparkTestBase {
     "s23_matryoshka_recall", // one 10-probe broadcast scan feeding both rankings
     "s27_sq8_recall", // one 10-probe broadcast scan feeding both rankings
     "m14_color_hist", // 4-row fixture histogram frame, id< pair self-join
-    "d11_lsh_recall") // 50-probe broadcast exact-baseline scan
+    "d11_lsh_recall", // 50-probe broadcast exact-baseline scan
+    "c10_semantic_decontaminate", // broadcast EVAL-SET scan: bounded by the
+      // eval-benchmark contract (production eval sets are fixed-size);
+      // the gate fixture derives it by modulus, which is the knob, not
+      // the machinery — documented at the query
+    "s29_hybrid_rrf", // 1-row probe-vector broadcast onto the corpus scan
+      // (the scalar-attach shape, but built from a Filter not an agg,
+      // so the automatic scalar excusal cannot see it)
+    "s30_rank_tau") // a_id < b_id concordance self-join of two POST-LIMIT
+      // top-50 shortlists: both sides ≤50 rows at any corpus size
 
   /** Queries where an unpartitioned window runs over a PROVABLY tiny
     * frame (never the corpus). */
@@ -46,7 +55,11 @@ class PlanAuditSpec extends AnyFunSuite with graft.SparkTestBase {
     "p17_epoch_resume", // position stamp over the ≤100-row post-limit resume slice
     "d21_hist_quantiles", // cumulative counts over the ≤128-bucket histogram
     "t27_heaps_curve", // cumulative curve over the 10-row decile frame
-    "p22_mixture_weights") // largest-remainder rank over the ≤|langs| weight frame
+    "p22_mixture_weights", // largest-remainder rank over the ≤|langs| weight frame
+    "t29_zipf_rankfreq", // rank window over the top-100 AFTER TakeOrderedAndProject
+    "s29_hybrid_rrf") // arm-rank + fused-rank windows, all over post-top-50
+      // shortlists (≤100 rows) — the corpus prune is the TakeOrdered
+      // below them, plan-guarded in PlanShapeSpec
 
   /** Walk ACROSS adaptive-execution boundaries: under AQE (on by
     * default) the root is AdaptiveSparkPlanExec — a leaf node whose

@@ -248,4 +248,23 @@ class PlanShapeSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(p.contains("Generate explode"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("j10 Allen census keeps j05's equi-join shape: never a cartesian theta join") {
+    val p = planOf("j10_allen_relations")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("s29 hybrid RRF: both arms end in TakeOrderedAndProject, no corpus-sized sort or cartesian") {
+    val p = planOf("s29_hybrid_rrf")
+    // two corpus-pruning top-50s (lexical + vector) — global Sort
+    // nodes may exist only above them, on the bounded shortlists
+    assert(p.linesIterator.count(_.contains("TakeOrderedAndProject")) >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loops are the two 1-row broadcast crosses: the
+    // BM25 (N, avgdl) stats frame and the probe vector
+    val bnl = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnl.size <= 2 && bnl.forall(_.contains("BuildRight")), p)
+  }
 }

@@ -646,4 +646,52 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(rows.count(t => t._2.isDefined && t._3.isDefined) >= 1,
       "no document survived in both arms - fusion is vacuous")
   }
+
+  test("s30 rank tau: equals the serial BM25-vs-cosine Kendall derivation") {
+    // serial lexical arm — t08's BM25 over doc 0's distinct tokens
+    val docs = graft.Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val q = docs(0L).toSet
+    val corpus = docs.filter(_._1 > 0)
+    val n = corpus.size.toDouble
+    val avgdl = corpus.values.map(_.size.toLong).sum.toDouble / corpus.size
+    val dfm = q.map(t => t -> corpus.values.count(_.contains(t)).toLong).toMap
+    val lexBp = corpus.map { case (id, toks) =>
+      val bp = toks.groupBy(identity).collect { case (t, o) if q(t) && dfm(t) > 0 =>
+        val tf = o.size.toLong; val df = dfm(t); val dl = toks.size.toLong
+        math.floor(math.log(1 + (n - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+          / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) * 1000000).toLong
+      }.sum
+      id -> bp
+    }.filter { case (id, bp) => docs(id).exists(q) }
+    val lt = lexBp.toSeq.sortBy { case (id, bp) => (-bp, id) }.take(50)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    // serial vector arm — sequential-fold cosine vs embedding 0
+    val vecs = graft.Tables(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val p0 = vecs(0L); val p0n = math.sqrt(dot(p0, p0))
+    val vt = vecs.filter(_._1 > 0).map { case (id, v) =>
+        id -> dot(p0, v) / (p0n * math.sqrt(dot(v, v))) }
+      .toSeq.sortBy { case (id, c) => (-c, id) }.take(50)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    // serial tau over the common shortlist
+    val common = lt.keySet.intersect(vt.keySet).toSeq.sorted
+    val pairs = for { i <- common.indices; j <- i + 1 until common.size }
+      yield (common(i), common(j))
+    val c = pairs.count { case (a, b) => (lt(a) - lt(b)).sign * (vt(a) - vt(b)).sign > 0 }
+    val dcount = pairs.count { case (a, b) => (lt(a) - lt(b)).sign * (vt(a) - vt(b)).sign < 0 }
+    val row = graft.SparkEntry.queries("s30_rank_tau")(spark, sf).collect()
+    assert(row.length === 1)
+    val r = row(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((pairs.size.toLong, c.toLong, dcount.toLong)))
+    assert(r.getLong(3) === c.toLong * 10000 / pairs.size - dcount.toLong * 10000 / pairs.size)
+    assert(pairs.nonEmpty, "no common shortlist docs - tau is vacuous")
+  }
 }
