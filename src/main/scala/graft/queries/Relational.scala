@@ -1129,6 +1129,40 @@ object Relational {
                      min(d) AS first_day, max(d) AS last_day,
                      CAST(datediff('day', min(d), max(d)) AS BIGINT) AS span_days,
                      CAST(sum(price_c) AS BIGINT) AS sum_price_c
-              FROM i GROUP BY 1, 2"""))
+              FROM i GROUP BY 1, 2""")),
+
+    // ── q43: SEMI-STRUCTURED schema-on-read — the events table's
+    // `props` column is a JSON string (the telemetry / API-payload
+    // shape); extract the typed field at QUERY time with from_json
+    // and aggregate on it. The extraction is a map-side native
+    // expression ahead of one keyed partial agg — the JSON never
+    // crosses an exchange, only the extracted int does, and a
+    // malformed document degrades to NULL (counted separately)
+    // instead of failing the job — the property a 100 TB crawl
+    // ingest needs. Oracle: DuckDB's json_extract_string, CAST
+    // pinned to INTEGER in both engines. ──
+    "q43_json_extract" -> Q(
+      (s, d) => Tables(s, d, "events")
+        .selectExpr("event_type",
+          "cast(from_json(props, 'k INT').k as int) as k")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count("k").as("n_parsed"),
+          sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"),
+          sum(when(col("k") >= 50, 1L).otherwise(0L)).as("n_ge50"))
+        .selectExpr("event_type", "n", "n_parsed",
+          "cast(sum_k as bigint) as sum_k",
+          "cast(min_k as bigint) as min_k", "cast(max_k as bigint) as max_k",
+          "n_ge50"),
+      Some("""WITH e AS (SELECT event_type,
+                                CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+                         FROM events)
+              SELECT event_type, count(*) AS n, count(k) AS n_parsed,
+                     CAST(sum(k) AS BIGINT) AS sum_k,
+                     CAST(min(k) AS BIGINT) AS min_k,
+                     CAST(max(k) AS BIGINT) AS max_k,
+                     CAST(sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge50
+              FROM e GROUP BY 1"""))
   )
 }

@@ -291,4 +291,31 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(got.keys.groupBy(_._1).exists(_._2.size > 1), "no customer ever split")
     assert(got.values.exists(_._1 > 1), "no island ever merged two orders")
   }
+
+  test("q43 json extract: equals the serial parse; malformed degrades to null, not failure") {
+    val sf = "/root/testdata/sf0.001"
+    val kRe = """"k"\s*:\s*(-?\d+)""".r
+    val raw = graft.Tables(spark, sf, "events")
+      .select("event_type", "props").collect()
+      .map(r => r.getString(0) -> kRe.findFirstMatchIn(r.getString(1)).map(_.group(1).toInt))
+    val expect = raw.groupBy(_._1).map { case (et, g) =>
+      val ks = g.flatMap(_._2)
+      et -> (g.length.toLong, ks.length.toLong, ks.map(_.toLong).sum,
+        ks.min.toLong, ks.max.toLong, ks.count(_ >= 50).toLong)
+    }
+    val got = graft.SparkEntry.queries("q43_json_extract")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(got === expect)
+    assert(got.nonEmpty && got.values.forall(v => v._2 == v._1),
+      "fixture should parse fully - n_parsed must equal n here")
+    // the malformed-degrades-to-null contract, exercised directly
+    import spark.implicits._
+    val bad = Seq(("x", """{"k": 7}"""), ("x", "not json"), ("x", """{"j": 1}"""))
+      .toDF("event_type", "props")
+      .selectExpr("cast(from_json(props, 'k INT').k as int) as k")
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    assert(bad.toSeq === Seq(Some(7), None, None))
+  }
 }
