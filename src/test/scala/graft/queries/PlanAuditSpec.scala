@@ -122,6 +122,12 @@ class PlanAuditSpec extends AnyFunSuite with graft.SparkTestBase {
     }
   }
 
+  // Note on eager builders: a few queries run a BOUNDED driver job at
+  // plan-BUILD time (c04's ~1 MB bloom sketch via .head(), the IVF
+  // trainers' centroid collects) because a codegen'd Literal probe
+  // cannot be expressed lazily. The audit still walks their FINAL
+  // plan; the eager pre-job is bounded by construction (sketch/
+  // codebook-sized, never corpus-sized) and documented at each site.
   test("no registered query plans a cartesian product, stray nested loop, or global window") {
     val bad = SparkEntry.registry.toSeq.sortBy(_._1).flatMap { case (name, q) =>
       val found = Try {
