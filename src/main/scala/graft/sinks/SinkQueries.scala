@@ -692,8 +692,65 @@ object SinkQueries {
                               OR (s.k IS NULL AND b.o_orderkey % 53 = 0)))
               UNION ALL
               SELECT k, s_custkey, s_orderdate, s_price, s_yr
-              FROM src WHERE op = 'I'"""))
+              FROM src WHERE op = 'I'""")),
+
+    // ── sink23: DYNAMIC PARTITION PRUNING — the runtime scan-
+    // avoidance mechanism a 100 TB partitioned fact lives by. The
+    // fact (lineitem) is written hive-partitioned by ship-month; the
+    // read joins it to a month-dimension FILTERED on year, and Spark
+    // injects a DynamicPruningExpression subquery into the fact
+    // scan's partition filters — only the ~12 matching month
+    // directories are listed and read, decided at RUNTIME from the
+    // dim filter (static pruning cannot do this: the predicate is on
+    // the dim, not the fact). SinksSpec asserts the pruning
+    // expression is present in the plan and that an unfiltered read
+    // sees 7× the partitions. The oracle ignores layout entirely —
+    // the result must equal the plain join on the unpartitioned
+    // source, which is exactly the DPP contract (prune ≠ change). ──
+    "sink23_dpp" -> Q(
+      (s, d) => dppRead(s, d)._1,
+      Some("""WITH li AS (SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS ym,
+                                 l_quantity, l_extendedprice
+                          FROM lineitem),
+              dim AS (SELECT DISTINCT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+                                      year(CAST(o_orderdate AS DATE)) AS yr
+                      FROM orders)
+              SELECT li.ym, count(*) AS n,
+                     CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c,
+                     CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_c
+              FROM li JOIN dim ON dim.ym = li.ym
+              WHERE dim.yr = 1997
+              GROUP BY 1"""))
   )
+
+  /** sink23's body, shared with SinksSpec's plan assertions: writes
+    * the month-partitioned fact once per scratch life, then returns
+    * (the DPP-pruned aggregate, the fact path). Integer cents keep
+    * the oracle compare exact. */
+  private[sinks] def dppRead(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, String) = {
+    val out = scratch("dpp")
+    Tables(s, d, "lineitem")
+      .selectExpr("date_format(cast(l_shipdate as date), 'yyyy-MM') as ym",
+        "cast(round(l_quantity * 100) as bigint) as qty_c",
+        "cast(round(l_extendedprice * 100) as bigint) as price_c")
+      .write.partitionBy("ym").option("compression", "zstd").parquet(out)
+    val fact = s.read.parquet(out)
+    // dim built from ORDERS, with yr a data column (from o_orderdate,
+    // not an expression over the join key): a yr filter cannot be
+    // statically rewritten onto ym by constraint inference, so the
+    // fact prune genuinely requires the RUNTIME subquery
+    val dim = Tables(s, d, "orders")
+      .selectExpr("date_format(cast(o_orderdate as date), 'yyyy-MM') as ym",
+        "year(cast(o_orderdate as date)) as yr")
+      .distinct()
+    val agg = fact.join(dim.where("yr = 1997"), "ym")
+      .groupBy("ym")
+      .agg(count(lit(1)).as("n"), sum("qty_c").as("qty_c"),
+        sum("price_c").as("price_c"))
+      .select("ym", "n", "qty_c", "price_c")
+    (agg, out)
+  }
 
   /** sink11's base snapshot: orders, hive-partitioned by order year. */
   /** stream18's body: stage `orders` as 3 parquet files, replay them

@@ -607,4 +607,29 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
       yr >= 1996 && n > agg0(yr)._1 && c > agg0(yr)._2
     }, "no year moved - the changelog delta was lost")
   }
+
+  test("sink23: the fact scan carries a runtime DynamicPruning subquery and reads only 1997's partitions") {
+    val sf = "/root/testdata/sf0.001"
+    val (df, path) = graft.sinks.SinkQueries.dppRead(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no DPP subquery in the fact scan:\n$plan")
+    // the pruned result equals the statically-filtered read (prune != change)
+    val rows = df.collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val want = spark.read.parquet(path).where("ym like '1997-%'")
+      .groupBy("ym").agg(
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("qty_c").as("q"),
+        org.apache.spark.sql.functions.sum("price_c").as("p"))
+      .collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows === want)
+    assert(rows.keySet === (1 to 12).map(m => f"1997-$m%02d").toSet)
+    // the table genuinely holds 7 years of partitions — 1997 is a prune,
+    // not the whole table
+    val allParts = new java.io.File(path).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("ym="))
+    assert(allParts > 70, s"expected ~83 month partitions, saw $allParts")
+  }
 }
