@@ -80,7 +80,7 @@ object Temporal {
     * candidate frame is overlap-bucketed precisely so the quadratic
     * disjoint-pair space is never enumerated. Identical text in both
     * engines. */
-  private val allenCase =
+  private[graft] val allenCase =
     """case when a_sd = b_sd and a_rd = b_rd then 'equals'
             when a_sd = b_sd and a_rd < b_rd then 'starts'
             when a_sd = b_sd then 'started_by'

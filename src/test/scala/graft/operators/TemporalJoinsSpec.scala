@@ -268,4 +268,53 @@ class TemporalJoinsSpec extends AnyFunSuite with SparkTestBase {
     // non-degenerate: more than one relation occurs in the corpus
     assert(got.size > 1, s"only relations: ${got.keySet}")
   }
+
+  test("allen CASE property: total, exclusive vs the formal definitions, inverse-consistent") {
+    import spark.implicits._
+    // seeded random overlapping closed-interval pairs, both orientations
+    val rnd = new scala.util.Random(42)
+    val pairs = Iterator.continually {
+      val as = rnd.nextInt(40).toLong; val ar = as + rnd.nextInt(8)
+      val bs = rnd.nextInt(40).toLong; val br = bs + rnd.nextInt(8)
+      (as, ar, bs, br)
+    }.filter { case (as, ar, bs, br) => as <= br && bs <= ar } // overlap only
+      .take(2000).toSeq
+    // evaluate the SHIPPED SQL CASE itself, one batch job
+    val sql = graft.queries.Temporal.allenCase
+    val got = pairs.toDF("a_sd", "a_rd", "b_sd", "b_rd")
+      .selectExpr(s"$sql as r").collect().map(_.getString(0))
+    // the 11 formal definitions (closed integer intervals)
+    def defs(as: Long, ar: Long, bs: Long, br: Long): Map[String, Boolean] = Map(
+      "equals" -> (as == bs && ar == br),
+      "starts" -> (as == bs && ar < br),
+      "started_by" -> (as == bs && ar > br),
+      "finished_by" -> (ar == br && as < bs),
+      "finishes" -> (ar == br && as > bs),
+      "contains" -> (as < bs && ar > br),
+      "during" -> (as > bs && ar < br),
+      "meets" -> (as < bs && ar == bs && ar < br),
+      "met_by" -> (bs < as && br == as && br < ar),
+      "overlaps" -> (as < bs && bs < ar && ar < br),
+      "overlapped_by" -> (bs < as && as < br && br < ar))
+    val inverse = Map("equals" -> "equals", "starts" -> "started_by",
+      "started_by" -> "starts", "finished_by" -> "finishes",
+      "finishes" -> "finished_by", "contains" -> "during",
+      "during" -> "contains", "meets" -> "met_by", "met_by" -> "meets",
+      "overlaps" -> "overlapped_by", "overlapped_by" -> "overlaps")
+    pairs.zip(got).foreach { case ((as, ar, bs, br), r) =>
+      val d = defs(as, ar, bs, br)
+      // exactly ONE definition holds, and it is the classified one
+      assert(d.values.count(identity) === 1, s"($as,$ar,$bs,$br) not partitioned: $d")
+      assert(d(r), s"($as,$ar,$bs,$br) classified $r but that definition is false")
+    }
+    // inverse-consistency: swapping the operands maps to the inverse relation
+    val swapped = pairs.map { case (as, ar, bs, br) => (bs, br, as, ar) }
+      .toDF("a_sd", "a_rd", "b_sd", "b_rd")
+      .selectExpr(s"$sql as r").collect().map(_.getString(0))
+    got.zip(swapped).zip(pairs).foreach { case ((r, rs), p) =>
+      assert(rs === inverse(r), s"$p: $r swapped to $rs, expected ${inverse(r)}")
+    }
+    // the generator genuinely exercises the space
+    assert(got.distinct.length === 11, s"only ${got.distinct.toSet} generated")
+  }
 }
