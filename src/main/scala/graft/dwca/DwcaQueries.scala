@@ -25,6 +25,26 @@ object DwcaQueries {
   // the oracle runs in the driver's DuckDB with an unknown cwd
   private val oracleDir = "/root/repo/src/test/resources/dwca/extracted"
 
+  /** The fleet gates' shared read-back (dwca11 file://, dwca12
+    * http://): union the four converted outputs tagged by archive. */
+  private def fleetUnion(s: org.apache.spark.sql.SparkSession,
+      outBase: String) =
+    FleetFixture.datasets.map { ds =>
+      s.read.parquet(s"$outBase/${ds.id}.parquet")
+        .selectExpr("id", "scientificName", "decimalLatitude",
+          "decimalLongitude", "fid", s"'${ds.id}' as archive")
+    }.reduce(_ unionByName _)
+
+  /** Per-archive replay from the same extracted bytes — shared by
+    * dwca11 and dwca12 (the transport must not change the result). */
+  private lazy val fleetOracle: String =
+    (1 to FleetFixture.nArchives).map { k =>
+      s"""SELECT id, scientificName, decimalLatitude, decimalLongitude,
+                 id AS fid, 'fleet$k' AS archive
+          FROM read_csv('${FleetFixture.extractedDir(k)}/occurrence.txt',
+                        sample_size=-1)"""
+    }.mkString("\nUNION ALL\n")
+
   /** DuckDB twin of the generated conversion query, shared by the
     * extracted-scan (dwca01) and zip-scan (dwca04) paths. */
   private val convertOracle =
@@ -209,18 +229,32 @@ object DwcaQueries {
         val res = ConvertJob.runCatalog(s, FleetFixture.datasets,
           FleetFixture.urlOf, outBase)
         require(res.values.forall(_ == "ran"), s"fleet statuses: $res")
-        FleetFixture.datasets.map { ds =>
-          s.read.parquet(s"$outBase/${ds.id}.parquet")
-            .selectExpr("id", "scientificName", "decimalLatitude",
-              "decimalLongitude", "fid", s"'${ds.id}' as archive")
-        }.reduce(_ unionByName _)
+        fleetUnion(s, outBase)
       },
-      Some((1 to FleetFixture.nArchives).map { k =>
-        s"""SELECT id, scientificName, decimalLatitude, decimalLongitude,
-                   id AS fid, 'fleet$k' AS archive
-            FROM read_csv('${FleetFixture.extractedDir(k)}/occurrence.txt',
-                          sample_size=-1)"""
-      }.mkString("\nUNION ALL\n"))),
+      Some(fleetOracle)),
+
+    // ── S5 over REAL HTTP: the fleet conversion again, but every
+    // archive fetched through Fetch.toFile's http:// branch from an
+    // in-process loopback server speaking the IPT archive.do
+    // contract (`parquet.py:38-40`, `ipt.py:7,25`) — the reference's
+    // download-to-local-cache hop exercised with an actual network
+    // round-trip, not a file:// stand-in. Same per-archive oracles
+    // as dwca11: a byte lost in transit, a truncated body, or a
+    // cross-request scramble in the concurrent fetches hash-fails
+    // the gate. ──
+    "dwca12_http_fleet" -> Q(
+      (s, _) => {
+        FleetFixture.ensure()
+        val outBase = FleetFixture.freshOutBase("out-http")
+        val res = FleetFixture.withHttpServer { port =>
+          ConvertJob.runCatalog(s, FleetFixture.datasets,
+            ds => graft.sources.Fetch.archiveUrl(
+              s"http://127.0.0.1:$port", ds.id, ds.version), outBase)
+        }
+        require(res.values.forall(_ == "ran"), s"fleet statuses: $res")
+        fleetUnion(s, outBase)
+      },
+      Some(fleetOracle)),
 
     // ── engine-faithful conversion: WKB geometry via native ST_* ──
     // DuckDB spatial is unavailable offline, so the oracle is golden

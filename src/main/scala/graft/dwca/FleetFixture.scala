@@ -81,11 +81,48 @@ object FleetFixture {
     Files.createFile(marker)
   }
 
+  /** Serve the fixture zips over loopback HTTP at the IPT contract
+    * path (`/archive.do?r=<id>&v=<ver>` — `ipt.py:7,25`,
+    * `parquet.py:38-40`), so the fleet gate can exercise
+    * [[graft.sources.Fetch.toFile]]'s real `http://` branch
+    * end-to-end offline. Multi-threaded executor: the fleet fetches
+    * CONCURRENTLY, and a single-thread server would serialize the
+    * very overlap ConvertJobSpec asserts. */
+  def withHttpServer[A](body: Int => A): A = {
+    ensure()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/archive.do", new com.sun.net.httpserver.HttpHandler {
+      override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+        val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+        val params = q.split("&").iterator.map(_.split("=", 2))
+          .collect { case Array(k, v) => k -> v }.toMap
+        val k = params.get("r")
+          .flatMap(id => id.stripPrefix("fleet").toIntOption)
+          .filter(i => i >= 1 && i <= nArchives)
+        k match {
+          case Some(i) =>
+            val bytes = Files.readAllBytes(Paths.get(zipPath(i)))
+            ex.getResponseHeaders.set("Content-Type", "application/zip")
+            ex.sendResponseHeaders(200, bytes.length.toLong)
+            ex.getResponseBody.write(bytes)
+          case None => ex.sendResponseHeaders(404, -1)
+        }
+        ex.close()
+      }
+    })
+    val exec = java.util.concurrent.Executors.newFixedThreadPool(4)
+    server.setExecutor(exec)
+    server.start()
+    try body(server.getAddress.getPort)
+    finally { server.stop(0); exec.shutdown() } // non-daemon threads must die with the server
+  }
+
   /** A clean fleet output root: prior outputs deleted so the gate
     * always exercises a real concurrent conversion, never the
     * skip-if-exists fast path over stale bytes. */
-  def freshOutBase(): String = {
-    val out = dir.resolve("out")
+  def freshOutBase(name: String = "out"): String = {
+    val out = dir.resolve(name)
     def rm(p: Path): Unit = {
       if (Files.isDirectory(p))
         Files.list(p).forEach(c => rm(c))

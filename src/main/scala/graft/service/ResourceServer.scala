@@ -72,12 +72,32 @@ final class ResourceServer(
   private val server = HttpServer.create(new InetSocketAddress(bindHost, bindPort), 0)
   // `workers` is the reference's RQ replica count
   // (docker-compose.yml:28-30 scales conversion throughput by adding
-  // queue workers): N worker threads drain the same queue, each job
-  // still runs alone on one thread. Default 1 = the reference's
-  // single-replica default (and strict FIFO).
+  // queue workers): N worker threads drain the queue. Jobs are
+  // serialized PER STRIPE (resource id): two POSTs for the same
+  // resource must not race writeVersioned's skip-if-exists probe
+  // against each other's write (TOCTOU double-write to the same
+  // versioned/latest paths). Per-stripe FIFO chains over the shared
+  // pool — not hash-striping onto fixed threads, which would let two
+  // DISTINCT resources false-serialize on a hash collision. Default
+  // 1 = the reference's single-replica default (strict global FIFO).
   private val worker = Executors.newFixedThreadPool(math.max(1, workers), r => {
     val t = new Thread(r, "graft-service-worker"); t.setDaemon(true); t
   })
+  private val stripeTails =
+    new ConcurrentHashMap[String, java.util.concurrent.CompletableFuture[Void]]()
+
+  /** Chain `r` after the stripe's current tail (FIFO within a stripe,
+    * any free worker across stripes). handleAsync, not thenRun: a
+    * fatal error in one job must not starve the stripe forever. */
+  private def submitStriped(stripe: String, r: Runnable): Unit =
+    stripeTails.compute(stripe, (_, prev) => {
+      val base =
+        if (prev == null) java.util.concurrent.CompletableFuture.completedFuture[Void](null)
+        else prev
+      val next = base.handleAsync[Void]((_, _) => { r.run(); null }, worker)
+      next.whenComplete((_, _) => stripeTails.remove(stripe, next))
+      next
+    })
   private val jobSeq = new AtomicLong(0)
   private val jobs = new ConcurrentHashMap[String, String]()
   // Insertion order for age-out; ConcurrentHashMap has none of its own.
@@ -136,13 +156,23 @@ final class ResourceServer(
     snapshotJournal()
   }
 
-  /** Register `id` and run `body` on the single worker. A fatal
+  /** Stripe key of a job: convert jobs serialize per RESOURCE id (the
+    * TOCTOU guard above); catalog builds serialize per kind. Derived
+    * from the payload so the journal-replay path stripes identically. */
+  private def stripeOf(payload: String): String = {
+    val n = om.readTree(payload)
+    Option(n.get("rid")).map(_.asText())
+      .orElse(Option(n.get("kind")).map(_.asText()))
+      .getOrElse(payload)
+  }
+
+  /** Register `id` and run `body` on its stripe's worker. A fatal
     * Throwable (OOM, linkage error) still marks the job failed before
     * propagating, so /jobs never shows a zombie "running" forever. */
   private def submitJob(id: String, payload: String)(body: => Unit): Unit = {
     jobs.put(id, "queued"); jobMeta.put(id, payload); jobOrder.add(id); pruneJobs()
     snapshotJournal()
-    worker.submit(new Runnable {
+    submitStriped(stripeOf(payload), new Runnable {
       override def run(): Unit = {
         setState(id, "running")
         try { body; setState(id, "done") }

@@ -709,19 +709,36 @@ object SinkQueries {
     // source, which is exactly the DPP contract (prune ≠ change). ──
     "sink23_dpp" -> Q(
       (s, d) => dppRead(s, d)._1,
-      Some("""WITH li AS (SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS ym,
-                                 l_quantity, l_extendedprice
-                          FROM lineitem),
-              dim AS (SELECT DISTINCT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
-                                      year(CAST(o_orderdate AS DATE)) AS yr
-                      FROM orders)
-              SELECT li.ym, count(*) AS n,
-                     CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c,
-                     CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_c
-              FROM li JOIN dim ON dim.ym = li.ym
-              WHERE dim.yr = 1997
-              GROUP BY 1"""))
+      Some(dppOracle)),
+
+    // ── sink23's BENCHED sibling: the same runtime-pruned join+agg
+    // over a PRE-STAGED month-partitioned fact (Staged: built once
+    // per corpus fingerprint, one file per month partition), so the
+    // tracked number is the DPP READ alone — dim filter → runtime
+    // subquery → ~12 of 84 month directories listed and scanned —
+    // not the partitioned write. Plan shape asserted by SinksSpec's
+    // DynamicPruningExpression check on the shared dppAgg. ──
+    "sink24_dpp_read" -> Q(
+      (s, d) => dppAgg(s, dppStaged(s, d), d),
+      Some(dppOracle), bench = true)
   )
+
+  /** sink23/sink24's shared oracle: the plain join on the
+    * unpartitioned source — prune must not change the result.
+    * (lazy: referenced from `all` above its declaration). */
+  private lazy val dppOracle =
+    """WITH li AS (SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS ym,
+                          l_quantity, l_extendedprice
+                   FROM lineitem),
+       dim AS (SELECT DISTINCT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+                               year(CAST(o_orderdate AS DATE)) AS yr
+               FROM orders)
+       SELECT li.ym, count(*) AS n,
+              CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c,
+              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_c
+       FROM li JOIN dim ON dim.ym = li.ym
+       WHERE dim.yr = 1997
+       GROUP BY 1"""
 
   /** sink23's body, shared with SinksSpec's plan assertions: writes
     * the month-partitioned fact once per scratch life, then returns
@@ -730,26 +747,50 @@ object SinkQueries {
   private[sinks] def dppRead(s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, String) = {
     val out = scratch("dpp")
+    dppFact(s, d).write.partitionBy("ym")
+      .option("compression", "zstd").parquet(out)
+    (dppAgg(s, out, d), out)
+  }
+
+  private def dppFact(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables(s, d, "lineitem")
       .selectExpr("date_format(cast(l_shipdate as date), 'yyyy-MM') as ym",
         "cast(round(l_quantity * 100) as bigint) as qty_c",
         "cast(round(l_extendedprice * 100) as bigint) as price_c")
-      .write.partitionBy("ym").option("compression", "zstd").parquet(out)
-    val fact = s.read.parquet(out)
-    // dim built from ORDERS, with yr a data column (from o_orderdate,
-    // not an expression over the join key): a yr filter cannot be
-    // statically rewritten onto ym by constraint inference, so the
-    // fact prune genuinely requires the RUNTIME subquery
+
+  /** sink24's pre-staged fact: built once per corpus fingerprint,
+    * repartitioned on the partition column first so each month is ONE
+    * file, not tasks × months slivers (the small-files lesson the ANN
+    * index taught — a pruned read pays an open per file). */
+  private[sinks] def dppStaged(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val root = Paths.get(System.getProperty("java.io.tmpdir"), "graft-dpp",
+      d.replaceAll("[^A-Za-z0-9]", "_")).toString
+    graft.Staged.ensure(root, graft.Staged.fingerprint(s"$d/lineitem.parquet")) {
+      dppFact(s, d).repartition(col("ym"))
+        .write.partitionBy("ym").option("compression", "zstd")
+        .parquet(s"$root/fact")
+    }
+    s"$root/fact"
+  }
+
+  /** The runtime-pruned read: dim built from ORDERS, with yr a data
+    * column (from o_orderdate, not an expression over the join key) —
+    * a yr filter cannot be statically rewritten onto ym by constraint
+    * inference, so the fact prune genuinely requires the RUNTIME
+    * subquery (DynamicPruningExpression, asserted by SinksSpec). */
+  private[sinks] def dppAgg(s: org.apache.spark.sql.SparkSession,
+      factPath: String, d: String): org.apache.spark.sql.DataFrame = {
+    val fact = s.read.parquet(factPath)
     val dim = Tables(s, d, "orders")
       .selectExpr("date_format(cast(o_orderdate as date), 'yyyy-MM') as ym",
         "year(cast(o_orderdate as date)) as yr")
       .distinct()
-    val agg = fact.join(dim.where("yr = 1997"), "ym")
+    fact.join(dim.where("yr = 1997"), "ym")
       .groupBy("ym")
       .agg(count(lit(1)).as("n"), sum("qty_c").as("qty_c"),
         sum("price_c").as("price_c"))
       .select("ym", "n", "qty_c", "price_c")
-    (agg, out)
   }
 
   /** sink11's base snapshot: orders, hive-partitioned by order year. */

@@ -712,8 +712,13 @@ object StreamQueries {
     "stream26_file_arrival" -> Q(
       (s, d) => {
         graft.functions.Hashing.register(s)
+        // staging keyed by the dataset dir (as s28 keys its index):
+        // two runs against different SFs — or concurrent harness
+        // processes — must never overwrite each other's staged files
+        // while a file-stream is reading them
         val stage = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"), "graft-stream26-arrivals").toString
+          System.getProperty("java.io.tmpdir"),
+          s"graft-stream26-arrivals-${d.replaceAll("[^A-Za-z0-9]", "_")}").toString
         graft.Tables(s, d, "documents")
           .repartition(3).write.mode("overwrite").parquet(stage)
         val schema = s.read.parquet(stage).schema

@@ -75,11 +75,13 @@ class PlanShapeSpec extends AnyFunSuite with graft.SparkTestBase {
     // only aggregates left are the final bounded-heap top-k pair
     assert(!p.contains("max_by"), p)
     assert(p.contains("array_position"), p)
-    // exactly ONE window: the 10-probe nprobe=2 cell selection (a
-    // 160-row frame). A second window would mean the 16×N assignment
-    // frame or the candidate score frame is being exchanged+sorted
+    // ZERO windows: the 10-probe nprobe=2 cell selection is an
+    // in-projection array sort since r14 (probeCells went map-only —
+    // the rank window's exchange+sort over the probe frame is gone);
+    // any window appearing would mean the assignment frame or the
+    // candidate score frame is being exchanged+sorted again
     val windows = "Window\\s*\\[".r.findAllIn(p).size
-    assert(windows == 1, s"expected 1 window, got $windows\n$p")
+    assert(windows == 0, s"expected 0 windows, got $windows\n$p")
     assert(p.toLowerCase.contains("partial_top_k_by_score"), p)
   }
 

@@ -12,8 +12,10 @@ events per window = the realistic densification). doc/vec/event/user
 ids shift per copy; document text and embeddings repeat, so the dedup
 tier sees 10-way exact-dup groups — more work, not less.
 
-Usage: make_sf1.py [outdir]   (default /tmp/graft-sf1)
-Idempotent via a _READY marker.
+Usage: make_sf1.py [outdir] [copies]   (default /tmp/graft-sf1, 10)
+copies=100 builds the sf10 step (offsets stay collision-free to 100
+copies: the largest shifted key is ~99 * base, well under the next
+table's base). Idempotent via a _READY marker.
 """
 import sys
 from pathlib import Path
@@ -22,7 +24,7 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 OUT = Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft-sf1")
-COPIES = 10
+COPIES = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
 # table -> {column: offset-base}; offset for copy i is i * base.
 # Bases are far above each table's max key so copies never collide.
