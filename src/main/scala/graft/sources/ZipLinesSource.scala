@@ -30,13 +30,26 @@ import org.apache.spark.unsafe.types.UTF8String
   *   .where("member = 'occurrence.txt'")
   * }}}
   *
-  * Planning lists the archive's entries on the driver and emits ONE
-  * InputPartition PER MEMBER; an `member = '…'` equality filter is
-  * pushed down and prunes partitions before they are scheduled, so a
-  * single-member read schedules a single task. Executors stream their
-  * entry straight from the Hadoop FileSystem (no extraction). DEFLATE
-  * members are single streams — the parallelism unit is
-  * (archive, member), the natural shape for DwC-A fleets.
+  * Planning lists the archive's central directory on the driver and
+  * emits InputPartitions; a `member = '…'` equality filter is pushed
+  * down and prunes partitions before they are scheduled. Executors
+  * read their entry straight from the Hadoop FileSystem (no
+  * extraction). Parallelism:
+  *
+  *  - STORED (uncompressed) members SPLIT BY BYTE RANGE: one
+  *    partition per `storedSplitBytes` (option `stored.split.bytes`,
+  *    default 32 MiB) with Hadoop text-split line alignment (a split
+  *    with start > 0 discards its first partial line; lines are read
+  *    while their start offset ≤ the split end) — a huge stored core
+  *    member scans wide like any text file.
+  *  - DEFLATE members stay ONE stream each — inherent to the
+  *    format (no random access into a deflate stream); the
+  *    parallelism unit is (archive, member). The escape hatch at
+  *    100 TB is staged re-chunking: one pass re-writing the member
+  *    as splittable storage, then wide scans.
+  *  - Non-ASCII-compatible encodings (where '\n' is not the single
+  *    byte 0x0A) and encrypted/descriptor-flagged entries fall back
+  *    to the streaming reader.
   */
 class ZipLinesSource extends TableProvider {
 
@@ -48,7 +61,9 @@ class ZipLinesSource extends TableProvider {
     new ZipLinesTable(
       Option(properties.get("path")).getOrElse(
         throw new IllegalArgumentException("option 'path' (zip location) is required")),
-      Option(properties.get("encoding")).getOrElse("UTF-8"))
+      Option(properties.get("encoding")).getOrElse("UTF-8"),
+      Option(properties.get("stored.split.bytes"))
+        .map(_.toLong).getOrElse(32L * 1024 * 1024))
 }
 
 object ZipLinesSource {
@@ -57,7 +72,8 @@ object ZipLinesSource {
     StructField("line", StringType, nullable = false)))
 }
 
-private class ZipLinesTable(path: String, encoding: String) extends Table with SupportsRead {
+private class ZipLinesTable(path: String, encoding: String, splitBytes: Long)
+    extends Table with SupportsRead {
   override def name(): String = s"zip:$path"
   override def schema(): StructType = ZipLinesSource.schema
   override def capabilities(): util.Set[TableCapability] =
@@ -73,7 +89,7 @@ private class ZipLinesTable(path: String, encoding: String) extends Table with S
       .sparkContext.hadoopConfiguration.iterator().asScala
       .map(e => e.getKey -> e.getValue)
       .filter(_._1.startsWith("fs.")).toMap
-    new ZipLinesScanBuilder(path, encoding, fsConf)
+    new ZipLinesScanBuilder(path, encoding, splitBytes, fsConf)
   }
 }
 
@@ -85,7 +101,8 @@ private object ZipLinesSourceConf {
   }
 }
 
-private class ZipLinesScanBuilder(path: String, encoding: String, fsConf: Map[String, String])
+private class ZipLinesScanBuilder(path: String, encoding: String, splitBytes: Long,
+    fsConf: Map[String, String])
     extends ScanBuilder with SupportsPushDownFilters {
 
   private var memberEq: Option[String] = None
@@ -103,33 +120,130 @@ private class ZipLinesScanBuilder(path: String, encoding: String, fsConf: Map[St
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new ZipLinesScan(path, encoding, memberEq, fsConf)
+  override def build(): Scan =
+    new ZipLinesScan(path, encoding, splitBytes, memberEq, fsConf)
 }
 
 private case class ZipMemberPartition(member: String) extends InputPartition
 
-private class ZipLinesScan(path: String, encoding: String, memberEq: Option[String],
-    fsConf: Map[String, String])
+/** A line-aligned byte range of a STORED member: `[start, end)` in
+  * member-data space, Hadoop text-split semantics. `localOff` is the
+  * member's local-header offset; the reader derives the data start
+  * from the local header itself (its extra field can differ from the
+  * central directory's). */
+private case class ZipRangePartition(member: String, localOff: Long,
+    start: Long, end: Long, usize: Long) extends InputPartition
+
+private class ZipLinesScan(path: String, encoding: String, splitBytes: Long,
+    memberEq: Option[String], fsConf: Map[String, String])
     extends Scan with Batch {
   override def readSchema(): StructType = ZipLinesSource.schema
   override def toBatch: Batch = this
   override def description(): String =
     s"ZipLines(path=$path${memberEq.map(m => s", member=$m").getOrElse("")})"
 
-  /** Driver-side entry listing; partition pruning via the pushed
-    * member filter happens HERE, before any task is scheduled. */
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** One central-directory entry, as planning needs it. */
+  private case class CdEntry(name: String, method: Int, flags: Int,
+      usize: Long, localOff: Long)
+
+  /** Parse the END-OF-CENTRAL-DIRECTORY record + central directory —
+    * the only way to learn per-member method/size/offset without
+    * streaming the archive. Returns None on anything exotic (zip64
+    * markers, malformed tail), in which case planning falls back to
+    * the streaming one-partition-per-member listing. */
+  private def centralDirectory(): Option[Seq[CdEntry]] = {
     val conf = ZipLinesSourceConf.hadoopConf(fsConf)
     val p = new Path(path)
-    val in = p.getFileSystem(conf).open(p)
-    val zin = new ZipInputStream(in)
-    val members = try {
-      Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
-        .filterNot(_.isDirectory).map(_.getName).toArray
-    } finally zin.close()
-    members
-      .filter(m => memberEq.forall(_ == m))
-      .map(ZipMemberPartition(_): InputPartition)
+    val fs = p.getFileSystem(conf)
+    val len = fs.getFileStatus(p).getLen
+    val in = fs.open(p)
+    try {
+      val tailLen = math.min(len, 22L + 0xFFFF).toInt
+      val tail = new Array[Byte](tailLen)
+      in.readFully(len - tailLen, tail)
+      def u16(b: Array[Byte], o: Int): Int =
+        (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+      def u32(b: Array[Byte], o: Int): Long =
+        (u16(b, o).toLong) | (u16(b, o + 2).toLong << 16)
+      // last EOCD signature in the tail window
+      var eocd = -1
+      var i = tailLen - 22
+      while (i >= 0 && eocd < 0) {
+        if (tail(i) == 0x50 && tail(i + 1) == 0x4B &&
+            tail(i + 2) == 0x05 && tail(i + 3) == 0x06) eocd = i
+        i -= 1
+      }
+      if (eocd < 0) return None
+      val nEntries = u16(tail, eocd + 10)
+      val cdSize = u32(tail, eocd + 12)
+      val cdOff = u32(tail, eocd + 16)
+      if (nEntries == 0xFFFF || cdOff == 0xFFFFFFFFL) return None // zip64
+      val cd = new Array[Byte](cdSize.toInt)
+      in.readFully(cdOff, cd)
+      val out = Seq.newBuilder[CdEntry]
+      var o = 0
+      var n = 0
+      while (n < nEntries) {
+        if (u32(cd, o) != 0x02014b50L) return None
+        val flags = u16(cd, o + 8)
+        val method = u16(cd, o + 10)
+        val usize = u32(cd, o + 24)
+        val nameLen = u16(cd, o + 28)
+        val extraLen = u16(cd, o + 30)
+        val commentLen = u16(cd, o + 32)
+        val localOff = u32(cd, o + 42)
+        val name = new String(cd, o + 46, nameLen, java.nio.charset.StandardCharsets.UTF_8)
+        if (usize == 0xFFFFFFFFL || localOff == 0xFFFFFFFFL) return None // zip64
+        if (!name.endsWith("/")) out += CdEntry(name, method, flags, usize, localOff)
+        o += 46 + nameLen + extraLen + commentLen
+        n += 1
+      }
+      Some(out.result())
+    } catch { case _: Exception => None }
+    finally in.close()
+  }
+
+  /** '\n' must be the single byte 0x0A for byte-offset line splits. */
+  private def asciiCompatible: Boolean = {
+    val bb = Charset.forName(encoding).encode("\n")
+    bb.remaining() == 1 && bb.get() == 0x0A
+  }
+
+  /** Driver-side entry listing; partition pruning via the pushed
+    * member filter happens HERE, before any task is scheduled.
+    * STORED members larger than one split fan out into range
+    * partitions; everything else is one streaming partition. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val splittable = asciiCompatible
+    centralDirectory() match {
+      case Some(entries) =>
+        entries
+          .filter(e => memberEq.forall(_ == e.name))
+          .flatMap { e =>
+            // method 0 = STORED; flag bit0 = encrypted, bit3 = sizes
+            // deferred to a data descriptor — stream those
+            if (splittable && e.method == 0 && (e.flags & 0x9) == 0 &&
+                e.usize > splitBytes) {
+              val n = ((e.usize + splitBytes - 1) / splitBytes).toInt
+              (0 until n).map { k =>
+                ZipRangePartition(e.name, e.localOff, k * splitBytes,
+                  math.min((k + 1) * splitBytes, e.usize), e.usize)
+              }
+            } else Seq(ZipMemberPartition(e.name))
+          }.toArray
+      case None =>
+        // streaming fallback: exotic archives keep the old shape
+        val conf = ZipLinesSourceConf.hadoopConf(fsConf)
+        val p = new Path(path)
+        val zin = new ZipInputStream(p.getFileSystem(conf).open(p))
+        val members = try {
+          Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
+            .filterNot(_.isDirectory).map(_.getName).toArray
+        } finally zin.close()
+        members
+          .filter(m => memberEq.forall(_ == m))
+          .map(ZipMemberPartition(_): InputPartition)
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -138,10 +252,79 @@ private class ZipLinesScan(path: String, encoding: String, memberEq: Option[Stri
 
 private class ZipLinesReaderFactory(path: String, encoding: String, fsConf: Map[String, String])
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val member = partition.asInstanceOf[ZipMemberPartition].member
-    new ZipLinesReader(path, member, encoding, fsConf)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case ZipMemberPartition(member) =>
+        new ZipLinesReader(path, member, encoding, fsConf)
+      case r: ZipRangePartition =>
+        new ZipRangeReader(path, r, encoding, fsConf)
+    }
+}
+
+/** Range reader over a STORED member: seek to the local header,
+  * derive the data start, then Hadoop text-split line alignment —
+  * a split with start > 0 discards its first (possibly partial)
+  * line, and lines are emitted while their START offset ≤ the split
+  * end, so every line lands in exactly one split. */
+private class ZipRangeReader(path: String, part: ZipRangePartition,
+    encoding: String, fsConf: Map[String, String])
+    extends PartitionReader[InternalRow] {
+
+  private val cs = Charset.forName(encoding)
+  private val memberUtf8 = UTF8String.fromString(part.member)
+
+  private val (raw, limitRemaining) = {
+    val p = new Path(path)
+    val in = p.getFileSystem(ZipLinesSourceConf.hadoopConf(fsConf)).open(p)
+    val hdr = new Array[Byte](30)
+    in.readFully(part.localOff, hdr)
+    def u16(o: Int): Int = (hdr(o) & 0xFF) | ((hdr(o + 1) & 0xFF) << 8)
+    require(u16(0) == 0x4B50 && u16(2) == 0x0403,
+      s"bad local header for ${part.member} in $path")
+    val dataStart = part.localOff + 30 + u16(26) + u16(28)
+    in.seek(dataStart + part.start)
+    (new java.io.BufferedInputStream(in, 128 * 1024), part.usize - part.start)
   }
+  // absolute member-data offset of the next unread byte
+  private var pos: Long = part.start
+  private var remaining: Long = limitRemaining
+  private var line: String = _
+
+  private def readByte(): Int =
+    if (remaining <= 0) -1
+    else { val b = raw.read(); if (b >= 0) { pos += 1; remaining -= 1 }; b }
+
+  /** Read one '\n'-terminated line (trailing '\r' stripped); null at
+    * member end. */
+  private def readLine(): String = {
+    if (remaining <= 0) return null
+    val buf = new java.io.ByteArrayOutputStream(256)
+    var b = readByte()
+    if (b < 0) return null
+    while (b >= 0 && b != '\n') { buf.write(b); b = readByte() }
+    val bytes = buf.toByteArray
+    val n = if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r') bytes.length - 1
+            else bytes.length
+    new String(bytes, 0, n, cs)
+  }
+
+  // a split that does not start the member discards its first line —
+  // the previous split reads through the boundary
+  if (part.start > 0) {
+    var b = readByte()
+    while (b >= 0 && b != '\n') b = readByte()
+  }
+
+  override def next(): Boolean = {
+    if (pos > part.end) { line = null; return false } // next line starts past the split
+    line = readLine()
+    line != null
+  }
+
+  override def get(): InternalRow =
+    InternalRow(memberUtf8, UTF8String.fromString(line))
+
+  override def close(): Unit = raw.close()
 }
 
 private class ZipLinesReader(path: String, member: String, encoding: String,

@@ -32,6 +32,47 @@ class ZipLinesSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("ZipLines"), plan)
   }
 
+  test("STORED members split into line-aligned ranges; DEFLATE members stay single-stream") {
+    import java.util.zip.{CRC32, ZipEntry, ZipOutputStream}
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-zipsplit")
+    val zip = dir.resolve("mixed.zip")
+    // varied line lengths so split boundaries land mid-line all over
+    val lines = (1 to 5000).map(i => s"row$i," + ("x" * (i % 37)))
+    val storedBytes = (lines.mkString("\n") + "\n").getBytes("UTF-8")
+    val zos = new ZipOutputStream(Files.newOutputStream(zip))
+    val se = new ZipEntry("big.txt")
+    se.setMethod(ZipEntry.STORED)
+    se.setSize(storedBytes.length.toLong)
+    se.setCompressedSize(storedBytes.length.toLong)
+    val crc = new CRC32(); crc.update(storedBytes); se.setCrc(crc.getValue)
+    zos.putNextEntry(se); zos.write(storedBytes); zos.closeEntry()
+    zos.putNextEntry(new ZipEntry("small.txt")) // default DEFLATED
+    zos.write("a\nb\n".getBytes("UTF-8")); zos.closeEntry()
+    zos.close()
+
+    def read(splitBytes: Long) = spark.read
+      .format("graft.sources.ZipLinesSource")
+      .option("path", zip.toString)
+      .option("stored.split.bytes", splitBytes.toString)
+      .load()
+
+    // ~167 KB stored member at 16 KiB splits -> >1 task
+    val big = read(16384).where("member = 'big.txt'")
+    assert(big.rdd.getNumPartitions > 1,
+      s"stored member did not split: ${big.rdd.getNumPartitions} partition(s)")
+    val got = big.select("line").collect().map(_.getString(0))
+    // every line exactly once: no boundary loss, no boundary dup
+    assert(got.length === 5000)
+    assert(got.sorted.toSeq === lines.sorted)
+    // the deflate member stays one stream
+    assert(read(16384).where("member = 'small.txt'").rdd.getNumPartitions === 1)
+    // an unsplit read of the same member agrees exactly
+    val one = read(1L << 30).where("member = 'big.txt'")
+    assert(one.rdd.getNumPartitions === 1)
+    assert(one.select("line").collect().map(_.getString(0)).sorted.toSeq === got.sorted.toSeq)
+  }
+
   test("agrees with the mapPartitions zip scan") {
     val meta = graft.dwca.DwcaMeta.fromZip(DwcaQueries.fixtureZip)
     val viaDsv2 = zipDf.where(s"member = '${meta.core.location}'")
