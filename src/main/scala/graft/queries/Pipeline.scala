@@ -332,12 +332,17 @@ object Pipeline {
     // small; when the eval side is itself huge (every public
     // benchmark plus held-out suites — billions of grams), the
     // broadcast no longer fits an executor. The scale answer is a
-    // CONSTANT-SIZE bloom prefilter + exact verify: fold the eval
+    // EVAL-SIZED bloom prefilter + exact verify: fold the eval
     // grams into Spark's mergeable BloomFilter sketch (bloom_agg —
-    // a partial-agg'd binary of fixed numBits regardless of gram
-    // count), probe every corpus gram MAP-SIDE with the codegen'd
-    // bloom_might over that literal, and equi-join only the
-    // surviving ≈fpp fraction against the eval grams for exactness —
+    // a partial-agg'd binary sized ~10 bits per EVAL gram, so it
+    // grows with the benchmark suite but never with the corpus —
+    // the sf10 step caught the fixed-2^23-bit version saturating:
+    // fpp → 1 at 100× eval size turned the "prefilter" into a
+    // pass-through and the verify join into a full corpus-gram
+    // shuffle, 33 s where 3 belonged), probe every corpus gram
+    // MAP-SIDE with the codegen'd bloom_might over that literal,
+    // and equi-join only the surviving ≈fpp fraction against the
+    // eval grams for exactness —
     // false positives die in the verify join, so the result equals
     // c02 bit-for-bit and one oracle covers both formulations
     // (the j01/j03 and s01/s08 pattern). Corpus text never
@@ -348,14 +353,26 @@ object Pipeline {
         graft.functions.Hashing.register(s)
         val docs = Tables(s, d, "documents")
         val grams = decontGrams(s, d)
+        // persisted: the eval-gram set feeds the count, the bloom
+        // build, AND the exact-verify join
         val evalGrams = grams.where("is_eval").select("g").distinct()
-        // One bounded row to the driver (the sketch itself — ~1 MB at
-        // the configured 2^23 bits, independent of eval size), then a
+          .persistScoped()
+        // size the sketch to the EVAL side: ~10 bits/gram (fpp ≈ 1%),
+        // power-of-two, floor 2^23 (the old constant), cap 2^27
+        // (16 MB literal — at that point the benchmark suite itself
+        // is ~100 M grams and a partitioned-probe design is due)
+        val nEval = math.max(1L, evalGrams.count())
+        val bits = {
+          var b = 8L << 20
+          while (b < nEval * 10 && b < (1L << 27)) b <<= 1
+          b
+        }
+        // One bounded row to the driver (the sketch itself), then a
         // Literal probe: BloomFilterMightContain requires a constant
         // or scalar-subquery filter side, and a Literal keeps the
         // probe inside whole-stage codegen.
         val bloomRow = evalGrams
-          .agg(expr(s"bloom_agg(g, ${1 << 20}, ${8 << 20})").as("bf"))
+          .agg(expr(s"bloom_agg(g, $nEval, $bits)").as("bf"))
           .head()
         val mightHit: Column =
           if (bloomRow.isNullAt(0)) lit(false) // no eval grams at all

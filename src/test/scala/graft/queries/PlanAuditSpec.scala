@@ -123,8 +123,9 @@ class PlanAuditSpec extends AnyFunSuite with graft.SparkTestBase {
   }
 
   // Note on eager builders: a few queries run a BOUNDED driver job at
-  // plan-BUILD time (c04's ~1 MB bloom sketch via .head(), the IVF
-  // trainers' centroid collects) because a codegen'd Literal probe
+  // plan-BUILD time (c04's eval-gram count + bloom sketch via
+  // .count()/.head(), the IVF trainers' centroid collects, the serve
+  // path's probe-row collect) because a codegen'd Literal probe
   // cannot be expressed lazily. The audit still walks their FINAL
   // plan; the eager pre-job is bounded by construction (sketch/
   // codebook-sized, never corpus-sized) and documented at each site.
