@@ -27,6 +27,7 @@ object BulkFixture {
   def zipPath: String = dir.resolve("archive.zip").toString
   def extractedDir: String = dir.resolve("extracted").toString
   def outParquet: String = dir.resolve("out.parquet").toString
+  def outParquetStaged: String = dir.resolve("out_staged.parquet").toString
 
   private val vocab =
     Array("Vulpes vulpes", "Lynx lynx", "Parus major", "Falco peregrinus", "Alces alces")

@@ -102,4 +102,51 @@ object ConvertJob {
       futures.map { case (id, f) => id -> f.get() }.toMap
     } finally pool.shutdown()
   }
+
+  /** STREAMING intake — the reference's RQ queue as a Structured
+    * Streaming file source (`resources.py:46-75` enqueues one job per
+    * catalog entry; here the "queue" is a watched catalog directory
+    * with checkpointed exactly-once delivery): each arriving catalog
+    * file holds (resource_id, version, archive_url) rows; every
+    * micro-batch converts its rows through the same [[run]] body the
+    * batch fleet uses. Restarting against the same checkpoint
+    * re-converts NOTHING (the file source's seen-set is the
+    * dedup — RQ's at-least-once plus [[Sinks.writeVersioned]]'s
+    * idempotent skip become exactly-once end to end), while a new
+    * catalog file arrival converts exactly its rows. The per-batch
+    * `collect()` is bounded by construction: catalog METADATA (three
+    * short strings per dataset), never data rows — the conversions
+    * themselves are full-width cluster jobs.
+    *
+    * Returns resourceId → ran|skipped|error for conversions observed
+    * THIS invocation. */
+  def runArrivals(spark: SparkSession, catalogDir: String, ckptDir: String,
+      outBase: String): Map[String, String] = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("resource_id", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("version", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("url", org.apache.spark.sql.types.StringType)))
+    val statuses = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(catalogDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.collect().foreach { r =>
+          val (id, ver, url) = (r.getString(0), r.getString(1), r.getString(2))
+          val status = try {
+            if (run(spark, url, outBase, id, ver)) "ran" else "skipped"
+          } catch { case e: Exception => s"error: ${e.getMessage}" }
+          statuses.put(id, status)
+        }
+      }
+      .start()
+    if (!q.awaitTermination(300000)) {
+      q.stop()
+      throw new IllegalStateException("archive-arrival stream did not drain within 300s")
+    }
+    import scala.jdk.CollectionConverters._
+    statuses.asScala.toMap
+  }
 }

@@ -87,18 +87,26 @@ object DwcaConvert {
   /** Full conversion: the reference's one generated query.
     * `zipScan = true` streams members straight out of the archive
     * ([[graft.sources.ZipSource]]) instead of staging to scratch —
-    * the 100 TB-tier scan path; plans downstream are identical. */
+    * the 100 TB-tier scan path; plans downstream are identical.
+    * `staged = true` instead re-chunks each DEFLATE member through
+    * scratch once ([[graft.sources.ZipSource.stagedMemberDir]]) so the
+    * parse/join/geometry work runs at full width — the escape hatch
+    * when one huge compressed member would otherwise serialize the
+    * conversion. */
   def convert(spark: SparkSession, zipPath: String, mode: GeomMode,
-      zipScan: Boolean = false): DataFrame = {
+      zipScan: Boolean = false, staged: Boolean = false): DataFrame = {
     GeoFunctions.register(spark)
     val meta = DwcaMeta.fromZip(zipPath)
     lazy val dir = extract(zipPath)
+    def lines(l: DwcaLayer) =
+      if (staged) graft.sources.ZipSource.stagedLines(spark, zipPath, l.location, l.encoding)
+      else graft.sources.ZipSource.memberLines(spark, zipPath, l.location, l.encoding)
     def scan(l: DwcaLayer): DataFrame =
       if (l.sepLiteralOpt.isEmpty)
         // genuine regex separator (dwca.py:19-20): stream the member
         // and split rows by the same regex as the header
-        graft.sources.RegexCsv.scan(spark,
-          graft.sources.ZipSource.memberLines(spark, zipPath, l.location, l.encoding), l)
+        graft.sources.RegexCsv.scan(spark, lines(l), l)
+      else if (staged) graft.sources.ZipSource.readLayerStaged(spark, zipPath, l)
       else if (zipScan) graft.sources.ZipSource.readLayer(spark, zipPath, l)
       else readLayer(spark, dir, l)
 

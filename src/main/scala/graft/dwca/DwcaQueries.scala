@@ -27,7 +27,7 @@ object DwcaQueries {
 
   /** The fleet gates' shared read-back (dwca11 file://, dwca12
     * http://): union the four converted outputs tagged by archive. */
-  private def fleetUnion(s: org.apache.spark.sql.SparkSession,
+  private[graft] def fleetUnion(s: org.apache.spark.sql.SparkSession,
       outBase: String) =
     FleetFixture.datasets.map { ds =>
       s.read.parquet(s"$outBase/${ds.id}.parquet")
@@ -37,13 +37,27 @@ object DwcaQueries {
 
   /** Per-archive replay from the same extracted bytes — shared by
     * dwca11 and dwca12 (the transport must not change the result). */
-  private lazy val fleetOracle: String =
+  private[graft] lazy val fleetOracle: String =
     (1 to FleetFixture.nArchives).map { k =>
       s"""SELECT id, scientificName, decimalLatitude, decimalLongitude,
                  id AS fid, 'fleet$k' AS archive
           FROM read_csv('${FleetFixture.extractedDir(k)}/occurrence.txt',
                         sample_size=-1)"""
     }.mkString("\nUNION ALL\n")
+
+  /** DuckDB twin of the 150k-row bulk conversion, shared by the
+    * zip-scan (dwca08) and staged-rechunk (dwca13) paths — the
+    * staging must be invisible to results. */
+  private lazy val bulkOracle =
+    s"""SELECT occ.id AS id, occurrenceID, scientificName,
+               decimalLatitude, decimalLongitude, footprintWKT, individualCount,
+               measurementType, measurementValue,
+               occ.id AS fid,
+               coalesce(footprintWKT,
+                 CASE WHEN decimalLatitude IS NULL OR decimalLongitude IS NULL THEN NULL
+                      ELSE printf('POINT (%.6f %.6f)', decimalLatitude, decimalLongitude) END) AS geom_wkt
+        FROM read_csv('${BulkFixture.extractedDir}/occurrence.txt') occ
+        JOIN read_csv('${BulkFixture.extractedDir}/measurementorfact.txt', sample_size=-1) m ON m.coreid = occ.id"""
 
   /** DuckDB twin of the generated conversion query, shared by the
     * extracted-scan (dwca01) and zip-scan (dwca04) paths. */
@@ -141,15 +155,28 @@ object DwcaQueries {
         graft.sinks.Sinks.writeZstd(df, BulkFixture.outParquet)
         s.read.parquet(BulkFixture.outParquet)
       },
-      Some(s"""SELECT occ.id AS id, occurrenceID, scientificName,
-                      decimalLatitude, decimalLongitude, footprintWKT, individualCount,
-                      measurementType, measurementValue,
-                      occ.id AS fid,
-                      coalesce(footprintWKT,
-                        CASE WHEN decimalLatitude IS NULL OR decimalLongitude IS NULL THEN NULL
-                             ELSE printf('POINT (%.6f %.6f)', decimalLatitude, decimalLongitude) END) AS geom_wkt
-               FROM read_csv('${BulkFixture.extractedDir}/occurrence.txt') occ
-               JOIN read_csv('${BulkFixture.extractedDir}/measurementorfact.txt', sample_size=-1) m ON m.coreid = occ.id"""),
+      Some(bulkOracle),
+      bench = true),
+
+    // ── the SAME bulk conversion through staged re-chunking
+    // (ZipSource.stagedMemberDir): one decompression pass per DEFLATE
+    // member re-writes it as splittable text on scratch, then the
+    // parse / star join / geometry / write run at full width — the
+    // documented escape hatch for the one-huge-compressed-member
+    // shape, now a gated + benched code path. Identical oracle to
+    // dwca08 (the staging must be invisible to results); the benched
+    // steady state reads post-staged (fingerprint-keyed, stage once),
+    // which is the 100 TB operating point: amortize one serial pass,
+    // every downstream scan is wide. ──
+    "dwca13_convert_staged" -> Q(
+      (s, _) => {
+        BulkFixture.ensure()
+        val df = DwcaConvert.convert(s, BulkFixture.zipPath,
+          DwcaConvert.GeomWktString, staged = true)
+        graft.sinks.Sinks.writeZstd(df, BulkFixture.outParquetStaged)
+        s.read.parquet(BulkFixture.outParquetStaged)
+      },
+      Some(bulkOracle),
       bench = true),
 
     // ── DuckDB-parity sniffer over the adversarial matrix fixture:

@@ -132,4 +132,47 @@ object FleetFixture {
     Files.createDirectories(out)
     out.toString
   }
+
+  /** Stage the fleet catalog for the STREAMING intake (stream27):
+    * one single-row parquet file per dataset in a fresh directory, so
+    * a `maxFilesPerTrigger=1` file stream sees each archive ARRIVE in
+    * its own micro-batch. The sibling checkpoint dir (`<name>-ckpt`)
+    * is wiped too — a gate run is deterministic; the exactly-once
+    * restart semantics are pinned by spec against a KEPT checkpoint.
+    * Returns the catalog dir. */
+  def stageCatalog(spark: org.apache.spark.sql.SparkSession,
+      name: String = "catalog"): String = {
+    ensure()
+    val cat = freshOutBase(name)
+    freshOutBase(s"$name-ckpt")
+    datasets.zipWithIndex.foreach { case (ds, i) =>
+      appendCatalogEntry(spark, cat, s"arrival-$i.parquet",
+        ds.id, ds.version, urlOf(ds))
+    }
+    cat
+  }
+
+  /** One catalog file = one arrival event: a single (resource_id,
+    * version, url) row, written whole then MOVED into the watched dir
+    * (the file source must never observe a half-written file). */
+  def appendCatalogEntry(spark: org.apache.spark.sql.SparkSession,
+      catalogDir: String, fileName: String, resourceId: String,
+      version: String, url: String): Unit = {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-catalog-entry")
+    Seq((resourceId, version, url)).toDF("resource_id", "version", "url")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.resolve("w").toString)
+    val part = {
+      import scala.jdk.CollectionConverters._
+      Files.list(tmp.resolve("w")).iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-")).get
+    }
+    Files.move(part, Paths.get(catalogDir, fileName),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    def rm(p: Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).forEach(c => rm(c))
+      Files.deleteIfExists(p)
+    }
+    rm(tmp)
+  }
 }

@@ -30,7 +30,9 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  private val toks = "split(text, ' ')"
+  import DedupKernels._
+
+  private[queries] val toks = "split(text, ' ')"
 
   /** doc_id + distinct hashed word 3-gram shingle set (docs with ≥3
     * tokens), via the native [[graft.functions.HashedShingles]] kernel
@@ -299,8 +301,8 @@ object Dedup {
     (labels, rounds)
   }
 
-  private val P = graft.functions.MinHash.P
-  private def duckLits(xs: Seq[Long]): String = xs.mkString("[", ",", "]")
+  private[queries] val P = graft.functions.MinHash.P
+  private[queries] def duckLits(xs: Seq[Long]): String = xs.mkString("[", ",", "]")
 
   /** DuckDB mirror of [[simhashed]] (CTEs `th`, `sh`). Bit 63 can't be
     * written `1::BIGINT << 63` (DuckDB raises Out of Range on left
@@ -335,12 +337,6 @@ object Dedup {
        SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
        FROM cand WHERE bit_count(xor(s1, s2)) <= 3"""
 
-  private val duckSimhash: String =
-    s"""WITH th AS (SELECT doc_id,
-         list_transform(string_split(text,' '),
-           tok -> [${Hashing.duck32("tok")}, ${Hashing.duck32b("tok")}]) AS th
-       FROM documents),
-       $duckSimhashFold"""
 
   /** The d08 component chain — recursive transitive closure over
     * d03's verified pairs — as a reusable CTE prefix ending in
@@ -355,38 +351,8 @@ object Dedup {
                  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
        cl AS (SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a)"""
 
-  /** d03's oracle SQL — also the `p` CTE of d08's cluster oracle. */
-  private lazy val d03Oracle: String =
-    s"""$duckShingles,
-       sigs AS (SELECT doc_id, ${duckSig(16)} AS sig FROM hs),
-       b AS (SELECT doc_id, unnest(generate_series(0, 3)) AS band, sig FROM sigs),
-       bk AS (SELECT doc_id, band,
-                ${Hashing.duck32("band || ':' || array_to_string(sig[band*4+1:band*4+4], ',')")} AS bucket
-              FROM b),
-       cand AS (SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
-                FROM bk a JOIN bk c
-                ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id)
-       SELECT d1, d2, jac FROM
-         (SELECT d1, d2,
-                 CAST(len(list_intersect(x.hv, y.hv)) AS DOUBLE)
-                   / len(list_distinct(x.hv || y.hv)) AS jac
-          FROM cand JOIN hs x ON x.doc_id = d1 JOIN hs y ON y.doc_id = d2)
-       WHERE jac >= 0.7"""
 
-  private val duckShingles =
-    """WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
-                  WHERE len(string_split(text,' ')) >= 3),
-       sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-2),
-                       i -> array_to_string(t[i:i+2], ' '))) AS sh FROM t),
-       hs AS (SELECT doc_id, sh, list_transform(sh, s -> (('0x' || substr(md5(s), 1, 8))::BIGINT) % 2147483647) AS hv FROM sh)"""
 
-  private def duckSig(k: Int): String = {
-    val a = duckLits(graft.functions.MinHash.coefA(k).toSeq)
-    val b = duckLits(graft.functions.MinHash.coefB(k).toSeq)
-    s"""list_transform(generate_series(0, ${k - 1}),
-          j -> list_min(list_transform(hv,
-            h -> ($a[j+1] * h + $b[j+1]) % $P)))"""
-  }
 
   val all: Map[String, Q] = Map(
     // ── exact duplicate groups: one hash-aggregate over md5(text) ──
@@ -1508,341 +1474,4 @@ object Dedup {
                            // count(*) AS BIGINT) AS shared_bp
                FROM ch GROUP BY 1"""))
   )
-
-  /** d23's planted typo docs — the synthetic vocabulary has no
-    * natural edit-distance-1 neighbors, so the gate plants one
-    * deletion ("tble"~table), one insertion ("scann"~scan), and one
-    * substitution ("windoq"~window), exercising all three edit kinds
-    * the deletion-neighborhood theorem covers. */
-  private[graft] lazy val typoDocs = Seq(
-    "tble scan filter row",
-    "scann the windoq value")
-
-  /** d18/c09's shared span machinery: the maximal duplicated-span
-    * islands of Lee et al. 2022 — (doc_id, n_tokens, grp, s0, e1),
-    * one row per maximal span of token positions covered by an
-    * 8-gram occurring ≥2× corpus-wide. One fp-keyed partial-agg
-    * shuffle, one fp equi-join, and a per-DOC window (bounded by
-    * document length, never corpus-global). */
-  private[graft] def dupSpans(s: SparkSession, d: String): DataFrame = {
-    Hashing.register(s)
-    val pos = Tables(s, d, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
-      .where(s"size($toks) >= 8")
-      .selectExpr("doc_id", s"size($toks) as n_tokens",
-        s"explode(transform(sequence(1, size($toks) - 7), i -> " +
-          s"struct(i as s, h32(concat_ws(' ', slice($toks, i, 8))) as fp))) as w")
-      .selectExpr("doc_id", "n_tokens", "w.s as s", "w.fp as fp")
-      .persistScoped()
-    val dupFp = pos.groupBy("fp").agg(count(lit(1)).as("n_occ"))
-      .where("n_occ >= 2").select("fp")
-    val byDoc = Window.partitionBy("doc_id").orderBy("s")
-    pos.join(dupFp, "fp")
-      .withColumn("e", col("s") + lit(7))
-      .withColumn("pe",
-        max("e").over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("fl",
-        when(col("pe").isNull || col("s") > col("pe") + 1, 1L).otherwise(0L))
-      .withColumn("grp",
-        sum("fl").over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy("doc_id", "n_tokens", "grp")
-      .agg(min("s").as("s0"), max("e").as("e1"))
-  }
-
-  /** DuckDB mirror of [[dupSpans]] — CTE chain ending in
-    * `i(doc_id, n_tokens, grp, s0, e1)`; shared by d18 and c09. */
-  private lazy val duckSpanIslands: String =
-    s"""t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
-              WHERE len(string_split(text,' ')) >= 8),
-        q AS (SELECT doc_id, len(t) AS n_tokens,
-                     unnest(generate_series(1, len(t)-7)) AS s,
-                     unnest(list_transform(generate_series(1, len(t)-7),
-                       i -> ${Hashing.duck32("array_to_string(t[i:i+7], ' ')")})) AS fp
-              FROM t),
-        c AS (SELECT fp FROM q GROUP BY fp HAVING count(*) >= 2),
-        m AS (SELECT q.doc_id, q.n_tokens, q.s, q.s + 7 AS e
-              FROM q JOIN c USING (fp)),
-        w AS (SELECT doc_id, n_tokens, s, e,
-                     max(e) OVER (PARTITION BY doc_id ORDER BY s
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
-              FROM m),
-        g AS (SELECT doc_id, n_tokens, s, e,
-                     sum(CASE WHEN pe IS NULL OR s > pe + 1 THEN 1 ELSE 0 END)
-                       OVER (PARTITION BY doc_id ORDER BY s
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
-              FROM w),
-        i AS (SELECT doc_id, n_tokens, grp, min(s) AS s0, max(e) AS e1
-              FROM g GROUP BY 1, 2, 3)"""
-
-  /** d21's bucketing pass: count `x` (a 1-column n_chars frame) into
-    * 128 equal-width integer buckets against the extents frame
-    * `rng(lo, hi, n)`. Carries the sketch constants (lo, w, n) on
-    * every surviving row; ≤128 rows leave the partial agg at any
-    * corpus size. The extents attach is the audited scalar
-    * crossJoin(broadcast(empty-grouping agg)) shape. Counts merge
-    * across shards by +, extents by min/max — [[graft.queries]]'
-    * fourth merge≡rebuild algebra instance (DedupSpec). */
-  private[graft] def histBuckets(x: DataFrame, rng: DataFrame): DataFrame =
-    x.crossJoin(broadcast(rng))
-      .selectExpr("lo", "n", "(hi - lo) div 128 + 1 as w", "n_chars")
-      .selectExpr("lo", "n", "w", "(n_chars - lo) div w as b")
-      .groupBy("lo", "n", "w", "b").agg(count(lit(1)).as("cnt"))
-
-  // ── HLL machinery shared by d19 (one-shot batch) and stream16
-  // (maintained register artifact + streaming fold) ──
-
-  /** (source, h): every 3-gram shingle occurrence hashed — the HLL
-    * input (no per-doc dedup needed: register max is idempotent, so
-    * the sketch of a multiset is the sketch of its set). */
-  private[graft] def hllItems(docs: DataFrame): DataFrame =
-    docs.where(s"size($toks) >= 3")
-      .selectExpr("source",
-        s"explode(transform(sequence(1, size($toks) - 2), " +
-          s"i -> h32(concat_ws(' ', slice($toks, i, 3))))) as h")
-
-  /** The HLL register state: per (source, bucket = top 10 hash bits)
-    * max rank, rank = 1 + leading zeros of the remaining 22 bits. */
-  private[graft] def hllRegisters(items: DataFrame): DataFrame =
-    items
-      .selectExpr("source", "h div 4194304 as bucket", "h % 4194304 as w")
-      .selectExpr("source", "bucket",
-        "case when w = 0 then 23 else 23 - length(bin(w)) end as rho")
-      .groupBy("source", "bucket").agg(max("rho").as("m_rho"))
-
-  /** Estimator finish over register state (dyadic-rational integer
-    * harmonic mean — see the d19 entry comment), joined with the
-    * exact side for the gate's error evidence. */
-  private[graft] def hllFinish(registers: DataFrame, exact: DataFrame): DataFrame = {
-    val allBuckets = registers.select("source").distinct()
-      .selectExpr("source", "explode(sequence(0, 1023)) as bucket")
-    val sums = allBuckets.join(registers, Seq("source", "bucket"), "left")
-      .selectExpr("source", "shiftleft(1L, 32 - coalesce(m_rho, 0)) as term")
-      .groupBy("source").agg(sum("term").as("s_sum"))
-    sums.join(exact, "source")
-      .selectExpr("source",
-        "(755541L * 4294967296L) div s_sum as est_distinct",
-        "exact_distinct")
-      .selectExpr("source", "est_distinct", "exact_distinct",
-        "abs(est_distinct - exact_distinct) * 10000 div exact_distinct as err_bp")
-  }
-
-  /** Generalized HLL estimator over a register frame keyed by
-    * `keys` (d19 uses the (source) grain via [[hllFinish]]; d24 the
-    * (sa, sb) union grain): fill the 1024-bucket grid per key,
-    * dyadic-rational integer harmonic mean, est column out. */
-  private[graft] def hllEst(regs: DataFrame, keys: Seq[String]): DataFrame = {
-    val allB = regs.select(keys.map(col): _*).distinct()
-      .selectExpr(keys :+ "explode(sequence(0, 1023)) as bucket": _*)
-    allB.join(regs, keys :+ "bucket", "left")
-      .selectExpr(keys :+ "shiftleft(1L, 32 - coalesce(m_rho, 0)) as term": _*)
-      .groupBy(keys.map(col): _*).agg(sum("term").as("s_sum"))
-      .selectExpr(keys :+ "(755541L * 4294967296L) div s_sum as est": _*)
-  }
-
-  /** stream16: fold each arriving micro-batch's registers into the
-    * persisted (source, bucket, m_rho) artifact by elementwise max —
-    * registers of a union ARE the max of registers (the same
-    * merge≡rebuild algebra d15 proves for MinHash), so arrival order
-    * and batch boundaries cannot change the final sketch. The
-    * artifact is ≤ |sources|×1024 rows at ANY corpus size (the
-    * sketch's entire point); the swap is write-tmp + rename — one
-    * small PUT per batch, object-store-safe. */
-  private[graft] def hllRegistersDir: String = java.nio.file.Paths.get(
-    System.getProperty("java.io.tmpdir"), "graft-hll-registers").toString
-
-  private[graft] def hllStream(s: SparkSession, docs: DataFrame): DataFrame = {
-    graft.streaming.ArtifactFold.fold(s, hllItems(docs), hllRegistersDir,
-        "registers") { (batch, prior) =>
-      val br = hllRegisters(batch)
-      prior.fold(br)(br.unionByName(_)
-        .groupBy("source", "bucket").agg(max("m_rho").as("m_rho")))
-    }
-  }
-
-  /** d19's oracle, shared verbatim by stream16: the artifact-served
-    * streaming profile must reproduce the batch answer exactly. */
-  private[graft] lazy val d19Oracle: String =
-    s"""WITH t AS (SELECT source, string_split(text,' ') AS t FROM documents
-                          WHERE len(string_split(text,' ')) >= 3),
-               it AS (SELECT source, unnest(list_transform(generate_series(1, len(t)-2),
-                        i -> ${Hashing.duck32("array_to_string(t[i:i+2], ' ')")})) AS h
-                      FROM t),
-               br AS (SELECT source, h // 4194304 AS bucket,
-                             CASE WHEN h % 4194304 = 0 THEN 23
-                                  ELSE 23 - length(bin(h % 4194304)) END AS rho
-                      FROM it),
-               mx AS (SELECT source, bucket, max(rho) AS m_rho FROM br GROUP BY 1, 2),
-               allb AS (SELECT source, unnest(generate_series(0, 1023)) AS bucket
-                        FROM (SELECT DISTINCT source FROM it)),
-               sm AS (SELECT a.source,
-                             sum(1::BIGINT << (32 - coalesce(m_rho, 0))) AS s_sum
-                      FROM allb a LEFT JOIN mx USING (source, bucket) GROUP BY 1),
-               ex AS (SELECT source, count(DISTINCT h) AS exact_distinct FROM it GROUP BY 1),
-               es AS (SELECT source, CAST((755541 * 4294967296) // s_sum AS BIGINT) AS est_distinct
-                      FROM sm)
-               SELECT es.source, est_distinct, exact_distinct,
-                      CAST(abs(est_distinct - exact_distinct) * 10000
-                           // exact_distinct AS BIGINT) AS err_bp
-               FROM es JOIN ex ON ex.source = es.source"""
-
-  // ── shard-vs-corpus dedup machinery shared by d14 (one-shot batch)
-  // and stream12 (maintained index + streaming serve) ──
-
-  /** Bloom sizing for the corpus fingerprint sketch (constant-size
-    * regardless of corpus cardinality; ≈fpp 3% at 1M items). */
-  private val bloomItems = 1 << 20
-  private val bloomBits = 8 << 20
-
-  /** The simulated re-crawl shard (same deterministic split in both
-    * engines): 20% of docs under new ids, half verbatim, half
-    * content-edited. Stateless projections only, so it runs unchanged
-    * on a streaming frame. Shared by d14/stream12 (exact fps) and
-    * d16 (near-dup shingles). */
-  private[graft] def shardDocs(docs: DataFrame): DataFrame = {
-    val pct = s"${Hashing.h32Sql("concat('shard:', doc_id)")} % 100"
-    docs.where(s"$pct < 20")
-      .selectExpr("doc_id + 1000000 as doc_id",
-        s"case when $pct < 10 then text else concat(text, ' v2') end as text")
-  }
-
-  /** The shard reduced to exact fingerprints (doc_id, fp = md5(text)). */
-  private[graft] def shardFps(docs: DataFrame): DataFrame =
-    shardDocs(docs).select(col("doc_id"), md5(col("text")).as("fp"))
-
-  /** Distinct corpus fingerprints — the exact side of the index. */
-  private[graft] def corpusFps(docs: DataFrame): DataFrame =
-    docs.select(md5(col("text")).as("fp")).distinct()
-
-  /** Map-side probe of a serialized bloom literal (the c04/d14
-    * codegen'd-Literal pattern). */
-  private def bloomMight(bytes: Array[Byte],
-      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    org.apache.spark.sql.GraftSqlShims.column(
-      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-        org.apache.spark.sql.catalyst.expressions.Literal(
-          bytes, org.apache.spark.sql.types.BinaryType),
-        new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
-          org.apache.spark.sql.GraftSqlShims.expression(c)))))
-
-  /** d14's oracle, shared verbatim by stream12: `seen` is always
-    * membership in the CORPUS index — exact-join semantics, which the
-    * bloom merely prefilters — so the answer is arrival-order- and
-    * batch-boundary-independent (and the corpus has no duplicate
-    * texts, so intra-shard arrivals cannot flip it either). */
-  private[graft] lazy val d14Oracle: String =
-    s"""WITH shard AS (SELECT doc_id + 1000000 AS doc_id,
-            md5(CASE WHEN ${Hashing.duck32("'shard:' || doc_id")} % 100 < 10
-                     THEN text ELSE text || ' v2' END) AS fp
-            FROM documents
-            WHERE ${Hashing.duck32("'shard:' || doc_id")} % 100 < 20),
-        corpus AS (SELECT DISTINCT md5(text) AS fp FROM documents)
-        SELECT s.doc_id, (c.fp IS NOT NULL) AS seen
-        FROM shard s LEFT JOIN corpus c USING (fp)"""
-
-  /** stream12's maintained-index root (the s16 artifact pattern:
-    * fixed scratch path, pre-cleaned at build). */
-  private[graft] def shardIndexDir: String = java.nio.file.Paths.get(
-    System.getProperty("java.io.tmpdir"), "graft-index", "sharddedup").toString
-
-  private def bloomPath = java.nio.file.Paths.get(shardIndexDir, "bloom", "bloom.bin")
-
-  /** BUILD: write the corpus fingerprint index — the base fps parquet
-    * (exact side) and the serialized mergeable bloom (probe side).
-    * The bloom is ONE bounded binary whatever the corpus size; the
-    * fps table is the corpus-sized artifact, the d14 comment's
-    * "maintained index, not a per-run scan". */
-  private[graft] def shardIndexBuild(s: SparkSession, corpus: DataFrame): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    rm(new java.io.File(shardIndexDir))
-    val c = corpus.persist()
-    c.write.mode("overwrite").parquet(s"$shardIndexDir/fps/base")
-    val row = c.agg(expr(s"bloom_agg(fp, $bloomItems, $bloomBits)").as("bf")).head()
-    c.unpersist()
-    val bytes =
-      if (row.isNullAt(0)) Array.emptyByteArray else row.getAs[Array[Byte]](0)
-    java.nio.file.Files.createDirectories(bloomPath.getParent)
-    java.nio.file.Files.write(bloomPath, bytes)
-  }
-
-  /** The index's current exact side: base fps plus every batch's
-    * appended novelties. */
-  private def indexFps(s: SparkSession): DataFrame = {
-    val inc = new java.io.File(s"$shardIndexDir/fps/incoming")
-    val base = s.read.parquet(s"$shardIndexDir/fps/base")
-    if (inc.exists()) base.unionByName(s.read.parquet(inc.toString)) else base
-  }
-
-  /** stream12 SERVE + MAINTAIN — d14's streaming twin over a
-    * maintained index. Per micro-batch of arriving shard docs:
-    * (1) probe the bloom artifact map-side (a codegen'd Literal —
-    * no join, no shuffle for the overwhelming not-in-corpus
-    * majority), (2) exact-verify survivors with a fingerprint-only
-    * semi join against the index fps, (3) emit (doc_id, seen) to the
-    * results sink, and (4) fold the batch's NOVEL fingerprints back
-    * into the index: parquet append + bloom merge (same-parameter
-    * blooms OR together — `BloomFilter.mergeInPlace` — so the update
-    * never rescans the corpus; the artifact swap is an atomic
-    * rename). This is the CDC-ingest dedup loop a training pipeline
-    * runs continuously; re-streaming a shard against the updated
-    * index reports every previously-novel fp as seen
-    * (StreamShardDedupSpec). Returns the drained results frame. */
-  private[graft] def shardDedupStream(s: SparkSession, docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.{Dataset, Row}
-    val outDir = s"$shardIndexDir/results"
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    rm(new java.io.File(outDir)) // the query owns its results sink
-    val q = shardFps(docs).writeStream
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        val sb = batch.sparkSession
-        val b = batch.persist()
-        try {
-          val bytes = java.nio.file.Files.readAllBytes(bloomPath)
-          val cur = indexFps(sb).persist()
-          val mightHit =
-            if (bytes.isEmpty) lit(false) else bloomMight(bytes, col("fp"))
-          val seen = b.where(mightHit).join(cur, Seq("fp"), "left_semi")
-            .select("doc_id").withColumn("seen", lit(true))
-          b.select("doc_id").join(seen, Seq("doc_id"), "left")
-            .selectExpr("doc_id", "coalesce(seen, false) as seen")
-            .write.mode("append").parquet(outDir)
-          val fresh = b.select("fp").distinct()
-            .join(cur, Seq("fp"), "left_anti").persist()
-          val freshRow =
-            fresh.agg(expr(s"bloom_agg(fp, $bloomItems, $bloomBits)").as("bf")).head()
-          if (!freshRow.isNullAt(0)) {
-            fresh.write.mode("append").parquet(s"$shardIndexDir/fps/incoming")
-            import org.apache.spark.util.sketch.BloomFilter
-            def read(x: Array[Byte]) =
-              BloomFilter.readFrom(new java.io.ByteArrayInputStream(x))
-            val add = read(freshRow.getAs[Array[Byte]](0))
-            val merged =
-              if (bytes.isEmpty) add
-              else { val m = read(bytes); m.mergeInPlace(add); m }
-            val bo = new java.io.ByteArrayOutputStream()
-            merged.writeTo(bo)
-            val tmp = bloomPath.resolveSibling("bloom.bin.tmp")
-            java.nio.file.Files.write(tmp, bo.toByteArray)
-            java.nio.file.Files.move(tmp, bloomPath,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          }
-          fresh.unpersist()
-          cur.unpersist()
-          () // foreachBatch wants Unit; unpersist returns the frame
-        } finally b.unpersist()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    if (!q.awaitTermination(300000)) {
-      q.stop()
-      throw new IllegalStateException("stream12 did not drain within 300s")
-    }
-    s.read.parquet(outDir)
-  }
 }

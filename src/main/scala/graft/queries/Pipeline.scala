@@ -15,6 +15,8 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  import PipelineKernels._
+
   private val toks = "split(text, ' ')"
 
   /** md5-derived percentile bucket of a doc id ∈ [0, 100) — the
@@ -1055,7 +1057,7 @@ object Pipeline {
           (r.getInt(0).toLong, r.getInt(1).toLong, r.getLong(2))
         }
         val w = (hi - lo) / 128 + 1
-        val shard = graft.queries.Dedup.shardDocs(docs)
+        val shard = graft.queries.DedupKernels.shardDocs(docs)
           .selectExpr("length(text) as n_chars")
         driftFinish(lenHist(base, lo, w), lenHist(shard, lo, w), nb, shard.count())
       },
@@ -1381,124 +1383,4 @@ object Pipeline {
                            ELSE 'unchanged' END) != 'unchanged'"""))
   )
 
-  // ── drift machinery shared by p19 (one-shot batch) and stream21
-  // (maintained shard-histogram artifact + streaming fold) ──
-
-  /** Clamped 128-bucket length histogram against FROZEN baseline
-    * constants (lo, w) — (b, cnt), ≤128 rows at any input size.
-    * Works on batch and streaming frames (stateless projection +
-    * keyed partial agg). */
-  private[graft] def lenHist(x: org.apache.spark.sql.DataFrame,
-      lo: Long, w: Long): org.apache.spark.sql.DataFrame =
-    x.selectExpr(s"least(127L, greatest(0L, (n_chars - $lo) div $w)) as b")
-      .groupBy("b").agg(count(lit(1)).as("cnt"))
-
-  /** p19's finish over two bucket-count frames: per-bucket shares,
-    * deltas, and the integer total-variation distance + alarm. */
-  private[graft] def driftFinish(baseH: org.apache.spark.sql.DataFrame,
-      shardH: org.apache.spark.sql.DataFrame, nb: Long,
-      ns: Long): org.apache.spark.sql.DataFrame = {
-    val grid = baseH.selectExpr("b", s"cnt * 10000 div $nb as base_bp")
-      .join(shardH.selectExpr("b", s"cnt * 10000 div $ns as shard_bp"),
-        Seq("b"), "full_outer")
-      .selectExpr("b", "coalesce(base_bp, 0L) as base_bp",
-        "coalesce(shard_bp, 0L) as shard_bp")
-      .withColumn("delta_bp", abs(col("base_bp") - col("shard_bp")))
-    val tv = grid.agg((sum("delta_bp") / 2).cast("long").as("tv_bp"))
-    grid.crossJoin(broadcast(tv))
-      .selectExpr("b", "base_bp", "shard_bp", "delta_bp", "tv_bp",
-        "tv_bp >= 1000 as drifted")
-  }
-
-  /** stream21: fold each arriving micro-batch's shard histogram into
-    * the persisted (b, cnt) artifact by counter-wise ADD — counts of
-    * a disjoint union are the sum of counts (the d21 merge algebra
-    * in streaming form, the same template as stream16/17), so the
-    * maintained histogram equals the batch rebuild regardless of
-    * batch boundaries. Artifact ≤128 rows at any corpus size; swap
-    * is write-tmp + rename. */
-  private[graft] def histArtifactDir: String = java.nio.file.Paths.get(
-    System.getProperty("java.io.tmpdir"), "graft-drift-hist").toString
-
-  private[graft] def histStream(s: org.apache.spark.sql.SparkSession,
-      lens: org.apache.spark.sql.DataFrame, lo: Long,
-      w: Long): org.apache.spark.sql.DataFrame = {
-    graft.streaming.ArtifactFold.fold(s, lens, histArtifactDir,
-        "hist") { (batch, prior) =>
-      val bh = lenHist(batch, lo, w)
-      prior.fold(bh)(bh.unionByName(_)
-        .groupBy("b").agg(sum("cnt").as("cnt")))
-    }
-  }
-
-  /** stream22: fold each arriving micro-batch into the maintained
-    * BOTTOM-K SAMPLE artifact — bottom-k of a union is the bottom-k
-    * of per-part bottom-k's (p14's mergeable order-statistics
-    * algebra, the stream16/17 artifact template's fifth instance):
-    * per batch, take the batch's own bottom-100 by the deterministic
-    * tag, union the persisted sample, and keep the 100 smallest —
-    * so the maintained sample is ALWAYS a uniform exact-100 sample
-    * of everything that has arrived, at ≤100 rows of state and
-    * O(batch) fold cost regardless of corpus size. The swap is
-    * write-tmp + rename, one small PUT per batch. */
-  private[graft] def sampleArtifactDir: String = java.nio.file.Paths.get(
-    System.getProperty("java.io.tmpdir"), "graft-bottomk-sample").toString
-
-  private[graft] def sampleStream(s: org.apache.spark.sql.SparkSession,
-      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    graft.functions.Hashing.register(s)
-    val tagged = docs.selectExpr("doc_id", "lang", "source",
-      s"${graft.functions.Hashing.h32Sql("concat('smp:', doc_id)")} as tag")
-    graft.streaming.ArtifactFold.fold(s, tagged, sampleArtifactDir,
-        "sample") { (batch, prior) =>
-      val bk = batch.orderBy(col("tag"), col("doc_id")).limit(100)
-      prior.fold(bk)(bk.unionByName(_)
-        .orderBy(col("tag"), col("doc_id")).limit(100))
-    }
-  }
-
-  /** p19's oracle, shared verbatim by stream21: the artifact-served
-    * streaming drift report must reproduce the batch answer. */
-  private[graft] lazy val driftOracle: String =
-    s"""WITH base AS (SELECT length(text) AS n_chars FROM documents),
-        r AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi, count(*) AS n FROM base),
-        hw AS (SELECT lo, n, (hi - lo) // 128 + 1 AS w FROM r),
-        shard AS (SELECT length(CASE WHEN ${graft.functions.Hashing.duck32("'shard:' || doc_id")} % 100 < 10
-                                     THEN text ELSE text || ' v2' END) AS n_chars
-                  FROM documents
-                  WHERE ${graft.functions.Hashing.duck32("'shard:' || doc_id")} % 100 < 20),
-        nb AS (SELECT count(*) AS nb FROM base),
-        ns AS (SELECT count(*) AS ns FROM shard),
-        hb AS (SELECT least(127, greatest(0, (n_chars - lo) // w)) AS b,
-                      count(*) AS cnt
-               FROM base CROSS JOIN hw GROUP BY 1),
-        hs AS (SELECT least(127, greatest(0, (n_chars - lo) // w)) AS b,
-                      count(*) AS cnt
-               FROM shard CROSS JOIN hw GROUP BY 1),
-        g AS (SELECT coalesce(hb.b, hs.b) AS b,
-                     coalesce(hb.cnt * 10000 // nb, 0) AS base_bp,
-                     coalesce(hs.cnt * 10000 // ns, 0) AS shard_bp
-              FROM hb FULL OUTER JOIN hs ON hs.b = hb.b
-              CROSS JOIN nb CROSS JOIN ns),
-        tv AS (SELECT CAST(sum(abs(base_bp - shard_bp)) / 2 AS BIGINT) AS tv_bp FROM g)
-        SELECT CAST(b AS BIGINT) AS b, CAST(base_bp AS BIGINT) AS base_bp,
-               CAST(shard_bp AS BIGINT) AS shard_bp,
-               CAST(abs(base_bp - shard_bp) AS BIGINT) AS delta_bp,
-               tv_bp, tv_bp >= 1000 AS drifted
-        FROM g CROSS JOIN tv"""
-
-  /** c08's canary registry: (suite, canary GUID). Deterministic
-    * literals standing in for the GUIDs real eval suites embed. */
-  private[graft] lazy val canarySuites = Seq(
-    ("mmlu_stub", "canary-3f8a1c2e-77d2-4f6b-9b1a-bench-mmlu"),
-    ("gsm_stub", "canary-9d41b7aa-0c3e-4e55-8f20-bench-gsm"),
-    ("held_out", "canary-5e2c90fd-6a11-4b77-a3dd-bench-heldout"))
-
-  /** c08's planted leaked docs (ids clear of the corpus and the d14
-    * shard range): two mmlu leaks at different positions, one gsm
-    * leak; held_out stays clean by design. */
-  private[graft] lazy val plantedLeaks = Seq(
-    (2000001L, s"prefix text ${canarySuites(0)._2} suffix text"),
-    (2000002L, s"${canarySuites(0)._2} at document start"),
-    (2000003L, s"document ending with ${canarySuites(1)._2}"))
 }

@@ -68,6 +68,54 @@ object ZipSource {
     }
   }
 
+  /** Staged re-chunking — the DEFLATE escape hatch made a real code
+    * path (SURVEY §2.1 S1; the ceiling is documented on
+    * [[ZipLinesSource]]): a DEFLATE stream has no random access, so a
+    * huge compressed member is inherently ONE decompression stream.
+    * This pays that single pass exactly once — re-writing the member
+    * as plain uncompressed text on scratch storage — after which
+    * every scan goes wide via ordinary Hadoop line-aligned splits
+    * (`maxPartitionBytes`), and the expensive work (typing, parsing,
+    * joins, geometry) runs at full cluster width. Staging is
+    * fingerprint-keyed on the archive's (mtime, length) via
+    * [[graft.Staged]]: a changed archive re-stages, an unchanged one
+    * never pays the pass again, and a concurrent JVM sees either
+    * nothing or the atomically-published artifact. The staged text is
+    * UTF-8 regardless of the member's source encoding (memberLines
+    * already decoded), so even non-ASCII-compatible members become
+    * splittable — strictly better than the streaming fallback.
+    *
+    * Returns the directory of staged line files. */
+  def stagedMemberDir(spark: SparkSession, zipPath: String, member: String,
+      encoding: String = "UTF-8", scratchRoot: Option[String] = None): String = {
+    def safe(s: String) = s.replaceAll("[^A-Za-z0-9._-]", "_")
+    val root = scratchRoot.getOrElse(new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft-zipstage").toString)
+    val dir = new java.io.File(
+      new java.io.File(root, safe(zipPath)), safe(member)).toString
+    val p = new Path(zipPath)
+    val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p)
+    graft.Staged.ensure(dir, s"${st.getModificationTime}-${st.getLen}") {
+      memberLines(spark, zipPath, member, encoding)
+        .write.mode("overwrite").text(s"$dir/lines")
+    }
+    s"$dir/lines"
+  }
+
+  /** The staged member's lines as a WIDE dataset (Hadoop text splits;
+    * partition 0 starts at byte 0, so header-first-line consumers —
+    * RegexCsv, SnifferCsv — see the same line order as the stream). */
+  def stagedLines(spark: SparkSession, zipPath: String, member: String,
+      encoding: String = "UTF-8"): Dataset[String] =
+    spark.read.textFile(stagedMemberDir(spark, zipPath, member, encoding))
+
+  /** CSV scan of a DwC-A layer through the staged re-chunk — same
+    * typing as [[readLayer]], wide parse. */
+  def readLayerStaged(spark: SparkSession, zipPath: String, layer: DwcaLayer): DataFrame =
+    SnifferCsv.readLines(spark,
+      stagedLines(spark, zipPath, layer.location, layer.encoding), layer.sepLiteral,
+      coreSampleCheck = !layer.isExtension)
+
   /** CSV scan of a DwC-A layer straight out of the archive — same
     * DuckDB-parity typing as the extracted path
     * (see DwcaConvert.readLayer), no staging. */

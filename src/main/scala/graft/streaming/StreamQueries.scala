@@ -137,17 +137,17 @@ object StreamQueries {
 
     // streaming PQ index ingestion (append): arriving vectors encode
     // map-only against the literal codebook TRAINED offline on the
-    // batch corpus ([[graft.queries.Similarity.trainedPqCodebook]],
+    // batch corpus ([[graft.queries.SimilarityKernels.trainedPqCodebook]],
     // the s13 trainer — one semantics, two tiers); stateless, 8 code
     // bytes per vector leave the stream. Codes cross the gate as a
     // comma string (driver fingerprint cannot hash array cells).
     "stream09_pq_encode" -> Q(
       (s, d) => {
         graft.functions.Hashing.register(s)
-        val cb = graft.queries.Similarity.trainedPqCodebook(
+        val cb = graft.queries.SimilarityKernels.trainedPqCodebook(
           graft.Tables(s, d, "embeddings").select("vec_id", "embedding"))
         drain(s,
-          graft.queries.Similarity.pqEncode(EventStreams.embeddingsStream(s, d), cb)
+          graft.queries.SimilarityKernels.pqEncode(EventStreams.embeddingsStream(s, d), cb)
             .selectExpr("vec_id",
               "array_join(transform(codes, x -> cast(x as string)), ',') as codes"),
           "g_stream09", mode = "append")
@@ -160,7 +160,7 @@ object StreamQueries {
         s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
             sub AS (SELECT vec_id, s, embedding[s*8+1:s*8+8] AS sv
                     FROM e, LATERAL (SELECT unnest(generate_series(0, 7)) AS s) g),
-            ${graft.queries.Similarity.duckTrainedCbSql},
+            ${graft.queries.SimilarityKernels.duckTrainedCbSql},
             codes AS (SELECT vec_id, s, j AS code FROM (
                         SELECT sub.vec_id, sub.s, cb.j,
                                row_number() OVER (PARTITION BY sub.vec_id, sub.s
@@ -193,12 +193,12 @@ object StreamQueries {
       (s, d) => {
         import org.apache.spark.sql.functions.col
         graft.functions.Hashing.register(s)
-        val Sim = graft.queries.Similarity
+        val Sim = graft.queries.SimilarityKernels
         val batch = graft.Tables(s, d, "embeddings")
           .selectExpr("vec_id", "embedding", "vnorm(embedding) as nrm")
-        val cents = Sim.lloydCents(batch, Sim.ivfSeeds(batch), Sim.ivfIters)
+        val cents = Sim.lloydCents(batch, Sim.ivfSeeds(batch), graft.queries.Similarity.ivfIters)
         val rf = Sim.residualFrame(batch, cents)
-        val cb = Sim.pqCodebookTrained(rf, Sim.pqIters)
+        val cb = Sim.pqCodebookTrained(rf, graft.queries.Similarity.pqIters)
         val codes = Sim.pqEncode(rf, cb, keep = Seq("cell"))
           .select(col("vec_id").as("cand_id"), col("cell"), col("codes"))
         val probes = Sim.pqProbeTablesRes(
@@ -212,7 +212,7 @@ object StreamQueries {
           "g_stream10", mode = "complete")
       },
       // the streaming serve must reproduce the batch ADC stage's answer
-      Some(graft.queries.Similarity.duckIvfAdcSql)),
+      Some(graft.queries.SimilarityKernels.duckIvfAdcSql)),
 
     // incremental shard dedup against the MAINTAINED bloom index —
     // d14's streaming twin (same oracle: `seen` is corpus-membership,
@@ -226,10 +226,10 @@ object StreamQueries {
       (s, d) => {
         graft.functions.Hashing.register(s)
         val Dd = graft.queries.Dedup
-        Dd.shardIndexBuild(s, Dd.corpusFps(graft.Tables(s, d, "documents")))
-        Dd.shardDedupStream(s, EventStreams.docsStream(s, d))
+        graft.queries.DedupKernels.shardIndexBuild(s, graft.queries.DedupKernels.corpusFps(graft.Tables(s, d, "documents")))
+        graft.queries.DedupKernels.shardDedupStream(s, EventStreams.docsStream(s, d))
       },
-      Some(graft.queries.Dedup.d14Oracle)),
+      Some(graft.queries.DedupKernels.d14Oracle)),
 
     // ── APPEND-mode watermark semantics, pinned exactly: late-data
     // DROP and watermark-close emission — the part of Structured
@@ -470,13 +470,13 @@ object StreamQueries {
       (s, d) => {
         graft.functions.Hashing.register(s)
         val Dd = graft.queries.Dedup
-        val reg = Dd.hllStream(s, EventStreams.docsStream(s, d))
-        val exact = Dd.hllItems(graft.Tables(s, d, "documents"))
+        val reg = graft.queries.DedupKernels.hllStream(s, EventStreams.docsStream(s, d))
+        val exact = graft.queries.DedupKernels.hllItems(graft.Tables(s, d, "documents"))
           .groupBy("source")
           .agg(countDistinct("h").as("exact_distinct"))
-        Dd.hllFinish(reg, exact)
+        graft.queries.DedupKernels.hllFinish(reg, exact)
       },
-      Some(graft.queries.Dedup.d19Oracle)),
+      Some(graft.queries.DedupKernels.d19Oracle)),
 
     // ── stream17: streaming Count-Min maintenance — t23's sketch as
     // a MAINTAINED artifact: each micro-batch's 4×1024 counters fold
@@ -605,7 +605,7 @@ object StreamQueries {
       (s, d) => {
         import org.apache.spark.sql.functions.{count, lit, max, min}
         graft.functions.Hashing.register(s)
-        val P = graft.queries.Pipeline
+        val P = graft.queries.PipelineKernels
         val base = graft.Tables(s, d, "documents")
           .selectExpr("length(text) as n_chars")
         val r = base.agg(min("n_chars").as("lo"), max("n_chars").as("hi"),
@@ -613,12 +613,12 @@ object StreamQueries {
         val (lo, nb) = (r.getInt(0).toLong, r.getLong(2))
         val w = (r.getInt(1).toLong - lo) / 128 + 1
         val shardH = P.histStream(s,
-          graft.queries.Dedup.shardDocs(EventStreams.docsStream(s, d))
+          graft.queries.DedupKernels.shardDocs(EventStreams.docsStream(s, d))
             .selectExpr("length(text) as n_chars"), lo, w)
         val ns = shardH.agg(org.apache.spark.sql.functions.sum("cnt")).head.getLong(0)
         P.driftFinish(P.lenHist(base, lo, w), shardH, nb, ns)
       },
-      Some(graft.queries.Pipeline.driftOracle)),
+      Some(graft.queries.PipelineKernels.driftOracle)),
 
     // ── stream22: streaming SAMPLE maintenance — p14's exact-100
     // bottom-k-hash sample as a MAINTAINED artifact: each arriving
@@ -631,7 +631,7 @@ object StreamQueries {
     // everything seen so far, at ≤100 rows of state. StreamingSpec
     // proves the 3-chop fold equals the one-shot batch sample. ──
     "stream22_sample_maintain" -> Q(
-      (s, d) => graft.queries.Pipeline
+      (s, d) => graft.queries.PipelineKernels
         .sampleStream(s, EventStreams.docsStream(s, d))
         .select("doc_id", "lang", "source", "tag"),
       graft.queries.Pipeline.all("p14_bottomk_sample").oracle),
@@ -724,10 +724,33 @@ object StreamQueries {
         val schema = s.read.parquet(stage).schema
         val arriving = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).parquet(stage)
-        graft.queries.Pipeline.sampleStream(s, arriving)
+        graft.queries.PipelineKernels.sampleStream(s, arriving)
           .select("doc_id", "lang", "source", "tag")
       },
       graft.queries.Pipeline.all("p14_bottomk_sample").oracle),
+
+    // ── stream27: ARCHIVE arrival — the reference's RQ job queue
+    // (`resources.py:46-75`, workers scaled by `docker-compose.yml:
+    // 28-30`) as a Structured Streaming file source: catalog entries
+    // (resource_id, version, url) land one file per micro-batch, and
+    // every arrival runs the FULL conversion body (fetch → convert →
+    // versioned+latest zstd write → GeoParquet footer) through the
+    // same ConvertJob.run the batch fleet uses. The checkpointed
+    // file-source seen-set turns RQ's at-least-once delivery into
+    // exactly-once conversion end to end (StreamingSpec pins restart
+    // + incremental-arrival semantics); the gate replays dwca11's
+    // per-archive oracles — intake tier must be invisible to
+    // results. ──
+    "stream27_archive_arrival" -> Q(
+      (s, _) => {
+        val F = graft.dwca.FleetFixture
+        val cat = F.stageCatalog(s, "catalog-gate")
+        val outBase = F.freshOutBase("out-stream27")
+        val res = graft.dwca.ConvertJob.runArrivals(s, cat, s"$cat-ckpt", outBase)
+        require(res.values.forall(_ == "ran"), s"arrival statuses: $res")
+        graft.dwca.DwcaQueries.fleetUnion(s, outBase)
+      },
+      Some(graft.dwca.DwcaQueries.fleetOracle)),
 
     "stream25_geo_probe" -> Q(
       (s, d) => geoProbeStream(s, d, EventStreams.customersStream(s, d),

@@ -382,7 +382,7 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val corpus = graft.Tables(spark, sf, "documents")
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> shingles(r.getString(1))).toMap
-    val shard = Dedup.shardDocs(graft.Tables(spark, sf, "documents"))
+    val shard = DedupKernels.shardDocs(graft.Tables(spark, sf, "documents"))
       .collect().map(r => r.getLong(0) -> shingles(r.getString(1))).toMap
     def jac(a: Set[String], b: Set[String]): Double =
       if (a.isEmpty || b.isEmpty) 0.0
@@ -447,10 +447,10 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val oneShotRng = x.agg(min("n_chars").as("lo"), max("n_chars").as("hi"),
       count(lit(1)).as("n"))
     assert(mergedRng.head === oneShotRng.head, "extents merge != rebuild")
-    val oneShot = Dedup.histBuckets(x.select("n_chars"), oneShotRng)
+    val oneShot = DedupKernels.histBuckets(x.select("n_chars"), oneShotRng)
       .collect().map(r => r.getAs[Long]("b") -> r.getAs[Long]("cnt")).toMap
     val folded = (0 until 3)
-      .map(c => Dedup.histBuckets(
+      .map(c => DedupKernels.histBuckets(
         x.where(s"doc_id % 3 = $c").select("n_chars"), mergedRng)
         .collect().map(r => r.getAs[Long]("b") -> r.getAs[Long]("cnt")).toMap)
       .reduce((a, b) => (a.keySet ++ b.keySet)
@@ -552,8 +552,8 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     graft.functions.Hashing.register(spark)
     val five = Seq("src0", "src1")
     import org.apache.spark.sql.functions._
-    val pooled = Dedup.hllEst(
-      Dedup.hllRegisters(Dedup.hllItems(
+    val pooled = DedupKernels.hllEst(
+      DedupKernels.hllRegisters(DedupKernels.hllItems(
         graft.Tables(spark, sf01, "documents")
           .where(col("source").isin(five: _*))
           .withColumn("source", lit("pool")))),

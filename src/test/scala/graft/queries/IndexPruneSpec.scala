@@ -28,14 +28,14 @@ class IndexPruneSpec extends AnyFunSuite with SparkTestBase {
     graft.functions.Hashing.register(spark)
     val e = graft.Tables(spark, sf, "embeddings")
       .selectExpr("vec_id", "embedding", "vnorm(embedding) as nrm")
-    Similarity.ivfPqBuild(spark, e)
-    val served = Similarity.ivfPqServe(spark, e.where("vec_id < 10"))
+    SimilarityKernels.ivfPqBuild(spark, e)
+    val served = SimilarityKernels.ivfPqServe(spark, e.where("vec_id < 10"))
 
     // the router's cell resolution, recomputed the way build trained it
-    val cents = Similarity.lloydCents(e, Similarity.ivfSeeds(e), Similarity.ivfIters)
-    val probed = Similarity.probeCells(e.where("vec_id < 10"), cents, 2)
+    val cents = SimilarityKernels.lloydCents(e, SimilarityKernels.ivfSeeds(e), Similarity.ivfIters)
+    val probed = SimilarityKernels.probeCells(e.where("vec_id < 10"), cents, 2)
       .select("cell").distinct().collect().map(_.getLong(0)).toSet
-    val ix = Similarity.ivfPqIndexDir
+    val ix = SimilarityKernels.ivfPqIndexDir
     val totalCells = new java.io.File(s"$ix/postings")
       .listFiles().count(_.getName.startsWith("cell="))
     // precondition, or the pruning assertion proves nothing
@@ -62,7 +62,7 @@ class IndexPruneSpec extends AnyFunSuite with SparkTestBase {
     // read from a full-index read. (Note an expression-only filter
     // over the partition column — even `cell % 16 IN (...)` — still
     // prunes statically; only losing the filter entirely regresses.)
-    val pc = Similarity.probeCells(e.where("vec_id < 10"), cents, 2)
+    val pc = SimilarityKernels.probeCells(e.where("vec_id < 10"), cents, 2)
     val broken = org.apache.spark.sql.functions.broadcast(pc)
       .join(spark.read.parquet(s"$ix/postings")
         .withColumn("cell", col("cell").cast("bigint")), "cell")

@@ -404,7 +404,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     // clean-corpus evidence: without the planted union, every suite
     // is all-clear (a GUID cannot occur in the synthetic corpus)
     import spark.implicits._
-    val litArr = Pipeline.canarySuites.map { case (su, c) =>
+    val litArr = PipelineKernels.canarySuites.map { case (su, c) =>
       s"named_struct('suite', '$su', 'c', '$c')"
     }.mkString("array(", ", ", ")")
     val cleanHits = graft.Tables(spark, sf, "documents")

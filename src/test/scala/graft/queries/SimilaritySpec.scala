@@ -120,9 +120,9 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
     val e = pts.toDF("vec_id", "embedding")
       .selectExpr("vec_id", "embedding", "vnorm(embedding) as nrm")
-    val fit2 = Similarity.kmeansFit(e, 3, 2).collect()
+    val fit2 = SimilarityKernels.kmeansFit(e, 3, 2).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val fit3 = Similarity.kmeansFit(e, 3, 3).collect()
+    val fit3 = SimilarityKernels.kmeansFit(e, 3, 3).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fit3 === fit2, "assignments must be a fixed point")
     (0 until 60).foreach { i =>
@@ -134,7 +134,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     graft.functions.Hashing.register(spark)
     val emb = graft.Tables(spark, sf, "embeddings")
       .selectExpr("vec_id", "embedding", "vnorm(embedding) as nrm")
-    val step = Similarity.kmeansStep(emb, Similarity.kmeansSeed(emb, 8))
+    val step = SimilarityKernels.kmeansStep(emb, SimilarityKernels.kmeansSeed(emb, 8))
       .collect()
     val n = graft.Tables(spark, sf, "embeddings").count()
     val bySize = step.map(r => r.getLong(0) -> r.getLong(1)).distinct
@@ -145,9 +145,9 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
   test("pq encoding: seeds self-encode, codes are in range, ADC favors the planted twin") {
     graft.functions.Hashing.register(spark)
     val e = graft.Tables(spark, sf, "embeddings").select("vec_id", "embedding")
-    val cb = Similarity.pqCodebook(e)
+    val cb = SimilarityKernels.pqCodebook(e)
     assert(cb.length === 8 && cb.forall(s => s.length === 16 && s.forall(_.length === 8)))
-    val codes = Similarity.pqEncode(e, cb).collect()
+    val codes = SimilarityKernels.pqEncode(e, cb).collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     codes.values.foreach(cs => assert(cs.length === 8 && cs.forall(c => c >= 0 && c < 16)))
     // a codebook seed's subvectors are its own codewords: d2 = 0 exactly
@@ -161,8 +161,8 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
   test("r9 trained PQ codebook strictly reduces quantization error vs the seed codebook") {
     graft.functions.Hashing.register(spark)
     val e = graft.Tables(spark, sf, "embeddings").select("vec_id", "embedding")
-    val seedErr = Similarity.pqQuantError(e, Similarity.pqCodebook(e))
-    val trainedErr = Similarity.pqQuantError(e, Similarity.trainedPqCodebook(e))
+    val seedErr = SimilarityKernels.pqQuantError(e, SimilarityKernels.pqCodebook(e))
+    val trainedErr = SimilarityKernels.pqQuantError(e, SimilarityKernels.trainedPqCodebook(e))
     assert(trainedErr < seedErr,
       s"Lloyd training must descend the quantization objective: $trainedErr !< $seedErr")
   }
@@ -171,9 +171,9 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     graft.functions.Hashing.register(spark)
     val e = graft.Tables(spark, sf, "embeddings")
       .selectExpr("vec_id", "embedding", "vnorm(embedding) as nrm")
-    val (seeds, trained) = Similarity.coarseCents(e)
-    val before = Similarity.coarseObjective(e, seeds)
-    val after = Similarity.coarseObjective(e, trained)
+    val (seeds, trained) = SimilarityKernels.coarseCents(e)
+    val before = SimilarityKernels.coarseObjective(e, seeds)
+    val after = SimilarityKernels.coarseObjective(e, trained)
     assert(after > before,
       s"coarse training must tighten cells: $after !> $before")
   }
@@ -288,15 +288,15 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
   test("s14 IVFADC+R: exact re-rank lifts recall@3 above the raw ADC shortlist floor") {
     graft.functions.Hashing.register(spark)
     import org.apache.spark.sql.functions.{broadcast, col}
-    val Sim = Similarity
+    val Sim = SimilarityKernels
     val e = graft.Tables(spark, sf, "embeddings")
       .selectExpr("vec_id", "embedding", "vnorm(embedding) as nrm").cache()
-    val exact = Sim.windowTopk(spark, sf, 3)
+    val exact = Similarity.windowTopk(spark, sf, 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // the ADC stage alone (s13 minus the re-rank), top-3
-    val cents = Sim.lloydCents(e, Sim.ivfSeeds(e), Sim.ivfIters)
+    val cents = Sim.lloydCents(e, Sim.ivfSeeds(e), Similarity.ivfIters)
     val rf = Sim.residualFrame(e, cents)
-    val cb = Sim.pqCodebookTrained(rf, Sim.pqIters)
+    val cb = Sim.pqCodebookTrained(rf, Similarity.pqIters)
     val codes = Sim.pqEncode(rf, cb, keep = Seq("cell"))
       .select(col("vec_id").as("cand_id"), col("cell"), col("codes"))
     val probes = e.where("vec_id < 10")
@@ -315,7 +315,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(rerankHits >= adcHits,
       s"re-ranking a superset shortlist cannot lose recall: $rerankHits !>= $adcHits")
     assert(rerankHits > adcHits,
-      s"the R=${Sim.rerankR} refine must lift recall on this corpus: $rerankHits !> $adcHits")
+      s"the R=${Similarity.rerankR} refine must lift recall on this corpus: $rerankHits !> $adcHits")
   }
 
   test("s19 index delete: no tombstoned id survives, deletion genuinely backfills answers") {
@@ -422,18 +422,18 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     graft.functions.Hashing.register(spark)
     val e = graft.Tables(spark, sf, "embeddings")
       .selectExpr("vec_id", "embedding", "vnorm(embedding) as nrm").cache()
-    val cents = Similarity.lloydCents(e, Similarity.ivfSeeds(e), Similarity.ivfIters)
-    val rf = Similarity.residualFrame(e, cents)
-    val cb = Similarity.pqCodebookTrained(rf, Similarity.pqIters)
+    val cents = SimilarityKernels.lloydCents(e, SimilarityKernels.ivfSeeds(e), Similarity.ivfIters)
+    val rf = SimilarityKernels.residualFrame(e, cents)
+    val cb = SimilarityKernels.pqCodebookTrained(rf, Similarity.pqIters)
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toString).toSet
-    val oneShot = rows(Similarity.pqEncode(rf, cb, keep = Seq("cell"))
+    val oneShot = rows(SimilarityKernels.pqEncode(rf, cb, keep = Seq("cell"))
       .select("vec_id", "cell", "codes"))
     val incremental = rows(
-      Similarity.pqEncode(Similarity.residualFrame(e.where("vec_id < 400"), cents), cb, keep = Seq("cell"))
+      SimilarityKernels.pqEncode(SimilarityKernels.residualFrame(e.where("vec_id < 400"), cents), cb, keep = Seq("cell"))
         .select("vec_id", "cell", "codes")
-        .unionByName(Similarity.pqEncode(
-          Similarity.residualFrame(e.where("vec_id >= 400"), cents), cb, keep = Seq("cell"))
+        .unionByName(SimilarityKernels.pqEncode(
+          SimilarityKernels.residualFrame(e.where("vec_id >= 400"), cents), cb, keep = Seq("cell"))
           .select("vec_id", "cell", "codes")))
     assert(incremental === oneShot,
       "per-shard encode against frozen heads diverged from the one-shot index")
@@ -484,8 +484,8 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val sf01 = "/root/testdata/sf0.01"
     val e = graft.Tables(spark, sf01, "embeddings")
       .selectExpr("vec_id", "embedding", "vnorm(embedding) as nrm").cache()
-    Similarity.ivfPqBuild(spark, e)
-    val ix = Similarity.ivfPqIndexDir
+    SimilarityKernels.ivfPqBuild(spark, e)
+    val ix = SimilarityKernels.ivfPqIndexDir
     val before = spark.read.parquet(s"$ix/postings")
       .select("cand_id", "cell").collect()
       .map(r => r.getLong(0) -> r.get(1).asInstanceOf[Number].longValue).toMap
@@ -500,7 +500,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
         .map(f => f.getAbsolutePath -> ((f.length, f.lastModified))).toMap
     }
     val snapBefore = snapshot()
-    val affected = Similarity.compactIndex(spark, victims.toDF("cand_id"))
+    val affected = SimilarityKernels.compactIndex(spark, victims.toDF("cand_id"))
     assert(affected === victimCells, "compaction touched cells the tombstones don't live in")
     // untouched cells' files are byte-frozen
     val snapAfter = snapshot()

@@ -13,7 +13,7 @@ class StreamShardDedupSpec extends AnyFunSuite with SparkTestBase {
   private val Dd = graft.queries.Dedup
 
   private def bloomBytes: Array[Byte] = java.nio.file.Files.readAllBytes(
-    java.nio.file.Paths.get(Dd.shardIndexDir, "bloom", "bloom.bin"))
+    java.nio.file.Paths.get(graft.queries.DedupKernels.shardIndexDir, "bloom", "bloom.bin"))
 
   test("stream12: multi-batch arrival equals d14; the index absorbs novelties; re-stream sees everything") {
     graft.functions.Hashing.register(spark)
@@ -31,9 +31,9 @@ class StreamShardDedupSpec extends AnyFunSuite with SparkTestBase {
     def chopped() = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(stage)
 
-    Dd.shardIndexBuild(spark, Dd.corpusFps(docs))
+    graft.queries.DedupKernels.shardIndexBuild(spark, graft.queries.DedupKernels.corpusFps(docs))
     val before = bloomBytes
-    val got = Dd.shardDedupStream(spark, chopped())
+    val got = graft.queries.DedupKernels.shardDedupStream(spark, chopped())
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(got === expected, "multi-batch streaming answer diverged from the batch twin")
 
@@ -41,14 +41,14 @@ class StreamShardDedupSpec extends AnyFunSuite with SparkTestBase {
     // each once (cross-batch dedup of the appends), and the bloom
     // artifact really changed
     val novel = expected.count(!_._2)
-    val inc = spark.read.parquet(s"${Dd.shardIndexDir}/fps/incoming")
+    val inc = spark.read.parquet(s"${graft.queries.DedupKernels.shardIndexDir}/fps/incoming")
     assert(inc.count() === novel)
     assert(inc.distinct().count() === novel)
     assert(!java.util.Arrays.equals(before, bloomBytes), "bloom artifact never updated")
 
     // re-streaming the same shard against the UPDATED index: every
     // previously-novel fp is now seen — the incremental-dedup payoff
-    val again = Dd.shardDedupStream(spark, chopped())
+    val again = graft.queries.DedupKernels.shardDedupStream(spark, chopped())
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(again.keySet === expected.keySet)
     assert(again.values.forall(identity),
@@ -56,8 +56,8 @@ class StreamShardDedupSpec extends AnyFunSuite with SparkTestBase {
 
     // batch-boundary invariance: the whole shard in ONE batch gives
     // the identical answer from a fresh index
-    Dd.shardIndexBuild(spark, Dd.corpusFps(docs))
-    val one = Dd.shardDedupStream(spark,
+    graft.queries.DedupKernels.shardIndexBuild(spark, graft.queries.DedupKernels.corpusFps(docs))
+    val one = graft.queries.DedupKernels.shardDedupStream(spark,
         spark.readStream.schema(schema).parquet(stage))
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(one === expected)

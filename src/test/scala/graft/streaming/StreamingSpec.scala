@@ -297,8 +297,8 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     // mode re-emits the merged result
     graft.functions.Hashing.register(spark)
     val e = graft.Tables(spark, sf, "embeddings").select("vec_id", "embedding")
-    val cb = graft.queries.Similarity.trainedPqCodebook(e)
-    val codes = graft.queries.Similarity.pqEncode(e, cb)
+    val cb = graft.queries.SimilarityKernels.trainedPqCodebook(e)
+    val codes = graft.queries.SimilarityKernels.pqEncode(e, cb)
       .selectExpr("vec_id as cand_id", "codes")
     val probesB = e.where("vec_id < 6")
     val dir = java.nio.file.Files.createTempDirectory("graft-annmb").toString
@@ -310,12 +310,12 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     def rowsOf(df: org.apache.spark.sql.DataFrame) = df
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     val got = rowsOf(runToMemory(
-      graft.queries.Similarity.adcTopk(
-        graft.queries.Similarity.pqProbeTables(src, cb)
+      graft.queries.SimilarityKernels.adcTopk(
+        graft.queries.SimilarityKernels.pqProbeTables(src, cb)
           .join(codes, org.apache.spark.sql.functions.expr("cand_id != probe_id")), 3),
       "t_ann_mb", mode = "complete"))
-    val want = rowsOf(graft.queries.Similarity.adcTopk(
-      graft.queries.Similarity.pqProbeTables(probesB, cb)
+    val want = rowsOf(graft.queries.SimilarityKernels.adcTopk(
+      graft.queries.SimilarityKernels.pqProbeTables(probesB, cb)
         .join(codes, org.apache.spark.sql.functions.expr("cand_id != probe_id")), 3))
     assert(got === want, "micro-batching changed the search results")
     assert(got.size === 18, "6 probes x top-3")
@@ -326,7 +326,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     // cannot change any vector's codes
     graft.functions.Hashing.register(spark)
     val e = graft.Tables(spark, sf, "embeddings").select("vec_id", "embedding")
-    val cb = graft.queries.Similarity.pqCodebook(e)
+    val cb = graft.queries.SimilarityKernels.pqCodebook(e)
     val dir = java.nio.file.Files.createTempDirectory("graft-pqmb").toString
     e.where("vec_id % 2 = 0").coalesce(1).write.mode("append").parquet(dir)
     Thread.sleep(1100) // file-source orders batches by mtime
@@ -337,7 +337,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       .selectExpr("vec_id", "array_join(transform(codes, x -> cast(x as string)), ',') as c")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val got = {
-      val out = graft.queries.Similarity.pqEncode(src, cb)
+      val out = graft.queries.SimilarityKernels.pqEncode(src, cb)
       val q = out.writeStream.format("memory").queryName("t_pq_mb")
         .outputMode("append").trigger(
           org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
@@ -349,7 +349,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       }
       codesOf(spark.table("t_pq_mb"))
     }
-    val want = codesOf(graft.queries.Similarity.pqEncode(e, cb))
+    val want = codesOf(graft.queries.SimilarityKernels.pqEncode(e, cb))
     assert(got === want, "micro-batching changed the encoding")
     assert(got.nonEmpty)
   }
@@ -622,15 +622,15 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     def regSet(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("bucket"),
         r.getAs[Int]("m_rho"))).toSet
-    val streamed = Dd.hllStream(spark, chopped)
+    val streamed = graft.queries.DedupKernels.hllStream(spark, chopped)
     val streamedSet = regSet(streamed)
-    assert(streamedSet === regSet(Dd.hllRegisters(Dd.hllItems(docs))),
+    assert(streamedSet === regSet(graft.queries.DedupKernels.hllRegisters(graft.queries.DedupKernels.hllItems(docs))),
       "3-batch folded registers diverged from the one-shot sketch")
     assert(streamedSet.nonEmpty)
     // and the artifact-served finish equals d19's batch answer
-    val exact = Dd.hllItems(docs).groupBy("source")
+    val exact = graft.queries.DedupKernels.hllItems(docs).groupBy("source")
       .agg(countDistinct("h").as("exact_distinct"))
-    val fromArtifact = Dd.hllFinish(streamed, exact)
+    val fromArtifact = graft.queries.DedupKernels.hllFinish(streamed, exact)
       .collect().map(_.toString).sorted
     val batch = Dd.all("d19_hll_cardinality").fn(spark, sf01)
       .collect().map(_.toString).sorted
@@ -648,7 +648,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val schema = spark.read.parquet(stage).schema
     val chopped = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(stage)
-    val streamed = graft.queries.Pipeline.sampleStream(spark, chopped)
+    val streamed = graft.queries.PipelineKernels.sampleStream(spark, chopped)
       .select("doc_id", "lang", "source", "tag")
       .collect().map(_.toString).sorted
     val batch = graft.queries.Pipeline.all("p14_bottomk_sample").fn(spark, sf01)
@@ -854,8 +854,8 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     // shard equals the one-shot histogram (the merge algebra itself)
     import org.apache.spark.sql.functions.sum
     graft.functions.Hashing.register(spark)
-    val P = graft.queries.Pipeline
-    val shard = graft.queries.Dedup.shardDocs(graft.Tables(spark, sf01, "documents"))
+    val P = graft.queries.PipelineKernels
+    val shard = graft.queries.DedupKernels.shardDocs(graft.Tables(spark, sf01, "documents"))
       .selectExpr("doc_id", "length(text) as n_chars").cache()
     val oneShot = P.lenHist(shard, 40, 5).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
