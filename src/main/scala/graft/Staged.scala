@@ -9,42 +9,73 @@ package graft
   * stale artifact (the marker CARRIES max-mtime+size of the source,
   * mismatch → rebuild), and a concurrent JVM could observe a
   * half-built artifact as ready (the marker is published by ATOMIC
-  * rename after the build completes).
+  * rename after the build completes, and the whole
+  * check-wipe-build-publish sequence runs under an exclusive
+  * inter-process FileLock on a sibling lockfile, so two builders
+  * serialize instead of interleaving deletes with each other's
+  * builds).
   */
 object Staged {
 
-  /** max(mtime)-sum(size) over the given files/directories. */
+  /** max(mtime)-sum(size) over the given files/directories. Fails
+    * fast on a missing path or an empty walk — a nonexistent corpus
+    * must not fingerprint equal to another nonexistent corpus. */
   def fingerprint(paths: String*): String = {
+    require(paths.nonEmpty, "Staged.fingerprint: no paths given")
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-    val fs = paths.flatMap(p => walk(new java.io.File(p)))
+    val fs = paths.flatMap { p =>
+      val f = new java.io.File(p)
+      require(f.exists(), s"Staged.fingerprint: path does not exist: $p")
+      walk(f)
+    }
+    require(fs.nonEmpty,
+      s"Staged.fingerprint: no files under ${paths.mkString(", ")}")
     s"${fs.map(_.lastModified).max}-${fs.map(_.length).sum}"
+  }
+
+  private def markerMatches(root: String, fp: String): Boolean = {
+    val marker = new java.io.File(root, "_READY")
+    marker.exists() && {
+      val src = scala.io.Source.fromFile(marker)
+      try src.mkString.trim == fp finally src.close()
+    }
   }
 
   /** Ensure `root` holds the artifact `build` produces for source
     * fingerprint `fp`; returns `root`. Stale or absent → wipe and
-    * rebuild. */
+    * rebuild, serialized across processes by a FileLock on a sibling
+    * `<root>.lock` (same filesystem, so the lock survives the wipe).
+    * The fast path (marker matches) takes no lock. */
   def ensure(root: String, fp: String)(build: => Unit): String = {
-    val marker = new java.io.File(root, "_READY")
-    val ready = marker.exists() && {
-      val src = scala.io.Source.fromFile(marker)
-      try src.mkString.trim == fp finally src.close()
-    }
-    if (!ready) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(new java.io.File(root))
-      new java.io.File(root).mkdirs()
-      build
-      val tmp = java.nio.file.Paths.get(root,
-        s"_READY.tmp.${ProcessHandle.current().pid()}")
-      java.nio.file.Files.write(tmp, fp.getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp, marker.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    if (markerMatches(root, fp)) return root
+    val lockFile = new java.io.File(root + ".lock")
+    Option(lockFile.getParentFile).foreach(_.mkdirs())
+    val ch = java.nio.channels.FileChannel.open(
+      lockFile.toPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock = ch.lock() // blocks until the other builder finishes
+      try {
+        // Re-check under the lock: the winner may have built it.
+        if (!markerMatches(root, fp)) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(new java.io.File(root))
+          new java.io.File(root).mkdirs()
+          build
+          val tmp = java.nio.file.Paths.get(root,
+            s"_READY.tmp.${ProcessHandle.current().pid()}")
+          java.nio.file.Files.write(tmp, fp.getBytes("UTF-8"))
+          java.nio.file.Files.move(tmp, new java.io.File(root, "_READY").toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      } finally lock.release()
+    } finally ch.close()
     root
   }
 }

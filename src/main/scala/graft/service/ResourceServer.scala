@@ -89,15 +89,20 @@ final class ResourceServer(
   /** Chain `r` after the stripe's current tail (FIFO within a stripe,
     * any free worker across stripes). handleAsync, not thenRun: a
     * fatal error in one job must not starve the stripe forever. */
-  private def submitStriped(stripe: String, r: Runnable): Unit =
-    stripeTails.compute(stripe, (_, prev) => {
+  private def submitStriped(stripe: String, r: Runnable): Unit = {
+    val next = stripeTails.compute(stripe, (_, prev) => {
       val base =
         if (prev == null) java.util.concurrent.CompletableFuture.completedFuture[Void](null)
         else prev
-      val next = base.handleAsync[Void]((_, _) => { r.run(); null }, worker)
-      next.whenComplete((_, _) => stripeTails.remove(stripe, next))
-      next
+      base.handleAsync[Void]((_, _) => { r.run(); null }, worker)
     })
+    // Cleanup is registered OUTSIDE compute: whenComplete may run
+    // synchronously on this thread if the job already finished, and
+    // mutating the same CHM mapping from inside its own remapping
+    // function is forbidden by the ConcurrentHashMap contract.
+    // remove(stripe, next) is a no-op if a newer tail replaced us.
+    next.whenComplete((_, _) => stripeTails.remove(stripe, next))
+  }
   private val jobSeq = new AtomicLong(0)
   private val jobs = new ConcurrentHashMap[String, String]()
   // Insertion order for age-out; ConcurrentHashMap has none of its own.

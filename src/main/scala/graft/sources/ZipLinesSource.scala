@@ -50,6 +50,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - Non-ASCII-compatible encodings (where '\n' is not the single
   *    byte 0x0A) and encrypted/descriptor-flagged entries fall back
   *    to the streaming reader.
+  *
+  * Integrity: the streaming (per-member) reader goes through
+  * `ZipInputStream`, which verifies each entry's CRC32 at entry end —
+  * a corrupt archive throws. Range partitions read STORED bytes raw
+  * and CANNOT check the member CRC (it covers the whole member; no
+  * single split sees all of it), so a corrupt stored member returns
+  * wrong rows silently where the streaming path would throw. Set
+  * `stored.verify.crc=true` to trade the parallelism back for the
+  * check: stored members then stay unsplit on the CRC-validating
+  * streaming path.
   */
 class ZipLinesSource extends TableProvider {
 
@@ -62,8 +72,18 @@ class ZipLinesSource extends TableProvider {
       Option(properties.get("path")).getOrElse(
         throw new IllegalArgumentException("option 'path' (zip location) is required")),
       Option(properties.get("encoding")).getOrElse("UTF-8"),
-      Option(properties.get("stored.split.bytes"))
-        .map(_.toLong).getOrElse(32L * 1024 * 1024))
+      Option(properties.get("stored.split.bytes")).map { s =>
+        val v =
+          try s.toLong
+          catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"option 'stored.split.bytes' must be a positive integer, got '$s'")
+          }
+        if (v <= 0) throw new IllegalArgumentException(
+          s"option 'stored.split.bytes' must be > 0, got $v")
+        v
+      }.getOrElse(32L * 1024 * 1024),
+      Option(properties.get("stored.verify.crc")).exists(_.toBoolean))
 }
 
 object ZipLinesSource {
@@ -72,7 +92,8 @@ object ZipLinesSource {
     StructField("line", StringType, nullable = false)))
 }
 
-private class ZipLinesTable(path: String, encoding: String, splitBytes: Long)
+private class ZipLinesTable(path: String, encoding: String, splitBytes: Long,
+    verifyCrc: Boolean)
     extends Table with SupportsRead {
   override def name(): String = s"zip:$path"
   override def schema(): StructType = ZipLinesSource.schema
@@ -89,7 +110,7 @@ private class ZipLinesTable(path: String, encoding: String, splitBytes: Long)
       .sparkContext.hadoopConfiguration.iterator().asScala
       .map(e => e.getKey -> e.getValue)
       .filter(_._1.startsWith("fs.")).toMap
-    new ZipLinesScanBuilder(path, encoding, splitBytes, fsConf)
+    new ZipLinesScanBuilder(path, encoding, splitBytes, verifyCrc, fsConf)
   }
 }
 
@@ -102,7 +123,7 @@ private object ZipLinesSourceConf {
 }
 
 private class ZipLinesScanBuilder(path: String, encoding: String, splitBytes: Long,
-    fsConf: Map[String, String])
+    verifyCrc: Boolean, fsConf: Map[String, String])
     extends ScanBuilder with SupportsPushDownFilters {
 
   private var memberEq: Option[String] = None
@@ -121,7 +142,7 @@ private class ZipLinesScanBuilder(path: String, encoding: String, splitBytes: Lo
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new ZipLinesScan(path, encoding, splitBytes, memberEq, fsConf)
+    new ZipLinesScan(path, encoding, splitBytes, verifyCrc, memberEq, fsConf)
 }
 
 private case class ZipMemberPartition(member: String) extends InputPartition
@@ -135,7 +156,7 @@ private case class ZipRangePartition(member: String, localOff: Long,
     start: Long, end: Long, usize: Long) extends InputPartition
 
 private class ZipLinesScan(path: String, encoding: String, splitBytes: Long,
-    memberEq: Option[String], fsConf: Map[String, String])
+    verifyCrc: Boolean, memberEq: Option[String], fsConf: Map[String, String])
     extends Scan with Batch {
   override def readSchema(): StructType = ZipLinesSource.schema
   override def toBatch: Batch = this
@@ -214,7 +235,7 @@ private class ZipLinesScan(path: String, encoding: String, splitBytes: Long,
     * STORED members larger than one split fan out into range
     * partitions; everything else is one streaming partition. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val splittable = asciiCompatible
+    val splittable = asciiCompatible && !verifyCrc
     centralDirectory() match {
       case Some(entries) =>
         entries

@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Staged — the marker-gated staging helper behind the serve-style
+  * bench artifacts. Pins the failure modes the helper exists to
+  * close: missing/empty sources must not fingerprint, and concurrent
+  * builders must serialize (one build, one published marker) instead
+  * of interleaving wipes with each other's builds.
+  */
+class StagedSpec extends AnyFunSuite {
+
+  test("fingerprint fails fast on a missing path, an empty dir, and no paths") {
+    intercept[IllegalArgumentException](Staged.fingerprint())
+    intercept[IllegalArgumentException](
+      Staged.fingerprint("/nonexistent/graft/corpus"))
+    val empty = Files.createTempDirectory("graft-staged-empty")
+    intercept[IllegalArgumentException](Staged.fingerprint(empty.toString))
+  }
+
+  test("fingerprint moves when the source changes") {
+    val dir = Files.createTempDirectory("graft-staged-fp")
+    val f = dir.resolve("a.txt")
+    Files.write(f, "one".getBytes)
+    val fp1 = Staged.fingerprint(dir.toString)
+    Files.write(f, "longer".getBytes)
+    assert(f.toFile.setLastModified(f.toFile.lastModified() + 2000))
+    assert(Staged.fingerprint(dir.toString) !== fp1)
+  }
+
+  test("concurrent ensure serializes: one build, both callers see the artifact") {
+    val dir = Files.createTempDirectory("graft-staged-conc")
+    val root = dir.resolve("artifact").toString
+    val builds = new AtomicInteger(0)
+    def once(): String = Staged.ensure(root, "fp-1") {
+      builds.incrementAndGet()
+      Thread.sleep(200) // widen the race window
+      Files.write(java.nio.file.Paths.get(root, "data.bin"), "payload".getBytes)
+    }
+    val threads = (1 to 4).map(_ => new Thread(() => once()))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(builds.get() === 1, s"expected one build, got ${builds.get()}")
+    assert(new java.io.File(root, "data.bin").exists())
+    assert(new java.io.File(root, "_READY").exists())
+    // stale fingerprint -> exactly one rebuild even under contention
+    val threads2 = (1 to 4).map(_ => new Thread(() =>
+      Staged.ensure(root, "fp-2") {
+        builds.incrementAndGet()
+        Files.write(java.nio.file.Paths.get(root, "data.bin"), "v2".getBytes)
+      }))
+    threads2.foreach(_.start()); threads2.foreach(_.join())
+    assert(builds.get() === 2, s"expected one rebuild, got ${builds.get() - 1}")
+    assert(new String(Files.readAllBytes(
+      java.nio.file.Paths.get(root, "data.bin"))) === "v2")
+  }
+}

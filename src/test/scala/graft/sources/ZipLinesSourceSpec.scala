@@ -73,6 +73,48 @@ class ZipLinesSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(one.select("line").collect().map(_.getString(0)).sorted.toSeq === got.sorted.toSeq)
   }
 
+  test("stored.verify.crc routes stored members to the CRC-checking streaming reader") {
+    import java.util.zip.{CRC32, ZipEntry, ZipOutputStream}
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-zipcrc")
+    val zip = dir.resolve("stored.zip")
+    val lines = (1 to 4000).map(i => s"r$i")
+    val bytes = (lines.mkString("\n") + "\n").getBytes("UTF-8")
+    val zos = new ZipOutputStream(Files.newOutputStream(zip))
+    val se = new ZipEntry("core.txt")
+    se.setMethod(ZipEntry.STORED)
+    se.setSize(bytes.length.toLong)
+    se.setCompressedSize(bytes.length.toLong)
+    val crc = new CRC32(); crc.update(bytes); se.setCrc(crc.getValue)
+    zos.putNextEntry(se); zos.write(bytes); zos.closeEntry(); zos.close()
+
+    def read(verify: Boolean) = spark.read
+      .format("graft.sources.ZipLinesSource")
+      .option("path", zip.toString)
+      .option("stored.split.bytes", "4096")
+      .option("stored.verify.crc", verify.toString)
+      .load().where("member = 'core.txt'")
+
+    assert(read(verify = false).rdd.getNumPartitions > 1) // splits by default
+    val verified = read(verify = true)
+    assert(verified.rdd.getNumPartitions === 1) // unsplit => CRC path
+    assert(verified.count() === 4000)
+  }
+
+  test("stored.split.bytes rejects non-positive and non-numeric values by name") {
+    def read(v: String) = spark.read
+      .format("graft.sources.ZipLinesSource")
+      .option("path", DwcaQueries.fixtureZip)
+      .option("stored.split.bytes", v)
+      .load().count()
+    val zero = intercept[Exception](read("0"))
+    assert(zero.getMessage.contains("stored.split.bytes"), zero.getMessage)
+    val neg = intercept[Exception](read("-5"))
+    assert(neg.getMessage.contains("stored.split.bytes"), neg.getMessage)
+    val junk = intercept[Exception](read("lots"))
+    assert(junk.getMessage.contains("stored.split.bytes"), junk.getMessage)
+  }
+
   test("agrees with the mapPartitions zip scan") {
     val meta = graft.dwca.DwcaMeta.fromZip(DwcaQueries.fixtureZip)
     val viaDsv2 = zipDf.where(s"member = '${meta.core.location}'")
