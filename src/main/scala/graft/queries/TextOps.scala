@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.CacheScope.PersistScopedOps
-import graft.{Q, Tables}
+import graft.{Det, Q, Tables}
 import graft.functions.Hashing
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1198,7 +1198,42 @@ object TextOps {
               SELECT CAST(rank AS BIGINT) AS rank, tok,
                      CAST(freq AS BIGINT) AS freq,
                      CAST(f1 * 10000 // (rank * freq) AS BIGINT) AS zipf_ratio_bp
-              FROM t CROSS JOIN m"""))
+              FROM t CROSS JOIN m""")),
+
+    // ── t30: PER-DOC TOKEN ENTROPY — the lexical-diversity signal a
+    // quality filter reads next to t14's Gopher rules: Shannon
+    // entropy of the doc's token distribution, H = -Σ p·ln p,
+    // computed as ln(dl) - Σ tf·ln(tf) / dl so the tf frame is
+    // consumed in ONE aggregate (no per-token division, no second
+    // pass). Low H = repetitive/boilerplate text (SEO spam, log
+    // dumps); H = ln(n_types) when every token is distinct. The
+    // float sum crosses engines through Det's order-independent
+    // decimal aggregate and the entropy publishes as a %.6f string
+    // (t07's convention — Java's and DuckDB's ln agree far inside
+    // six decimals). Scale shape: the shared termFreqs frame does
+    // the scan+explode+partial-agg once; everything after is one
+    // doc-keyed agg with map-side partials — no join, no window,
+    // nothing corpus-global. ──
+    "t30_token_entropy" -> Q(
+      (s, d) => {
+        val tf = termFreqs(s, d)
+        tf.groupBy("doc_id")
+          .agg(sum("tf").as("n_toks"),
+            count(lit(1)).as("n_types"),
+            Det.dsum(expr("tf * ln(tf)"), 6).as("stl"))
+          .selectExpr("doc_id", "n_toks", "n_types",
+            "printf('%.6f', ln(n_toks) - stl / n_toks) as entropy")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                          FROM documents),
+               tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+               g AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks,
+                            CAST(count(*) AS BIGINT) AS n_types,
+                            ${Det.sqlSum("tf * ln(tf)", 6)} AS stl
+                     FROM tf GROUP BY doc_id)
+               SELECT doc_id, n_toks, n_types,
+                      printf('%.6f', ln(n_toks) - stl / n_toks) AS entropy
+               FROM g"""))
   )
 
   // ── Count-Min machinery shared by t23 (one-shot batch) and

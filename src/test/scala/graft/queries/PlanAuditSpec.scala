@@ -57,6 +57,7 @@ class PlanAuditSpec extends AnyFunSuite with graft.SparkTestBase {
     "t27_heaps_curve", // cumulative curve over the 10-row decile frame
     "p22_mixture_weights", // largest-remainder rank over the ≤|langs| weight frame
     "t29_zipf_rankfreq", // rank window over the top-100 AFTER TakeOrderedAndProject
+    "p24_dsir_resample", // rank window over the top-100 AFTER TakeOrderedAndProject
     "s29_hybrid_rrf") // arm-rank + fused-rank windows, all over post-top-50
       // shortlists (≤100 rows) — the corpus prune is the TakeOrdered
       // below them, plan-guarded in PlanShapeSpec

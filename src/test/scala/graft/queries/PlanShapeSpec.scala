@@ -269,4 +269,24 @@ class PlanShapeSpec extends AnyFunSuite with graft.SparkTestBase {
     val bnl = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
     assert(bnl.size <= 2 && bnl.forall(_.contains("BuildRight")), p)
   }
+
+  test("p24 DSIR: broadcast λ-join on the bucket key, Gumbel top-k via TakeOrderedAndProject") {
+    val p = planOf("p24_dsir_resample")
+    // the 1024-row λ table joins the feature stream broadcast — the
+    // corpus side must never sort-merge or shuffle for that join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // the resample is a bounded top-k, never a global sort of the corpus
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the only nested-loop is the 1-row totals scalar attach onto the
+    // bounded bucket frame
+    val bnl = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnl.size <= 1, p)
+  }
+
+  test("t30 entropy is one tf pass + one doc-keyed partial agg: no join, no window") {
+    val p = planOf("t30_token_entropy")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(p.contains("partial"), p)
+  }
 }
