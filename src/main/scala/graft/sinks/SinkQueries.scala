@@ -720,7 +720,42 @@ object SinkQueries {
     // DynamicPruningExpression check on the shared dppAgg. ──
     "sink24_dpp_read" -> Q(
       (s, d) => dppAgg(s, dppStaged(s, d), d),
-      Some(dppOracle), bench = true)
+      Some(dppOracle), bench = true),
+
+    // ── sink25: RETENTION VACUUM ([[Sinks.vacuum]]) — the GC half of
+    // the time-travel contract: a copy-on-write table only APPENDS
+    // (sink12), so without retention GC a 100 TB table's history
+    // grows without bound. The lifecycle: base + manifest v1, COW
+    // merge commits v2, then vacuum(keep=1) deletes v1's replaced
+    // files and v1's manifest (manifests first — at every
+    // intermediate state a visible manifest names only live files).
+    // The gate reads the HEAD after GC and its oracle is the plain
+    // merged table: reclaiming history must be invisible to current
+    // readers, which is the entire VACUUM contract. SinksSpec pins
+    // the physical half: replaced files gone, expired manifest gone,
+    // survivors byte-identical, and keep=2 reclaiming nothing. ──
+    "sink25_vacuum" -> Q(
+      (s, d) => {
+        val out = scratch("vacuum")
+        writeBasePartitioned(s, d, out)
+        Sinks.writeManifest(s, out, 1, Sinks.dataFiles(s, out))
+        upsertCow(s, d, out)
+        Sinks.vacuum(s, out, keep = 1)
+        Sinks.readAtVersion(s, out, 2)
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "yr")
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+                                   year(o_orderdate) AS yr FROM orders),
+              chg AS (SELECT o_orderkey, o_custkey, o_orderdate,
+                             o_totalprice + 1000 AS o_totalprice, yr
+                      FROM base WHERE o_orderkey % 37 = 0 AND yr >= 1996
+                      UNION ALL
+                      SELECT o_orderkey + 100000000, o_custkey, o_orderdate,
+                             o_totalprice, yr
+                      FROM base WHERE o_orderkey % 97 = 0 AND yr >= 1996)
+              SELECT * FROM base
+              WHERE o_orderkey NOT IN (SELECT o_orderkey FROM chg)
+              UNION ALL SELECT * FROM chg"""))
   )
 
   /** sink23/sink24's shared oracle: the plain join on the

@@ -163,6 +163,37 @@ object Sinks {
       .unionByName(old.exceptAll(neu).withColumn("action", lit("remove")))
   }
 
+  /** Retention GC over the manifest table (the Delta VACUUM idea):
+    * retain the newest `keep` committed versions, physically delete
+    * every data file referenced by NO retained manifest, and drop
+    * the expired manifest files themselves. Returns the deleted
+    * data-file paths (root-relative, sorted — the reclaim report).
+    *
+    * Ordering is the crash-safety contract: expired MANIFESTS are
+    * deleted FIRST, then the orphaned data files — at every
+    * intermediate state, any manifest [[manifestVersions]] can still
+    * see names only files that still exist. (A reader already inside
+    * an expired version can still lose its files mid-read — the same
+    * retention-horizon caveat Delta's VACUUM documents; the horizon
+    * is the caller's promise, not something GC can check.)
+    *
+    * Scale shape: pure FileSystem-metadata work — one recursive
+    * listing plus driver-side set difference bounded by the manifest
+    * sizes (manifests name FILES, not rows; a 100 TB table is a few
+    * thousand manifest lines) — no executor job, no data read. */
+  def vacuum(spark: SparkSession, dir: String, keep: Int): Seq[String] = {
+    require(keep >= 1, s"vacuum must retain at least one version, got $keep")
+    val vs = manifestVersions(spark, dir)
+    val live = vs.takeRight(keep).flatMap(readManifest(spark, dir, _)).toSet
+    val hfs = fs(spark, new Path(dir))
+    vs.dropRight(keep).foreach { v =>
+      hfs.delete(new Path(dir, s"_manifests/v$v.txt"), false)
+    }
+    val dead = dataFiles(spark, dir).filterNot(live)
+    dead.foreach(f => hfs.delete(new Path(dir, f), false))
+    dead
+  }
+
   // ── write-audit-publish (WAP; sink16): a candidate snapshot is
   // STAGED as `_manifests/staging-<tag>.txt` — a name
   // [[manifestVersions]] cannot see, so readers of the published

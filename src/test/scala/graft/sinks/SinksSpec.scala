@@ -632,4 +632,32 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
       .count(f => f.isDirectory && f.getName.startsWith("ym="))
     assert(allParts > 70, s"expected ~83 month partitions, saw $allParts")
   }
+
+  test("sink25 vacuum: replaced files + expired manifest gone, survivors intact, keep-all reclaims nothing") {
+    val d = "/root/testdata/sf0.001"
+    val out = tmp("vacuum") + "/t"
+    val S = graft.sinks.Sinks
+    SinkQueries.writeBasePartitioned(spark, d, out)
+    S.writeManifest(spark, out, 1, S.dataFiles(spark, out))
+    SinkQueries.upsertCow(spark, d, out)
+    val v1 = S.readManifest(spark, out, 1).toSet
+    val v2 = S.readManifest(spark, out, 2).toSet
+    val headBefore = S.readAtVersion(spark, out, 2)
+      .collect().map(_.toString).sorted
+    // a full-retention vacuum reclaims nothing — every file is referenced
+    assert(S.vacuum(spark, out, keep = 2) === Seq.empty)
+    assert(S.dataFiles(spark, out).toSet === (v1 ++ v2))
+    // keep=1: exactly v1's replaced files die, v1's manifest dies with them
+    val dead = S.vacuum(spark, out, keep = 1)
+    assert(dead.toSet === (v1 -- v2), s"reclaim mismatch: $dead")
+    assert(dead.nonEmpty) // the COW merge really did strand history
+    assert(S.manifestVersions(spark, out) === Seq(2))
+    assert(S.dataFiles(spark, out).toSet === v2)
+    // current readers are untouched by the GC
+    val headAfter = S.readAtVersion(spark, out, 2)
+      .collect().map(_.toString).sorted
+    assert(headAfter === headBefore)
+    // time travel past the horizon now fails loudly, not half-reads
+    intercept[Exception](S.readAtVersion(spark, out, 1).collect())
+  }
 }
