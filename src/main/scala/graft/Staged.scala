@@ -42,13 +42,21 @@ object Staged {
     }
   }
 
+  // Per-root intra-JVM monitor: FileLock alone cannot serialize
+  // threads of ONE JVM — a second thread hitting ch.lock() while this
+  // JVM already holds the lock gets OverlappingFileLockException, not
+  // a wait. Threads serialize on the monitor, processes on the lock.
+  private val monitors = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Ensure `root` holds the artifact `build` produces for source
     * fingerprint `fp`; returns `root`. Stale or absent → wipe and
-    * rebuild, serialized across processes by a FileLock on a sibling
-    * `<root>.lock` (same filesystem, so the lock survives the wipe).
+    * rebuild, serialized across threads by a per-root monitor and
+    * across processes by a FileLock on a sibling `<root>.lock` (a
+    * SIBLING so the lock file survives the wipe of root itself).
     * The fast path (marker matches) takes no lock. */
   def ensure(root: String, fp: String)(build: => Unit): String = {
     if (markerMatches(root, fp)) return root
+    monitors.computeIfAbsent(root, _ => new Object).synchronized {
     val lockFile = new java.io.File(root + ".lock")
     Option(lockFile.getParentFile).foreach(_.mkdirs())
     val ch = java.nio.channels.FileChannel.open(
@@ -76,6 +84,7 @@ object Staged {
         }
       } finally lock.release()
     } finally ch.close()
+    }
     root
   }
 }

@@ -31,27 +31,35 @@ class StagedSpec extends AnyFunSuite {
     assert(Staged.fingerprint(dir.toString) !== fp1)
   }
 
-  test("concurrent ensure serializes: one build, both callers see the artifact") {
+  test("concurrent ensure serializes: one build, every caller returns normally") {
     val dir = Files.createTempDirectory("graft-staged-conc")
     val root = dir.resolve("artifact").toString
     val builds = new AtomicInteger(0)
-    def once(): String = Staged.ensure(root, "fp-1") {
+    // Every thread must RETURN, not die on OverlappingFileLockException
+    // — FileLock alone cannot serialize threads of one JVM, so ensure
+    // layers a per-root monitor in front of it. Collect throwables:
+    // an uncaught exception in a spawned thread would not fail join().
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def race(n: Int)(body: => Unit): Unit = {
+      val threads = (1 to n).map(_ => new Thread(() =>
+        try body catch { case t: Throwable => errors.add(t) }))
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errors.isEmpty, s"ensure threw in a racing thread: ${errors.peek()}")
+    }
+    race(4)(Staged.ensure(root, "fp-1") {
       builds.incrementAndGet()
       Thread.sleep(200) // widen the race window
       Files.write(java.nio.file.Paths.get(root, "data.bin"), "payload".getBytes)
-    }
-    val threads = (1 to 4).map(_ => new Thread(() => once()))
-    threads.foreach(_.start()); threads.foreach(_.join())
+    })
     assert(builds.get() === 1, s"expected one build, got ${builds.get()}")
     assert(new java.io.File(root, "data.bin").exists())
     assert(new java.io.File(root, "_READY").exists())
     // stale fingerprint -> exactly one rebuild even under contention
-    val threads2 = (1 to 4).map(_ => new Thread(() =>
-      Staged.ensure(root, "fp-2") {
-        builds.incrementAndGet()
-        Files.write(java.nio.file.Paths.get(root, "data.bin"), "v2".getBytes)
-      }))
-    threads2.foreach(_.start()); threads2.foreach(_.join())
+    race(4)(Staged.ensure(root, "fp-2") {
+      builds.incrementAndGet()
+      Thread.sleep(100)
+      Files.write(java.nio.file.Paths.get(root, "data.bin"), "v2".getBytes)
+    })
     assert(builds.get() === 2, s"expected one rebuild, got ${builds.get() - 1}")
     assert(new String(Files.readAllBytes(
       java.nio.file.Paths.get(root, "data.bin"))) === "v2")
