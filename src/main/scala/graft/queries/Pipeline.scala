@@ -1383,7 +1383,48 @@ object Pipeline {
                WHERE (CASE WHEN fp2 IS NULL THEN 'removed'
                            WHEN fp1 IS NULL THEN 'added'
                            WHEN fp1 != fp2 THEN 'changed'
-                           ELSE 'unchanged' END) != 'unchanged'"""))
+                           ELSE 'unchanged' END) != 'unchanged'""")),
+
+    // ── p25: K-ANONYMITY / L-DIVERSITY AUDIT (Sweeney 2002;
+    // Machanavajjhala et al. 2007) — the privacy-risk gate a corpus
+    // release runs over its structured side tables: under the
+    // quasi-identifier generalization (nation, segment, $1000
+    // balance band), which equivalence classes are re-identifiable
+    // (size < k) or homogeneous (fewer than l distinct sensitive
+    // values — the background-knowledge attack k alone misses)?
+    // Published as the violating classes with their size, sensitive
+    // diversity, and which rule(s) failed. All-integer: balances
+    // band and compare in exact cents, so both engines agree
+    // bit-for-bit. Scale shape: ONE quasi-id-keyed aggregate with
+    // map-side partials (the distinct-sensitive count partial-aggs
+    // per class before the exchange); output is bounded by the
+    // violating classes, never the table. ──
+    "p25_kanon_audit" -> Q(
+      (s, d) => {
+        val (k, l) = (5, 2)
+        Tables(s, d, "customer")
+          .selectExpr("c_nationkey", "c_mktsegment",
+            "cast(round(c_acctbal * 100) as bigint) div 100000 as bal_band",
+            "cast(round(c_acctbal * 100) as bigint) as bal_c")
+          .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+          .agg(count(lit(1)).as("n"), countDistinct("bal_c").as("l_sens"))
+          .where(s"n < $k or l_sens < $l")
+          .selectExpr("c_nationkey", "c_mktsegment", "bal_band", "n", "l_sens",
+            s"""case when n < $k and l_sens < $l then 'kl'
+                     when n < $k then 'k' else 'l' end as viol""")
+      },
+      Some("""WITH g AS (SELECT c_nationkey, c_mktsegment,
+                                CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS bal_band,
+                                CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+                         FROM customer),
+              cls AS (SELECT c_nationkey, c_mktsegment, bal_band,
+                             count(*) AS n,
+                             CAST(count(DISTINCT bal_c) AS BIGINT) AS l_sens
+                      FROM g GROUP BY 1, 2, 3)
+              SELECT c_nationkey, c_mktsegment, bal_band, n, l_sens,
+                     CASE WHEN n < 5 AND l_sens < 2 THEN 'kl'
+                          WHEN n < 5 THEN 'k' ELSE 'l' END AS viol
+              FROM cls WHERE n < 5 OR l_sens < 2"""))
   )
 
   /** DSIR — Data Selection via Importance Resampling (Xie et al.,
