@@ -1431,7 +1431,7 @@ object Pipeline {
     * NeurIPS 2023): pick raw-corpus documents that look like a target
     * domain by importance weights over HASHED N-GRAM buckets, then
     * Gumbel-top-k resample ∝ exp(weight). Registered as
-    * [[dsirResample]] below; the target here is the `lang='en'`
+    * [[dsirEntry]] below; the target here is the `lang='en'`
     * slice standing in for the paper's high-quality target corpus.
     *
     * Cross-engine determinism: bucket log-ratios are single `ln`
@@ -1451,41 +1451,20 @@ object Pipeline {
     * one doc-keyed agg; the resample is a TakeOrderedAndProject
     * top-k, never a global sort. Nothing corpus-global ever leaves
     * the executors except the 1024-row sketch. */
-  private[queries] val dsirK = 100
-
   private[queries] val dsirEntry: (String, Q) =
     "p24_dsir_resample" -> Q(
       (s, d) => {
         graft.functions.Hashing.register(s)
-        // one row per (doc, distinct uni/bigram), bucketed to 1024
-        val feats = Tables(s, d, "documents")
-          .selectExpr("doc_id", "lang",
-            s"explode(concat(hashed_shingles($toks, 1), hashed_shingles($toks, 2))) as g")
-          .selectExpr("doc_id", "lang", "g % 1024 as b")
-          .persistScoped()
-        val buckets = feats.groupBy("b").agg(
-          count(lit(1)).as("raw_n"),
-          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tgt_n"))
-          .persistScoped()
-        val tots = buckets.agg(sum("raw_n").as("raw_tot"), sum("tgt_n").as("tgt_tot"))
-        val lam = buckets.crossJoin(broadcast(tots))
-          .selectExpr("b",
-            """ln((tgt_n + 1.0) / (tgt_tot + 1024.0))
-               - ln((raw_n + 1.0) / (raw_tot + 1024.0)) as lam""")
-        val w = feats.join(broadcast(lam), "b")
-          .groupBy("doc_id", "lang")
-          .agg(count(lit(1)).as("n_feats"), Det.dsum(col("lam"), 6).as("w"))
-        val keyed = w.selectExpr("doc_id", "lang", "n_feats",
-          """cast(w + (-ln(-ln((h32(concat('dsir:', cast(doc_id as string))) + 0.5)
-                             / 4294967296.0)))
-             as decimal(38,6)) as skey""")
-        keyed.orderBy(col("skey").desc, col("doc_id")).limit(dsirK)
-          .withColumn("rank", row_number().over(org.apache.spark.sql.expressions
-            .Window.orderBy(col("skey").desc, col("doc_id"))).cast("long"))
-          .selectExpr("rank", "doc_id", "lang", "n_feats",
-            "printf('%.6f', cast(skey as double)) as score")
+        // one row per (doc, distinct uni/bigram), bucketed to 1024;
+        // the bucket sketch, finish, and streaming fold live in
+        // PipelineKernels (shared with stream28's maintained artifact)
+        val feats = dsirFeats(Tables(s, d, "documents")).persistScoped()
+        dsirFinish(dsirBuckets(feats).persistScoped(), feats)
       },
-      Some(s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+      Some(dsirOracle))
+
+  private[graft] lazy val dsirOracle: String =
+    s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS t
                           FROM documents),
                fx AS (SELECT doc_id, lang, unnest(
                         list_transform(list_distinct(t),
@@ -1515,6 +1494,6 @@ object Pipeline {
                SELECT CAST(row_number() OVER (ORDER BY skey DESC, doc_id) AS BIGINT) AS rank,
                       doc_id, lang, CAST(n_feats AS BIGINT) AS n_feats,
                       printf('%.6f', CAST(skey AS DOUBLE)) AS score
-               FROM top"""))
+               FROM top"""
 
 }

@@ -58,6 +58,77 @@ private[graft] object PipelineKernels {
     }
   }
 
+  // ── DSIR machinery shared by p24 (one-shot batch) and stream28
+  // (maintained bucket-count artifact + streaming fold) ──
+
+  private[graft] val dsirK = 100
+
+  /** One row per (doc, distinct uni/bigram), bucketed to 1024 —
+    * DSIR's hashed n-gram feature stream. Works on batch and
+    * streaming frames (stateless explode + codegen'd hash kernel).
+    * Caller must have run [[graft.functions.Hashing.register]]. */
+  private[graft] def dsirFeats(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.selectExpr("doc_id", "lang",
+        "explode(concat(hashed_shingles(split(text, ' '), 1), " +
+          "hashed_shingles(split(text, ' '), 2))) as g")
+      .selectExpr("doc_id", "lang", "g % 1024 as b")
+
+  /** The 1024-row bucket sketch: both sides of the target/raw ratio
+    * in ONE bucket-keyed partial agg (raw_n counts all features,
+    * tgt_n the target slice). Mergeable by counter-wise ADD. */
+  private[graft] def dsirBuckets(feats: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    feats.groupBy("b").agg(
+      count(lit(1)).as("raw_n"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tgt_n"))
+
+  /** Estimator finish shared by p24 and stream28: λ from the bucket
+    * sketch (broadcast — 1024 rows at any corpus size), per-doc
+    * weights via the order-independent decimal sum, md5-derived
+    * Gumbel keys, DECIMAL(38,6) resample key, TakeOrderedAndProject
+    * top-k. */
+  private[graft] def dsirFinish(buckets: org.apache.spark.sql.DataFrame,
+      feats: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tots = buckets.agg(sum("raw_n").as("raw_tot"), sum("tgt_n").as("tgt_tot"))
+    val lam = buckets.crossJoin(broadcast(tots))
+      .selectExpr("b",
+        """ln((tgt_n + 1.0) / (tgt_tot + 1024.0))
+           - ln((raw_n + 1.0) / (raw_tot + 1024.0)) as lam""")
+    val wt = feats.join(broadcast(lam), "b")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_feats"), graft.Det.dsum(col("lam"), 6).as("w"))
+    wt.selectExpr("doc_id", "lang", "n_feats",
+        """cast(w + (-ln(-ln((h32(concat('dsir:', cast(doc_id as string))) + 0.5)
+                           / 4294967296.0)))
+           as decimal(38,6)) as skey""")
+      .orderBy(col("skey").desc, col("doc_id")).limit(dsirK)
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("skey").desc, col("doc_id"))).cast("long"))
+      .selectExpr("rank", "doc_id", "lang", "n_feats",
+        "printf('%.6f', cast(skey as double)) as score")
+  }
+
+  private[graft] def dsirArtifactDir: String = java.nio.file.Paths.get(
+    System.getProperty("java.io.tmpdir"), "graft-dsir-buckets").toString
+
+  /** stream28: fold each arriving micro-batch's bucket counts into
+    * the persisted (b, raw_n, tgt_n) artifact by counter-wise ADD —
+    * counts of a disjoint union are the sum of counts (stream17's
+    * merge≡rebuild algebra), so the maintained sketch equals the
+    * batch rebuild regardless of batch boundaries and the resample
+    * answered FROM THE ARTIFACT reproduces p24 exactly. Artifact
+    * ≤1024 rows at any corpus size; swap is write-tmp + rename. */
+  private[graft] def dsirStream(s: org.apache.spark.sql.SparkSession,
+      feats: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    graft.streaming.ArtifactFold.fold(s, feats, dsirArtifactDir,
+        "buckets") { (batch, prior) =>
+      graft.functions.Hashing.register(batch.sparkSession)
+      val bb = dsirBuckets(batch)
+      prior.fold(bb)(bb.unionByName(_).groupBy("b")
+        .agg(sum("raw_n").as("raw_n"), sum("tgt_n").as("tgt_n")))
+    }
+
   /** stream22: fold each arriving micro-batch into the maintained
     * BOTTOM-K SAMPLE artifact — bottom-k of a union is the bottom-k
     * of per-part bottom-k's (p14's mergeable order-statistics

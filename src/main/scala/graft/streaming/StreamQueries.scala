@@ -771,7 +771,30 @@ object StreamQueries {
                 ON abs(px // 20 - x10 // 20) <= 1
                AND abs(py // 20 - y10 // 20) <= 1
               WHERE (px - x10) * (px - x10)
-                    + (py - y10) * (py - y10) <= 400"""))
+                    + (py - y10) * (py - y10) <= 400""")),
+
+    // ── stream28: streaming DSIR maintenance — p24's bucket sketch
+    // as a MAINTAINED artifact: each arriving micro-batch's hashed
+    // n-gram bucket counts fold into the persisted (b, raw_n, tgt_n)
+    // state by counter-wise ADD (counts of a disjoint union = sum of
+    // counts, stream17's merge≡rebuild algebra), and the importance
+    // resample is answered FROM THE ARTIFACT, pinned to p24's oracle
+    // verbatim — the target-domain selector stays current as the
+    // crawl arrives, with per-batch cost and state bounded by the
+    // 1024-row sketch at any corpus size. The scoring pass runs
+    // post-drain over the static table (the serve side — a
+    // production deployment scores shards against the maintained λ
+    // as they arrive). ──
+    "stream28_dsir_maintain" -> Q(
+      (s, d) => {
+        graft.functions.Hashing.register(s)
+        val PK = graft.queries.PipelineKernels
+        val buckets = PK.dsirStream(s,
+          PK.dsirFeats(EventStreams.docsStream(s, d)))
+        val feats = PK.dsirFeats(graft.Tables(s, d, "documents")).persistScoped()
+        PK.dsirFinish(buckets, feats)
+      },
+      Some(graft.queries.Pipeline.dsirOracle))
   )
 
   /** stream25's probe path over any customer-shaped stream (the

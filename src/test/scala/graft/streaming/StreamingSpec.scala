@@ -637,6 +637,33 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(fromArtifact === batch)
   }
 
+  test("stream28: chopped multi-batch bucket fold equals the one-shot sketch; resample matches p24") {
+    graft.functions.Hashing.register(spark)
+    val PK = graft.queries.PipelineKernels
+    val sf01 = "/root/testdata/sf0.01"
+    val docs = graft.Tables(spark, sf01, "documents")
+    // 3 files, one per micro-batch: ADD-folded bucket counts must
+    // equal the one-shot sketch whatever the doc->batch split
+    val stage = java.nio.file.Files.createTempDirectory("graft-stream28-").toString
+    docs.repartition(3).write.mode("overwrite").parquet(stage)
+    val schema = spark.read.parquet(stage).schema
+    val chopped = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val streamed = PK.dsirStream(spark, PK.dsirFeats(chopped))
+    def sketch(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("b"), r.getAs[Long]("raw_n"), r.getAs[Long]("tgt_n"))).toSet
+    val streamedSet = sketch(streamed)
+    assert(streamedSet === sketch(PK.dsirBuckets(PK.dsirFeats(docs))),
+      "3-batch folded bucket counts diverged from the one-shot sketch")
+    assert(streamedSet.nonEmpty)
+    // and the artifact-served resample equals p24's batch answer
+    val fromArtifact = PK.dsirFinish(streamed, PK.dsirFeats(docs))
+      .collect().map(_.toString).sorted
+    val batch = graft.queries.Pipeline.all("p24_dsir_resample").fn(spark, sf01)
+      .collect().map(_.toString).sorted
+    assert(fromArtifact === batch)
+  }
+
   test("stream22: chopped multi-batch sample fold equals the one-shot bottom-k sample") {
     graft.functions.Hashing.register(spark)
     val sf01 = "/root/testdata/sf0.01"
