@@ -1233,7 +1233,69 @@ object TextOps {
                      FROM tf GROUP BY doc_id)
                SELECT doc_id, n_toks, n_types,
                       printf('%.6f', ln(n_toks) - stl / n_toks) AS entropy
-               FROM g"""))
+               FROM g""")),
+
+    // ── t31: CHECKSUM-VALIDATED PII — the precision upgrade over
+    // t09's regex-only scrub: a 16-digit run is only a payment-card
+    // hit if its Luhn checksum verifies (ISO/IEC 7812), which is how
+    // production scrubbers cut the false-positive flood from order
+    // ids / timestamps / tracking numbers. The synthetic corpus
+    // carries no card numbers, so each doc plants a deterministic
+    // 16-digit candidate — Luhn-VALID when doc_id % 3 = 0, check
+    // digit spoiled (+5 mod 10) otherwise — and the detector must
+    // separate them by re-validating, not by the plant rule. The
+    // Luhn sum is a 16-step higher-order fold (aggregate /
+    // list_transform — identical structure both engines, all-integer,
+    // no UDF). Scale shape: map-only projection, no shuffle, no
+    // corpus-global anything. ──
+    "t31_luhn_pii" -> Q(
+      (s, d) => {
+        def luhn(e: String) =
+          s"""aggregate(sequence(0, 15), 0, (acc, i) -> acc +
+              (case when i % 2 = 1
+                    then if(2 * cast(substring($e, 16 - i, 1) as int) > 9,
+                            2 * cast(substring($e, 16 - i, 1) as int) - 9,
+                            2 * cast(substring($e, 16 - i, 1) as int))
+                    else cast(substring($e, 16 - i, 1) as int) end))"""
+        Tables(s, d, "documents")
+          .selectExpr("doc_id", "text",
+            "lpad(cast((doc_id * 2654435761) % 1000000000000000 as string), 15, '0') as body")
+          .selectExpr("doc_id", "text", "body",
+            s"${luhn("concat(body, '0')")} as s0")
+          .selectExpr("doc_id",
+            """concat(text, ' card ', body,
+                 case when doc_id % 3 = 0 then (10 - s0 % 10) % 10
+                      else ((10 - s0 % 10) % 10 + 5) % 10 end) as raw""")
+          .selectExpr("doc_id", "regexp_extract(raw, '[0-9]{16}', 0) as cand")
+          .selectExpr("doc_id", "cand",
+            s"cast(${luhn("cand")} % 10 = 0 as bigint) as luhn_ok",
+            "cast(doc_id % 3 = 0 as bigint) as planted_ok")
+      },
+      Some {
+        def luhn(e: String) =
+          s"""list_sum(list_transform(generate_series(0, 15), i ->
+              CASE WHEN i % 2 = 1
+                   THEN CASE WHEN 2 * CAST(substr($e, 16 - i, 1) AS INT) > 9
+                             THEN 2 * CAST(substr($e, 16 - i, 1) AS INT) - 9
+                             ELSE 2 * CAST(substr($e, 16 - i, 1) AS INT) END
+                   ELSE CAST(substr($e, 16 - i, 1) AS INT) END))"""
+        s"""WITH b AS (SELECT doc_id, text,
+                              lpad(CAST((doc_id * 2654435761) % 1000000000000000
+                                        AS VARCHAR), 15, '0') AS body
+                       FROM documents),
+            s0 AS (SELECT doc_id, text, body,
+                          ${luhn("(body || '0')")} AS s0 FROM b),
+            r AS (SELECT doc_id,
+                         text || ' card ' || body ||
+                         CASE WHEN doc_id % 3 = 0 THEN (10 - s0 % 10) % 10
+                              ELSE ((10 - s0 % 10) % 10 + 5) % 10 END AS raw
+                  FROM s0),
+            c AS (SELECT doc_id, regexp_extract(raw, '[0-9]{16}', 0) AS cand FROM r)
+            SELECT doc_id, cand,
+                   CAST(${luhn("cand")} % 10 = 0 AS BIGINT) AS luhn_ok,
+                   CAST(doc_id % 3 = 0 AS BIGINT) AS planted_ok
+            FROM c"""
+      })
   )
 
   // ── Count-Min machinery shared by t23 (one-shot batch) and
