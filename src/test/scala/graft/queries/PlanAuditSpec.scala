@@ -58,6 +58,7 @@ class PlanAuditSpec extends AnyFunSuite with graft.SparkTestBase {
     "p22_mixture_weights", // largest-remainder rank over the ≤|langs| weight frame
     "t29_zipf_rankfreq", // rank window over the top-100 AFTER TakeOrderedAndProject
     "p24_dsir_resample", // rank window over the top-100 AFTER TakeOrderedAndProject
+    "stream28_dsir_maintain", // p24's finish over the maintained artifact — same post-limit rank window
     "s29_hybrid_rrf") // arm-rank + fused-rank windows, all over post-top-50
       // shortlists (≤100 rows) — the corpus prune is the TakeOrdered
       // below them, plan-guarded in PlanShapeSpec
