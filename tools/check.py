@@ -38,6 +38,15 @@ def main():
     only = set(sys.argv[3:])
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     con = duckdb.connect()
+    # Bound the oracle's memory and let it SPILL instead of riding the
+    # OOM-killer: g06's label-prop oracle at sf1 materializes a
+    # >100 GB intermediate if left unbounded (the engine side is fine
+    # — this protects the CHECKER). Override via GRAFT_DUCK_MEM.
+    mem = os.environ.get("GRAFT_DUCK_MEM", "48GB")
+    tmp = os.path.join(os.environ.get("TMPDIR", "/tmp"), "graft-duck-spill")
+    os.makedirs(tmp, exist_ok=True)
+    con.sql(f"SET memory_limit='{mem}'")
+    con.sql(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
