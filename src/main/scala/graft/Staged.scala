@@ -42,6 +42,14 @@ object Staged {
     }
   }
 
+  /** Unlocked fast-path probe: exists()-then-read races a concurrent
+    * builder in ANOTHER process wiping root under its FileLock, so an
+    * IO failure here means "not ready, take the locked path", never
+    * an error to surface. */
+  private def markerMatchesQuiet(root: String, fp: String): Boolean =
+    try markerMatches(root, fp)
+    catch { case _: java.io.IOException => false }
+
   // Per-root intra-JVM monitor: FileLock alone cannot serialize
   // threads of ONE JVM — a second thread hitting ch.lock() while this
   // JVM already holds the lock gets OverlappingFileLockException, not
@@ -55,9 +63,15 @@ object Staged {
     * SIBLING so the lock file survives the wipe of root itself).
     * The fast path (marker matches) takes no lock. */
   def ensure(root: String, fp: String)(build: => Unit): String = {
-    if (markerMatches(root, fp)) return root
-    monitors.computeIfAbsent(root, _ => new Object).synchronized {
-    val lockFile = new java.io.File(root + ".lock")
+    if (markerMatchesQuiet(root, fp)) return root
+    // Canonicalize before keying: two spellings of the same directory
+    // (trailing slash, relative vs absolute, ./ segments) must share
+    // ONE monitor and ONE lockfile — distinct keys would let two
+    // threads of this JVM each reach ch.lock() and the second die with
+    // OverlappingFileLockException instead of waiting.
+    val canon = new java.io.File(root).getCanonicalPath
+    monitors.computeIfAbsent(canon, _ => new Object).synchronized {
+    val lockFile = new java.io.File(canon + ".lock")
     Option(lockFile.getParentFile).foreach(_.mkdirs())
     val ch = java.nio.channels.FileChannel.open(
       lockFile.toPath,

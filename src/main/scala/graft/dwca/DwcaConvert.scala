@@ -92,21 +92,41 @@ object DwcaConvert {
     * scratch once ([[graft.sources.ZipSource.stagedMemberDir]]) so the
     * parse/join/geometry work runs at full width — the escape hatch
     * when one huge compressed member would otherwise serialize the
-    * conversion. */
+    * conversion.
+    *
+    * Streamed paths (zipScan, and the regex-separator scan, which
+    * always streams) also AUTO-route any DEFLATE member whose
+    * uncompressed size exceeds `autoStageBytes` through the staged
+    * re-chunk — the 100 TB path needs no manual opt-in; 0 disables.
+    * STORED members never stage (they split by byte range in place),
+    * and the extract path is untouched (it already decompresses to
+    * scratch exactly once). */
   def convert(spark: SparkSession, zipPath: String, mode: GeomMode,
-      zipScan: Boolean = false, staged: Boolean = false): DataFrame = {
+      zipScan: Boolean = false, staged: Boolean = false,
+      autoStageBytes: Long = graft.sources.ZipSource.AutoStageBytes): DataFrame = {
     GeoFunctions.register(spark)
     val meta = DwcaMeta.fromZip(zipPath)
     lazy val dir = extract(zipPath)
+    // one central-directory read routes every layer (None = exotic
+    // archive -> streaming semantics everywhere, same as before)
+    lazy val central: Seq[graft.sources.ZipCentral.Entry] =
+      graft.sources.ZipCentral
+        .entries(spark.sparkContext.hadoopConfiguration, zipPath)
+        .getOrElse(Nil)
+    def autoStage(l: DwcaLayer): Boolean =
+      !staged && autoStageBytes > 0 && central.exists(e =>
+        e.name == l.location && !e.stored && e.usize > autoStageBytes)
     def lines(l: DwcaLayer) =
-      if (staged) graft.sources.ZipSource.stagedLines(spark, zipPath, l.location, l.encoding)
+      if (staged || autoStage(l))
+        graft.sources.ZipSource.stagedLines(spark, zipPath, l.location, l.encoding)
       else graft.sources.ZipSource.memberLines(spark, zipPath, l.location, l.encoding)
     def scan(l: DwcaLayer): DataFrame =
       if (l.sepLiteralOpt.isEmpty)
         // genuine regex separator (dwca.py:19-20): stream the member
         // and split rows by the same regex as the header
         graft.sources.RegexCsv.scan(spark, lines(l), l)
-      else if (staged) graft.sources.ZipSource.readLayerStaged(spark, zipPath, l)
+      else if (staged || (zipScan && autoStage(l)))
+        graft.sources.ZipSource.readLayerStaged(spark, zipPath, l)
       else if (zipScan) graft.sources.ZipSource.readLayer(spark, zipPath, l)
       else readLayer(spark, dir, l)
 

@@ -283,6 +283,40 @@ object DwcaQueries {
       },
       Some(fleetOracle)),
 
+    // ── S10/E3 over a REAL object-store protocol: the fleet
+    // conversion once more, but the SINK side writes and reads
+    // `s3a://` URIs against an in-process loopback S3 server
+    // (path-style REST, keyed-HMAC credentials — the reference's
+    // SECRET, `settings.py:65-80`), with `fs.s3a.impl` bound to the
+    // minimal S3 client (`graft.sources.S3MiniFileSystem`; the
+    // sandbox has no hadoop-aws jar). Every sink operation —
+    // existence probe, multi-part parquet commit renames, footer
+    // patch byte-copies, latest-alias copy, read-back scans — runs
+    // over HTTP object semantics. Same per-archive oracles as
+    // dwca11/12; the union is materialized to local scratch inside
+    // the server's lifetime so the gate result outlives it. ──
+    "dwca14_s3_fleet" -> Q(
+      (s, _) => {
+        FleetFixture.ensure()
+        val local = java.nio.file.Files
+          .createTempDirectory("graft-s3fleet").toString
+        graft.sources.S3Loopback.withServer("graft", "s3gate-secret") { port =>
+          val conf = s.sparkContext.hadoopConfiguration
+          conf.set("fs.s3a.impl", "graft.sources.S3MiniFileSystem")
+          conf.set("fs.s3a.impl.disable.cache", "true")
+          graft.sources.Fetch.configureS3a(s, s"http://127.0.0.1:$port",
+            "graft", "s3gate-secret")
+          val outBase = "s3a://gate/conv"
+          val res = ConvertJob.runCatalog(s, FleetFixture.datasets,
+            FleetFixture.urlOf, outBase)
+          require(res.values.forall(_ == "ran"), s"fleet statuses: $res")
+          fleetUnion(s, outBase).write.mode("overwrite")
+            .parquet(s"$local/union.parquet")
+        }
+        s.read.parquet(s"$local/union.parquet")
+      },
+      Some(fleetOracle)),
+
     // ── engine-faithful conversion: WKB geometry via native ST_* ──
     // DuckDB spatial is unavailable offline, so the oracle is golden
     // VALUES: the WKB hex for each fixture geometry, independently

@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.CacheScope.PersistScopedOps
+import graft.{Det, Q, Tables}
 import org.apache.spark.sql.functions._
 
 /** The pipeline tier's KERNELS below [[Pipeline.all]]'s registry:
@@ -199,4 +201,73 @@ private[graft] object PipelineKernels {
     (2000001L, s"prefix text ${canarySuites(0)._2} suffix text"),
     (2000002L, s"${canarySuites(0)._2} at document start"),
     (2000003L, s"document ending with ${canarySuites(1)._2}"))
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al.,
+    * NeurIPS 2023): pick raw-corpus documents that look like a target
+    * domain by importance weights over HASHED N-GRAM buckets, then
+    * Gumbel-top-k resample ∝ exp(weight). Registered as
+    * [[dsirEntry]] below; the target here is the `lang='en'`
+    * slice standing in for the paper's high-quality target corpus.
+    *
+    * Cross-engine determinism: bucket log-ratios are single `ln`
+    * calls over exact integer ratios (Java and DuckDB agree far
+    * inside 1e-6); the per-doc sum crosses through Det's
+    * order-independent decimal aggregate; the Gumbel noise is
+    * md5-derived (u = (h32('dsir:'||id)+0.5)/2^32, g = -ln(-ln u)) —
+    * a pure function of the doc id, not an RNG; and the resampling
+    * key is rounded to DECIMAL(38,6) before the top-k order so both
+    * engines rank identical values.
+    *
+    * Scale shape: the feature explode is map-side; ONE (bucket)-keyed
+    * partial agg builds the 1024-row bucket table (both sides of the
+    * ratio in one pass — raw_n counts all, tgt_n counts the target
+    * slice); totals fold out of that bounded frame; λ joins back
+    * BROADCAST (1024 rows at any corpus size); the per-doc weight is
+    * one doc-keyed agg; the resample is a TakeOrderedAndProject
+    * top-k, never a global sort. Nothing corpus-global ever leaves
+    * the executors except the 1024-row sketch. */
+  private[graft] val dsirEntry: (String, Q) =
+    "p24_dsir_resample" -> Q(
+      (s, d) => {
+        graft.functions.Hashing.register(s)
+        // one row per (doc, distinct uni/bigram), bucketed to 1024;
+        // the bucket sketch, finish, and streaming fold live in
+        // PipelineKernels (shared with stream28's maintained artifact)
+        val feats = dsirFeats(Tables(s, d, "documents")).persistScoped()
+        dsirFinish(dsirBuckets(feats).persistScoped(), feats)
+      },
+      Some(dsirOracle))
+
+  private[graft] lazy val dsirOracle: String =
+    s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+                          FROM documents),
+               fx AS (SELECT doc_id, lang, unnest(
+                        list_transform(list_distinct(t),
+                          x -> ${graft.functions.Hashing.duck32("x")} % 2147483647)
+                        || list_transform(
+                             list_distinct(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1])),
+                             x -> ${graft.functions.Hashing.duck32("x")} % 2147483647)) AS g
+                      FROM t),
+               f AS (SELECT doc_id, lang, g % 1024 AS b FROM fx),
+               bk AS (SELECT b, count(*) AS raw_n,
+                             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt_n
+                      FROM f GROUP BY b),
+               tots AS (SELECT sum(raw_n) AS raw_tot, sum(tgt_n) AS tgt_tot FROM bk),
+               lam AS (SELECT b, ln((tgt_n + 1.0) / (tgt_tot + 1024.0))
+                               - ln((raw_n + 1.0) / (raw_tot + 1024.0)) AS lam
+                       FROM bk, tots),
+               wt AS (SELECT doc_id, lang, count(*) AS n_feats,
+                             ${Det.sqlSum("lam", 6)} AS w
+                      FROM f JOIN lam USING (b) GROUP BY doc_id, lang),
+               k AS (SELECT doc_id, lang, n_feats,
+                            CAST(w + (-ln(-ln((${graft.functions.Hashing.duck32("'dsir:' || doc_id")} + 0.5)
+                                              / 4294967296.0)))
+                                 AS DECIMAL(38,6)) AS skey
+                     FROM wt),
+               top AS (SELECT * FROM k ORDER BY skey DESC, doc_id LIMIT $dsirK)
+               SELECT CAST(row_number() OVER (ORDER BY skey DESC, doc_id) AS BIGINT) AS rank,
+                      doc_id, lang, CAST(n_feats AS BIGINT) AS n_feats,
+                      printf('%.6f', CAST(skey AS DOUBLE)) AS score
+               FROM top"""
 }

@@ -562,7 +562,7 @@ object SinkQueries {
     // referenced by no version, and vacuum removes exactly them. ──
     "sink16_wap" -> Q(
       (s, d) => {
-        val out = wapRun(s, d)
+        val out = wapRun(s, d)._1
         val latest = Sinks.manifestVersions(s, out).max
         Sinks.readAtVersion(s, out, latest)
           .select("o_orderkey", "o_custkey", "o_totalprice")
@@ -906,6 +906,7 @@ object SinkQueries {
         val ok = staged.where("o_custkey is null").count() == 0L &&
           staged.groupBy("o_orderkey").count().where("count > 1").count() == 0L
         if (ok) Sinks.publishStaged(sb, out, tag, id.toInt + 1)
+        else Sinks.abortStaged(sb, out, tag) // release: orphans fall to vacuum
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1133,11 +1134,14 @@ object SinkQueries {
 
   /** sink16's full WAP lifecycle (factored so SinksSpec can replay
     * it and inspect the table): base → v1; stage POISONED batch `a`
-    * (NULL custkeys) → audit rejects, nothing published; stage good
-    * batch `b` from the published head → audit passes → publish v2.
-    * Returns the table dir. */
+    * (NULL custkeys) → audit rejects, nothing published (and NOT
+    * aborted — the rejected stage is left pending so SinksSpec can
+    * pin vacuum's pending-stage protection); stage good batch `b`
+    * from the published head → audit passes → publish v2 (which
+    * consumes staging-b). Returns (table dir, b's staged file set as
+    * captured before the publish consumed it). */
   private[graft] def wapRun(s: org.apache.spark.sql.SparkSession,
-      d: String): String = {
+      d: String): (String, Seq[String]) = {
     val out = scratch("wap")
     Tables(s, d, "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice")
@@ -1157,8 +1161,9 @@ object SinkQueries {
       "a rejected stage must not advance the published history")
     require(stageAndAudit(s, out, "b", good),
       "good batch failed the WAP audit")
+    val stagedB = Sinks.readStaged(s, out, "b")
     Sinks.publishStaged(s, out, "b", 2)
-    out
+    (out, stagedB)
   }
 
   /** Stage `batch` on top of the latest PUBLISHED version under

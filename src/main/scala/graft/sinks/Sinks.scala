@@ -80,8 +80,13 @@ object Sinks {
   // commit instead of re-listing (sink12's upsert does exactly that
   // via a before/after set difference of the affected partitions). ──
 
-  /** Root-relative paths of all parquet data files under `dir`
-    * (manifests and marker files excluded), sorted. */
+  /** Root-relative paths of all parquet data files under `dir`,
+    * sorted. Any path with a `_`-prefixed segment is a SIDECAR, not
+    * data — `_manifests/` (commit log), `_deletes/` (positional-delete
+    * vectors, sink15) — and is excluded, so vacuum never computes a
+    * delete-vector file as "dead data" (deleting a DV would silently
+    * resurrect its deleted rows). This is the same convention Spark's
+    * own readers use to skip `_SUCCESS`/`_metadata`. */
   def dataFiles(spark: SparkSession, dir: String): Seq[String] = {
     val root = new Path(dir)
     val hfs = fs(spark, root)
@@ -92,7 +97,8 @@ object Sinks {
     while (it.hasNext) {
       val st = it.next()
       val rel = st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
-      if (st.isFile && rel.endsWith(".parquet") && !rel.startsWith("_manifests/"))
+      if (st.isFile && rel.endsWith(".parquet") &&
+          !rel.split('/').exists(_.startsWith("_")))
         out += rel
     }
     out.sorted.toSeq
@@ -165,9 +171,10 @@ object Sinks {
 
   /** Retention GC over the manifest table (the Delta VACUUM idea):
     * retain the newest `keep` committed versions, physically delete
-    * every data file referenced by NO retained manifest, and drop
-    * the expired manifest files themselves. Returns the deleted
-    * data-file paths (root-relative, sorted — the reclaim report).
+    * every data file referenced by NO retained manifest AND no
+    * pending stage, and drop the expired manifest files themselves.
+    * Returns the deleted data-file paths (root-relative, sorted —
+    * the reclaim report).
     *
     * Ordering is the crash-safety contract: expired MANIFESTS are
     * deleted FIRST, then the orphaned data files — at every
@@ -177,16 +184,37 @@ object Sinks {
     * retention-horizon caveat Delta's VACUUM documents; the horizon
     * is the caller's promise, not something GC can check.)
     *
+    * Pending WAP stages are PROTECTED: every `staging-<tag>.txt` file
+    * set is unioned into the live set, so a vacuum racing an audit
+    * cannot delete a staged snapshot's files out from under its
+    * [[publishStaged]]. A REJECTED stage must be released explicitly
+    * with [[abortStaged]] before its orphans become reclaimable —
+    * without the abort, a stage pins its files forever, which is the
+    * safe failure mode (Delta gets the same property from its file-age
+    * retention window).
+    *
     * Scale shape: pure FileSystem-metadata work — one recursive
     * listing plus driver-side set difference bounded by the manifest
     * sizes (manifests name FILES, not rows; a 100 TB table is a few
     * thousand manifest lines) — no executor job, no data read. */
   def vacuum(spark: SparkSession, dir: String, keep: Int): Seq[String] = {
     require(keep >= 1, s"vacuum must retain at least one version, got $keep")
-    val vs = manifestVersions(spark, dir)
-    val live = vs.takeRight(keep).flatMap(readManifest(spark, dir, _)).toSet
+    vacuumCore(spark, dir, manifestVersions(spark, dir).takeRight(keep))
+  }
+
+  /** Shared GC body for both vacuum surfaces: one ordering (expired
+    * manifests first, then dead data files), one staging policy
+    * (pending `staging-*.txt` sets are live; staging manifests are
+    * never vacuum's to delete — [[publishStaged]] consumes them,
+    * [[abortStaged]] releases them). */
+  private def vacuumCore(spark: SparkSession, dir: String,
+      retain: Seq[Int]): Seq[String] = {
+    val retained = retain.toSet
+    val pending = stagingTags(spark, dir)
+      .flatMap(readStaged(spark, dir, _)).toSet
+    val live = retain.flatMap(readManifest(spark, dir, _)).toSet ++ pending
     val hfs = fs(spark, new Path(dir))
-    vs.dropRight(keep).foreach { v =>
+    manifestVersions(spark, dir).filterNot(retained).foreach { v =>
       hfs.delete(new Path(dir, s"_manifests/v$v.txt"), false)
     }
     val dead = dataFiles(spark, dir).filterNot(live)
@@ -199,8 +227,10 @@ object Sinks {
   // [[manifestVersions]] cannot see, so readers of the published
   // table are unaffected — audited in place, and only then promoted
   // to the next version by one manifest PUT. A rejected stage leaves
-  // the published history byte-untouched; its orphaned data files
-  // fall to [[vacuum]]. ──
+  // the published history byte-untouched; [[abortStaged]] releases
+  // it and its orphaned data files fall to [[vacuum]]. While a stage
+  // is PENDING (written, neither published nor aborted) its file set
+  // counts as live — vacuum cannot race the audit into data loss. ──
 
   /** Stage a candidate snapshot's file set under `tag` (not a
     * readable version until [[publishStaged]]). */
@@ -229,29 +259,48 @@ object Sinks {
     spark.read.option("basePath", dir).parquet(files: _*)
   }
 
-  /** Promote the staged snapshot `tag` to version `v` — one manifest
-    * PUT; the data files were already written at stage time. */
-  def publishStaged(spark: SparkSession, dir: String, tag: String,
-      v: Int): Unit =
-    writeManifest(spark, dir, v, readStaged(spark, dir, tag))
-
-  /** Garbage-collect data files referenced by NO retained manifest
-    * (the vacuum that makes copy-on-write sustainable); non-retained
-    * manifests are dropped too. Returns the deleted-file count.
-    * Driver-side O(files) metadata work, no data read. */
-  def vacuum(spark: SparkSession, dir: String, retain: Seq[Int]): Int = {
-    val live = retain.flatMap(v => readManifest(spark, dir, v)).toSet
-    val root = new Path(dir)
-    val hfs = fs(spark, root)
-    val dead = dataFiles(spark, dir).filterNot(live)
-    dead.foreach(f => hfs.delete(new Path(dir, f), false))
-    val keep = retain.map(v => s"v$v.txt").toSet
+  /** Tags of all PENDING stages under `dir` (staging manifests that
+    * have been neither published nor aborted), sorted. */
+  def stagingTags(spark: SparkSession, dir: String): Seq[String] = {
     val mDir = new Path(dir, "_manifests")
-    hfs.listStatus(mDir).map(_.getPath)
-      .filterNot(p => keep(p.getName))
-      .foreach(p => hfs.delete(p, false))
-    dead.size
+    val hfs = fs(spark, mDir)
+    if (!hfs.exists(mDir)) Nil
+    else hfs.listStatus(mDir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("staging-") && n.endsWith(".txt") =>
+        n.stripPrefix("staging-").stripSuffix(".txt") }
+      .sorted.toSeq
   }
+
+  /** Promote the staged snapshot `tag` to version `v`: one manifest
+    * PUT (the data files were already written at stage time), then
+    * the consumed staging manifest is dropped. A crash between the
+    * two leaves a dangling staging manifest whose file set is a
+    * subset of v's — harmless (vacuum keeps the files live either
+    * way); the operator clears it with [[abortStaged]]. */
+  def publishStaged(spark: SparkSession, dir: String, tag: String,
+      v: Int): Unit = {
+    writeManifest(spark, dir, v, readStaged(spark, dir, tag))
+    abortStaged(spark, dir, tag)
+  }
+
+  /** Release a rejected (or crashed-publish leftover) stage: drop its
+    * staging manifest so the stage no longer pins its file set; the
+    * now-orphaned data files fall to the next [[vacuum]]. Idempotent
+    * — aborting an unknown tag is a no-op. */
+  def abortStaged(spark: SparkSession, dir: String, tag: String): Unit = {
+    val p = new Path(dir, s"_manifests/staging-$tag.txt")
+    val hfs = fs(spark, p)
+    if (hfs.exists(p)) hfs.delete(p, false)
+  }
+
+  /** Garbage-collect by explicit retained-version list (the vacuum
+    * that makes copy-on-write sustainable); delegates to the same
+    * body as the retention-count overload — identical
+    * manifests-first crash ordering and pending-stage protection.
+    * Returns the deleted-file count. Driver-side O(files) metadata
+    * work, no data read. */
+  def vacuum(spark: SparkSession, dir: String, retain: Seq[Int]): Int =
+    vacuumCore(spark, dir, retain).size
 
   // ── positional deletes (merge-on-read; sink15): the Iceberg
   // positional-delete / Delta deletion-vector contract — row-level

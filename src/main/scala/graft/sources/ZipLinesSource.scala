@@ -83,7 +83,12 @@ class ZipLinesSource extends TableProvider {
           s"option 'stored.split.bytes' must be > 0, got $v")
         v
       }.getOrElse(32L * 1024 * 1024),
-      Option(properties.get("stored.verify.crc")).exists(_.toBoolean))
+      Option(properties.get("stored.verify.crc")).exists {
+        case s if s.equalsIgnoreCase("true")  => true
+        case s if s.equalsIgnoreCase("false") => false
+        case s => throw new IllegalArgumentException(
+          s"option 'stored.verify.crc' must be true or false, got '$s'")
+      })
 }
 
 object ZipLinesSource {
@@ -163,66 +168,12 @@ private class ZipLinesScan(path: String, encoding: String, splitBytes: Long,
   override def description(): String =
     s"ZipLines(path=$path${memberEq.map(m => s", member=$m").getOrElse("")})"
 
-  /** One central-directory entry, as planning needs it. */
-  private case class CdEntry(name: String, method: Int, flags: Int,
-      usize: Long, localOff: Long)
-
-  /** Parse the END-OF-CENTRAL-DIRECTORY record + central directory —
-    * the only way to learn per-member method/size/offset without
-    * streaming the archive. Returns None on anything exotic (zip64
-    * markers, malformed tail), in which case planning falls back to
-    * the streaming one-partition-per-member listing. */
-  private def centralDirectory(): Option[Seq[CdEntry]] = {
-    val conf = ZipLinesSourceConf.hadoopConf(fsConf)
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf)
-    val len = fs.getFileStatus(p).getLen
-    val in = fs.open(p)
-    try {
-      val tailLen = math.min(len, 22L + 0xFFFF).toInt
-      val tail = new Array[Byte](tailLen)
-      in.readFully(len - tailLen, tail)
-      def u16(b: Array[Byte], o: Int): Int =
-        (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
-      def u32(b: Array[Byte], o: Int): Long =
-        (u16(b, o).toLong) | (u16(b, o + 2).toLong << 16)
-      // last EOCD signature in the tail window
-      var eocd = -1
-      var i = tailLen - 22
-      while (i >= 0 && eocd < 0) {
-        if (tail(i) == 0x50 && tail(i + 1) == 0x4B &&
-            tail(i + 2) == 0x05 && tail(i + 3) == 0x06) eocd = i
-        i -= 1
-      }
-      if (eocd < 0) return None
-      val nEntries = u16(tail, eocd + 10)
-      val cdSize = u32(tail, eocd + 12)
-      val cdOff = u32(tail, eocd + 16)
-      if (nEntries == 0xFFFF || cdOff == 0xFFFFFFFFL) return None // zip64
-      val cd = new Array[Byte](cdSize.toInt)
-      in.readFully(cdOff, cd)
-      val out = Seq.newBuilder[CdEntry]
-      var o = 0
-      var n = 0
-      while (n < nEntries) {
-        if (u32(cd, o) != 0x02014b50L) return None
-        val flags = u16(cd, o + 8)
-        val method = u16(cd, o + 10)
-        val usize = u32(cd, o + 24)
-        val nameLen = u16(cd, o + 28)
-        val extraLen = u16(cd, o + 30)
-        val commentLen = u16(cd, o + 32)
-        val localOff = u32(cd, o + 42)
-        val name = new String(cd, o + 46, nameLen, java.nio.charset.StandardCharsets.UTF_8)
-        if (usize == 0xFFFFFFFFL || localOff == 0xFFFFFFFFL) return None // zip64
-        if (!name.endsWith("/")) out += CdEntry(name, method, flags, usize, localOff)
-        o += 46 + nameLen + extraLen + commentLen
-        n += 1
-      }
-      Some(out.result())
-    } catch { case _: Exception => None }
-    finally in.close()
-  }
+  /** Central directory via the shared parser ([[ZipCentral]]); None
+    * on anything exotic (zip64, malformed tail), in which case
+    * planning falls back to the streaming one-partition-per-member
+    * listing. */
+  private def centralDirectory(): Option[Seq[ZipCentral.Entry]] =
+    ZipCentral.entries(ZipLinesSourceConf.hadoopConf(fsConf), path)
 
   /** '\n' must be the single byte 0x0A for byte-offset line splits. */
   private def asciiCompatible: Boolean = {

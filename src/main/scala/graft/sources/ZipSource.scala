@@ -28,6 +28,31 @@ import graft.dwca.DwcaLayer
   */
 object ZipSource {
 
+  /** Default auto-staging threshold (uncompressed bytes): a DEFLATE
+    * member bigger than this is worth one staging pass — past ~256 MiB
+    * the single-stream decompression dominates a conversion's wall
+    * clock, while the staged re-chunk costs the same one decompression
+    * and then scans at full cluster width. STORED members never stage
+    * (they split by byte range in place). */
+  val AutoStageBytes: Long = 256L * 1024 * 1024
+
+  /** Central-directory entry for one member — None when the archive
+    * is exotic (zip64, malformed tail) or the member is absent; cost
+    * is two bounded metadata reads, never the archive body. */
+  def memberEntry(spark: SparkSession, zipPath: String,
+      member: String): Option[ZipCentral.Entry] =
+    ZipCentral.entries(spark.sparkContext.hadoopConfiguration, zipPath)
+      .flatMap(_.find(_.name == member))
+
+  /** True when scans of `member` should auto-route through
+    * [[stagedMemberDir]]: compressed (no random access, so the member
+    * is one stream) and uncompressed-bigger than `threshold`. Exotic
+    * archives answer false — they keep streaming semantics. */
+  def shouldAutoStage(spark: SparkSession, zipPath: String, member: String,
+      threshold: Long = AutoStageBytes): Boolean =
+    threshold > 0 && memberEntry(spark, zipPath, member)
+      .exists(e => !e.stored && e.usize > threshold)
+
   /** Lines of one zip member, streamed on an executor. The Hadoop
     * conf's fs.* settings travel as a plain map (Configuration is not
     * serializable). */

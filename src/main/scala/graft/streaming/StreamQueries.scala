@@ -794,7 +794,7 @@ object StreamQueries {
         val feats = PK.dsirFeats(graft.Tables(s, d, "documents")).persistScoped()
         PK.dsirFinish(buckets, feats)
       },
-      Some(graft.queries.Pipeline.dsirOracle))
+      Some(graft.queries.PipelineKernels.dsirOracle))
   )
 
   /** stream25's probe path over any customer-shaped stream (the

@@ -64,4 +64,24 @@ class StagedSpec extends AnyFunSuite {
     assert(new String(Files.readAllBytes(
       java.nio.file.Paths.get(root, "data.bin"))) === "v2")
   }
+
+  test("two spellings of one root share the monitor: no OverlappingFileLockException") {
+    val dir = Files.createTempDirectory("graft-staged-alias")
+    val root = dir.resolve("artifact").toString
+    // trailing slash and a ./ segment are the same directory — distinct
+    // monitor keys would let both threads reach ch.lock() and the
+    // second die with OverlappingFileLockException
+    val aliases = Seq(root, root + "/", dir.toString + "/./artifact")
+    val builds = new AtomicInteger(0)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = aliases.map(a => new Thread(() =>
+      try Staged.ensure(a, "fp-1") {
+        builds.incrementAndGet()
+        Thread.sleep(200)
+        Files.write(java.nio.file.Paths.get(root, "data.bin"), "x".getBytes)
+      } catch { case t: Throwable => errors.add(t) }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.isEmpty, s"aliased ensure threw: ${errors.peek()}")
+    assert(builds.get() === 1, s"expected one build, got ${builds.get()}")
+  }
 }

@@ -467,13 +467,15 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
     assert(twice.where("o_orderkey % 13 = 0 or o_orderkey % 17 = 0").count() === 0L)
   }
 
-  test("sink16 WAP: rejected stage invisible and vacuumable; publish is the staged set verbatim") {
+  test("sink16 WAP: rejected stage invisible, vacuum-protected until abort; publish is the staged set verbatim") {
     import graft.sinks.Sinks
-    val out = SinkQueries.wapRun(spark, "/root/testdata/sf0.001")
+    val (out, stagedB) = SinkQueries.wapRun(spark, "/root/testdata/sf0.001")
     // only the good batch was published; staging manifests are not versions
     assert(Sinks.manifestVersions(spark, out) === Seq(1, 2))
-    // publish promoted the staged set verbatim (one manifest PUT)
-    assert(Sinks.readManifest(spark, out, 2) === Sinks.readStaged(spark, out, "b").sorted)
+    // publish promoted the staged set verbatim (one manifest PUT)...
+    assert(Sinks.readManifest(spark, out, 2) === stagedB.sorted)
+    // ...and consumed the staging manifest; only the rejected "a" is pending
+    assert(Sinks.stagingTags(spark, out) === Seq("a"))
     // the poisoned batch's files exist on disk but NO version references them
     val referenced = (Sinks.readManifest(spark, out, 1) ++
       Sinks.readManifest(spark, out, 2)).toSet
@@ -484,13 +486,69 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
     // no reader path can see a poisoned row
     assert(Sinks.readAtVersion(spark, out, 2)
       .where("o_custkey is null").count() === 0L)
-    // vacuum removes exactly the rejected orphans, and the published
-    // version reads identically afterwards
+    // while the stage is PENDING (not yet aborted), vacuum must not
+    // touch its files — this is the audit-vs-GC race guard
+    assert(Sinks.vacuum(spark, out, Seq(1, 2)) === 0,
+      "vacuum deleted files of a pending stage")
+    assert(Sinks.readAtStaged(spark, out, "a").count() > 0L,
+      "pending stage unreadable after vacuum")
+    // explicit abort releases the stage; vacuum then removes exactly
+    // the rejected orphans, and the published version reads identically
     val v2Before = Sinks.readAtVersion(spark, out, 2).count()
+    Sinks.abortStaged(spark, out, "a")
     val deleted = Sinks.vacuum(spark, out, Seq(1, 2))
     assert(deleted === orphans.size)
     assert(Sinks.dataFiles(spark, out).toSet === referenced)
     assert(Sinks.readAtVersion(spark, out, 2).count() === v2Before)
+  }
+
+  test("sink16/25 vacuum vs pending WAP stage: retention GC spares the stage; publish after GC reads green") {
+    import graft.sinks.Sinks
+    val d = "/root/testdata/sf0.001"
+    val out = tmp("wapvac") + "/t"
+    val orders = graft.Tables(spark, d, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    // v1 = base write; v2 = a full COW rewrite (strands all of v1's files)
+    orders.repartition(3).write.parquet(out)
+    Sinks.writeManifest(spark, out, 1, Sinks.dataFiles(spark, out))
+    val v1 = Sinks.readManifest(spark, out, 1).toSet
+    orders.repartition(2).write.mode("append").parquet(out)
+    val v2 = Sinks.dataFiles(spark, out).filterNot(v1)
+    Sinks.writeManifest(spark, out, 2, v2)
+    // stage a good batch on top of v2 — written, audited, NOT yet published
+    val before = Sinks.dataFiles(spark, out).toSet
+    orders.where("o_orderkey % 89 = 0").coalesce(1)
+      .write.mode("append").parquet(out)
+    val appended = Sinks.dataFiles(spark, out).filterNot(before)
+    Sinks.writeStaged(spark, out, "c", v2 ++ appended)
+    // retention GC while the stage is pending: v1's stranded files die,
+    // but nothing the stage names is touched
+    val dead = Sinks.vacuum(spark, out, keep = 1)
+    assert(dead.toSet === v1, s"reclaim mismatch: $dead")
+    assert(appended.forall(f => Sinks.dataFiles(spark, out).contains(f)),
+      "vacuum deleted a pending stage's data file")
+    // publish AFTER the GC: the promoted version reads complete
+    Sinks.publishStaged(spark, out, "c", 3)
+    val expected = orders.count() + orders.where("o_orderkey % 89 = 0").count()
+    assert(Sinks.readAtVersion(spark, out, 3).count() === expected)
+    assert(Sinks.stagingTags(spark, out) === Seq.empty)
+  }
+
+  test("sink15/25 vacuum spares _deletes sidecars: positional deletes survive GC") {
+    import graft.sinks.Sinks
+    val d = "/root/testdata/sf0.001"
+    val out = tmp("dvvac") + "/t"
+    val orders = graft.Tables(spark, d, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    orders.repartition(2).write.parquet(out)
+    Sinks.writeManifest(spark, out, 1, Sinks.dataFiles(spark, out))
+    Sinks.positionalDelete(spark, out, "o_orderkey % 13 = 0")
+    // DV sidecars are not data files, so vacuum cannot compute them dead
+    assert(Sinks.dataFiles(spark, out).forall(!_.startsWith("_deletes/")))
+    assert(Sinks.vacuum(spark, out, keep = 1) === Seq.empty)
+    // the deletes still apply after GC — no silent row resurrection
+    assert(Sinks.readWithDeletes(spark, out)
+      .where("o_orderkey % 13 = 0").count() === 0L)
   }
 
   test("sink17 incremental stats: equals the full rebuild; prior rows pass through verbatim") {

@@ -115,6 +115,21 @@ class ZipLinesSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(junk.getMessage.contains("stored.split.bytes"), junk.getMessage)
   }
 
+  test("stored.verify.crc rejects non-boolean values by name") {
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.ZipLinesSource")
+        .option("path", DwcaQueries.fixtureZip)
+        .option("stored.verify.crc", "yes")
+        .load().count()
+    }
+    assert(e.getMessage.contains("stored.verify.crc"), e.getMessage)
+    // case-insensitive booleans stay accepted
+    spark.read.format("graft.sources.ZipLinesSource")
+      .option("path", DwcaQueries.fixtureZip)
+      .option("stored.verify.crc", "False")
+      .load().limit(1).count()
+  }
+
   test("agrees with the mapPartitions zip scan") {
     val meta = graft.dwca.DwcaMeta.fromZip(DwcaQueries.fixtureZip)
     val viaDsv2 = zipDf.where(s"member = '${meta.core.location}'")

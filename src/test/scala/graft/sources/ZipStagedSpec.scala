@@ -64,6 +64,34 @@ class ZipStagedSpec extends AnyFunSuite with SparkTestBase {
     assert(part2.lastModified() > stamp1, "stale artifact served after archive change")
   }
 
+  test("oversized DEFLATE members auto-route through staging on streamed paths") {
+    graft.dwca.BulkFixture.ensure()
+    val zipP = graft.dwca.BulkFixture.zipPath
+    val meta = graft.dwca.DwcaMeta.fromZip(zipP)
+    // the bulk core is DEFLATE and bigger than a toy threshold, but
+    // far under the 256 MiB default — the default routes nothing
+    // (the SMALL sample.zip's members are STORED: they split in
+    // place and must never stage, at any threshold)
+    assert(ZipSource.shouldAutoStage(spark, zipP, meta.core.location, threshold = 512))
+    assert(!ZipSource.shouldAutoStage(spark, zipP, meta.core.location))
+    val sampleMeta = graft.dwca.DwcaMeta.fromZip(DwcaQueries.fixtureZip)
+    assert(!ZipSource.shouldAutoStage(spark, DwcaQueries.fixtureZip,
+      sampleMeta.core.location, threshold = 1))
+    val auto = DwcaConvert.convert(spark, zipP, DwcaConvert.GeomWktString,
+      zipScan = true, autoStageBytes = 512)
+    val viaStream = DwcaConvert.convert(spark, zipP, DwcaConvert.GeomWktString,
+      zipScan = true, autoStageBytes = 0)
+    assert(auto.collect().map(_.toString).sorted.toSeq ===
+      viaStream.collect().map(_.toString).sorted.toSeq)
+    // the router really took the staged path: the artifact exists and
+    // its lines read at full width (Hadoop text splits)
+    def safe(s: String) = s.replaceAll("[^A-Za-z0-9._-]", "_")
+    val art = new java.io.File(new java.io.File(new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft-zipstage"), safe(zipP)),
+      safe(meta.core.location))
+    assert(new java.io.File(art, "lines").exists(), s"no staged artifact at $art")
+  }
+
   test("staged conversion equals the zip-scan conversion") {
     val a = DwcaConvert.convert(spark, DwcaQueries.fixtureZip,
       DwcaConvert.GeomWktString, zipScan = true)
