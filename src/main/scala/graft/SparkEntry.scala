@@ -24,6 +24,7 @@ object SparkEntry {
   private def queries0: Seq[Map[String, Q]] = Seq(
     graft.queries.Relational.all,
     graft.queries.TextOps.all,
+    graft.queries.TextSignals.all,
     graft.queries.Dedup.all,
     graft.queries.Similarity.all,
     graft.queries.Multimodal.all,

@@ -425,9 +425,19 @@ object Graph {
 
   private def labelPropSql: String = {
     val q41 = Relational.all("q41_spatial_grid_join").oracle.get
+    // The (cnt DESC, lbl ASC) argmax is ONE plain BIGINT max:
+    // v = cnt·2³³ + (2³³−1−lbl) — larger cnt dominates, then the
+    // SMALLER label wins; newlbl decodes as 2³³−1 − (v mod 2³³).
+    // DuckDB's max(struct_pack(...)) state is not spill-accounted
+    // (the sf1 sweep OOM-killed on it at any memory_limit); the
+    // integer encoding keeps the checker inside its cap because a
+    // plain max over a high-cardinality GROUP BY spills cleanly.
+    // Identical result: cnt < 2³⁰ and 0 ≤ lbl < 2³³ by construction
+    // (c_custkey starts at 0).
+    val B = 8589934592L // 2^33
     val rounds = (1 to LpaRounds).map { i =>
       s"""p$i AS MATERIALIZED (SELECT dst AS node,
-         |    -((max(struct_pack(c := cnt, mnl := -lbl))).mnl) AS newlbl
+         |    ${B - 1} - (max(cnt * $B + (${B - 1} - lbl)) % $B) AS newlbl
          |  FROM (SELECT e.dst, l.lbl, COUNT(*) AS cnt
          |        FROM e JOIN l${i - 1} l ON l.node = e.src GROUP BY 1, 2)
          |  GROUP BY dst),
@@ -563,7 +573,43 @@ object Graph {
        |FROM r$Iters""".stripMargin
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) on the DIRECTED
+    * customer→supplier trade graph — the second link-quality lens
+    * next to g01's PageRank: a supplier is an AUTHORITY when many
+    * good hubs buy from it, a customer a HUB when it buys from good
+    * authorities (the bipartite mutual reinforcement PageRank's
+    * single score can't express). Two synchronous unnormalized
+    * rounds from h₀ = 1: the iterate counts alternating paths, so
+    * every score stays INTEGER — the g01/g08 cross-engine exactness
+    * discipline, no float normalization, no epsilon. Per round: one
+    * edge-keyed equi-join sends scores, one node-keyed partial agg
+    * folds them — edge-frame-bounded exchanges, node-sized state;
+    * the supplier-side score frame is dimension-sized, so AQE
+    * broadcasts it against the edge list at scale. */
+  private def hits(s: SparkSession, d: String): DataFrame = {
+    val e = tradeEdges(s, d).where("src % 2 = 0").persistScoped()
+    val a1 = e.groupBy("dst").agg(count(lit(1)).as("a")) // h0 = 1
+    val h1 = e.join(a1, Seq("dst")).groupBy("src").agg(sum("a").as("h"))
+    val a2 = e.join(h1, Seq("src")).groupBy("dst").agg(sum("h").as("a"))
+    val h2 = e.join(a2, Seq("dst")).groupBy("src").agg(sum("a").as("h"))
+    a2.selectExpr("dst as node", "'supplier' as kind", "cast(a as bigint) as score")
+      .unionByName(h2.selectExpr("src as node", "'customer' as kind",
+        "cast(h as bigint) as score"))
+  }
+
+  private def hitsSql: String =
+    """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |a1 AS (SELECT dst, count(*) AS a FROM e0 GROUP BY dst),
+      |h1 AS (SELECT src, sum(a) AS h FROM e0 JOIN a1 USING (dst) GROUP BY src),
+      |a2 AS (SELECT dst, sum(h) AS a FROM e0 JOIN h1 USING (src) GROUP BY dst),
+      |h2 AS (SELECT src, sum(a) AS h FROM e0 JOIN a2 USING (dst) GROUP BY src)
+      |SELECT dst AS node, 'supplier' AS kind, CAST(a AS BIGINT) AS score FROM a2
+      |UNION ALL
+      |SELECT src, 'customer', CAST(h AS BIGINT) FROM h2""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "g09_hits" -> Q(hits, Some(hitsSql)),
     "g08_trustrank" -> Q(trustrank, Some(trustrankSql)),
     "g07_graph_stats" -> Q(graphStats, Some(graphStatsSql)),
     "g06_label_prop" -> Q(labelProp, Some(labelPropSql)),

@@ -794,8 +794,69 @@ object StreamQueries {
         val feats = PK.dsirFeats(graft.Tables(s, d, "documents")).persistScoped()
         PK.dsirFinish(buckets, feats)
       },
-      Some(graft.queries.PipelineKernels.dsirOracle))
+      Some(graft.queries.PipelineKernels.dsirOracle)),
+
+    // ── stream29: streaming WATERMARK MONITOR — t32's green-list
+    // z-test as a MAINTAINED per-feed ledger (the stream16/17
+    // counter-fold template, eighth instance): each arriving
+    // micro-batch's per-doc green-pair counts (the t32 kernel,
+    // map-only) aggregate to (lang, feed) cells and ADD into the
+    // persisted artifact — counts of a disjoint union are the sum of
+    // counts, so the maintained ledger equals the batch rebuild at
+    // any chop. The alarm is answered FROM THE ARTIFACT: the
+    // watermarked feed's z blows past 4σ while the clean feed stays
+    // at the null — the monitor a pipeline runs to catch synthetic
+    // text entering by source, with state bounded by
+    // |langs|·|feeds| rows at any corpus size. ──
+    "stream29_wm_monitor" -> Q(
+      (s, d) => {
+        graft.functions.Hashing.register(s)
+        wmLedgerStream(s, EventStreams.docsStream(s, d))
+          .selectExpr(Seq("lang", "feed", "n_pairs", "n_green") ++
+            graft.queries.TextSignals.zCols.map(_.replace(
+              "as flagged", "as alarm")): _*)
+          .where("n_pairs >= 1")
+      },
+      Some {
+        val inner = graft.queries.TextSignals
+          .all("t32_watermark_detect").oracle.get
+        // fold t32's per-doc oracle frame to the (lang, feed) ledger;
+        // lang rides in through a join back to documents (the per-doc
+        // oracle publishes the planted bit, which IS the feed)
+        s"""WITH perdoc AS ($inner)
+            SELECT d.lang,
+                   CASE WHEN p.planted = 1 THEN 'feed_wm'
+                        ELSE 'feed_clean' END AS feed,
+                   CAST(sum(p.n_pairs) AS BIGINT) AS n_pairs,
+                   CAST(sum(p.n_green) AS BIGINT) AS n_green,
+                   printf('%.4f', (4.0 * sum(p.n_green) - sum(p.n_pairs))
+                                  / sqrt(3.0 * sum(p.n_pairs))) AS z,
+                   CAST((4.0 * sum(p.n_green) - sum(p.n_pairs))
+                        / sqrt(3.0 * sum(p.n_pairs)) > 4.0 AS BIGINT) AS alarm
+            FROM perdoc p JOIN documents d USING (doc_id)
+            GROUP BY 1, 2
+            HAVING sum(p.n_pairs) >= 1"""
+      })
   )
+
+  /** stream29's fold: per batch, the t32 kernel's per-doc green-pair
+    * counts aggregate to (lang, feed) and ADD into the persisted
+    * ledger (write-tmp + rename, the artifact template). */
+  private def wmLedgerDir: String = java.nio.file.Paths.get(
+    System.getProperty("java.io.tmpdir"), "graft-wm-ledger").toString
+
+  private[graft] def wmLedgerStream(s: SparkSession,
+      docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.sum
+    ArtifactFold.fold(s, docs, wmLedgerDir, "wm") { (batch, prior) =>
+      val counts = graft.queries.TextSignals.wmDocCounts(batch)
+        .groupBy("lang", "feed")
+        .agg(sum("n_pairs").as("n_pairs"), sum("n_green").as("n_green"))
+      prior.fold(counts)(counts.unionByName(_)
+        .groupBy("lang", "feed")
+        .agg(sum("n_pairs").as("n_pairs"), sum("n_green").as("n_green")))
+    }
+  }
 
   /** stream25's probe path over any customer-shaped stream (the
     * registered query feeds the table stream; StreamingSpec feeds a

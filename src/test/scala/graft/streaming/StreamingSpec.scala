@@ -664,6 +664,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(fromArtifact === batch)
   }
 
+  test("stream29: chopped multi-batch ledger fold equals the batch monitor; wm feed alarms, clean feed does not") {
+    graft.functions.Hashing.register(spark)
+    val sf01 = "/root/testdata/sf0.01"
+    val docs = graft.Tables(spark, sf01, "documents")
+    // 3 files, one per micro-batch: ADD-folded (lang, feed) counters
+    // must equal the one-shot ledger whatever the doc->batch split
+    val stage = java.nio.file.Files.createTempDirectory("graft-stream29-").toString
+    docs.repartition(3).write.mode("overwrite").parquet(stage)
+    val schema = spark.read.parquet(stage).schema
+    val chopped = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val streamed = graft.streaming.StreamQueries.wmLedgerStream(spark, chopped)
+      .collect().map(_.toString).sorted
+    import org.apache.spark.sql.functions.sum
+    val oneShot = graft.queries.TextSignals.wmDocCounts(docs)
+      .groupBy("lang", "feed")
+      .agg(sum("n_pairs").as("n_pairs"), sum("n_green").as("n_green"))
+      .collect().map(_.toString).sorted
+    assert(streamed.nonEmpty)
+    assert(streamed === oneShot,
+      "3-batch folded wm ledger diverged from the one-shot monitor")
+    // the artifact-served alarm separates the feeds
+    val alarms = graft.streaming.StreamQueries.all("stream29_wm_monitor")
+      .fn(spark, sf01).collect()
+      .map(r => (r.getString(1), r.getLong(5))).groupBy(_._1)
+    assert(alarms("feed_wm").forall(_._2 == 1L), "watermarked feed did not alarm")
+    assert(alarms("feed_clean").forall(_._2 == 0L), "clean feed false-alarmed")
+  }
+
   test("stream22: chopped multi-batch sample fold equals the one-shot bottom-k sample") {
     graft.functions.Hashing.register(spark)
     val sf01 = "/root/testdata/sf0.01"

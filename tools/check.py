@@ -47,6 +47,9 @@ def main():
     os.makedirs(tmp, exist_ok=True)
     con.sql(f"SET memory_limit='{mem}'")
     con.sql(f"SET temp_directory='{tmp}'")
+    # Fewer threads = smaller per-thread agg/join buffers; the big-SF
+    # sweeps trade a little wall time for staying inside the cap.
+    con.sql(f"SET threads={os.environ.get('GRAFT_DUCK_THREADS', '16')}")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):

@@ -49,6 +49,15 @@ def main():
         return
     OUT.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
+    # The 100x (copies=1000) build's ORDER BY over ~600M lineitem rows
+    # OOM-killed an unbounded DuckDB; bound it and spill to disk.
+    con.execute("SET memory_limit='32GB'")
+    con.execute("SET temp_directory='/tmp/graft-duck-spill'")
+    # Past this many copies per COPY, chunk the output into a parquet
+    # DIRECTORY of part files (one per copy range) — each chunk sorts
+    # in memory, and Spark/DuckDB both read the directory (Spark
+    # natively; DuckDB via '<dir>/*.parquet').
+    chunk = 100
     for t, shifts in SHIFTS.items():
         schema = con.execute(
             f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{t}.parquet')").fetchall()
@@ -56,14 +65,27 @@ def main():
         proj = ", ".join(
             f"({n} + i * {shifts[n]})::BIGINT AS {n}" if n in shifts else n
             for n in names)
-        con.execute(f"""
-            COPY (SELECT {proj}
-                  FROM read_parquet('{SRC}/{t}.parquet')
-                  CROSS JOIN (SELECT unnest(generate_series(0, {COPIES - 1})) AS i)
-                  ORDER BY i)
-            TO '{OUT}/{t}.parquet' (FORMAT PARQUET, COMPRESSION ZSTD)""")
-        n = con.execute(f"SELECT count(*) FROM read_parquet('{OUT}/{t}.parquet')").fetchone()[0]
-        print(f"{t}: {n} rows")
+
+        def copy_range(lo, hi, dest):
+            con.execute(f"""
+                COPY (SELECT {proj}
+                      FROM read_parquet('{SRC}/{t}.parquet')
+                      CROSS JOIN (SELECT unnest(generate_series({lo}, {hi})) AS i)
+                      ORDER BY i)
+                TO '{dest}' (FORMAT PARQUET, COMPRESSION ZSTD)""")
+
+        if COPIES <= chunk:
+            copy_range(0, COPIES - 1, f"{OUT}/{t}.parquet")
+            glob = f"{OUT}/{t}.parquet"
+        else:
+            part_dir = OUT / f"{t}.parquet"
+            part_dir.mkdir(exist_ok=True)
+            for lo in range(0, COPIES, chunk):
+                hi = min(lo + chunk, COPIES) - 1
+                copy_range(lo, hi, f"{part_dir}/part-{lo:05d}.parquet")
+            glob = f"{OUT}/{t}.parquet/*.parquet"
+        n = con.execute(f"SELECT count(*) FROM read_parquet('{glob}')").fetchone()[0]
+        print(f"{t}: {n} rows", flush=True)
     for t in PASSTHROUGH:
         con.execute(f"""COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet'))
                         TO '{OUT}/{t}.parquet' (FORMAT PARQUET, COMPRESSION ZSTD)""")
