@@ -37,7 +37,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val isolate = sys.env.get("SPARK_GRAFT_BENCH_ISOLATE").contains("1")
-    val spark = SparkSession.builder()
+    val spark = graft.Sessions.scaleDefensive(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

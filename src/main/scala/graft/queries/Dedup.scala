@@ -190,6 +190,47 @@ object Dedup {
       .persistScoped()
   }
 
+  /** The dedup stage's DROP SET (consumed by c01/c03): exact dups —
+    * every non-minimum doc_id of an identical-text group, one linear
+    * md5 hash-groupBy — unioned with the near-dup rule (drop the
+    * larger end of every verified jac ≥ 0.7 pair) run over the
+    * exact-group REPRESENTATIVES only.
+    *
+    * Provably the same set as running the pair join over the full
+    * corpus: identical texts have identical shingle sets, so
+    * jac(rep(s), d) = jac(s, d) for any member s of rep(s)'s group —
+    * a doc dropped by a full-corpus pair (s, d) is dropped here
+    * either as a non-rep (exact stage) or via the pair
+    * (rep(s) ≤ s < d, same verdict); conversely every rep-pair also
+    * exists in the full-corpus join. What changes is the COST under
+    * dup storms: the sf100 fixture (1000 identical copies per doc)
+    * makes the full-corpus candidate join quadratic in copies —
+    * ~2.5 B pairs whose hv-carrying verify would ship terabytes —
+    * while the rep topology collapses the storm in the linear exact
+    * pass and hands LSH one doc per distinct text. This is the
+    * production ordering (exact pass first, near-dup on survivors);
+    * d03 itself still lists full-corpus pairs — that is its
+    * contract as the pair-monitoring query. */
+  private[queries] def dupDrops(s: SparkSession, d: String): DataFrame = {
+    Hashing.register(s)
+    graft.plans.JaccardRewrite.install(s)
+    // only LSH-ELIGIBLE docs (≥3 tokens — hashedDocsOf's domain) can
+    // appear in pairs, so only they may be dropped: a short doc's
+    // exact twin survives the pair join and must survive here too
+    val eligible = Tables(s, d, "documents").where(s"size($toks) >= 3")
+    val reps = eligible.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+      .persistScoped()
+    val exactDrops = eligible.select("doc_id").join(reps, Seq("doc_id"), "left_anti")
+    val hs = hashedDocsOf(eligible.join(reps, Seq("doc_id"), "left_semi")
+      .repartition(s.sparkContext.defaultParallelism)).persistScoped()
+    val bk = bandBuckets(hs).persistScoped()
+    val nearDrops = scoredCandidates(hs, bk, jaccardExpr)
+      .where("jac >= 0.7").select(col("d2").as("doc_id"))
+    exactDrops.unionByName(nearDrops).distinct()
+  }
+
   /** Connected components over an undirected edge list (columns `a`,
     * `b`): every vertex labeled with the smallest vertex id reachable
     * from it. Alternating large-star / small-star rounds (Kiveris et

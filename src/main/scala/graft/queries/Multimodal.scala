@@ -143,7 +143,11 @@ object Multimodal {
         }
         (id, w.toLong * h, hist)
       }).toDF("img_id", "px", "hist")
-    hists.as("a").join(hists.as("b"), col("a.img_id") < col("b.img_id"))
+    // explicit broadcast: the histogram frame is bounded by the image
+    // count and 512 longs/row (the estimate-based static broadcast is
+    // globally off — Sessions.scaleDefensive; a cartesian here would
+    // fail the plan audit)
+    hists.as("a").join(broadcast(hists.as("b")), col("a.img_id") < col("b.img_id"))
       .selectExpr("a.img_id as id_a", "b.img_id as id_b",
         "aggregate(zip_with(a.hist, b.hist, (x, y) -> least(x, y)), 0L, (acc, v) -> acc + v) as inter",
         "least(a.px, b.px) as denom")

@@ -464,8 +464,11 @@ object Pipeline {
         val docs = Tables(s, d, "documents")
         val keepExact = docs.groupBy(md5(col("text")).as("h"))
           .agg(min("doc_id").as("doc_id")).select("doc_id")
-        val nearDrops = Dedup.all("d03_lsh_pairs").fn(s, d)
-          .select(col("d2").as("doc_id")).distinct()
+        // full-corpus pair drops ≡ Dedup.dupDrops (exact pass +
+        // rep-LSH — see its equivalence proof); the swap makes the
+        // near-dup stage storm-proof while keepExact keeps covering
+        // the sub-3-token docs LSH never sees
+        val nearDrops = Dedup.dupDrops(s, d)
         val evalPred = s"${pctSql("'eval:' || doc_id")} < 10"
         val quality = docs
           .selectExpr("doc_id", s"$toks as t", s"$evalPred as is_eval")
@@ -697,8 +700,10 @@ object Pipeline {
 
     "c01_clean_corpus" -> Q(
       (s, d) => {
-        // doc_ids to drop: the larger end of every verified dup pair
-        val drops = Dedup.all("d03_lsh_pairs").fn(s, d).select(col("d2").as("doc_id")).distinct()
+        // doc_ids to drop: the larger end of every verified dup pair —
+        // computed storm-proof (exact pass + rep-LSH, same set; see
+        // Dedup.dupDrops' equivalence proof)
+        val drops = Dedup.dupDrops(s, d)
         val quality = Tables(s, d, "documents")
           .selectExpr("doc_id", "text", "lang",
             s"(size(array_distinct($toks)) * 10000) div size($toks) as uniq_bp",

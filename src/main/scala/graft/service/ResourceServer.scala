@@ -437,7 +437,7 @@ object ServiceMain {
     val port = args.lift(3).map(_.toInt).getOrElse(8080)
     val host = args.lift(4).getOrElse("127.0.0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = graft.Sessions.scaleDefensive(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -15,7 +15,7 @@ trait SparkTestBase extends BeforeAndAfterAll { self: Suite =>
 object SparkTestBase {
   // one session per JVM — suites share it, sbt forks one test JVM
   lazy val session: SparkSession = {
-    val s = SparkSession.builder()
+    val s = graft.Sessions.scaleDefensive(SparkSession.builder())
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -37,7 +37,11 @@ class SkewSpec extends AnyFunSuite with SparkTestBase {
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16384",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8192",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force a shuffle join
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+      // Sessions.scaleDefensive keeps RUNTIME broadcast at 10MB — the
+      // dim side would convert to broadcast mid-execution and dodge
+      // the skew machinery this test exists to prove; pin it off too
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
     val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
