@@ -53,7 +53,7 @@ object Dedup {
   /** The shingle-hash projection over an arbitrary (doc_id, text)
     * frame — shared by the corpus path above and d16's shard side.
     * Requires [[Hashing.register]] on the session. */
-  private def hashedDocsOf(docs: DataFrame): DataFrame =
+  private[queries] def hashedDocsOf(docs: DataFrame): DataFrame =
     docs.where(s"size($toks) >= 3")
       .selectExpr("doc_id", s"hashed_shingles($toks, 3) as hv")
 
@@ -123,7 +123,7 @@ object Dedup {
     * bucket frame (3 scalar columns — near-free cache) keeps the
     * self-join's two sides from recomputing signatures; identical
     * logical plans across queries dedupe in the cache manager. */
-  private def lshFrames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private[queries] def lshFrames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val hs = hashedDocs(s, d).persistScoped()
     val bk = bandBuckets(hs).persistScoped()
     (hs, bk)
@@ -132,7 +132,7 @@ object Dedup {
   /** MinHash signatures → 4 bands of 4 rows each: bucket = hash(band,
     * 4 consecutive sig values). Shared by the corpus index and d16's
     * shard probe — SAME banding, or the probe misses the index. */
-  private def bandBuckets(hs: DataFrame): DataFrame =
+  private[queries] def bandBuckets(hs: DataFrame): DataFrame =
     hs.selectExpr("doc_id", "affine_minhash(hv, 16) as sig")
       .selectExpr("doc_id", "explode(sequence(0, 3)) as band", "sig")
       .selectExpr("doc_id", "band",
@@ -147,7 +147,7 @@ object Dedup {
     * the whole corpus, which an explicit broadcast(hs) hint would
     * force (fine at gate scale, an OOM at 100 TB). Factored so d03,
     * d05, d07, and d09 cannot drift apart in candidate semantics. */
-  private def scoredCandidates(hs: DataFrame, bk: DataFrame,
+  private[queries] def scoredCandidates(hs: DataFrame, bk: DataFrame,
       scoreExpr: String, cap: Option[Int] = None): DataFrame = {
     val side = cap match {
       case Some(c) => bk.withColumn("bsz",
@@ -164,7 +164,7 @@ object Dedup {
       .selectExpr("d1", "d2", scoreExpr)
   }
 
-  private val jaccardExpr =
+  private[queries] val jaccardExpr =
     "cast(size(array_intersect(hv1, hv2)) as double) / size(array_union(hv1, hv2)) as jac"
 
   /** d03's verified near-dup pairs — a FOUR-consumer frame (d03's own
@@ -188,47 +188,6 @@ object Dedup {
       .where("jac >= 0.7")
       .select("d1", "d2", "jac")
       .persistScoped()
-  }
-
-  /** The dedup stage's DROP SET (consumed by c01/c03): exact dups —
-    * every non-minimum doc_id of an identical-text group, one linear
-    * md5 hash-groupBy — unioned with the near-dup rule (drop the
-    * larger end of every verified jac ≥ 0.7 pair) run over the
-    * exact-group REPRESENTATIVES only.
-    *
-    * Provably the same set as running the pair join over the full
-    * corpus: identical texts have identical shingle sets, so
-    * jac(rep(s), d) = jac(s, d) for any member s of rep(s)'s group —
-    * a doc dropped by a full-corpus pair (s, d) is dropped here
-    * either as a non-rep (exact stage) or via the pair
-    * (rep(s) ≤ s < d, same verdict); conversely every rep-pair also
-    * exists in the full-corpus join. What changes is the COST under
-    * dup storms: the sf100 fixture (1000 identical copies per doc)
-    * makes the full-corpus candidate join quadratic in copies —
-    * ~2.5 B pairs whose hv-carrying verify would ship terabytes —
-    * while the rep topology collapses the storm in the linear exact
-    * pass and hands LSH one doc per distinct text. This is the
-    * production ordering (exact pass first, near-dup on survivors);
-    * d03 itself still lists full-corpus pairs — that is its
-    * contract as the pair-monitoring query. */
-  private[queries] def dupDrops(s: SparkSession, d: String): DataFrame = {
-    Hashing.register(s)
-    graft.plans.JaccardRewrite.install(s)
-    // only LSH-ELIGIBLE docs (≥3 tokens — hashedDocsOf's domain) can
-    // appear in pairs, so only they may be dropped: a short doc's
-    // exact twin survives the pair join and must survive here too
-    val eligible = Tables(s, d, "documents").where(s"size($toks) >= 3")
-    val reps = eligible.groupBy(md5(col("text")).as("h"))
-      .agg(min("doc_id").as("doc_id"))
-      .select("doc_id")
-      .persistScoped()
-    val exactDrops = eligible.select("doc_id").join(reps, Seq("doc_id"), "left_anti")
-    val hs = hashedDocsOf(eligible.join(reps, Seq("doc_id"), "left_semi")
-      .repartition(s.sparkContext.defaultParallelism)).persistScoped()
-    val bk = bandBuckets(hs).persistScoped()
-    val nearDrops = scoredCandidates(hs, bk, jaccardExpr)
-      .where("jac >= 0.7").select(col("d2").as("doc_id"))
-    exactDrops.unionByName(nearDrops).distinct()
   }
 
   /** Connected components over an undirected edge list (columns `a`,
@@ -395,7 +354,10 @@ object Dedup {
 
 
 
-  val all: Map[String, Q] = Map(
+  // d26 lives with its kernels in DedupKernels (registry line cap)
+  lazy val all: Map[String, Q] = entries + DedupKernels.bbitEntry
+
+  private lazy val entries: Map[String, Q] = Map(
     // ── exact duplicate groups: one hash-aggregate over md5(text) ──
     "d01_exact_dup" -> Q(
       (s, d) => Tables(s, d, "documents")

@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   * the query plans without paging through the kernels; `Dedup`
   * imports this object wholesale — no member changed. */
 private[graft] object DedupKernels {
-  import Dedup.{toks, duckSimhashFold, duckLits, P}
+  import Dedup.{toks, duckSimhashFold, duckLits, P, lshFrames, hashedDocsOf, bandBuckets, scoredCandidates, jaccardExpr}
 
   /** d23's planted typo docs — the synthetic vocabulary has no
     * natural edit-distance-1 neighbors, so the gate plants one
@@ -393,4 +393,98 @@ private[graft] object DedupKernels {
           j -> list_min(list_transform(hv,
             h -> ($a[j+1] * h + $b[j+1]) % $P)))"""
   }
+
+  /** The dedup stage's DROP SET (consumed by c01/c03): exact dups —
+    * every non-minimum doc_id of an identical-text group, one linear
+    * md5 hash-groupBy — unioned with the near-dup rule (drop the
+    * larger end of every verified jac ≥ 0.7 pair) run over the
+    * exact-group REPRESENTATIVES only.
+    *
+    * Provably the same set as running the pair join over the full
+    * corpus: identical texts have identical shingle sets, so
+    * jac(rep(s), d) = jac(s, d) for any member s of rep(s)'s group —
+    * a doc dropped by a full-corpus pair (s, d) is dropped here
+    * either as a non-rep (exact stage) or via the pair
+    * (rep(s) ≤ s < d, same verdict); conversely every rep-pair also
+    * exists in the full-corpus join. What changes is the COST under
+    * dup storms: the sf100 fixture (1000 identical copies per doc)
+    * makes the full-corpus candidate join quadratic in copies —
+    * ~2.5 B pairs whose hv-carrying verify would ship terabytes —
+    * while the rep topology collapses the storm in the linear exact
+    * pass and hands LSH one doc per distinct text. This is the
+    * production ordering (exact pass first, near-dup on survivors);
+    * d03 itself still lists full-corpus pairs — that is its
+    * contract as the pair-monitoring query. */
+  private[queries] def dupDrops(s: SparkSession, d: String): DataFrame = {
+    Hashing.register(s)
+    graft.plans.JaccardRewrite.install(s)
+    // only LSH-ELIGIBLE docs (≥3 tokens — hashedDocsOf's domain) can
+    // appear in pairs, so only they may be dropped: a short doc's
+    // exact twin survives the pair join and must survive here too
+    val eligible = Tables(s, d, "documents").where(s"size($toks) >= 3")
+    val reps = eligible.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+      .persistScoped()
+    val exactDrops = eligible.select("doc_id").join(reps, Seq("doc_id"), "left_anti")
+    val hs = hashedDocsOf(eligible.join(reps, Seq("doc_id"), "left_semi")
+      .repartition(s.sparkContext.defaultParallelism)).persistScoped()
+    val bk = bandBuckets(hs).persistScoped()
+    val nearDrops = scoredCandidates(hs, bk, jaccardExpr)
+      .where("jac >= 0.7").select(col("d2").as("doc_id"))
+    exactDrops.unionByName(nearDrops).distinct()
+  }
+
+  /** b-bit minhash (Li & Konig, WWW 2010) — the storage-collapsed
+    * estimator next to d13's full-signature one: keep only the
+    * lowest b = 2 bits of each of the 16 minhash values (4 bytes per
+    * doc instead of 128 — the paper's point: at 1 B docs the
+    * signature store drops from ~128 GB to 4 GB), and correct the
+    * matched fraction for the 1/2^b accidental-collision floor:
+    * E[match] = C + (1 - C)J with C = 1/4, so J = (4*match - 1)/3.
+    * Exactness discipline: all-integer basis points with floor
+    * division, clamped at 0 (a below-floor match rate estimates 0,
+    * not negative) — bit-identical cross-engine. Same banded
+    * candidate topology as every LSH query (bounded, never
+    * all-pairs); the estimate rides next to the exact Jaccard so the
+    * gate pins the estimator's bias on real pairs. */
+  private[queries] val bbitEntry: (String, Q) =
+    "d26_bbit_minhash" -> Q(
+      (s, d) => {
+        val (hs, bk) = lshFrames(s, d)
+        val sigs = hs.selectExpr("doc_id",
+          "transform(affine_minhash(hv, 16), v -> v % 4) as bb")
+        scoredCandidates(hs, bk,
+            "cast(size(array_intersect(hv1, hv2)) * 10000 as bigint) div size(array_union(hv1, hv2)) as jac_bp")
+          .join(sigs.selectExpr("doc_id as d1", "bb as b1"), "d1")
+          .join(sigs.selectExpr("doc_id as d2", "bb as b2"), "d2")
+          .selectExpr("d1", "d2", "jac_bp",
+            "cast(aggregate(sequence(0, 15), 0, (acc, j) -> acc + if(b1[j] = b2[j], 1, 0)) * 10000 as bigint) div 16 as match_bp")
+          .selectExpr("d1", "d2", "jac_bp", "match_bp",
+            "greatest(0L, (4 * match_bp - 10000) div 3) as est_bp")
+      },
+      Some(s"""$duckShingles,
+               sigs AS (SELECT doc_id,
+                          list_transform(${duckSig(16)}, v -> v % 4) AS bb
+                        FROM hs),
+               b AS (SELECT doc_id, unnest(generate_series(0, 3)) AS band,
+                            ${duckSig(16)} AS sig FROM hs),
+               bk AS (SELECT doc_id, band,
+                        ${graft.functions.Hashing.duck32("band || ':' || array_to_string(sig[band*4+1:band*4+4], ',')")} AS bucket
+                      FROM b),
+               cand AS (SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+                        FROM bk a JOIN bk c
+                        ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id),
+               scored AS (SELECT d1, d2,
+                                 (CAST(len(list_intersect(x.hv, y.hv)) * 10000 AS BIGINT))
+                                   // len(list_distinct(x.hv || y.hv)) AS jac_bp,
+                                 (CAST(len(list_filter(generate_series(1, 16),
+                                    j -> sx.bb[j] = sy.bb[j])) * 10000 AS BIGINT)) // 16 AS match_bp
+                          FROM cand JOIN hs x ON x.doc_id = d1
+                                    JOIN hs y ON y.doc_id = d2
+                                    JOIN sigs sx ON sx.doc_id = d1
+                                    JOIN sigs sy ON sy.doc_id = d2)
+               SELECT d1, d2, jac_bp, match_bp,
+                      greatest(0, (4 * match_bp - 10000) // 3) AS est_bp
+               FROM scored"""))
 }

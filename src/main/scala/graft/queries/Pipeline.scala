@@ -468,7 +468,7 @@ object Pipeline {
         // rep-LSH — see its equivalence proof); the swap makes the
         // near-dup stage storm-proof while keepExact keeps covering
         // the sub-3-token docs LSH never sees
-        val nearDrops = Dedup.dupDrops(s, d)
+        val nearDrops = DedupKernels.dupDrops(s, d)
         val evalPred = s"${pctSql("'eval:' || doc_id")} < 10"
         val quality = docs
           .selectExpr("doc_id", s"$toks as t", s"$evalPred as is_eval")
@@ -702,8 +702,8 @@ object Pipeline {
       (s, d) => {
         // doc_ids to drop: the larger end of every verified dup pair —
         // computed storm-proof (exact pass + rep-LSH, same set; see
-        // Dedup.dupDrops' equivalence proof)
-        val drops = Dedup.dupDrops(s, d)
+        // DedupKernels.dupDrops' equivalence proof)
+        val drops = DedupKernels.dupDrops(s, d)
         val quality = Tables(s, d, "documents")
           .selectExpr("doc_id", "text", "lang",
             s"(size(array_distinct($toks)) * 10000) div size($toks) as uniq_bp",
