@@ -1388,15 +1388,20 @@ object Dedup {
                 CAST(tp * 10000 // greatest(n_true, 1) AS BIGINT) AS recall_bp
               FROM st${b}_$r CROSS JOIN nt"""
         }.mkString("\nUNION ALL ")
+        // MATERIALIZED on every multiply-referenced CTE: without it
+        // DuckDB inlines the shingle-self-join truth pipeline into
+        // each of the four config branches — 4x the work and >50 GB
+        // of stacked spill at sf1 (the checker died on disk, not the
+        // engine; same cure as g06's oracle)
         s"""$duckShingles,
-            sigs AS (SELECT doc_id, ${duckSig(16)} AS sig FROM hs),
+            sigs AS MATERIALIZED (SELECT doc_id, ${duckSig(16)} AS sig FROM hs),
             ds AS (SELECT doc_id, list_distinct(hv) AS hv FROM hs),
-            sz AS (SELECT doc_id, len(hv) AS sz FROM ds),
-            e AS (SELECT doc_id, unnest(hv) AS g FROM ds),
+            sz AS MATERIALIZED (SELECT doc_id, len(hv) AS sz FROM ds),
+            e AS MATERIALIZED (SELECT doc_id, unnest(hv) AS g FROM ds),
             p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
                   FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
                   GROUP BY 1, 2),
-            truth AS (SELECT d1, d2 FROM p
+            truth AS MATERIALIZED (SELECT d1, d2 FROM p
                       JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2
                       WHERE 10 * inter >= 7 * (s1.sz + s2.sz - inter)),
             nt AS (SELECT count(*) AS n_true FROM truth),

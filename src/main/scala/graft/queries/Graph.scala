@@ -155,19 +155,24 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
+  // MATERIALIZED on e/o/tri: each is referenced 2-3x and DuckDB
+  // would otherwise inline the whole upstream pipeline per reference
+  // (the lineitem self-join three times over inside the triangle
+  // closure) — the sf1 checker died on stacked spill, not a result
+  // mismatch; same cure as g06/d22's oracles.
   private val trianglesSql =
-    """WITH e AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+    """WITH e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
       |           FROM lineitem a
       |           JOIN lineitem b ON a.l_orderkey = b.l_orderkey
       |                          AND a.l_partkey < b.l_partkey),
       |deg AS (SELECT node, COUNT(*) AS deg
       |        FROM (SELECT p1 AS node FROM e UNION ALL SELECT p2 AS node FROM e) u
       |        GROUP BY 1),
-      |o AS (SELECT CASE WHEN d1.deg <= d2.deg THEN e.p1 ELSE e.p2 END AS src,
+      |o AS MATERIALIZED (SELECT CASE WHEN d1.deg <= d2.deg THEN e.p1 ELSE e.p2 END AS src,
       |             CASE WHEN d1.deg <= d2.deg THEN e.p2 ELSE e.p1 END AS dst
       |      FROM e JOIN deg d1 ON d1.node = e.p1
       |             JOIN deg d2 ON d2.node = e.p2),
-      |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      |tri AS MATERIALIZED (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
       |        FROM o e1 JOIN o e2 ON e2.src = e1.dst
       |                  JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst)
       |SELECT node, COUNT(*) AS n_triangles
