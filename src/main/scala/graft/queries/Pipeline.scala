@@ -309,11 +309,15 @@ object Pipeline {
     // deterministic hash-percentile as p01 (10% of the corpus — a
     // real benchmark suite is a visible slice, and the gate needs
     // both verdict classes populated). Scale
-    // shape: the eval side's distinct grams are SMALL by construction
-    // (benchmarks ≪ corpus) → explicitly broadcast; the corpus side
-    // is a map-side semi join of its exploded grams against that
-    // broadcast — the TEXT never shuffles; only (doc_id, hit) pairs
-    // reach the id-keyed aggregation and the final id join. ──
+    // shape: the eval side's distinct grams are small WHEN the
+    // benchmark suite is (the production case) — but they are
+    // data-derived, not bounded by construction, so the broadcast is
+    // AQE-ELECTED from the measured runtime size, never hinted (the
+    // sf100 fixture's 10%-of-corpus eval slice is ~95M grams: the
+    // old explicit hint shipped a ~7 GB broadcast there); the corpus
+    // side joins its exploded grams against it — the TEXT never
+    // shuffles; only (doc_id, hit) pairs reach the id-keyed
+    // aggregation and the final id join. ──
     "c02_decontaminate" -> Q(
       (s, d) => {
         graft.functions.Hashing.register(s)
@@ -321,7 +325,7 @@ object Pipeline {
         val grams = decontGrams(s, d)
         val evalGrams = grams.where("is_eval").select("g").distinct()
         val hits = grams.where("not is_eval")
-          .join(broadcast(evalGrams), "g")
+          .join(evalGrams, "g")
           .select("doc_id").distinct()
           .withColumn("contaminated", lit(true))
         docs.where(s"not ($evalPredSql)")
@@ -423,7 +427,7 @@ object Pipeline {
         Tables(s, d, "documents").select("doc_id")
           .join(score, "doc_id")
           .join(clusters, Seq("doc_id"), "left")
-          .join(broadcast(best), Seq("cluster"), "left")
+          .join(best, Seq("cluster"), "left") // cluster count is data-dependent: AQE elects the broadcast
           .selectExpr("doc_id", "cluster", "score_bp",
             "cluster is null or keep_id = doc_id as kept")
       },
@@ -493,7 +497,7 @@ object Pipeline {
           .select(col("doc_id"), col("is_eval"), explode(col("gs")).as("g"))
         val evalGrams = grams.where("is_eval").select("g").distinct()
         val contaminated = grams.where("not is_eval")
-          .join(broadcast(evalGrams), "g").select("doc_id").distinct()
+          .join(evalGrams, "g").select("doc_id").distinct()
         val cleaned = quality
           .join(keepExact, Seq("doc_id"), "left_semi")
           .join(nearDrops, Seq("doc_id"), "left_anti")

@@ -147,11 +147,15 @@ class PlanShapeSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(p.contains("rangepartitioning"), p)
   }
 
-  test("c02 decontamination broadcasts the eval grams; corpus text never shuffles") {
-    val p = planOf("c02_decontaminate")
-    // the gram-overlap join must be a broadcast hash join (eval side
-    // small by construction) — a sort-merge join here would shuffle
-    // every exploded corpus 13-gram
+  test("c02 decontamination broadcasts the eval grams AT RUNTIME; corpus text never shuffles") {
+    // the eval-gram side is data-derived, so its broadcast is
+    // AQE-elected from the measured size, never hinted (the sf100
+    // fixture's corpus-proportional eval slice must NOT broadcast) —
+    // assert the plan that actually RAN, not the static guess
+    val df = graft.SparkEntry.queries("c02_decontaminate")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p.take(400))
     assert(p.contains("BroadcastHashJoin"), p)
     // text reaches only map-side projections: no exchange carries it
     val exchanges = p.split("Exchange").drop(1)
