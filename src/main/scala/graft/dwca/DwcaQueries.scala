@@ -300,18 +300,31 @@ object DwcaQueries {
         FleetFixture.ensure()
         val local = java.nio.file.Files
           .createTempDirectory("graft-s3fleet").toString
-        graft.sources.S3Loopback.withServer("graft", "s3gate-secret") { port =>
-          val conf = s.sparkContext.hadoopConfiguration
-          conf.set("fs.s3a.impl", "graft.sources.S3MiniFileSystem")
-          conf.set("fs.s3a.impl.disable.cache", "true")
-          graft.sources.Fetch.configureS3a(s, s"http://127.0.0.1:$port",
-            "graft", "s3gate-secret")
-          val outBase = "s3a://gate/conv"
-          val res = ConvertJob.runCatalog(s, FleetFixture.datasets,
-            FleetFixture.urlOf, outBase)
-          require(res.values.forall(_ == "ran"), s"fleet statuses: $res")
-          fleetUnion(s, outBase).write.mode("overwrite")
-            .parquet(s"$local/union.parquet")
+        // The session's hadoopConfiguration is SHARED: snapshot every
+        // fs.s3a.* key this gate touches and restore after — the
+        // loopback's ephemeral port must not outlive the server as a
+        // dangling endpoint for later s3a use in the same session.
+        val conf = s.sparkContext.hadoopConfiguration
+        val s3aKeys = Seq("fs.s3a.impl", "fs.s3a.impl.disable.cache",
+          "fs.s3a.endpoint", "fs.s3a.access.key", "fs.s3a.secret.key",
+          "fs.s3a.path.style.access")
+        val saved = s3aKeys.map(k => k -> Option(conf.get(k)))
+        try {
+          graft.sources.S3Loopback.withServer("graft", "s3gate-secret") { port =>
+            conf.set("fs.s3a.impl", "graft.sources.S3MiniFileSystem")
+            conf.set("fs.s3a.impl.disable.cache", "true")
+            graft.sources.Fetch.configureS3a(s, s"http://127.0.0.1:$port",
+              "graft", "s3gate-secret")
+            val outBase = "s3a://gate/conv"
+            val res = ConvertJob.runCatalog(s, FleetFixture.datasets,
+              FleetFixture.urlOf, outBase)
+            require(res.values.forall(_ == "ran"), s"fleet statuses: $res")
+            fleetUnion(s, outBase).write.mode("overwrite")
+              .parquet(s"$local/union.parquet")
+          }
+        } finally saved.foreach {
+          case (k, Some(v)) => conf.set(k, v)
+          case (k, None)    => conf.unset(k)
         }
         s.read.parquet(s"$local/union.parquet")
       },

@@ -199,22 +199,35 @@ object Sinks {
     * thousand manifest lines) — no executor job, no data read. */
   def vacuum(spark: SparkSession, dir: String, keep: Int): Seq[String] = {
     require(keep >= 1, s"vacuum must retain at least one version, got $keep")
-    vacuumCore(spark, dir, manifestVersions(spark, dir).takeRight(keep))
+    vacuumCore(spark, dir, _.takeRight(keep))
   }
 
   /** Shared GC body for both vacuum surfaces: one ordering (expired
     * manifests first, then dead data files), one staging policy
     * (pending `staging-*.txt` sets are live; staging manifests are
     * never vacuum's to delete — [[publishStaged]] consumes them,
-    * [[abortStaged]] releases them). */
+    * [[abortStaged]] releases them).
+    *
+    * `choose` picks the retained versions FROM THE SNAPSHOT — the
+    * version listing is taken exactly once and both the retained set
+    * and the deletion list derive from it, so a version committed
+    * while GC runs can never be "not retained yet listed for
+    * deletion" (the double-listing race: keep-based retention
+    * computed on listing #1, expiry on listing #2, the new version
+    * only in #2). A version committed AFTER the snapshot is invisible
+    * to this GC entirely — its manifest survives; its data files are
+    * covered by the retention-horizon caveat documented on
+    * [[vacuum]], same as Delta's VACUUM. */
   private def vacuumCore(spark: SparkSession, dir: String,
-      retain: Seq[Int]): Seq[String] = {
+      choose: Seq[Int] => Seq[Int]): Seq[String] = {
+    val versions = manifestVersions(spark, dir) // the ONE listing
+    val retain = choose(versions)
     val retained = retain.toSet
     val pending = stagingTags(spark, dir)
       .flatMap(readStaged(spark, dir, _)).toSet
     val live = retain.flatMap(readManifest(spark, dir, _)).toSet ++ pending
     val hfs = fs(spark, new Path(dir))
-    manifestVersions(spark, dir).filterNot(retained).foreach { v =>
+    versions.filterNot(retained).foreach { v =>
       hfs.delete(new Path(dir, s"_manifests/v$v.txt"), false)
     }
     val dead = dataFiles(spark, dir).filterNot(live)
@@ -300,7 +313,7 @@ object Sinks {
     * Returns the deleted-file count. Driver-side O(files) metadata
     * work, no data read. */
   def vacuum(spark: SparkSession, dir: String, retain: Seq[Int]): Int =
-    vacuumCore(spark, dir, retain).size
+    vacuumCore(spark, dir, _ => retain).size
 
   // ── positional deletes (merge-on-read; sink15): the Iceberg
   // positional-delete / Delta deletion-vector contract — row-level

@@ -20,6 +20,11 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   *   - `DELETE /b/k` — 204
   *   - `GET /b?list-type=2&prefix=p&delimiter=/` — ListObjectsV2 XML
   *     (Contents + CommonPrefixes)
+  *   - multipart upload: `POST /b/k?uploads` (InitiateMultipartUpload),
+  *     `PUT /b/k?partNumber=N&uploadId=I`, `POST /b/k?uploadId=I`
+  *     (Complete — assembles declared parts in part order),
+  *     `DELETE /b/k?uploadId=I` (Abort); in-flight parts are
+  *     invisible to GET/LIST until Complete, per the S3 contract
   *
   * Objects live in one ConcurrentHashMap keyed `bucket/key`.
   * Credentials are REAL in shape: every request must carry the
@@ -63,6 +68,19 @@ object S3Loopback {
   private class Handler(store: ConcurrentHashMap[String, Array[Byte]],
       accessKey: String, secretKey: String) extends HttpHandler {
 
+    // multipart-upload state: parts keyed "uploadId/partNumber",
+    // kept OUT of `store` so in-flight uploads never appear in
+    // listings (the real-S3 invisibility contract for pending MPUs)
+    private val mpuParts = new ConcurrentHashMap[String, Array[Byte]]()
+    private val mpuSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+    private def parseQuery(query: String): Map[String, String] =
+      query.split("&").iterator.filter(_.nonEmpty).map(_.split("=", 2))
+        .map {
+          case Array(k)    => k -> ""
+          case Array(k, v) => k -> java.net.URLDecoder.decode(v, "UTF-8")
+        }.toMap
+
     override def handle(ex: HttpExchange): Unit =
       try route(ex)
       catch { case _: Exception => reply(ex, 500, Array.empty) }
@@ -99,13 +117,63 @@ object S3Loopback {
       // (empty-dir marker) is still an object op
       val isList = !path.stripSuffix("/").contains("/") &&
         (query.contains("list-type=2") || !path.contains("/"))
+      val params = parseQuery(query)
       (ex.getRequestMethod, isList) match {
+        case ("POST", _) if params.contains("uploads") =>
+          initiateMpu(ex, path)
+        case ("POST", _) if params.contains("uploadId") =>
+          completeMpu(ex, path, params("uploadId"))
+        case ("PUT", _) if params.contains("uploadId") =>
+          putPart(ex, params("uploadId"), params.getOrElse("partNumber", "0"))
+        case ("DELETE", _) if params.contains("uploadId") =>
+          abortMpu(params("uploadId")); reply(ex, 204, Array.empty)
         case ("GET" | "HEAD", true) => list(ex, path.stripSuffix("/"), query)
         case ("GET" | "HEAD", false) => get(ex, path)
         case ("PUT", _)             => put(ex, path)
         case ("DELETE", _)          => { store.remove(path); reply(ex, 204, Array.empty) }
         case _                      => reply(ex, 405, Array.empty)
       }
+    }
+
+    // ── multipart upload (Initiate / UploadPart / Complete / Abort):
+    // parts accumulate invisibly; Complete assembles the client's
+    // declared part list IN PART-NUMBER ORDER into one object ──
+
+    private def initiateMpu(ex: HttpExchange, path: String): Unit = {
+      val id = s"mpu-${mpuSeq.incrementAndGet()}"
+      val xml = "<InitiateMultipartUploadResult>" +
+        s"<Key>${xmlEscape(path)}</Key><UploadId>$id</UploadId>" +
+        "</InitiateMultipartUploadResult>"
+      reply(ex, 200, xml.getBytes(StandardCharsets.UTF_8))
+    }
+
+    private def putPart(ex: HttpExchange, uploadId: String,
+        partNumber: String): Unit = {
+      mpuParts.put(s"$uploadId/$partNumber", ex.getRequestBody.readAllBytes())
+      reply(ex, 200, Array.empty, Map("ETag" -> s""""$uploadId-$partNumber""""))
+    }
+
+    private def completeMpu(ex: HttpExchange, path: String,
+        uploadId: String): Unit = {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val declared = (scala.xml.XML.loadString(body) \\ "PartNumber")
+        .map(_.text.trim.toInt).sorted
+      val parts = declared.map(n => Option(mpuParts.get(s"$uploadId/$n")))
+      if (declared.isEmpty || parts.exists(_.isEmpty)) {
+        reply(ex, 400, Array.empty); return
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      parts.flatten.foreach(out.write)
+      store.put(path, out.toByteArray)
+      abortMpu(uploadId)
+      reply(ex, 200, ("<CompleteMultipartUploadResult><Key>" +
+        xmlEscape(path) + "</Key></CompleteMultipartUploadResult>")
+        .getBytes(StandardCharsets.UTF_8))
+    }
+
+    private def abortMpu(uploadId: String): Unit = {
+      val it = mpuParts.keySet().iterator()
+      while (it.hasNext) if (it.next().startsWith(uploadId + "/")) it.remove()
     }
 
     private def put(ex: HttpExchange, path: String): Unit = {

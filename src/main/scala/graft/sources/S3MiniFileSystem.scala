@@ -20,9 +20,11 @@ import org.apache.hadoop.util.Progressable
   *   - objects are immutable blobs under `bucket/key`; "directories"
   *     are key prefixes, plus zero-byte `key/` markers for EMPTY dirs
   *     (mkdirs writes one; listings hide them)
-  *   - create buffers locally and PUTs on close (single-part — the
-  *     loopback gate's objects are conversion-sized; a production
-  *     client adds multipart upload above the same surface)
+  *   - create buffers at most ONE part locally: objects under one
+  *     part size are a single PUT on close; larger objects roll
+  *     through multipart upload (Initiate/UploadPart/Complete,
+  *     `fs.s3a.multipart.size`, default 32 MiB) — real S3 caps a
+  *     single PUT at 5 GB, below one 100 TB-job parquet part
   *   - open is lazy: positioned reads are ranged GETs, so a parquet
   *     footer read fetches footer bytes, not the object
   *   - rename is COPY+DELETE per key (the real S3 cost model —
@@ -30,9 +32,10 @@ import org.apache.hadoop.util.Progressable
   *     paths + manifest commit", `graft.sinks.Sinks.writeManifest`,
   *     not rename-based committers)
   *
-  * NOT a full s3a: no multipart, no retries/backoff, no seek-ahead
-  * buffering. The point is the PLUMBING — URIs, SECRET, server
-  * protocol — gated end-to-end offline.
+  * NOT a full s3a: no retries/backoff, no seek-ahead buffering, no
+  * parallel part upload (parts go sequentially — bounded memory over
+  * raw throughput). The point is the PLUMBING — URIs, SECRET, server
+  * protocol, multipart shape — gated end-to-end offline.
   */
 class S3MiniFileSystem extends FileSystem {
 
@@ -67,10 +70,19 @@ class S3MiniFileSystem extends FileSystem {
 
   // ── HTTP plumbing ──────────────────────────────────────────────
 
+  /** Percent-encode an object key for the request line: each
+    * '/'-separated segment is URL-encoded so spaces, '%', '+', '#',
+    * '?' and non-ASCII (e.g. Hive partition values `col=a b/`)
+    * survive both HTTP transport and the HMAC signing, while the
+    * path structure — slashes, including a trailing dir-marker
+    * slash — is preserved. The server decodes via `URI.getPath`. */
+  private def encKey(key: String): String =
+    key.split("/", -1).map(enc).mkString("/")
+
   private def request(method: String, key: String, query: String = "",
       body: Array[Byte] = null, headers: Map[String, String] = Map.empty)
       : (Int, Array[Byte], Map[String, String]) = {
-    val rawPath = s"/$bucket/$key"
+    val rawPath = s"/$bucket/${encKey(key)}"
     val url = new URL(endpoint + rawPath + (if (query.isEmpty) "" else s"?$query"))
     val c = url.openConnection().asInstanceOf[HttpURLConnection]
     c.setRequestMethod(method)
@@ -183,17 +195,73 @@ class S3MiniFileSystem extends FileSystem {
     require(key.nonEmpty, "cannot create the bucket root")
     if (!overwrite && head(key).isDefined)
       throw new FileAlreadyExistsException(p.toString)
-    val buf = new ByteArrayOutputStream(64 * 1024)
-    val out = new OutputStream {
-      override def write(b: Int): Unit = buf.write(b)
-      override def write(b: Array[Byte], off: Int, len: Int): Unit =
-        buf.write(b, off, len)
-      override def close(): Unit = {
-        val (code, _, _) = request("PUT", key, body = buf.toByteArray)
-        require(code == 200, s"PUT $key failed: HTTP $code")
+    // getLongBytes: hadoop's own default for this key is "64M"
+    val partSize = getConf.getLongBytes("fs.s3a.multipart.size", 32L * 1024 * 1024)
+    new FSDataOutputStream(new S3MiniOutputStream(key, partSize), statistics)
+  }
+
+  /** Buffered writer with MULTIPART upload above one part size: an
+    * object that fits in a single part is one PUT on close (no extra
+    * round-trips for the common small-file case); anything larger
+    * rolls 32 MiB parts (`fs.s3a.multipart.size`) through
+    * InitiateMultipartUpload / UploadPart / CompleteMultipartUpload —
+    * the real-S3 requirement for objects past the 5 GB single-PUT
+    * cap, which a 100 TB conversion's multi-GB parquet parts exceed.
+    * Local memory is bounded by ONE part regardless of object size. */
+  private class S3MiniOutputStream(key: String, partSize: Long)
+      extends OutputStream {
+    private val buf = new ByteArrayOutputStream(64 * 1024)
+    private var uploadId: String = null
+    private var parts = Vector.empty[(Int, String)] // partNumber -> ETag
+
+    private def rollPart(): Unit = {
+      if (uploadId == null) {
+        val (code, bytes, _) = request("POST", key, "uploads", body = Array.empty)
+        require(code == 200, s"initiate multipart $key failed: HTTP $code")
+        uploadId = (scala.xml.XML.loadString(new String(bytes, "UTF-8"))
+          \\ "UploadId").text
+        require(uploadId.nonEmpty, s"initiate multipart $key: no UploadId")
+      }
+      val n = parts.size + 1
+      val (code, _, hdrs) = request("PUT", key,
+        s"partNumber=$n&uploadId=${enc(uploadId)}", body = buf.toByteArray)
+      require(code == 200, s"upload part $n of $key failed: HTTP $code")
+      val etag = hdrs.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("ETag") => v
+      }.getOrElse(s"part-$n")
+      parts :+= (n -> etag)
+      buf.reset()
+    }
+
+    private def maybeRoll(): Unit = if (buf.size >= partSize) rollPart()
+
+    override def write(b: Int): Unit = { buf.write(b); maybeRoll() }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      var o = off; var l = len
+      while (l > 0) { // chunk so the buffer never exceeds one part
+        val room = math.min(math.max(partSize - buf.size, 1L),
+          Int.MaxValue.toLong).toInt
+        val take = math.min(l, room)
+        buf.write(b, o, take); o += take; l -= take
+        maybeRoll()
       }
     }
-    new FSDataOutputStream(out, statistics)
+
+    override def close(): Unit = {
+      if (uploadId == null) { // never crossed a part: plain PUT
+        val (code, _, _) = request("PUT", key, body = buf.toByteArray)
+        require(code == 200, s"PUT $key failed: HTTP $code")
+      } else {
+        if (buf.size > 0) rollPart()
+        val xml = new StringBuilder("<CompleteMultipartUpload>")
+        parts.foreach { case (n, e) =>
+          xml ++= s"<Part><PartNumber>$n</PartNumber><ETag>$e</ETag></Part>" }
+        xml ++= "</CompleteMultipartUpload>"
+        val (code, _, _) = request("POST", key, s"uploadId=${enc(uploadId)}",
+          body = xml.result().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        require(code == 200, s"complete multipart $key failed: HTTP $code")
+      }
+    }
   }
 
   override def append(p: Path, bufferSize: Int,
@@ -219,7 +287,7 @@ class S3MiniFileSystem extends FileSystem {
       if (stream == null || streamPos != pos) {
         if (stream != null) stream.close()
         if (pos >= len) throw new EOFException(s"read past end of $key")
-        val rawPath = s"/$bucket/$key"
+        val rawPath = s"/$bucket/${encKey(key)}"
         val url = new URL(endpoint + rawPath)
         val c = url.openConnection().asInstanceOf[HttpURLConnection]
         c.setRequestProperty("Authorization",
@@ -227,7 +295,21 @@ class S3MiniFileSystem extends FileSystem {
         c.setRequestProperty("Range", s"bytes=$pos-")
         val code = c.getResponseCode
         require(code == 200 || code == 206, s"GET $key@$pos failed: HTTP $code")
-        stream = new java.io.BufferedInputStream(c.getInputStream, 128 * 1024)
+        val raw = c.getInputStream
+        // Only 206 proves the server honored Range. A server that
+        // ignored it answers 200 with the FULL body — skip to pos so
+        // a positioned read (parquet footer) never misreads offset 0
+        // bytes as offset-pos bytes.
+        if (code == 200 && pos > 0) {
+          var toSkip = pos
+          while (toSkip > 0) {
+            val skipped = raw.skip(toSkip)
+            if (skipped > 0) toSkip -= skipped
+            else if (raw.read() >= 0) toSkip -= 1
+            else throw new EOFException(s"$key shorter than $pos on 200 fallback")
+          }
+        }
+        stream = new java.io.BufferedInputStream(raw, 128 * 1024)
         streamPos = pos
       }
       stream
@@ -286,7 +368,8 @@ class S3MiniFileSystem extends FileSystem {
 
   private def copyDelete(srcKey: String, dstKey: String): Unit = {
     val (code, _, _) = request("PUT", dstKey,
-      headers = Map("x-amz-copy-source" -> s"/$bucket/$srcKey"))
+      // encoded like the request line; the server URL-decodes it
+      headers = Map("x-amz-copy-source" -> s"/$bucket/${encKey(srcKey)}"))
     require(code == 200, s"COPY $srcKey -> $dstKey failed: HTTP $code")
     request("DELETE", srcKey)
   }

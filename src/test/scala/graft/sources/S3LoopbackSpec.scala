@@ -86,6 +86,86 @@ class S3LoopbackSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("multipart upload: a write past one part size rolls parts and assembles exactly") {
+    withS3 { (fs, base) =>
+      // shrink the part size so a 2.5 MB object exercises the real
+      // Initiate/UploadPart/Complete path (3 parts: 1M + 1M + 0.5M)
+      fs.getConf.setLong("fs.s3a.multipart.size", 1024 * 1024)
+      val f = new Path(s"$base/mpu/big.bin")
+      val payload = Array.tabulate[Byte](2 * 1024 * 1024 + 512 * 1024)(
+        i => ((i * 31 + 7) % 251).toByte)
+      val out = fs.create(f)
+      out.write(payload, 0, 700000)          // straddles a part boundary
+      for (i <- 700000 until payload.length) out.write(payload(i))
+      out.close()
+      assert(fs.getFileStatus(f).getLen === payload.length.toLong)
+      val in = fs.open(f)
+      val back = new Array[Byte](payload.length)
+      in.readFully(0, back); in.close()
+      assert(java.util.Arrays.equals(back, payload),
+        "assembled object must be byte-identical across part seams")
+      // under-one-part objects still take the single-PUT path
+      val small = fs.create(new Path(s"$base/mpu/small.bin"))
+      small.write(Array[Byte](1, 2, 3)); small.close()
+      assert(fs.getFileStatus(new Path(s"$base/mpu/small.bin")).getLen === 3L)
+    }
+  }
+
+  test("keys with spaces, percent, plus, hash survive transport and signing") {
+    withS3 { (fs, base) =>
+      // Hive-style partition values are the production shape of this
+      val f = new Path(s"$base/part/col=a b/100%25+c#d.bin")
+      val out = fs.create(f)
+      out.write(Array[Byte](9, 8, 7)); out.close()
+      assert(fs.exists(f))
+      val in = fs.open(f)
+      val b = new Array[Byte](3); in.readFully(0, b); in.close()
+      assert(b.toSeq === Seq[Byte](9, 8, 7))
+      val dirs = fs.listStatus(new Path(s"$base/part")).map(_.getPath.getName)
+      assert(dirs.toSeq === Seq("col=a b"))
+      assert(fs.rename(f, new Path(s"$base/part/col=a b/renamed %.bin")))
+      assert(fs.exists(new Path(s"$base/part/col=a b/renamed %.bin")))
+      assert(fs.delete(new Path(s"$base/part"), true))
+    }
+  }
+
+  test("positioned reads survive a server that ignores Range (200 fallback skips to pos)") {
+    // a minimal unauthenticated server: HEAD answers the length
+    // header the client reads; GET always answers 200 FULL BODY
+    val payload = Array.tabulate[Byte](50000)(i => (i % 127).toByte)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      if (ex.getRequestMethod == "HEAD") {
+        ex.getResponseHeaders.set("x-graft-content-length", payload.length.toString)
+        ex.sendResponseHeaders(200, -1)
+      } else {
+        ex.sendResponseHeaders(200, payload.length.toLong)
+        ex.getResponseBody.write(payload)
+      }
+      ex.close()
+    })
+    server.start()
+    try {
+      val conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.set("fs.s3a.impl", classOf[S3MiniFileSystem].getName)
+      conf.set("fs.s3a.impl.disable.cache", "true")
+      conf.set("fs.s3a.endpoint",
+        s"http://127.0.0.1:${server.getAddress.getPort}")
+      conf.set("fs.s3a.access.key", "any")
+      conf.set("fs.s3a.secret.key", "any") // the dumb server never checks
+      val fs = new Path("s3a://b").getFileSystem(conf)
+      try {
+        val in = fs.open(new Path("s3a://b/k.bin"))
+        val tail = new Array[Byte](5)
+        in.readFully(49995L, tail)
+        assert(tail.toSeq === payload.takeRight(5).toSeq,
+          "a 200 reply to a ranged GET must be skipped to pos, not misread")
+        in.close()
+      } finally fs.close()
+    } finally server.stop(0)
+  }
+
   test("spark parquet round-trips over s3a:// (write, commit renames, ranged footer reads)") {
     withS3 { (_, base) =>
       val df = graft.Tables(spark, "/root/testdata/sf0.001", "orders")
