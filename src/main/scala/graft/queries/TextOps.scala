@@ -116,22 +116,50 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("b.w1").as("w1"), col("b.g").as("g"))
       .persistScoped()
     val en = bg.where("lang = 'en'")
-    val c2 = en.groupBy("g").agg(count(lit(1)).as("n2"))
-    val c1 = en.groupBy("w1").agg(count(lit(1)).as("n1"))
+    // ONE lookup side instead of two: per first word, the summed
+    // continuation count (= the old c1's n1 — n1(w1) ≡ Σ_g n2(g,w1))
+    // plus a g→n2 map holding the old c2. Collapses the two
+    // data-derived probes (c2 on g, c1 on w1) into a single left
+    // join, so the exploded bigram frame shuffle-writes ONCE before
+    // AQE's broadcast election, not once per probe — under the
+    // never-trust-estimates broadcast discipline
+    // ([[graft.Sessions.scaleDefensive]]) that halves the r16 t16
+    // regression's shuffle tax. Semantics are unchanged: an
+    // out-of-domain bigram with an in-domain first word still finds
+    // n1 and misses gmap[g], exactly the old two-join outcome. Map
+    // size per word is bounded by that word's distinct continuations;
+    // the whole lm frame is O(distinct en bigrams) — the same bytes
+    // the old c2 carried. At 100 TB the w1 join inherits hub-word
+    // skew; AQE's skew split covers it (the old g-key join skewed on
+    // hub bigrams the same way).
+    val lm = en.groupBy("g", "w1").agg(count(lit(1)).as("n2"))
+      .groupBy("w1").agg(sum("n2").as("n1"),
+        map_from_entries(collect_list(struct(col("g"), col("n2")))).as("gmap"))
     val v = docs.where("lang = 'en'")
       .selectExpr(s"explode($toks) as tok")
       .agg(count_distinct(col("tok")).as("v"))
+    // lang rides THROUGH the scoring aggregate (doc_id determines
+    // lang, so grouping by both is the same cardinality), and the
+    // bigram-less docs come back via a UNION with a second pruned
+    // scan of documents — not the old docs⋈scored left join, which
+    // shuffled both corpus-sized sides under the broadcast
+    // discipline. A column-pruned parquet re-scan is strictly
+    // cheaper than a corpus-wide shuffle at any scale.
     val scored = bg
-      .join(c2, Seq("g"), "left").join(c1, Seq("w1"), "left")
+      .join(lm, Seq("w1"), "left")
       .crossJoin(broadcast(v))
-      .selectExpr("doc_id",
-        "((coalesce(n2, 0L) + 1) * 10000) div (coalesce(n1, 0L) + v) as s_bp")
-      .groupBy("doc_id")
+      .selectExpr("doc_id", "lang",
+        "((coalesce(gmap[g], 0L) + 1) * 10000) div (coalesce(n1, 0L) + v) as s_bp")
+      .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_bigrams"), sum("s_bp").as("sum_bp"))
-      .selectExpr("doc_id", "n_bigrams", "sum_bp div n_bigrams as avg_bp")
-    docs.select("doc_id", "lang").join(scored, Seq("doc_id"), "left")
-      .selectExpr("doc_id", "lang", "coalesce(n_bigrams, 0L) as n_bigrams", "avg_bp")
-      .persistScoped()
+      .selectExpr("doc_id", "lang", "n_bigrams",
+        "sum_bp div n_bigrams as avg_bp")
+    val unscored = docs
+      .selectExpr("doc_id", "lang", s"size($toks) as nt")
+      .where("nt < 2")
+      .selectExpr("doc_id", "lang", "cast(0 as bigint) as n_bigrams",
+        "cast(null as bigint) as avg_bp")
+    scored.unionByName(unscored).persistScoped()
   }
 
   /** DuckDB mirror of [[lmPerDoc]] — a CTE chain ending in `perdoc`
@@ -292,35 +320,38 @@ object TextOps {
     // joins — this is what distinguishes it from t13, which scores
     // the corpus against itself), then cut the corpus into
     // head/middle/tail terciles on the score. The tercile cutpoints
-    // are exact rank statistics via orderBy+limit+agg, which
-    // compiles to TakeOrderedAndProject — a distributed merge of
-    // per-partition top-k heads, never a global sort or an
-    // unpartitioned window (CCNet computes the same thresholds
-    // offline on a sample; here they are exact). One driver-side
-    // count() sizes the rank k — O(1) result, same class as the
-    // kmeans driver loop. Bucket assignment is by VALUE against the
-    // broadcast 1-row cut frames, so ties straddling a cut all land
-    // in the upper bucket — deterministic in both engines. ──
+    // are exact rank statistics off the VALUE HISTOGRAM: avg_bp is
+    // an integer in [0, 10000] BY CONSTRUCTION (s_bp =
+    // ((n2+1)*10000) div (n1+v) with n2 ≤ n1 and v ≥ 1, and avg_bp
+    // is a mean of s_bp), so groupBy(avg_bp) is a ≤ 10001-row frame
+    // at ANY corpus size — one map-side-combined aggregation, a
+    // single-partition cumulative window over the tiny histogram,
+    // and the k-th-largest-with-multiplicity value for both cuts in
+    // one pass. No driver-side count(), no top-k merge of n/3 rows,
+    // no Int-bounded limit — exact at 100 TB. The doc_id tie-break
+    // the old TakeOrdered formulation carried changed nothing: ties
+    // share one avg_bp, so the k-th element's VALUE is tie-break-
+    // invariant. The 1-row cut frame is construction-bounded —
+    // broadcast is PROVEN under the scaleDefensive discipline.
+    // Bucket assignment is by VALUE against the broadcast cuts, so
+    // ties straddling a cut all land in the upper bucket —
+    // deterministic in both engines. ──
     "t16_lm_buckets" -> Q(
       (s, d) => {
         val perDoc = lmPerDoc(s, d)
-        val withAvg = perDoc.where("avg_bp is not null")
-        val n = withAvg.count()
-        def cutAt(k: Long, name: String) = {
-          // exact rank-k is Int-bounded (limit takes Int, and the
-          // TakeOrdered merge materializes k rows on the driver);
-          // past that, do what CCNet does: cutpoints from a
-          // deterministic hash-sample, which this guard names
-          // rather than silently wrapping k
-          require(k <= Int.MaxValue,
-            s"corpus too large for exact tercile cutpoints (k=$k); " +
-              "compute cuts on a deterministic sample instead")
-          withAvg.orderBy(col("avg_bp").desc, col("doc_id"))
-            .limit(k.toInt).agg(min("avg_bp").as(name))
-        }
-        val cut1 = cutAt((n + 2) / 3, "cut1")
-        val cut2 = cutAt((2 * n + 2) / 3, "cut2")
-        perDoc.crossJoin(broadcast(cut1)).crossJoin(broadcast(cut2))
+        val hist = perDoc.where("avg_bp is not null")
+          .groupBy("avg_bp").agg(count(lit(1)).as("cnt"))
+        val cuts = hist
+          .withColumn("running",
+            sum("cnt").over(Window.orderBy(col("avg_bp").desc)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("total", sum("cnt").over())
+          .agg(
+            max(expr("case when running >= (total + 2) div 3 then avg_bp end"))
+              .as("cut1"),
+            max(expr("case when running >= (2 * total + 2) div 3 then avg_bp end"))
+              .as("cut2"))
+        perDoc.crossJoin(broadcast(cuts))
           .selectExpr("doc_id", "n_bigrams", "avg_bp",
             """case when avg_bp is null then 'unscored'
                     when avg_bp >= cut1 then 'head'

@@ -27,7 +27,10 @@ object ProfileServe {
         println(f"    job ${j.jobId}: ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
     })
-    val fn = graft.SparkEntry.queries("s28_serve_only")
+    // GRAFT_PROFILE_Q picks any registry query; default is the
+    // original s28 latency flag this scratchpad was written for
+    val fn = graft.SparkEntry.queries(
+      sys.env.getOrElse("GRAFT_PROFILE_Q", "s28_serve_only"))
     fn(spark, d).count() // warmup: lazy index build + codegen
     for (i <- 1 to 5) {
       val t0 = System.nanoTime()

@@ -52,7 +52,11 @@ def main():
     con.sql(f"SET threads={os.environ.get('GRAFT_DUCK_THREADS', '16')}")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # chunked big-SF builds (make_sf1.py COPIES > 100) emit a
+            # parquet DIRECTORY of part files; DuckDB needs the glob
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     results, n_ok = {}, 0
     names = sorted(d for d in os.listdir(out_dir)
@@ -118,6 +122,25 @@ def main():
     n_oracle = sum(1 for r in results.values() if "rows_match" in r or "error" in r)
     print(f"== {n_ok}/{n_oracle} oracle-checked green; "
           f"{len(results) - n_oracle} rows-only ==", file=sys.stderr)
+    # Persist scale-sweep evidence as an artifact (VERDICT r16 item 6):
+    # a FULL run (no subset filter) at a non-gate scale writes
+    # CORRECTNESS_sf<N>.json next to this script's repo root, in the
+    # gate file's shape, so scale correctness survives sessions the
+    # way gate correctness does. GRAFT_CHECK_TAG overrides the tag
+    # (e.g. "sf1_prefix" for a named subset sweep — subset runs only
+    # write when the tag is explicit, so a one-query debug run can
+    # never masquerade as a sweep).
+    tag = os.environ.get("GRAFT_CHECK_TAG")
+    if tag is None and not only:
+        base = os.path.basename(os.path.normpath(sf_dir))
+        if base not in ("sf0.01",):  # the driver owns the gate file
+            tag = base.replace(".", "_")
+    if tag:
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        path = os.path.join(repo, f"CORRECTNESS_{tag}.json")
+        with open(path, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"== wrote {path} ==", file=sys.stderr)
 
 
 if __name__ == "__main__":
