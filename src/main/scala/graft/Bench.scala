@@ -82,6 +82,18 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             Seq.empty[Double]
         }
+      // SPARK_GRAFT_BENCH_GC=1: force a GC after each query so the
+      // ContextCleaner reclaims that query's now-unreferenced shuffle
+      // files immediately. A big-SF suite (sf100: tens of GB of
+      // shuffle per heavy query) otherwise accumulates shuffle dirs
+      // until a large heap's first natural GC — the r16 sf100 runs
+      // died on No-space-left with >40 GB of dead shuffle on disk.
+      // Off by default: the gate-scale suite never needs it and the
+      // GC pause would land inside the next query's load reading.
+      if (sys.env.get("SPARK_GRAFT_BENCH_GC").contains("1")) {
+        System.gc()
+        Thread.sleep(500) // let the async cleaner issue the deletes
+      }
       (name,
         if (times.nonEmpty) times(times.size / 2) else -1.0, // median
         if (times.nonEmpty) times.head else -1.0,            // min

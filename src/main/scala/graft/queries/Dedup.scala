@@ -167,13 +167,37 @@ object Dedup {
   private[queries] val jaccardExpr =
     "cast(size(array_intersect(hv1, hv2)) as double) / size(array_union(hv1, hv2)) as jac"
 
-  /** d03's verified near-dup pairs — a FOUR-consumer frame (d03's own
-    * gate output, d08's cluster edges, d09's candidate reuse, c01's
-    * drop set), so the verified result is persisted: pairs ≪ corpus
-    * by construction (a few rows per near-dup cluster), making this
-    * the cheapest cache in the tier, and every consumer after the
-    * first reads an InMemoryTableScan instead of re-running the
-    * candidate join + Jaccard verify.
+  /** d03's verified near-dup pairs (consumed by d03's own gate output
+    * and d08's cluster edges), computed DUP-STORM-PROOF while keeping
+    * the full-pair contract: exact-group the corpus first (one linear
+    * md5 window), run the LSH candidate join + Jaccard verify over
+    * group REPRESENTATIVES only, then EXPAND rep pairs back to member
+    * pairs. The expansion rows carry ids + a precomputed jac — never
+    * the hv arrays — so a 1000-identical-copies storm (sf100) streams
+    * its inherent C(copies,2)-per-group output through cheap
+    * rep-keyed joins instead of shipping terabytes of hv through a
+    * quadratic candidate shuffle (the r16 sf100 finding; same
+    * topology as [[DedupKernels.dupDrops]]).
+    *
+    * Output-equivalence proof (same discipline as dupDrops, extended
+    * to the PAIR LIST — d03 is uncapped, which is what makes this
+    * exact):
+    *  - identical texts ⇒ identical shingle sets ⇒ identical sigs
+    *    and hv;
+    *  - SAME group (x < y): identical sigs collide in every band ⇒
+    *    always a candidate; jac = 1.0 ≥ 0.7 ⇒ the full-corpus join
+    *    emits (x, y, 1.0) — the `within` branch emits exactly that;
+    *  - DIFFERENT groups (x ∈ G1, y ∈ G2, reps r1 < r2): sig(x) =
+    *    sig(r1), sig(y) = sig(r2), so (x, y) is a candidate iff
+    *    (r1, r2) is (no bucket cap ⇒ candidacy is content-determined)
+    *    and jac(x, y) = jac(r1, r2) — the `cross` branch emits every
+    *    member combination once with that jac, (least, greatest)
+    *    matching the full join's d1 < d2 orientation;
+    *  - conversely every emitted pair exists in the full join.
+    * The persists cover the SMALL frames (membership, rep hv/bucket,
+    * rep pairs); the expanded list is deliberately NOT persisted —
+    * under a storm it is quadratic in copies by contract, so it
+    * streams to its consumer instead of being cached.
     *
     * Cache lifetime (applies to every persist in this tier): frames
     * register with the per-query [[graft.CacheScope]] — the harness
@@ -183,11 +207,32 @@ object Dedup {
     * (CacheScopeSpec pins this). Outside a scope the persist is
     * plain and the embedding caller owns the lifecycle. */
   private def lshPairs(s: SparkSession, d: String): DataFrame = {
-    val (hs, bk) = lshFrames(s, d)
-    scoredCandidates(hs, bk, jaccardExpr)
+    Hashing.register(s)
+    graft.plans.JaccardRewrite.install(s)
+    val eligible = Tables(s, d, "documents").where(s"size($toks) >= 3")
+    val groups = eligible
+      .select(md5(col("text")).as("h"), col("doc_id"))
+      .withColumn("rep", min("doc_id").over(Window.partitionBy("h")))
+      .select("doc_id", "rep")
+      .persistScoped()
+    val hs = hashedDocsOf(
+      eligible.join(groups.where("doc_id = rep").select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        .repartition(s.sparkContext.defaultParallelism)).persistScoped()
+    val bk = bandBuckets(hs).persistScoped()
+    val repPairs = scoredCandidates(hs, bk, jaccardExpr)
       .where("jac >= 0.7")
       .select("d1", "d2", "jac")
       .persistScoped()
+    val cross = repPairs
+      .join(groups.select(col("rep").as("d1"), col("doc_id").as("x")), "d1")
+      .join(groups.select(col("rep").as("d2"), col("doc_id").as("y")), "d2")
+      .selectExpr("least(x, y) as d1", "greatest(x, y) as d2", "jac")
+    val within = groups.select(col("rep"), col("doc_id").as("x"))
+      .join(groups.select(col("rep"), col("doc_id").as("y")), "rep")
+      .where("x < y")
+      .selectExpr("x as d1", "y as d2", "cast(1.0 as double) as jac")
+    cross.unionByName(within)
   }
 
   /** Connected components over an undirected edge list (columns `a`,
@@ -343,7 +388,7 @@ object Dedup {
     * `cl(doc_id, cluster)`. Shared by the d08/d12 oracles and by
     * p16's leakage-free split (group = near-dup component). */
   private[queries] lazy val duckClusters: String =
-    s"""WITH RECURSIVE p AS ($d03Oracle),
+    s"""WITH RECURSIVE p AS MATERIALIZED ($d03Oracle),
        edges AS (SELECT d1 AS a, d2 AS b FROM p
                  UNION SELECT d2, d1 FROM p),
        reach AS (SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges)
@@ -354,8 +399,9 @@ object Dedup {
 
 
 
-  // d26 lives with its kernels in DedupKernels (registry line cap)
-  lazy val all: Map[String, Q] = entries + DedupKernels.bbitEntry
+  // d25/d26 live with their kernels in DedupKernels (registry line cap)
+  lazy val all: Map[String, Q] =
+    entries + DedupKernels.bbitEntry + DedupKernels.cdcEntry
 
   private lazy val entries: Map[String, Q] = Map(
     // ── exact duplicate groups: one hash-aggregate over md5(text) ──
@@ -1231,7 +1277,7 @@ object Dedup {
       Some(s"""WITH t AS (SELECT source, string_split(text,' ') AS t FROM documents
                           WHERE source IN ('src0','src1','src2','src3','src4')
                             AND len(string_split(text,' ')) >= 3),
-               it AS (SELECT source, unnest(list_transform(generate_series(1, len(t)-2),
+               it AS MATERIALIZED (SELECT source, unnest(list_transform(generate_series(1, len(t)-2),
                         i -> ${Hashing.duck32("array_to_string(t[i:i+2], ' ')")})) AS h
                       FROM t),
                br AS (SELECT source, h // 4194304 AS bucket,
@@ -1408,78 +1454,5 @@ object Dedup {
             $perCfg
             $sel"""
       }),
-
-    // ── d25: CONTENT-DEFINED CHUNKING dedup — the rsync/FastCDC idea
-    // at token granularity: a chunk boundary falls AFTER every token
-    // whose hash ≡ 0 (mod 8), so boundaries are a function of CONTENT,
-    // not position — prepend a paragraph and every downstream chunk is
-    // unchanged (the property fixed-size c06 lacks: one inserted token
-    // shifts every later window). Expected chunk length is the modulus
-    // (≈8 tokens), length is variable. Scale shape: the chunker is ONE
-    // map-side array fold per document (no token-level exchange —
-    // contrast the oracle's window formulation, which DuckDB can
-    // afford single-node); only (doc_id, 8-byte chunk fingerprint)
-    // rows cross the shuffle, and the shared-chunk count is a
-    // fingerprint-keyed partial agg. Fingerprints are h32, replayed
-    // exactly by the DuckDB mirror. ──
-    "d25_cdc_chunks" -> Q(
-      (s, d) => {
-        Hashing.register(s)
-        val chunks = Tables(s, d, "documents")
-          .repartition(s.sparkContext.defaultParallelism)
-          .selectExpr("doc_id",
-            s"""aggregate(
-                  $toks,
-                  named_struct('done', cast(array() as array<string>), 'cur', ''),
-                  (acc, t) -> case when h32(t) % 8 = 0
-                    then named_struct(
-                      'done', array_append(acc.done,
-                        case when acc.cur = '' then t
-                             else concat(acc.cur, ' ', t) end),
-                      'cur', '')
-                    else named_struct(
-                      'done', acc.done,
-                      'cur', case when acc.cur = '' then t
-                                  else concat(acc.cur, ' ', t) end) end,
-                  acc -> case when acc.cur = '' then acc.done
-                              else array_append(acc.done, acc.cur) end) as chunks""")
-          .select(col("doc_id"), explode(col("chunks")).as("chunk"))
-          .selectExpr("doc_id", "h32(chunk) as fp")
-          .persistScoped()
-        val shared = chunks.select("doc_id", "fp").distinct()
-          .groupBy("fp").agg(count(lit(1)).as("nd")).where("nd >= 2")
-          .select("fp")
-        chunks.join(shared.withColumn("is_shared", lit(1L)), Seq("fp"), "left")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_chunks"),
-            sum(coalesce(col("is_shared"), lit(0L))).as("n_shared"))
-          .selectExpr("doc_id", "n_chunks", "n_shared",
-            "n_shared * 10000 div n_chunks as shared_bp")
-      },
-      Some(s"""WITH dcs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-               tok AS (SELECT doc_id, i AS pos, t[i] AS tok,
-                              CASE WHEN ${Hashing.duck32("t[i]")} % 8 = 0
-                                   THEN 1 ELSE 0 END AS brk
-                       FROM dcs, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g),
-               cid AS (SELECT doc_id, pos, tok,
-                              coalesce(sum(brk) OVER (
-                                PARTITION BY doc_id ORDER BY pos
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                                0) AS chunk
-                       FROM tok),
-               ch AS (SELECT doc_id, chunk,
-                             ${Hashing.duck32("string_agg(tok, ' ' ORDER BY pos)")} AS fp
-                      FROM cid GROUP BY 1, 2),
-               shared AS (SELECT fp FROM
-                            (SELECT fp, count(DISTINCT doc_id) AS nd
-                             FROM ch GROUP BY 1)
-                          WHERE nd >= 2)
-               SELECT doc_id, count(*) AS n_chunks,
-                      CAST(sum(CASE WHEN fp IN (SELECT fp FROM shared)
-                                    THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
-                      CAST(sum(CASE WHEN fp IN (SELECT fp FROM shared)
-                                    THEN 1 ELSE 0 END) * 10000
-                           // count(*) AS BIGINT) AS shared_bp
-               FROM ch GROUP BY 1"""))
   )
 }

@@ -172,7 +172,7 @@ private[graft] object DedupKernels {
   private[graft] lazy val d19Oracle: String =
     s"""WITH t AS (SELECT source, string_split(text,' ') AS t FROM documents
                           WHERE len(string_split(text,' ')) >= 3),
-               it AS (SELECT source, unnest(list_transform(generate_series(1, len(t)-2),
+               it AS MATERIALIZED (SELECT source, unnest(list_transform(generate_series(1, len(t)-2),
                         i -> ${Hashing.duck32("array_to_string(t[i:i+2], ' ')")})) AS h
                       FROM t),
                br AS (SELECT source, h // 4194304 AS bucket,
@@ -487,4 +487,78 @@ private[graft] object DedupKernels {
                SELECT d1, d2, jac_bp, match_bp,
                       greatest(0, (4 * match_bp - 10000) // 3) AS est_bp
                FROM scored"""))
+
+    // ── d25: CONTENT-DEFINED CHUNKING dedup — the rsync/FastCDC idea
+    // at token granularity: a chunk boundary falls AFTER every token
+    // whose hash ≡ 0 (mod 8), so boundaries are a function of CONTENT,
+    // not position — prepend a paragraph and every downstream chunk is
+    // unchanged (the property fixed-size c06 lacks: one inserted token
+    // shifts every later window). Expected chunk length is the modulus
+    // (≈8 tokens), length is variable. Scale shape: the chunker is ONE
+    // map-side array fold per document (no token-level exchange —
+    // contrast the oracle's window formulation, which DuckDB can
+    // afford single-node); only (doc_id, 8-byte chunk fingerprint)
+    // rows cross the shuffle, and the shared-chunk count is a
+    // fingerprint-keyed partial agg. Fingerprints are h32, replayed
+    // exactly by the DuckDB mirror. ──
+  private[queries] val cdcEntry: (String, Q) =
+    "d25_cdc_chunks" -> Q(
+      (s, d) => {
+        Hashing.register(s)
+        val chunks = Tables(s, d, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("doc_id",
+            s"""aggregate(
+                  $toks,
+                  named_struct('done', cast(array() as array<string>), 'cur', ''),
+                  (acc, t) -> case when h32(t) % 8 = 0
+                    then named_struct(
+                      'done', array_append(acc.done,
+                        case when acc.cur = '' then t
+                             else concat(acc.cur, ' ', t) end),
+                      'cur', '')
+                    else named_struct(
+                      'done', acc.done,
+                      'cur', case when acc.cur = '' then t
+                                  else concat(acc.cur, ' ', t) end) end,
+                  acc -> case when acc.cur = '' then acc.done
+                              else array_append(acc.done, acc.cur) end) as chunks""")
+          .select(col("doc_id"), explode(col("chunks")).as("chunk"))
+          .selectExpr("doc_id", "h32(chunk) as fp")
+          .persistScoped()
+        val shared = chunks.select("doc_id", "fp").distinct()
+          .groupBy("fp").agg(count(lit(1)).as("nd")).where("nd >= 2")
+          .select("fp")
+        chunks.join(shared.withColumn("is_shared", lit(1L)), Seq("fp"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(coalesce(col("is_shared"), lit(0L))).as("n_shared"))
+          .selectExpr("doc_id", "n_chunks", "n_shared",
+            "n_shared * 10000 div n_chunks as shared_bp")
+      },
+      Some(s"""WITH dcs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+               tok AS (SELECT doc_id, i AS pos, t[i] AS tok,
+                              CASE WHEN ${Hashing.duck32("t[i]")} % 8 = 0
+                                   THEN 1 ELSE 0 END AS brk
+                       FROM dcs, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g),
+               cid AS (SELECT doc_id, pos, tok,
+                              coalesce(sum(brk) OVER (
+                                PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                                0) AS chunk
+                       FROM tok),
+               ch AS (SELECT doc_id, chunk,
+                             ${Hashing.duck32("string_agg(tok, ' ' ORDER BY pos)")} AS fp
+                      FROM cid GROUP BY 1, 2),
+               shared AS (SELECT fp FROM
+                            (SELECT fp, count(DISTINCT doc_id) AS nd
+                             FROM ch GROUP BY 1)
+                          WHERE nd >= 2)
+               SELECT doc_id, count(*) AS n_chunks,
+                      CAST(sum(CASE WHEN fp IN (SELECT fp FROM shared)
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+                      CAST(sum(CASE WHEN fp IN (SELECT fp FROM shared)
+                                    THEN 1 ELSE 0 END) * 10000
+                           // count(*) AS BIGINT) AS shared_bp
+               FROM ch GROUP BY 1"""))
 }

@@ -85,10 +85,10 @@ object Graph {
          |             LEFT JOIN r${i - 1} r ON r.node = e.src
          |  GROUP BY 1, 2)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+    s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
        |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-       |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
-       |deg AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY 1),
+       |e AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY 1),
        |r0 AS (SELECT node, deg, CAST(1000000 AS BIGINT) AS rank FROM deg),
        |$rounds
        |SELECT node,
@@ -165,7 +165,7 @@ object Graph {
       |           FROM lineitem a
       |           JOIN lineitem b ON a.l_orderkey = b.l_orderkey
       |                          AND a.l_partkey < b.l_partkey),
-      |deg AS (SELECT node, COUNT(*) AS deg
+      |deg AS MATERIALIZED (SELECT node, COUNT(*) AS deg
       |        FROM (SELECT p1 AS node FROM e UNION ALL SELECT p2 AS node FROM e) u
       |        GROUP BY 1),
       |o AS MATERIALIZED (SELECT CASE WHEN d1.deg <= d2.deg THEN e.p1 ELSE e.p2 END AS src,
@@ -230,11 +230,11 @@ object Graph {
   }
 
   private val linkPredictSql =
-    """WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+    """WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
       |           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
       |degc AS (SELECT c, COUNT(*) AS deg_c FROM e GROUP BY 1),
-      |degs AS (SELECT sp, COUNT(*) AS deg FROM e GROUP BY 1),
-      |ctr AS (SELECT e.c, e.sp FROM e JOIN degc USING (c) WHERE deg_c <= 256),
+      |degs AS MATERIALIZED (SELECT sp, COUNT(*) AS deg FROM e GROUP BY 1),
+      |ctr AS MATERIALIZED (SELECT e.c, e.sp FROM e JOIN degc USING (c) WHERE deg_c <= 256),
       |cn AS (SELECT a.sp AS s1, b.sp AS s2, COUNT(*) AS cn
       |       FROM ctr a JOIN ctr b ON a.c = b.c AND a.sp < b.sp
       |       GROUP BY 1, 2)
@@ -315,7 +315,7 @@ object Graph {
          |          JOIN s${i - 1} y ON y.node = e.dst
          |   GROUP BY 1) a CROSS JOIN kv WHERE a.c >= kv.k)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e0 AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+    s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
        |            FROM lineitem a
        |            JOIN lineitem b ON a.l_orderkey = b.l_orderkey
        |                           AND a.l_partkey < b.l_partkey),
@@ -323,7 +323,7 @@ object Graph {
        |      UNION ALL SELECT p2, p1 FROM e0),
        |d0 AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY 1),
        |nn AS (SELECT COUNT(*) AS n FROM d0),
-       |kv AS (SELECT max(CASE WHEN rn <= (n + 1) // 2 THEN deg END) * 7 // 10 AS k
+       |kv AS MATERIALIZED (SELECT max(CASE WHEN rn <= (n + 1) // 2 THEN deg END) * 7 // 10 AS k
        |       FROM (SELECT deg, row_number() OVER (ORDER BY deg) AS rn FROM d0)
        |       CROSS JOIN nn),
        |s0 AS (SELECT node FROM d0),
@@ -378,7 +378,7 @@ object Graph {
          |v$i AS MATERIALIZED (SELECT node, dist FROM v${i - 1}
          |  UNION ALL SELECT node, $i FROM f$i)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+    s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
        |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
        |e AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
        |f0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e
@@ -491,14 +491,14 @@ object Graph {
   }
 
   private val graphStatsSql =
-    """WITH e AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+    """WITH e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
       |           FROM lineitem a
       |           JOIN lineitem b ON a.l_orderkey = b.l_orderkey
       |                          AND a.l_partkey < b.l_partkey),
-      |deg AS (SELECT node, COUNT(*) AS deg
+      |deg AS MATERIALIZED (SELECT node, COUNT(*) AS deg
       |        FROM (SELECT p1 AS node FROM e UNION ALL SELECT p2 AS node FROM e) u
       |        GROUP BY 1),
-      |o AS (SELECT CASE WHEN d1.deg <= d2.deg THEN e.p1 ELSE e.p2 END AS src,
+      |o AS MATERIALIZED (SELECT CASE WHEN d1.deg <= d2.deg THEN e.p1 ELSE e.p2 END AS src,
       |             CASE WHEN d1.deg <= d2.deg THEN e.p2 ELSE e.p1 END AS dst
       |      FROM e JOIN deg d1 ON d1.node = e.p1
       |             JOIN deg d2 ON d2.node = e.p2),
@@ -563,11 +563,11 @@ object Graph {
          |       LEFT JOIN r${i - 1} r ON r.node = e.src
          |  GROUP BY 1, 2, ts.t)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+    s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
        |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
        |e AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
        |deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY 1),
-       |ts AS (SELECT 150000 * (SELECT COUNT(*) FROM deg)
+       |ts AS MATERIALIZED (SELECT 150000 * (SELECT COUNT(*) FROM deg)
        |              // (SELECT COUNT(*) FROM deg
        |                 WHERE node % 2 = 1 AND ((node - 1) // 2) % 7 = 0) AS t),
        |r0 AS (SELECT node, deg, CAST(1000000 AS BIGINT) AS rank FROM deg),
@@ -603,7 +603,7 @@ object Graph {
   }
 
   private def hitsSql: String =
-    """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+    """WITH e0 AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
       |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
       |a1 AS (SELECT dst, count(*) AS a FROM e0 GROUP BY dst),
       |h1 AS (SELECT src, sum(a) AS h FROM e0 JOIN a1 USING (dst) GROUP BY src),

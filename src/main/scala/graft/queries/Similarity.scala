@@ -120,7 +120,7 @@ object Similarity {
   /** Shared oracle for the two brute-force top-k formulations (s01
     * window, s08 bounded-heap aggregate). */
   private val topkOracle =
-    s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
         sc AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
                       ${duckDot("p.embedding", "c.embedding")} / (p.nrm * c.nrm) AS cosine
                FROM e p JOIN e c ON c.vec_id != p.vec_id
@@ -258,7 +258,7 @@ object Similarity {
   /** DuckDB mirror of [[vecTop50]] — CTE chain ending in
     * vt(doc_id, vec_rnk). */
   private lazy val duckVecTop =
-    s"""e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+    s"""e AS MATERIALIZED (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
         p AS (SELECT embedding AS pe, nrm AS pn FROM e WHERE vec_id = 0),
         vsc AS (SELECT c.vec_id AS doc_id,
                        ${duckDot("pe", "c.embedding")} / (pn * c.nrm) AS cosine
@@ -329,7 +329,7 @@ object Similarity {
           .selectExpr("vec_id", "embedding", s"$normE as nrm").persistScoped()
         ivfTopk(e, lloydCents(e, ivfSeeds(e), ivfIters), 2, 3)
       },
-      Some(s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+      Some(s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
                ${duckTrainedCent(ivfIters)},
                $duckIvfCand,
                sc AS (SELECT probe_id, cand_id, ${duckDot("x.embedding", "y.embedding")}/(x.nrm*y.nrm) AS cosine
@@ -399,7 +399,7 @@ object Similarity {
     "s09_ann_recall" -> Q(
       (s, d) => Recall.perProbe(
         bruteTopk(s, d, 3), annTopk(s, d), "probe_id", "cand_id", Some(3)),
-      Some(s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+      Some(s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
                sc AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
                              ${duckDot("p.embedding", "c.embedding")} / (p.nrm * c.nrm) AS cosine
                       FROM e p JOIN e c ON c.vec_id != p.vec_id WHERE p.vec_id < 10),
@@ -474,7 +474,7 @@ object Similarity {
                 ON a.probe_id = x.probe_id AND a.cand_id = x.cand_id
               GROUP BY x.probe_id"""
         }
-        s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+        s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
             sc AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
                           ${duckDot("p.embedding", "c.embedding")} / (p.nrm * c.nrm) AS cosine
                    FROM e p JOIN e c ON c.vec_id != p.vec_id WHERE p.vec_id < 10),
@@ -526,7 +526,7 @@ object Similarity {
           .selectExpr("vec_id", "embedding", s"$normE as nrm")
         kmeansStep(e, kmeansSeed(e, 8))
       },
-      Some(s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+      Some(s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
                c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e WHERE vec_id < 8),
                sc AS (SELECT e.vec_id, c.cid, ${duckDot("e.embedding", "c.ce")} / (e.nrm * c.cn) AS ccos
                       FROM e CROSS JOIN c),
@@ -572,7 +572,7 @@ object Similarity {
         val dd2 = (a: String, b: String) =>
           s"(${duckDot(a, a)} - 2 * ${duckDot(a, b)} + ${duckDot(b, b)})"
         s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-            sub AS (SELECT vec_id, s, embedding[s*8+1:s*8+8] AS sv
+            sub AS MATERIALIZED (SELECT vec_id, s, embedding[s*8+1:s*8+8] AS sv
                     FROM e, LATERAL (SELECT unnest(generate_series(0, 7)) AS s) g),
             cb AS (SELECT s, vec_id AS j, sv AS cv FROM sub WHERE vec_id < 16),
             codes AS (SELECT vec_id AS cand_id, s, j AS code FROM (
@@ -604,7 +604,7 @@ object Similarity {
       (s, d) => Recall.perProbe(
         bruteTopk(s, d, 3), all("s13_ivfpq").fn(s, d), "probe_id", "cand_id", Some(3)),
       Some(
-        s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+        s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
             sc AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
                           ${duckDot("p.embedding", "c.embedding")} / (p.nrm * c.nrm) AS cosine
                    FROM e p JOIN e c ON c.vec_id != p.vec_id WHERE p.vec_id < 10),
@@ -767,7 +767,7 @@ object Similarity {
           .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("ce2"), col("nrm").as("cn2")), "cand_id")
           .selectExpr("probe_id", "cand_id", s"${dot("pe", "ce2")} / (pn * cn2) as cosine"), 3)
       },
-      Some(s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm, label FROM embeddings),
+      Some(s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding, $duckNorm AS nrm, label FROM embeddings),
                ${duckTrainedCent(ivfIters)},
                $duckIvfAsg,
                ${duckIvfProbe(2)},
@@ -816,7 +816,7 @@ object Similarity {
           broadcast(pqProbeTablesRes(probes, cents, cb, 2)), Seq("probe_id", "cell")), rerankR)
         rerankExact(short, probes, e, 3)
       },
-      Some(s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+      Some(s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
                ${duckIvfPqCoreWhere(
                  s"NOT (${Hashing.duck32("'del:' || a.vec_id")} % 10 = 0)")}
                SELECT probe_id, cand_id, rnk, cosine FROM ann""")),
@@ -907,10 +907,10 @@ object Similarity {
             "coalesce(dup_of, cast(-1 as bigint)) as dup_of",
             "dup_of is null as keep")
       },
-      Some(s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+      Some(s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
                ${duckTrainedCent(ivfIters)},
                $duckIvfAsg,
-               wc AS (SELECT a.vec_id, a.cell, e.embedding, e.nrm
+               wc AS MATERIALIZED (SELECT a.vec_id, a.cell, e.embedding, e.nrm
                       FROM asg a JOIN e ON e.vec_id = a.vec_id),
                prs AS (SELECT x.vec_id AS a, y.vec_id AS b,
                               ${duckDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cos
@@ -1029,7 +1029,7 @@ object Similarity {
           heapTopk(pairs.selectExpr("probe_id", "cand_id", "ct as cosine"), 3),
           "probe_id", "cand_id", Some(3))
       },
-      Some(s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm,
+      Some(s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding, $duckNorm AS nrm,
                                  embedding[1:16] AS emb16,
                                  sqrt(list_sum(list_transform(embedding[1:16],
                                    x -> CAST(x AS DOUBLE) * x))) AS nrm16
@@ -1203,7 +1203,7 @@ object Similarity {
           .selectExpr("probe_id", "cand_id", s"${dot("pe", "ce")} / (pn * cn) as cosine")
         heapTopk(scored, 5)
       },
-      Some(s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm, label FROM embeddings),
+      Some(s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding, $duckNorm AS nrm, label FROM embeddings),
                sc AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
                              ${duckDot("p.embedding", "c.embedding")} / (p.nrm * c.nrm) AS cosine
                       FROM e p JOIN e c ON c.vec_id != p.vec_id AND c.label != p.label
@@ -1243,7 +1243,7 @@ object Similarity {
             "n_vecs * 16 * 10000 div n_total as load_bp",
             "n_vecs * 16 * 10000 div n_total >= 20000 as hot")
       },
-      Some(s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+      Some(s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
                ${duckTrainedCent(ivfIters)},
                $duckIvfAsg,
                occ AS (SELECT cell, count(*) AS n_vecs FROM asg GROUP BY cell),
@@ -1279,7 +1279,7 @@ object Similarity {
           .where(s"${Hashing.h32Sql("concat('del:', cand_id)")} % 10 = 0"))
         ivfPqServe(s, e.where("vec_id < 10"))
       },
-      Some(s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+      Some(s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
                ${duckIvfPqCoreWhere(
                  s"NOT (${Hashing.duck32("'del:' || a.vec_id")} % 10 = 0)")}
                SELECT probe_id, cand_id, rnk, cosine FROM ann""")),
@@ -1318,7 +1318,7 @@ object Similarity {
           .selectExpr("probe_id as anchor_id", "pos_id", "neg_id",
             "pos_cos", "neg_cos", "pos_cos > neg_cos as margin_ok")
       },
-      Some(s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm, label FROM embeddings),
+      Some(s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding, $duckNorm AS nrm, label FROM embeddings),
                sc AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
                              c.label = p.label AS same_label,
                              ${duckDot("p.embedding", "c.embedding")} / (p.nrm * c.nrm) AS cosine
@@ -1366,7 +1366,7 @@ object Similarity {
           .groupBy("vec_id")
           .agg(count(lit(1)).as("n_eval_hits"), max("cosine").as("max_cosine"))
       },
-      Some(s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm
+      Some(s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding, $duckNorm AS nrm
                           FROM embeddings),
                ev AS (SELECT vec_id AS ev_id, embedding AS ev_emb, nrm AS ev_nrm
                       FROM e WHERE vec_id % 101 = 0),

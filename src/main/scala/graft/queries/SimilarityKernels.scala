@@ -23,7 +23,7 @@ private[graft] object SimilarityKernels {
     * stN scores the remaining shortlist against it. */
   private[queries] lazy val duckMmrSql: String = {
     val base =
-      s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
           sc AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
                         ${duckDot("p.embedding", "c.embedding")} / (p.nrm * c.nrm) AS cosine
                  FROM e p JOIN e c ON c.vec_id != p.vec_id
@@ -31,7 +31,7 @@ private[graft] object SimilarityKernels {
           top AS (SELECT probe_id, cand_id, cosine AS rel FROM
                     (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rn FROM sc)
                   WHERE rn <= 10),
-          pr AS (SELECT t1.probe_id, t1.cand_id AS a, t2.cand_id AS b,
+          pr AS MATERIALIZED (SELECT t1.probe_id, t1.cand_id AS a, t2.cand_id AS b,
                         ${duckDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS sim
                  FROM top t1 JOIN top t2 ON t2.probe_id = t1.probe_id AND t2.cand_id != t1.cand_id
                  JOIN e x ON x.vec_id = t1.cand_id
@@ -109,7 +109,7 @@ private[graft] object SimilarityKernels {
         candc AS (SELECT DISTINCT p.probe_id, a.vec_id AS cand_id, p.cell
                   FROM pcells p JOIN asg a ON a.cell = p.cell AND a.vec_id != p.probe_id
                   WHERE $candFilter),
-        sub AS (SELECT e.vec_id, g.s, ${duckResidSv("e.embedding", "c.ce")} AS sv
+        sub AS MATERIALIZED (SELECT e.vec_id, g.s, ${duckResidSv("e.embedding", "c.ce")} AS sv
                 FROM e JOIN asg a ON a.vec_id = e.vec_id
                 JOIN cent c ON c.cid = a.cell,
                 LATERAL (SELECT unnest(generate_series(0, 7)) AS s) g),
@@ -147,7 +147,7 @@ private[graft] object SimilarityKernels {
     * by s16 (the persistence roundtrip must produce the identical
     * answer). */
   private[graft] lazy val duckIvfPqSql: String =
-    s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
         $duckIvfPqCore
         SELECT probe_id, cand_id, rnk, cosine FROM ann"""
 
@@ -159,7 +159,7 @@ private[graft] object SimilarityKernels {
     * deployment re-ranks in the request path against the refine
     * sidecar ([[ivfPqServe]]'s batch shape). */
   private[graft] lazy val duckIvfAdcSql: String =
-    s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
         $duckIvfPqCore
         SELECT probe_id, cand_id, rnk, adist FROM short WHERE rnk <= 3"""
 
@@ -319,7 +319,7 @@ private[graft] object SimilarityKernels {
   private[queries] def duckTrainedCent(iters: Int): String = {
     val pos64 = "(SELECT unnest(generate_series(0, 63)) AS pos)"
     val seed =
-      s"""cx0 AS (SELECT CAST(rn - 1 AS BIGINT) AS cid, pos, embedding[pos+1] AS v
+      s"""cx0 AS MATERIALIZED (SELECT CAST(rn - 1 AS BIGINT) AS cid, pos, embedding[pos+1] AS v
                   FROM (SELECT *, row_number() OVER (ORDER BY ${Hashing.duck32("'ivf:' || vec_id")}, vec_id) AS rn FROM e) sd
                   CROSS JOIN $pos64 p
                   WHERE rn <= 16)"""
@@ -335,7 +335,7 @@ private[graft] object SimilarityKernels {
                     FROM casg$i a JOIN e ON e.vec_id = a.vec_id
                     CROSS JOIN $pos64 p
                     GROUP BY a.cid, p.pos),
-          cx$i AS (SELECT sd.cid, sd.pos, CAST(COALESCE(m.v, CAST(sd.v AS DOUBLE)) AS FLOAT) AS v
+          cx$i AS MATERIALIZED (SELECT sd.cid, sd.pos, CAST(COALESCE(m.v, CAST(sd.v AS DOUBLE)) AS FLOAT) AS v
                    FROM cx${i - 1} sd LEFT JOIN cmx$i m ON m.cid = sd.cid AND m.pos = sd.pos)"""
     }
     val fin =
@@ -348,7 +348,7 @@ private[graft] object SimilarityKernels {
     * across nprobe settings) over a `cent(cid, ce, cn)` CTE
     * ([[duckTrainedCent]]) and `e(vec_id, embedding, nrm)`. */
   private[queries] lazy val duckIvfAsg =
-    s"""asg AS (SELECT vec_id, cid AS cell FROM (
+    s"""asg AS MATERIALIZED (SELECT vec_id, cid AS cell FROM (
                   SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
                            ORDER BY ${duckDot("e.embedding", "c.ce")}/(e.nrm*c.cn) DESC, c.cid) AS rn
                   FROM e CROSS JOIN cent c) WHERE rn = 1)"""

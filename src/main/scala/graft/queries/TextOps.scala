@@ -166,7 +166,7 @@ object TextOps {
     * (doc_id, lang, n_bigrams, avg_bp), spliced into t16/t18 oracles. */
   private val duckLmPerDoc: String =
     """tk AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
-       bg AS (SELECT doc_id, lang, t[i] AS w1, t[i] || ' ' || t[i+1] AS g
+       bg AS MATERIALIZED (SELECT doc_id, lang, t[i] AS w1, t[i] || ' ' || t[i+1] AS g
               FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
               WHERE len(t) >= 2),
        c2 AS (SELECT g, count(*) AS n2 FROM bg WHERE lang = 'en' GROUP BY g),
@@ -764,7 +764,7 @@ object TextOps {
             "case when n_bigrams > 0 then sum_bp div n_bigrams end as avg_bp")
       },
       Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-              bg AS (SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS g
+              bg AS MATERIALIZED (SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS g
                      FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
                      WHERE len(t) >= 2),
               c2 AS (SELECT g, count(*) AS n2 FROM bg GROUP BY g),

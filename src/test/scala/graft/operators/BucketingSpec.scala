@@ -11,10 +11,27 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BucketingSpec extends AnyFunSuite with SparkTestBase {
 
+  /** DROP TABLE only removes what the (ephemeral, in-memory) catalog
+    * knows about — a crashed previous JVM leaves the managed-table
+    * DIRECTORY behind with no catalog entry, and the next
+    * saveAsTable dies on LOCATION_ALREADY_EXISTS. Remove the
+    * warehouse location too. */
+  private def dropManaged(names: String*): Unit = names.foreach { n =>
+    spark.sql(s"DROP TABLE IF EXISTS $n")
+    val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"), n)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(loc)
+    }
+  }
+
   test("join of two tables bucketed on the key plans without a shuffle") {
     import spark.implicits._
-    spark.sql("DROP TABLE IF EXISTS bk_orders")
-    spark.sql("DROP TABLE IF EXISTS bk_lines")
+    dropManaged("bk_orders", "bk_lines")
     (0L until 1000L).map(i => (i, s"o$i")).toDF("okey", "odata")
       .write.bucketBy(8, "okey").sortBy("okey").saveAsTable("bk_orders")
     (0L until 3000L).map(i => (i % 1000, i, i * 1.5)).toDF("okey", "lkey", "amount")
@@ -54,6 +71,7 @@ class BucketingSpec extends AnyFunSuite with SparkTestBase {
     // BOTH operators (HashPartitioning(c_custkey, 8) satisfies the
     // aggregate's (c_custkey, c_name) clustering by the subset rule),
     // or the write-time shuffle bought nothing
+    dropManaged("g_orders_bk", "g_customer_bk")
     val savedThreshold =
       spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

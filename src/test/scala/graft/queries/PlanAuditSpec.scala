@@ -52,6 +52,7 @@ class PlanAuditSpec extends AnyFunSuite with graft.SparkTestBase {
     "s05_ivf_topk", // 16-row centroid selection via row_number over h
     "t17_vocab_coverage", // cumulative share over the top-50 AFTER the limit
     "t19_score_percentiles", // CDF cumsum over the value-distinct frame (≤10001 rows by domain)
+    "t16_lm_buckets", // tercile cumsum over the avg_bp value histogram (≤10001 rows: avg_bp ∈ [0,10000] by construction — see the query's header)
     "p17_epoch_resume", // position stamp over the ≤100-row post-limit resume slice
     "d21_hist_quantiles", // cumulative counts over the ≤128-bucket histogram
     "t27_heaps_curve", // cumulative curve over the 10-row decile frame
