@@ -613,7 +613,88 @@ object Graph {
       |UNION ALL
       |SELECT src, 'customer', CAST(h AS BIGINT) FROM h2""".stripMargin
 
+  /** Personalized PageRank (Haveliwala 2002 / Jeh & Widom 2003) from
+    * each of FOUR seed customers — the "related to THIS node" query
+    * g01's global rank can't answer (recommendations, fraud
+    * neighborhoods, account-centric relevance). The personalization:
+    * ALL teleport mass returns to the walk's own seed, so each seed
+    * gets an independent relevance field over the graph.
+    *
+    * Same integer exactness discipline as g01/g08 — micro-unit
+    * ranks, `div` arithmetic, no float normalization: round i is
+    * rank_i(s, n) = [n = s] · 150000 + (85 · Σ_{(u,n)∈e}
+    * rank_{i-1}(s, u) div deg(u)) div 100, from all initial mass at
+    * the seed. Scale shape: the K=4 walks run in ONE frame keyed
+    * (seed, node) — state K·N rows, each round one src-keyed join
+    * against the shared persisted edge list (K-fanout below the
+    * exchange, contributions partial-agg by (seed, dst)) — NOT K
+    * separate jobs; K is a literal, so broadcast of the 4-row seed
+    * frame is construction-PROVEN. Output: top-10 nodes per seed
+    * (seed-partitioned window, never global). 3 rounds = the 3-hop
+    * relevance ball, enough for bipartite neighborhoods to differ
+    * per seed. */
+  private def ppr(s: SparkSession, d: String): DataFrame = {
+    val PprIters = 3
+    val e = tradeEdges(s, d).persistScoped()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg")).persistScoped()
+    val seeds = e.where("src % 2 = 0").select(col("src").as("seed"))
+      .distinct().orderBy("seed").limit(4)
+    val ns = deg.crossJoin(broadcast(seeds))
+    var rank = ns.selectExpr("seed", "node", "deg",
+        "cast(case when node = seed then 1000000 else 0 end as bigint) as rank")
+      .persistScoped()
+    for (_ <- 1 to PprIters) {
+      val sums = e.join(rank, e("src") === rank("node"))
+        .select(rank("seed").as("sseed"), col("dst"),
+          expr("rank div deg").as("c"))
+        .groupBy("sseed", "dst").agg(sum("c").as("csum"))
+      rank = ns.join(sums,
+          ns("node") === sums("dst") && ns("seed") === sums("sseed"), "left")
+        .select(ns("seed"), ns("node"), ns("deg"),
+          expr("""cast(case when node = seed then 150000 else 0 end
+                  + (85 * coalesce(csum, 0)) div 100 as bigint)""").as("rank"))
+        .persistScoped()
+    }
+    import org.apache.spark.sql.expressions.Window
+    rank.where("rank > 0")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("seed").orderBy(col("rank").desc, col("node"))))
+      .where("rnk <= 10")
+      .selectExpr("seed", "node", "rank as rank_micro",
+        "cast(rnk as bigint) as rnk")
+  }
+
+  private def pprSql: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""r$i AS MATERIALIZED (SELECT s.seed, d.node, d.deg,
+         |  CAST(CASE WHEN d.node = s.seed THEN 150000 ELSE 0 END
+         |       + (85 * COALESCE(SUM(r.rank // r.deg), 0)) // 100 AS BIGINT) AS rank
+         |  FROM deg d CROSS JOIN seeds s
+         |       LEFT JOIN e ON e.dst = d.node
+         |       LEFT JOIN r${i - 1} r ON r.node = e.src AND r.seed = s.seed
+         |  GROUP BY 1, 2, 3)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |e AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY 1),
+       |seeds AS MATERIALIZED (SELECT seed FROM
+       |          (SELECT DISTINCT src AS seed FROM e0) ORDER BY seed LIMIT 4),
+       |r0 AS (SELECT s.seed, d.node, d.deg,
+       |         CAST(CASE WHEN d.node = s.seed THEN 1000000 ELSE 0 END AS BIGINT) AS rank
+       |       FROM deg d CROSS JOIN seeds s),
+       |$rounds
+       |SELECT seed, node, rank AS rank_micro, rnk FROM
+       |  (SELECT seed, node, rank,
+       |          row_number() OVER (PARTITION BY seed
+       |                             ORDER BY rank DESC, node) AS rnk
+       |   FROM r3 WHERE rank > 0)
+       |WHERE rnk <= 10""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "g10_ppr" -> Q(ppr, Some(pprSql)),
     "g09_hits" -> Q(hits, Some(hitsSql)),
     "g08_trustrank" -> Q(trustrank, Some(trustrankSql)),
     "g07_graph_stats" -> Q(graphStats, Some(graphStatsSql)),

@@ -755,7 +755,76 @@ object SinkQueries {
                       FROM base WHERE o_orderkey % 97 = 0 AND yr >= 1996)
               SELECT * FROM base
               WHERE o_orderkey NOT IN (SELECT o_orderkey FROM chg)
-              UNION ALL SELECT * FROM chg"""))
+              UNION ALL SELECT * FROM chg""")),
+
+    // ── sink26: Z-ORDER CLUSTERED WRITE — multi-dimensional file
+    // skipping, the layout trick a 100 TB fact queried on MORE THAN
+    // ONE column lives by (a table sorted on partkey prunes nothing
+    // for a suppkey predicate; Morton-interleaving both keys' bucket
+    // bits gives every file a tight bounding BOX in (pk, sk) space,
+    // so 2-D range queries skip most files on footer min/max alone).
+    // Kernel: bucket each dimension into 16 fixed-width cells
+    // against its max (ONE construction-bounded scalar agg — the
+    // deterministic stand-in for the sampled range boundaries a
+    // production z-optimize uses; sampling is non-deterministic, so
+    // the gate pins the closed-form variant), interleave the 4+4
+    // bucket bits into an 8-bit Morton code (closed-form shifts, one
+    // codegen'd map-side projection — no UDF, no sort), write
+    // partitioned by the code. Cost shape at 100 TB: one projection
+    // + one chunk-keyed exchange (≤256 partitions) for the write;
+    // the stats read-back is a partial agg. More data ⇒ more BITS
+    // and more DIMS, same kernel. The gate output is the per-chunk
+    // bounding-box table plus `box_hit` — whether the fixed 2-D box
+    // query (pk ∈ [100,300] ∧ sk ∈ [10,30]) can touch the chunk —
+    // i.e. exactly the pruning decision a reader makes from footers;
+    // ZorderSpec asserts the skip rate and the one-dir-per-chunk
+    // layout. The oracle replays bucket + interleave arithmetic
+    // bit-for-bit; layout must not change the stats. ──
+    "sink26_zorder_cluster" -> Q(
+      (s, d) => {
+        val out = scratch("zorder")
+        val li = Tables(s, d, "lineitem")
+          .selectExpr("l_partkey as pk", "l_suppkey as sk")
+        val mx = li.agg(max("pk").as("mpk"), max("sk").as("msk"))
+        li.crossJoin(broadcast(mx))
+          .selectExpr("pk", "sk",
+            "pk * 16 div (mpk + 1) as pb", "sk * 16 div (msk + 1) as sb")
+          .selectExpr("pk", "sk",
+            """cast(shiftleft(pb & 1, 1) | shiftleft(pb & 2, 2)
+                  | shiftleft(pb & 4, 3) | shiftleft(pb & 8, 4)
+                  | (sb & 1) | shiftleft(sb & 2, 1)
+                  | shiftleft(sb & 4, 2) | shiftleft(sb & 8, 3) as int) as chunk""")
+          .repartition(col("chunk"))
+          .write.partitionBy("chunk").option("compression", "zstd").parquet(out)
+        s.read.parquet(out)
+          .groupBy(col("chunk").cast("long").as("chunk"))
+          .agg(count(lit(1)).as("n"),
+            min("pk").as("pk_min"), max("pk").as("pk_max"),
+            min("sk").as("sk_min"), max("sk").as("sk_max"))
+          .selectExpr("chunk", "n", "pk_min", "pk_max", "sk_min", "sk_max",
+            """cast(case when pk_min <= 300 and pk_max >= 100
+                          and sk_min <= 30 and sk_max >= 10
+                    then 1 else 0 end as bigint) as box_hit""")
+      },
+      Some("""WITH mx AS (SELECT max(l_partkey) AS mpk, max(l_suppkey) AS msk
+                          FROM lineitem),
+              bkt AS (SELECT l_partkey AS pk, l_suppkey AS sk,
+                             (l_partkey * 16) // (mpk + 1) AS pb,
+                             (l_suppkey * 16) // (msk + 1) AS sb
+                      FROM lineitem, mx),
+              zc AS (SELECT pk, sk,
+                            (((pb & 1) << 1) | ((pb & 2) << 2)
+                             | ((pb & 4) << 3) | ((pb & 8) << 4)
+                             | (sb & 1) | ((sb & 2) << 1)
+                             | ((sb & 4) << 2) | ((sb & 8) << 3)) AS chunk
+                     FROM bkt)
+              SELECT chunk, count(*) AS n,
+                     min(pk) AS pk_min, max(pk) AS pk_max,
+                     min(sk) AS sk_min, max(sk) AS sk_max,
+                     CAST(CASE WHEN min(pk) <= 300 AND max(pk) >= 100
+                                AND min(sk) <= 30 AND max(sk) >= 10
+                           THEN 1 ELSE 0 END AS BIGINT) AS box_hit
+              FROM zc GROUP BY 1"""))
   )
 
   /** sink23/sink24's shared oracle: the plain join on the

@@ -213,6 +213,49 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
       "seed teleport did not concentrate trust")
   }
 
+  test("g10 ppr equals the serial replay; fields are genuinely personalized") {
+    val edges = Graph.tradeEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
+    val seeds = edges.map(_._1).filter(_ % 2 == 0).distinct.sorted.take(4)
+    // serial replay per seed: all mass at the seed, teleport to the
+    // seed only, 3 integer rounds — the distributed K-in-one-frame
+    // formulation must equal K independent serial walks
+    def walk(seed: Long): Map[Long, Long] = {
+      var rank: Map[Long, Long] =
+        deg.map { case (n, _) => n -> (if (n == seed) 1000000L else 0L) }.toMap
+      for (_ <- 1 to 3) {
+        val sums = new scala.collection.mutable.HashMap[Long, Long]()
+        edges.foreach { case (src, dst) =>
+          sums(dst) = sums.getOrElse(dst, 0L) + rank(src) / deg(src)
+        }
+        rank = deg.map { case (n, _) =>
+          n -> ((if (n == seed) 150000L else 0L) +
+            (85L * sums.getOrElse(n, 0L)) / 100L)
+        }.toMap
+      }
+      rank
+    }
+    val expected = seeds.flatMap { s =>
+      walk(s).filter(_._2 > 0).toSeq
+        .sortBy { case (n, r) => (-r, n) }.take(10).zipWithIndex
+        .map { case ((n, r), i) => (s, n) -> ((r, (i + 1).toLong)) }
+    }.toMap
+    val got = graft.SparkEntry.queries("g10_ppr")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === expected)
+    // personalization: at least two seeds rank a DIFFERENT node 2nd
+    // (1st is each seed itself — check that too: relevance fields
+    // are seed-centric, not one global ordering rebroadcast 4 times)
+    val firsts = got.collect { case ((s, n), (_, 1L)) => s -> n }
+    assert(firsts.forall { case (s, n) => s == n },
+      s"each seed must top its own field: $firsts")
+    val seconds = got.collect { case ((_, n), (_, 2L)) => n }.toSet
+    assert(seconds.size >= 2, s"fields collapsed to one ordering: $seconds")
+  }
+
   test("g07 graph stats: consistent with g02 and the serial wedge count") {
     val e = Graph.copurchaseEdges(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
