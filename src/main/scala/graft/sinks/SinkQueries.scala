@@ -757,6 +757,47 @@ object SinkQueries {
               WHERE o_orderkey NOT IN (SELECT o_orderkey FROM chg)
               UNION ALL SELECT * FROM chg""")),
 
+    // ── sink27: SCHEMA EVOLUTION on the versioned table — the
+    // add-a-column lifecycle every long-lived 100 TB table goes
+    // through: v1 commits three columns; v2 appends NEW files
+    // carrying a fourth (o_priority) WITHOUT rewriting v1's files.
+    // The mechanism is Delta's schema-in-the-log
+    // ([[Sinks.writeManifestWithSchema]]): each commit records its
+    // logical schema next to its file list, and [[Sinks.readAtVersion]]
+    // pins the read to it — so (a) v1's files NULL-FILL the added
+    // column under the v2 schema (the add-column contract), (b) time
+    // travel to v1 still shows three columns even though v1's files
+    // are live in v2, and (c) no mergeSchema footer sweep ever runs
+    // (at 100 TB that sweep opens every file's metadata before the
+    // first data byte). The gate reads HEAD; its oracle is the plain
+    // union with CAST(NULL) for pre-evolution rows. SchemaEvoSpec
+    // pins the v1 view and the no-rewrite claim. ──
+    "sink27_schema_evolution" -> Q(
+      (s, d) => {
+        val out = scratch("schemaevo")
+        val base = Tables(s, d, "orders")
+          .selectExpr("o_orderkey", "o_custkey", "o_totalprice")
+        base.write.option("compression", "zstd").parquet(out)
+        val v1Files = Sinks.dataFiles(s, out)
+        Sinks.writeManifestWithSchema(s, out, 1, v1Files, base.schema)
+        val adds = Tables(s, d, "orders")
+          .where("year(cast(o_orderdate as date)) >= 1996")
+          .selectExpr("o_orderkey + 100000000 as o_orderkey", "o_custkey",
+            "o_totalprice", "o_orderkey % 5 as o_priority")
+        adds.write.option("compression", "zstd").parquet(s"$out/c2")
+        Sinks.writeManifestWithSchema(s, out, 2,
+          Sinks.dataFiles(s, out), adds.schema)
+        Sinks.readAtVersion(s, out, 2)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+                     CAST(NULL AS BIGINT) AS o_priority
+              FROM orders
+              UNION ALL
+              SELECT o_orderkey + 100000000, o_custkey, o_totalprice,
+                     o_orderkey % 5
+              FROM orders
+              WHERE year(CAST(o_orderdate AS DATE)) >= 1996""")),
+
     // ── sink26: Z-ORDER CLUSTERED WRITE — multi-dimensional file
     // skipping, the layout trick a 100 TB fact queried on MORE THAN
     // ONE column lives by (a table sorted on partkey prunes nothing

@@ -116,6 +116,43 @@ object Sinks {
     finally w.close()
   }
 
+  /** Commit version `v` WITH its table schema recorded alongside the
+    * file list (`_manifests/v<v>.schema.json`, StructType JSON) —
+    * the Delta-style schema-in-the-log: SCHEMA EVOLUTION needs the
+    * reader to know the version's logical schema without opening
+    * data files, because after a column is added the live set mixes
+    * old-schema and new-schema files. [[readAtVersion]] applies the
+    * recorded schema, so (a) old files' missing columns null-fill —
+    * the add-column contract — and (b) the read never does a
+    * mergeSchema footer sweep, which at 100 TB means touching every
+    * file's metadata before the first byte of data. */
+  def writeManifestWithSchema(spark: SparkSession, dir: String, v: Int,
+      files: Seq[String], schema: org.apache.spark.sql.types.StructType): Unit = {
+    writeManifest(spark, dir, v, files)
+    val p = new Path(dir, s"_manifests/v$v.schema.json")
+    val w = new BufferedWriter(new OutputStreamWriter(
+      fs(spark, p).create(p, true), StandardCharsets.UTF_8))
+    try w.write(schema.json)
+    finally w.close()
+  }
+
+  /** The schema recorded for version `v`, if the commit wrote one. */
+  def manifestSchema(spark: SparkSession, dir: String,
+      v: Int): Option[org.apache.spark.sql.types.StructType] = {
+    val p = new Path(dir, s"_manifests/v$v.schema.json")
+    val hfs = fs(spark, p)
+    if (!hfs.exists(p)) None
+    else {
+      val r = new BufferedReader(new InputStreamReader(
+        hfs.open(p), StandardCharsets.UTF_8))
+      val json = try Iterator.continually(r.readLine())
+        .takeWhile(_ != null).mkString("\n")
+      finally r.close()
+      Some(org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
+  }
+
   /** Committed manifest versions under `dir`, ascending (empty when
     * the table has no `_manifests` yet). */
   def manifestVersions(spark: SparkSession, dir: String): Seq[Int] = {
@@ -138,10 +175,19 @@ object Sinks {
   }
 
   /** Time-travel read: exactly version `v`'s files, with hive
-    * partition columns recovered via `basePath`. */
+    * partition columns recovered via `basePath`. When the commit
+    * recorded a schema ([[writeManifestWithSchema]]) the read is
+    * pinned to it: old-schema files null-fill added columns (schema
+    * evolution) and no footer sweep happens — each version reads
+    * with ITS OWN schema, so a column added in v2 is invisible when
+    * time-traveling to v1 even though v1's files are also in v2. */
   def readAtVersion(spark: SparkSession, dir: String, v: Int): DataFrame = {
     val files = readManifest(spark, dir, v).map(f => s"$dir/$f")
-    spark.read.option("basePath", dir).parquet(files: _*)
+    val rd = spark.read.option("basePath", dir)
+    manifestSchema(spark, dir, v) match {
+      case Some(sch) => rd.schema(sch).parquet(files: _*)
+      case None => rd.parquet(files: _*)
+    }
   }
 
   /** Change feed between two committed versions (the Delta CDF idea
@@ -229,6 +275,10 @@ object Sinks {
     val hfs = fs(spark, new Path(dir))
     versions.filterNot(retained).foreach { v =>
       hfs.delete(new Path(dir, s"_manifests/v$v.txt"), false)
+      // the version's recorded schema (sink27) expires with it —
+      // delete(_, false) on a missing path is a no-op for pre-schema
+      // commits
+      hfs.delete(new Path(dir, s"_manifests/v$v.schema.json"), false)
     }
     val dead = dataFiles(spark, dir).filterNot(live)
     dead.foreach(f => hfs.delete(new Path(dir, f), false))
