@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  private val toks = "split(text, ' ')"
+  private[queries] val toks = "split(text, ' ')"
 
   /** Stopword list shared by quality scoring and language ID. */
   private val enStops = Seq("the", "a", "of", "and", "to", "in")
@@ -96,91 +96,6 @@ object TextOps {
                v_en, v_es, v_fr, v_de
         FROM v"""
   }
-
-  /** t16's scoring stage, shared with t18's calibration diagram:
-    * every document scored against the bigram LM trained on the
-    * in-domain (lang = 'en') slice only. Returns
-    * (doc_id, lang, n_bigrams, avg_bp) with avg_bp null for
-    * bigram-less documents. Persisted — each consumer aggregates it
-    * more than once, and [[graft.CacheScope]] releases it when the
-    * query result is consumed. */
-  private def lmPerDoc(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables(s, d, "documents")
-    val bg = docs
-      .selectExpr("doc_id", "lang", s"$toks as t")
-      .where("size(t) >= 2")
-      .selectExpr("doc_id", "lang",
-        """explode(transform(sequence(1, size(t) - 1),
-             i -> struct(element_at(t, i) as w1,
-                         concat(element_at(t, i), ' ', element_at(t, i + 1)) as g))) as b""")
-      .select(col("doc_id"), col("lang"), col("b.w1").as("w1"), col("b.g").as("g"))
-      .persistScoped()
-    val en = bg.where("lang = 'en'")
-    // ONE lookup side instead of two: per first word, the summed
-    // continuation count (= the old c1's n1 — n1(w1) ≡ Σ_g n2(g,w1))
-    // plus a g→n2 map holding the old c2. Collapses the two
-    // data-derived probes (c2 on g, c1 on w1) into a single left
-    // join, so the exploded bigram frame shuffle-writes ONCE before
-    // AQE's broadcast election, not once per probe — under the
-    // never-trust-estimates broadcast discipline
-    // ([[graft.Sessions.scaleDefensive]]) that halves the r16 t16
-    // regression's shuffle tax. Semantics are unchanged: an
-    // out-of-domain bigram with an in-domain first word still finds
-    // n1 and misses gmap[g], exactly the old two-join outcome. Map
-    // size per word is bounded by that word's distinct continuations;
-    // the whole lm frame is O(distinct en bigrams) — the same bytes
-    // the old c2 carried. At 100 TB the w1 join inherits hub-word
-    // skew; AQE's skew split covers it (the old g-key join skewed on
-    // hub bigrams the same way).
-    val lm = en.groupBy("g", "w1").agg(count(lit(1)).as("n2"))
-      .groupBy("w1").agg(sum("n2").as("n1"),
-        map_from_entries(collect_list(struct(col("g"), col("n2")))).as("gmap"))
-    val v = docs.where("lang = 'en'")
-      .selectExpr(s"explode($toks) as tok")
-      .agg(count_distinct(col("tok")).as("v"))
-    // lang rides THROUGH the scoring aggregate (doc_id determines
-    // lang, so grouping by both is the same cardinality), and the
-    // bigram-less docs come back via a UNION with a second pruned
-    // scan of documents — not the old docs⋈scored left join, which
-    // shuffled both corpus-sized sides under the broadcast
-    // discipline. A column-pruned parquet re-scan is strictly
-    // cheaper than a corpus-wide shuffle at any scale.
-    val scored = bg
-      .join(lm, Seq("w1"), "left")
-      .crossJoin(broadcast(v))
-      .selectExpr("doc_id", "lang",
-        "((coalesce(gmap[g], 0L) + 1) * 10000) div (coalesce(n1, 0L) + v) as s_bp")
-      .groupBy("doc_id", "lang")
-      .agg(count(lit(1)).as("n_bigrams"), sum("s_bp").as("sum_bp"))
-      .selectExpr("doc_id", "lang", "n_bigrams",
-        "sum_bp div n_bigrams as avg_bp")
-    val unscored = docs
-      .selectExpr("doc_id", "lang", s"size($toks) as nt")
-      .where("nt < 2")
-      .selectExpr("doc_id", "lang", "cast(0 as bigint) as n_bigrams",
-        "cast(null as bigint) as avg_bp")
-    scored.unionByName(unscored).persistScoped()
-  }
-
-  /** DuckDB mirror of [[lmPerDoc]] — a CTE chain ending in `perdoc`
-    * (doc_id, lang, n_bigrams, avg_bp), spliced into t16/t18 oracles. */
-  private val duckLmPerDoc: String =
-    """tk AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
-       bg AS MATERIALIZED (SELECT doc_id, lang, t[i] AS w1, t[i] || ' ' || t[i+1] AS g
-              FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
-              WHERE len(t) >= 2),
-       c2 AS (SELECT g, count(*) AS n2 FROM bg WHERE lang = 'en' GROUP BY g),
-       c1 AS (SELECT w1, count(*) AS n1 FROM bg WHERE lang = 'en' GROUP BY w1),
-       v AS (SELECT count(DISTINCT tok) AS v FROM
-               (SELECT unnest(t) AS tok FROM tk WHERE lang = 'en')),
-       sc AS (SELECT doc_id,
-                     ((COALESCE(n2, 0) + 1) * 10000) // (COALESCE(n1, 0) + v) AS s_bp
-              FROM bg LEFT JOIN c2 USING (g) LEFT JOIN c1 USING (w1), v),
-       agg AS (SELECT doc_id, count(*) AS n_bigrams,
-                      CAST(sum(s_bp) AS BIGINT) // count(*) AS avg_bp
-               FROM sc GROUP BY doc_id),
-       perdoc AS (SELECT d.doc_id, d.lang, COALESCE(a.n_bigrams, 0) AS n_bigrams, a.avg_bp
-                  FROM documents d LEFT JOIN agg a USING (doc_id))"""
 
   val all: Map[String, Q] = Map(
     // ── token counting ──
@@ -292,7 +207,7 @@ object TextOps {
     // rows at any corpus size. All-integer, exact cross-engine. ──
     "t18_calibration" -> Q(
       (s, d) => {
-        val scored = lmPerDoc(s, d).where("avg_bp is not null")
+        val scored = TextSignals.lmPerDoc(s, d).where("avg_bp is not null")
         val ext = scored.agg(min("avg_bp").as("lo"), max("avg_bp").as("hi"))
         scored.crossJoin(broadcast(ext))
           .selectExpr("lang", "avg_bp",
@@ -303,7 +218,7 @@ object TextOps {
             expr("sum(case when lang = 'en' then 1 else 0 end) * 10000 div count(1)")
               .as("en_rate_bp"))
       },
-      Some(s"""WITH $duckLmPerDoc,
+      Some(s"""WITH ${TextSignals.duckLmPerDoc},
                scored AS (SELECT * FROM perdoc WHERE avg_bp IS NOT NULL),
                ext AS (SELECT min(avg_bp) AS lo, max(avg_bp) AS hi FROM scored)
                SELECT least(((avg_bp - lo) * 10) // (hi - lo + 1), 9) AS bin,
@@ -338,7 +253,7 @@ object TextOps {
     // deterministic in both engines. ──
     "t16_lm_buckets" -> Q(
       (s, d) => {
-        val perDoc = lmPerDoc(s, d)
+        val perDoc = TextSignals.lmPerDoc(s, d)
         val hist = perDoc.where("avg_bp is not null")
           .groupBy("avg_bp").agg(count(lit(1)).as("cnt"))
         val cuts = hist
@@ -358,7 +273,7 @@ object TextOps {
                     when avg_bp >= cut2 then 'middle'
                     else 'tail' end as bucket""")
       },
-      Some(s"""WITH $duckLmPerDoc,
+      Some(s"""WITH ${TextSignals.duckLmPerDoc},
               ranked AS (SELECT avg_bp,
                                 row_number() OVER (ORDER BY avg_bp DESC, doc_id) AS rn,
                                 count(*) OVER () AS n

@@ -1,6 +1,9 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import graft.CacheScope.PersistScopedOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Text-forensics signals beyond the t01–t31 registry in
   * `TextOps.scala` (which sits at the 1500-line registry cap —
@@ -125,4 +128,89 @@ object TextSignals {
              FROM g WHERE n_pairs >= 1"""
       })
   )
+
+  /** t16's scoring stage, shared with t18's calibration diagram:
+    * every document scored against the bigram LM trained on the
+    * in-domain (lang = 'en') slice only. Returns
+    * (doc_id, lang, n_bigrams, avg_bp) with avg_bp null for
+    * bigram-less documents. Persisted — each consumer aggregates it
+    * more than once, and [[graft.CacheScope]] releases it when the
+    * query result is consumed. */
+  private[queries] def lmPerDoc(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d, "documents")
+    val bg = docs
+      .selectExpr("doc_id", "lang", s"${TextOps.toks} as t")
+      .where("size(t) >= 2")
+      .selectExpr("doc_id", "lang",
+        """explode(transform(sequence(1, size(t) - 1),
+             i -> struct(element_at(t, i) as w1,
+                         concat(element_at(t, i), ' ', element_at(t, i + 1)) as g))) as b""")
+      .select(col("doc_id"), col("lang"), col("b.w1").as("w1"), col("b.g").as("g"))
+      .persistScoped()
+    val en = bg.where("lang = 'en'")
+    // ONE lookup side instead of two: per first word, the summed
+    // continuation count (= the old c1's n1 — n1(w1) ≡ Σ_g n2(g,w1))
+    // plus a g→n2 map holding the old c2. Collapses the two
+    // data-derived probes (c2 on g, c1 on w1) into a single left
+    // join, so the exploded bigram frame shuffle-writes ONCE before
+    // AQE's broadcast election, not once per probe — under the
+    // never-trust-estimates broadcast discipline
+    // ([[graft.Sessions.scaleDefensive]]) that halves the r16 t16
+    // regression's shuffle tax. Semantics are unchanged: an
+    // out-of-domain bigram with an in-domain first word still finds
+    // n1 and misses gmap[g], exactly the old two-join outcome. Map
+    // size per word is bounded by that word's distinct continuations;
+    // the whole lm frame is O(distinct en bigrams) — the same bytes
+    // the old c2 carried. At 100 TB the w1 join inherits hub-word
+    // skew; AQE's skew split covers it (the old g-key join skewed on
+    // hub bigrams the same way).
+    val lm = en.groupBy("g", "w1").agg(count(lit(1)).as("n2"))
+      .groupBy("w1").agg(sum("n2").as("n1"),
+        map_from_entries(collect_list(struct(col("g"), col("n2")))).as("gmap"))
+    val v = docs.where("lang = 'en'")
+      .selectExpr(s"explode(${TextOps.toks}) as tok")
+      .agg(count_distinct(col("tok")).as("v"))
+    // lang rides THROUGH the scoring aggregate (doc_id determines
+    // lang, so grouping by both is the same cardinality), and the
+    // bigram-less docs come back via a UNION with a second pruned
+    // scan of documents — not the old docs⋈scored left join, which
+    // shuffled both corpus-sized sides under the broadcast
+    // discipline. A column-pruned parquet re-scan is strictly
+    // cheaper than a corpus-wide shuffle at any scale.
+    val scored = bg
+      .join(lm, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .selectExpr("doc_id", "lang",
+        "((coalesce(gmap[g], 0L) + 1) * 10000) div (coalesce(n1, 0L) + v) as s_bp")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"), sum("s_bp").as("sum_bp"))
+      .selectExpr("doc_id", "lang", "n_bigrams",
+        "sum_bp div n_bigrams as avg_bp")
+    val unscored = docs
+      .selectExpr("doc_id", "lang", s"size(${TextOps.toks}) as nt")
+      .where("nt < 2")
+      .selectExpr("doc_id", "lang", "cast(0 as bigint) as n_bigrams",
+        "cast(null as bigint) as avg_bp")
+    scored.unionByName(unscored).persistScoped()
+  }
+
+  /** DuckDB mirror of [[lmPerDoc]] — a CTE chain ending in `perdoc`
+    * (doc_id, lang, n_bigrams, avg_bp), spliced into t16/t18 oracles. */
+  private[queries] val duckLmPerDoc: String =
+    """tk AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+       bg AS MATERIALIZED (SELECT doc_id, lang, t[i] AS w1, t[i] || ' ' || t[i+1] AS g
+              FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+              WHERE len(t) >= 2),
+       c2 AS (SELECT g, count(*) AS n2 FROM bg WHERE lang = 'en' GROUP BY g),
+       c1 AS (SELECT w1, count(*) AS n1 FROM bg WHERE lang = 'en' GROUP BY w1),
+       v AS (SELECT count(DISTINCT tok) AS v FROM
+               (SELECT unnest(t) AS tok FROM tk WHERE lang = 'en')),
+       sc AS (SELECT doc_id,
+                     ((COALESCE(n2, 0) + 1) * 10000) // (COALESCE(n1, 0) + v) AS s_bp
+              FROM bg LEFT JOIN c2 USING (g) LEFT JOIN c1 USING (w1), v),
+       agg AS (SELECT doc_id, count(*) AS n_bigrams,
+                      CAST(sum(s_bp) AS BIGINT) // count(*) AS avg_bp
+               FROM sc GROUP BY doc_id),
+       perdoc AS (SELECT d.doc_id, d.lang, COALESCE(a.n_bigrams, 0) AS n_bigrams, a.avg_bp
+                  FROM documents d LEFT JOIN agg a USING (doc_id))"""
 }
