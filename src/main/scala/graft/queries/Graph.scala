@@ -56,7 +56,15 @@ object Graph {
     * the RDD detour.
     */
   private def pagerank(s: SparkSession, d: String): DataFrame = {
-    val edges = tradeEdges(s, d).persistScoped()
+    // persist the edge list ALREADY hash-partitioned on the round
+    // key: the cached InMemoryTableScan reports HashPartitioning(src),
+    // so every round's src-keyed join reuses it and only the
+    // node-sized rank frame shuffles per round — without this the
+    // edge list (the corpus-sized side: 1.2 B rows at sf100)
+    // re-exchanges EVERY round, which is what exhausted local disk
+    // on the sf100 g10 attempt
+    val edges = tradeEdges(s, d)
+      .repartition(col("src")).persistScoped()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))
     var rank = deg.withColumn("rank", lit(1000000L)).persistScoped()
@@ -635,7 +643,9 @@ object Graph {
     * per seed. */
   private def ppr(s: SparkSession, d: String): DataFrame = {
     val PprIters = 3
-    val e = tradeEdges(s, d).persistScoped()
+    // partitioned-on-src persist: see pagerank — rounds reuse the
+    // cached exchange, only the K·N rank frame moves per round
+    val e = tradeEdges(s, d).repartition(col("src")).persistScoped()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg")).persistScoped()
     val seeds = e.where("src % 2 = 0").select(col("src").as("seed"))
