@@ -760,7 +760,83 @@ object Multimodal {
                             ${graft.functions.Hashing.duck32b("substr(payload, CAST(i + 4 AS INTEGER), 4)")}]) AS th
                   FROM bl WHERE length(payload) >= 8),
            ${Dedup.duckSimhashFold},
-           ${Dedup.duckBandPairs}"""))
+           ${Dedup.duckBandPairs}""")),
+
+    // ── m15: WebDataset-style TAR SHARDS — the container convention
+    // multimodal training data actually ships in: a directory of
+    // tar files, members paired by basename (`<id>.txt` + `<id>.cls`
+    // here; images/audio in production), consumed shard-per-task in
+    // one forward pass (tar has no central directory — a shard on
+    // object storage costs ONE ranged GET, which is why the format
+    // won). The gate writes the corpus into 4 shards with the
+    // streaming USTAR writer ([[graft.sources.TarShards]]: O(member)
+    // memory, shard-change detection over a (shard, doc_id)-sorted
+    // partition — each shard value hashes to exactly one partition,
+    // so no concurrent writers on a file), reads every member back
+    // through the checksum-validating reader, and aggregates
+    // per-(shard, suffix) counts, bytes, and an order-independent
+    // content fingerprint (sum of md5-prefix ints over member BYTES
+    // as read from the tar). The oracle computes the same stats from
+    // the source table — every payload byte must survive the
+    // header/padding framing to hash equal. At 100 TB: more shards,
+    // not bigger ones (WebDataset sizes shards task-resident);
+    // write is one shard-keyed exchange, read is an embarrassingly
+    // parallel flatMap over shard paths. TarShardsSpec pins the
+    // USTAR header layout against the spec, not just the roundtrip. ──
+    "m15_tar_shards" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val out = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft-tar-shards").toString
+        val dir = new java.io.File(out)
+        if (dir.exists()) dir.listFiles().foreach(_.delete()) else dir.mkdirs()
+        Tables(s, d, "documents")
+          .selectExpr("doc_id % 4 as shard", "doc_id", "text", "lang")
+          .repartition(col("shard")).sortWithinPartitions("shard", "doc_id")
+          .as[(Long, Long, String, String)]
+          .foreachPartition { (it: Iterator[(Long, Long, String, String)]) =>
+            var cur = -1L
+            var w: graft.sources.TarShards.Writer = null
+            it.foreach { case (sh, id, text, lang) =>
+              if (sh != cur) {
+                if (w != null) w.close()
+                cur = sh
+                w = new graft.sources.TarShards.Writer(s"$out/shard-$sh.tar")
+              }
+              w.add(s"$id.txt", text.getBytes("UTF-8"))
+              w.add(s"$id.cls", lang.getBytes("UTF-8"))
+            }
+            if (w != null) w.close()
+          }
+        val paths = new java.io.File(out).listFiles()
+          .map(_.getAbsolutePath).toSeq.sorted
+        s.createDataset(paths)
+          .flatMap { p =>
+            val shard = p.split("shard-").last.stripSuffix(".tar").toLong
+            graft.sources.TarShards.readAll(p).map { case (n, b) => (shard, n, b) }
+          }
+          .toDF("shard", "name", "content")
+          .selectExpr("shard",
+            "substring_index(name, '.', -1) as suffix",
+            "octet_length(content) as nb",
+            "cast(conv(substring(md5(content), 1, 8), 16, 10) as bigint) as fp")
+          .groupBy("shard", "suffix")
+          .agg(count(lit(1)).as("n_members"), sum("nb").as("total_bytes"),
+            sum("fp").as("content_fp"))
+      },
+      Some("""WITH m AS (
+                SELECT doc_id % 4 AS shard, 'txt' AS suffix,
+                       octet_length(encode(text)) AS nb,
+                       ('0x' || substr(md5(text), 1, 8))::BIGINT AS fp
+                FROM documents
+                UNION ALL
+                SELECT doc_id % 4, 'cls', octet_length(encode(lang)),
+                       ('0x' || substr(md5(lang), 1, 8))::BIGINT
+                FROM documents)
+              SELECT shard, suffix, count(*) AS n_members,
+                     CAST(sum(nb) AS BIGINT) AS total_bytes,
+                     CAST(sum(fp) AS BIGINT) AS content_fp
+              FROM m GROUP BY 1, 2"""))
   )
 
   /** The retired four-pass SQL-lambda formulation of m05 — NOT the
