@@ -305,10 +305,9 @@ object DwcaQueries {
         // loopback's ephemeral port must not outlive the server as a
         // dangling endpoint for later s3a use in the same session.
         val conf = s.sparkContext.hadoopConfiguration
-        val s3aKeys = Seq("fs.s3a.impl", "fs.s3a.impl.disable.cache",
-          "fs.s3a.endpoint", "fs.s3a.access.key", "fs.s3a.secret.key",
-          "fs.s3a.path.style.access")
-        val saved = s3aKeys.map(k => k -> Option(conf.get(k)))
+        // Fetch.s3aKeys owns the list — configureS3a additions can't
+        // drift past this restore (ADVICE r17)
+        val saved = graft.sources.Fetch.s3aKeys.map(k => k -> Option(conf.get(k)))
         try {
           graft.sources.S3Loopback.withServer("graft", "s3gate-secret") { port =>
             conf.set("fs.s3a.impl", "graft.sources.S3MiniFileSystem")

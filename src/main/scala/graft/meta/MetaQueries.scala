@@ -152,8 +152,7 @@ object MetaQueries {
     "meta03_geoapi" -> Q(
       (s, _) => {
         val df = geoapiResources(s, fixtureDatasets)
-        val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-          "graft-sinks", "geoapi-config.json").toString
+        val out = graft.RunScratch.fresh("sinks/geoapi-config.json")
         graft.sinks.Sinks.writeJsonArray(s, df, out)
         // keywords joins to a string for the gate: the driver's pandas
         // fingerprint cannot hash array cells (r03 harness error)

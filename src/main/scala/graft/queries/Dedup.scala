@@ -32,374 +32,8 @@ object Dedup {
 
   import DedupKernels._
 
-  private[queries] val toks = "split(text, ' ')"
+  import DedupKernels._
 
-  /** doc_id + distinct hashed word 3-gram shingle set (docs with ≥3
-    * tokens), via the native [[graft.functions.HashedShingles]] kernel
-    * — one incremental md5 per shingle in straight JVM code instead of
-    * an interpreted SQL-lambda per element (~10× on the LSH hot path).
-    *
-    * `repartition` first: the testdata table is one small parquet file
-    * → one input split, which would serialize the hash work onto a
-    * single core. At 100 TB the scan has thousands of natural splits
-    * and the repartition collapses into a cheap round-robin. */
-  private def hashedDocs(s: SparkSession, d: String): DataFrame = {
-    Hashing.register(s)
-    graft.plans.JaccardRewrite.install(s)
-    hashedDocsOf(Tables(s, d, "documents")
-      .repartition(s.sparkContext.defaultParallelism))
-  }
-
-  /** The shingle-hash projection over an arbitrary (doc_id, text)
-    * frame — shared by the corpus path above and d16's shard side.
-    * Requires [[Hashing.register]] on the session. */
-  private[queries] def hashedDocsOf(docs: DataFrame): DataFrame =
-    docs.where(s"size($toks) >= 3")
-      .selectExpr("doc_id", s"hashed_shingles($toks, 3) as hv")
-
-  /** MinHash via one base hash per shingle + k affine permutations
-    * h_j(x) = (a_j·h(x) + b_j) mod p over the 31-bit field (Mersenne
-    * prime keeps a_j·h < 2^62, safe in int64 for both engines). One
-    * md5 per shingle instead of k — ~k× less hash work, identical
-    * recall (validated: the same 25/25 planted pairs at sf0.01). The
-    * coefficients are md5-derived driver-side ([[Hashing.jvm32]]) and
-    * inlined as literals in both the Spark plan and the oracle. */
-  /** doc_id + 64-bit SimHash (term-frequency weighted), via the
-    * native [[graft.functions.SimHash64]] kernel — one md5 per token,
-    * bit-fold in straight JVM code, inside whole-stage codegen (the
-    * SQL-lambda formulation the oracle uses runs interpreted and
-    * digests every token twice). 64 bits come from BOTH 32-bit md5
-    * words per token (h32 = hex 1-8, h32b = hex 9-16) — bit b reads
-    * word b/32, bit b%32. 32-bit SimHash gave banding only 256
-    * buckets per 8-bit band: bucket size N/256 BY CONSTRUCTION, a
-    * guaranteed quadratic self-join at corpus scale; 64 bits buys
-    * 4×16-bit bands (65,536 buckets/band) with the same pigeonhole
-    * hamming≤3 recall contract. Bit 63 is the sign bit — the oracle's
-    * HUGEINT fold lands on the same two's-complement value. */
-  private def simhashed(s: SparkSession, d: String): DataFrame = {
-    Hashing.register(s)
-    Tables(s, d, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
-      .selectExpr("doc_id", s"simhash64($toks) as simhash")
-  }
-
-  /** 4×16-bit LSH banding + hamming verify over a (doc_id, simhash)
-    * frame. Pigeonhole: at most 3 flipped bits touch at most 3 of the
-    * 4 bands, so at least one band matches exactly — recall is EXACT
-    * for the hamming <= 3 contract AMONG pairs outside capped
-    * buckets. The cap is a deliberate precision/recall trade: a true
-    * hamming≤3 pair whose only exactly-matching bands all fall in
-    * over-cap buckets is dropped, the price of bounding every
-    * bucket's self-join fan-out at cap² (a >cap band-identical
-    * cluster is boilerplate that d01's exact dedup already groups;
-    * the oracle mirrors the cap, so the gate pins the same trade).
-    * 65,536 buckets per band keeps expected bucket size at N/2^16,
-    * so capping should only ever fire on degenerate content. Exposed
-    * (not inlined in the query map) so the recall proof is testable
-    * on planted distances. */
-  def simhashPairs(sh: DataFrame, cap: Int = 64): DataFrame = {
-    val bk0 = sh.selectExpr("doc_id", "simhash", "explode(sequence(0, 3)) as band")
-      .selectExpr("doc_id", "simhash", "band", "shiftright(simhash, band*16) & 65535 as bits")
-    val bk = bk0.withColumn("bsz",
-        count(lit(1)).over(Window.partitionBy("band", "bits")))
-      .where(s"bsz <= $cap")
-    bk.select(col("doc_id").as("d1"), col("simhash").as("s1"), col("band"), col("bits"))
-      .join(bk.select(col("doc_id").as("d2"), col("simhash").as("s2"),
-        col("band").as("b2"), col("bits").as("k2")),
-        col("band") === col("b2") && col("bits") === col("k2") && col("d1") < col("d2"))
-      .select("d1", "d2", "s1", "s2").distinct()
-      .selectExpr("d1", "d2", "cast(bit_count(s1 ^ s2) as int) as hamming")
-      .where("hamming <= 3")
-  }
-
-  /** Persisted (hashed-shingle-set, banded-bucket) frames shared by the
-    * LSH queries (d03/d07 and c01 through d03): hv is the HASHED set
-    * (array<long> — an order of magnitude cheaper to cache than the
-    * string arrays, measured: caching both string frames cost 7.6s at
-    * sf0.1); every later stage — signatures, both self-join sides, the
-    * verification joins — reads this one cache. Jaccard over hashed
-    * sets equals Jaccard over the shingle strings (the hash is a
-    * bijection up to md5 collisions, identical in the oracle). The
-    * bucket frame (3 scalar columns — near-free cache) keeps the
-    * self-join's two sides from recomputing signatures; identical
-    * logical plans across queries dedupe in the cache manager. */
-  private[queries] def lshFrames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val hs = hashedDocs(s, d).persistScoped()
-    val bk = bandBuckets(hs).persistScoped()
-    (hs, bk)
-  }
-
-  /** MinHash signatures → 4 bands of 4 rows each: bucket = hash(band,
-    * 4 consecutive sig values). Shared by the corpus index and d16's
-    * shard probe — SAME banding, or the probe misses the index. */
-  private[queries] def bandBuckets(hs: DataFrame): DataFrame =
-    hs.selectExpr("doc_id", "affine_minhash(hv, 16) as sig")
-      .selectExpr("doc_id", "explode(sequence(0, 3)) as band", "sig")
-      .selectExpr("doc_id", "band",
-        s"${Hashing.h32Sql("concat(band, ':', concat_ws(',', slice(sig, band*4+1, 4)))")} as bucket")
-
-  /** The ONE candidate topology every LSH query shares: banded
-    * (band, bucket) self-join — optionally bucket-capped for skew —
-    * then the two hashed-set joins, scored by `scoreExpr` (references
-    * hv1/hv2 and aliases its output). Verification joins carry no
-    * hints: banding bounds |cand|, so AQE broadcasts the candidate
-    * side and streams the (cached) hash sets — never a broadcast of
-    * the whole corpus, which an explicit broadcast(hs) hint would
-    * force (fine at gate scale, an OOM at 100 TB). Factored so d03,
-    * d05, d07, and d09 cannot drift apart in candidate semantics. */
-  private[queries] def scoredCandidates(hs: DataFrame, bk: DataFrame,
-      scoreExpr: String, cap: Option[Int] = None): DataFrame = {
-    val side = cap match {
-      case Some(c) => bk.withColumn("bsz",
-          count(lit(1)).over(Window.partitionBy("band", "bucket"))).where(s"bsz <= $c")
-      case None => bk
-    }
-    val cand = side.select(col("doc_id").as("d1"), col("band"), col("bucket"))
-      .join(side.select(col("doc_id").as("d2"), col("band").as("b2"), col("bucket").as("k2")),
-        col("band") === col("b2") && col("bucket") === col("k2") && col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
-    cand
-      .join(hs.select(col("doc_id").as("d1"), col("hv").as("hv1")), "d1")
-      .join(hs.select(col("doc_id").as("d2"), col("hv").as("hv2")), "d2")
-      .selectExpr("d1", "d2", scoreExpr)
-  }
-
-  private[queries] val jaccardExpr =
-    "cast(size(array_intersect(hv1, hv2)) as double) / size(array_union(hv1, hv2)) as jac"
-
-  /** d03's verified near-dup pairs (consumed by d03's own gate output
-    * and d08's cluster edges), computed DUP-STORM-PROOF while keeping
-    * the full-pair contract: exact-group the corpus first (one linear
-    * md5 window), run the LSH candidate join + Jaccard verify over
-    * group REPRESENTATIVES only, then EXPAND rep pairs back to member
-    * pairs. The expansion rows carry ids + a precomputed jac — never
-    * the hv arrays — so a 1000-identical-copies storm (sf100) streams
-    * its inherent C(copies,2)-per-group output through cheap
-    * rep-keyed joins instead of shipping terabytes of hv through a
-    * quadratic candidate shuffle (the r16 sf100 finding; same
-    * topology as [[DedupKernels.dupDrops]]).
-    *
-    * Output-equivalence proof (same discipline as dupDrops, extended
-    * to the PAIR LIST — d03 is uncapped, which is what makes this
-    * exact):
-    *  - identical texts ⇒ identical shingle sets ⇒ identical sigs
-    *    and hv;
-    *  - SAME group (x < y): identical sigs collide in every band ⇒
-    *    always a candidate; jac = 1.0 ≥ 0.7 ⇒ the full-corpus join
-    *    emits (x, y, 1.0) — the `within` branch emits exactly that;
-    *  - DIFFERENT groups (x ∈ G1, y ∈ G2, reps r1 < r2): sig(x) =
-    *    sig(r1), sig(y) = sig(r2), so (x, y) is a candidate iff
-    *    (r1, r2) is (no bucket cap ⇒ candidacy is content-determined)
-    *    and jac(x, y) = jac(r1, r2) — the `cross` branch emits every
-    *    member combination once with that jac, (least, greatest)
-    *    matching the full join's d1 < d2 orientation;
-    *  - conversely every emitted pair exists in the full join.
-    * The persists cover the SMALL frames (membership, rep hv/bucket,
-    * rep pairs); the expanded list is deliberately NOT persisted —
-    * under a storm it is quadratic in copies by contract, so it
-    * streams to its consumer instead of being cached.
-    *
-    * Cache lifetime (applies to every persist in this tier): frames
-    * register with the per-query [[graft.CacheScope]] — the harness
-    * consumes each query inside `CacheScope.scoped`, which releases
-    * the query's own persists at consumption, so a long-lived session
-    * running gate queries back-to-back accumulates nothing
-    * (CacheScopeSpec pins this). Outside a scope the persist is
-    * plain and the embedding caller owns the lifecycle. */
-  private def lshPairs(s: SparkSession, d: String): DataFrame = {
-    Hashing.register(s)
-    graft.plans.JaccardRewrite.install(s)
-    val eligible = Tables(s, d, "documents").where(s"size($toks) >= 3")
-    val groups = eligible
-      .select(md5(col("text")).as("h"), col("doc_id"))
-      .withColumn("rep", min("doc_id").over(Window.partitionBy("h")))
-      .select("doc_id", "rep")
-      .persistScoped()
-    val hs = hashedDocsOf(
-      eligible.join(groups.where("doc_id = rep").select("doc_id"),
-          Seq("doc_id"), "left_semi")
-        .repartition(s.sparkContext.defaultParallelism)).persistScoped()
-    val bk = bandBuckets(hs).persistScoped()
-    val repPairs = scoredCandidates(hs, bk, jaccardExpr)
-      .where("jac >= 0.7")
-      .select("d1", "d2", "jac")
-      .persistScoped()
-    val cross = repPairs
-      .join(groups.select(col("rep").as("d1"), col("doc_id").as("x")), "d1")
-      .join(groups.select(col("rep").as("d2"), col("doc_id").as("y")), "d2")
-      .selectExpr("least(x, y) as d1", "greatest(x, y) as d2", "jac")
-    val within = groups.select(col("rep"), col("doc_id").as("x"))
-      .join(groups.select(col("rep"), col("doc_id").as("y")), "rep")
-      .where("x < y")
-      .selectExpr("x as d1", "y as d2", "cast(1.0 as double) as jac")
-    cross.unionByName(within)
-  }
-
-  /** Connected components over an undirected edge list (columns `a`,
-    * `b`): every vertex labeled with the smallest vertex id reachable
-    * from it. Alternating large-star / small-star rounds (Kiveris et
-    * al., "Connected Components in MapReduce and Beyond", SoCC'14 —
-    * public algorithm): large-star hangs every neighbor larger than u
-    * off min(Γ⁺(u)); small-star re-hangs the smaller ones. Both
-    * preserve connectivity, and the edge set converges to per-
-    * component stars rooted at the component minimum in O(log² n)
-    * rounds WORST CASE (vs rounds = graph diameter for plain
-    * min-label propagation — an adversarial 64-node chain converges
-    * in ~6 rounds here, 63 there). Each round is two partial-agg'd
-    * keyed shuffles; nothing is ever broadcast or collected beyond a
-    * 2-long checksum row.
-    *
-    * Lineage is truncated every round: with a configured
-    * `spark.sparkContext.setCheckpointDir` the cut is a RELIABLE
-    * checkpoint (survives executor loss — required for a multi-hour
-    * 100 TB job); otherwise `localCheckpoint` (executor-local blocks,
-    * fine for gate scale / tests). Convergence = stable
-    * (count, xxhash64-xor) edge checksum — exact at a fixpoint, and a
-    * false-stop needs a 64-bit hash-xor collision on a changed set.
-    * Only vertices that appear in an edge are labeled — singleton
-    * docs are their own trivial cluster and never enter the graph.
-    *
-    * Resource lifetime: on the reliable path the returned frame is
-    * BACKED by the final round's parquet under
-    * `<checkpointDir>/graft-cc-<uuid>` — it must outlive consumption,
-    * so it is not self-deleting. A long-lived driver should point the
-    * checkpoint dir at scratch storage and reclaim `graft-cc-*`
-    * entries after materializing (or writing out) the labels; repeated
-    * invocations otherwise accumulate one final-round directory each. */
-  def connectedComponents(edgesIn: DataFrame): DataFrame =
-    ccWithRounds(edgesIn)._1
-
-  /** [[connectedComponents]] + the number of star rounds it took —
-    * exposed so the convergence-budget spec can assert the O(log² n)
-    * bound on adversarial chains. `reliableDir` overrides the
-    * context's checkpoint dir (tests inject a scratch dir without
-    * mutating the shared session).
-    *
-    * Reliable lineage cuts are explicit parquet rounds under
-    * `<dir>/graft-cc-<uuid>` rather than `Dataset.checkpoint`:
-    * checkpoint files are never reclaimed before application exit
-    * (`cleanCheckpoints` defaults off, and `unpersist()` does not
-    * touch ReliableCheckpointRDD files), which at 100 TB accumulates
-    * O(rounds × |edges|) dead data — here round N−1 is deleted the
-    * moment round N is materialized, keeping disk at O(|edges|) (the
-    * final round's files back the returned frame and live until the
-    * caller is done with the directory). */
-  private[queries] def ccWithRounds(edgesIn: DataFrame,
-      reliableDir: Option[String] = None): (DataFrame, Int) = {
-    val s = edgesIn.sparkSession
-    val base = reliableDir.orElse(s.sparkContext.getCheckpointDir)
-      .map(d => new org.apache.hadoop.fs.Path(d, s"graft-cc-${java.util.UUID.randomUUID}"))
-    val hconf = s.sparkContext.hadoopConfiguration
-    var prevRound: Option[org.apache.hadoop.fs.Path] = None
-    var roundNo = 0
-    def cp(df: DataFrame): DataFrame = base match {
-      case Some(b) =>
-        val p = new org.apache.hadoop.fs.Path(b, s"round-$roundNo")
-        roundNo += 1
-        df.write.mode("overwrite").parquet(p.toString)
-        val back = s.read.parquet(p.toString)
-        // only after the new round is fully materialized
-        prevRound.foreach(old => old.getFileSystem(hconf).delete(old, true))
-        prevRound = Some(p)
-        back
-      case None => df.localCheckpointScoped()
-    }
-    // bit_xor, not sum: order-independent, and immune to ANSI int64
-    // overflow no matter how many edges
-    def checksum(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)),
-        coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L))).head
-      (r.getLong(0), r.getLong(1))
-    }
-    var edges = cp(edgesIn.selectExpr("a", "b").where("a <> b").distinct())
-    var prev = (-1L, 0L)
-    var cur = checksum(edges)
-    var rounds = 0
-    while (cur != prev) {
-      require(rounds < 200, s"connectedComponents failed to converge in $rounds rounds")
-      // large-star: v > u attaches to m = min(Γ(u) ∪ {u})
-      val nbr = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
-      val mins = nbr.groupBy("a").agg(min("b").as("mn"))
-        .select(col("a"), least(col("mn"), col("a")).as("m"))
-      val large = nbr.join(mins, "a").where("b > a")
-        .select(col("b").as("a"), col("m").as("b"))
-        .where("a <> b").distinct()
-      // small-star over the now downward-pointing edges (b < a):
-      // every child re-hangs on the group min, and u keeps its hook
-      val mins2 = large.groupBy("a").agg(min("b").as("m"))
-      val small = large.join(mins2, "a")
-        .select(col("b").as("a"), col("m").as("b"))
-        .union(mins2.select(col("a"), col("m").as("b")))
-        .where("a <> b").distinct()
-      val next = cp(small) // eager: materialized before the old
-      edges.unpersist()    // generation's blocks are released
-      edges = next
-      prev = cur
-      cur = checksum(edges)
-      rounds += 1
-    }
-    // fixpoint = stars (v, root): non-roots read their edge, roots
-    // label themselves
-    val labels = edges.select(col("a").as("doc_id"), col("b").as("cluster"))
-      .union(edges.select(col("b").as("doc_id"), col("b").as("cluster")))
-      .distinct()
-    (labels, rounds)
-  }
-
-  private[queries] val P = graft.functions.MinHash.P
-  private[queries] def duckLits(xs: Seq[Long]): String = xs.mkString("[", ",", "]")
-
-  /** DuckDB mirror of [[simhashed]] (CTEs `th`, `sh`). Bit 63 can't be
-    * written `1::BIGINT << 63` (DuckDB raises Out of Range on left
-    * shift overflow) — it is the MIN_VALUE literal instead; list_sum
-    * runs in HUGEINT so the mixed-sign sum is exact, and the final
-    * BIGINT cast lands on the same two's-complement value Spark's
-    * int64 fold produces. */
-  /** The 64-bit simhash bit-fold as a CTE over a `th(doc_id, th)`
-    * frame already in scope (th = list of [h32, h32b] pairs per
-    * gram). Shared by the text oracles here and m07's byte-gram
-    * oracle — ONE copy of the HUGEINT fold and the bit-63
-    * two's-complement trick. */
-  private[queries] val duckSimhashFold: String =
-    """sh AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 63),
-                b -> CASE WHEN 2 * len(list_filter(th, h -> (h[CASE WHEN b < 32 THEN 1 ELSE 2 END] // (1::BIGINT << (b % 32))) % 2 = 1)) >= len(th)
-                          THEN (CASE WHEN b = 63 THEN (-9223372036854775808)::BIGINT ELSE (1::BIGINT << b) END)
-                          ELSE 0::BIGINT END)) AS BIGINT) AS simhash
-             FROM th)"""
-
-  /** [[simhashPairs]]'s oracle mirror over an `sh(doc_id, simhash)`
-    * CTE: 4×16-bit banding, the 64-entry bucket cap, and the
-    * hamming≤3 verify — shared with m07. Ends in a SELECT. */
-  private[queries] val duckBandPairs: String =
-    """b AS (SELECT doc_id, simhash, unnest(generate_series(0, 3)) AS band FROM sh),
-       bk AS (SELECT doc_id, simhash, band, (simhash >> (band*16)) & 65535 AS bits FROM b),
-       capped AS (SELECT * FROM
-                    (SELECT doc_id, simhash, band, bits,
-                            count(*) OVER (PARTITION BY band, bits) AS bsz FROM bk)
-                  WHERE bsz <= 64),
-       cand AS (SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2, a.simhash AS s1, c.simhash AS s2
-                FROM capped a JOIN capped c ON a.band = c.band AND a.bits = c.bits AND a.doc_id < c.doc_id)
-       SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
-       FROM cand WHERE bit_count(xor(s1, s2)) <= 3"""
-
-
-  /** The d08 component chain — recursive transitive closure over
-    * d03's verified pairs — as a reusable CTE prefix ending in
-    * `cl(doc_id, cluster)`. Shared by the d08/d12 oracles and by
-    * p16's leakage-free split (group = near-dup component). */
-  private[queries] lazy val duckClusters: String =
-    s"""WITH RECURSIVE p AS MATERIALIZED ($d03Oracle),
-       edges AS (SELECT d1 AS a, d2 AS b FROM p
-                 UNION SELECT d2, d1 FROM p),
-       reach AS (SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges)
-                 UNION
-                 SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-       cl AS (SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a)"""
-
-
-
-
-  // d25/d26 live with their kernels in DedupKernels (registry line cap)
   lazy val all: Map[String, Q] =
     entries + DedupKernels.bbitEntry + DedupKernels.cdcEntry
 
@@ -474,7 +108,7 @@ object Dedup {
     "c07_neardup_decontaminate" -> Q(
       (s, d) => {
         val (hs, bk) = lshFrames(s, d)
-        val evalPred = graft.queries.Pipeline.evalPredSql
+        val evalPred = graft.queries.PipelineKernels.evalPredSql
         val evalIds = Tables(s, d, "documents")
           .where(evalPred).select("doc_id").persistScoped()
         val cand = bk.join(evalIds, Seq("doc_id"), "left_anti")

@@ -751,7 +751,7 @@ object Multimodal {
           .selectExpr("doc_id",
             "simhash64(transform(sequence(1, length(p) - 3), i -> substring(p, i, 4))) as simhash")
           .persistScoped()
-        Dedup.simhashPairs(sh).select("d1", "d2", "hamming")
+        DedupKernels.simhashPairs(sh).select("d1", "d2", "hamming")
       },
       Some(s"""WITH bl AS ($duckBlobs),
            th AS (SELECT doc_id,
@@ -759,8 +759,8 @@ object Multimodal {
                       i -> [${graft.functions.Hashing.duck32("substr(payload, CAST(i + 4 AS INTEGER), 4)")},
                             ${graft.functions.Hashing.duck32b("substr(payload, CAST(i + 4 AS INTEGER), 4)")}]) AS th
                   FROM bl WHERE length(payload) >= 8),
-           ${Dedup.duckSimhashFold},
-           ${Dedup.duckBandPairs}""")),
+           ${DedupKernels.duckSimhashFold},
+           ${DedupKernels.duckBandPairs}""")),
 
     // ── m15: WebDataset-style TAR SHARDS — the container convention
     // multimodal training data actually ships in: a directory of
@@ -786,10 +786,10 @@ object Multimodal {
     "m15_tar_shards" -> Q(
       (s, d) => {
         import s.implicits._
-        val out = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"), "graft-tar-shards").toString
-        val dir = new java.io.File(out)
-        if (dir.exists()) dir.listFiles().foreach(_.delete()) else dir.mkdirs()
+        // per-run scratch (graft.RunScratch): concurrent runs at two
+        // scales get disjoint shard dirs — the executor-side write +
+        // driver-side listFiles read assumes local mode's shared FS
+        val out = graft.RunScratch.freshDir("tar-shards")
         Tables(s, d, "documents")
           .selectExpr("doc_id % 4 as shard", "doc_id", "text", "lang")
           .repartition(col("shard")).sortWithinPartitions("shard", "doc_id")
@@ -836,7 +836,65 @@ object Multimodal {
               SELECT shard, suffix, count(*) AS n_members,
                      CAST(sum(nb) AS BIGINT) AS total_bytes,
                      CAST(sum(fp) AS BIGINT) AS content_fp
-              FROM m GROUP BY 1, 2"""))
+              FROM m GROUP BY 1, 2""")),
+
+    // ── m16: BINARY members through the tar shards — the WebDataset
+    // convention's actual point: an image member paired with its
+    // text sidecar under one basename (`<id>.png` + `<id>.txt`),
+    // consumed together shard-per-task. m15 proved the framing on
+    // text; this gate round-trips the committed REAL image bytes
+    // (PNG/JPEG fixtures, the m08 decode corpus) and pins each
+    // member's full md5 — any byte the USTAR header/padding framing
+    // gained or lost is a hash mismatch on that exact member. The
+    // oracle is GOLDEN (md5s of the committed fixture files and of
+    // the deterministic sidecar strings, computed independently of
+    // the JVM) because DuckDB 1.x cannot md5 blobs. Scale shape is
+    // m15's: shard-keyed write, embarrassingly parallel read, blobs
+    // never cross an exchange — only (name, 16-byte hash) rows do. ──
+    "m16_tar_binary" -> Q(
+      (s, _) => {
+        import s.implicits._
+        val out = graft.RunScratch.freshDir("tar-binary")
+        fixtureImages(s)
+          .selectExpr("img_id % 2 as shard", "img_id", "fmt", "blob")
+          .repartition(col("shard")).sortWithinPartitions("shard", "img_id")
+          .as[(Long, Long, String, Array[Byte])]
+          .foreachPartition { (it: Iterator[(Long, Long, String, Array[Byte])]) =>
+            var cur = -1L
+            var w: graft.sources.TarShards.Writer = null
+            it.foreach { case (sh, id, fmt, blob) =>
+              if (sh != cur) {
+                if (w != null) w.close()
+                cur = sh
+                w = new graft.sources.TarShards.Writer(s"$out/shard-$sh.tar")
+              }
+              w.add(s"$id.$fmt", blob)
+              w.add(s"$id.txt", s"img:$id:$fmt".getBytes("UTF-8"))
+            }
+            if (w != null) w.close()
+          }
+        val paths = new java.io.File(out).listFiles()
+          .map(_.getAbsolutePath).toSeq.sorted
+        s.createDataset(paths)
+          .flatMap { p =>
+            val shard = p.split("shard-").last.stripSuffix(".tar").toLong
+            graft.sources.TarShards.readAll(p).map { case (n, b) => (shard, n, b) }
+          }
+          .toDF("shard", "name", "content")
+          .selectExpr("shard", "name",
+            "cast(octet_length(content) as bigint) as n_bytes",
+            "md5(content) as content_md5")
+      },
+      Some("""SELECT * FROM (VALUES
+                (CAST(0 AS BIGINT), '0.png', CAST(144 AS BIGINT), '76423f78519c4a3523887025e5c941ff'),
+                (CAST(0 AS BIGINT), '0.txt', CAST(9 AS BIGINT), '0406e1e2ca8d2ef68491d7aa9a254459'),
+                (CAST(0 AS BIGINT), '2.png', CAST(69 AS BIGINT), '3680f788c0ad5e71b91a5e61544a7d80'),
+                (CAST(0 AS BIGINT), '2.txt', CAST(9 AS BIGINT), '2e043c8c81de78d5c47c39e1f091b934'),
+                (CAST(1 AS BIGINT), '1.png', CAST(509 AS BIGINT), 'b8f6ff8b436c1ad767c8bb17705d2106'),
+                (CAST(1 AS BIGINT), '1.txt', CAST(9 AS BIGINT), '3795ba20e262ea94d359bf6e16ca19a3'),
+                (CAST(1 AS BIGINT), '3.jpg', CAST(679 AS BIGINT), '9e6df4d0861f12599cdd07119f4885bb'),
+                (CAST(1 AS BIGINT), '3.txt', CAST(9 AS BIGINT), '2b9df978ada3d0ab856150e724938a7e'))
+              AS t(shard, name, n_bytes, content_md5)"""))
   )
 
   /** The retired four-pass SQL-lambda formulation of m05 — NOT the

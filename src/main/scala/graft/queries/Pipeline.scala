@@ -17,125 +17,8 @@ object Pipeline {
 
   import PipelineKernels._
 
-  private val toks = "split(text, ' ')"
+  import PipelineKernels._
 
-  /** md5-derived percentile bucket of a doc id ∈ [0, 100) — the
-    * deterministic, engine-portable alternative to Bernoulli sampling:
-    * membership is a pure function of the id, so splits are stable
-    * across runs, engines, and repartitioning ([[graft.functions.Hashing]]). */
-  private def pctSql(idExpr: String): String =
-    s"${graft.functions.Hashing.h32Sql(s"concat('split:', $idExpr)")} % 100"
-  private def duckPct(idExpr: String): String =
-    s"(${graft.functions.Hashing.duck32(s"'split:' || $idExpr")} % 100)"
-
-  /** Deterministic eval-split membership (10% of the corpus), shared
-    * by the decontamination formulations (c02/c04/stream06) and c03. */
-  val evalPredSql: String = s"${pctSql("'eval:' || doc_id")} < 10"
-
-  /** (doc_id, is_eval, g) — every 13-gram of every document, the
-    * decontamination candidate universe shared by c02, c04 and the
-    * stream06 streaming twin. Works on any (doc_id, text) frame —
-    * batch table or stream (the projection is map-only). */
-  def decontGrams(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    docs
-      .selectExpr("doc_id", s"$evalPredSql as is_eval",
-        s"""case when size($toks) >= 13
-              then transform(sequence(1, size($toks) - 12), i -> array_join(slice($toks, i, 13), ' '))
-              else array() end as gs""")
-      .select(col("doc_id"), col("is_eval"), explode(col("gs")).as("g"))
-
-  private def decontGrams(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame =
-    decontGrams(Tables(s, d, "documents"))
-
-  /** One oracle for both decontamination formulations — c04's bloom
-    * prefilter is exact after its verify join, so c02 and c04 share
-    * this SQL verbatim. */
-  private val decontOracle: String = {
-    val duckEval = s"(${duckPct("'eval:' || doc_id")} < 10)"
-    s"""WITH toks AS (SELECT doc_id, $duckEval AS is_eval,
-                             string_split(text, ' ') AS t FROM documents),
-        grams AS (SELECT doc_id, is_eval, array_to_string(t[i:i+12], ' ') AS g
-                  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 12)) AS i)
-                  WHERE len(t) >= 13),
-        ev AS (SELECT DISTINCT g FROM grams WHERE is_eval),
-        hits AS (SELECT DISTINCT doc_id FROM grams
-                 WHERE NOT is_eval AND g IN (SELECT g FROM ev))
-        SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
-        FROM documents d LEFT JOIN hits h USING (doc_id)
-        WHERE NOT $duckEval"""
-  }
-
-  /** Two-phase global prefix sum behind p03. A single-partition window
-    * is a non-starter at 100 TB, so this runs the canonical form —
-    * range partition by doc_id, cumsum within each partition, then add
-    * driver-prefix-summed per-partition offsets (one row PER PARTITION
-    * crosses the driver, thousands at most, regardless of data size).
-    * Range partitioning keeps the global doc_id order across
-    * partitions, so the result equals the single-window formulation
-    * the oracle uses — for ANY `width` (the per-partition offsets
-    * compose): the query entry passes `defaultParallelism` so task
-    * size shrinks as executors are added, and [[PipelineSpec]] asserts
-    * width-invariance of the output. */
-  def seqPack(s: org.apache.spark.sql.SparkSession, d: String,
-      width: Int): org.apache.spark.sql.DataFrame =
-    packCum(s, d, width).selectExpr("doc_id", "n", "(cum - n) div 256 as seq_id")
-
-  /** (doc_id, n, cum): each document's token count and the EXCLUSIVE
-    * global prefix sum's end (cum = tokens up to and including this
-    * doc, in doc_id order) — the two-phase prefix sum shared by p03
-    * and p07. Range-partitioned at `width`; one row per partition
-    * crosses the driver. */
-  private[queries] def packCum(s: org.apache.spark.sql.SparkSession, d: String,
-      width: Int): org.apache.spark.sql.DataFrame = {
-    val parts = Tables(s, d, "documents")
-      .selectExpr("doc_id", s"size($toks) as n")
-      .repartitionByRange(width, col("doc_id"))
-      .sortWithinPartitions("doc_id")
-      .withColumn("pid", spark_partition_id())
-      .persistScoped()
-    val offsets = parts.groupBy("pid").agg(sum("n").as("tot"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-      .scanLeft((0, 0L)) { case ((_, acc), (pid, tot)) => (pid, acc + tot) }
-      .sliding(2).collect { case Array((_, off), (pid, _)) => (pid, off) }.toSeq
-    import s.implicits._
-    val offDf = broadcast(offsets.toDF("pid", "off"))
-    parts.join(offDf, "pid")
-      .withColumn("cum", col("off") + sum("n").over(
-        org.apache.spark.sql.expressions.Window.partitionBy("pid")
-          .orderBy("doc_id").rowsBetween(Long.MinValue, 0)))
-      .select("doc_id", "n", "cum")
-  }
-
-  /** Deterministic global shuffle + round-robin sharding of an id
-    * frame (see p05): md5 shuffle key, two-phase global rank (range
-    * partition at `width`, one count row per partition to the driver,
-    * offset + within-partition row_number — never a single-partition
-    * window), shard = rank % nShards, pos = rank div nShards. */
-  def shardShuffle(df: org.apache.spark.sql.DataFrame, nShards: Int,
-      width: Int): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val s = df.sparkSession
-    graft.functions.Hashing.register(s)
-    val keyed = df
-      .selectExpr("doc_id", s"${graft.functions.Hashing.h32Sql("concat('shuf:', doc_id)")} as k")
-      .repartitionByRange(width, col("k"), col("doc_id"))
-      .sortWithinPartitions("k", "doc_id")
-      .withColumn("pid", spark_partition_id())
-      .persistScoped()
-    val offsets = keyed.groupBy("pid").count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-      .scanLeft((0, 0L)) { case ((_, acc), (pid, n)) => (pid, acc + n) }
-      .sliding(2).collect { case Array((_, off), (pid, _)) => (pid, off) }.toSeq
-    import s.implicits._
-    keyed.join(broadcast(offsets.toDF("pid", "off")), "pid")
-      .withColumn("rn",
-        col("off") + row_number().over(Window.partitionBy("pid").orderBy("k", "doc_id")) - 1)
-      .selectExpr("doc_id", s"rn % $nShards as shard", s"rn div $nShards as pos")
-  }
-
-  // p24 lives with its kernels in PipelineKernels (one semantics,
-  // two execution tiers with stream28)
   lazy val all: Map[String, Q] = entries + PipelineKernels.dsirEntry
 
   private def entries: Map[String, Q] = Map(
@@ -991,7 +874,7 @@ object Pipeline {
               "concat('gsplit:', cast(grp as string))")} % 100 < 90
                   then 'train' else 'eval' end as split""")
       },
-      Some(s"""${Dedup.duckClusters}
+      Some(s"""${DedupKernels.duckClusters}
                SELECT d.doc_id,
                       coalesce(cl.cluster, d.doc_id) AS grp,
                       CASE WHEN ${graft.functions.Hashing.duck32(
@@ -1221,7 +1104,7 @@ object Pipeline {
       },
       Some {
         val t12 = TextOps.all("t12_classifier_score").oracle.get
-        s"""${Dedup.duckClusters},
+        s"""${DedupKernels.duckClusters},
             sc AS (SELECT doc_id, score_bp FROM ($t12)),
             j AS (SELECT cluster, c.doc_id, score_bp
                   FROM cl c JOIN sc USING (doc_id)),

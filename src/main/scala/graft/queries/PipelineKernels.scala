@@ -10,6 +10,126 @@ import org.apache.spark.sql.functions._
   * fixtures. Split from `Pipeline.scala` (same registry-boundary
   * split as Similarity/Dedup) — no member changed. */
 private[graft] object PipelineKernels {
+
+  private[queries] val toks = "split(text, ' ')"
+
+  /** md5-derived percentile bucket of a doc id ∈ [0, 100) — the
+    * deterministic, engine-portable alternative to Bernoulli sampling:
+    * membership is a pure function of the id, so splits are stable
+    * across runs, engines, and repartitioning ([[graft.functions.Hashing]]). */
+  private[queries] def pctSql(idExpr: String): String =
+    s"${graft.functions.Hashing.h32Sql(s"concat('split:', $idExpr)")} % 100"
+  private[queries] def duckPct(idExpr: String): String =
+    s"(${graft.functions.Hashing.duck32(s"'split:' || $idExpr")} % 100)"
+
+  /** Deterministic eval-split membership (10% of the corpus), shared
+    * by the decontamination formulations (c02/c04/stream06) and c03. */
+  val evalPredSql: String = s"${pctSql("'eval:' || doc_id")} < 10"
+
+  /** (doc_id, is_eval, g) — every 13-gram of every document, the
+    * decontamination candidate universe shared by c02, c04 and the
+    * stream06 streaming twin. Works on any (doc_id, text) frame —
+    * batch table or stream (the projection is map-only). */
+  def decontGrams(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .selectExpr("doc_id", s"$evalPredSql as is_eval",
+        s"""case when size($toks) >= 13
+              then transform(sequence(1, size($toks) - 12), i -> array_join(slice($toks, i, 13), ' '))
+              else array() end as gs""")
+      .select(col("doc_id"), col("is_eval"), explode(col("gs")).as("g"))
+
+  private[queries] def decontGrams(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    decontGrams(Tables(s, d, "documents"))
+
+  /** One oracle for both decontamination formulations — c04's bloom
+    * prefilter is exact after its verify join, so c02 and c04 share
+    * this SQL verbatim. */
+  private[queries] val decontOracle: String = {
+    val duckEval = s"(${duckPct("'eval:' || doc_id")} < 10)"
+    s"""WITH toks AS (SELECT doc_id, $duckEval AS is_eval,
+                             string_split(text, ' ') AS t FROM documents),
+        grams AS (SELECT doc_id, is_eval, array_to_string(t[i:i+12], ' ') AS g
+                  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 12)) AS i)
+                  WHERE len(t) >= 13),
+        ev AS (SELECT DISTINCT g FROM grams WHERE is_eval),
+        hits AS (SELECT DISTINCT doc_id FROM grams
+                 WHERE NOT is_eval AND g IN (SELECT g FROM ev))
+        SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE NOT $duckEval"""
+  }
+
+  /** Two-phase global prefix sum behind p03. A single-partition window
+    * is a non-starter at 100 TB, so this runs the canonical form —
+    * range partition by doc_id, cumsum within each partition, then add
+    * driver-prefix-summed per-partition offsets (one row PER PARTITION
+    * crosses the driver, thousands at most, regardless of data size).
+    * Range partitioning keeps the global doc_id order across
+    * partitions, so the result equals the single-window formulation
+    * the oracle uses — for ANY `width` (the per-partition offsets
+    * compose): the query entry passes `defaultParallelism` so task
+    * size shrinks as executors are added, and [[PipelineSpec]] asserts
+    * width-invariance of the output. */
+  def seqPack(s: org.apache.spark.sql.SparkSession, d: String,
+      width: Int): org.apache.spark.sql.DataFrame =
+    packCum(s, d, width).selectExpr("doc_id", "n", "(cum - n) div 256 as seq_id")
+
+  /** (doc_id, n, cum): each document's token count and the EXCLUSIVE
+    * global prefix sum's end (cum = tokens up to and including this
+    * doc, in doc_id order) — the two-phase prefix sum shared by p03
+    * and p07. Range-partitioned at `width`; one row per partition
+    * crosses the driver. */
+  private[queries] def packCum(s: org.apache.spark.sql.SparkSession, d: String,
+      width: Int): org.apache.spark.sql.DataFrame = {
+    val parts = Tables(s, d, "documents")
+      .selectExpr("doc_id", s"size($toks) as n")
+      .repartitionByRange(width, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .withColumn("pid", spark_partition_id())
+      .persistScoped()
+    val offsets = parts.groupBy("pid").agg(sum("n").as("tot"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      .scanLeft((0, 0L)) { case ((_, acc), (pid, tot)) => (pid, acc + tot) }
+      .sliding(2).collect { case Array((_, off), (pid, _)) => (pid, off) }.toSeq
+    import s.implicits._
+    val offDf = broadcast(offsets.toDF("pid", "off"))
+    parts.join(offDf, "pid")
+      .withColumn("cum", col("off") + sum("n").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("pid")
+          .orderBy("doc_id").rowsBetween(Long.MinValue, 0)))
+      .select("doc_id", "n", "cum")
+  }
+
+  /** Deterministic global shuffle + round-robin sharding of an id
+    * frame (see p05): md5 shuffle key, two-phase global rank (range
+    * partition at `width`, one count row per partition to the driver,
+    * offset + within-partition row_number — never a single-partition
+    * window), shard = rank % nShards, pos = rank div nShards. */
+  def shardShuffle(df: org.apache.spark.sql.DataFrame, nShards: Int,
+      width: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = df.sparkSession
+    graft.functions.Hashing.register(s)
+    val keyed = df
+      .selectExpr("doc_id", s"${graft.functions.Hashing.h32Sql("concat('shuf:', doc_id)")} as k")
+      .repartitionByRange(width, col("k"), col("doc_id"))
+      .sortWithinPartitions("k", "doc_id")
+      .withColumn("pid", spark_partition_id())
+      .persistScoped()
+    val offsets = keyed.groupBy("pid").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      .scanLeft((0, 0L)) { case ((_, acc), (pid, n)) => (pid, acc + n) }
+      .sliding(2).collect { case Array((_, off), (pid, _)) => (pid, off) }.toSeq
+    import s.implicits._
+    keyed.join(broadcast(offsets.toDF("pid", "off")), "pid")
+      .withColumn("rn",
+        col("off") + row_number().over(Window.partitionBy("pid").orderBy("k", "doc_id")) - 1)
+      .selectExpr("doc_id", s"rn % $nShards as shard", s"rn div $nShards as pos")
+  }
+
+  // p24 lives with its kernels in PipelineKernels (one semantics,
+  // two execution tiers with stream28)
   // ── drift machinery shared by p19 (one-shot batch) and stream21
   // (maintained shard-histogram artifact + streaming fold) ──
 
@@ -46,8 +166,8 @@ private[graft] object PipelineKernels {
     * maintained histogram equals the batch rebuild regardless of
     * batch boundaries. Artifact ≤128 rows at any corpus size; swap
     * is write-tmp + rename. */
-  private[graft] def histArtifactDir: String = java.nio.file.Paths.get(
-    System.getProperty("java.io.tmpdir"), "graft-drift-hist").toString
+  private[graft] def histArtifactDir: String =
+    graft.RunScratch.path("drift-hist")
 
   private[graft] def histStream(s: org.apache.spark.sql.SparkSession,
       lens: org.apache.spark.sql.DataFrame, lo: Long,
@@ -111,8 +231,8 @@ private[graft] object PipelineKernels {
         "printf('%.6f', cast(skey as double)) as score")
   }
 
-  private[graft] def dsirArtifactDir: String = java.nio.file.Paths.get(
-    System.getProperty("java.io.tmpdir"), "graft-dsir-buckets").toString
+  private[graft] def dsirArtifactDir: String =
+    graft.RunScratch.path("dsir-buckets")
 
   /** stream28: fold each arriving micro-batch's bucket counts into
     * the persisted (b, raw_n, tgt_n) artifact by counter-wise ADD —
@@ -141,8 +261,8 @@ private[graft] object PipelineKernels {
     * of everything that has arrived, at ≤100 rows of state and
     * O(batch) fold cost regardless of corpus size. The swap is
     * write-tmp + rename, one small PUT per batch. */
-  private[graft] def sampleArtifactDir: String = java.nio.file.Paths.get(
-    System.getProperty("java.io.tmpdir"), "graft-bottomk-sample").toString
+  private[graft] def sampleArtifactDir: String =
+    graft.RunScratch.path("bottomk-sample")
 
   private[graft] def sampleStream(s: org.apache.spark.sql.SparkSession,
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {

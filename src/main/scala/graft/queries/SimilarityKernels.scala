@@ -17,7 +17,235 @@ import org.apache.spark.sql.functions._
   * this object wholesale, and the split line is exactly the
   * registry's closing brace — no member changed. */
 private[graft] object SimilarityKernels {
-  import Similarity.{dot, normE, duckDot, duckNorm, ivfIters, pqIters, rerankR, heapTopk, signed, banded, duckSigned, duckBanded}
+  /** Sequential-fold dot product of two float-array columns — the
+    * native [[graft.functions.DotF]] kernel (bit-identical to the
+    * SQL-lambda `aggregate(zip_with(...))` formulation it replaced,
+    * which ran interpreted and dominated the ANN queries; requires
+    * [[Hashing.register]]). */
+  private[queries] def dot(a: String, b: String): String = s"dotf($a, $b)"
+
+  private[queries] val normE = "vnorm(embedding)"
+
+  private[queries] def duckDot(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * p[2]))"
+
+  private[queries] val duckNorm = "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)))"
+
+  /** Lloyd iteration counts for the trained indexes (coarse IVF
+    * quantizer and per-subspace PQ codebooks). Two steps already move
+    * the codebooks well off the seeds; every extra step is one more
+    * full-corpus pass in BOTH engines (the oracle replays training as
+    * a CTE chain per iteration), so keep this small. NOTE: declared
+    * BEFORE `all` — the oracle strings interpolate these eagerly at
+    * object init, and Scala vals initialize in declaration order. */
+  private[graft] val ivfIters = 2
+  private[graft] val pqIters = 2
+
+  /** The ADC shortlist size of the IVFADC+R refinement (Jégou et al.
+    * 2011 §VII): the re-rank reads R raw vectors per probe. Same
+    * init-order constraint as the iteration counts above. */
+  private[graft] val rerankR = 10
+
+  /** vec_id, embedding, nrm, sig — the 16-bit hyperplane signature via
+    * the native [[graft.functions.HyperplaneSig]] kernel (the plane
+    * matrix is the same md5-derived literal set; the interpreted
+    * 16×64-multiply lambda this replaced dominated s02-s04).
+    * Repartition first: the testdata table is a single parquet file
+    * (one input split); at 100 TB the scan has natural splits and
+    * this is a cheap round-robin. */
+  private[queries] def signed(s: SparkSession, d: String): DataFrame = {
+    Hashing.register(s)
+    Tables(s, d, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
+      .selectExpr("vec_id", "embedding", s"$normE as nrm",
+        "hyperplane_sig(embedding, 16, 64) as sig")
+  }
+
+  private[queries] val duckSigned =
+    s"""SELECT vec_id, embedding, $duckNorm AS nrm,
+          CAST(list_sum(list_transform(generate_series(0, 15), p ->
+            CASE WHEN list_sum(list_transform(generate_series(0, 63), d ->
+                   CAST(embedding[d+1] AS DOUBLE) * (${Hashing.duck32("'pl:' || p || ':' || d")}/2147483648.0 - 1.0))) >= 0
+                 THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT) AS sig
+        FROM embeddings"""
+
+  /** Explode a signature frame into (vec_id, band, bits): 4 bands of
+    * 4 signature bits each. */
+  private[queries] def banded(sigs: DataFrame): DataFrame =
+    sigs.selectExpr("vec_id", "explode(sequence(0, 3)) as band", "sig")
+      .selectExpr("vec_id", "band", "shiftright(sig, band*4) & 15 as bits")
+
+  private[queries] val duckBanded =
+    """b AS (SELECT vec_id, unnest(generate_series(0, 3)) AS band, sig FROM sigs),
+       bk AS (SELECT vec_id, band, (sig >> (band*4)) & 15 AS bits FROM b)"""
+
+  /** probe_id, cand_id, cosine — every (probe, candidate) score pair
+    * (probes = vec_id < 10, broadcast). */
+  private[queries] def scoredPairs(s: SparkSession, d: String): DataFrame = {
+    Hashing.register(s)
+    // repartition: single-file testdata = one input split; the
+    // 50k-cosine join below would otherwise run on one core
+    val e = Tables(s, d, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
+      .selectExpr("vec_id", "embedding", s"$normE as nrm")
+    val p = e.where("vec_id < 10")
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nrm").as("pn"))
+    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+    c.join(broadcast(p), col("cand_id") =!= col("probe_id"))
+      .selectExpr("probe_id", "cand_id", s"${dot("pe", "ce")} / (pn * cn) as cosine")
+  }
+
+  /** Shared oracle for the two brute-force top-k formulations (s01
+    * window, s08 bounded-heap aggregate). */
+  private[queries] val topkOracle =
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+        sc AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                      ${duckDot("p.embedding", "c.embedding")} / (p.nrm * c.nrm) AS cosine
+               FROM e p JOIN e c ON c.vec_id != p.vec_id
+               WHERE p.vec_id < 10)
+        SELECT probe_id, cand_id, rnk, cosine FROM
+          (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS INTEGER) AS rnk
+           FROM sc)
+        WHERE rnk <= 5"""
+
+  /** Bounded-heap per-probe top-k over a (probe_id, cand_id, cosine)
+    * score frame — k rows per probe cross the exchange (partial
+    * [[graft.functions.TopKByScore]] buffers map-side), never a
+    * window sort of the full score frame on the |probes|-key. The
+    * tie-break (score desc, id asc) matches `row_number() OVER
+    * (ORDER BY cosine DESC, cand_id)` exactly, NaN included. */
+  private[graft] def heapTopk(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy("probe_id")
+      .agg(expr(s"top_k_by_score(cosine, cand_id, $k)").as("top"))
+      .selectExpr("probe_id", "inline(top)")
+      .selectExpr("probe_id", "id as cand_id", "rnk", "score as cosine")
+
+  /** s03's body: LSH-bucketed ANN top-3 — candidates share ≥1 of 4
+    * signature bands. Exposed for the s09 recall harness. */
+  private[queries] def annTopk(s: SparkSession, d: String): DataFrame = {
+    // persisted: referenced by both join sides and the embedding
+    // lookups — avoids recomputing the 1024-multiply signature
+    val sigs = signed(s, d).persistScoped()
+    val bk = banded(sigs)
+    val cand = broadcast(bk.where("vec_id < 10")
+        .select(col("vec_id").as("probe_id"), col("band"), col("bits")))
+      .join(bk.select(col("vec_id").as("cand_id"), col("band").as("b2"), col("bits").as("k2")),
+        col("band") === col("b2") && col("bits") === col("k2") && col("probe_id") =!= col("cand_id"))
+      .select("probe_id", "cand_id").distinct()
+    val e = sigs.select("vec_id", "embedding", "nrm")
+    heapTopk(cand
+      .join(e.select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nrm").as("pn")), "probe_id")
+      .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("nrm").as("cn")), "cand_id")
+      .selectExpr("probe_id", "cand_id", s"${dot("pe", "ce")} / (pn * cn) as cosine"), 3)
+  }
+
+  /** Exact per-probe top-k by cosine — s01's body and s09's recall
+    * denominator. Bounded-heap aggregate formulation (the r6-flagged
+    * window form is kept ONLY as [[windowTopk]], a spec cross-check). */
+  private[queries] def bruteTopk(s: SparkSession, d: String, k: Int): DataFrame =
+    heapTopk(scoredPairs(s, d), k)
+
+  /** The window formulation of the exact top-k (row_number + filter).
+    * NOT the scale shape — it shuffles and sorts every probe×corpus
+    * score row on a |probes|-value key — but semantically identical to
+    * [[bruteTopk]]; SimilaritySpec pins the equivalence so the heap
+    * aggregate's ordering contract (score desc, id asc, NaN-first)
+    * stays honest against Spark's own window sort. */
+  private[graft] def windowTopk(s: SparkSession, d: String, k: Int): DataFrame =
+    scoredPairs(s, d)
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("cand_id"))))
+      .where(s"rnk <= $k")
+      .select("probe_id", "cand_id", "rnk", "cosine")
+
+  /** The LEXICAL arm of the hybrid tier (s29/s30): BM25 top-50 for
+    * the query-by-example document 0 — t08's exact formula over doc
+    * 0's distinct tokens, scores floor-scaled to exact BIGINT basis
+    * points BEFORE the per-doc sum (a double sum over terms would be
+    * aggregation-order-sensitive), corpus pruned by a
+    * TakeOrderedAndProject top-50, ranks assigned on the bounded
+    * shortlist. Returns (doc_id, lex_rnk). */
+  private[queries] def lexTop50(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d, "documents")
+    val toks = "split(text, ' ')"
+    val qt = docs.where("doc_id = 0")
+      .selectExpr(s"explode($toks) as tok").distinct()
+    val tf = docs.where("doc_id > 0")
+      .repartition(s.sparkContext.defaultParallelism)
+      .selectExpr("doc_id", s"explode($toks) as tok")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val qtf = tf.join(broadcast(qt), "tok").persistScoped()
+    val dl = docs.where("doc_id > 0")
+      .selectExpr("doc_id", s"cast(size($toks) as bigint) as dl")
+    val st = dl.agg(count(lit(1)).cast("double").as("n"), avg("dl").as("avgdl"))
+    val df = qtf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val lex = qtf.join(broadcast(df), "tok").join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .selectExpr("doc_id",
+        "cast(floor(ln(1 + (n - df + 0.5)/(df + 0.5)) * (tf * 2.2)" +
+          " / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) * 1000000) as bigint) as s_bp")
+      .groupBy("doc_id").agg(sum("s_bp").as("lex"))
+    lex.orderBy(col("lex").desc, col("doc_id")).limit(50)
+      .withColumn("lex_rnk", row_number().over(
+        Window.orderBy(col("lex").desc, col("doc_id"))))
+      .select("doc_id", "lex_rnk")
+  }
+
+  /** The VECTOR arm (s29/s30): cosine-to-embedding-0 top-50 with the
+    * same shortlist discipline. Returns (doc_id, vec_rnk). */
+  private[queries] def vecTop50(s: SparkSession, d: String): DataFrame = {
+    Hashing.register(s)
+    val e = Tables(s, d, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
+      .selectExpr("vec_id", "embedding", s"$normE as nrm")
+    val p = e.where("vec_id = 0")
+      .select(col("embedding").as("pe"), col("nrm").as("pn"))
+    e.where("vec_id > 0").crossJoin(broadcast(p))
+      .selectExpr("vec_id as doc_id", s"${dot("pe", "embedding")} / (pn * nrm) as cosine")
+      .orderBy(col("cosine").desc, col("doc_id")).limit(50)
+      .withColumn("vec_rnk", row_number().over(
+        Window.orderBy(col("cosine").desc, col("doc_id"))))
+      .select("doc_id", "vec_rnk")
+  }
+
+  /** DuckDB mirror of [[lexTop50]] — CTE chain ending in
+    * lt(doc_id, lex_rnk). */
+  private[queries] val duckLexTop =
+    """qt AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+             FROM documents WHERE doc_id = 0),
+       t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             FROM documents WHERE doc_id > 0),
+       tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+       qtf AS (SELECT tf.* FROM tf JOIN qt USING (tok)),
+       dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+              FROM documents WHERE doc_id > 0),
+       st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+       df AS (SELECT tok, count(*) AS df FROM qtf GROUP BY 1),
+       lex AS (SELECT doc_id, CAST(sum(CAST(floor(
+                   ln(1 + (n - df + 0.5)/(df + 0.5)) * (tf * 2.2)
+                     / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) * 1000000)
+                   AS BIGINT)) AS BIGINT) AS lex
+               FROM qtf JOIN df USING (tok) JOIN dl USING (doc_id), st
+               GROUP BY doc_id),
+       lt AS (SELECT doc_id, lex_rnk FROM
+                (SELECT doc_id, CAST(row_number() OVER (ORDER BY lex DESC, doc_id) AS INTEGER) AS lex_rnk
+                 FROM lex)
+              WHERE lex_rnk <= 50)"""
+
+  /** DuckDB mirror of [[vecTop50]] — CTE chain ending in
+    * vt(doc_id, vec_rnk). */
+  private[queries] lazy val duckVecTop =
+    s"""e AS MATERIALIZED (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+        p AS (SELECT embedding AS pe, nrm AS pn FROM e WHERE vec_id = 0),
+        vsc AS (SELECT c.vec_id AS doc_id,
+                       ${duckDot("pe", "c.embedding")} / (pn * c.nrm) AS cosine
+                FROM e c, p WHERE c.vec_id > 0),
+        vt AS (SELECT doc_id, vec_rnk FROM
+                 (SELECT doc_id, CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS INTEGER) AS vec_rnk
+                  FROM vsc)
+               WHERE vec_rnk <= 50)"""
+
   /** s17's oracle: the identical greedy MMR unrolled as chained
     * argmax CTEs — selN carries the cumulative selection after step N,
     * stN scores the remaining shortlist against it. */
@@ -529,10 +757,11 @@ private[graft] object SimilarityKernels {
     (seed +: steps :+ fin).mkString(",\n")
   }
 
-  /** s16's artifact root (fixed scratch path — concurrent sessions
-    * must not share one tmpdir, as with every scratch path here). */
-  private[graft] def ivfPqIndexDir: String = java.nio.file.Paths.get(
-    System.getProperty("java.io.tmpdir"), "graft-index", "ivfpq").toString
+  /** s16's artifact root — per-JVM ([[graft.RunScratch]]), so
+    * concurrent sessions sharing one tmpdir cannot clobber a live
+    * build/serve pair. */
+  private[graft] def ivfPqIndexDir: String =
+    graft.RunScratch.path("index/ivfpq")
 
   /** s16 BUILD: train both quantizers on the corpus and write the
     * FOUR index artifacts — the centroid matrix (cell, pos, v), the

@@ -20,82 +20,7 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  private[queries] val toks = "split(text, ' ')"
-
-  /** Stopword list shared by quality scoring and language ID. */
-  private val enStops = Seq("the", "a", "of", "and", "to", "in")
-
-  /** Persisted (doc_id, tok, tf) term-frequency frame shared by the
-    * scoring queries (t07/t08): document frequencies, document
-    * lengths, and the corpus size all fold out of it, so the
-    * scan+explode+aggregate pass — the expensive one at scale — runs
-    * once per query. (Plain plan sharing does not survive column
-    * pruning: each consumer prunes tf differently, so the exchanges
-    * stop being identical and ReuseExchange cannot kick in.) */
-  private def termFreqs(s: org.apache.spark.sql.SparkSession, d: String) =
-    Tables(s, d, "documents")
-      .selectExpr("doc_id", s"explode($toks) as tok")
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")).persistScoped()
-
-  /** Per-document top-5 terms of a (doc_id, tok, s) scored frame —
-    * WindowGroupLimit prunes rank>5 candidates map-side; scores cross
-    * engines as printf %.6f strings with a term-string tie-break. */
-  private def topTerms(scored: org.apache.spark.sql.DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
-    scored.withColumn("rnk", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("s").desc, col("tok"))))
-      .where("rnk <= 5")
-      .select(col("doc_id"), col("tok"), col("rnk"),
-        format_string("%.6f", col("s")).as("score"))
-  }
-
-  private def arr(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("array(", ",", ")")
-  private def duckArr(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ",", "]")
-
-  /** Marker-word vocabularies shared by t03's prediction and t15's
-    * confusion matrix (one semantics, two consumers). */
-  private val langMarkers = Seq(
-    "en" -> Seq("the", "a", "and", "of"),
-    "es" -> Seq("el", "la", "de", "y"),
-    "fr" -> Seq("le", "les", "de", "et"),
-    "de" -> Seq("der", "die", "und", "das"))
-
-  /** t03's body: per-doc marker-word votes + deterministic-tie-break
-    * prediction — one native kernel pass per language's marker list
-    * (n_stop = marker hits with multiplicity), replacing the
-    * interpreted split + filter + array_contains walk per vote. */
-  private def langidPred(s: SparkSession, d: String): DataFrame = {
-    Hashing.register(s)
-    val votes = langMarkers.map { case (l, ws) =>
-      s"text_features(text, ${arr(ws)}).n_stop as v_$l"
-    }
-    val pred =
-      """case when v_en >= greatest(v_es, v_fr, v_de) and v_en > 0 then 'en'
-              when v_es >= greatest(v_fr, v_de) and v_es > 0 then 'es'
-              when v_fr >= v_de and v_fr > 0 then 'fr'
-              when v_de > 0 then 'de'
-              else 'und' end as lang_pred"""
-    Tables(s, d, "documents")
-      .selectExpr(Seq("doc_id", "lang as lang_label") ++ votes :+ pred: _*)
-      .select("doc_id", "lang_label", "lang_pred", "v_en", "v_es", "v_fr", "v_de")
-  }
-
-  /** DuckDB mirror of [[langidPred]] — a full SELECT producing
-    * (doc_id, lang_label, lang_pred, v_*). */
-  private def duckLangidPred: String = {
-    val votes = langMarkers.map { case (l, ws) =>
-      s"len(list_filter(string_split(text,' '), t -> list_contains(${duckArr(ws)}, t))) AS v_$l"
-    }.mkString(", ")
-    s"""WITH v AS (SELECT doc_id, lang AS lang_label, $votes FROM documents)
-        SELECT doc_id, lang_label,
-               CASE WHEN v_en >= greatest(v_es, v_fr, v_de) AND v_en > 0 THEN 'en'
-                    WHEN v_es >= greatest(v_fr, v_de) AND v_es > 0 THEN 'es'
-                    WHEN v_fr >= v_de AND v_fr > 0 THEN 'fr'
-                    WHEN v_de > 0 THEN 'de'
-                    ELSE 'und' END AS lang_pred,
-               v_en, v_es, v_fr, v_de
-        FROM v"""
-  }
+  import TextOpsKernels._
 
   val all: Map[String, Q] = Map(
     // ── token counting ──
@@ -1244,184 +1169,4 @@ object TextOps {
       })
   )
 
-  // ── Count-Min machinery shared by t23 (one-shot batch) and
-  // stream17 (maintained counter artifact + streaming fold) ──
-
-  /** One row per token OCCURRENCE — the CMS input stream. */
-  private[graft] def cmsItems(docs: DataFrame): DataFrame =
-    docs.selectExpr(s"explode($toks) as tok")
-
-  /** The 4×1024 counter state: cell = h32('cms:' r ':' tok) % 1024
-    * per depth row r; ≤4096 rows survive the partial agg at any
-    * corpus size. Caller must have run [[Hashing.register]]. */
-  private[graft] def cmsCounters(items: DataFrame): DataFrame =
-    items
-      .selectExpr("tok", "explode(sequence(0, 3)) as r")
-      .selectExpr("r",
-        s"${Hashing.h32Sql("concat('cms:', cast(r as string), ':', tok)")} % 1024 as cell")
-      .groupBy("r", "cell").agg(count(lit(1)).as("cnt"))
-
-  /** Estimator finish: probe the counter table with the φ=0.1%-heavy
-    * tokens (exact side = gate evidence, as in d19) and publish the
-    * conservative min-over-rows estimate + realized overestimate. */
-  private[graft] def cmsFinish(counters: DataFrame, items: DataFrame): DataFrame = {
-    val total = items.agg(count(lit(1)).as("n_total"))
-    items.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
-      .crossJoin(broadcast(total))
-      .where("exact_cnt * 1000 >= n_total")
-      .selectExpr("tok", "exact_cnt", "n_total", "explode(sequence(0, 3)) as r")
-      .selectExpr("tok", "exact_cnt", "n_total", "r",
-        s"${Hashing.h32Sql("concat('cms:', cast(r as string), ':', tok)")} % 1024 as cell")
-      .join(broadcast(counters), Seq("r", "cell"))
-      .groupBy("tok", "exact_cnt", "n_total")
-      .agg(min("cnt").as("est_cnt"))
-      .selectExpr("tok", "exact_cnt", "est_cnt", "n_total",
-        "(est_cnt - exact_cnt) * 10000 div exact_cnt as over_bp")
-  }
-
-  /** t25's trainer: `iters` BPE merge steps (Sennrich et al. 2016)
-    * over the corpus word-frequency table. Each step is one
-    * distributed pass: adjacent symbol pairs explode map-side
-    * weighted by word frequency (overlap-counting, the reference
-    * implementation's get_stats), a pair-keyed partial agg, and a
-    * driver-side argmax of ONE row (cnt desc, lhs, rhs — the same
-    * bounded-constant collect discipline as the Lloyd trainers: one
-    * merge rule, not the corpus, crosses the driver). The merge then
-    * applies as a leftmost-nonoverlapping left fold over each word's
-    * symbols — `aggregate` with a list accumulator, codegen'd, no
-    * UDF — and the next iteration trains on the merged symbols.
-    * Returns (lhs, rhs, pre-merge weighted count) per step. */
-  private[graft] def bpeTrain(s: SparkSession, d: String, iters: Int): Seq[(String, String, Long)] =
-    bpeTrainVocab(s, d, iters)._1
-
-  /** The trainer plus its end state: the learned merges AND the final
-    * per-word-type segmentation `vocab(tok, f, syms)` — what t26
-    * tokenizes the corpus with (t25 publishes only the merges). */
-  private[graft] def bpeTrainVocab(s: SparkSession, d: String,
-      iters: Int): (Seq[(String, String, Long)], DataFrame) = {
-    var cur = Tables(s, d, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
-      .selectExpr(s"explode($toks) as tok")
-      .where("length(tok) >= 1")
-      .groupBy("tok").agg(count(lit(1)).as("f"))
-      .selectExpr("tok", "f",
-        "transform(sequence(1, length(tok)), i -> substring(tok, i, 1)) as syms")
-      .persistScoped()
-    val out = Seq.newBuilder[(String, String, Long)]
-    for (_ <- 1 to iters) {
-      val best = cur
-        // guard: Spark's sequence(1, 0) DESCENDS rather than being
-        // empty, so a single-symbol word would index past its array
-        .where("size(syms) >= 2")
-        .select(col("f"), explode(expr(
-          """transform(sequence(1, size(syms) - 1),
-             j -> struct(element_at(syms, j) as a, element_at(syms, j + 1) as b))""")).as("p"))
-        .groupBy("p.a", "p.b").agg(sum("f").as("cnt"))
-        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
-        .collect()(0)
-      val (a, b) = (best.getString(0), best.getString(1))
-      out += ((a, b, best.getLong(2)))
-      val (la, lb, lab) = (lit(a), lit(b), lit(a + b))
-      cur = cur.select(col("tok"), col("f"),
-        aggregate(col("syms"), array().cast("array<string>"),
-          (acc, x) => when(size(acc) > 0 &&
-              element_at(acc, lit(-1)) === la && x === lb,
-            concat(slice(acc, lit(1), size(acc) - 1), array(lab)))
-            .otherwise(concat(acc, array(x)))).as("syms"))
-        .persistScoped()
-    }
-    (out.result(), cur)
-  }
-
-  /** DuckDB mirror of [[bpeTrainVocab]]'s CTE chain: wf → w0 →
-    * (c_i, b_i, w_i) per step, each w_i carrying (tok, f, syms) —
-    * shared by t25 (reads the b_i argmax rows) and t26 (reads the
-    * final w_iters segmentation). */
-  private[graft] def duckBpeChain(iters: Int): String = {
-    def cnt(i: Int) =
-      s"""c$i AS (SELECT a, b, CAST(sum(f) AS BIGINT) AS cnt FROM
-                    (SELECT f, syms[j] AS a, syms[j+1] AS b FROM
-                       (SELECT f, syms, unnest(generate_series(1, len(syms) - 1)) AS j
-                        FROM w${i - 1}))
-                  GROUP BY a, b),
-          b$i AS (SELECT a, b, cnt FROM c$i ORDER BY cnt DESC, a, b LIMIT 1)"""
-    def app(i: Int) =
-      s"""w$i AS (SELECT tok, f, reduce(list_transform(syms, x -> [x]),
-                    (acc, x) -> CASE WHEN acc[-1] = b$i.a AND x[1] = b$i.b
-                                     THEN list_append(acc[1:len(acc)-1], b$i.a || b$i.b)
-                                     ELSE list_append(acc, x[1]) END) AS syms
-                  FROM w${i - 1}, b$i)"""
-    val head =
-      s"""wf AS (SELECT tok, count(*) AS f FROM
-                   (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
-                 WHERE length(tok) >= 1 GROUP BY tok),
-          w0 AS (SELECT tok, f, list_transform(generate_series(1, length(tok)),
-                   i -> substr(tok, CAST(i AS INTEGER), 1)) AS syms FROM wf)"""
-    (head +: (1 to iters).map(i => s"${cnt(i)}, ${app(i)}")).mkString(",\n")
-  }
-
-  /** stream17: fold each arriving micro-batch's counters into the
-    * persisted (r, cell, cnt) artifact by counter-wise ADD — counts
-    * of a disjoint union are the sum of counts, so the CMS of the
-    * stream equals the CMS of the batch rebuild regardless of batch
-    * boundaries or arrival order (the d15/stream16 merge≡rebuild
-    * algebra with + in place of max/min). Artifact is ≤4096 rows at
-    * ANY corpus size; the swap is write-tmp + rename — one small PUT
-    * per batch, object-store-safe. */
-  private[graft] def cmsCountersDir: String = java.nio.file.Paths.get(
-    System.getProperty("java.io.tmpdir"), "graft-cms-counters").toString
-
-  private[graft] def cmsStream(s: SparkSession, docs: DataFrame): DataFrame = {
-    graft.streaming.ArtifactFold.fold(s, cmsItems(docs), cmsCountersDir,
-        "counters") { (batch, prior) =>
-      Hashing.register(batch.sparkSession)
-      val bc = cmsCounters(batch)
-      prior.fold(bc)(bc.unionByName(_)
-        .groupBy("r", "cell").agg(sum("cnt").as("cnt")))
-    }
-  }
-
-  /** t23's oracle, shared verbatim by stream17: the artifact-served
-    * streaming profile must reproduce the batch answer exactly. */
-  private[graft] lazy val t23Oracle: String =
-    s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
-               c AS (SELECT r, ${Hashing.duck32("'cms:' || r || ':' || tok")} % 1024 AS cell,
-                            count(*) AS cnt
-                     FROM (SELECT tok, unnest(generate_series(0, 3)) AS r FROM t)
-                     GROUP BY 1, 2),
-               n AS (SELECT count(*) AS n_total FROM t),
-               h AS (SELECT tok, count(*) AS exact_cnt FROM t GROUP BY 1),
-               hv AS (SELECT tok, exact_cnt, n_total FROM h, n
-                      WHERE exact_cnt * 1000 >= n_total),
-               p AS (SELECT tok, exact_cnt, n_total, unnest(generate_series(0, 3)) AS r
-                     FROM hv),
-               pc AS (SELECT tok, exact_cnt, n_total, r,
-                             ${Hashing.duck32("'cms:' || r || ':' || tok")} % 1024 AS cell
-                      FROM p),
-               est AS (SELECT tok, exact_cnt, n_total, min(cnt) AS est_cnt
-                       FROM pc JOIN c USING (r, cell) GROUP BY 1, 2, 3)
-               SELECT tok, exact_cnt, est_cnt, n_total,
-                      CAST((est_cnt - exact_cnt) * 10000 // exact_cnt AS BIGINT) AS over_bp
-               FROM est"""
-
-  /** t14's rule evaluation over any (doc_id, text) frame — one
-    * map-only codegen'd projection, shared verbatim by the batch
-    * gate and the streaming quality gate (stream08): one semantics,
-    * two execution tiers. Caller must have run [[Hashing.register]]. */
-  def gopherVerdict(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    docs
-      .selectExpr("doc_id", s"text_features(text, ${arr(enStops)}) as f")
-      .selectExpr("doc_id",
-        "f.n_tokens as n_tokens",
-        "(f.sum_tok_len * 10000) div f.n_tokens as mwl_bp",
-        "(f.n_sym * 10000) div f.n_chars as sym_bp",
-        "f.n_stop_uniq as stop_hits",
-        "10000 - (f.n_uniq * 10000) div f.n_tokens as dup_tok_bp")
-      .selectExpr("doc_id", "n_tokens", "mwl_bp", "sym_bp", "stop_hits", "dup_tok_bp",
-        """(case when n_tokens between 20 and 80 then 0 else 1 end)
-         + (case when mwl_bp between 40000 and 52000 then 0 else 2 end)
-         + (case when sym_bp <= 1000 then 0 else 4 end)
-         + (case when stop_hits >= 2 then 0 else 8 end)
-         + (case when dup_tok_bp <= 6000 then 0 else 16 end) as fail_mask""")
-      .selectExpr("*", "fail_mask = 0 as keep")
 }

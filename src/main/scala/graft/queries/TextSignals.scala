@@ -139,7 +139,7 @@ object TextSignals {
   private[queries] def lmPerDoc(s: SparkSession, d: String): DataFrame = {
     val docs = Tables(s, d, "documents")
     val bg = docs
-      .selectExpr("doc_id", "lang", s"${TextOps.toks} as t")
+      .selectExpr("doc_id", "lang", s"${TextOpsKernels.toks} as t")
       .where("size(t) >= 2")
       .selectExpr("doc_id", "lang",
         """explode(transform(sequence(1, size(t) - 1),
@@ -168,7 +168,7 @@ object TextSignals {
       .groupBy("w1").agg(sum("n2").as("n1"),
         map_from_entries(collect_list(struct(col("g"), col("n2")))).as("gmap"))
     val v = docs.where("lang = 'en'")
-      .selectExpr(s"explode(${TextOps.toks}) as tok")
+      .selectExpr(s"explode(${TextOpsKernels.toks}) as tok")
       .agg(count_distinct(col("tok")).as("v"))
     // lang rides THROUGH the scoring aggregate (doc_id determines
     // lang, so grouping by both is the same cardinality), and the
@@ -187,7 +187,7 @@ object TextSignals {
       .selectExpr("doc_id", "lang", "n_bigrams",
         "sum_bp div n_bigrams as avg_bp")
     val unscored = docs
-      .selectExpr("doc_id", "lang", s"size(${TextOps.toks}) as nt")
+      .selectExpr("doc_id", "lang", s"size(${TextOpsKernels.toks}) as nt")
       .where("nt < 2")
       .selectExpr("doc_id", "lang", "cast(0 as bigint) as n_bigrams",
         "cast(null as bigint) as avg_bp")

@@ -1,6 +1,6 @@
 package graft.sinks
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.Paths
 
 import graft.{Q, Tables}
 import graft.CacheScope.PersistScopedOps
@@ -14,18 +14,18 @@ import org.apache.spark.sql.functions._
   */
 object SinkQueries {
 
-  private def scratch(name: String): String = {
-    val p = Paths.get(System.getProperty("java.io.tmpdir"), "graft-sinks", name)
-    // deterministic re-run: drop prior outputs so the idempotent-skip
-    // path is exercised explicitly, not accidentally
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    rm(p.toFile)
-    Files.createDirectories(p.getParent)
-    p.toString
-  }
+  // Per-JVM scratch (graft.RunScratch): deterministic re-run within a
+  // JVM (prior outputs dropped so the idempotent-skip path is
+  // exercised explicitly), disjoint across JVMs (closes the sink18
+  // live-scratch oracle hazard, SURVEY §8.17).
+  private[graft] def scratch(name: String): String =
+    graft.RunScratch.fresh(s"sinks/$name")
+
+  /** The same path scratch(name) returns, computed without cleaning —
+    * for oracle SQL built at registry-init time and for specs reading
+    * a query's output in-JVM. */
+  private[graft] def scratchPath(name: String): String =
+    graft.RunScratch.path(s"sinks/$name")
 
   val all: Map[String, Q] = Map(
     // ── S7+S11: zstd parquet, versioned+latest double-write, skip ──
@@ -497,8 +497,9 @@ object SinkQueries {
           .csv(out)
       },
       Some {
-        val dir = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"), "graft-sinks", "csvround")
+        // same-JVM path as scratch("csvround") above: the oracle dumped
+        // by THIS run's Verify reads THIS run's files
+        val dir = scratchPath("csvround")
         s"""SELECT doc_id, payload
             FROM read_csv('$dir/*.csv', header = true, delim = ',', quote = '"',
                           escape = '"',

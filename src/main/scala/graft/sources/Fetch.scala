@@ -55,4 +55,14 @@ object Fetch {
     c.set("fs.s3a.secret.key", secretKey)
     c.set("fs.s3a.path.style.access", pathStyleAccess.toString)
   }
+
+  /** Every `fs.s3a.*` key this object (or a gate binding the mini
+    * filesystem) may set on a SHARED hadoopConfiguration. Gates that
+    * snapshot-and-restore around a loopback server iterate THIS list,
+    * so a future configureS3a addition cannot silently leak past
+    * their restore (it must be added here, next to the set). */
+  val s3aKeys: Seq[String] = Seq(
+    "fs.s3a.impl", "fs.s3a.impl.disable.cache",
+    "fs.s3a.endpoint", "fs.s3a.access.key", "fs.s3a.secret.key",
+    "fs.s3a.path.style.access", "fs.s3a.multipart.size")
 }

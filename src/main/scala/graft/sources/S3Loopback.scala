@@ -159,7 +159,11 @@ object S3Loopback {
       val declared = (scala.xml.XML.loadString(body) \\ "PartNumber")
         .map(_.text.trim.toInt).sorted
       val parts = declared.map(n => Option(mpuParts.get(s"$uploadId/$n")))
-      if (declared.isEmpty || parts.exists(_.isEmpty)) {
+      // real S3 rejects a duplicate PartNumber in the manifest
+      // (InvalidPartOrder) rather than concatenating the part twice —
+      // a buggy client must fail loudly, not get a corrupted object
+      if (declared.isEmpty || declared != declared.distinct ||
+          parts.exists(_.isEmpty)) {
         reply(ex, 400, Array.empty); return
       }
       val out = new java.io.ByteArrayOutputStream()

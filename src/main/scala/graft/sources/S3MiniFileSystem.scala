@@ -213,6 +213,7 @@ class S3MiniFileSystem extends FileSystem {
     private val buf = new ByteArrayOutputStream(64 * 1024)
     private var uploadId: String = null
     private var parts = Vector.empty[(Int, String)] // partNumber -> ETag
+    private var closed = false
 
     private def rollPart(): Unit = {
       if (uploadId == null) {
@@ -223,13 +224,19 @@ class S3MiniFileSystem extends FileSystem {
         require(uploadId.nonEmpty, s"initiate multipart $key: no UploadId")
       }
       val n = parts.size + 1
-      val (code, _, hdrs) = request("PUT", key,
-        s"partNumber=$n&uploadId=${enc(uploadId)}", body = buf.toByteArray)
-      require(code == 200, s"upload part $n of $key failed: HTTP $code")
-      val etag = hdrs.collectFirst {
-        case (k, v) if k.equalsIgnoreCase("ETag") => v
-      }.getOrElse(s"part-$n")
-      parts :+= (n -> etag)
+      try {
+        val (code, _, hdrs) = request("PUT", key,
+          s"partNumber=$n&uploadId=${enc(uploadId)}", body = buf.toByteArray)
+        require(code == 200, s"upload part $n of $key failed: HTTP $code")
+        val etag = hdrs.collectFirst {
+          case (k, v) if k.equalsIgnoreCase("ETag") => v
+        }.getOrElse(s"part-$n")
+        parts :+= (n -> etag)
+      } catch {
+        case e: Throwable =>
+          abortQuietly()
+          throw e
+      }
       buf.reset()
     }
 
@@ -247,20 +254,38 @@ class S3MiniFileSystem extends FileSystem {
       }
     }
 
+    // Idempotent: Hadoop's wrappers occasionally double-close a
+    // stream; re-sending Complete after the server purged the parts
+    // would 400. A failed part/Complete ABORTS the upload (best
+    // effort) so the server never accumulates orphaned parts — real
+    // S3 bills for those until a lifecycle rule reaps them.
     override def close(): Unit = {
+      if (closed) return
+      closed = true
       if (uploadId == null) { // never crossed a part: plain PUT
         val (code, _, _) = request("PUT", key, body = buf.toByteArray)
         require(code == 200, s"PUT $key failed: HTTP $code")
       } else {
-        if (buf.size > 0) rollPart()
-        val xml = new StringBuilder("<CompleteMultipartUpload>")
-        parts.foreach { case (n, e) =>
-          xml ++= s"<Part><PartNumber>$n</PartNumber><ETag>$e</ETag></Part>" }
-        xml ++= "</CompleteMultipartUpload>"
-        val (code, _, _) = request("POST", key, s"uploadId=${enc(uploadId)}",
-          body = xml.result().getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        require(code == 200, s"complete multipart $key failed: HTTP $code")
+        try {
+          if (buf.size > 0) rollPart()
+          val xml = new StringBuilder("<CompleteMultipartUpload>")
+          parts.foreach { case (n, e) =>
+            xml ++= s"<Part><PartNumber>$n</PartNumber><ETag>$e</ETag></Part>" }
+          xml ++= "</CompleteMultipartUpload>"
+          val (code, _, _) = request("POST", key, s"uploadId=${enc(uploadId)}",
+            body = xml.result().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          require(code == 200, s"complete multipart $key failed: HTTP $code")
+        } catch {
+          case e: Throwable =>
+            abortQuietly()
+            throw e
+        }
       }
+    }
+
+    private def abortQuietly(): Unit = if (uploadId != null) {
+      try request("DELETE", key, s"uploadId=${enc(uploadId)}")
+      catch { case _: Throwable => () } // abort is best-effort cleanup
     }
   }
 

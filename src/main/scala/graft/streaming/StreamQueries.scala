@@ -37,6 +37,56 @@ object StreamQueries {
     s.table(name)
   }
 
+  /** Executor-staged ORDERED arrival feed — the scale-correct
+    * replacement for collect()-into-MemoryStream arrival simulation
+    * (VERDICT r17 item 3): each batch frame is written as ONE parquet
+    * file (a distributed write job — table data never crosses the
+    * driver; the driver only renames part files), then the files are
+    * moved into the watched dir ONE AT A TIME with
+    * `processAllAvailable()` between moves, so each file is exactly
+    * one micro-batch in order.
+    *
+    * The incremental moves are load-bearing, not a convenience:
+    * Spark ≥3.4 filters LATE events with the PREVIOUS batch's
+    * watermark (`watermarkForLateEvents`) while evicting with the
+    * current one, and a pre-staged backlog drains data batch after
+    * data batch with no no-data batch between — so the late filter
+    * would lag one batch behind the oracle's "max event time over
+    * batches < k" model (measured: stream13 kept all 10000 rows vs
+    * the oracle's 9485). Arrival-per-drain interleaves the
+    * watermark-advancing no-data batch after each file, which is
+    * exactly the schedule `ms.addData + processAllAvailable` had —
+    * and what a production kafka feed's trigger cadence gives.
+    * The trailing `processAllAvailable` also runs the final no-data
+    * batch, so no explicit empty batch is needed. */
+  private def stagedArrivalTable(s: SparkSession, name: String,
+      batches: Seq[DataFrame], build: DataFrame => DataFrame): DataFrame = {
+    val hold = graft.RunScratch.freshDir(s"stream-stage/$name-hold")
+    val dir = graft.RunScratch.freshDir(s"stream-stage/$name")
+    val tmp = graft.RunScratch.path(s"stream-stage/$name-tmp")
+    val schema = batches.head.schema
+    val files = batches.zipWithIndex.map { case (b, k) =>
+      b.repartition(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+      require(part.length == 1, s"expected one part file, got ${part.length}")
+      val dst = new java.io.File(hold, f"batch-$k%05d.parquet")
+      require(part.head.renameTo(dst), s"rename ${part.head} -> $dst failed")
+      dst
+    }
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = build(src).writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try files.foreach { f =>
+      // rename is atomic on one filesystem — the source sees either
+      // nothing or the whole file
+      require(f.renameTo(new java.io.File(dir, f.getName)), s"arrival move $f")
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name)
+  }
+
   // oracle SQL mirrors q15/q16 exactly (same shape, same Det-summed
   // val_sum) — one semantics, two execution tiers
   def all: Map[String, Q] = Map(
@@ -90,12 +140,12 @@ object StreamQueries {
     "stream06_decontaminate" -> Q(
       (s, d) => {
         graft.functions.Hashing.register(s)
-        val evalGrams = graft.queries.Pipeline
+        val evalGrams = graft.queries.PipelineKernels
           .decontGrams(graft.Tables(s, d, "documents"))
           .where("is_eval").select("g").distinct()
         drain(s,
           EventStreams.decontaminationStream(
-            graft.queries.Pipeline.decontGrams(EventStreams.docsStream(s, d)),
+            graft.queries.PipelineKernels.decontGrams(EventStreams.docsStream(s, d)),
             evalGrams),
           "g_stream06")
       },
@@ -130,7 +180,7 @@ object StreamQueries {
       (s, d) => {
         graft.functions.Hashing.register(s)
         drain(s,
-          graft.queries.TextOps.gopherVerdict(EventStreams.docsStream(s, d)),
+          graft.queries.TextOpsKernels.gopherVerdict(EventStreams.docsStream(s, d)),
           "g_stream08", mode = "append")
       },
       graft.queries.TextOps.all("t14_gopher_filter").oracle),
@@ -196,9 +246,9 @@ object StreamQueries {
         val Sim = graft.queries.SimilarityKernels
         val batch = graft.Tables(s, d, "embeddings")
           .selectExpr("vec_id", "embedding", "vnorm(embedding) as nrm")
-        val cents = Sim.lloydCents(batch, Sim.ivfSeeds(batch), graft.queries.Similarity.ivfIters)
+        val cents = Sim.lloydCents(batch, Sim.ivfSeeds(batch), graft.queries.SimilarityKernels.ivfIters)
         val rf = Sim.residualFrame(batch, cents)
-        val cb = Sim.pqCodebookTrained(rf, graft.queries.Similarity.pqIters)
+        val cb = Sim.pqCodebookTrained(rf, graft.queries.SimilarityKernels.pqIters)
         val codes = Sim.pqEncode(rf, cb, keep = Seq("cell"))
           .select(col("vec_id").as("cand_id"), col("cell"), col("codes"))
         val probes = Sim.pqProbeTablesRes(
@@ -248,53 +298,46 @@ object StreamQueries {
     // final batch pushes the closing watermark past every real
     // window (its own window stays open and never emits), so
     // emitted = exactly the windows built from non-dropped rows.
-    // The MemoryStream + per-batch drain here SIMULATES arrival
-    // order at gate scale (one bounded collect); production is the
-    // same plan over a kafka source, where state per key is one
-    // (count, decimal-sum) pair and eviction keeps the store at
-    // O(open windows), not O(history). StreamingSpec pins the
-    // boundary behavior (exact window-end tie) and batch-boundary
-    // dependence explicitly. ──
+    // Arrival order is SIMULATED by the executor-staged file feed
+    // ([[stagedBatchStream]]): each batch is a distributed write —
+    // table data never crosses the driver (the old formulation
+    // collect()ed the full events table into a MemoryStream, an
+    // O(table) driver stage that capped the gate at toy scale; the
+    // only collect left is the 1-row extents agg for the sentinel
+    // timestamp). Production is the same plan over a kafka source,
+    // where state per key is one (count, decimal-sum) pair and
+    // eviction keeps the store at O(open windows), not O(history).
+    // StreamingSpec pins the boundary behavior (exact window-end
+    // tie) and batch-boundary dependence explicitly. ──
     "stream13_watermark" -> Q(
       (s, d) => {
         import org.apache.spark.sql.functions._
         graft.functions.Hashing.register(s)
-        val ev = graft.queries.Relational.events(s, d)
-          .selectExpr("event_id", "ts", "value")
-        val ext = ev.agg(min(unix_micros(col("ts"))).as("t0"),
-          max(unix_micros(col("ts"))).as("t1"))
-        val staged = ev.crossJoin(broadcast(ext))
-          .selectExpr("event_id", "ts", "value", "t1",
-            s"""least(2, (3 * (unix_micros(ts) - t0)) div (t1 - t0 + 1))
-                + (case when ${graft.functions.Hashing.h32Sql("concat('late:', event_id)")} % 20 = 0
-                   then 1 else 0 end) as batch""")
-          .collect()
-        require(staged.nonEmpty, "events table is empty")
-        val t1 = staged.head.getAs[Long]("t1")
-        val batches = (0 to 3).map(k => staged.toSeq
-          .filter(_.getAs[Long]("batch") == k)
-          .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2))))
-        // sentinel: event-time 10h past the corpus max — closes every
-        // real window, its own window never closes (never emitted)
-        val sentinel = Seq((-1L, new java.sql.Timestamp((t1 + 36000000000L) / 1000), 0.0))
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        import s.implicits._
-        val ms = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, java.sql.Timestamp, Double)]
-        val agg = ms.toDF().toDF("event_id", "ts", "value")
-          .withWatermark("ts", "10 minutes")
-          .groupBy(window(col("ts"), "1 hour"))
-          .agg(count(lit(1)).as("n"), graft.Det.dsum(col("value")).as("val_sum"))
-          .selectExpr("unix_seconds(window.start) as win_start", "n", "val_sum")
-        val q = agg.writeStream.format("memory").queryName("g_stream13")
-          .outputMode("append").start()
-        try {
-          (batches :+ sentinel).foreach { b => ms.addData(b); q.processAllAvailable() }
-          // one explicit empty batch: emission runs under the watermark
-          // the sentinel batch just ratcheted
-          ms.addData(Seq.empty); q.processAllAvailable()
-        } finally q.stop()
-        s.table("g_stream13")
+        graft.CacheScope.scoped {
+          val ev = graft.queries.Relational.events(s, d)
+            .selectExpr("event_id", "ts", "value")
+          val ext = ev.agg(min(unix_micros(col("ts"))).as("t0"),
+            max(unix_micros(col("ts"))).as("t1"))
+          val staged = ev.crossJoin(broadcast(ext))
+            .selectExpr("event_id", "ts", "value",
+              s"""least(2, (3 * (unix_micros(ts) - t0)) div (t1 - t0 + 1))
+                  + (case when ${graft.functions.Hashing.h32Sql("concat('late:', event_id)")} % 20 = 0
+                     then 1 else 0 end) as batch""")
+            .persistScoped()
+          val t1 = ext.collect()(0).getAs[Long]("t1") // 1 row
+          val batches = (0 to 3).map(k =>
+            staged.where(s"batch = $k").drop("batch"))
+          // sentinel: event-time 10h past the corpus max — closes every
+          // real window, its own window never closes (never emitted)
+          import s.implicits._
+          val sentinel = Seq((-1L, new java.sql.Timestamp((t1 + 36000000000L) / 1000), 0.0))
+            .toDF("event_id", "ts", "value")
+          stagedArrivalTable(s, "g_stream13", batches :+ sentinel, src => src
+            .withWatermark("ts", "10 minutes")
+            .groupBy(window(col("ts"), "1 hour"))
+            .agg(count(lit(1)).as("n"), graft.Det.dsum(col("value")).as("val_sum"))
+            .selectExpr("unix_seconds(window.start) as win_start", "n", "val_sum"))
+        }
       },
       Some {
         val h = graft.functions.Hashing.duck32("'late:' || event_id")
@@ -337,27 +380,29 @@ object StreamQueries {
       (s, d) => {
         import org.apache.spark.sql.functions._
         import s.implicits._
-        val staged = graft.queries.Relational.events(s, d)
-          .selectExpr("user_id", "unix_millis(ts) as tms",
-            "cast(floor(value * 10000) as bigint) as vbp").collect()
-        val tmax = staged.map(_.getAs[Long]("tms")).max
-        def ev(u: Long, tms: Long, v: Double) =
-          EventStreams.Event(u, new java.sql.Timestamp(tms), v)
-        val real = staged.toSeq.map(r =>
-          ev(r.getLong(0), r.getLong(1), r.getLong(2).toDouble))
-        val sentinels = staged.map(_.getLong(0)).distinct.toSeq
-          .map(u => ev(u, tmax + 36000000L, 0.0))
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        val ms = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[EventStreams.Event]
-        val out = EventStreams.sessionizeCustom(ms.toDS(), gapMs = 1800000L)
-        val q = out.toDF().writeStream.format("memory")
-          .queryName("g_stream14").outputMode("append").start()
-        try Seq(real, sentinels).foreach { b => ms.addData(b); q.processAllAvailable() }
-        finally q.stop()
-        s.table("g_stream14")
-          .selectExpr("user_id", "session_start_ms", "n",
-            "cast(val_sum as bigint) as val_bp")
+        graft.CacheScope.scoped {
+          // executor-staged feed (see stream13): the real batch and the
+          // per-user sentinel batch are distributed writes — no O(table)
+          // collect; only the 1-row tmax agg reaches the driver
+          val ev = graft.queries.Relational.events(s, d)
+            // ms-truncate and bp-floor BEFORE the feed (determinism
+            // seams documented above), then back to the operator's
+            // (user_id, ts, value) shape
+            .selectExpr("user_id", "unix_millis(ts) as tms",
+              "cast(floor(value * 10000) as bigint) as vbp")
+            .persistScoped()
+          val tmax = ev.agg(max("tms")).collect()(0).getLong(0) // 1 row
+          val real = ev.selectExpr("user_id",
+            "timestamp_millis(tms) as ts", "cast(vbp as double) as value")
+          val sentinels = ev.select("user_id").distinct()
+            .selectExpr("user_id", s"timestamp_millis(${tmax + 36000000L}) as ts",
+              "cast(0.0 as double) as value")
+          stagedArrivalTable(s, "g_stream14", Seq(real, sentinels),
+            src => EventStreams.sessionizeCustom(
+              src.as[EventStreams.Event], gapMs = 1800000L).toDF())
+            .selectExpr("user_id", "session_start_ms", "n",
+              "cast(val_sum as bigint) as val_bp")
+        }
       },
       Some("""WITH e AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS tms,
                                 CAST(floor(value * 10000) AS BIGINT) AS vbp
@@ -391,27 +436,24 @@ object StreamQueries {
     // is a hash mismatch, not a silent pass. ──
     "stream15_outer_join" -> Q(
       (s, d) => {
+        import org.apache.spark.sql.functions._
         import s.implicits._
-        val staged = graft.queries.Relational.events(s, d)
-          .where("event_type in ('click', 'purchase')")
-          .selectExpr("event_id", "user_id", "event_type", "ts").collect()
-        val tmax = staged.map(_.getTimestamp(3).getTime).max
-        val real = staged.toSeq.map(r =>
-          (r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3)))
-        val far = new java.sql.Timestamp(tmax + 36000000L)
-        val sentinels = Seq((-1L, -101L, "click", far), (-2L, -102L, "purchase", far))
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        val ms = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, Long, String, java.sql.Timestamp)]
-        val out = EventStreams.clickAttributionOuter(
-          ms.toDF().toDF("event_id", "user_id", "event_type", "ts"))
-        val q = out.writeStream.format("memory")
-          .queryName("g_stream15").outputMode("append").start()
-        try {
-          Seq(real, sentinels).foreach { b => ms.addData(b); q.processAllAvailable() }
-          ms.addData(Seq.empty); q.processAllAvailable()
-        } finally q.stop()
-        s.table("g_stream15")
+        graft.CacheScope.scoped {
+          // executor-staged feed (see stream13): the one real batch is
+          // a distributed write; only the 1-row tmax agg and the two
+          // literal sentinel rows touch the driver
+          val ev = graft.queries.Relational.events(s, d)
+            .where("event_type in ('click', 'purchase')")
+            .selectExpr("event_id", "user_id", "event_type", "ts")
+            .persistScoped()
+          val tmax = ev.agg(max(unix_millis(col("ts"))))
+            .collect()(0).getLong(0) // 1 row
+          val far = new java.sql.Timestamp(tmax + 36000000L)
+          val sentinels = Seq((-1L, -101L, "click", far), (-2L, -102L, "purchase", far))
+            .toDF("event_id", "user_id", "event_type", "ts")
+          stagedArrivalTable(s, "g_stream15", Seq(ev, sentinels),
+            src => EventStreams.clickAttributionOuter(src))
+        }
       },
       Some("""WITH e AS (SELECT event_id, user_id, event_type,
                                 CAST(ts AS TIMESTAMP) AS ts FROM events)
@@ -492,12 +534,12 @@ object StreamQueries {
     "stream17_cms_profile" -> Q(
       (s, d) => {
         graft.functions.Hashing.register(s)
-        val T = graft.queries.TextOps
+        val T = graft.queries.TextOpsKernels
         val counters = T.cmsStream(s, EventStreams.docsStream(s, d))
         T.cmsFinish(counters,
           T.cmsItems(graft.Tables(s, d, "documents")).persistScoped())
       },
-      Some(graft.queries.TextOps.t23Oracle)),
+      Some(graft.queries.TextOpsKernels.t23Oracle)),
 
     // ── stream18: EXACTLY-ONCE streaming ingest into the manifest
     // table — the bridge between the streaming tier and the sink12
@@ -673,8 +715,7 @@ object StreamQueries {
     // stream16/17 fold template. ──
     "stream24_ivm" -> Q(
       (s, d) => {
-        val stage = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"), "graft-ivm-changelog").toString
+        val stage = graft.RunScratch.path("ivm-changelog")
         graft.sinks.SinkQueries.cdcDeltaRows(s, d)
           .write.mode("overwrite").parquet(stage)
         val schema = s.read.parquet(stage).schema
@@ -712,13 +753,12 @@ object StreamQueries {
     "stream26_file_arrival" -> Q(
       (s, d) => {
         graft.functions.Hashing.register(s)
-        // staging keyed by the dataset dir (as s28 keys its index):
-        // two runs against different SFs — or concurrent harness
-        // processes — must never overwrite each other's staged files
-        // while a file-stream is reading them
-        val stage = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"),
-          s"graft-stream26-arrivals-${d.replaceAll("[^A-Za-z0-9]", "_")}").toString
+        // staging keyed by dataset dir AND run (RunScratch): two runs
+        // against different SFs — or concurrent harness processes —
+        // must never overwrite each other's staged files while a
+        // file-stream is reading them
+        val stage = graft.RunScratch.path(
+          s"stream26-arrivals-${d.replaceAll("[^A-Za-z0-9]", "_")}")
         graft.Tables(s, d, "documents")
           .repartition(3).write.mode("overwrite").parquet(stage)
         val schema = s.read.parquet(stage).schema
@@ -842,8 +882,7 @@ object StreamQueries {
   /** stream29's fold: per batch, the t32 kernel's per-doc green-pair
     * counts aggregate to (lang, feed) and ADD into the persisted
     * ledger (write-tmp + rename, the artifact template). */
-  private def wmLedgerDir: String = java.nio.file.Paths.get(
-    System.getProperty("java.io.tmpdir"), "graft-wm-ledger").toString
+  private def wmLedgerDir: String = graft.RunScratch.path("wm-ledger")
 
   private[graft] def wmLedgerStream(s: SparkSession,
       docs: DataFrame): DataFrame = {
@@ -903,8 +942,7 @@ object StreamQueries {
 
   /** stream24's fold: per batch, sum the arriving delta rows by year
     * and ADD into the persisted (yr, dn, dc) artifact. */
-  private def ivmDir: String = java.nio.file.Paths.get(
-    System.getProperty("java.io.tmpdir"), "graft-ivm-artifact").toString
+  private def ivmDir: String = graft.RunScratch.path("ivm-artifact")
 
   private[graft] def deltaStream(s: org.apache.spark.sql.SparkSession,
       deltas: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
@@ -921,8 +959,7 @@ object StreamQueries {
     * batch's purchases against the static click history, added into
     * the persisted ledger (write-tmp + rename, the artifact
     * template). */
-  private def ledgerDir: String = java.nio.file.Paths.get(
-    System.getProperty("java.io.tmpdir"), "graft-attr-ledger").toString
+  private def ledgerDir: String = graft.RunScratch.path("attr-ledger")
 
   private[graft] def ledgerStream(s: org.apache.spark.sql.SparkSession,
       purchases: org.apache.spark.sql.DataFrame,

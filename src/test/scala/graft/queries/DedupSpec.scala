@@ -37,7 +37,7 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       3L -> (base ^ (1L | (1L << 16) | (1L << 32))),       // h=3, bands 0..2 flipped
       4L -> (base ^ (1L | (1L << 16) | (1L << 32) | (1L << 48))) // h=4, ALL bands flipped
     ).toDF("doc_id", "simhash")
-    val pairs = Dedup.simhashPairs(sh)
+    val pairs = DedupKernels.simhashPairs(sh)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     // every hamming<=3 pair is present; (1,4) and (2,4) at hamming 4
     // share no band and are correctly absent
@@ -70,8 +70,8 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     // over the cap -> zero candidate pairs (its members are d01's
     // business); raising the cap re-admits them
     val sh = (1L to 100L).map(_ -> 42L).toDF("doc_id", "simhash")
-    assert(Dedup.simhashPairs(sh).count() === 0L)
-    assert(Dedup.simhashPairs(sh, cap = 200).count() === 100L * 99 / 2)
+    assert(DedupKernels.simhashPairs(sh).count() === 0L)
+    assert(DedupKernels.simhashPairs(sh, cap = 200).count() === 100L * 99 / 2)
   }
 
   test("connected components: star rounds over planted chains") {
@@ -79,7 +79,7 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     // 1-2-3-4 is a diameter-3 chain (multiple rounds);
     // 10-11 is a separate component
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
-    val got = Dedup.connectedComponents(edges)
+    val got = DedupKernels.connectedComponents(edges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L))
@@ -91,7 +91,7 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     // (rounds = diameter = 63); large-star/small-star must land it
     // well inside the O(log^2 n) budget
     val edges = (1L until 64L).map(i => (i, i + 1)).toDF("a", "b")
-    val (labels, rounds) = Dedup.ccWithRounds(edges)
+    val (labels, rounds) = DedupKernels.ccWithRounds(edges)
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === (1L to 64L).map(_ -> 1L).toMap)
     assert(rounds <= 14, s"took $rounds star rounds for a 64-chain")
@@ -104,7 +104,7 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     // JVM onto this path)
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
     val edges = Seq((5L, 3L), (3L, 9L), (20L, 21L)).toDF("a", "b")
-    val (labels, rounds) = Dedup.ccWithRounds(edges, Some(dir.toString))
+    val (labels, rounds) = DedupKernels.ccWithRounds(edges, Some(dir.toString))
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
     assert(rounds > 1)

@@ -32,7 +32,7 @@ class IndexPruneSpec extends AnyFunSuite with SparkTestBase {
     val served = SimilarityKernels.ivfPqServe(spark, e.where("vec_id < 10"))
 
     // the router's cell resolution, recomputed the way build trained it
-    val cents = SimilarityKernels.lloydCents(e, SimilarityKernels.ivfSeeds(e), Similarity.ivfIters)
+    val cents = SimilarityKernels.lloydCents(e, SimilarityKernels.ivfSeeds(e), SimilarityKernels.ivfIters)
     val probed = SimilarityKernels.probeCells(e.where("vec_id < 10"), cents, 2)
       .select("cell").distinct().collect().map(_.getLong(0)).toSet
     val ix = SimilarityKernels.ivfPqIndexDir

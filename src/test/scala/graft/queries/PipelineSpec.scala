@@ -109,7 +109,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     // and 13 force different partition boundaries (13 > distinct-ish
     // ranges also exercises empty partitions).
     def run(w: Int): Map[Long, (Int, Long)] =
-      Pipeline.seqPack(spark, sf, w).collect()
+      PipelineKernels.seqPack(spark, sf, w).collect()
         .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
     val a = run(2)
     val b = run(13)
@@ -182,7 +182,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       if (seqId < lastSeq) assert(covered === 256L, s"seq $seqId not full")
     }
     // segment boundaries are partition-width invariant (same prefix sum)
-    val alt = Pipeline.packCum(spark, sf, 3)
+    val alt = PipelineKernels.packCum(spark, sf, 3)
       .selectExpr("doc_id", "cum - n as st", "cum as en")
       .selectExpr("doc_id", "st", "en",
         "explode(sequence(st div 256, (en - 1) div 256)) as seq_id")
@@ -326,7 +326,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("p03 seq_id equals the serial concat-then-chunk assignment") {
-    val rows = Pipeline.seqPack(spark, sf, 5)
+    val rows = PipelineKernels.seqPack(spark, sf, 5)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
       .sortBy(_._1)
     var cum = 0L

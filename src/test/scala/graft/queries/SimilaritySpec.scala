@@ -57,7 +57,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     // row — ordering, ties (cosine desc, cand_id asc) and all
     val agg = Similarity.all("s01_topk_cosine").fn(spark, sf)
       .collect().map(_.toSeq).toSet
-    val win = Similarity.windowTopk(spark, sf, 5)
+    val win = SimilarityKernels.windowTopk(spark, sf, 5)
       .collect().map(_.toSeq).toSet
     assert(agg === win)
     assert(agg.size === 50) // 10 probes x 5
@@ -75,7 +75,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
     def cos(a: Long, b: Long): Double =
       dot(emb(a), emb(b)) / (math.sqrt(dot(emb(a), emb(a))) * math.sqrt(dot(emb(b), emb(b))))
-    val short = Similarity.windowTopk(spark, sf, 10)
+    val short = SimilarityKernels.windowTopk(spark, sf, 10)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
       .groupBy(_._1)
     val expected = short.flatMap { case (probe, rows) =>
@@ -240,8 +240,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     // the artifacts on disk are a complete index: every corpus vector
     // appears exactly once in the postings with an 8-byte code, and
     // the quantizer heads have full shape
-    val ix = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft-index", "ivfpq").toString
+    val ix = SimilarityKernels.ivfPqIndexDir
     val corpus = graft.Tables(spark, sf, "embeddings").count()
     val post = spark.read.parquet(s"$ix/postings")
     assert(post.count() === corpus)
@@ -291,12 +290,12 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val Sim = SimilarityKernels
     val e = graft.Tables(spark, sf, "embeddings")
       .selectExpr("vec_id", "embedding", "vnorm(embedding) as nrm").cache()
-    val exact = Similarity.windowTopk(spark, sf, 3)
+    val exact = SimilarityKernels.windowTopk(spark, sf, 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // the ADC stage alone (s13 minus the re-rank), top-3
-    val cents = Sim.lloydCents(e, Sim.ivfSeeds(e), Similarity.ivfIters)
+    val cents = Sim.lloydCents(e, Sim.ivfSeeds(e), SimilarityKernels.ivfIters)
     val rf = Sim.residualFrame(e, cents)
-    val cb = Sim.pqCodebookTrained(rf, Similarity.pqIters)
+    val cb = Sim.pqCodebookTrained(rf, SimilarityKernels.pqIters)
     val codes = Sim.pqEncode(rf, cb, keep = Seq("cell"))
       .select(col("vec_id").as("cand_id"), col("cell"), col("codes"))
     val probes = e.where("vec_id < 10")
@@ -315,7 +314,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(rerankHits >= adcHits,
       s"re-ranking a superset shortlist cannot lose recall: $rerankHits !>= $adcHits")
     assert(rerankHits > adcHits,
-      s"the R=${Similarity.rerankR} refine must lift recall on this corpus: $rerankHits !> $adcHits")
+      s"the R=${SimilarityKernels.rerankR} refine must lift recall on this corpus: $rerankHits !> $adcHits")
   }
 
   test("s19 index delete: no tombstoned id survives, deletion genuinely backfills answers") {
@@ -422,9 +421,9 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     graft.functions.Hashing.register(spark)
     val e = graft.Tables(spark, sf, "embeddings")
       .selectExpr("vec_id", "embedding", "vnorm(embedding) as nrm").cache()
-    val cents = SimilarityKernels.lloydCents(e, SimilarityKernels.ivfSeeds(e), Similarity.ivfIters)
+    val cents = SimilarityKernels.lloydCents(e, SimilarityKernels.ivfSeeds(e), SimilarityKernels.ivfIters)
     val rf = SimilarityKernels.residualFrame(e, cents)
-    val cb = SimilarityKernels.pqCodebookTrained(rf, Similarity.pqIters)
+    val cb = SimilarityKernels.pqCodebookTrained(rf, SimilarityKernels.pqIters)
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toString).toSet
     val oneShot = rows(SimilarityKernels.pqEncode(rf, cb, keep = Seq("cell"))

@@ -14,8 +14,7 @@ class SchemaEvoSpec extends AnyFunSuite with SparkTestBase {
     // drive the gate once; it leaves the two-commit table behind
     graft.sinks.SinkQueries.all("sink27_schema_evolution")
       .fn(spark, "/root/testdata/sf0.001").count()
-    val out = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft-sinks/schemaevo").toString
+    val out = graft.sinks.SinkQueries.scratchPath("schemaevo")
 
     // time travel to v1: the added column is INVISIBLE even though
     // v1's files are also live in v2 — each version reads with its

@@ -276,8 +276,8 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
     import org.apache.spark.sql.functions._
     val df = graft.sinks.SinkQueries.all("sink07_stats_manifest")
       .fn(spark, "/root/testdata/sf0.001")
-    val man = spark.read.parquet(java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft-sinks", "manifest").toString)
+    val man = spark.read.parquet(
+      graft.sinks.SinkQueries.scratchPath("manifest"))
     val orders = graft.Tables(spark, "/root/testdata/sf0.001", "orders")
     // the manifest accounts for every row exactly once
     assert(man.agg(sum("n_rows")).collect()(0).getLong(0) === orders.count())
@@ -579,8 +579,8 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
       assert(got(id) === payload, s"row $id mutated through the roundtrip")
     }
     // the on-disk form is RFC 4180: quotes doubled, never backslashed
-    val dir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft-sinks", "csvround").toFile
+    val dir = new java.io.File(
+      graft.sinks.SinkQueries.scratchPath("csvround"))
     val raw = dir.listFiles().filter(_.getName.endsWith(".csv"))
       .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
       .mkString

@@ -23,7 +23,7 @@ class ZorderSpec extends AnyFunSuite with SparkTestBase {
 
     // the write really is one directory per chunk value
     val out = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft-sinks/zorder")
+      graft.sinks.SinkQueries.scratchPath("zorder"))
     val dirs = out.listFiles().filter(f =>
       f.isDirectory && f.getName.startsWith("chunk="))
     assert(dirs.length == chunks,

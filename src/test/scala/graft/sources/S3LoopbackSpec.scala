@@ -111,6 +111,57 @@ class S3LoopbackSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("multipart close is idempotent: Hadoop's occasional double-close is a no-op") {
+    withS3 { (fs, base) =>
+      fs.getConf.setLong("fs.s3a.multipart.size", 1024 * 1024)
+      val f = new Path(s"$base/mpu/twice.bin")
+      val payload = Array.tabulate[Byte](1536 * 1024)(i => (i % 127).toByte)
+      val out = fs.create(f)
+      out.write(payload); out.close()
+      out.close() // second close must NOT re-send Complete (server would 400)
+      val in = fs.open(f)
+      val back = new Array[Byte](payload.length)
+      in.readFully(0, back); in.close()
+      assert(java.util.Arrays.equals(back, payload))
+    }
+  }
+
+  test("a Complete manifest with a duplicate PartNumber is rejected, never concatenated twice") {
+    // direct REST exercise of the loopback's S3 semantics: a buggy
+    // client declaring part 1 twice must get a 400, not a silently
+    // doubled object (real S3: InvalidPartOrder)
+    graft.sources.S3Loopback.withServer("graft", "s") { port =>
+      def req(method: String, pathQ: String, body: Array[Byte]) = {
+        val u = java.net.URI.create(s"http://127.0.0.1:$port$pathQ").toURL
+        val c = u.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        c.setRequestMethod(method)
+        // the loopback authenticates via the keyed-HMAC header the
+        // mini filesystem sends (MAC over method + raw path)
+        c.setRequestProperty("Authorization", graft.sources.S3Loopback
+          .authHeader("graft", "s", method, pathQ.takeWhile(_ != '?')))
+        if (body.nonEmpty || method == "POST" || method == "PUT") {
+          c.setDoOutput(true); c.getOutputStream.write(body)
+        }
+        val code = c.getResponseCode
+        val bytes = try {
+          val s = if (code < 400) c.getInputStream else c.getErrorStream
+          if (s == null) Array.empty[Byte] else s.readAllBytes()
+        } finally c.disconnect()
+        (code, bytes)
+      }
+      val (ic, ib) = req("POST", "/gate/dup.bin?uploads", Array.empty)
+      assert(ic === 200)
+      val uid = (scala.xml.XML.loadString(new String(ib, "UTF-8")) \\ "UploadId").text
+      assert(req("PUT", s"/gate/dup.bin?partNumber=1&uploadId=$uid",
+        "AAAA".getBytes)._1 === 200)
+      val manifest = ("<CompleteMultipartUpload>" +
+        "<Part><PartNumber>1</PartNumber><ETag>e</ETag></Part>" +
+        "<Part><PartNumber>1</PartNumber><ETag>e</ETag></Part>" +
+        "</CompleteMultipartUpload>").getBytes("UTF-8")
+      assert(req("POST", s"/gate/dup.bin?uploadId=$uid", manifest)._1 === 400)
+    }
+  }
+
   test("keys with spaces, percent, plus, hash survive transport and signing") {
     withS3 { (fs, base) =>
       // Hive-style partition values are the production shape of this

@@ -63,6 +63,19 @@ class TarShardsSpec extends AnyFunSuite {
     }
   }
 
+  test("binary members: real PNG/JPEG fixture bytes survive byte-exact (full 0x00-0xFF range)") {
+    val imgs = Seq("img/img0.png", "img/img1.png", "img/img2.png", "img/img3.jpg")
+      .map { r =>
+        val in = getClass.getResourceAsStream(s"/graft/fixtures/$r")
+        try r.split('/').last -> in.readAllBytes() finally in.close()
+      }
+    val back = TarShards.readAll(tmpTar(imgs: _*))
+    assert(back.map(_._1) === imgs.map(_._1))
+    back.zip(imgs).foreach { case ((n, got), (_, want)) =>
+      assert(java.util.Arrays.equals(got, want), s"$n bytes mutated")
+    }
+  }
+
   test("reader refuses a corrupted header checksum") {
     val path = tmpTar("x.txt" -> "payload".getBytes("UTF-8"))
     val p = java.nio.file.Paths.get(path)

@@ -222,7 +222,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     graft.functions.Hashing.register(spark)
     import spark.implicits._
     val ids = (0L until 100L).toDF("doc_id")
-      .selectExpr("doc_id", s"${graft.queries.Pipeline.evalPredSql} as is_eval")
+      .selectExpr("doc_id", s"${graft.queries.PipelineKernels.evalPredSql} as is_eval")
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     val evalId = ids.collectFirst { case (id, true) => id }.get
     val Seq(cleanId, dirtyId, dirtyId2) =
@@ -242,11 +242,11 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       .write.mode("append").parquet(dir)
     val src = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(dir)
-    val evalGrams = graft.queries.Pipeline.decontGrams(docs)
+    val evalGrams = graft.queries.PipelineKernels.decontGrams(docs)
       .where("is_eval").select("g").distinct()
     val got = runToMemory(
       EventStreams.decontaminationStream(
-        graft.queries.Pipeline.decontGrams(src), evalGrams),
+        graft.queries.PipelineKernels.decontGrams(src), evalGrams),
       "t_decont_mb", mode = "complete")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // batch twin over the union — and the verdicts by hand: the eval
@@ -254,7 +254,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     // the eval text once) matches exactly once; shifted windows
     // contain prefix/suffix tokens and match nothing
     val want = EventStreams.decontaminationStream(
-        graft.queries.Pipeline.decontGrams(docs), evalGrams)
+        graft.queries.PipelineKernels.decontGrams(docs), evalGrams)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === want, "micro-batching changed the verdict")
     assert(got.keySet === Set(dirtyId, dirtyId2), got)
@@ -279,11 +279,11 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     docs.where("doc_id = 3").coalesce(1).write.mode("append").parquet(dir)
     val src = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(dir)
-    val got = runToMemory(graft.queries.TextOps.gopherVerdict(src),
+    val got = runToMemory(graft.queries.TextOpsKernels.gopherVerdict(src),
         "t_qgate_mb", mode = "append")
       .select("doc_id", "fail_mask", "keep").collect()
       .map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getBoolean(2))).toSet
-    val want = graft.queries.TextOps.gopherVerdict(docs)
+    val want = graft.queries.TextOpsKernels.gopherVerdict(docs)
       .select("doc_id", "fail_mask", "keep").collect()
       .map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getBoolean(2))).toSet
     assert(got === want, "micro-batching changed the verdict")
@@ -787,7 +787,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
 
   test("stream17: chopped multi-batch counter fold equals the one-shot CMS; finish matches t23") {
     graft.functions.Hashing.register(spark)
-    val T = graft.queries.TextOps
+    val T = graft.queries.TextOpsKernels
     val sf01 = "/root/testdata/sf0.01"
     val docs = graft.Tables(spark, sf01, "documents")
     // 3 files, one per micro-batch: the counter-wise ADD fold must be
@@ -808,7 +808,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     // and the artifact-served profile equals t23's batch answer
     val fromArtifact = T.cmsFinish(streamed, T.cmsItems(docs))
       .collect().map(_.toString).sorted
-    val batch = T.all("t23_heavy_hitters").fn(spark, sf01)
+    val batch = graft.queries.TextOps.all("t23_heavy_hitters").fn(spark, sf01)
       .collect().map(_.toString).sorted
     assert(fromArtifact === batch)
   }

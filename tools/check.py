@@ -130,11 +130,23 @@ def main():
     # (e.g. "sf1_prefix" for a named subset sweep — subset runs only
     # write when the tag is explicit, so a one-query debug run can
     # never masquerade as a sweep).
+    # Auto-tagging is restricted to the KNOWN sweep dirs with all
+    # tables present — a full run on sf0.001, or on a dir with missing
+    # parquets (whose views were silently skipped above), must not
+    # mint an artifact that looks like scale evidence. Anything else
+    # needs an explicit GRAFT_CHECK_TAG.
     tag = os.environ.get("GRAFT_CHECK_TAG")
     if tag is None and not only:
+        import re
         base = os.path.basename(os.path.normpath(sf_dir))
-        if base not in ("sf0.01",):  # the driver owns the gate file
-            tag = base.replace(".", "_")
+        m = re.fullmatch(r"(?:graft-)?(sf(?:1|10|100)(?:-[a-z0-9]+)*)", base)
+        if m:
+            missing = [t for t in TABLES
+                       if not os.path.exists(f"{sf_dir}/{t}.parquet")]
+            if missing:
+                sys.exit(f"refusing to write CORRECTNESS artifact: "
+                         f"{base} is missing tables {missing}")
+            tag = m.group(1).replace("-", "_")
     if tag:
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         path = os.path.join(repo, f"CORRECTNESS_{tag}.json")

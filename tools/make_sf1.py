@@ -12,10 +12,24 @@ events per window = the realistic densification). doc/vec/event/user
 ids shift per copy; document text and embeddings repeat, so the dedup
 tier sees 10-way exact-dup groups — more work, not less.
 
-Usage: make_sf1.py [outdir] [copies]   (default /tmp/graft-sf1, 10)
+Usage: make_sf1.py [outdir] [copies] [mode]   (default /tmp/graft-sf1, 10)
 copies=100 builds the sf10 step (offsets stay collision-free to 100
 copies: the largest shifted key is ~99 * base, well under the next
 table's base). Idempotent via a _READY marker.
+
+mode=textgrow de-degenerates the TEXT axis (VERDICT r17 item 1): the
+verbatim-copy fixture's vocabulary, distinct bigrams, and LM tables
+stop growing past sf0.1, so the t/c families' scale curves measured
+only the dup-storm axis. In textgrow, copy i > 0 deterministically
+suffixes every word of >= 5 chars with 'q<i>' (copy 0 stays verbatim):
+short hub words ('a', 'the', 'line', 'scan', ...) remain SHARED across
+all copies — hub skew persists and its absolute mass grows with sf,
+which is what lmPerDoc's skew claim needs tested — while the tail
+vocabulary, bigram space, and tf-idf vocabulary grow linearly with
+copies, the shape a real growing crawl has. n_chars is recomputed to
+match the perturbed text. Exact/near cross-copy dup structure is
+deliberately destroyed (that axis belongs to the default copy mode);
+within-copy dups survive.
 """
 import sys
 from pathlib import Path
@@ -25,6 +39,8 @@ import duckdb
 SRC = "/root/testdata/sf0.1"
 OUT = Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft-sf1")
 COPIES = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+MODE = sys.argv[3] if len(sys.argv) > 3 else "copy"
+assert MODE in ("copy", "textgrow"), MODE
 
 # table -> {column: offset-base}; offset for copy i is i * base.
 # Bases are far above each table's max key so copies never collide.
@@ -62,9 +78,22 @@ def main():
         schema = con.execute(
             f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{t}.parquet')").fetchall()
         names = [row[0] for row in schema]
-        proj = ", ".join(
-            f"({n} + i * {shifts[n]})::BIGINT AS {n}" if n in shifts else n
-            for n in names)
+        def col_expr(n):
+            if n in shifts:
+                return f"({n} + i * {shifts[n]})::BIGINT AS {n}"
+            if MODE == "textgrow" and t == "documents" and n == "text":
+                # seeded, deterministic word remap: long words get a
+                # per-copy suffix, short hub words stay shared
+                return ("CASE WHEN i = 0 THEN text ELSE regexp_replace("
+                        "text, '([a-z]{5,})', '\\1q' || CAST(i AS VARCHAR),"
+                        " 'g') END AS text")
+            if MODE == "textgrow" and t == "documents" and n == "n_chars":
+                return ("length(CASE WHEN i = 0 THEN text ELSE "
+                        "regexp_replace(text, '([a-z]{5,})', "
+                        "'\\1q' || CAST(i AS VARCHAR), 'g') END)"
+                        "::BIGINT AS n_chars")
+            return n
+        proj = ", ".join(col_expr(n) for n in names)
 
         def copy_range(lo, hi, dest):
             con.execute(f"""
