@@ -26,7 +26,13 @@ object Verify {
       // consumption; clearCache stays as the backstop for anything
       // persisted outside the scope discipline
       try CacheScope.scoped {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        // repartition(1), NOT coalesce(1): coalesce merges partitions
+        // WITHOUT an exchange, which collapses a map-only query's
+        // entire scan+compute into one task — measured at sf10, the
+        // dump crawled at minutes per query. repartition keeps the
+        // compute wide and only the file write is single-task; the
+        // checker sorts rows, so output order is irrelevant.
+        fn(spark, sfDir).repartition(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
       }
       catch { case e: Throwable =>
