@@ -263,11 +263,14 @@ object Similarity {
     // the embedding near-dup pair graph (s04's edges through d08's
     // large-star/small-star machinery) — "keep one doc per embedding
     // cluster" is the semantic-dedup step after exact and lexical
-    // dedup. Same recursive-closure oracle shape as d08. ──
+    // dedup. Same recursive-closure oracle shape as d08. Runs the
+    // d03-style REP topology ([[SimilarityKernels.embedClusters]],
+    // with its output-equivalence proof): byte-identical copies
+    // collapse before the pair graph and the CC rounds, so cost is
+    // copy-count-independent — the raw member-level formulation
+    // ground for 75+ min at sf10's 100-copy storm. ──
     "s10_embed_clusters" -> Q(
-      (s, d) => DedupKernels.connectedComponents(
-          embedDupPairs(s, d).select(col("v1").as("a"), col("v2").as("b")))
-        .select(col("doc_id").as("vec_id"), col("cluster")),
+      (s, d) => SimilarityKernels.embedClusters(s, d),
       Some(s"""WITH RECURSIVE p AS ($s04Oracle),
                edges AS (SELECT v1 AS a, v2 AS b FROM p
                          UNION SELECT v2, v1 FROM p),

@@ -55,11 +55,16 @@ private[graft] object SimilarityKernels {
     * this is a cheap round-robin. */
   private[queries] def signed(s: SparkSession, d: String): DataFrame = {
     Hashing.register(s)
-    Tables(s, d, "embeddings")
-      .repartition(s.sparkContext.defaultParallelism)
-      .selectExpr("vec_id", "embedding", s"$normE as nrm",
-        "hyperplane_sig(embedding, 16, 64) as sig")
+    signedOf(Tables(s, d, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism))
   }
+
+  /** The signature projection over an arbitrary (vec_id, embedding)
+    * frame — shared by the whole-corpus path above and s10's
+    * representative-only path. Requires [[Hashing.register]]. */
+  private[queries] def signedOf(e: DataFrame): DataFrame =
+    e.selectExpr("vec_id", "embedding", s"$normE as nrm",
+      "hyperplane_sig(embedding, 16, 64) as sig")
 
   private[queries] val duckSigned =
     s"""SELECT vec_id, embedding, $duckNorm AS nrm,
@@ -1103,8 +1108,13 @@ private[graft] object SimilarityKernels {
 
   /** s04's body: LSH-candidate embedding near-dup pairs, cosine ≥
     * 0.45 — shared with the s10 cluster formation. */
-  private[queries] def embedDupPairs(s: SparkSession, d: String): DataFrame = {
-    val sigs = signed(s, d).persistScoped()
+  private[queries] def embedDupPairs(s: SparkSession, d: String): DataFrame =
+    embedDupPairsOf(signed(s, d).persistScoped())
+
+  /** The LSH-bucketed near-dup pair kernel over an arbitrary
+    * signature frame (columns vec_id, embedding, nrm, sig) — shared
+    * by s04's whole-corpus pair list and s10's representative graph. */
+  private[queries] def embedDupPairsOf(sigs: DataFrame): DataFrame = {
     val bk = banded(sigs)
     val cand = bk.select(col("vec_id").as("v1"), col("band"), col("bits"))
       .join(bk.select(col("vec_id").as("v2"), col("band").as("b2"), col("bits").as("k2")),
@@ -1117,6 +1127,54 @@ private[graft] object SimilarityKernels {
       .selectExpr("v1", "v2", s"${dot("e1", "e2")} / (n1 * n2) as cosine")
       .where("cosine >= 0.45")
       .select("v1", "v2", "cosine")
+  }
+
+  /** s10's dup-storm-proof semantic-cluster kernel — the d03 rep
+    * topology applied to EMBEDDINGS (caught by the round-18 sf10
+    * sweep: the raw formulation ran connected components over the
+    * member-level pair graph, and 100 byte-identical copies per
+    * vector — the re-ingested-copy storm an embedding corpus actually
+    * has — made every identity group a 100-clique: ~10 M edges
+    * re-shuffled every CC round, 75+ min at sf10 where the rep graph
+    * is copy-count-INDEPENDENT).
+    *
+    * Topology: one partitioned window groups byte-identical vectors
+    * (rep = the group's min vec_id), the LSH pair graph and CC rounds
+    * run over REPRESENTATIVES only, then every member inherits its
+    * rep's component.
+    *
+    * Output equivalence with the member-level graph, written at the
+    * kernel (the d03 proof shape): (a) copies share every LSH band
+    * and have cosine 1.0 ≥ τ, so an identity group is always a clique
+    * containing its rep — a member's component IS its rep's
+    * component; (b) cross-group candidacy and cosine are
+    * embedding-determined, so rep pairs stand for all member pairs
+    * exactly; (c) the cluster label (min vec_id in the component)
+    * equals min rep id because each rep is its group's min — which is
+    * what [[DedupKernels.connectedComponents]] labels with; (d) a
+    * group of size ≥ 2 is in the output even when its rep has no
+    * cross-group edge (the within-group clique edges exist in the
+    * member graph), labeled by its own rep; a singleton vector
+    * appears iff its rep gained a rep-graph edge — both exactly the
+    * member-graph membership rule. */
+  private[queries] def embedClusters(s: SparkSession, d: String): DataFrame = {
+    Hashing.register(s)
+    val withRep = graft.Tables(s, d, "embeddings")
+      .select("vec_id", "embedding")
+      .withColumn("rep",
+        min("vec_id").over(Window.partitionBy("embedding")))
+      .withColumn("gsz",
+        count(lit(1)).over(Window.partitionBy("embedding")))
+      .persistScoped()
+    val reps = signedOf(
+      withRep.where("vec_id = rep").select("vec_id", "embedding"))
+      .persistScoped()
+    val repClusters = DedupKernels.connectedComponents(
+        embedDupPairsOf(reps).select(col("v1").as("a"), col("v2").as("b")))
+      .select(col("doc_id").as("rep"), col("cluster").as("rc"))
+    withRep.join(repClusters, Seq("rep"), "left")
+      .where("rc is not null or gsz >= 2")
+      .selectExpr("vec_id", "coalesce(rc, rep) as cluster")
   }
 
   private[queries] lazy val s04Oracle: String =
