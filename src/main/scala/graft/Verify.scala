@@ -39,6 +39,16 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       spark.catalog.clearCache()
+      // SPARK_GRAFT_VERIFY_GC=1: force a GC after each query so the
+      // ContextCleaner reclaims that query's now-unreferenced shuffle
+      // files immediately — same lesson as Bench's SPARK_GRAFT_BENCH_GC
+      // (r16 sf100: No-space-left with >40 GB of dead shuffle under a
+      // heap that never collected). A big-SF sharded Verify sweep hits
+      // the identical accumulation; gate-scale runs don't need it.
+      if (sys.env.get("SPARK_GRAFT_VERIFY_GC").contains("1")) {
+        System.gc()
+        Thread.sleep(500)
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
