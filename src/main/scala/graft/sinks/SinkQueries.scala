@@ -570,7 +570,7 @@ object SinkQueries {
       },
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
               UNION ALL
-              SELECT o_orderkey + 300000000, o_custkey, o_totalprice
+              SELECT o_orderkey + 300000000000, o_custkey, o_totalprice
               FROM orders WHERE o_orderkey % 89 = 0""")),
 
     // ── sink20: INCREMENTAL VIEW MAINTENANCE — the materialized
@@ -1258,13 +1258,19 @@ object SinkQueries {
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .write.parquet(out)
     Sinks.writeManifest(s, out, 1, Sinks.dataFiles(s, out))
+    // Batch key shifts must clear EVERY scale fixture's key space: the
+    // sf-N fixtures shift orders keys by copy*10M (up to ~1e10 at
+    // sf100), and a +300M shift is itself 30 copies' worth — at >=31
+    // copies the "good" batch landed exactly on copy i+30's keys and
+    // the audit (correctly) refused the duplicate o_orderkeys. Caught
+    // by the sf10 sweep; 2e11/3e11 are above any fixture's max key.
     val poisoned = Tables(s, d, "orders")
       .where("o_orderkey % 101 = 0")
-      .selectExpr("o_orderkey + 200000000 as o_orderkey",
+      .selectExpr("o_orderkey + 200000000000 as o_orderkey",
         "cast(null as bigint) as o_custkey", "o_totalprice")
     val good = Tables(s, d, "orders")
       .where("o_orderkey % 89 = 0")
-      .selectExpr("o_orderkey + 300000000 as o_orderkey", "o_custkey",
+      .selectExpr("o_orderkey + 300000000000 as o_orderkey", "o_custkey",
         "o_totalprice")
     require(!stageAndAudit(s, out, "a", poisoned),
       "poisoned batch passed the WAP audit - the gate has no teeth")
