@@ -25,6 +25,7 @@ object Verify {
       // CacheScope releases the query's own persisted intermediates at
       // consumption; clearCache stays as the backstop for anything
       // persisted outside the scope discipline
+      System.err.println(s"[verify] start $name")
       try CacheScope.scoped {
         // repartition(1), NOT coalesce(1): coalesce merges partitions
         // WITHOUT an exchange, which collapses a map-only query's

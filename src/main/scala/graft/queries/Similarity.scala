@@ -271,7 +271,8 @@ object Similarity {
     // ground for 75+ min at sf10's 100-copy storm. ──
     "s10_embed_clusters" -> Q(
       (s, d) => SimilarityKernels.embedClusters(s, d),
-      Some(s"""WITH RECURSIVE p AS ($s04Oracle),
+      Some(s"""WITH RECURSIVE ${SimilarityKernels.s04OracleCtes},
+               p AS MATERIALIZED (${SimilarityKernels.s04OracleSelect}),
                edges AS (SELECT v1 AS a, v2 AS b FROM p
                          UNION SELECT v2, v1 FROM p),
                reach AS (SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges)

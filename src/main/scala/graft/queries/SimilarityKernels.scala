@@ -66,13 +66,15 @@ private[graft] object SimilarityKernels {
     e.selectExpr("vec_id", "embedding", s"$normE as nrm",
       "hyperplane_sig(embedding, 16, 64) as sig")
 
-  private[queries] val duckSigned =
+  private[queries] def duckSignedFrom(src: String): String =
     s"""SELECT vec_id, embedding, $duckNorm AS nrm,
           CAST(list_sum(list_transform(generate_series(0, 15), p ->
             CASE WHEN list_sum(list_transform(generate_series(0, 63), d ->
                    CAST(embedding[d+1] AS DOUBLE) * (${Hashing.duck32("'pl:' || p || ':' || d")}/2147483648.0 - 1.0))) >= 0
                  THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT) AS sig
-        FROM embeddings"""
+        FROM $src"""
+
+  private[queries] val duckSigned = duckSignedFrom("embeddings")
 
   /** Explode a signature frame into (vec_id, band, bits): 4 bands of
     * 4 signature bits each. */
@@ -1107,9 +1109,57 @@ private[graft] object SimilarityKernels {
   }
 
   /** s04's body: LSH-candidate embedding near-dup pairs, cosine ≥
-    * 0.45 — shared with the s10 cluster formation. */
-  private[queries] def embedDupPairs(s: SparkSession, d: String): DataFrame =
-    embedDupPairsOf(signed(s, d).persistScoped())
+    * 0.45 — the full member-level pair list, produced through the d03
+    * rep topology (caught by the round-18 sf10 sweep: 100
+    * byte-identical copies per vector put ~100-member buckets under
+    * the banded self-join, and the per-band pair duplication plus the
+    * embedding-payload joins onto BOTH sides of the member pair list
+    * spiked >60 GB of shuffle. The output is inherent — C(copies,2)
+    * per identity group — but the COMPUTE is copy-count-independent:
+    * pair work runs over distinct-embedding representatives only and
+    * the member expansion streams).
+    *
+    * Output equivalence with the member-level kernel, written here:
+    * (a) candidacy and cosine are embedding-determined (identical
+    * bytes ⇒ identical hyperplane sig, bands, dot, nrm), so a rep
+    * pair stands for exactly its groups' cross product, with the SAME
+    * cosine float; (b) within-group pairs share every band (always
+    * candidates) and their pairwise cosine is the rep's self-cosine —
+    * computed below with the very same dot/nrm expression the
+    * pairwise kernel uses, so NaN semantics (zero-norm vectors fail
+    * `>= 0.45` in both engines) and bit patterns carry over; (c)
+    * `least/greatest` restores the v1 < v2 contract on expanded
+    * cross pairs, and within/cross are disjoint (same rep vs
+    * different rep), so no pair is emitted twice. */
+  private[queries] def embedDupPairs(s: SparkSession, d: String): DataFrame = {
+    Hashing.register(s)
+    val members = graft.Tables(s, d, "embeddings")
+      .select("vec_id", "embedding")
+      .withColumn("rep", min("vec_id").over(Window.partitionBy("embedding")))
+      .select("vec_id", "rep")
+      .persistScoped()
+    val reps = signedOf(
+      graft.Tables(s, d, "embeddings").select("vec_id", "embedding")
+        .groupBy("embedding").agg(min("vec_id").as("vec_id"))
+        .select("vec_id", "embedding"))
+      .persistScoped()
+    val cross = embedDupPairsOf(reps)
+      .join(members.select(col("vec_id").as("a"), col("rep").as("v1")), "v1")
+      .join(members.select(col("vec_id").as("b"), col("rep").as("v2")), "v2")
+      .selectExpr("least(a, b) as v1", "greatest(a, b) as v2", "cosine")
+    val selfc = reps
+      .select(col("vec_id").as("rep"), col("embedding").as("e1"),
+        col("nrm").as("n1"))
+      .withColumn("e2", col("e1")).withColumn("n2", col("n1"))
+      .selectExpr("rep", s"${dot("e1", "e2")} / (n1 * n2) as cosine")
+    val within = members.select(col("vec_id").as("v1"), col("rep"))
+      .join(members.select(col("vec_id").as("v2"), col("rep")), "rep")
+      .where("v1 < v2")
+      .join(selfc, "rep")
+      .where("cosine >= 0.45")
+    cross.select("v1", "v2", "cosine")
+      .unionAll(within.select("v1", "v2", "cosine"))
+  }
 
   /** The LSH-bucketed near-dup pair kernel over an arbitrary
     * signature frame (columns vec_id, embedding, nrm, sig) — shared
@@ -1177,14 +1227,48 @@ private[graft] object SimilarityKernels {
       .selectExpr("vec_id", "coalesce(rc, rep) as cluster")
   }
 
-  private[queries] lazy val s04Oracle: String =
-    s"""WITH sigs AS ($duckSigned),
+  /** Rep-collapsed twin of [[embedDupPairs]] (same equivalence proof:
+    * candidacy/cosine are embedding-determined; within-group cosine is
+    * the rep's self-cosine via the identical dot/nrm expression). The
+    * naive member-level cand CTE is O(copies²) per band bucket — ~5 B
+    * pairs at sf10's 100-copy storm; this one's pair work runs over
+    * distinct embeddings only. MATERIALIZED: s10 splices this whole
+    * query as a CTE referenced twice. */
+  private[queries] lazy val s04OracleCtes: String =
+    s"""members AS MATERIALIZED (
+          SELECT vec_id, min(vec_id) OVER (PARTITION BY embedding) AS rep
+          FROM embeddings),
+        repv AS (SELECT min(vec_id) AS vec_id, embedding
+                 FROM embeddings GROUP BY embedding),
+        sigs AS MATERIALIZED (${duckSignedFrom("repv")}),
         $duckBanded,
         cand AS (SELECT DISTINCT a.vec_id AS v1, c.vec_id AS v2
                  FROM bk a JOIN bk c
-                 ON a.band = c.band AND a.bits = c.bits AND a.vec_id < c.vec_id)
-        SELECT v1, v2, cosine FROM
-          (SELECT v1, v2, ${duckDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cosine
-           FROM cand JOIN sigs x ON x.vec_id = v1 JOIN sigs y ON y.vec_id = v2)
-        WHERE cosine >= 0.45"""
+                 ON a.band = c.band AND a.bits = c.bits AND a.vec_id < c.vec_id),
+        rp AS (SELECT v1, v2, cosine FROM
+                 (SELECT v1, v2, ${duckDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cosine
+                  FROM cand JOIN sigs x ON x.vec_id = v1 JOIN sigs y ON y.vec_id = v2)
+               WHERE cosine >= 0.45),
+        selfc AS (SELECT vec_id AS rep,
+                    ${duckDot("embedding", "embedding")} / (nrm * nrm) AS cosine
+                  FROM sigs),
+        crossp AS (SELECT least(a.vec_id, c.vec_id) AS v1,
+                          greatest(a.vec_id, c.vec_id) AS v2, rp.cosine
+                   FROM rp JOIN members a ON a.rep = rp.v1
+                           JOIN members c ON c.rep = rp.v2),
+        withinp AS (SELECT a.vec_id AS v1, c.vec_id AS v2, s.cosine
+                    FROM members a JOIN members c
+                      ON a.rep = c.rep AND a.vec_id < c.vec_id
+                    JOIN selfc s ON s.rep = a.rep
+                    WHERE s.cosine >= 0.45)"""
+
+  private[queries] lazy val s04OracleSelect: String =
+    """SELECT v1, v2, cosine FROM crossp
+       UNION ALL SELECT v1, v2, cosine FROM withinp"""
+
+  /** The splice-friendly halves above exist because DuckDB does not
+    * resolve a WITH nested inside a recursive CTE member — s10 hoists
+    * the CTE list into its own WITH RECURSIVE. */
+  private[queries] lazy val s04Oracle: String =
+    s"WITH $s04OracleCtes\n$s04OracleSelect"
 }
