@@ -1030,10 +1030,25 @@ object Relational {
     // hub cell gets the d07/g03 cap treatment in production. ──
     "q41_spatial_grid_join" -> Q(
       (s, d) => {
+        // Constant-density grid (sf10 sweep catch): the original fixed
+        // 600×300 hash space made pair density — and the pair-list
+        // OUTPUT — quadratic in sf (89 M rows at sf1, ~8.9 B and a
+        // >60 GB shuffle crash at sf10). The space now scales with the
+        // corpus so cell population and per-point neighborhoods stay at
+        // the gate fixture's density (~11 neighbors/pt, output ∝ n) at
+        // every decade — which is also how a real spatial pipeline
+        // picks its grid: from data density, not a constant. k is an
+        // exact integer in both engines (ceil of a float sqrt; the
+        // oracle computes the identical expression), and at sf0.01
+        // k = 1 reproduces the historical gate results bit-for-bit.
+        // The one count() is a bounded driver scalar of the
+        // centroids/offsets class.
+        val n = Tables(s, d, "customer").count()
+        val k = math.max(1L, math.ceil(math.sqrt(n / 1500.0)).toLong)
         val pts = Tables(s, d, "customer")
           .selectExpr("c_custkey as id",
-            "(c_custkey * 2654435761L) % 600 as x10",
-            "(c_custkey * 40503L) % 300 as y10")
+            s"(c_custkey * 2654435761L) % ${600 * k} as x10",
+            s"(c_custkey * 40503L) % ${300 * k} as y10")
           .persistScoped()
         val probe = pts.selectExpr("id", "x10", "y10",
           "x10 div 20 as cx", "y10 div 20 as cy")
@@ -1051,10 +1066,12 @@ object Relational {
               " + (a.y10 - b.y10) * (a.y10 - b.y10) as d2")
           .where("d2 <= 400")
       },
-      Some("""WITH pts AS (SELECT c_custkey AS id,
-                                  (c_custkey * 2654435761) % 600 AS x10,
-                                  (c_custkey * 40503) % 300 AS y10
-                           FROM customer),
+      Some("""WITH kk AS (SELECT greatest(1, CAST(ceil(sqrt(count(*) / 1500.0)) AS BIGINT)) AS k
+                          FROM customer),
+              pts AS (SELECT c_custkey AS id,
+                             (c_custkey * 2654435761) % (600 * k) AS x10,
+                             (c_custkey * 40503) % (300 * k) AS y10
+                      FROM customer, kk),
               probe AS (SELECT id, x10, y10,
                                x10 // 20 AS cx, y10 // 20 AS cy FROM pts),
               build AS (SELECT id, x10, y10, cx, cy FROM
