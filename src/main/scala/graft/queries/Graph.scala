@@ -140,26 +140,68 @@ object Graph {
     * out-degree by O(√E), so the wedge join's fan-out is O(E^1.5)
     * worst-case instead of Σdeg² — the difference between a plan that
     * survives a power-law degree distribution (one hub part in
-    * millions of orders) and one that doesn't. The plan is two
-    * equi-joins on the oriented edge list (wedge build e1.dst=e2.src,
-    * then closure probe on (src, dst)) — all shuffle-partitioned
-    * equi-joins AQE can split on skew, never a theta join. Each
-    * triangle is found exactly once (as its oriented a→b→c, a→c
-    * form), then credited to all three corners by a 3-way union +
-    * count — output is |nodes|-bounded.
-    */
+    * millions of orders) and one that doesn't. Each triangle is found
+    * exactly once (as its oriented a→b, b→c, a→c form), then credited
+    * to all three corners — output is |nodes|-bounded.
+    *
+    * The closure test is bloom-PREFILTERED before it shuffles (sf10
+    * sweep catch): the wedge stream is Σ in·out ≈ 4.9 B rows at sf10,
+    * and shuffling all of it into a closure join wrote >60 GB before
+    * the crash — the wedge COUNT is inherent to exact enumeration,
+    * but materializing the stream is not. A bloom sketch of the
+    * packed closing-edge set (the c04/d14 codegen'd-Literal pattern:
+    * one bounded sketch row to the driver, then a Literal probe
+    * inside whole-stage codegen) filters the wedge stream IN the
+    * wedge join's own stage, so only true triangles plus the bloom's
+    * ~1–2 % false positives reach the exact closure semi join — the
+    * bloom merely prefilters; the exact join decides, so false
+    * positives never reach the output and false negatives cannot
+    * exist. Shuffle drops from Σ in·out wedges to edges + survivors.
+    * Sizing is measured (edge count m off the persisted list), the
+    * sketch is capped at 2^30 bits (128 MB), and ids that would
+    * overflow the 32-bit pack fall back to the unpacked probe
+    * column pair. */
   private def triangles(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Hashing.register(s)
     val o = orient(copurchaseEdges(s, d)).persistScoped()
+    val stats = o.agg(count(lit(1)).as("m"),
+      max(greatest(col("src"), col("dst"))).as("mx")).head()
+    val (m, mx) = (math.max(1L, stats.getLong(0)),
+      if (stats.isNullAt(1)) 0L else stats.getLong(1))
+    val pack = if (mx < 2147483647L) "%s * 4294967296L + %s" else "xxhash64(%s, %s)"
+    val bits = { var b = 1L << 23; while (b < m * 9 && b < (1L << 30)) b <<= 1; b }
+    // BloomFilterAggregate analysis-checks nBits against the session
+    // conf cap (default 2^26) — raise it for the build, then restore
+    // (the dwca14 fs.s3a snapshot pattern).
+    val confKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val saved = s.conf.getOption(confKey)
+    val bloomRow = try {
+      s.conf.set(confKey, bits.toString)
+      o.selectExpr(s"${pack.format("src", "dst")} as pk")
+        .agg(expr(s"bloom_agg(pk, $m, $bits)").as("bf")).head()
+    } finally saved match {
+      case Some(v) => s.conf.set(confKey, v)
+      case None    => s.conf.unset(confKey)
+    }
+    val mightClose: org.apache.spark.sql.Column =
+      if (bloomRow.isNullAt(0)) lit(false)
+      else org.apache.spark.sql.GraftSqlShims.column(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            bloomRow.getAs[Array[Byte]](0),
+            org.apache.spark.sql.types.BinaryType),
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+            org.apache.spark.sql.GraftSqlShims.expression(
+              expr(pack.format("a", "c")))))))
     val tri = o.as("e1")
       .join(o.as("e2"), col("e1.dst") === col("e2.src"))
-      .join(o.as("e3"),
-        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
       .select(col("e1.src").as("a"), col("e1.dst").as("b"),
         col("e2.dst").as("c"))
-      .persistScoped()
-    tri.select(col("a").as("node"))
-      .union(tri.select(col("b").as("node")))
-      .union(tri.select(col("c").as("node")))
+      .where(mightClose)
+      .join(o.as("e3"),
+        col("e3.src") === col("a") && col("e3.dst") === col("c"),
+        "left_semi")
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
