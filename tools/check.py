@@ -43,8 +43,14 @@ def main():
     # >100 GB intermediate if left unbounded (the engine side is fine
     # — this protects the CHECKER). Override via GRAFT_DUCK_MEM.
     mem = os.environ.get("GRAFT_DUCK_MEM", "48GB")
-    tmp = os.path.join(os.environ.get("TMPDIR", "/tmp"), "graft-duck-spill")
+    # Per-PROCESS spill dir: DuckDB names its temp files
+    # duckdb_temp_storage-<n>.tmp inside temp_directory, so two
+    # concurrent checkers sharing one dir clobber each other's spill.
+    tmp = os.path.join(os.environ.get("TMPDIR", "/tmp"),
+                       f"graft-duck-spill-{os.getpid()}")
     os.makedirs(tmp, exist_ok=True)
+    import atexit, shutil
+    atexit.register(shutil.rmtree, tmp, True)
     con.sql(f"SET memory_limit='{mem}'")
     con.sql(f"SET temp_directory='{tmp}'")
     # Fewer threads = smaller per-thread agg/join buffers; the big-SF
@@ -87,15 +93,26 @@ def main():
             continue
         if name in skip:
             results[name] = {"rows": len(s_rows), "oracle_skipped": skip_reason}
+            print(f"[result] {name} " + json.dumps(results[name]),
+                  file=sys.stderr, flush=True)
             continue
-        timer = None
         timed_out = [False]
+        done = _th.Event()
         if timeout_s > 0:
+            # Re-fire the interrupt until the query actually dies: a
+            # single interrupt() can be missed by a pipeline that is
+            # between poll points (observed: 45+ min past the timer on
+            # one oracle), so the cutter loops.
             def _cut():
+                if done.wait(timeout_s):
+                    return
                 timed_out[0] = True
-                con.interrupt()
-            timer = _th.Timer(timeout_s, _cut)
-            timer.start()
+                print(f"[check] TIMEOUT {name} after {timeout_s}s — "
+                      f"interrupting", file=sys.stderr, flush=True)
+                while not done.wait(5):
+                    con.interrupt()
+            cutter = _th.Thread(target=_cut, daemon=True)
+            cutter.start()
         try:
             o_rel = con.sql(oracle[name])
             o_cols = [c for c in o_rel.columns]
@@ -106,10 +123,11 @@ def main():
                                  "note": "oracle interrupted: " + skip_reason}
             else:
                 results[name] = {"error": str(e)[:300]}
+            print(f"[result] {name} " + json.dumps(results[name]),
+                  file=sys.stderr, flush=True)
             continue
         finally:
-            if timer is not None:
-                timer.cancel()
+            done.set()
         rows_match = len(s_rows) == len(o_rows)
         schema_match = sorted(s_cols) == sorted(o_cols)
         hash_match = (frame_fingerprint(s_cols, s_rows)
@@ -129,6 +147,14 @@ def main():
         type_match = tsig(spark_rel) == tsig(o_rel) if schema_match else False
         ok = rows_match and schema_match and hash_match and type_match
         n_ok += ok
+        # Incremental result line (stderr): a killed/crashed run keeps
+        # every completed comparison — a 60-query sweep's results must
+        # never die with the process (learned from a disk-full kill).
+        print(f"[result] {name} " + json.dumps(
+            {"rows_match": rows_match, "schema_match": schema_match,
+             "hash_match": hash_match, "type_match": type_match,
+             "n_spark": len(s_rows), "n_oracle": len(o_rows)}),
+            file=sys.stderr, flush=True)
         results[name] = {"rows_match": rows_match, "schema_match": schema_match,
                          "hash_match": hash_match, "type_match": type_match,
                          "n_spark": len(s_rows), "n_oracle": len(o_rows)}
