@@ -340,7 +340,7 @@ object SinkQueries {
                              o_totalprice + 1000 AS o_totalprice, yr
                       FROM base WHERE o_orderkey % 37 = 0 AND yr >= 1996
                       UNION ALL
-                      SELECT o_orderkey + 100000000, o_custkey, o_orderdate,
+                      SELECT o_orderkey + 400000000000, o_custkey, o_orderdate,
                              o_totalprice, yr
                       FROM base WHERE o_orderkey % 97 = 0 AND yr >= 1996)
               SELECT * FROM base
@@ -396,7 +396,7 @@ object SinkQueries {
                              o_totalprice + 1000 AS o_totalprice, yr
                       FROM base WHERE o_orderkey % 37 = 0 AND yr >= 1996
                       UNION ALL
-                      SELECT o_orderkey + 100000000, o_custkey, o_orderdate,
+                      SELECT o_orderkey + 400000000000, o_custkey, o_orderdate,
                              o_totalprice, yr
                       FROM base WHERE o_orderkey % 97 = 0 AND yr >= 1996)
               SELECT 'add' AS action, * FROM chg
@@ -605,7 +605,7 @@ object SinkQueries {
                              o_totalprice + 1000 AS o_totalprice, yr
                       FROM base WHERE o_orderkey % 37 = 0 AND yr >= 1996
                       UNION ALL
-                      SELECT o_orderkey + 100000000, o_custkey, o_orderdate,
+                      SELECT o_orderkey + 400000000000, o_custkey, o_orderdate,
                              o_totalprice, yr
                       FROM base WHERE o_orderkey % 97 = 0 AND yr >= 1996),
               merged AS (SELECT * FROM base
@@ -680,7 +680,7 @@ object SinkQueries {
                       FROM base
                       WHERE (o_orderkey % 41 = 0 OR o_orderkey % 37 = 0) AND yr >= 1996
                       UNION ALL
-                      SELECT o_orderkey + 200000000, 'I', o_custkey, o_orderdate,
+                      SELECT o_orderkey + 500000000000, 'I', o_custkey, o_orderdate,
                              o_totalprice, yr
                       FROM base WHERE o_orderkey % 97 = 0 AND yr >= 1996)
               SELECT b.o_orderkey, b.o_custkey, b.o_orderdate,
@@ -751,7 +751,7 @@ object SinkQueries {
                              o_totalprice + 1000 AS o_totalprice, yr
                       FROM base WHERE o_orderkey % 37 = 0 AND yr >= 1996
                       UNION ALL
-                      SELECT o_orderkey + 100000000, o_custkey, o_orderdate,
+                      SELECT o_orderkey + 400000000000, o_custkey, o_orderdate,
                              o_totalprice, yr
                       FROM base WHERE o_orderkey % 97 = 0 AND yr >= 1996)
               SELECT * FROM base
@@ -783,7 +783,7 @@ object SinkQueries {
         Sinks.writeManifestWithSchema(s, out, 1, v1Files, base.schema)
         val adds = Tables(s, d, "orders")
           .where("year(cast(o_orderdate as date)) >= 1996")
-          .selectExpr("o_orderkey + 100000000 as o_orderkey", "o_custkey",
+          .selectExpr("o_orderkey + 400000000000L as o_orderkey", "o_custkey",
             "o_totalprice", "o_orderkey % 5 as o_priority")
         adds.write.option("compression", "zstd").parquet(s"$out/c2")
         Sinks.writeManifestWithSchema(s, out, 2,
@@ -794,7 +794,7 @@ object SinkQueries {
                      CAST(NULL AS BIGINT) AS o_priority
               FROM orders
               UNION ALL
-              SELECT o_orderkey + 100000000, o_custkey, o_totalprice,
+              SELECT o_orderkey + 400000000000, o_custkey, o_totalprice,
                      o_orderkey % 5
               FROM orders
               WHERE year(CAST(o_orderdate AS DATE)) >= 1996""")),
@@ -1104,7 +1104,7 @@ object SinkQueries {
         "o_totalprice + 1000 as o_totalprice", "year(o_orderdate) as yr")
       .unionByName(Tables(s, d, "orders")
         .where("o_orderkey % 97 = 0 and year(o_orderdate) >= 1996")
-        .selectExpr("o_orderkey + 100000000 as o_orderkey", "o_custkey",
+        .selectExpr("o_orderkey + 400000000000L as o_orderkey", "o_custkey",
           "o_orderdate", "o_totalprice", "year(o_orderdate) as yr"))
 
   private[graft] def mergeInto(s: org.apache.spark.sql.SparkSession,
@@ -1145,7 +1145,7 @@ object SinkQueries {
         "o_custkey as s_custkey", "o_orderdate as s_orderdate",
         "o_totalprice + 1000 as s_price", "yr as s_yr")
       .unionByName(base.where("o_orderkey % 97 = 0 and yr >= 1996")
-        .selectExpr("o_orderkey + 200000000 as k", "'I' as op",
+        .selectExpr("o_orderkey + 500000000000L as k", "'I' as op",
           "o_custkey as s_custkey", "o_orderdate as s_orderdate",
           "o_totalprice as s_price", "yr as s_yr"))
     val years = src.select("s_yr").distinct().collect().map(_.getInt(0))

@@ -25,11 +25,11 @@ class SchemaEvoSpec extends AnyFunSuite with SparkTestBase {
     // HEAD: old rows null-fill, added rows carry the value
     val v2 = Sinks.readAtVersion(spark, out, 2)
     assert(v2.columns.contains("o_priority"))
-    val old = v2.where("o_orderkey < 100000000")
-    val neu = v2.where("o_orderkey >= 100000000")
+    val old = v2.where("o_orderkey < 400000000000L")
+    val neu = v2.where("o_orderkey >= 400000000000L")
     assert(old.where("o_priority is not null").count() === 0)
     assert(neu.where("o_priority is null").count() === 0)
-    assert(neu.where("o_priority != (o_orderkey - 100000000) % 5").count() === 0)
+    assert(neu.where("o_priority != (o_orderkey - 400000000000L) % 5").count() === 0)
 
     // no-rewrite: every v1 file is live, untouched, in v2
     val m1 = Sinks.readManifest(spark, out, 1).toSet

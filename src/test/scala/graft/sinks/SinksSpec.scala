@@ -82,7 +82,7 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
     val adds = feed.filter(_.getAs[String]("action") == "add")
     val removes = feed.filter(_.getAs[String]("action") == "remove")
     val updatedKeys = base.collect { case (k, _, yr) if k % 37 == 0 && yr >= 1996 => k }.toSet
-    val insertedKeys = base.collect { case (k, _, yr) if k % 97 == 0 && yr >= 1996 => k + 100000000L }.toSet
+    val insertedKeys = base.collect { case (k, _, yr) if k % 97 == 0 && yr >= 1996 => k + 400000000000L }.toSet
     assert(removes.map(_.getAs[Long]("o_orderkey")).toSet === updatedKeys)
     assert(adds.map(_.getAs[Long]("o_orderkey")).toSet === updatedKeys ++ insertedKeys)
     assert(adds.length === updatedKeys.size + insertedKeys.size,
@@ -418,7 +418,7 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
     }
     baseRows.foreach { case (k, (_, price, yr)) =>
       if (yr >= 1996 && k % 97 == 0) {
-        assert(after.get(k + 200000000L).exists(_._1 == price), s"insert missed $k")
+        assert(after.get(k + 500000000000L).exists(_._1 == price), s"insert missed $k")
         nIns += 1
       }
     }

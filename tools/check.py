@@ -84,17 +84,22 @@ def main():
         import threading as _th
         print(f"[check] {name} ...", file=sys.stderr, flush=True)
         _t0 = _t.time()
+        # Skip decisions come BEFORE the dump fetch: a skipped query's
+        # dump may be exactly the thing that is too big to fetchall
+        # (observed: checker OOM on a pair-list dump at sf10).
+        if name in skip:
+            n = con.sql(f"SELECT count(*) FROM '{out_dir}/{name}/*.parquet'"
+                        ).fetchone()[0]
+            results[name] = {"rows": n, "oracle_skipped": skip_reason}
+            print(f"[result] {name} " + json.dumps(results[name]),
+                  file=sys.stderr, flush=True)
+            continue
         spark_rel = con.sql(
             f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
         s_cols = [c for c in spark_rel.columns]
         s_rows = spark_rel.fetchall()
         if name not in oracle:
             results[name] = {"rows": len(s_rows), "oracle": None}
-            continue
-        if name in skip:
-            results[name] = {"rows": len(s_rows), "oracle_skipped": skip_reason}
-            print(f"[result] {name} " + json.dumps(results[name]),
-                  file=sys.stderr, flush=True)
             continue
         timed_out = [False]
         done = _th.Event()
