@@ -162,26 +162,56 @@ object Graph {
     * overflow the 32-bit pack fall back to the unpacked probe
     * column pair. */
   private def triangles(s: SparkSession, d: String): DataFrame = {
-    graft.functions.Hashing.register(s)
     val o = orient(copurchaseEdges(s, d)).persistScoped()
+    orientedTriangles(s, o)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** The shared bloom-prefiltered closure kernel behind g02 and g07:
+    * the (a, b, c) oriented-triangle stream over a persisted
+    * degree-oriented edge list `o` — each triangle exactly once, in
+    * its oriented (a→b, b→c, a→c) form.
+    *
+    * Sizing is measured (edge count m off the persisted list); the
+    * sketch is capped at 2^30 bits (128 MB), and ids that would
+    * overflow the 32-bit pack fall back to the unpacked probe
+    * column pair. BOTH bloom caps are raised for the build and
+    * restored (the dwca14 fs.s3a snapshot pattern): maxNumBits is
+    * the analysis-time cap on nBits, and maxNumItems (default 4 M)
+    * SILENTLY clamps estimatedNumItems via Math.min inside
+    * BloomFilterAggregate — at sf10 edge counts (m ≫ 4 M) with 2^30
+    * bits the clamped build would pick ~186 hash functions, saturate
+    * the filter, and turn the prefilter into a pass-through (the
+    * 60 GB wedge shuffle returns). Raising maxNumItems to m keeps
+    * numHashFunctions near optimal (~bits/m·ln2). Correctness never
+    * depends on the sketch: the exact left_semi decides. */
+  private[queries] def orientedTriangles(s: SparkSession, o: DataFrame): DataFrame = {
+    graft.functions.Hashing.register(s)
     val stats = o.agg(count(lit(1)).as("m"),
       max(greatest(col("src"), col("dst"))).as("mx")).head()
     val (m, mx) = (math.max(1L, stats.getLong(0)),
       if (stats.isNullAt(1)) 0L else stats.getLong(1))
     val pack = if (mx < 2147483647L) "%s * 4294967296L + %s" else "xxhash64(%s, %s)"
     val bits = { var b = 1L << 23; while (b < m * 9 && b < (1L << 30)) b <<= 1; b }
-    // BloomFilterAggregate analysis-checks nBits against the session
-    // conf cap (default 2^26) — raise it for the build, then restore
-    // (the dwca14 fs.s3a snapshot pattern).
-    val confKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val saved = s.conf.getOption(confKey)
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val savedBits = s.conf.getOption(bitsKey)
+    val savedItems = s.conf.getOption(itemsKey)
     val bloomRow = try {
-      s.conf.set(confKey, bits.toString)
+      s.conf.set(bitsKey, bits.toString)
+      s.conf.set(itemsKey, m.toString)
       o.selectExpr(s"${pack.format("src", "dst")} as pk")
         .agg(expr(s"bloom_agg(pk, $m, $bits)").as("bf")).head()
-    } finally saved match {
-      case Some(v) => s.conf.set(confKey, v)
-      case None    => s.conf.unset(confKey)
+    } finally {
+      savedBits match {
+        case Some(v) => s.conf.set(bitsKey, v)
+        case None    => s.conf.unset(bitsKey)
+      }
+      savedItems match {
+        case Some(v) => s.conf.set(itemsKey, v)
+        case None    => s.conf.unset(itemsKey)
+      }
     }
     val mightClose: org.apache.spark.sql.Column =
       if (bloomRow.isNullAt(0)) lit(false)
@@ -193,7 +223,7 @@ object Graph {
           new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
             org.apache.spark.sql.GraftSqlShims.expression(
               expr(pack.format("a", "c")))))))
-    val tri = o.as("e1")
+    o.as("e1")
       .join(o.as("e2"), col("e1.dst") === col("e2.src"))
       .select(col("e1.src").as("a"), col("e1.dst").as("b"),
         col("e2.dst").as("c"))
@@ -201,8 +231,6 @@ object Graph {
       .join(o.as("e3"),
         col("e3.src") === col("a") && col("e3.dst") === col("c"),
         "left_semi")
-    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
   // MATERIALIZED on e/o/tri: each is referenced 2-3x and DuckDB
@@ -522,12 +550,14 @@ object Graph {
       .union(e.select(col("p2").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
       .persistScoped()
+    // g02's bloom-prefiltered closure kernel, not the plain o⋈o⋈o
+    // chain: the plain wedge join shuffled Σ in·out rows (4.9 B at
+    // sf10) into the e3 closure join and filled the disk (SURVEY
+    // §8.18) — counting survivors of the prefiltered stream is the
+    // same number (each triangle appears exactly once in oriented
+    // form, and the e3 closure edge is unique per wedge).
     val o = orient(e).persistScoped()
-    val tri = o.as("e1")
-      .join(o.as("e2"), col("e1.dst") === col("e2.src"))
-      .join(o.as("e3"),
-        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
-      .agg(count(lit(1)).as("n_triangles"))
+    val tri = orientedTriangles(s, o).agg(count(lit(1)).as("n_triangles"))
     val base = deg.agg(count(lit(1)).as("n_nodes"),
       expr("sum(deg) div 2").as("n_edges"),
       expr("sum(deg * (deg - 1) div 2)").as("n_wedges"))

@@ -17,8 +17,6 @@ object Pipeline {
 
   import PipelineKernels._
 
-  import PipelineKernels._
-
   lazy val all: Map[String, Q] = entries + PipelineKernels.dsirEntry
 
   private def entries: Map[String, Q] = Map(

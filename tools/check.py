@@ -100,6 +100,11 @@ def main():
         s_rows = spark_rel.fetchall()
         if name not in oracle:
             results[name] = {"rows": len(s_rows), "oracle": None}
+            # same incremental line as every other branch: a killed
+            # sweep must keep rows-only records too (salvage_merge
+            # can't recover what was never printed)
+            print(f"[result] {name} " + json.dumps(results[name]),
+                  file=sys.stderr, flush=True)
             continue
         timed_out = [False]
         done = _th.Event()
@@ -115,6 +120,13 @@ def main():
                 print(f"[check] TIMEOUT {name} after {timeout_s}s — "
                       f"interrupting", file=sys.stderr, flush=True)
                 while not done.wait(5):
+                    # re-check right before firing: an interrupt after
+                    # the oracle actually finished (it completed just
+                    # past the timer, or in the fetchall→done window)
+                    # can cancel/poison the NEXT oracle on the shared
+                    # connection and blame the wrong query
+                    if done.is_set():
+                        return
                     con.interrupt()
             cutter = _th.Thread(target=_cut, daemon=True)
             cutter.start()
@@ -122,6 +134,10 @@ def main():
             o_rel = con.sql(oracle[name])
             o_cols = [c for c in o_rel.columns]
             o_rows = o_rel.fetchall()
+            # set IMMEDIATELY after fetchall (finally is the backstop):
+            # shrinks the window where a late cutter interrupt could
+            # land on a finished oracle and poison the next one
+            done.set()
         except Exception as e:
             if timed_out[0]:
                 results[name] = {"oracle_timeout_s": timeout_s,

@@ -6,12 +6,23 @@
 #   tools/graph_sweep.sh <sfDir> <outDir> <minFreeGB> q1 q2 ...
 set -u
 SFDIR="$1"; OUTDIR="$2"; MINFREE="$3"; shift 3
+mkdir -p "$OUTDIR"
+# Watch the filesystems that actually receive writes (the output dir
+# and the shuffle/tmp dir), not "/" — on a multi-fs host the root
+# volume can sit healthy while the data disk fills, or vice versa.
+TMPD="${TMPDIR:-/tmp}"
+freeg() {
+  local a b
+  a=$(df -BG --output=avail "$OUTDIR" | tail -1 | tr -d ' G')
+  b=$(df -BG --output=avail "$TMPD" | tail -1 | tr -d ' G')
+  if [ "$a" -lt "$b" ]; then echo "$a"; else echo "$b"; fi
+}
 for q in "$@"; do
-  echo "=== $q $(date +%H:%M:%S) free=$(df -BG --output=avail / | tail -1 | tr -d ' G')G"
+  echo "=== $q $(date +%H:%M:%S) free=$(freeg)G"
   SPARK_GRAFT_VERIFY_GC=1 tools/run_verify.sh "$SFDIR" "$OUTDIR" "$q" &
   pid=$!
   while kill -0 $pid 2>/dev/null; do
-    free=$(df -BG --output=avail / | tail -1 | tr -d ' G')
+    free=$(freeg)
     if [ "$free" -lt "$MINFREE" ]; then
       echo "!!! disk watchdog: ${free}G free < ${MINFREE}G — killing $q"
       kill $pid; sleep 10; kill -9 $pid 2>/dev/null
@@ -21,5 +32,5 @@ for q in "$@"; do
     sleep 15
   done
   wait $pid 2>/dev/null
-  echo "=== $q exit, free=$(df -BG --output=avail / | tail -1 | tr -d ' G')G"
+  echo "=== $q exit, free=$(freeg)G"
 done
