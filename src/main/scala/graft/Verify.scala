@@ -18,6 +18,17 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_SHUFFLE_METRICS=1: per-query shuffle totals on
+    // stderr — the measured answer to "did that plan change cut the
+    // exchange" (g02's bloom prefilter at sf10 is the motivating
+    // case; .explain shows WHERE the filter sits, only task metrics
+    // show HOW MANY bytes/rows crossed).
+    val shuffleMetrics =
+      if (sys.env.get("SPARK_GRAFT_SHUFFLE_METRICS").contains("1")) {
+        val m = new ShuffleTotalsListener
+        spark.sparkContext.addSparkListener(m)
+        Some(m)
+      } else None
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
@@ -40,6 +51,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       spark.catalog.clearCache()
+      shuffleMetrics.foreach { m =>
+        System.err.println(s"[verify] shuffle $name ${m.drain()}")
+      }
       // SPARK_GRAFT_VERIFY_GC=1: force a GC after each query so the
       // ContextCleaner reclaims that query's now-unreferenced shuffle
       // files immediately — same lesson as Bench's SPARK_GRAFT_BENCH_GC
@@ -63,9 +77,42 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    shuffleMetrics.foreach(m => spark.sparkContext.removeSparkListener(m))
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+  }
+}
+
+/** Accumulates task-level shuffle totals between [[drain]] calls —
+  * the per-query exchange cost a plan audit can't read off
+  * `.explain`. Thread-safe the way SparkListeners need to be (the
+  * listener bus is single-threaded, but drain() races with it). */
+private[graft] class ShuffleTotalsListener
+    extends org.apache.spark.scheduler.SparkListener {
+  private val writeB = new java.util.concurrent.atomic.AtomicLong
+  private val writeR = new java.util.concurrent.atomic.AtomicLong
+  private val readB = new java.util.concurrent.atomic.AtomicLong
+  private val readR = new java.util.concurrent.atomic.AtomicLong
+  private val spillB = new java.util.concurrent.atomic.AtomicLong
+  override def onTaskEnd(
+      t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    val m = t.taskMetrics
+    if (m != null) {
+      writeB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      writeR.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      readB.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      readR.addAndGet(m.shuffleReadMetrics.recordsRead)
+      spillB.addAndGet(m.diskBytesSpilled)
+    }
+  }
+  /** Snapshot-and-reset; returns one human-parsable key=value line. */
+  def drain(): String = {
+    val s = s"write_bytes=${writeB.get} write_records=${writeR.get} " +
+      s"read_bytes=${readB.get} read_records=${readR.get} " +
+      s"disk_spill_bytes=${spillB.get}"
+    writeB.set(0); writeR.set(0); readB.set(0); readR.set(0); spillB.set(0)
+    s
   }
 }

@@ -137,10 +137,10 @@ object Dedup {
         s"""$duckShingles,
             csig AS (SELECT doc_id, ${duckSig(16)} AS sig FROM hs),
             cb AS (SELECT doc_id, unnest(generate_series(0, 3)) AS band, sig FROM csig),
-            cbk AS (SELECT doc_id, band,
+            cbk AS MATERIALIZED (SELECT doc_id, band,
                       ${Hashing.duck32("band || ':' || array_to_string(sig[band*4+1:band*4+4], ',')")} AS bucket
                     FROM cb),
-            ev AS (SELECT doc_id FROM documents WHERE $ev),
+            ev AS MATERIALIZED (SELECT doc_id FROM documents WHERE $ev),
             cand AS (SELECT DISTINCT t.doc_id AS td, e.doc_id AS ed
                      FROM cbk t JOIN cbk e ON t.band = e.band AND t.bucket = e.bucket
                      JOIN ev ON ev.doc_id = e.doc_id
@@ -204,17 +204,17 @@ object Dedup {
         s"""$duckShingles,
             csig AS (SELECT doc_id, ${duckSig(16)} AS sig FROM hs),
             cb AS (SELECT doc_id, unnest(generate_series(0, 3)) AS band, sig FROM csig),
-            cbk AS (SELECT doc_id, band,
+            cbk AS MATERIALIZED (SELECT doc_id, band,
                       ${Hashing.duck32("band || ':' || array_to_string(sig[band*4+1:band*4+4], ',')")} AS bucket
                     FROM cb),
-            sdoc AS (SELECT doc_id + 1000000 AS doc_id,
+            sdoc AS MATERIALIZED (SELECT doc_id + 1000000 AS doc_id,
                             CASE WHEN $pct < 10 THEN text ELSE text || ' v2' END AS text
                      FROM documents WHERE $pct < 20),
             st AS (SELECT doc_id, string_split(text,' ') AS t FROM sdoc
                    WHERE len(string_split(text,' ')) >= 3),
             ssh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-2),
                       i -> array_to_string(t[i:i+2], ' '))) AS sh FROM st),
-            shs AS (SELECT doc_id, list_transform(sh,
+            shs AS MATERIALIZED (SELECT doc_id, list_transform(sh,
                       s -> (('0x' || substr(md5(s), 1, 8))::BIGINT) % 2147483647) AS hv FROM ssh),
             ssig AS (SELECT doc_id, ${duckSig(16)} AS sig FROM shs),
             sb AS (SELECT doc_id, unnest(generate_series(0, 3)) AS band, sig FROM ssig),
@@ -258,9 +258,9 @@ object Dedup {
           .selectExpr("d1", "d2", "jac_bp", "est_bp", "est_bp - jac_bp as err_bp")
       },
       Some(s"""$duckShingles,
-               sigs AS (SELECT doc_id, ${duckSig(16)} AS sig FROM hs),
+               sigs AS MATERIALIZED (SELECT doc_id, ${duckSig(16)} AS sig FROM hs),
                b AS (SELECT doc_id, unnest(generate_series(0, 3)) AS band, sig FROM sigs),
-               bk AS (SELECT doc_id, band,
+               bk AS MATERIALIZED (SELECT doc_id, band,
                         ${Hashing.duck32("band || ':' || array_to_string(sig[band*4+1:band*4+4], ',')")} AS bucket
                       FROM b),
                cand AS (SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
@@ -345,12 +345,12 @@ object Dedup {
           .select("d1", "d2", "jac")
       },
       Some(s"""$duckShingles,
-               sigs AS (SELECT doc_id, ${duckSig(16)} AS sig FROM hs),
+               sigs AS MATERIALIZED (SELECT doc_id, ${duckSig(16)} AS sig FROM hs),
                b AS (SELECT doc_id, unnest(generate_series(0, 3)) AS band, sig FROM sigs),
-               bk AS (SELECT doc_id, band,
+               bk AS MATERIALIZED (SELECT doc_id, band,
                         ${Hashing.duck32("band || ':' || array_to_string(sig[band*4+1:band*4+4], ',')")} AS bucket
                       FROM b),
-               capped AS (SELECT * FROM
+               capped AS MATERIALIZED (SELECT * FROM
                             (SELECT doc_id, band, bucket,
                                     count(*) OVER (PARTITION BY band, bucket) AS bsz FROM bk)
                           WHERE bsz <= 8),
@@ -401,9 +401,9 @@ object Dedup {
           .select("d1", "d2", "cont")
       },
       Some(s"""$duckShingles,
-               sigs AS (SELECT doc_id, ${duckSig(16)} AS sig FROM hs),
+               sigs AS MATERIALIZED (SELECT doc_id, ${duckSig(16)} AS sig FROM hs),
                b AS (SELECT doc_id, unnest(generate_series(0, 3)) AS band, sig FROM sigs),
-               bk AS (SELECT doc_id, band,
+               bk AS MATERIALIZED (SELECT doc_id, band,
                         ${Hashing.duck32("band || ':' || array_to_string(sig[band*4+1:band*4+4], ',')")} AS bucket
                       FROM b),
                cand AS (SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
@@ -449,15 +449,15 @@ object Dedup {
                  list_distinct(list_transform(generate_series(1, length(text)-3),
                    i -> substr(text, i, 4))) AS g
                FROM documents WHERE length(text) >= 4),
-               hg AS (SELECT doc_id, g,
+               hg AS MATERIALIZED (SELECT doc_id, g,
                  list_transform(g, x -> (('0x' || substr(md5(x), 1, 8))::BIGINT) % $P) AS hv
                FROM g),
                sigs AS (SELECT doc_id, ${duckSig(8)} AS sig FROM hg),
                b AS (SELECT doc_id, unnest(generate_series(0, 1)) AS band, sig FROM sigs),
-               bk AS (SELECT doc_id, band,
+               bk AS MATERIALIZED (SELECT doc_id, band,
                         ${Hashing.duck32("band || ':' || array_to_string(sig[band*4+1:band*4+4], ',')")} AS bucket
                       FROM b),
-               capped AS (SELECT * FROM
+               capped AS MATERIALIZED (SELECT * FROM
                             (SELECT doc_id, band, bucket,
                                     count(*) OVER (PARTITION BY band, bucket) AS bsz FROM bk)
                           WHERE bsz <= 64),
@@ -543,15 +543,15 @@ object Dedup {
         Recall.perProbe(exact, retr, "p_id", "c_id", None)
       },
       Some(s"""$duckShingles,
-               sigs AS (SELECT doc_id, ${duckSig(16)} AS sig FROM hs),
+               sigs AS MATERIALIZED (SELECT doc_id, ${duckSig(16)} AS sig FROM hs),
                b AS (SELECT doc_id, unnest(generate_series(0, 3)) AS band, sig FROM sigs),
-               bk AS (SELECT doc_id, band,
+               bk AS MATERIALIZED (SELECT doc_id, band,
                         ${Hashing.duck32("band || ':' || array_to_string(sig[band*4+1:band*4+4], ',')")} AS bucket
                       FROM b),
                cand AS (SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
                         FROM bk a JOIN bk c
                         ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id),
-               pr AS (SELECT d1, d2 FROM
+               pr AS MATERIALIZED (SELECT d1, d2 FROM
                         (SELECT d1, d2,
                                 CAST(len(list_intersect(x.hv, y.hv)) AS DOUBLE)
                                   / len(list_distinct(x.hv || y.hv)) AS jac
@@ -707,12 +707,12 @@ object Dedup {
             "inter * 10000 div n_union as jac_bp")
       },
       Some(s"""$duckShingles,
-               ds AS (SELECT doc_id, list_distinct(hv) AS hv FROM hs),
+               ds AS MATERIALIZED (SELECT doc_id, list_distinct(hv) AS hv FROM hs),
                e AS (SELECT doc_id, unnest(hv) AS g FROM ds),
                p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
                      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
                      GROUP BY 1, 2),
-               sz AS (SELECT doc_id, len(hv) AS sz FROM ds)
+               sz AS MATERIALIZED (SELECT doc_id, len(hv) AS sz FROM ds)
                SELECT d1, d2, CAST(inter AS BIGINT) AS inter,
                       CAST(s1.sz + s2.sz - inter AS BIGINT) AS n_union,
                       CAST(inter * 10000 // (s1.sz + s2.sz - inter) AS BIGINT) AS jac_bp
@@ -1050,7 +1050,7 @@ object Dedup {
       Some {
         val configs = Seq((16, 1), (8, 2), (4, 4), (2, 8))
         val perCfg = configs.map { case (b, r) =>
-          s"""bk${b}_$r AS (SELECT doc_id, band,
+          s"""bk${b}_$r AS MATERIALIZED (SELECT doc_id, band,
                 ${Hashing.duck32(s"band || ':' || array_to_string(sig[band*$r+1:band*$r+$r], ',')")} AS bucket
               FROM (SELECT doc_id, unnest(generate_series(0, ${b - 1})) AS band, sig
                     FROM sigs)),
@@ -1075,7 +1075,7 @@ object Dedup {
         // engine; same cure as g06's oracle)
         s"""$duckShingles,
             sigs AS MATERIALIZED (SELECT doc_id, ${duckSig(16)} AS sig FROM hs),
-            ds AS (SELECT doc_id, list_distinct(hv) AS hv FROM hs),
+            ds AS MATERIALIZED (SELECT doc_id, list_distinct(hv) AS hv FROM hs),
             sz AS MATERIALIZED (SELECT doc_id, len(hv) AS sz FROM ds),
             e AS MATERIALIZED (SELECT doc_id, unnest(hv) AS g FROM ds),
             p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
@@ -1084,7 +1084,7 @@ object Dedup {
             truth AS MATERIALIZED (SELECT d1, d2 FROM p
                       JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2
                       WHERE 10 * inter >= 7 * (s1.sz + s2.sz - inter)),
-            nt AS (SELECT count(*) AS n_true FROM truth),
+            nt AS MATERIALIZED (SELECT count(*) AS n_true FROM truth),
             $perCfg
             $sel"""
       }),

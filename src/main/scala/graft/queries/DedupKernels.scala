@@ -356,7 +356,7 @@ private[graft] object DedupKernels {
   private[queries] val duckBandPairs: String =
     """b AS (SELECT doc_id, simhash, unnest(generate_series(0, 3)) AS band FROM sh),
        bk AS (SELECT doc_id, simhash, band, (simhash >> (band*16)) & 65535 AS bits FROM b),
-       capped AS (SELECT * FROM
+       capped AS MATERIALIZED (SELECT * FROM
                     (SELECT doc_id, simhash, band, bits,
                             count(*) OVER (PARTITION BY band, bits) AS bsz FROM bk)
                   WHERE bsz <= 64),
@@ -372,12 +372,12 @@ private[graft] object DedupKernels {
     * p16's leakage-free split (group = near-dup component). */
   private[queries] lazy val duckClusters: String =
     s"""WITH RECURSIVE p AS MATERIALIZED ($d03Oracle),
-       edges AS (SELECT d1 AS a, d2 AS b FROM p
+       edges AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM p
                  UNION SELECT d2, d1 FROM p),
        reach AS (SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges)
                  UNION
                  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-       cl AS (SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a)"""
+       cl AS MATERIALIZED (SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a)"""
 
 
 
@@ -736,7 +736,7 @@ private[graft] object DedupKernels {
     s"""$duckShingles,
        sigs AS (SELECT doc_id, ${duckSig(16)} AS sig FROM hs),
        b AS (SELECT doc_id, unnest(generate_series(0, 3)) AS band, sig FROM sigs),
-       bk AS (SELECT doc_id, band,
+       bk AS MATERIALIZED (SELECT doc_id, band,
                 ${Hashing.duck32("band || ':' || array_to_string(sig[band*4+1:band*4+4], ',')")} AS bucket
               FROM b),
        cand AS (SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
@@ -753,7 +753,7 @@ private[graft] object DedupKernels {
                   WHERE len(string_split(text,' ')) >= 3),
        sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-2),
                        i -> array_to_string(t[i:i+2], ' '))) AS sh FROM t),
-       hs AS (SELECT doc_id, sh, list_transform(sh, s -> (('0x' || substr(md5(s), 1, 8))::BIGINT) % 2147483647) AS hv FROM sh)"""
+       hs AS MATERIALIZED (SELECT doc_id, sh, list_transform(sh, s -> (('0x' || substr(md5(s), 1, 8))::BIGINT) % 2147483647) AS hv FROM sh)"""
   private[queries] def duckSig(k: Int): String = {
     val a = duckLits(graft.functions.MinHash.coefA(k).toSeq)
     val b = duckLits(graft.functions.MinHash.coefB(k).toSeq)
@@ -832,12 +832,12 @@ private[graft] object DedupKernels {
             "greatest(0L, (4 * match_bp - 10000) div 3) as est_bp")
       },
       Some(s"""$duckShingles,
-               sigs AS (SELECT doc_id,
+               sigs AS MATERIALIZED (SELECT doc_id,
                           list_transform(${duckSig(16)}, v -> v % 4) AS bb
                         FROM hs),
                b AS (SELECT doc_id, unnest(generate_series(0, 3)) AS band,
                             ${duckSig(16)} AS sig FROM hs),
-               bk AS (SELECT doc_id, band,
+               bk AS MATERIALIZED (SELECT doc_id, band,
                         ${graft.functions.Hashing.duck32("band || ':' || array_to_string(sig[band*4+1:band*4+4], ',')")} AS bucket
                       FROM b),
                cand AS (SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2

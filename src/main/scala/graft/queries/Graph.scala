@@ -399,12 +399,12 @@ object Graph {
        |                           AND a.l_partkey < b.l_partkey),
        |e AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM e0
        |      UNION ALL SELECT p2, p1 FROM e0),
-       |d0 AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY 1),
+       |d0 AS MATERIALIZED (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY 1),
        |nn AS (SELECT COUNT(*) AS n FROM d0),
        |kv AS MATERIALIZED (SELECT max(CASE WHEN rn <= (n + 1) // 2 THEN deg END) * 7 // 10 AS k
        |       FROM (SELECT deg, row_number() OVER (ORDER BY deg) AS rn FROM d0)
        |       CROSS JOIN nn),
-       |s0 AS (SELECT node FROM d0),
+       |s0 AS MATERIALIZED (SELECT node FROM d0),
        |$rounds
        |SELECT e.src AS node, CAST(COUNT(*) AS BIGINT) AS deg_core
        |FROM e JOIN s$PeelRounds x ON x.node = e.src
@@ -687,7 +687,7 @@ object Graph {
       |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
       |a1 AS (SELECT dst, count(*) AS a FROM e0 GROUP BY dst),
       |h1 AS (SELECT src, sum(a) AS h FROM e0 JOIN a1 USING (dst) GROUP BY src),
-      |a2 AS (SELECT dst, sum(h) AS a FROM e0 JOIN h1 USING (src) GROUP BY dst),
+      |a2 AS MATERIALIZED (SELECT dst, sum(h) AS a FROM e0 JOIN h1 USING (src) GROUP BY dst),
       |h2 AS (SELECT src, sum(a) AS h FROM e0 JOIN a2 USING (dst) GROUP BY src)
       |SELECT dst AS node, 'supplier' AS kind, CAST(a AS BIGINT) AS score FROM a2
       |UNION ALL

@@ -315,8 +315,8 @@ object Pipeline {
       Some {
         val d08Sql = Dedup.all("d08_dup_clusters").oracle.get
         val t12Sql = TextOps.all("t12_classifier_score").oracle.get
-        s"""WITH cl AS ($d08Sql),
-            sc AS (SELECT doc_id, score_bp FROM ($t12Sql)),
+        s"""WITH cl AS MATERIALIZED ($d08Sql),
+            sc AS MATERIALIZED (SELECT doc_id, score_bp FROM ($t12Sql)),
             best AS (SELECT cluster, doc_id AS keep_id FROM
                        (SELECT cl.cluster, cl.doc_id,
                                row_number() OVER (PARTITION BY cl.cluster

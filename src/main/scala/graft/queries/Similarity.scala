@@ -273,7 +273,7 @@ object Similarity {
       (s, d) => SimilarityKernels.embedClusters(s, d),
       Some(s"""WITH RECURSIVE ${SimilarityKernels.s04OracleCtes},
                p AS MATERIALIZED (${SimilarityKernels.s04OracleSelect}),
-               edges AS (SELECT v1 AS a, v2 AS b FROM p
+               edges AS MATERIALIZED (SELECT v1 AS a, v2 AS b FROM p
                          UNION SELECT v2, v1 FROM p),
                reach AS (SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges)
                          UNION

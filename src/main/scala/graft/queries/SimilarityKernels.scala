@@ -560,7 +560,7 @@ private[graft] object SimilarityKernels {
                   WHERE rn <= 16)"""
     val steps = (1 to iters).map { i =>
       s"""cl${i - 1} AS (SELECT cid, list(CAST(v AS DOUBLE) ORDER BY pos) AS ce FROM cx${i - 1} GROUP BY cid),
-          cn${i - 1} AS (SELECT cid, ce, sqrt(list_sum(list_transform(ce, x -> x * x))) AS cn FROM cl${i - 1}),
+          cn${i - 1} AS MATERIALIZED (SELECT cid, ce, sqrt(list_sum(list_transform(ce, x -> x * x))) AS cn FROM cl${i - 1}),
           casg$i AS (SELECT vec_id, cid FROM (
                       SELECT e.vec_id, c.cid,
                              row_number() OVER (PARTITION BY e.vec_id
@@ -575,7 +575,7 @@ private[graft] object SimilarityKernels {
     }
     val fin =
       s"""ctl AS (SELECT cid, list(CAST(v AS DOUBLE) ORDER BY pos) AS ce FROM cx$iters GROUP BY cid),
-          cent AS (SELECT cid, ce, sqrt(list_sum(list_transform(ce, x -> x * x))) AS cn FROM ctl)"""
+          cent AS MATERIALIZED (SELECT cid, ce, sqrt(list_sum(list_transform(ce, x -> x * x))) AS cn FROM ctl)"""
     (seed +: steps :+ fin).mkString(",\n")
   }
 
@@ -591,7 +591,7 @@ private[graft] object SimilarityKernels {
   /** DuckDB mirror of the probe-cell selection + candidate join for
     * one nprobe setting — CTEs pcells`sfx`/cand`sfx`. */
   private[queries] def duckIvfProbe(np: Int, sfx: String = ""): String =
-    s"""pcells$sfx AS (SELECT probe_id, cid AS cell FROM (
+    s"""pcells$sfx AS MATERIALIZED (SELECT probe_id, cid AS cell FROM (
                     SELECT e.vec_id AS probe_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
                              ORDER BY ${duckDot("e.embedding", "c.ce")}/(e.nrm*c.cn) DESC, c.cid) AS rn
                     FROM e CROSS JOIN cent c WHERE e.vec_id < 10) WHERE rn <= $np),
@@ -746,7 +746,7 @@ private[graft] object SimilarityKernels {
                   FROM sub CROSS JOIN $pos8 p
                   WHERE vec_id < 16)"""
     val steps = (1 to iters).map { i =>
-      s"""cbl${i - 1} AS (SELECT s, j, list(CAST(v AS DOUBLE) ORDER BY p) AS cv FROM cb${i - 1} GROUP BY s, j),
+      s"""cbl${i - 1} AS MATERIALIZED (SELECT s, j, list(CAST(v AS DOUBLE) ORDER BY p) AS cv FROM cb${i - 1} GROUP BY s, j),
           pcodes$i AS (SELECT vec_id, s, j AS code FROM (
                         SELECT sub.vec_id, sub.s, cb.j,
                                row_number() OVER (PARTITION BY sub.vec_id, sub.s
@@ -756,11 +756,11 @@ private[graft] object SimilarityKernels {
                     FROM pcodes$i c JOIN sub ON sub.vec_id = c.vec_id AND sub.s = c.s
                     CROSS JOIN $pos8 p
                     GROUP BY c.s, c.code, p.p),
-          cb$i AS (SELECT sd.s, sd.j, sd.p, CAST(COALESCE(m.v, CAST(sd.v AS DOUBLE)) AS FLOAT) AS v
+          cb$i AS MATERIALIZED (SELECT sd.s, sd.j, sd.p, CAST(COALESCE(m.v, CAST(sd.v AS DOUBLE)) AS FLOAT) AS v
                    FROM cb${i - 1} sd LEFT JOIN pmx$i m ON m.s = sd.s AND m.j = sd.j AND m.p = sd.p)"""
     }
     val fin =
-      s"""cbl AS (SELECT s, j, list(CAST(v AS DOUBLE) ORDER BY p) AS cv FROM cb$iters GROUP BY s, j)"""
+      s"""cbl AS MATERIALIZED (SELECT s, j, list(CAST(v AS DOUBLE) ORDER BY p) AS cv FROM cb$iters GROUP BY s, j)"""
     (seed +: steps :+ fin).mkString(",\n")
   }
 
