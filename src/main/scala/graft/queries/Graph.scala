@@ -233,11 +233,23 @@ object Graph {
         "left_semi")
   }
 
-  // MATERIALIZED on e/o/tri: each is referenced 2-3x and DuckDB
+  // MATERIALIZED on e/o/adj/tri: each is referenced 2-3x and DuckDB
   // would otherwise inline the whole upstream pipeline per reference
   // (the lineitem self-join three times over inside the triangle
   // closure) — the sf1 checker died on stacked spill, not a result
   // mismatch; same cure as g06/d22's oracles.
+  //
+  // The closure is ADJACENCY-LIST INTERSECTION, not the o⋈o⋈o wedge
+  // chain: at sf10 the wedge stream (~4.9 B rows) forced DuckDB's
+  // grace hash join to spill the whole probe side (>60 GB, killed on
+  // disk). Per oriented base edge (a,b), every common out-neighbor
+  // c ∈ N⁺(a) ∩ N⁺(b) closes a triangle — the orientation is acyclic
+  // (total order by (deg, id)), so each triangle has exactly one
+  // base edge (its two smallest corners) and is emitted exactly once,
+  // the same multiset the wedge chain produced. A deliberately
+  // DIFFERENT algorithm from the engine's bloom-prefiltered closure —
+  // a stronger independent check, and the intersection work happens
+  // inside a per-row list kernel instead of a join intermediate.
   private val trianglesSql =
     """WITH e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
       |           FROM lineitem a
@@ -250,9 +262,11 @@ object Graph {
       |             CASE WHEN d1.deg <= d2.deg THEN e.p2 ELSE e.p1 END AS dst
       |      FROM e JOIN deg d1 ON d1.node = e.p1
       |             JOIN deg d2 ON d2.node = e.p2),
-      |tri AS MATERIALIZED (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
-      |        FROM o e1 JOIN o e2 ON e2.src = e1.dst
-      |                  JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+      |adj AS MATERIALIZED (SELECT src, list(dst) AS nb FROM o GROUP BY src),
+      |tri AS MATERIALIZED (SELECT ed.src AS a, ed.dst AS b,
+      |               unnest(list_intersect(x.nb, y.nb)) AS c
+      |        FROM o ed JOIN adj x ON x.src = ed.src
+      |                  JOIN adj y ON y.src = ed.dst)
       |SELECT node, COUNT(*) AS n_triangles
       |FROM (SELECT a AS node FROM tri
       |      UNION ALL SELECT b FROM tri
@@ -582,9 +596,11 @@ object Graph {
       |             CASE WHEN d1.deg <= d2.deg THEN e.p2 ELSE e.p1 END AS dst
       |      FROM e JOIN deg d1 ON d1.node = e.p1
       |             JOIN deg d2 ON d2.node = e.p2),
-      |tri AS (SELECT COUNT(*) AS n_triangles
-      |        FROM o e1 JOIN o e2 ON e2.src = e1.dst
-      |                  JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+      |adj AS MATERIALIZED (SELECT src, list(dst) AS nb FROM o GROUP BY src),
+      |tri AS (SELECT CAST(COALESCE(SUM(len(list_intersect(x.nb, y.nb))), 0) AS BIGINT)
+      |               AS n_triangles
+      |        FROM o ed JOIN adj x ON x.src = ed.src
+      |                  JOIN adj y ON y.src = ed.dst),
       |base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
       |                CAST(sum(deg) // 2 AS BIGINT) AS n_edges,
       |                CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
