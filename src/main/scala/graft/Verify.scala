@@ -52,6 +52,14 @@ object Verify {
       }
       spark.catalog.clearCache()
       shuffleMetrics.foreach { m =>
+        // The listener bus is asynchronous: task-end events from the
+        // query just finished can still be in flight when we drain.
+        // Barrier = run a trivial zero-shuffle action (its events are
+        // enqueued BEHIND the query's — the bus is FIFO) then yield
+        // briefly; totals remain approximate under extreme bus lag,
+        // but in practice this closes the misattribution window.
+        spark.sparkContext.parallelize(Seq(1), 1).count()
+        Thread.sleep(200)
         System.err.println(s"[verify] shuffle $name ${m.drain()}")
       }
       // SPARK_GRAFT_VERIFY_GC=1: force a GC after each query so the

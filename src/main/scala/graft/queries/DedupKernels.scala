@@ -755,11 +755,19 @@ private[graft] object DedupKernels {
                        i -> array_to_string(t[i:i+2], ' '))) AS sh FROM t),
        hs AS MATERIALIZED (SELECT doc_id, sh, list_transform(sh, s -> (('0x' || substr(md5(s), 1, 8))::BIGINT) % 2147483647) AS hv FROM sh)"""
   private[queries] def duckSig(k: Int): String = {
-    val a = duckLits(graft.functions.MinHash.coefA(k).toSeq)
-    val b = duckLits(graft.functions.MinHash.coefB(k).toSeq)
-    s"""list_transform(generate_series(0, ${k - 1}),
-          j -> list_min(list_transform(hv,
-            h -> ($a[j+1] * h + $b[j+1]) % $P)))"""
+    // UNROLLED per permutation, not `list_transform(generate_series(0,
+    // k-1), j -> list_min(...))`: DuckDB executes a nested lambda that
+    // captures an outer column (hv) row-at-a-time — measured 239 s for
+    // 50 k docs at sf10-textgrow, the entire reason the d/c-family
+    // oracles blew the 420–900 s checker budget. k independent flat
+    // `list_min(list_transform(hv, …))` terms stay vectorized: 2.3 s
+    // on the same sample (104×), bit-identical output (same a·h+b mod P
+    // arithmetic, same element order).
+    val a = graft.functions.MinHash.coefA(k)
+    val b = graft.functions.MinHash.coefB(k)
+    (0 until k).map { j =>
+      s"list_min(list_transform(hv, h -> (${a(j)} * h + ${b(j)}) % $P))"
+    }.mkString("[", ",\n            ", "]")
   }
 
   /** The dedup stage's DROP SET (consumed by c01/c03): exact dups —

@@ -194,6 +194,16 @@ object Graph {
       if (stats.isNullAt(1)) 0L else stats.getLong(1))
     val pack = if (mx < 2147483647L) "%s * 4294967296L + %s" else "xxhash64(%s, %s)"
     val bits = { var b = 1L << 23; while (b < m * 9 && b < (1L << 30)) b <<= 1; b }
+    // SERIAL-EXECUTION ASSUMPTION: the set/restore below mutates
+    // session-global SQL conf around the bloom build. Verify/Bench run
+    // queries strictly sequentially on one SparkSession, so the window
+    // is private; two graph queries racing on one session could
+    // interleave set/restore and build an under-sized bloom. If a
+    // concurrent driver ever appears, scope these per-query (clone the
+    // session via s.newSession() for the bloom build) — correctness
+    // would still hold either way (the bloom is advisory; the exact
+    // left_semi below decides), only the prefilter's selectivity and
+    // therefore the shuffle volume would degrade.
     val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
     val savedBits = s.conf.getOption(bitsKey)

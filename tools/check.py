@@ -108,35 +108,37 @@ def main():
             continue
         timed_out = [False]
         done = _th.Event()
+        # Each oracle runs on its OWN cursor (an independent DuckDB
+        # connection to the shared catalog): the cutter interrupts the
+        # cursor, never `con`, so a late interrupt — one that fires in
+        # the fetchall→done window after the oracle actually finished —
+        # can at worst no-op on a dead cursor; it can never poison the
+        # NEXT oracle (the race the is_set() re-check shrank but could
+        # not close). Views and SET memory/temp/threads are database-
+        # level, so cursors inherit them.
+        cur = con.cursor()
         if timeout_s > 0:
             # Re-fire the interrupt until the query actually dies: a
             # single interrupt() can be missed by a pipeline that is
             # between poll points (observed: 45+ min past the timer on
             # one oracle), so the cutter loops.
-            def _cut():
+            def _cut(target=cur):
                 if done.wait(timeout_s):
                     return
                 timed_out[0] = True
                 print(f"[check] TIMEOUT {name} after {timeout_s}s — "
                       f"interrupting", file=sys.stderr, flush=True)
                 while not done.wait(5):
-                    # re-check right before firing: an interrupt after
-                    # the oracle actually finished (it completed just
-                    # past the timer, or in the fetchall→done window)
-                    # can cancel/poison the NEXT oracle on the shared
-                    # connection and blame the wrong query
-                    if done.is_set():
-                        return
-                    con.interrupt()
+                    try:
+                        target.interrupt()
+                    except Exception:
+                        return  # cursor already closed — nothing to cut
             cutter = _th.Thread(target=_cut, daemon=True)
             cutter.start()
         try:
-            o_rel = con.sql(oracle[name])
+            o_rel = cur.sql(oracle[name])
             o_cols = [c for c in o_rel.columns]
             o_rows = o_rel.fetchall()
-            # set IMMEDIATELY after fetchall (finally is the backstop):
-            # shrinks the window where a late cutter interrupt could
-            # land on a finished oracle and poison the next one
             done.set()
         except Exception as e:
             if timed_out[0]:
@@ -146,6 +148,10 @@ def main():
                 results[name] = {"error": str(e)[:300]}
             print(f"[result] {name} " + json.dumps(results[name]),
                   file=sys.stderr, flush=True)
+            try:
+                cur.close()
+            except Exception:
+                pass
             continue
         finally:
             done.set()
@@ -194,6 +200,10 @@ def main():
                     if a != b:
                         results[name]["first_diff"] = {"spark": a, "oracle": b}
                         break
+        try:
+            cur.close()
+        except Exception:
+            pass
     print(json.dumps(results, indent=1))
     n_oracle = sum(1 for r in results.values() if "rows_match" in r or "error" in r)
     print(f"== {n_ok}/{n_oracle} oracle-checked green; "

@@ -13,8 +13,14 @@ mkdir -p "$OUTDIR"
 TMPD="${TMPDIR:-/tmp}"
 freeg() {
   local a b
-  a=$(df -BG --output=avail "$OUTDIR" | tail -1 | tr -d ' G')
-  b=$(df -BG --output=avail "$TMPD" | tail -1 | tr -d ' G')
+  a=$(df -BG --output=avail "$OUTDIR" 2>/dev/null | tail -1 | tr -d ' G')
+  b=$(df -BG --output=avail "$TMPD" 2>/dev/null | tail -1 | tr -d ' G')
+  # Fail CLOSED: a df that errors or prints non-numeric output reads
+  # as 0 free — the watchdog kills rather than running blind on a
+  # disk it can't see (an empty $a would otherwise crash the -lt test
+  # and silently fall back to the other volume's number).
+  case "$a" in (''|*[!0-9]*) echo "freeg: unreadable df for $OUTDIR — treating as 0" >&2; a=0;; esac
+  case "$b" in (''|*[!0-9]*) echo "freeg: unreadable df for $TMPD — treating as 0" >&2; b=0;; esac
   if [ "$a" -lt "$b" ]; then echo "$a"; else echo "$b"; fi
 }
 for q in "$@"; do
