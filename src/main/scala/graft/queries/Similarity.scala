@@ -344,8 +344,9 @@ object Similarity {
         adcTopk(codes.crossJoin(broadcast(probes)).where("cand_id != probe_id"), 3)
       },
       Some {
+        // dim = 8: sv/cv are PQ subvectors (SimilarityKernels' dd2 note)
         val dd2 = (a: String, b: String) =>
-          s"(${duckDot(a, a)} - 2 * ${duckDot(a, b)} + ${duckDot(b, b)})"
+          s"(${duckDot(a, a, 8)} - 2 * ${duckDot(a, b, 8)} + ${duckDot(b, b, 8)})"
         s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
             sub AS MATERIALIZED (SELECT vec_id, s, embedding[s*8+1:s*8+8] AS sv
                     FROM e, LATERAL (SELECT unnest(generate_series(0, 7)) AS s) g),
@@ -811,7 +812,7 @@ object Similarity {
                           FROM embeddings),
                sc AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
                              ${duckDot("p.embedding", "c.embedding")} / (p.nrm * c.nrm) AS cf,
-                             ${duckDot("p.emb16", "c.emb16")} / (p.nrm16 * c.nrm16) AS ct
+                             ${duckDot("p.emb16", "c.emb16", 16)} / (p.nrm16 * c.nrm16) AS ct
                       FROM e p JOIN e c ON c.vec_id != p.vec_id
                       WHERE p.vec_id < 10),
                f3 AS (SELECT probe_id, cand_id FROM

@@ -26,8 +26,19 @@ private[graft] object SimilarityKernels {
 
   private[queries] val normE = "vnorm(embedding)"
 
-  private[queries] def duckDot(a: String, b: String): String =
-    s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * p[2]))"
+  /** UNROLLED to `dim` explicit `CAST(a[i] AS DOUBLE) * b[i]` terms,
+    * not `list_sum(list_transform(list_zip(a, b), …))`: the zip+lambda
+    * allocates a 64-struct list per ROW, which dominated the oracle's
+    * pairwise stages (d17's 1.25 B within-cell pairs at sf10 blew the
+    * checker budget on it). Left-associative `+` keeps list_sum's
+    * sequential element-order accumulation, so the result is
+    * bit-identical for the fixed-width embedding columns every call
+    * site feeds (out-of-bounds NULL semantics would differ on ragged
+    * lists — none exist here; the sf0.01 hash gate re-proved all
+    * consumers after the rewrite). */
+  private[queries] def duckDot(a: String, b: String, dim: Int = 64): String =
+    (1 to dim).map(i => s"CAST($a[$i] AS DOUBLE) * $b[$i]")
+      .mkString("(", " + ", ")")
 
   private[queries] val duckNorm = "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)))"
 
@@ -337,8 +348,11 @@ private[graft] object SimilarityKernels {
     * (over `a.vec_id`) — `TRUE` is s13/s14/s16; s19 passes the
     * NOT-deleted tombstone filter. */
   private[queries] def duckIvfPqCoreWhere(candFilter: String = "TRUE"): String = {
+    // dim = 8: sv/cv are PQ SUBVECTORS (64 dims / 8 subspaces), not
+    // full embeddings — the unrolled duckDot reads out-of-bounds NULL
+    // past the list end if left at the 64-term default
     val dd2 = (a: String, b: String) =>
-      s"(${duckDot(a, a)} - 2 * ${duckDot(a, b)} + ${duckDot(b, b)})"
+      s"(${duckDot(a, a, 8)} - 2 * ${duckDot(a, b, 8)} + ${duckDot(b, b, 8)})"
     s"""${duckTrainedCent(ivfIters)},
         $duckIvfCand,
         candc AS (SELECT DISTINCT p.probe_id, a.vec_id AS cand_id, p.cell
@@ -738,8 +752,10 @@ private[graft] object SimilarityKernels {
     * codebook the oracle's encode/ADC CTEs read. Expects a
     * `sub(vec_id, s, sv)` subvector CTE in scope. */
   private[queries] def duckTrainedCb(iters: Int): String = {
+    // dim = 8: per-subspace Lloyd over PQ subvectors (see
+    // duckIvfPqCoreWhere's dd2 note)
     val dd2 = (a: String, b: String) =>
-      s"(${duckDot(a, a)} - 2 * ${duckDot(a, b)} + ${duckDot(b, b)})"
+      s"(${duckDot(a, a, 8)} - 2 * ${duckDot(a, b, 8)} + ${duckDot(b, b, 8)})"
     val pos8 = "(SELECT unnest(generate_series(0, 7)) AS p)"
     val seed =
       s"""cb0 AS (SELECT s, vec_id AS j, p.p, sv[p.p+1] AS v
