@@ -274,7 +274,7 @@ private[graft] object SimilarityKernels {
                         ${duckDot("p.embedding", "c.embedding")} / (p.nrm * c.nrm) AS cosine
                  FROM e p JOIN e c ON c.vec_id != p.vec_id
                  WHERE p.vec_id < 10),
-          top AS (SELECT probe_id, cand_id, cosine AS rel FROM
+          top AS MATERIALIZED (SELECT probe_id, cand_id, cosine AS rel FROM
                     (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rn FROM sc)
                   WHERE rn <= 10),
           pr AS MATERIALIZED (SELECT t1.probe_id, t1.cand_id AS a, t2.cand_id AS b,
@@ -576,10 +576,12 @@ private[graft] object SimilarityKernels {
       s"""cl${i - 1} AS (SELECT cid, list(CAST(v AS DOUBLE) ORDER BY pos) AS ce FROM cx${i - 1} GROUP BY cid),
           cn${i - 1} AS MATERIALIZED (SELECT cid, ce, sqrt(list_sum(list_transform(ce, x -> x * x))) AS cn FROM cl${i - 1}),
           casg$i AS (SELECT vec_id, cid FROM (
-                      SELECT e.vec_id, c.cid,
-                             row_number() OVER (PARTITION BY e.vec_id
-                               ORDER BY ${duckDot("e.embedding", "c.ce")} / (e.nrm * c.cn) DESC, c.cid) AS rn
-                      FROM e CROSS JOIN cn${i - 1} c) WHERE rn = 1),
+                      SELECT vec_id, cid,
+                             row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cc DESC, cid) AS rn
+                      FROM (SELECT e.vec_id, c.cid,
+                              ${duckDot("e.embedding", "c.ce")} / (e.nrm * c.cn) AS cc
+                            FROM e CROSS JOIN cn${i - 1} c) z$i) WHERE rn = 1),
           cmx$i AS (SELECT a.cid, p.pos, ${graft.Det.sqlAvg("CAST(e.embedding[p.pos+1] AS DOUBLE)", 8)} AS v
                     FROM casg$i a JOIN e ON e.vec_id = a.vec_id
                     CROSS JOIN $pos64 p
@@ -596,11 +598,20 @@ private[graft] object SimilarityKernels {
   /** DuckDB mirror of [[ivfCandidates]]'s corpus assignment (shared
     * across nprobe settings) over a `cent(cid, ce, cn)` CTE
     * ([[duckTrainedCent]]) and `e(vec_id, embedding, nrm)`. */
+  // Cosine PRE-PROJECTED to a scalar before the row_number window
+  // (here and in duckTrainedCent's casg): with the dot expression
+  // inline in the window ORDER BY, DuckDB's window operator
+  // materializes its input WITH the referenced 64-float lists —
+  // 2M vectors x 16 cells x ~1.2KB = ~38GB at sf100, the s28 spill
+  // that blew past the machine's free disk. Projected first, the
+  // window input is (vec_id, cid, cc) = ~24B/row.
   private[queries] lazy val duckIvfAsg =
     s"""asg AS MATERIALIZED (SELECT vec_id, cid AS cell FROM (
-                  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
-                           ORDER BY ${duckDot("e.embedding", "c.ce")}/(e.nrm*c.cn) DESC, c.cid) AS rn
-                  FROM e CROSS JOIN cent c) WHERE rn = 1)"""
+                  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY cc DESC, cid) AS rn
+                  FROM (SELECT e.vec_id, c.cid,
+                          ${duckDot("e.embedding", "c.ce")}/(e.nrm*c.cn) AS cc
+                        FROM e CROSS JOIN cent c) za) WHERE rn = 1)"""
 
   /** DuckDB mirror of the probe-cell selection + candidate join for
     * one nprobe setting — CTEs pcells`sfx`/cand`sfx`. */
