@@ -409,13 +409,32 @@ object Graph {
       .selectExpr("src as node", "deg_core")
   }
 
+  /* Oracle (VERDICT r19 item 3): the direct mirror recounted the full
+   * in-core degree every round — 8 × (|e|-row join + 2M-group agg),
+   * ~3 h of DuckDB at sf10 and >33 GB of spill. This REMOVED-SET
+   * delta peel is the exact same fixed-point: deg_i(v) = deg_0(v) −
+   * |neighbors of v removed so far| (e is a symmetric simple edge
+   * list, so the subtraction IS the survivor-restricted recount), so
+   * each round only aggregates edges incident to the PREVIOUS
+   * round's newly-removed nodes — total round work across all 8
+   * rounds is one amortized edge scan instead of 8 full recounts.
+   * Removal condition `deg − loss < GREATEST(k, 1)`: the engine's
+   * groupBy drops zero-live-edge nodes implicitly (no group row ⇒
+   * not in survivors), and GREATEST(k,1) reproduces that for k = 0
+   * while being identical to `< k` for k ≥ 1. Verified row-identical
+   * to the direct mirror at sf0.001/sf0.01/sf0.1. */
   private def kcoreSql: String = {
-    val rounds = (1 to PeelRounds).map { i =>
-      s"""s$i AS MATERIALIZED (SELECT a.node FROM
-         |  (SELECT e.src AS node, COUNT(*) AS c
-         |   FROM e JOIN s${i - 1} x ON x.node = e.src
-         |          JOIN s${i - 1} y ON y.node = e.dst
-         |   GROUP BY 1) a CROSS JOIN kv WHERE a.c >= kv.k)""".stripMargin
+    val rounds = (2 to PeelRounds).map { i =>
+      s"""rem${i - 1} AS MATERIALIZED (SELECT node FROM rem${i - 2} UNION ALL SELECT node FROM new${i - 1}),
+         |new$i AS MATERIALIZED (SELECT d.node FROM d0 d
+         |  JOIN loss${i - 1} l ON l.node = d.node CROSS JOIN kv
+         |  WHERE d.deg - l.loss < GREATEST(kv.k, 1)
+         |    AND d.node NOT IN (SELECT node FROM rem${i - 1})),
+         |dl$i AS (SELECT e.src AS node, COUNT(*) AS c
+         |  FROM e JOIN new$i r ON r.node = e.dst GROUP BY 1),
+         |loss$i AS MATERIALIZED (SELECT COALESCE(a.node, b.node) AS node,
+         |    COALESCE(a.loss, 0) + COALESCE(b.c, 0) AS loss
+         |  FROM loss${i - 1} a FULL JOIN dl$i b ON a.node = b.node)""".stripMargin
     }.mkString(",\n")
     s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
        |            FROM lineitem a
@@ -428,11 +447,19 @@ object Graph {
        |kv AS MATERIALIZED (SELECT max(CASE WHEN rn <= (n + 1) // 2 THEN deg END) * 7 // 10 AS k
        |       FROM (SELECT deg, row_number() OVER (ORDER BY deg) AS rn FROM d0)
        |       CROSS JOIN nn),
-       |s0 AS MATERIALIZED (SELECT node FROM d0),
-       |$rounds
+       |new1 AS MATERIALIZED (SELECT node FROM d0 CROSS JOIN kv
+       |        WHERE deg < GREATEST(kv.k, 1)),
+       |loss1 AS MATERIALIZED (SELECT e.src AS node, COUNT(*) AS loss
+       |        FROM e JOIN new1 r ON r.node = e.dst GROUP BY 1),
+       |rem0 AS (SELECT node FROM d0 WHERE 1=0),
+       |$rounds,
+       |rem$PeelRounds AS MATERIALIZED (SELECT node FROM rem${PeelRounds - 1}
+       |        UNION ALL SELECT node FROM new$PeelRounds),
+       |surv AS MATERIALIZED (SELECT node FROM d0
+       |        WHERE node NOT IN (SELECT node FROM rem$PeelRounds))
        |SELECT e.src AS node, CAST(COUNT(*) AS BIGINT) AS deg_core
-       |FROM e JOIN s$PeelRounds x ON x.node = e.src
-       |       JOIN s$PeelRounds y ON y.node = e.dst
+       |FROM e JOIN surv x ON x.node = e.src
+       |       JOIN surv y ON y.node = e.dst
        |GROUP BY 1""".stripMargin
   }
 
@@ -773,14 +800,30 @@ object Graph {
         "cast(rnk as bigint) as rnk")
   }
 
+  /* Oracle (VERDICT r19 item 3): the original dense mirror built
+   * `deg CROSS JOIN seeds LEFT JOIN e` per round — a 4·|e| (~480 M
+   * rows at sf10) intermediate, three times, which blew the sweep's
+   * wall budget. This SPARSE-frontier formulation is arithmetic-
+   * identical: contributions come from `e JOIN r_{i-1}` restricted
+   * to rank > 0 rows (a rank-0 row contributes rank//deg = 0, and a
+   * SUM over only-zero contributions equals the dense COALESCE(_,0)
+   * — both yield the same (85·csum)//100 term), and the seed's
+   * +150000 base lands as a 4-row UNION ALL leg summed AFTER the
+   * integer division, exactly the dense CASE's placement. State per
+   * round is only the touched (seed, node) pairs instead of the full
+   * 4·N cross — round 1 joins 4 rows against e, not 4·N. */
   private def pprSql: String = {
     val rounds = (1 to 3).map { i =>
-      s"""r$i AS MATERIALIZED (SELECT s.seed, d.node, d.deg,
-         |  CAST(CASE WHEN d.node = s.seed THEN 150000 ELSE 0 END
-         |       + (85 * COALESCE(SUM(r.rank // r.deg), 0)) // 100 AS BIGINT) AS rank
-         |  FROM deg d CROSS JOIN seeds s
-         |       LEFT JOIN e ON e.dst = d.node
-         |       LEFT JOIN r${i - 1} r ON r.node = e.src AND r.seed = s.seed
+      s"""c$i AS MATERIALIZED (SELECT r.seed, e.dst,
+         |  SUM(r.rank // r.deg) AS csum
+         |  FROM e JOIN r${i - 1} r ON r.node = e.src AND r.rank > 0
+         |  GROUP BY 1, 2),
+         |r$i AS MATERIALIZED (SELECT v.seed, v.node, d.deg,
+         |  CAST(SUM(v.v) AS BIGINT) AS rank
+         |  FROM (SELECT seed, dst AS node, (85 * csum) // 100 AS v FROM c$i
+         |        UNION ALL
+         |        SELECT seed, seed AS node, 150000 AS v FROM seeds) v
+         |  JOIN deg d ON d.node = v.node
          |  GROUP BY 1, 2, 3)""".stripMargin
     }.mkString(",\n")
     s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
@@ -789,9 +832,9 @@ object Graph {
        |deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY 1),
        |seeds AS MATERIALIZED (SELECT seed FROM
        |          (SELECT DISTINCT src AS seed FROM e0) ORDER BY seed LIMIT 4),
-       |r0 AS (SELECT s.seed, d.node, d.deg,
-       |         CAST(CASE WHEN d.node = s.seed THEN 1000000 ELSE 0 END AS BIGINT) AS rank
-       |       FROM deg d CROSS JOIN seeds s),
+       |r0 AS (SELECT s.seed, s.seed AS node, d.deg,
+       |         CAST(1000000 AS BIGINT) AS rank
+       |       FROM seeds s JOIN deg d ON d.node = s.seed),
        |$rounds
        |SELECT seed, node, rank AS rank_micro, rnk FROM
        |  (SELECT seed, node, rank,
