@@ -45,6 +45,19 @@ object DwcaConvert {
   case object GeomWkb extends GeomMode
   case object GeomWktString extends GeomMode
 
+  /** Maximum central-directory uncompressed size for an extension to
+    * get an explicit broadcast hint in the star join. 64 MiB of text
+    * parses to a few hundred MB in-memory — inside the comfortable
+    * broadcast band (well under the 8 GB / 512M-row hard cap) on any
+    * production executor; a bigger extension falls back to the
+    * AQE-measured election, same as before. */
+  val BroadcastExtBytes: Long = 64L * 1024 * 1024
+
+  /** A core member at most this big is "tiny": it occupies one scan
+    * split under any layout, so skipping the star join's exchange
+    * (extension broadcast hint) cannot cost it any parallelism. */
+  val SmallCoreBytes: Long = 1L * 1024 * 1024
+
   /** Extract all members of `zipPath` into a scratch directory
     * (idempotent per archive name; driver-side, mirrors
     * `parquet.py:36-42`). Returns the directory. */
@@ -130,11 +143,57 @@ object DwcaConvert {
       else if (zipScan) graft.sources.ZipSource.readLayer(spark, zipPath, l)
       else readLayer(spark, dir, l)
 
-    val core = scan(meta.core)
-    val joined = meta.extensions.foldLeft(core) { (acc, ext) =>
-      val key = s"__coreid_${ext.name}"
-      val e = scan(ext).withColumnRenamed(ext.idCol, key)
-      acc.join(e, acc(meta.core.idCol) === e(key), "inner").drop(key)
+    // Scan every layer CONCURRENTLY: each scan's type classification is
+    // an eager driver-blocking job (SnifferCsv's counting pass), and the
+    // layers are independent — sequential scans left the cluster idle
+    // during each layer's single-stream classify (optimization guide
+    // §2.6, overlap independent jobs). Order is preserved positionally.
+    val layers = meta.core +: meta.extensions
+    val scans: Seq[DataFrame] =
+      if (layers.size == 1) layers.map(scan)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(layers.size)
+        try layers.map(l => pool.submit(new java.util.concurrent.Callable[DataFrame] {
+            def call(): DataFrame = scan(l)
+          })).map { f =>
+          try f.get()
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        }
+        finally pool.shutdown()
+      }
+
+    // Extension join sides get an explicit broadcast hint when the
+    // central directory PROVES them small: `usize` is the archive's own
+    // uncompressed byte count — a measured quantity, not a Catalyst
+    // estimate — so this satisfies the Sessions.scaleDefensive rule
+    // (broadcasts must be proven or measured, never guessed). Without
+    // the hint every star join pays a shuffle of the core before AQE
+    // converts (autoBroadcastJoinThreshold = -1). Exotic archives (no
+    // central directory) keep the AQE-elected path.
+    //
+    // The hint is additionally gated on the CORE side keeping its
+    // width: a mid-size single-stream core (zipScan DEFLATE member
+    // below the auto-stage bar) parses as ONE task, and without the
+    // join exchange the geometry + sink write would serialize into
+    // that task — measured +13% on the 150k-row bulk conversion. So
+    // the hint applies when the core scan is wide (staged /
+    // auto-staged splits) or provably tiny (one split's worth under
+    // any layout); otherwise the AQE-elected exchange stays, restoring
+    // downstream parallelism.
+    val coreWide = staged || autoStage(meta.core)
+    val coreTiny = central.exists(e =>
+      e.name == meta.core.location && e.usize <= SmallCoreBytes)
+    def extBroadcastable(l: DwcaLayer): Boolean =
+      (coreWide || coreTiny) &&
+        central.exists(e => e.name == l.location && e.usize > 0 &&
+          e.usize <= BroadcastExtBytes)
+    val core = scans.head
+    val joined = meta.extensions.zip(scans.tail).foldLeft(core) {
+      case (acc, (ext, s0)) =>
+        val key = s"__coreid_${ext.name}"
+        val e0 = s0.withColumnRenamed(ext.idCol, key)
+        val e = if (extBroadcastable(ext)) broadcast(e0) else e0
+        acc.join(e, acc(meta.core.idCol) === e(key), "inner").drop(key)
     }
 
     val cols = meta.columns

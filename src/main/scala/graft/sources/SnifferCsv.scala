@@ -115,9 +115,9 @@ object SnifferCsv {
     * from the full pass). */
   def sampleDivergence(raw0: DataFrame): Seq[(String, String, String)] = {
     val raw = nullifyEmpty(raw0)
-    val (full, totalRows) = maskCounts(raw)
+    val (full, prefix, totalRows) = maskCounts(raw, withPrefix = true)
     if (totalRows <= DuckSampleRows) Seq.empty // prefix == file: no drift possible
-    else divergence(raw.columns, full, maskCounts(raw.limit(DuckSampleRows))._1)
+    else divergence(raw.columns, full, prefix.get)
   }
 
   private def divergence(cols: Array[String], fullCounts: Array[IndexedSeq[Long]],
@@ -153,22 +153,52 @@ object SnifferCsv {
     * ts) — ONE partial-agg'd pass, one row to the driver — plus the
     * exact row count (one extra count(*) column, free in the same
     * pass; divergence detection uses it to skip files the sniff
-    * window covers entirely). */
-  private def maskCounts(raw: DataFrame): (Array[IndexedSeq[Long]], Long) = {
+    * window covers entirely).
+    *
+    * `withPrefix = true` additionally returns the same counts over the
+    * DuckDB sniff window — the first [[DuckSampleRows]] rows of
+    * partition 0 (exact for single-stream members; the head split for
+    * staged/extracted files, the same arbitrary-but-valid-sample
+    * caveat the old `limit(DuckSampleRows)` second pass carried) — as
+    * guarded aggregates IN THE SAME JOB: the old formulation re-read
+    * the member head in a second bounded job per core layer; fusing
+    * it makes core typing exactly one pass regardless of detection. */
+  private def maskCounts(raw: DataFrame, withPrefix: Boolean = false)
+      : (Array[IndexedSeq[Long]], Option[Array[IndexedSeq[Long]]], Long) = {
     graft.functions.Hashing.register(raw.sparkSession)
-    val masked = raw.select(raw.columns.map(h =>
-      expr(s"duck_type_mask(`$h`)").as(h)): _*)
+    // marker column name: dodge any real CSV column of the same name
+    var mk = "__graft_sniff_head"
+    while (raw.columns.contains(mk)) mk += "_"
+    val maskedCols = raw.columns.map(h => expr(s"duck_type_mask(`$h`)").as(h))
+    val masked =
+      if (withPrefix)
+        // monotonically_increasing_id is partitionId<<33 | rowInPartition,
+        // so `< DuckSampleRows` selects exactly partition 0's head rows.
+        // Projected BEFORE the aggregate (nondeterministic expressions
+        // may not appear inside aggregate functions).
+        raw.select(maskedCols :+
+          (monotonically_increasing_id() < DuckSampleRows).as(mk): _*)
+      else raw.select(maskedCols: _*)
+    val head = col(mk)
     val aggs: Seq[Column] = raw.columns.toSeq.flatMap { h =>
-      val m = col(h)
+      val m = col(s"`$h`")
       def bit(b: Int) = count(when(m.bitwiseAND(lit(b)) =!= 0, 1))
-      Seq(count(m), bit(BOOL), bit(BIGINT), bit(DOUBLE),
+      def bitP(b: Int) = count(when(head && m.bitwiseAND(lit(b)) =!= 0, 1))
+      val full = Seq(count(m), bit(BOOL), bit(BIGINT), bit(DOUBLE),
         bit(DATE_ISO), bit(DATE_DMY), bit(DATE_MDY), bit(TS))
+      if (!withPrefix) full
+      else full ++ Seq(count(when(head, m)), bitP(BOOL), bitP(BIGINT), bitP(DOUBLE),
+        bitP(DATE_ISO), bitP(DATE_DMY), bitP(DATE_MDY), bitP(TS))
     } :+ count(lit(1))
     val r = masked.agg(aggs.head, aggs.tail: _*).head()
-    val W = 8
-    (raw.columns.indices.map(i =>
-      (0 until W).map(j => r.getLong(W * i + j))).toArray,
-      r.getLong(W * raw.columns.length))
+    val W = if (withPrefix) 16 else 8
+    val full = raw.columns.indices.map(i =>
+      (0 until 8).map(j => r.getLong(W * i + j))).toArray
+    val prefix =
+      if (withPrefix) Some(raw.columns.indices.map(i =>
+        (0 until 8).map(j => r.getLong(W * i + 8 + j))).toArray)
+      else None
+    (full, prefix, r.getLong(W * raw.columns.length))
   }
 
   /** The DuckDB-lattice classification + cast over an all-string
@@ -179,15 +209,15 @@ object SnifferCsv {
     * cast projection. */
   private def typeColumns(raw0: DataFrame, coreSampleCheck: Boolean = false): DataFrame = {
     val raw = nullifyEmpty(raw0)
-    val (allCounts, totalRows) = maskCounts(raw)
+    val (allCounts, prefixCounts, totalRows) = maskCounts(raw, withPrefix = coreSampleCheck)
     def counts(i: Int): IndexedSeq[Long] = allCounts(i)
 
     // Detection pays only on files LARGER than the sniff window (the
     // row count rides the typing pass for free; a covered file cannot
-    // drift) — one bounded extra aggregation over the window there.
+    // drift) — the window counts ride the SAME pass as guarded
+    // aggregates, so detection no longer costs a second job.
     if (coreSampleCheck && totalRows > DuckSampleRows)
-      divergence(raw.columns, allCounts,
-          maskCounts(raw.limit(DuckSampleRows))._1).foreach { case (h, s, f) =>
+      divergence(raw.columns, allCounts, prefixCounts.get).foreach { case (h, s, f) =>
         log.warn(s"core-layer sampling divergence: DuckDB's default-sampled read_csv " +
           s"(reference core path, query.sql:2) types `$h` as $s from the first " +
           s"$DuckSampleRows rows and then errors on a later value; full-pass typing " +

@@ -63,7 +63,10 @@ object ZipSource {
       .map(e => e.getKey -> e.getValue)
       .filter(_._1.startsWith("fs.")).toMap
     val bc = spark.sparkContext.broadcast(fsConf)
-    spark.createDataset(Seq(member)).repartition(1).mapPartitions { it =>
+    // one explicit slice, NOT createDataset(Seq).repartition(1): the
+    // repartition inserted a (tiny but real) round-robin Exchange +
+    // extra stage into EVERY member scan's plan
+    spark.createDataset(spark.sparkContext.parallelize(Seq(member), 1)).mapPartitions { it =>
       it.flatMap { m =>
         val conf = new Configuration()
         bc.value.foreach { case (k, v) => conf.set(k, v) }
