@@ -35,4 +35,17 @@ object Sessions {
   def scaleDefensive(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.autoBroadcastJoinThreshold", "-1")
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
+      // Let AQE re-plan queries OVER cached relations (off by default):
+      // without it, every consumer of a persisted frame inherits the
+      // cache's static shuffle width — spark.sql.shuffle.partitions
+      // tasks per scan regardless of the frame's measured size. The
+      // persisted-intermediate tier (tf frames, LSH pair frames,
+      // signature caches) is exactly where that hurts: at gate scale a
+      // 31-row vocabulary fans out as 32 tasks of pure scheduling
+      // overhead; at 100 TB AQE keeps the width the measured bytes
+      // justify. Same measured-not-guessed rule as the broadcast
+      // settings above. (Explicit-width repartitions — the pid-keyed
+      // prefix-sum kernels — are REPARTITION_BY_NUM and never
+      // coalesced, so their partition-id contract is unaffected.)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
 }

@@ -16,6 +16,8 @@ object ProfileServe {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("GRAFT_AQE", "true"))
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("GRAFT_CACHE_AQE", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val jobT = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
@@ -26,6 +28,22 @@ object ProfileServe {
         val t0 = jobT.remove(j.jobId)
         println(f"    job ${j.jobId}: ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
+      // GRAFT_PROFILE_STAGES=1: per-stage wall + summed task run time +
+      // the first line of the stage's callsite — maps jobs to operators
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        if (sys.env.get("GRAFT_PROFILE_STAGES").contains("1")) {
+          val i = s.stageInfo
+          val wall = (i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)) / 1e3
+          val run = i.taskMetrics.executorRunTime / 1e3
+          val cpu = i.taskMetrics.executorCpuTime / 1e9
+          val des = i.taskMetrics.executorDeserializeTime / 1e3
+          val gc = i.taskMetrics.jvmGCTime / 1e3
+          val sw = i.taskMetrics.shuffleWriteMetrics.bytesWritten
+          val sr = i.taskMetrics.shuffleReadMetrics.totalBytesRead
+          println(f"      stage ${i.stageId}%4d tasks=${i.numTasks}%3d wall=$wall%6.3f " +
+            f"run=$run%6.3f cpu=$cpu%6.3f gc=$gc%5.3f deser=$des%6.3f swB=$sw srB=$sr  ${i.name.takeWhile(_ != '\n')}")
+        }
     })
     // GRAFT_PROFILE_Q picks any registry query; default is the
     // original s28 latency flag this scratchpad was written for
