@@ -107,7 +107,8 @@ object GeoFunctions {
       java.util.Collections.newSetFromMap(
         new java.util.WeakHashMap[AnyRef, java.lang.Boolean]))
 
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit = registered.synchronized {
+    // whole body under the guard's monitor — see Hashing.register
     val reg = spark.sessionState.functionRegistry
     if (!registered.add(reg)) return
     reg.createOrReplaceTempFunction("st_point", exprs => StPoint(exprs(0), exprs(1)), "built-in")

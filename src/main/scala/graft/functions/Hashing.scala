@@ -58,7 +58,11 @@ object Hashing {
   /** Idempotent session registration of the native hash + MinHash
     * kernels (the n/k arguments must be integer literals). Safe to
     * call from every query function; registers once per registry. */
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit = registered.synchronized {
+    // the whole body holds the guard's monitor: a bare add-then-return
+    // let a SECOND thread (concurrent layer scans) see the guard set
+    // and proceed to ANALYSIS while the first was still mid-
+    // registration — unresolved-function failures under concurrency
     val reg = spark.sessionState.functionRegistry
     if (!registered.add(reg)) return
     def litInt(e: Expression): Int = {

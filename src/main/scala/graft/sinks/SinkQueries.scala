@@ -720,7 +720,12 @@ object SinkQueries {
     // not the partitioned write. Plan shape asserted by SinksSpec's
     // DynamicPruningExpression check on the shared dppAgg. ──
     "sink24_dpp_read" -> Q(
-      (s, d) => dppAgg(s, dppStaged(s, d), d),
+      (s, d) =>
+        // staged fact is fingerprint-immutable: reuse the resolved
+        // frame (84 partition-dir listings + a schema read per
+        // invocation otherwise); sink23's fresh-scratch write below
+        // deliberately does NOT reuse
+        dppAgg(s, graft.Tables.stagedParquet(s, dppStaged(s, d)), d),
       Some(dppOracle), bench = true),
 
     // ── sink25: RETENTION VACUUM ([[Sinks.vacuum]]) — the GC half of
@@ -895,7 +900,7 @@ object SinkQueries {
     val out = scratch("dpp")
     dppFact(s, d).write.partitionBy("ym")
       .option("compression", "zstd").parquet(out)
-    (dppAgg(s, out, d), out)
+    (dppAgg(s, s.read.parquet(out), d), out)
   }
 
   private def dppFact(s: org.apache.spark.sql.SparkSession, d: String) =
@@ -926,8 +931,8 @@ object SinkQueries {
     * inference, so the fact prune genuinely requires the RUNTIME
     * subquery (DynamicPruningExpression, asserted by SinksSpec). */
   private[sinks] def dppAgg(s: org.apache.spark.sql.SparkSession,
-      factPath: String, d: String): org.apache.spark.sql.DataFrame = {
-    val fact = s.read.parquet(factPath)
+      fact: org.apache.spark.sql.DataFrame, d: String)
+      : org.apache.spark.sql.DataFrame = {
     val dim = Tables(s, d, "orders")
       .selectExpr("date_format(cast(o_orderdate as date), 'yyyy-MM') as ym",
         "year(cast(o_orderdate as date)) as yr")
