@@ -95,7 +95,8 @@ object DwcaConvert {
       dir.resolve(layer.location).toString, layer.sepLiteral, layer.encoding,
       // the reference default-samples only the CORE (query.sql:2 vs
       // :4) — detection is meaningless on full-sampled extensions
-      coreSampleCheck = !layer.isExtension)
+      coreSampleCheck = !layer.isExtension,
+      headers = Some(layer.headers))
 
   /** Full conversion: the reference's one generated query.
     * `zipScan = true` streams members straight out of the archive

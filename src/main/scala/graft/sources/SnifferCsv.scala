@@ -74,21 +74,62 @@ object SnifferCsv {
     * additionally detects (and WARNs on) core-layer sampling
     * divergence — see [[sampleDivergence]]. */
   def read(spark: SparkSession, path: String, sep: String = ",",
-      encoding: String = "UTF-8", coreSampleCheck: Boolean = false): DataFrame =
-    typeColumns(spark.read
+      encoding: String = "UTF-8", coreSampleCheck: Boolean = false,
+      headers: Option[Seq[String]] = None): DataFrame = {
+    val base = spark.read
       .option("header", "true").option("sep", sep)
       .option("encoding", encoding)
       .option("escape", "\"") // RFC4180 doubled quotes, as DuckDB reads them
-      .csv(path), coreSampleCheck)
+    // known headers (DwC-A extract path): explicit all-string schema
+    // skips the reader's header-naming pass; header=true still drops
+    // the header line per file at parse time
+    val withSchema = headers match {
+      case Some(hs) if hs.distinct.size == hs.size =>
+        base.schema(org.apache.spark.sql.types.StructType(hs.map(h =>
+          org.apache.spark.sql.types.StructField(h,
+            org.apache.spark.sql.types.StringType))))
+      case _ => base
+    }
+    typeColumns(withSchema.csv(path), coreSampleCheck)
+  }
 
   /** Same typing over an already-decoded line Dataset (the zip-member
-    * no-extraction path — encoding was handled by the line source). */
+    * no-extraction path — encoding was handled by the line source).
+    *
+    * `headers`, when the caller already knows the column names (DwC-A
+    * layers: `meta.xml` discovery read the member's first line driver-
+    * side), skips Spark's header pass: `csv(Dataset)` with
+    * `header=true` runs a take(1) JOB per call just to name columns
+    * and identify the line to drop — one job per layer per conversion.
+    * Instead the header row is dropped positionally (first row of
+    * partition 0 — both line sources put the member head there) and
+    * the all-string schema is passed explicitly. Duplicate header
+    * names fall back to the header pass (Spark's dedup policy applies
+    * there; an explicit schema would make later by-name selects
+    * ambiguous). */
   def readLines(spark: SparkSession, lines: org.apache.spark.sql.Dataset[String],
-      sep: String, coreSampleCheck: Boolean = false): DataFrame =
-    typeColumns(spark.read
-      .option("header", "true").option("sep", sep)
-      .option("escape", "\"")
-      .csv(lines), coreSampleCheck)
+      sep: String, coreSampleCheck: Boolean = false,
+      headers: Option[Seq[String]] = None): DataFrame = {
+    val raw = headers match {
+      case Some(hs) if hs.distinct.size == hs.size =>
+        val schema = org.apache.spark.sql.types.StructType(hs.map(h =>
+          org.apache.spark.sql.types.StructField(h, org.apache.spark.sql.types.StringType)))
+        val data = spark.createDataset(lines.rdd.mapPartitionsWithIndex(
+          (i, it) => if (i == 0) it.drop(1) else it))(
+          org.apache.spark.sql.Encoders.STRING)
+        spark.read
+          .option("header", "false").option("sep", sep)
+          .option("escape", "\"")
+          .schema(schema)
+          .csv(data)
+      case _ =>
+        spark.read
+          .option("header", "true").option("sep", sep)
+          .option("escape", "\"")
+          .csv(lines)
+    }
+    typeColumns(raw, coreSampleCheck)
+  }
 
   /** Core-layer sampling divergence: the lattice type each column
     * takes under a DuckDB-default prefix sample vs the full pass,

@@ -142,7 +142,7 @@ object ZipSource {
   def readLayerStaged(spark: SparkSession, zipPath: String, layer: DwcaLayer): DataFrame =
     SnifferCsv.readLines(spark,
       stagedLines(spark, zipPath, layer.location, layer.encoding), layer.sepLiteral,
-      coreSampleCheck = !layer.isExtension)
+      coreSampleCheck = !layer.isExtension, headers = Some(layer.headers))
 
   /** CSV scan of a DwC-A layer straight out of the archive — same
     * DuckDB-parity typing as the extracted path
@@ -150,5 +150,5 @@ object ZipSource {
   def readLayer(spark: SparkSession, zipPath: String, layer: DwcaLayer): DataFrame =
     SnifferCsv.readLines(spark,
       memberLines(spark, zipPath, layer.location, layer.encoding), layer.sepLiteral,
-      coreSampleCheck = !layer.isExtension)
+      coreSampleCheck = !layer.isExtension, headers = Some(layer.headers))
 }
