@@ -37,6 +37,7 @@ object Verify {
       // consumption; clearCache stays as the backstop for anything
       // persisted outside the scope discipline
       System.err.println(s"[verify] start $name")
+      val t0 = System.nanoTime()
       try CacheScope.scoped {
         // repartition(1), NOT coalesce(1): coalesce merges partitions
         // WITHOUT an exchange, which collapses a map-only query's
@@ -50,6 +51,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // per-query dump wall time: the cheap whole-registry perf signal
+      // (the bench covers 28 queries; this line covers all 275)
+      System.err.println(f"[verify] done $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
       spark.catalog.clearCache()
       shuffleMetrics.foreach { m =>
         // The listener bus is asynchronous: task-end events from the

@@ -17,7 +17,7 @@ object ProfileServe {
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("GRAFT_AQE", "true"))
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-        sys.env.getOrElse("GRAFT_CACHE_AQE", "false"))
+        sys.env.getOrElse("GRAFT_CACHE_AQE", "true")) // match Sessions.scaleDefensive
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val jobT = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
