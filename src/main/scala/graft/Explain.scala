@@ -21,9 +21,27 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Pseudo-ids for the conversion queries whose registry fn runs the
+    // conversion EAGERLY and returns only the read-back (dwca08/13):
+    // these explain the conversion plan itself — the thing the star
+    // join / broadcast-gate changes actually shape.
+    val pseudo: Map[String, SparkSession => org.apache.spark.sql.DataFrame] = Map(
+      "dwca08_conversion_plan" -> { sp =>
+        graft.dwca.BulkFixture.ensure()
+        graft.dwca.DwcaConvert.convert(sp, graft.dwca.BulkFixture.zipPath,
+          graft.dwca.DwcaConvert.GeomWktString, zipScan = true)
+      },
+      "dwca13_conversion_plan" -> { sp =>
+        graft.dwca.BulkFixture.ensure()
+        graft.dwca.DwcaConvert.convert(sp, graft.dwca.BulkFixture.zipPath,
+          graft.dwca.DwcaConvert.GeomWktString, staged = true)
+      })
     ids.foreach { id =>
       println(s"\n===== $id =====")
-      try SparkEntry.registry(id).fn(spark, sfDir).explain("formatted")
+      try pseudo.get(id) match {
+        case Some(f) => f(spark).explain("formatted")
+        case None => SparkEntry.registry(id).fn(spark, sfDir).explain("formatted")
+      }
       catch { case e: Throwable => println(s"EXPLAIN FAILED: ${e.getMessage}") }
     }
     spark.stop()
