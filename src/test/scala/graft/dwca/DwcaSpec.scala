@@ -175,4 +175,28 @@ class DwcaSpec extends AnyFunSuite with SparkTestBase {
     assert(graft.sources.SnifferCsv.sampleDivergence(
       raw.where("individualCount != 'several' and catalogNumber != '9223372036854775808'")).isEmpty)
   }
+
+  test("r20 star-join broadcast gate: staged core takes the hint, single-stream bulk core keeps its exchange") {
+    BulkFixture.ensure()
+    def staticPlan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    // staged core scans wide -> the measured-small extension is
+    // broadcast-hinted: star join is a BroadcastHashJoin with no
+    // core-side Exchange in the STATIC plan
+    val staged = DwcaConvert.convert(spark, BulkFixture.zipPath,
+      DwcaConvert.GeomWktString, staged = true)
+    assert(staticPlan(staged).contains("BroadcastHashJoin"), staticPlan(staged))
+    // zipScan core is one DEFLATE stream above the tiny-core bar: the
+    // hint must NOT fire (it would serialize join+write into the
+    // single parse task — measured +13%); the static plan keeps the
+    // exchange pair and AQE elects the broadcast from runtime sizes
+    val bulkZip = DwcaConvert.convert(spark, BulkFixture.zipPath,
+      DwcaConvert.GeomWktString, zipScan = true)
+    assert(!staticPlan(bulkZip).contains("BroadcastHashJoin"), staticPlan(bulkZip))
+    assert(staticPlan(bulkZip).contains("SortMergeJoin"), staticPlan(bulkZip))
+    // tiny-core archives (the 7-row sample) qualify on the core side
+    val tiny = DwcaConvert.convert(spark, zip, DwcaConvert.GeomWktString,
+      zipScan = true)
+    assert(staticPlan(tiny).contains("BroadcastHashJoin"), staticPlan(tiny))
+  }
 }
