@@ -23,7 +23,10 @@ object Tables {
     * multi-table query pays that per table per invocation: q02's plan
     * BUILD alone measured 0.32 s across its five reads. Keyed on the
     * parquet path; only the catalog tables below go through here, and
-    * they are immutable inputs, never query outputs. */
+    * they are immutable inputs, never query outputs. (Schema inference
+    * depends on `spark.sql.legacy.parquet.nanosAsLong` for
+    * events.parquet — every graft session, test base included, sets it
+    * true, so one JVM-wide cache is consistent across sessions.) */
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
