@@ -38,10 +38,34 @@ object CacheScope {
     * otherwise re-persist the same plan and trip CacheManager's
     * "already cached" re-registration on every call). */
   def persist(df: DataFrame): DataFrame = {
+    val rec = recorder.get()
+    if (rec != null) rec += df
     if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) return df
     val reg = active.get()
     if (reg != null) reg += df
     df.persist()
+  }
+
+  private val recorder =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[DataFrame]]
+
+  /** Run `body` recording every frame it routes through [[persist]]
+    * (scoped or passthrough alike) — the capture [[PlanMemo]] replays
+    * when a memoized kernel frame is reused in a later scope, so the
+    * reused plan keeps exactly the persist lifecycle its builder
+    * declared. Nested recordings compose (inner frames are seen by
+    * both recorders). */
+  def recording[T](body: => T): (T, Seq[DataFrame]) = {
+    val prev = recorder.get()
+    val rec = new scala.collection.mutable.ArrayBuffer[DataFrame]
+    recorder.set(rec)
+    try {
+      val r = body
+      (r, rec.toSeq)
+    } finally {
+      if (prev == null) recorder.remove()
+      else { prev ++= rec; recorder.set(prev) }
+    }
   }
 
   implicit final class PersistScopedOps(private val df: DataFrame) extends AnyVal {
@@ -94,6 +118,52 @@ object CacheScope {
       if (prevR == null) activeRdds.remove() else activeRdds.set(prevR)
       reg.foreach(_.unpersist())
       regR.foreach(_.unpersist(false))
+    }
+  }
+}
+
+/** Plan-only memoization for PURE kernel frame builders — the
+  * prepared-statement role for the query tier's shared subtrees
+  * (dupDrops, lshPairs), whose per-invocation Catalyst cost (parse +
+  * eager analysis along a deep operator chain) measured 0.2-0.3 s
+  * each while the resulting PLAN is a pure function of
+  * (session, data dir).
+  *
+  * What is cached: the DataFrame (a logical plan — metadata), plus
+  * the list of frames the builder routed through [[CacheScope.persist]].
+  * What is NOT cached: data. On reuse the recorded persists are
+  * re-registered with the caller's active [[CacheScope]], so the
+  * frame's cache lifecycle is exactly what a fresh build would have
+  * declared — materialized by the query's own consumption, released
+  * at its scope exit. Every invocation still computes results from
+  * the on-disk inputs.
+  *
+  * ONLY for builders that are pure plan construction: no eager
+  * actions, no data-derived literals (shardShuffle's collected
+  * offsets, c04's bloom literal stay rebuilt per invocation), no
+  * RunScratch paths. Keyed per session (weak) so a stopped session
+  * never pins plans. */
+object PlanMemo {
+  private val frames = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, (DataFrame, Seq[DataFrame])]]()
+
+  def of(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val m = frames.synchronized {
+      var m0 = frames.get(spark)
+      if (m0 == null) {
+        m0 = scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Seq[DataFrame])]
+        frames.put(spark, m0)
+      }
+      m0
+    }
+    m.get(key) match {
+      case Some((df, subs)) =>
+        subs.foreach(CacheScope.persist) // re-declare the builder's lifecycle
+        df
+      case None =>
+        val (df, subs) = CacheScope.recording(build)
+        m.put(key, (df, subs))
+        df
     }
   }
 }

@@ -152,8 +152,7 @@ object DwcaQueries {
         BulkFixture.ensure()
         val df = DwcaConvert.convert(s, BulkFixture.zipPath,
           DwcaConvert.GeomWktString, zipScan = true)
-        graft.sinks.Sinks.writeZstd(df, BulkFixture.outParquet)
-        s.read.parquet(BulkFixture.outParquet)
+        graft.sinks.Sinks.writeZstdAndRead(df, BulkFixture.outParquet)
       },
       Some(bulkOracle),
       bench = true),
@@ -173,8 +172,7 @@ object DwcaQueries {
         BulkFixture.ensure()
         val df = DwcaConvert.convert(s, BulkFixture.zipPath,
           DwcaConvert.GeomWktString, staged = true)
-        graft.sinks.Sinks.writeZstd(df, BulkFixture.outParquetStaged)
-        s.read.parquet(BulkFixture.outParquetStaged)
+        graft.sinks.Sinks.writeZstdAndRead(df, BulkFixture.outParquetStaged)
       },
       Some(bulkOracle),
       bench = true),

@@ -189,7 +189,10 @@ private[graft] object DedupKernels {
     * running gate queries back-to-back accumulates nothing
     * (CacheScopeSpec pins this). Outside a scope the persist is
     * plain and the embedding caller owns the lifecycle. */
-  private[queries] def lshPairs(s: SparkSession, d: String): DataFrame = {
+  private[queries] def lshPairs(s: SparkSession, d: String): DataFrame =
+    graft.PlanMemo.of(s, s"lshPairs:$d") { lshPairsBuild(s, d) }
+
+  private def lshPairsBuild(s: SparkSession, d: String): DataFrame = {
     Hashing.register(s)
     graft.plans.JaccardRewrite.install(s)
     val eligible = Tables(s, d, "documents").where(s"size($toks) >= 3")
@@ -791,7 +794,10 @@ private[graft] object DedupKernels {
     * production ordering (exact pass first, near-dup on survivors);
     * d03 itself still lists full-corpus pairs — that is its
     * contract as the pair-monitoring query. */
-  private[queries] def dupDrops(s: SparkSession, d: String): DataFrame = {
+  private[queries] def dupDrops(s: SparkSession, d: String): DataFrame =
+    graft.PlanMemo.of(s, s"dupDrops:$d") { dupDropsBuild(s, d) }
+
+  private def dupDropsBuild(s: SparkSession, d: String): DataFrame = {
     Hashing.register(s)
     graft.plans.JaccardRewrite.install(s)
     // only LSH-ELIGIBLE docs (≥3 tokens — hashedDocsOf's domain) can

@@ -345,44 +345,12 @@ object Pipeline {
     // prefix. One oracle covers the whole composition. ──
     "c03_train_pipeline" -> Q(
       (s, d) => {
-        graft.functions.Hashing.register(s)
-        val docs = Tables(s, d, "documents")
-        val keepExact = docs.groupBy(md5(col("text")).as("h"))
-          .agg(min("doc_id").as("doc_id")).select("doc_id")
-        // full-corpus pair drops ≡ Dedup.dupDrops (exact pass +
-        // rep-LSH — see its equivalence proof); the swap makes the
-        // near-dup stage storm-proof while keepExact keeps covering
-        // the sub-3-token docs LSH never sees
-        val nearDrops = DedupKernels.dupDrops(s, d)
-        val evalPred = s"${pctSql("'eval:' || doc_id")} < 10"
-        val quality = docs
-          .selectExpr("doc_id", s"$toks as t", s"$evalPred as is_eval")
-          .selectExpr("doc_id", "is_eval", "t",
-            """case when size(t) >= 2
-                 then transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))
-                 else array() end as g2""")
-          .selectExpr("doc_id", "is_eval",
-            "10000 - (size(array_distinct(t)) * 10000) div size(t) as dup_tok_bp",
-            """case when size(g2) > 0
-                 then 10000 - (size(array_distinct(g2)) * 10000) div size(g2)
-                 else 0L end as dup2_bp""",
-            s"""aggregate(transform(t, x -> ${graft.functions.Hashing.h32Sql("concat('w:', x)")} % 2001 - 1000),
-                          0L, (a, x) -> a + x) div size(t) as score_bp""")
-          .where("not is_eval and dup2_bp <= 800 and dup_tok_bp <= 7000 and score_bp > 0")
-          .select("doc_id")
-        val grams = docs
-          .selectExpr("doc_id", s"$evalPred as is_eval",
-            s"""case when size($toks) >= 13
-                  then transform(sequence(1, size($toks) - 12), i -> array_join(slice($toks, i, 13), ' '))
-                  else array() end as gs""")
-          .select(col("doc_id"), col("is_eval"), explode(col("gs")).as("g"))
-        val evalGrams = grams.where("is_eval").select("g").distinct()
-        val contaminated = grams.where("not is_eval")
-          .join(evalGrams, "g").select("doc_id").distinct()
-        val cleaned = quality
-          .join(keepExact, Seq("doc_id"), "left_semi")
-          .join(nearDrops, Seq("doc_id"), "left_anti")
-          .join(contaminated, Seq("doc_id"), "left_anti")
+        // everything up to the survivor id set is pure plan
+        // construction (the dedup/quality/decontamination stages —
+        // all lazy) → prepared once per (session, dir); the final
+        // shardShuffle stays rebuilt per invocation (its two-phase
+        // rank collects per-partition offsets — data-derived)
+        val cleaned = graft.PlanMemo.of(s, s"c03cleaned:$d") { c03Cleaned(s, d) }
         shardShuffle(cleaned, 8, s.sparkContext.defaultParallelism)
       },
       Some {
@@ -1317,4 +1285,52 @@ object Pipeline {
                           WHEN n < 5 THEN 'k' ELSE 'l' END AS viol
               FROM cls WHERE n < 5 OR l_sens < 2"""))
   )
+
+  /** c03's pure-plan prefix — exact dedup + near-dup removal +
+    * quality floor + 13-gram decontamination, down to the survivor id
+    * set. Memoized per (session, dir) via [[graft.PlanMemo]] (it is
+    * pure construction: every stage is lazy, the only persists are
+    * dupDrops' scope-recorded frames); the data-dependent
+    * shardShuffle tail stays in the query fn. */
+  private def c03Cleaned(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    graft.functions.Hashing.register(s)
+    val docs = Tables(s, d, "documents")
+    val keepExact = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    // full-corpus pair drops ≡ Dedup.dupDrops (exact pass +
+    // rep-LSH — see its equivalence proof); the swap makes the
+    // near-dup stage storm-proof while keepExact keeps covering
+    // the sub-3-token docs LSH never sees
+    val nearDrops = DedupKernels.dupDrops(s, d)
+    val evalPred = s"${pctSql("'eval:' || doc_id")} < 10"
+    val quality = docs
+      .selectExpr("doc_id", s"$toks as t", s"$evalPred as is_eval")
+      .selectExpr("doc_id", "is_eval", "t",
+        """case when size(t) >= 2
+             then transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))
+             else array() end as g2""")
+      .selectExpr("doc_id", "is_eval",
+        "10000 - (size(array_distinct(t)) * 10000) div size(t) as dup_tok_bp",
+        """case when size(g2) > 0
+             then 10000 - (size(array_distinct(g2)) * 10000) div size(g2)
+             else 0L end as dup2_bp""",
+        s"""aggregate(transform(t, x -> ${graft.functions.Hashing.h32Sql("concat('w:', x)")} % 2001 - 1000),
+                      0L, (a, x) -> a + x) div size(t) as score_bp""")
+      .where("not is_eval and dup2_bp <= 800 and dup_tok_bp <= 7000 and score_bp > 0")
+      .select("doc_id")
+    val grams = docs
+      .selectExpr("doc_id", s"$evalPred as is_eval",
+        s"""case when size($toks) >= 13
+              then transform(sequence(1, size($toks) - 12), i -> array_join(slice($toks, i, 13), ' '))
+              else array() end as gs""")
+      .select(col("doc_id"), col("is_eval"), explode(col("gs")).as("g"))
+    val evalGrams = grams.where("is_eval").select("g").distinct()
+    val contaminated = grams.where("not is_eval")
+      .join(evalGrams, "g").select("doc_id").distinct()
+    quality
+      .join(keepExact, Seq("doc_id"), "left_semi")
+      .join(nearDrops, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+  }
 }

@@ -66,6 +66,18 @@ object Sinks {
   def writeZstd(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(path)
 
+  /** [[writeZstd]] + read-back of the written files. The read is given
+    * the WRITER's schema — for data this frame just wrote, schema
+    * re-inference (a file listing plus a footer-read job per
+    * invocation, ~60 ms driver-side) can only rediscover what the
+    * writer already knows. Simple-typed frames round-trip their
+    * schema exactly (SinksSpec pins it); the scan itself still reads
+    * whatever is on disk. */
+  def writeZstdAndRead(df: DataFrame, path: String): DataFrame = {
+    writeZstd(df, path)
+    df.sparkSession.read.schema(df.schema).parquet(path)
+  }
+
   // ── manifest-based snapshot isolation on plain parquet (the
   // Delta/Iceberg core contract, minimally; sink12): commits only
   // APPEND data files — copy-on-write, nothing deleted or rewritten

@@ -190,56 +190,104 @@ object SnifferCsv {
     raw0.select(raw0.columns.map(h =>
       when(col(h) === "", lit(null)).otherwise(col(h)).as(h)): _*)
 
+  /** The (n, bool, bigint, double, iso, dmy, mdy, ts) slot order the
+    * classification consumers index by — bit value per slot 1..7. */
+  private val BitOrder: IndexedSeq[Int] =
+    IndexedSeq(BOOL, BIGINT, DOUBLE, DATE_ISO, DATE_DMY, DATE_MDY, TS)
+
   /** Per-column mask counts: (n, bool, bigint, double, iso, dmy, mdy,
-    * ts) — ONE partial-agg'd pass, one row to the driver — plus the
-    * exact row count (one extra count(*) column, free in the same
-    * pass; divergence detection uses it to skip files the sniff
-    * window covers entirely).
+    * ts) — ONE partial-agg'd pass, a bounded (≤ columns × 129 mask
+    * values) group set to the driver — plus the exact row count
+    * (rides the same pass; divergence detection uses it to skip files
+    * the sniff window covers entirely).
+    *
+    * Formulation: one `duck_type_mask` array per row, posexplode,
+    * `groupBy(pos, mask)` with two counts (total, head-window). The
+    * previous shape — 8 (16 with the prefix window) `count(when)`
+    * aggregates PER COLUMN — paid ~columns × 16 aggregate-buffer
+    * updates per row and a 100+-expression aggregate to analyze per
+    * invocation; grouping by the mask VALUE pays one hash probe per
+    * column per row into a ≤ 129-groups-per-column map and expands to
+    * per-bit counts driver-side. Measured on the 150k-row bulk core
+    * (7 columns, prefix window on): 0.57 s → 0.30 s per pass.
     *
     * `withPrefix = true` additionally returns the same counts over the
     * DuckDB sniff window — the first [[DuckSampleRows]] rows of
     * partition 0 (exact for single-stream members; the head split for
-    * staged/extracted files, the same arbitrary-but-valid-sample
-    * caveat the old `limit(DuckSampleRows)` second pass carried) — as
-    * guarded aggregates IN THE SAME JOB: the old formulation re-read
-    * the member head in a second bounded job per core layer; fusing
-    * it makes core typing exactly one pass regardless of detection. */
+    * staged/extracted files, an arbitrary-but-valid sample otherwise)
+    * — via the head-window count IN THE SAME JOB.
+    *
+    * Dispatch: the group-by-mask shape wins when the per-row
+    * aggregate-update count is large (the 16-per-column prefix window,
+    * or a wide file); for a narrow no-prefix layer (extensions: 8
+    * updates × few columns) the flat aggregate stays cheaper than
+    * explode + hash probes — measured 0.23 s vs 0.29 s on the 3-column
+    * bulk extension — so that shape keeps the old formulation. */
   private def maskCounts(raw: DataFrame, withPrefix: Boolean = false)
       : (Array[IndexedSeq[Long]], Option[Array[IndexedSeq[Long]]], Long) = {
     graft.functions.Hashing.register(raw.sparkSession)
-    // marker column name: dodge any real CSV column of the same name
-    var mk = "__graft_sniff_head"
-    while (raw.columns.contains(mk)) mk += "_"
-    val maskedCols = raw.columns.map(h => expr(s"duck_type_mask(`$h`)").as(h))
-    val masked =
+    if (!withPrefix && raw.columns.length <= 8) return maskCountsFlat(raw)
+    val masks = array(raw.columns.map(h => expr(s"duck_type_mask(`$h`)")): _*)
+    val base =
       if (withPrefix)
         // monotonically_increasing_id is partitionId<<33 | rowInPartition,
         // so `< DuckSampleRows` selects exactly partition 0's head rows.
         // Projected BEFORE the aggregate (nondeterministic expressions
-        // may not appear inside aggregate functions).
-        raw.select(maskedCols :+
-          (monotonically_increasing_id() < DuckSampleRows).as(mk): _*)
-      else raw.select(maskedCols: _*)
-    val head = col(mk)
+        // may not appear inside aggregate functions). The fixed output
+        // names cannot collide with CSV headers — the original columns
+        // are projected away here.
+        raw.select(masks.as("ms"),
+          (monotonically_increasing_id() < DuckSampleRows).as("hd"))
+      else raw.select(masks.as("ms"), lit(false).as("hd"))
+    val groups = base
+      .select(col("hd"), posexplode(col("ms")).as(Seq("pos", "mask")))
+      .groupBy("pos", "mask")
+      .agg(count(lit(1)).as("c"), count(when(col("hd"), 1)).as("ch"))
+      .collect()
+    val full = Array.fill(raw.columns.length)(new Array[Long](8))
+    val pref = Array.fill(raw.columns.length)(new Array[Long](8))
+    var total = 0L
+    groups.foreach { r =>
+      val pos = r.getInt(0)
+      val c = r.getLong(2)
+      val ch = r.getLong(3)
+      if (pos == 0) total += c // every row explodes one element per pos
+      if (!r.isNullAt(1)) { // a null mask is a null value: not counted
+        val mask = r.getInt(1)
+        full(pos)(0) += c
+        pref(pos)(0) += ch
+        var j = 0
+        while (j < BitOrder.length) {
+          if ((mask & BitOrder(j)) != 0) {
+            full(pos)(j + 1) += c
+            pref(pos)(j + 1) += ch
+          }
+          j += 1
+        }
+      }
+    }
+    (full.map(_.toIndexedSeq),
+      if (withPrefix) Some(pref.map(_.toIndexedSeq)) else None,
+      total)
+  }
+
+  /** The flat-aggregate shape (8 `count(when)` per column, one row to
+    * the driver) — the cheaper formulation for narrow no-prefix
+    * layers; see the dispatch note on [[maskCounts]]. */
+  private def maskCountsFlat(raw: DataFrame)
+      : (Array[IndexedSeq[Long]], Option[Array[IndexedSeq[Long]]], Long) = {
+    // mask projected once per column, aggregated 8 ways (inlining the
+    // mask expression into each count would rely on codegen CSE)
+    val masked = raw.select(raw.columns.map(h =>
+      expr(s"duck_type_mask(`$h`)").as(h)): _*)
     val aggs: Seq[Column] = raw.columns.toSeq.flatMap { h =>
       val m = col(s"`$h`")
-      def bit(b: Int) = count(when(m.bitwiseAND(lit(b)) =!= 0, 1))
-      def bitP(b: Int) = count(when(head && m.bitwiseAND(lit(b)) =!= 0, 1))
-      val full = Seq(count(m), bit(BOOL), bit(BIGINT), bit(DOUBLE),
-        bit(DATE_ISO), bit(DATE_DMY), bit(DATE_MDY), bit(TS))
-      if (!withPrefix) full
-      else full ++ Seq(count(when(head, m)), bitP(BOOL), bitP(BIGINT), bitP(DOUBLE),
-        bitP(DATE_ISO), bitP(DATE_DMY), bitP(DATE_MDY), bitP(TS))
+      count(m) +: BitOrder.map(b => count(when(m.bitwiseAND(lit(b)) =!= 0, 1)))
     } :+ count(lit(1))
     val r = masked.agg(aggs.head, aggs.tail: _*).head()
-    val W = if (withPrefix) 16 else 8
     val full = raw.columns.indices.map(i =>
-      (0 until 8).map(j => r.getLong(W * i + j))).toArray
-    val prefix =
-      if (withPrefix) Some(raw.columns.indices.map(i =>
-        (0 until 8).map(j => r.getLong(W * i + 8 + j))).toArray)
-      else None
-    (full, prefix, r.getLong(W * raw.columns.length))
+      (0 until 8).map(j => r.getLong(8 * i + j))).toArray
+    (full, None, r.getLong(8 * raw.columns.length))
   }
 
   /** The DuckDB-lattice classification + cast over an all-string

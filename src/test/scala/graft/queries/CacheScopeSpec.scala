@@ -43,6 +43,34 @@ class CacheScopeSpec extends AnyFunSuite with SparkTestBase {
     df.unpersist()
   }
 
+  test("PlanMemo reuse re-registers the builder's persists in the CURRENT scope") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    var builds = 0
+    def kernel() = graft.PlanMemo.of(spark, "memo-spec-kernel") {
+      builds += 1
+      val sub = CacheScope.persist(Seq(1, 2, 3).toDF("a"))
+      sub.selectExpr("a * 2 as b")
+    }
+    // scope A: first build — the recorded sub-persist is scope-released
+    CacheScope.scoped { assert(kernel().count() === 3) }
+    assert(builds === 1)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "scope A leaked the memoized kernel's sub-persist")
+    // scope B: reuse — NO rebuild, but the sub-persist is re-declared
+    // in B (cached while B runs) and released at B's exit
+    CacheScope.scoped {
+      val df = kernel()
+      assert(builds === 1, "PlanMemo rebuilt a memoized kernel")
+      assert(df.count() === 3)
+      assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+        "reuse did not re-register the builder's persist")
+    }
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "scope B leaked the re-registered persist")
+  }
+
   test("nested scopes release only their own registrations") {
     import spark.implicits._
     val outer = CacheScope.scoped {

@@ -109,6 +109,21 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(s"$base/r.parquet").count() === 2)
   }
 
+  test("writeZstdAndRead: the schema'd read-back equals a fresh inference exactly") {
+    import spark.implicits._
+    val base = tmp("schemaread")
+    val df = Seq((1L, "a", Some(1.5), java.sql.Date.valueOf("2024-04-03")),
+      (2L, null, None, null))
+      .toDF("k", "s", "d", "dt")
+    val back = Sinks.writeZstdAndRead(df, base)
+    val inferred = spark.read.parquet(base)
+    // the writer's schema IS the inferred schema (the helper's whole
+    // premise — re-inference can only rediscover it) ...
+    assert(back.schema === inferred.schema)
+    // ... and the rows come off disk, not from the frame
+    assert(back.orderBy("k").collect().toSeq === inferred.orderBy("k").collect().toSeq)
+  }
+
   test("writeVersioned executes the conversion plan exactly once") {
     import spark.implicits._
     val base = tmp("once")

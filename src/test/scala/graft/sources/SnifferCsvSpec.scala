@@ -109,6 +109,26 @@ class SnifferCsvSpec extends AnyFunSuite with SparkTestBase {
     assert(b.collect().map(_.getDate(1).toString).toSeq === Seq("2024-04-15", "2023-01-22"))
   }
 
+  test("wide no-prefix files type identically through the group-by-mask pass") {
+    // > 8 columns routes the no-prefix classification through the
+    // posexplode/groupBy(pos, mask) formulation (the narrow-layer flat
+    // aggregate is dispatched separately) — pin that both shapes give
+    // the lattice answer, incl. nulls and a no-candidate column
+    val header = (1 to 9).map(i => s"c$i").mkString(";")
+    val r1 = (Seq("5", "1.5", "true", "2024-04-03", "03/04/2024",
+      "2024-04-03 10:00:00", "x", "", "007")).mkString(";")
+    val r2 = (Seq("6", "2", "FALSE", "2024-04-15", "15/04/2024",
+      "2024-04-15 23:59:59", "", "y", "9")).mkString(";")
+    val df = SnifferCsv.read(spark, csv(header, r1, r2), sep = ";")
+    assert(df.schema.map(_.dataType.typeName).toSeq ===
+      Seq("long", "double", "boolean", "date", "date",
+        "timestamp", "string", "string", "string"))
+    // null accounting flows through the mask-value groups: the empty
+    // cells stay null after typing
+    val rows = df.collect()
+    assert(rows(0).isNullAt(7) && rows(1).isNullAt(6))
+  }
+
   test("one value off-type demotes the whole column (full-sample, not prefix)") {
     // 999 longs then one alpha tail value: a prefix sampler would
     // commit to bigint and crash or null the tail at read time
