@@ -35,6 +35,24 @@ object Explain {
         graft.dwca.BulkFixture.ensure()
         graft.dwca.DwcaConvert.convert(sp, graft.dwca.BulkFixture.zipPath,
           graft.dwca.DwcaConvert.GeomWktString, staged = true)
+      },
+      // the sniffer CLASSIFY pass over the bulk core member — an eager
+      // kernel job the conversion explains can't show (it runs before
+      // the conversion plan exists); this pins its shape (posexplode +
+      // groupBy(pos, mask), r20's reformulation) as committed evidence
+      "dwca_classify_plan" -> { sp =>
+        graft.dwca.BulkFixture.ensure()
+        val meta = graft.dwca.DwcaMeta.fromZip(graft.dwca.BulkFixture.zipPath)
+        val lines = graft.sources.ZipSource.stagedLines(sp,
+          graft.dwca.BulkFixture.zipPath, meta.core.location, meta.core.encoding)
+        val schema = org.apache.spark.sql.types.StructType(meta.core.headers.map(h =>
+          org.apache.spark.sql.types.StructField(h, org.apache.spark.sql.types.StringType)))
+        val raw = sp.read.option("header", "false").option("sep", meta.core.sepLiteral)
+          .option("escape", "\"").schema(schema)
+          .csv(sp.createDataset(lines.rdd.mapPartitionsWithIndex(
+            (i, it) => if (i == 0) it.drop(1) else it))(
+            org.apache.spark.sql.Encoders.STRING))
+        graft.sources.SnifferCsv.maskGroups(raw, withPrefix = true)
       })
     ids.foreach { id =>
       println(s"\n===== $id =====")

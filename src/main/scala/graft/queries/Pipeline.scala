@@ -200,7 +200,9 @@ object Pipeline {
     // shuffles; only (doc_id, hit) pairs reach the id-keyed
     // aggregation and the final id join. ──
     "c02_decontaminate" -> Q(
-      (s, d) => {
+      // pure plan construction end to end → prepared per (session,
+      // dir); see graft.PlanMemo for what is (and is not) cached
+      (s, d) => graft.PlanMemo.of(s, s"c02:$d") {
         graft.functions.Hashing.register(s)
         val docs = Tables(s, d, "documents")
         val grams = decontGrams(s, d)
@@ -552,7 +554,9 @@ object Pipeline {
                WHERE (${graft.functions.Hashing.duck32("'resample:' || doc_id")} % 10000) < quality_bp""")),
 
     "c01_clean_corpus" -> Q(
-      (s, d) => {
+      // pure plan construction end to end → prepared per (session,
+      // dir); see graft.PlanMemo for what is (and is not) cached
+      (s, d) => graft.PlanMemo.of(s, s"c01:$d") {
         // doc_ids to drop: the larger end of every verified dup pair —
         // computed storm-proof (exact pass + rep-LSH, same set; see
         // DedupKernels.dupDrops' equivalence proof)

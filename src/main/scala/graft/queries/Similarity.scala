@@ -911,7 +911,9 @@ object Similarity {
     // NOTHING grows with the corpus after the shortlist stage. The
     // oracle unrolls the same greedy selection as chained argmax CTEs. ──
     "s17_mmr_rerank" -> Q(
-      (s, d) => {
+      // pure plan construction end to end → prepared per (session,
+      // dir); see graft.PlanMemo for what is (and is not) cached
+      (s, d) => graft.PlanMemo.of(s, s"s17:$d") {
         Hashing.register(s)
         val e = Tables(s, d, "embeddings")
           .repartition(s.sparkContext.defaultParallelism)

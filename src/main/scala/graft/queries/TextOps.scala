@@ -177,7 +177,9 @@ object TextOps {
     // ties straddling a cut all land in the upper bucket —
     // deterministic in both engines. ──
     "t16_lm_buckets" -> Q(
-      (s, d) => {
+      // pure plan construction end to end → prepared per (session,
+      // dir); see graft.PlanMemo for what is (and is not) cached
+      (s, d) => graft.PlanMemo.of(s, s"t16:$d") {
         val perDoc = TextSignals.lmPerDoc(s, d)
         val hist = perDoc.where("avg_bp is not null")
           .groupBy("avg_bp").agg(count(lit(1)).as("cnt"))

@@ -227,23 +227,7 @@ object SnifferCsv {
       : (Array[IndexedSeq[Long]], Option[Array[IndexedSeq[Long]]], Long) = {
     graft.functions.Hashing.register(raw.sparkSession)
     if (!withPrefix && raw.columns.length <= 8) return maskCountsFlat(raw)
-    val masks = array(raw.columns.map(h => expr(s"duck_type_mask(`$h`)")): _*)
-    val base =
-      if (withPrefix)
-        // monotonically_increasing_id is partitionId<<33 | rowInPartition,
-        // so `< DuckSampleRows` selects exactly partition 0's head rows.
-        // Projected BEFORE the aggregate (nondeterministic expressions
-        // may not appear inside aggregate functions). The fixed output
-        // names cannot collide with CSV headers — the original columns
-        // are projected away here.
-        raw.select(masks.as("ms"),
-          (monotonically_increasing_id() < DuckSampleRows).as("hd"))
-      else raw.select(masks.as("ms"), lit(false).as("hd"))
-    val groups = base
-      .select(col("hd"), posexplode(col("ms")).as(Seq("pos", "mask")))
-      .groupBy("pos", "mask")
-      .agg(count(lit(1)).as("c"), count(when(col("hd"), 1)).as("ch"))
-      .collect()
+    val groups = maskGroups(raw, withPrefix).collect()
     val full = Array.fill(raw.columns.length)(new Array[Long](8))
     val pref = Array.fill(raw.columns.length)(new Array[Long](8))
     var total = 0L
@@ -269,6 +253,29 @@ object SnifferCsv {
     (full.map(_.toIndexedSeq),
       if (withPrefix) Some(pref.map(_.toIndexedSeq)) else None,
       total)
+  }
+
+  /** The classification pass' PLAN (pre-collect) — group-by-mask
+    * shape. Exposed so the plan-audit tool ([[graft.Explain]] pseudo-
+    * ids) can print the classify job's physical plan. */
+  private[graft] def maskGroups(raw: DataFrame, withPrefix: Boolean): DataFrame = {
+    graft.functions.Hashing.register(raw.sparkSession)
+    val masks = array(raw.columns.map(h => expr(s"duck_type_mask(`$h`)")): _*)
+    val base =
+      if (withPrefix)
+        // monotonically_increasing_id is partitionId<<33 | rowInPartition,
+        // so `< DuckSampleRows` selects exactly partition 0's head rows.
+        // Projected BEFORE the aggregate (nondeterministic expressions
+        // may not appear inside aggregate functions). The fixed output
+        // names cannot collide with CSV headers — the original columns
+        // are projected away here.
+        raw.select(masks.as("ms"),
+          (monotonically_increasing_id() < DuckSampleRows).as("hd"))
+      else raw.select(masks.as("ms"), lit(false).as("hd"))
+    base
+      .select(col("hd"), posexplode(col("ms")).as(Seq("pos", "mask")))
+      .groupBy("pos", "mask")
+      .agg(count(lit(1)).as("c"), count(when(col("hd"), 1)).as("ch"))
   }
 
   /** The flat-aggregate shape (8 `count(when)` per column, one row to
